@@ -1,0 +1,102 @@
+"""Deterministic mapping of the driver's TPC-H-ish testdata onto the
+reference pipeline's native inputs (FIXTURES.md SSB).
+
+The reference consumes POS sales CSVs and daily warehouse-inventory
+snapshot CSVs (SURVEY.md SS1). The testdata has neither, so the fixture
+layer derives them deterministically -- and every rule here is mirrored
+verbatim in the DuckDB oracle SQL in ``__spark_entry__.py``:
+
+- **pos_sales**  := lineitem with sku = CAST(l_partkey AS STRING),
+  quantity = CAST(l_quantity AS INT), sale_date = CAST(l_shipdate AS DATE).
+- **processing date d** := MAX(sale_date) -- the one scalar parameter,
+  the analogue of the reference's ``processing_date`` argv
+  (glue_job_2_reconcile.py:21-30).
+- **warehouse_inventory snapshot at date x** := for every *tracked* sku
+  (p_partkey % 10 <> 3; untracked skus exercise the reference's
+  sold-but-no-inventory row drop, J2) that has shipped at least once on
+  or before x (the warehouse only knows skus that have moved -- skus
+  first selling on d exercise the full-outer null path, J1):
+  ``stock_on_hand = p_size*100 - cum_qty(<=x) [- 1 if p_partkey%7=0 on
+  the closing snapshot]``. The closing-only "-1" injects shrinkage so
+  the discrepancy filter (P3) is non-empty.
+- **dim source** := part (sku, p_name, p_type) UNION ALL a conflicting
+  variant (category = p_brand) for p_partkey % 5 = 0, exercising
+  deterministic dedup (A2).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRACKED_MOD = 10  # p_partkey % 10 == 3 -> warehouse does not track this sku
+UNTRACKED_REMAINDER = 3
+SHRINK_MOD = 7  # p_partkey % 7 == 0 -> loses 1 unit in the closing snapshot
+CONFLICT_MOD = 5  # p_partkey % 5 == 0 -> duplicate dim row with category=p_brand
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def pos_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-grain sales in the reference's A1 shape (+ sale_date)."""
+    return load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("sku"),
+        F.col("l_quantity").cast("int").alias("quantity"),
+        F.col("l_shipdate").cast("date").alias("sale_date"),
+    )
+
+
+def processing_date(spark: SparkSession, sf_dir: str) -> dt.date:
+    """d := MAX(sale_date). A single scalar action -- this is a job
+    *parameter* (like the reference's argv date), not data movement."""
+    return pos_sales(spark, sf_dir).agg(F.max("sale_date")).collect()[0][0]
+
+
+def inventory_snapshot(
+    spark: SparkSession, sf_dir: str, as_of: dt.date, *, inject_shrinkage: bool
+) -> DataFrame:
+    """Warehouse inventory snapshot (A2 shape) as of ``as_of``."""
+    sales = pos_sales(spark, sf_dir)
+    part = load(spark, sf_dir, "part")
+    cum = (
+        sales.where(F.col("sale_date") <= F.lit(as_of))
+        .groupBy("sku")
+        .agg(F.sum("quantity").alias("_cum_qty"))
+    )
+    shrink = (
+        F.when(F.col("p_partkey") % SHRINK_MOD == 0, F.lit(1)).otherwise(F.lit(0))
+        if inject_shrinkage
+        else F.lit(0)
+    )
+    return (
+        cum.join(part, cum.sku == F.col("p_partkey").cast("string"))
+        .where(F.col("p_partkey") % TRACKED_MOD != UNTRACKED_REMAINDER)
+        .select(
+            "sku",
+            (F.col("p_size") * 100 - F.col("_cum_qty") - shrink)
+            .cast("int")
+            .alias("stock_on_hand"),
+            F.col("p_name").alias("product_name"),
+            F.col("p_type").alias("category"),
+        )
+    )
+
+
+def dim_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw dim input with seeded attribute conflicts (A2 attribute cols)."""
+    part = load(spark, sf_dir, "part")
+    base = part.select(
+        F.col("p_partkey").cast("string").alias("sku"),
+        F.col("p_name").alias("product_name"),
+        F.col("p_type").alias("category"),
+    )
+    conflict = part.where(F.col("p_partkey") % CONFLICT_MOD == 0).select(
+        F.col("p_partkey").cast("string").alias("sku"),
+        F.col("p_name").alias("product_name"),
+        F.col("p_brand").alias("category"),
+    )
+    return base.unionByName(conflict)

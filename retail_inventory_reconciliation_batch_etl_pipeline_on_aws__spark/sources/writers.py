@@ -1,0 +1,47 @@
+"""Idempotent partitioned writers (SURVEY.md SS2.2, operators K1-K3).
+
+The reference achieves idempotent daily loads twice over: path-scoped
+``mode("overwrite")`` parquet writes per date directory
+(``glue_job_1_stage_sales.py:71``, ``glue_job_2_reconcile.py:113``) and
+warehouse ``DELETE ... WHERE date_key = d`` + ``COPY`` pairs
+(``dags/retail_pipeline_dag.py:19-41``). Both collapse into one Spark
+semantic: **dynamic partition overwrite** -- rewriting only the
+partitions present in the incoming frame (the session sets
+``spark.sql.sources.partitionOverwriteMode=dynamic``).
+
+``SORTKEY`` intent from ``sql/create_redshift_tables.sql:15,26,38`` is
+reproduced by sorting within partitions before write, so parquet
+row-group min/max stats act as zone maps for later range scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str] = "date_key",
+    sort_within: str | list[str] | None = "sku",
+) -> None:
+    """K1/K3: per-partition idempotent replace, sorted-at-rest.
+
+    Running the same day twice leaves the table identical to running it
+    once (README.md:114's replayability contract); other days' partitions
+    are untouched.
+    """
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    if sort_within:
+        sort_cols = [sort_within] if isinstance(sort_within, str) else list(sort_within)
+        df = df.sortWithinPartitions(*sort_cols)
+    df.write.mode("overwrite").partitionBy(*cols).parquet(path)
+
+
+def write_single_file(df: DataFrame, path: str) -> None:
+    """K2: small-table single-file write (glue_job_create_dims.py:56).
+
+    ``coalesce(1)`` is correct only for genuinely small frames (the
+    product dim); keep it out of fact paths.
+    """
+    df.coalesce(1).write.mode("overwrite").parquet(path)
