@@ -33,6 +33,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_prune": Q.q_partition_prune,
         "normalize_clean": Q.q_normalize_clean,
         "stock_timeseries": Q.q_stock_timeseries,
+        # general OLAP
+        "pricing_summary": Q.q_pricing_summary,
+        "top_customers": Q.q_top_customers,
+        "region_revenue": Q.q_region_revenue,
+        # events (batch twins of the streaming path)
+        "events_hourly": Q.q_events_hourly,
+        "events_sessionize": Q.q_events_sessionize,
+        "events_json": Q.q_events_json,
+        # text analysis / dedup / fingerprinting
+        "text_stats": Q.q_text_stats,
+        "lang_rollup": Q.q_lang_rollup,
+        "langid": Q.q_langid,
+        "dedup_exact": Q.q_dedup_exact,
+        "simhash": Q.q_simhash,
+        "jaccard_pairs": Q.q_jaccard_pairs,
+        "multimodal_features": Q.q_multimodal_features,
+        # similarity search
+        "sim_topk": Q.q_sim_topk,
+        "label_centroid_sim": Q.q_label_centroid_sim,
+        # rows-only (seeded hash families; no SQL oracle by design)
+        "minhash_pairs": Q.q_minhash_pairs,
+        "minhash_ml_pairs": Q.q_minhash_ml_pairs,
+        "ann_topk": Q.q_ann_topk,
     }
 
 
@@ -182,5 +205,233 @@ SELECT sku, sale_date, day_qty, closing_stock,
        CAST(LAG(closing_stock) OVER (PARTITION BY sku ORDER BY sale_date) AS BIGINT)
          AS opening_stock
 FROM ledger
+""",
+        # --- general OLAP ------------------------------------------------
+        # Money: accumulate DECIMAL(18,2) (exact, order-independent), cast
+        # the finished aggregate to DOUBLE -- identical in both engines.
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(CAST(l_quantity AS INT)) AS DOUBLE) / COUNT(*), 4) AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+        "top_customers": """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey ASC
+LIMIT 10
+""",
+        "region_revenue": """
+SELECT r_name AS region_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+        # --- events ------------------------------------------------------
+        "events_hourly": """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+        "events_sessionize": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT), 1, 0)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 30*60
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT *, SUM(new_session) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sess
+GROUP BY user_id, session_seq
+""",
+        "events_json": """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+""",
+        # --- text analysis / dedup ---------------------------------------
+        "text_stats": """
+WITH tok AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_computed,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+       CAST(len(list_filter(toks, t -> t IN
+            ('the','a','and','of','to','is','in','it'))) AS BIGINT) AS n_stopwords,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+         AS n_bpe_tokens,
+       ROUND(
+         0.5 * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+         + 0.3 * LEAST(1.0, 4.0 * (CAST(len(list_filter(toks, t -> t IN
+              ('the','a','and','of','to','is','in','it'))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE)))
+         + 0.2 * (CASE WHEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                            / CAST(len(toks) AS DOUBLE) BETWEEN 3.0 AND 10.0
+                  THEN 1.0 ELSE 0.0 END), 4) AS quality_score
+FROM tok
+""",
+        "lang_rollup": """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+FROM documents
+GROUP BY lang
+""",
+        "langid": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sc AS (
+  SELECT doc_id,
+         len(list_filter(toks, t -> t IN ('the','and','is','of','a'))) AS s_en,
+         len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS s_de,
+         len(list_filter(toks, t -> t IN ('le','la','et','les','est'))) AS s_fr,
+         len(list_filter(toks, t -> t IN ('el','la','los','es','que'))) AS s_es
+  FROM tok
+)
+SELECT doc_id,
+       CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM sc
+""",
+        "dedup_exact": """
+WITH h AS (SELECT doc_id, sha256(text) AS fingerprint FROM documents),
+g AS (
+  SELECT doc_id, fingerprint,
+         ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY fingerprint) AS n_dups
+  FROM h
+)
+SELECT doc_id, fingerprint, CAST(n_dups AS BIGINT) AS n_dups
+FROM g WHERE rn = 1
+""",
+        "simhash": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+t AS (SELECT doc_id, unnest(toks) AS tk FROM tok),
+h AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, 9), i ->
+           (strpos('0123456789abcdef', substr(md5(tk), CAST(i AS INT), 1)) - 1)
+           * power(16, 8 - i))) AS BIGINT) AS hv
+  FROM t
+),
+bits AS (
+  SELECT doc_id, unnest(range(0, 32)) AS i, hv FROM h
+),
+votes AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN (hv // CAST(power(2, i) AS BIGINT)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY doc_id, i
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM votes GROUP BY doc_id
+""",
+        "jaccard_pairs": """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM docs
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 3 + 2), i ->
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+  FROM tok WHERE len(toks) >= 3
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) AS jaccard
+FROM shared
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.05
+""",
+        "multimodal_features": """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1))
+                 ELSE -1 END AS INT) AS first_byte,
+       CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
+            % 2147483647 AS BIGINT) AS byte_checksum
+FROM documents
+""",
+        # --- similarity search -------------------------------------------
+        "sim_topk": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 4) AS score
+FROM embeddings CROSS JOIN q
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+""",
+        "label_centroid_sim": """
+WITH e AS (
+  SELECT label,
+         unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos, SUM(v) / COUNT(*) AS m FROM e GROUP BY label, pos
+),
+c2 AS (SELECT label, list(m ORDER BY pos) AS centroid FROM cent GROUP BY label),
+ref AS (SELECT centroid AS rc FROM c2 WHERE label = 0)
+SELECT label, ROUND(list_cosine_similarity(centroid, rc), 4) AS centroid_cos
+FROM c2 CROSS JOIN ref
 """,
     }

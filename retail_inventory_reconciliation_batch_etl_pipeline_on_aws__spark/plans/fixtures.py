@@ -41,6 +41,20 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with ts normalized to microsecond timestamps.
+
+    The parquet stores TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a nanos long.
+    Integer ``div`` (not double division -- ns-since-epoch exceeds double
+    precision) floors to micros, matching DuckDB's own ns->us truncation.
+    """
+    raw = load(spark, sf_dir, "events")
+    if dict(raw.dtypes)["ts"] == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
 def pos_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transaction-grain sales in the reference's A1 shape (+ sale_date)."""
     return load(spark, sf_dir, "lineitem").select(

@@ -139,3 +139,260 @@ def q_stock_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long"),
         )
     )
+
+
+# --- general OLAP queries (engine breadth beyond the reference jobs) ---
+# Money convention: accumulate in DECIMAL(18,2) (exact, order-independent,
+# so identical across engines), cast the final aggregate to DOUBLE.
+
+
+def _dec(col: str):
+    return F.col(col).cast("decimal(18,2)")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style wide aggregate: 2-key groupBy, mixed sum/avg/count.
+    Partial (map-side) aggregation means the shuffle carries one row per
+    (partition, flag, status) -- ~6 groups regardless of input size."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("int")).cast("long").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("n_rows"),
+        )
+        .withColumn(
+            "avg_qty",
+            F.round(F.col("sum_qty").cast("double") / F.col("n_rows"), 4),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-k (sort+limit -> TakeOrderedAndProject)."""
+    orders = fixtures.load(spark, sf_dir, "orders")
+    cust = fixtures.load(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star join rolled up to region. The three dimension hops
+    (customer->nation->region) are broadcast; only lineitem x orders
+    shuffles, on the join key."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    orders = fixtures.load(spark, sf_dir, "orders")
+    cust = fixtures.load(spark, sf_dir, "customer")
+    nation = fixtures.load(spark, sf_dir, "nation")
+    region = fixtures.load(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- event-stream queries (batch forms; streaming twin in streaming/) --
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessionize import hourly_rollup
+
+    return hourly_rollup(fixtures.events(spark, sf_dir))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessionize import sessionize
+
+    return sessionize(fixtures.events(spark, sf_dir), gap_minutes=30)
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + rollup (props is a json-ish string)."""
+    ev = fixtures.events(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "k", F.get_json_object(F.col("props"), "$.k").cast("long")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# --- text analysis / dedup / fingerprinting (documents table) ----------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import text as TX
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_computed"),
+        TX.token_count("text").alias("n_tokens"),
+        TX.distinct_token_count("text").alias("n_uniq_tokens"),
+        TX.stopword_count("text").alias("n_stopwords"),
+        TX.bpe_token_count("text").alias("n_bpe_tokens"),
+        TX.quality_score("text").alias("quality_score"),
+    )
+
+
+def q_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fixtures.load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 4).alias(
+            "avg_chars"
+        ),
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import text as TX
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.langid("text").alias("lang_pred"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(fixtures.load(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import simhash32
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash32("text").alias("simhash"))
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs on a doc_id%5 sample (keeps
+    the candidate join bounded for the oracle; the full-corpus scale path
+    is q_minhash_pairs)."""
+    from .operators.dedup import shingle_jaccard_pairs
+
+    docs = fixtures.load(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    return shingle_jaccard_pairs(docs, n=3, threshold=0.05)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: opaque bytes -> Arrow-batched mapInPandas
+    feature extraction (decode stubbed deterministically)."""
+    from .operators.multimodal import extract_binary_features, with_binary_payload
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    return extract_binary_features(with_binary_payload(docs))
+
+
+# --- similarity search (embeddings table) ------------------------------
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list:
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    row = emb.where(F.col("vec_id") == vec_id).select("embedding").collect()[0]
+    return list(row[0])
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 against vec_id=0's embedding."""
+    from .operators.similarity import brute_force_topk
+
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _query_vector(spark, sf_dir), k=10)
+
+
+def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid -> cosine of each label centroid vs label 0's
+    centroid. Aggregates arrays element-wise (zip_with under agg) --
+    the embedding-cosine building block for cluster-level dedup."""
+    from .functions.vectors import as_double_array, cosine
+
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    summed = (
+        emb.select("label", F.posexplode(as_double_array("embedding")).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", (F.col("s") / F.col("n")).alias("m")))
+            ).alias("pairs")
+        )
+        .select(
+            "label", F.transform(F.col("pairs"), lambda p: p.getField("m")).alias("centroid")
+        )
+    )
+    ref = summed.where(F.col("label") == 0).select(
+        F.col("centroid").alias("ref_centroid")
+    )
+    return (
+        summed.crossJoin(F.broadcast(ref))
+        .select(
+            "label",
+            F.round(cosine(F.col("centroid"), F.col("ref_centroid")), 4).alias(
+                "centroid_cos"
+            ),
+        )
+    )
+
+
+# --- rows-only queries (not SQL-expressible: seeded hash families) -----
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-MinHash near-dup pairs (custom deterministic LSH -- the
+    scale path; exact-verified so precision is 1.0)."""
+    from .operators.dedup import minhash_banded_pairs
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    return minhash_banded_pairs(docs, threshold=0.5)
+
+
+def q_minhash_ml_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml MinHashLSH variant (seeded) -- kept alongside the
+    custom banded implementation for API parity with ML pipelines."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_ann_topk
+
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, _query_vector(spark, sf_dir), k=10)
