@@ -375,11 +375,10 @@ SELECT doc_id,
 FROM votes GROUP BY doc_id
 """,
         "jaccard_pairs": """
-WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-tok AS (
+WITH tok AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
-  FROM docs
+  FROM documents
 ),
 sh AS (
   SELECT doc_id,
@@ -399,7 +398,7 @@ SELECT doc_a, doc_b,
 FROM shared
 JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
-WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.05
+WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 """,
         "multimodal_features": """
 SELECT doc_id,

@@ -298,15 +298,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact shingle-Jaccard near-dup pairs on a doc_id%5 sample (keeps
-    the candidate join bounded for the oracle; the full-corpus scale path
-    is q_minhash_pairs)."""
+    """Exact shingle-Jaccard near-dup pairs over the full corpus at the
+    0.5 threshold (the testdata plants ~5% true near-dups at j>0.9; this
+    is the exact-verification ground truth that q_minhash_pairs'
+    LSH-bucketed scale path must recover)."""
     from .operators.dedup import shingle_jaccard_pairs
 
-    docs = fixtures.load(spark, sf_dir, "documents").where(
-        F.col("doc_id") % 5 == 0
-    )
-    return shingle_jaccard_pairs(docs, n=3, threshold=0.05)
+    docs = fixtures.load(spark, sf_dir, "documents")
+    return shingle_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
