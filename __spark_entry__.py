@@ -52,10 +52,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "sim_topk": Q.q_sim_topk,
         "label_centroid_sim": Q.q_label_centroid_sim,
-        # rows-only (seeded hash families; no SQL oracle by design)
+        "embed_neardup": Q.q_embed_neardup,
+        "rolling_fingerprint": Q.q_rolling_fingerprint,
+        # OLAP breadth: windows, rollup, semi/anti, set ops, pivot
+        "sku_moving_avg": Q.q_sku_moving_avg,
+        "sales_rollup": Q.q_sales_rollup,
+        "cust_no_orders": Q.q_cust_no_orders,
+        "parts_ordered_semi": Q.q_parts_ordered_semi,
+        "customer_setops": Q.q_customer_setops,
+        "returnflag_pivot": Q.q_returnflag_pivot,
+        # rows-only (seeded hash families / approximate by design)
         "minhash_pairs": Q.q_minhash_pairs,
         "minhash_ml_pairs": Q.q_minhash_ml_pairs,
         "ann_topk": Q.q_ann_topk,
+        "embed_neardup_lsh": Q.q_embed_neardup_lsh,
+        "ivf_topk": Q.q_ivf_topk,
     }
 
 
@@ -417,6 +428,98 @@ SELECT vec_id,
 FROM embeddings CROSS JOIN q
 ORDER BY score DESC, vec_id ASC
 LIMIT 10
+""",
+        "embed_neardup": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.45
+""",
+        "rolling_fingerprint": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+         list_transform(toks, t ->
+           CAST(list_sum(list_transform(range(1, 9), i ->
+             (strpos('0123456789abcdef', substr(md5(t), CAST(i AS INT), 1)) - 1)
+             * power(16, 8 - i))) AS BIGINT)) AS hashes
+  FROM tok
+)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT), hashes),
+         (acc, x) -> (acc * 31 + x) % 2147483647
+       ) AS fingerprint_rk
+FROM th
+""",
+        # --- OLAP breadth --------------------------------------------------
+        "sku_moving_avg": """
+WITH sales AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS sku,
+         CAST(l_quantity AS INT)    AS quantity,
+         CAST(l_shipdate AS DATE)   AS sale_date
+  FROM lineitem
+),
+daily AS (
+  SELECT sku, sale_date, CAST(SUM(quantity) AS BIGINT) AS day_qty
+  FROM sales WHERE CAST(sku AS INT) % 50 = 0
+  GROUP BY sku, sale_date
+)
+SELECT sku, sale_date, day_qty,
+       ROUND(AVG(day_qty) OVER (
+         PARTITION BY sku ORDER BY sale_date
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
+       CAST(ROW_NUMBER() OVER (PARTITION BY sku ORDER BY sale_date) AS BIGINT)
+         AS day_rank
+FROM daily
+""",
+        "sales_rollup": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "cust_no_orders": """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '1998-01-01')
+GROUP BY c_mktsegment
+""",
+        "parts_ordered_semi": """
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+""",
+        "customer_setops": """
+WITH early AS (SELECT o_custkey FROM orders WHERE o_orderdate < DATE '1998-01-01'),
+late  AS (SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1998-01-01')
+SELECT 'both' AS cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late)
+UNION ALL
+SELECT 'early_only', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late)
+UNION ALL
+SELECT 'late_only', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT o_custkey FROM late EXCEPT SELECT o_custkey FROM early)
+""",
+        "returnflag_pivot": """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS INT) END) AS BIGINT) AS "A",
+       CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS INT) END) AS BIGINT) AS "N",
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS INT) END) AS BIGINT) AS "R"
+FROM lineitem
+GROUP BY l_linestatus
 """,
         "label_centroid_sim": """
 WITH e AS (

@@ -145,6 +145,22 @@ def token_hash32(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
 
 
+def rolling_fingerprint(col: Column | str, base: int = 31, mod: int = 2147483647) -> Column:
+    """Polynomial rolling-hash document fingerprint over whitespace
+    tokens: ``h = (h*base + token_hash32(t)) % mod``, left to right.
+
+    Order-sensitive (unlike the sha256 content hash it distinguishes
+    token permutations cheaply) and streamable -- the classic
+    Rabin-Karp-style fingerprint. Single aggregate pass, no shuffle.
+    Mirror: DuckDB ``list_reduce`` with the same md5-derived token hash.
+    """
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * base + token_hash32(t)) % F.lit(mod).cast("long"),
+    )
+
+
 def simhash32(col: Column | str) -> Column:
     """32-bit SimHash over whitespace tokens -- single-pass, shuffle-free.
 

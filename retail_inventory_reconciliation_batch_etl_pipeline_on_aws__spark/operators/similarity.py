@@ -5,12 +5,17 @@
 - ``lsh_ann_topk``: BucketedRandomProjectionLSH approximate variant --
   the 100TB path: random-projection bucketing turns the scan into a
   bucket-pruned candidate join. Seeded; rows-only correctness check.
-- ``ivf_topk``: IVF-style two-stage search with k-means-ish centroids
-  derived from LSH buckets is left for a later round; the LSH variant
-  covers the ANN contract.
+- ``cosine_pairs``: exact all-pairs cosine near-dup (the embedding twin
+  of shingle_jaccard_pairs); ``lsh_neardup_pairs`` is its LSH-bucketed
+  scale path.
+- ``ivf_topk``: inverted-file ANN -- deterministic Lloyd centroids,
+  cluster-pruned probe. Only the tiny centroid table (nlist x dim) ever
+  reaches the driver; vectors stay distributed.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -69,3 +74,177 @@ def lsh_ann_topk(
 
     res = lsh.approxNearestNeighbors(vecs, Vectors.dense(query_vec), k, distCol="dist")
     return res.select(id_col, F.round("dist", 4).alias("dist"))
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: every (a < b) pair with
+    ``round(cosine, 4) >= threshold``.
+
+    This is a deliberate O(n^2) nested-loop join -- the exact ground
+    truth / final-verification stage. The corpus-scale candidate
+    generator is ``lsh_neardup_pairs`` (same contract, LSH-bucketed);
+    running this exact verifier on LSH candidates instead of all pairs
+    is the production composition, mirroring minhash_banded_pairs.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
+    )
+    a = e.select(F.col("_id").alias("vec_a"), F.col("_v").alias("va"))
+    b = e.select(F.col("_id").alias("vec_b"), F.col("_v").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def lsh_neardup_pairs(
+    embeddings: DataFrame,
+    cos_threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 1.0,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs -- the scale path for
+    ``cosine_pairs``.
+
+    Vectors are L2-normalized so cosine converts exactly to euclidean
+    distance (``d^2 = 2 - 2*cos``); ``approxSimilarityJoin`` then only
+    compares vectors sharing a random-projection bucket, and every
+    candidate is exactly verified against the distance threshold -- so
+    like the MinHash path, LSH affects recall only, never precision.
+    Seeded hash family => rows-only correctness check.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from ..functions.vectors import l2_norm
+
+    dist_threshold = math.sqrt(max(0.0, 2.0 - 2.0 * cos_threshold))
+    norm = (
+        embeddings.select(
+            F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_a")
+        )
+        .withColumn("_n", l2_norm(F.col("_a")))
+        .select(
+            "_id",
+            array_to_vector(
+                F.transform(F.col("_a"), lambda x: x / F.col("_n"))
+            ).alias("_v"),
+        )
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_v", outputCol="_h", bucketLength=bucket_length,
+        numHashTables=num_tables, seed=seed,
+    ).fit(norm)
+    pairs = lsh.approxSimilarityJoin(norm, norm, dist_threshold, distCol="_d")
+    return (
+        pairs.where(F.col("datasetA._id") < F.col("datasetB._id"))
+        .select(
+            F.col("datasetA._id").alias("vec_a"),
+            F.col("datasetB._id").alias("vec_b"),
+            F.round(1.0 - F.col("_d") * F.col("_d") / 2.0, 4).alias("cos_sim"),
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: deterministic k-means
+    coarse quantizer + cluster-pruned exact search.
+
+    Training: centroids init from the ``nlist`` lowest-id vectors, then
+    ``iters`` Lloyd steps run as DataFrame jobs (assign = argmin over a
+    broadcast centroid literal; update = element-wise mean via
+    posexplode/groupBy). Only the nlist x dim centroid table crosses the
+    driver boundary per step -- the vectors themselves never collect, so
+    the same code trains on 10^9 vectors. Deterministic end to end: seeded
+    by ids, argmin ties broken by centroid index, means order-independent.
+
+    Search: probe the ``nprobe`` centroids nearest the query (driver-side
+    math on the tiny centroid table), scan only vectors assigned to those
+    clusters (a partition-prunable filter when the assignment is written
+    out partitioned by cluster), exact cosine within the probed subset.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
+    )
+    cents = [
+        list(r._v)
+        for r in e.orderBy("_id").limit(nlist).collect()
+    ]
+
+    def cent_lit(cs):
+        return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cs])
+
+    def assign(df, cs):
+        # argmin over squared euclidean; ties -> lowest cluster index
+        dists = F.transform(
+            cent_lit(cs),
+            lambda c: F.aggregate(
+                F.zip_with(F.col("_v"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return df.withColumn("_dists", dists).withColumn(
+            "cluster", F.array_position(F.col("_dists"), F.array_min("_dists")) - 1
+        ).drop("_dists")
+
+    for _ in range(iters):
+        assigned = assign(e, cents)
+        means = (
+            assigned.select("cluster", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pairs")
+            )
+            .select(
+                "cluster",
+                F.transform(F.col("pairs"), lambda p: p.getField("m")).alias("c"),
+            )
+            .collect()
+        )
+        by_cluster = {int(r.cluster): list(r.c) for r in means}
+        cents = [by_cluster.get(i, cents[i]) for i in range(nlist)]
+
+    # driver-side probe selection on the tiny centroid table
+    def sq_dist(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe_order = sorted(range(len(cents)), key=lambda i: (sq_dist(cents[i], query_vec), i))
+    probes = probe_order[:nprobe]
+
+    assigned = assign(e, cents).where(F.col("cluster").isin(probes))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.select(
+            F.col("_id").alias(id_col),
+            F.round(cosine(F.col("_v"), q), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -369,7 +369,138 @@ def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- OLAP breadth: windows, rollup, semi/anti, set ops, pivot ----------
+
+
+def q_sku_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average + per-sku day rank over the daily sales
+    series (windowed agg family; sku%50 sample bounds the oracle)."""
+    sales = fixtures.pos_sales(spark, sf_dir).where(F.col("sku").cast("int") % 50 == 0)
+    daily = sales.groupBy("sku", "sale_date").agg(
+        F.sum(F.col("quantity").cast("long")).alias("day_qty")
+    )
+    w_ma = (
+        Window.partitionBy("sku").orderBy("sale_date").rowsBetween(-6, 0)
+    )
+    w_rank = Window.partitionBy("sku").orderBy("sale_date")
+    return daily.select(
+        "sku",
+        "sale_date",
+        "day_qty",
+        F.round(F.avg("day_qty").over(w_ma), 4).alias("ma7"),
+        F.row_number().over(w_rank).cast("long").alias("day_rank"),
+    )
+
+
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with grouping level -- the
+    subtotal/grand-total lattice computed in one shuffle."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("int")).cast("long").alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no order since 1998-01-01, by segment.
+    (Scoped to a year window: this testdata gives every customer at
+    least one all-time order, which would make the anti join vacuous.)"""
+    cust = fixtures.load(spark, sf_dir, "customer")
+    recent = fixtures.load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit(dt.date(1998, 1, 1))
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_parts_ordered_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: parts that appear in at least one lineitem, by brand.
+    Semi never duplicates the left side, so the count is parts, not hits."""
+    part = fixtures.load(spark, sf_dir, "part")
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+def q_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers ordering before vs since 1998-01-01 --
+    INTERSECT / EXCEPT both directions, labeled counts."""
+    orders = fixtures.load(spark, sf_dir, "orders")
+    cutoff = F.lit(dt.date(1998, 1, 1))
+    early = orders.where(F.col("o_orderdate") < cutoff).select("o_custkey")
+    late = orders.where(F.col("o_orderdate") >= cutoff).select("o_custkey")
+
+    def count_as(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_customers")).select(
+            F.lit(label).alias("cohort"), "n_customers"
+        )
+
+    return (
+        count_as(early.intersect(late), "both")
+        .unionByName(count_as(early.subtract(late), "early_only"))
+        .unionByName(count_as(late.subtract(early), "late_only"))
+    )
+
+
+def q_returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: quantity by linestatus x returnflag as columns (explicit
+    value list keeps the plan single-pass -- no distinct-values pre-scan)."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("int")).cast("long"))
+    )
+
+
+# --- embedding near-dup + fingerprinting --------------------------------
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs at 0.45 (ground truth for
+    the LSH scale path q_embed_neardup_lsh)."""
+    from .operators.similarity import cosine_pairs
+
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.45)
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Rabin-Karp-style document fingerprint."""
+    from .functions.text import rolling_fingerprint
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint("text").alias("fingerprint_rk")
+    )
+
+
 # --- rows-only queries (not SQL-expressible: seeded hash families) -----
+
+
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup (seeded hash family)."""
+    from .operators.similarity import lsh_neardup_pairs
+
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(emb, cos_threshold=0.45)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 (deterministic centroids; approximate by design,
+    so rows-only -- recall vs brute force is asserted in tests)."""
+    from .operators.similarity import ivf_topk
+
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _query_vector(spark, sf_dir), k=10)
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
