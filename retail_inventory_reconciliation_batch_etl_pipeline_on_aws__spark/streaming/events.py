@@ -60,12 +60,118 @@ def streaming_hourly_rollup(
     )
 
 
-def run_to_memory_sink(agg: DataFrame, query_name: str = "events_stream") -> None:
+#: Closed-session output schema of the stateful sessionizer.
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, sum_value double"
+)
+
+#: Per-user open-session state carried between micro-batches
+#: (timestamps as epoch-micros longs -- state rows must be Arrow-simple).
+_STATE_SCHEMA = "start_us bigint, last_us bigint, n_events bigint, sum_value double"
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "1 minute",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` -- the semantics ``operators.sessionize``
+    computes in batch, maintained incrementally per user.
+
+    State per user_id is the open session (start, last-event, count,
+    sum); an event more than ``gap_minutes`` after the last closes the
+    session and opens a new one. Sessions whose gap elapses with no new
+    events are closed by an **event-time timeout**: the timeout fires
+    when the watermark (not wall-clock) passes ``last_event + gap``, so
+    results are deterministic replay-to-replay and late events within
+    the watermark are still absorbed. State size is O(live users), not
+    O(events) -- the property that keeps this runnable on an unbounded
+    100TB stream.
+
+    Output (append mode) is one row per *closed* session; the final
+    still-open session per user stays in state (a production job drains
+    it on stream end or via an idle-timeout policy).
+    """
+    import pandas as pd  # noqa: F401  (executor-side dependency)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            start_us, last_us, n, sv = state.get
+            closed.append((user_id, start_us, last_us, n, sv))
+            state.remove()
+        else:
+            ev = pd.concat(list(pdfs))
+            ev = ev.sort_values(["ts", "event_id"])
+            ts_us = ev["ts"].astype("int64") // 1000
+            cur = state.get if state.exists else None
+            for t, v in zip(ts_us, ev["value"].astype("float64")):
+                t, v = int(t), float(v)
+                # decimal(18,2) quantization to match the batch twin's
+                # exact money accumulation
+                v = round(v, 2)
+                if cur is None:
+                    cur = (t, t, 1, v)
+                elif t - cur[1] > gap_us:
+                    closed.append((user_id, *cur))
+                    cur = (t, t, 1, v)
+                else:
+                    cur = (cur[0], t, cur[2] + 1, round(cur[3] + v, 2))
+            if cur is not None:
+                state.update(cur)
+                # event-time timeout at last_event + gap (epoch millis)
+                state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60 * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": pd.to_datetime(
+                        [c[1] for c in closed], unit="us"
+                    ),
+                    "session_end": pd.to_datetime([c[2] for c in closed], unit="us"),
+                    "n_events": [c[3] for c in closed],
+                    "sum_value": [c[4] for c in closed],
+                }
+            )
+
+    reader = spark.readStream.schema(EVENT_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(source_dir).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    return (
+        raw.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_memory_sink(
+    agg: DataFrame, query_name: str = "events_stream", output_mode: str = "complete"
+) -> None:
     """Drive a bounded stream to completion into an in-memory table
     (test/dev harness; exactly-once parquet/kafka sinks attach the same
     way via ``foreachBatch``)."""
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .start()

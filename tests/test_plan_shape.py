@@ -1,0 +1,77 @@
+"""Physical-plan shape guards (SURVEY.md SS4.2, SS7.3.6): the properties
+that make these plans survive a 100TB scale-up, asserted against
+``explain`` output so a regression (lost pushdown, de-broadcasted dim,
+a Python boundary sneaking into a JVM-only path) fails CI, not prod.
+"""
+
+import contextlib
+import io
+import re
+
+import __spark_entry__ as entry
+
+from conftest import TESTDATA
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    df = entry.queries()[name](spark, TESTDATA)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_reconcile_broadcasts_the_dim(spark):
+    # J3's DISTSTYLE-ALL intent (sql/create_redshift_tables.sql:25):
+    # the product dim must ride a broadcast exchange, never a shuffle
+    p = plan_of(spark, "reconcile")
+    assert "BroadcastHashJoin" in p
+
+
+def test_date_filter_reaches_the_parquet_scan(spark):
+    # S3: the sale_date predicate must be pushed into the lineitem scan
+    # (Catalyst rewrites the cast-to-date equality as a timestamp range)
+    p = plan_of(spark, "partition_prune")
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", p)
+    assert pushed and any("l_shipdate" in f for f in pushed), pushed
+
+
+def test_scan_is_column_pruned(spark):
+    # P1 hygiene: stage_sales projects 3 columns; the lineitem scan must
+    # read only those, not the full table (ReadSchema is the contract)
+    p = plan_of(spark, "stage_sales")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas, p
+    cols = {c.split(":")[0] for c in schemas[0].split(",")}
+    assert cols == {"l_partkey", "l_quantity", "l_shipdate"}, cols
+
+
+def test_text_path_stays_jvm_side(spark):
+    # SS2.10 discipline: tokenization/scoring/hashing are higher-order
+    # functions, not Python UDFs -- no serialization boundary in the plan
+    for q in ("text_stats", "simhash", "dedup_exact", "langid"):
+        p = plan_of(spark, q)
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in p, f"{q} plan contains {node}"
+
+
+def test_multimodal_uses_arrow_batches(spark):
+    # the one sanctioned Python boundary: binary feature extraction is
+    # Arrow-batched mapInPandas (never row-at-a-time BatchEvalPython)
+    p = plan_of(spark, "multimodal_features")
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_pricing_summary_aggregates_map_side(spark):
+    # A1: partial (map-side) aggregation must precede the exchange --
+    # the shuffle carries ~6 group rows, not 600k input rows
+    p = plan_of(spark, "pricing_summary", mode="simple")
+    assert re.search(r"partial_(sum|count)", p), p
+
+
+def test_topk_never_global_sorts(spark):
+    # L1: sort+limit must compile to TakeOrderedAndProject, not a full
+    # exchange+sort of every row
+    p = plan_of(spark, "top_customers", mode="simple")
+    assert "TakeOrderedAndProject" in p

@@ -1,14 +1,21 @@
-"""Streaming twin must agree with the batch rollup on the same data."""
+"""Streaming twins must agree with their batch forms on the same data."""
 
+import glob
+import os
+import shutil
+
+import pytest
 from pyspark.sql import functions as F
 
 from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.sessionize import (
     hourly_rollup,
+    sessionize,
 )
 from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans import fixtures
 from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (
     run_to_memory_sink,
     streaming_hourly_rollup,
+    streaming_sessionize,
 )
 
 from conftest import TESTDATA
@@ -32,3 +39,50 @@ def test_streaming_matches_batch(spark, tmp_path):
         for r in hourly_rollup(fixtures.events(spark, TESTDATA)).collect()
     }
     assert streamed == batch
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: closed sessions must be a
+    large, exactly-matching subset of the batch sessionization (only
+    final-per-user sessions may remain open in state at stream end)."""
+    # stage events as 4 time-ordered files; maxFilesPerTrigger=1 makes
+    # each a micro-batch so the watermark advances and event-time
+    # timeouts actually fire
+    ev = spark.read.parquet(f"{TESTDATA}/events.parquet")
+    qs = ev.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    bounds = [None, *qs, None]
+    for i in range(4):
+        part = ev
+        if bounds[i] is not None:
+            part = part.where(F.col("ts") > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.where(F.col("ts") <= bounds[i + 1])
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        (pf,) = glob.glob(str(stage / "part-*.parquet"))
+        shutil.move(pf, src / f"{i:02d}.parquet")
+        os.utime(src / f"{i:02d}.parquet", (i + 1, i + 1))
+
+    agg = streaming_sessionize(
+        spark, str(src), gap_minutes=30, watermark="1 minute", max_files_per_trigger=1
+    )
+    assert agg.isStreaming
+    run_to_memory_sink(agg, "sessions_stream_test", output_mode="append")
+    streamed = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sessions_stream_test").collect()
+    }
+    batch = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in sessionize(fixtures.events(spark, TESTDATA), gap_minutes=30).collect()
+    }
+    n_users = ev.select("user_id").distinct().count()
+    assert len(streamed) >= len(batch) - n_users  # only open tails missing
+    assert len(streamed) > 0
+    for key, (s_end, s_n, s_sum) in streamed.items():
+        assert key in batch, f"streamed session {key} not in batch output"
+        b_end, b_n, b_sum = batch[key]
+        assert (s_end, s_n) == (b_end, b_n)
+        assert s_sum == pytest.approx(b_sum, abs=1e-6)
