@@ -28,6 +28,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stage_sales": Q.q_stage_sales,
         "dim_products": Q.q_dim_products,
         "reconcile": Q.q_reconcile,
+        "reconcile_snapshots": Q.q_reconcile_snapshots,
         "discrepancy_count": Q.q_discrepancy_count,
         "discrepancy_topk": Q.q_discrepancy_topk,
         "partition_prune": Q.q_partition_prune,
@@ -162,6 +163,8 @@ GROUP BY s.sku, p.d
 """,
         "dim_products": _FIXTURE_CTES + "SELECT sku, product_name, category FROM dim",
         "reconcile": _FIXTURE_CTES + "SELECT * FROM reconciled",
+        # the reference-shaped 3-join plan must agree with the fused plan
+        "reconcile_snapshots": _FIXTURE_CTES + "SELECT * FROM reconciled",
         "discrepancy_count": _FIXTURE_CTES
         + """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_discrepancies

@@ -100,6 +100,61 @@ def inventory_snapshot(
     )
 
 
+def inventory_ledger(spark: SparkSession, sf_dir: str, d: dt.date) -> DataFrame:
+    """One-pass fused ledger: opening stock, closing stock, and day-``d``
+    sales per tracked sku from a SINGLE scan + shuffle of the fact table.
+
+    ``inventory_snapshot`` is the reference-shaped form (one aggregation
+    per dated snapshot); calling it twice plus ``stage_sales`` scans
+    lineitem three times and shuffles three times. At 100TB the fact
+    scan dominates the job, so the engine's flagship assembles the same
+    three inputs from one conditional aggregation:
+
+        cum_prev = SUM(qty) FILTER (sale_date <= d-1)   -> opening
+        cum_d    = SUM(qty)         [scan bounded <= d] -> closing
+        sold_d   = SUM(qty) FILTER (sale_date  = d)     -> staged sales
+
+    Semantics are unchanged (mirrored by the oracle CTEs): a sku enters
+    a snapshot only once it has shipped by the snapshot date, so
+    ``opening_stock`` is NULL when cum_prev is NULL; the tracked-sku
+    filter and the closing-only shrinkage injection are identical.
+    Catalyst reuses the one exchange across the three consumers
+    (ReusedExchange), and the sku join keys stay co-partitioned.
+    """
+    d_prev = d - dt.timedelta(days=1)
+    sales = pos_sales(spark, sf_dir).where(F.col("sale_date") <= F.lit(d))
+    agg = sales.groupBy("sku").agg(
+        F.sum(F.when(F.col("sale_date") <= F.lit(d_prev), F.col("quantity"))).alias(
+            "_cum_prev"
+        ),
+        F.sum("quantity").alias("_cum_d"),
+        F.sum(F.when(F.col("sale_date") == F.lit(d), F.col("quantity")))
+        .cast("long")
+        .alias("_sold_d"),
+    )
+    tracked = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % TRACKED_MOD != UNTRACKED_REMAINDER)
+        .select(
+            F.col("p_partkey").cast("string").alias("sku"),
+            "p_partkey",
+            "p_size",
+        )
+    )
+    shrink = F.when(F.col("p_partkey") % SHRINK_MOD == 0, F.lit(1)).otherwise(F.lit(0))
+    return agg.join(tracked, "sku").select(
+        "sku",
+        F.when(
+            F.col("_cum_prev").isNotNull(),
+            (F.col("p_size") * 100 - F.col("_cum_prev")).cast("int"),
+        ).alias("opening_stock"),
+        (F.col("p_size") * 100 - F.col("_cum_d") - shrink)
+        .cast("int")
+        .alias("actual_closing_stock"),
+        F.col("_sold_d").alias("total_quantity_sold"),
+    )
+
+
 def dim_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw dim input with seeded attribute conflicts (A2 attribute cols)."""
     part = load(spark, sf_dir, "part")

@@ -48,6 +48,39 @@ def reconcile(
     """
     inv = opening.join(closing, on="sku", how="full_outer")
     with_sales = inv.join(staged_sales, on="sku", how="left")
+    return _name_fill_derive(with_sales, dim_products, processing_date)
+
+
+def reconcile_from_ledger(
+    ledger: DataFrame,
+    dim_products: DataFrame,
+    processing_date: dt.date | str,
+) -> DataFrame:
+    """Fused-form reconciliation for inputs already co-grained per sku.
+
+    When opening/closing/sold come from one conditional aggregation over
+    the fact table (``fixtures.inventory_ledger``), J1/J2 are implied by
+    the grouping -- re-joining three projections of the same aggregate
+    would force Catalyst to plan three differently-pruned scans. This
+    form is the 100TB flagship plan: ONE fact scan, ONE shuffle, one
+    broadcast dim join, then pure projection. ``reconcile`` remains the
+    general form for independently-sourced inputs (the reference's
+    actual CSV-snapshot shape).
+
+    ``ledger``: (sku, opening_stock int?, actual_closing_stock int,
+    total_quantity_sold long?) -- nulls mean "absent from that side",
+    exactly the post-outer-join state of the general form.
+    """
+    return _name_fill_derive(ledger, dim_products, processing_date)
+
+
+def _name_fill_derive(
+    with_sales: DataFrame,
+    dim_products: DataFrame,
+    processing_date: dt.date | str,
+) -> DataFrame:
+    """Shared tail: broadcast dim name join (J3), null fill (P6), derived
+    columns (F3), date stamp + final projection (P5, P1)."""
     with_names = with_sales.join(
         F.broadcast(dim_products.select("sku", "product_name")), on="sku", how="left"
     )

