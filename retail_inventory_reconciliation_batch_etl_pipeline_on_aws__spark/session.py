@@ -58,6 +58,12 @@ def build_session(
         # testdata events.ts is parquet TIMESTAMP(NANOS), which Spark
         # refuses by default; read as long and convert at the fixture edge
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # bucketed-mart catalog location (local mode; cluster uses its
+        # own metastore conf) -- keep table data out of the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"),
+        )
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )

@@ -45,6 +45,33 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """JSON-lines scan -- the de-facto interchange format of LLM data
+    pipelines (one document object per line).
+
+    Same schema discipline as S1: explicit ``StructType`` in prod (schema
+    inference on JSON costs a full pre-scan AND silently widens types on
+    dirty corpora); undeclared fields are dropped by the schema rather
+    than exploding the column set. Corrupt lines are captured, not
+    fatal: ``_corrupt_record`` stays NULL for clean rows, so a data
+    quality gate is ``df.where(col('_corrupt_record').isNotNull())``.
+    """
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    if schema is not None:
+        if "_corrupt_record" not in schema.fieldNames():
+            schema = T.StructType(
+                [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
+            )
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def read_partition(
     df: DataFrame,
     partition_col: str,

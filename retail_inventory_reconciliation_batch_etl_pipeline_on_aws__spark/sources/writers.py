@@ -38,6 +38,34 @@ def write_partitioned(
     df.write.mode("overwrite").partitionBy(*cols).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str | list[str],
+    num_buckets: int = 32,
+    sort_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed mart write -- the at-rest form of ``DISTKEY(sku)``
+    (sql/create_redshift_tables.sql:14,37).
+
+    Bucketing pre-hashes rows into ``num_buckets`` files per partition
+    by the join/agg key; two tables bucketed the same way join with NO
+    exchange (verified in tests) -- at 100TB that deletes the largest
+    shuffle in the pipeline from every downstream run that joins or
+    aggregates on the bucket key. ``sort_by`` additionally pre-sorts
+    within buckets (SORTKEY analogue), letting sort-merge join skip its
+    sort. Bucketing requires the table catalog (``saveAsTable``), not a
+    bare path write.
+    """
+    bcols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bcols)
+    if sort_by:
+        scols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*scols)
+    writer.saveAsTable(table)
+
+
 def write_single_file(df: DataFrame, path: str) -> None:
     """K2: small-table single-file write (glue_job_create_dims.py:56).
 

@@ -1,0 +1,112 @@
+"""Scale-path operators: salting must not change results, bucketing must
+delete the join shuffle, JSONL reads must capture (not explode on) dirt."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.skew import (
+    salted_agg_sum,
+    salted_join,
+)
+from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.readers import (
+    read_jsonl,
+)
+from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.writers import (
+    write_bucketed,
+)
+
+from conftest import TESTDATA
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_salted_agg_matches_direct(spark):
+    # zipfian input: one hot key with 10k rows, a tail of singletons
+    hot = spark.range(10_000).select(
+        F.lit("HOT").alias("k"), F.lit(1).cast("long").alias("v")
+    )
+    tail = spark.range(100).select(
+        F.concat(F.lit("t"), F.col("id")).alias("k"), F.col("id").cast("long").alias("v")
+    )
+    df = hot.unionByName(tail)
+    direct = df.groupBy("k").agg(F.sum("v").alias("v"))
+    salted = salted_agg_sum(df, ["k"], ["v"], salt_buckets=8)
+    assert _rows(salted, "k", "v") == _rows(direct, "k", "v")
+
+
+def test_salted_join_matches_direct(spark):
+    big = spark.range(5_000).select(
+        F.when(F.col("id") % 2 == 0, "HOT").otherwise(F.concat(F.lit("k"), F.col("id"))).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [("HOT", 1), ("k1", 2), ("k3", 3), ("absent", 4)], "k string, attr int"
+    )
+    for how in ("inner", "left"):
+        direct = big.join(small, "k", how)
+        salted = salted_join(big, small, "k", how, salt_buckets=4)
+        assert sorted(direct.columns) == sorted(salted.columns)
+        assert _rows(salted, "k", "payload", "attr") == _rows(
+            direct, "k", "payload", "attr"
+        )
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    li = (
+        spark.read.parquet(f"{TESTDATA}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+    orders = spark.read.parquet(f"{TESTDATA}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    write_bucketed(li, "t_li_bucketed", "l_orderkey", num_buckets=4, sort_by="l_orderkey")
+    write_bucketed(orders, "t_ord_bucketed", "o_orderkey", num_buckets=4, sort_by="o_orderkey")
+    try:
+        a = spark.table("t_li_bucketed")
+        b = spark.table("t_ord_bucketed")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, a.l_orderkey == b.o_orderkey)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            # co-bucketed layout: sort-merge join with zero shuffles
+            assert "Exchange" not in plan, plan
+            # and the result is still correct
+            n_direct = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+            assert joined.count() == n_direct
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")
+
+
+def test_read_jsonl_schema_and_corruption(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "extra": "dropped"}\n'
+        '{"doc_id": 2, "text": "zweite zeile"}\n'
+        "this is not json at all\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = read_jsonl(spark, str(p), schema)
+    rows = df.collect()
+    assert len(rows) == 3
+    clean = [r for r in rows if r._corrupt_record is None]
+    dirty = [r for r in rows if r._corrupt_record is not None]
+    assert {r.doc_id for r in clean} == {1, 2}
+    assert len(dirty) == 1 and dirty[0].doc_id is None
+    # undeclared fields are pruned by the explicit schema
+    assert "extra" not in df.columns
