@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": Q.q_simhash,
         "jaccard_pairs": Q.q_jaccard_pairs,
         "multimodal_features": Q.q_multimodal_features,
+        "top_tokens": Q.q_top_tokens,
+        "doclen_histogram": Q.q_doclen_histogram,
         # similarity search
         "sim_topk": Q.q_sim_topk,
         "label_centroid_sim": Q.q_label_centroid_sim,
@@ -413,6 +415,23 @@ FROM shared
 JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
 WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
+""",
+        "top_tokens": """
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+           AS token
+  FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+""",
+        "doclen_histogram": """
+SELECT CAST(FLOOR(length(text) / 500) * 500 AS BIGINT) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1
 """,
         "multimodal_features": """
 SELECT doc_id,

@@ -1,0 +1,100 @@
+"""The reference's daily DAG as one library call (SURVEY.md SS3.4).
+
+Mirrors dags/retail_pipeline_dag.py:95-100 --
+
+    start -> {stage_sales, build_dims} -> reconcile -> alert
+
+-- with the warehouse loads' DELETE-then-COPY idempotency collapsed into
+dynamic-partition-overwrite writes (sources/writers.py), and the alert
+actions running off the *written* reconciliation output instead of
+recomputing the join DAG (fixes the reference's triple recompute,
+SURVEY.md SS4.3.1: actions at glue_job_2_reconcile.py:113,119,125 with
+no cache).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..alerts import Alert, AlertSink, build_alert
+from ..pipeline import Pipeline
+from ..sources.writers import write_partitioned, write_single_file
+from . import fixtures
+from .build_dims import build_dim_products
+from .reconcile import reconcile
+from .stage_sales import stage_sales
+
+
+def run_daily_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str,
+    processing_date: dt.date | None = None,
+    alert_sink: AlertSink | None = None,
+    top_k: int = 5,
+) -> dict:
+    """Run the full daily pipeline for one processing date.
+
+    Zone layout under ``out_root`` matches the reference's medallion
+    prefixes (SURVEY.md SS1.1): ``staging/pos_sales`` (date-partitioned),
+    ``processed/dim_products`` (full-refresh single file),
+    ``processed/reconciled_inventory`` (date-partitioned). Replayable:
+    re-running a date replaces exactly that date's partitions.
+
+    Returns the Pipeline results dict: paths per job plus the Alert (or
+    None) under ``"alert"``.
+    """
+    d = processing_date or fixtures.processing_date(spark, sf_dir)
+    staging_path = f"{out_root}/staging/pos_sales"
+    dim_path = f"{out_root}/processed/dim_products"
+    recon_path = f"{out_root}/processed/reconciled_inventory"
+
+    def stage() -> str:
+        day = fixtures.pos_sales(spark, sf_dir).where(F.col("sale_date") == F.lit(d))
+        write_partitioned(stage_sales(day, d), staging_path, "date_key", "sku")
+        return staging_path
+
+    def dims() -> str:
+        write_single_file(build_dim_products(fixtures.dim_source(spark, sf_dir)), dim_path)
+        return dim_path
+
+    def reconcile_job(stage: str, dims: str) -> str:
+        # Job 2 reads its staged + dim inputs from the zone artifacts the
+        # upstream jobs wrote (ref glue_job_2_reconcile.py:50,74), not
+        # from in-memory frames -- the jobs stay independently runnable
+        staged = (
+            spark.read.parquet(stage)
+            .where(F.col("date_key") == F.lit(d))
+            .select("sku", "total_quantity_sold")
+        )
+        dim = spark.read.parquet(dims)
+        opening = fixtures.inventory_snapshot(
+            spark, sf_dir, d - dt.timedelta(days=1), inject_shrinkage=False
+        ).select("sku", F.col("stock_on_hand").alias("opening_stock"))
+        closing = fixtures.inventory_snapshot(
+            spark, sf_dir, d, inject_shrinkage=True
+        ).select("sku", F.col("stock_on_hand").alias("actual_closing_stock"))
+        out = reconcile(opening, closing, staged, dim, d)
+        write_partitioned(out, recon_path, "date_key", "sku")
+        return recon_path
+
+    def alert(reconcile: str) -> Alert | None:
+        # two actions (count + top-k) off the written parquet: one scan
+        # of a day partition each, zero join recomputation
+        recon = spark.read.parquet(reconcile).where(F.col("date_key") == F.lit(d))
+        a = build_alert(recon, top_k)
+        if a is not None and alert_sink is not None:
+            alert_sink.publish(a)
+        return a
+
+    return (
+        Pipeline()
+        .add("stage", stage)
+        .add("dims", dims)
+        .add("reconcile", reconcile_job, deps=["stage", "dims"])
+        .add("alert", alert, deps=["reconcile"])
+        .run()
+    )

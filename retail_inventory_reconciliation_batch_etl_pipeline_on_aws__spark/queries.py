@@ -343,6 +343,34 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_binary_features(with_binary_payload(docs))
 
 
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency top-20 (explode -> count -> top-k).
+    The shuffle carries (token, partial_count) pairs -- map-side partial
+    aggregation collapses each partition's token stream first."""
+    from .functions.text import tokens
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+def q_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in 500-char buckets."""
+    docs = fixtures.load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            (F.floor(F.length("text") / 500) * 500).cast("long").alias("bucket_lo")
+        )
+        .groupBy("bucket_lo")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 # --- similarity search (embeddings table) ------------------------------
 
 

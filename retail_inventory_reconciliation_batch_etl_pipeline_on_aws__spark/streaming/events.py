@@ -52,10 +52,18 @@ def streaming_hourly_rollup(
     )
     return (
         raw.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour").start.alias("bucket_start"), "event_type")
+        # group on the window struct itself (not a .start projection):
+        # append mode's watermark eviction tracks the grouping column
+        .groupBy(F.window("ts", "1 hour").alias("_w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("_w").start.alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
         )
     )
 
@@ -162,6 +170,41 @@ def streaming_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def run_to_partitioned_parquet(
+    agg: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_by: str = "bucket_start",
+) -> None:
+    """Exactly-once-in-effect warehouse sink: watermarked append-mode
+    windows -> ``foreachBatch`` -> dynamic-partition-overwrite parquet.
+
+    Append mode emits each window exactly once, after the watermark
+    closes it; the foreachBatch write replaces that window's partition
+    atomically, so a replayed micro-batch (failure/restart with the same
+    checkpoint) rewrites identical partitions instead of duplicating
+    rows -- the streaming twin of the batch writer's DELETE-then-COPY
+    contract (K3). State recovery itself is the checkpoint's job.
+    """
+    from ..sources.writers import write_partitioned
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_partitioned(batch_df, path, partition_by, sort_within=None)
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
 
 
 def run_to_memory_sink(

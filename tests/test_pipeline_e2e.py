@@ -1,0 +1,124 @@
+"""End-to-end integration: the full daily DAG writing real zone
+artifacts, replayed for idempotency; and the streaming warehouse sink."""
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.alerts import (
+    CollectingSink,
+)
+from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans.daily import (
+    run_daily_pipeline,
+)
+from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.queries import (
+    q_discrepancy_count,
+    q_reconcile,
+)
+from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.sessionize import (
+    hourly_rollup,
+)
+from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans import fixtures
+from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (
+    run_to_partitioned_parquet,
+    streaming_hourly_rollup,
+)
+
+from conftest import TESTDATA
+
+
+def _recon_rows(df):
+    cols = [
+        "date_key",
+        "sku",
+        "product_name",
+        "opening_stock",
+        "quantity_sold",
+        "expected_closing_stock",
+        "actual_closing_stock",
+        "discrepancy_amount",
+    ]
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_daily_pipeline_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "lake")
+    sink = CollectingSink()
+    results = run_daily_pipeline(spark, TESTDATA, out, alert_sink=sink)
+
+    # zone artifacts exist in the medallion layout
+    assert os.path.isdir(f"{out}/staging/pos_sales")
+    assert os.path.isdir(f"{out}/processed/dim_products")
+    assert os.path.isdir(f"{out}/processed/reconciled_inventory")
+
+    # written reconciliation == the flagship query's answer
+    written = spark.read.parquet(results["reconcile"])
+    assert _recon_rows(written) == _recon_rows(q_reconcile(spark, TESTDATA))
+
+    # alert fired through the DAG and matches the discrepancy-count query
+    n_disc = q_discrepancy_count(spark, TESTDATA).collect()[0].n_discrepancies
+    assert results["alert"] is not None
+    assert results["alert"].count == n_disc
+    assert len(sink.alerts) == 1 and sink.alerts[0].count == n_disc
+    assert len(results["alert"].examples) == 5
+
+    # replay: run-twice == run-once (idempotent partition replace)
+    before = _recon_rows(spark.read.parquet(results["reconcile"]))
+    run_daily_pipeline(spark, TESTDATA, out, alert_sink=sink)
+    after = _recon_rows(spark.read.parquet(results["reconcile"]))
+    assert before == after
+
+
+def test_streaming_parquet_sink_idempotent(spark, tmp_path):
+    # stage events as two time-ordered files so the watermark advances
+    # and append mode finalizes the early windows
+    ev = spark.read.parquet(f"{TESTDATA}/events.parquet")
+    (mid,) = ev.approxQuantile("ts", [0.5], 0.0)
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for i, part in enumerate(
+        [ev.where(F.col("ts") <= mid), ev.where(F.col("ts") > mid)]
+    ):
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        (pf,) = glob.glob(str(stage / "part-*.parquet"))
+        shutil.move(pf, src / f"{i:02d}.parquet")
+        os.utime(src / f"{i:02d}.parquet", (i + 1, i + 1))
+
+    out = str(tmp_path / "warehouse" / "events_hourly")
+    ckpt = str(tmp_path / "ckpt")
+    agg = streaming_hourly_rollup(spark, str(src), watermark="1 minute")
+    run_to_partitioned_parquet(agg, out, ckpt)
+
+    written = spark.read.parquet(out)
+    batch = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+        for r in hourly_rollup(fixtures.events(spark, TESTDATA)).collect()
+    }
+    got = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+        for r in written.collect()
+    }
+    assert len(got) > 0
+    # every finalized window written by the stream matches batch truth
+    # (only windows still open at the final watermark may be absent)
+    for k, v in got.items():
+        assert batch[k] == v, k
+    assert len(got) >= len(batch) - 2 * len(
+        {k[1] for k in batch}
+    )  # at most the last 2 open hours per event_type missing
+
+    # replaying the whole stream with a fresh checkpoint rewrites the
+    # same partitions -- the table is unchanged, not duplicated
+    run_to_partitioned_parquet(
+        streaming_hourly_rollup(spark, str(src), watermark="1 minute"),
+        out,
+        str(tmp_path / "ckpt2"),
+    )
+    again = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == got
