@@ -163,6 +163,25 @@ def test_partitioned_writer_idempotent(spark, tmp_path):
     assert out == {(dt.date(2024, 1, 1), "A"): 1, (dt.date(2024, 1, 2), "B"): 99}
 
 
+def test_csv_source_with_explicit_schema(spark, tmp_path):
+    # S1: explicit StructType (no inferSchema pre-scan); dirty string
+    # quantity survives the read and is cleaned by the job, matching the
+    # reference's read-then-cast contract (glue_job_1_stage_sales.py:33-46)
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark import schemas
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.readers import (
+        read_csv,
+    )
+
+    p = tmp_path / "raw_sales"
+    p.mkdir()
+    (p / "part1.csv").write_text("sku,quantity\n a1 ,2\nA1,3\n")
+    (p / "part2.csv").write_text("sku,quantity\nb2,5\n")
+    raw = read_csv(spark, str(p), schemas.POS_SALES_RAW)
+    assert [f.dataType.simpleString() for f in raw.schema.fields] == ["string", "string"]
+    out = {r.sku: r.total_quantity_sold for r in stage_sales(raw, D).collect()}
+    assert out == {"A1": 5, "B2": 5}
+
+
 def test_pipeline_runs_in_dependency_order():
     order = []
     p = (
