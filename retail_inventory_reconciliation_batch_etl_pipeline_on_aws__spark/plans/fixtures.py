@@ -64,10 +64,22 @@ def pos_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROCESSING_DATE_CACHE: dict[str, dt.date] = {}
+
+
 def processing_date(spark: SparkSession, sf_dir: str) -> dt.date:
     """d := MAX(sale_date). A single scalar action -- this is a job
-    *parameter* (like the reference's argv date), not data movement."""
-    return pos_sales(spark, sf_dir).agg(F.max("sale_date")).collect()[0][0]
+    *parameter* (like the reference's argv date), not data movement.
+
+    Memoized per sf_dir: the testdata is immutable, and re-deriving the
+    parameter would add a full column scan to every query that needs
+    the date (in production the date arrives as an argument, matching
+    the reference's argv at glue_job_2_reconcile.py:21-30)."""
+    if sf_dir not in _PROCESSING_DATE_CACHE:
+        _PROCESSING_DATE_CACHE[sf_dir] = (
+            pos_sales(spark, sf_dir).agg(F.max("sale_date")).collect()[0][0]
+        )
+    return _PROCESSING_DATE_CACHE[sf_dir]
 
 
 def inventory_snapshot(
