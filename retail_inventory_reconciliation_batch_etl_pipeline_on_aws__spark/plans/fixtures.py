@@ -37,7 +37,33 @@ SHRINK_MOD = 7  # p_partkey % 7 == 0 -> loses 1 unit in the closing snapshot
 CONFLICT_MOD = 5  # p_partkey % 5 == 0 -> duplicate dim row with category=p_brand
 
 
+_CONF_APPLIED: set[int] = set()
+
+#: Correctness-critical runtime confs, applied defensively when queries
+#: run under a session the engine did not build (e.g. the driver's):
+#: nanosAsLong lets the events table's TIMESTAMP(NANOS) parquet load at
+#: all; UTC keeps timestamp values byte-comparable with the (UTC-naive)
+#: DuckDB oracle. Both are runtime-settable SQL confs (verified), and
+#: both are no-ops under ``session.build_session``.
+_REQUIRED_CONF = (
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ("spark.sql.session.timeZone", "UTC"),
+)
+
+
+def ensure_session_conf(spark: SparkSession) -> None:
+    if id(spark) in _CONF_APPLIED:
+        return
+    for key, value in _REQUIRED_CONF:
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # locked-down conf: proceed with the session's settings
+    _CONF_APPLIED.add(id(spark))
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    ensure_session_conf(spark)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
