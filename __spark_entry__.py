@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": Q.q_jaccard_pairs,
         "multimodal_features": Q.q_multimodal_features,
         "top_tokens": Q.q_top_tokens,
+        "corpus_filter": Q.q_corpus_filter,
         "doclen_histogram": Q.q_doclen_histogram,
         # similarity search
         "sim_topk": Q.q_sim_topk,
@@ -426,6 +427,45 @@ SELECT token, CAST(COUNT(*) AS BIGINT) AS n
 FROM tok GROUP BY token
 ORDER BY n DESC, token ASC
 LIMIT 20
+""",
+        "corpus_filter": """
+WITH tok AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+              WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+              WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+              ELSE 'es' END AS lang_pred,
+         quality, n_tokens
+  FROM (
+    SELECT doc_id,
+           len(list_filter(toks, t -> t IN ('the','and','is','of','a'))) AS s_en,
+           len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS s_de,
+           len(list_filter(toks, t -> t IN ('le','la','et','les','est'))) AS s_fr,
+           len(list_filter(toks, t -> t IN ('el','la','los','es','que'))) AS s_es,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           ROUND(
+             0.5 * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+             + 0.3 * LEAST(1.0, 4.0 * (CAST(len(list_filter(toks, t -> t IN
+                  ('the','a','and','of','to','is','in','it'))) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE)))
+             + 0.2 * (CASE WHEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                                / CAST(len(toks) AS DOUBLE) BETWEEN 3.0 AND 10.0
+                      THEN 1.0 ELSE 0.0 END), 4) AS quality
+    FROM tok
+  )
+)
+SELECT lang_pred,
+       (quality >= 0.5 AND n_tokens BETWEEN 20 AND 2000) AS keep,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(quality), 4) AS avg_quality
+FROM scored
+GROUP BY 1, 2
 """,
         "doclen_histogram": """
 SELECT CAST(FLOOR(length(text) / 500) * 500 AS BIGINT) AS bucket_lo,

@@ -359,6 +359,34 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data quality gate: language ID + quality
+    score + token-count bounds decide keep/drop; report per
+    (lang_pred, keep) cohort sizes and mean quality. One scan, one
+    tiny-cardinality shuffle -- the shape of a real corpus triage job."""
+    from .functions import text as TX
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    scored = docs.select(
+        TX.langid("text").alias("lang_pred"),
+        TX.quality_score("text").alias("quality"),
+        TX.token_count("text").alias("n_tokens"),
+    )
+    keep = (
+        (F.col("quality") >= 0.5)
+        & (F.col("n_tokens") >= 20)
+        & (F.col("n_tokens") <= 2000)
+    )
+    return (
+        scored.withColumn("keep", keep)
+        .groupBy("lang_pred", "keep")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
+
+
 def q_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-length histogram in 500-char buckets."""
     docs = fixtures.load(spark, sf_dir, "documents")
