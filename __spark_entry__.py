@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": Q.q_dedup_exact,
         "simhash": Q.q_simhash,
         "jaccard_pairs": Q.q_jaccard_pairs,
+        "dedup_groups": Q.q_dedup_groups,
         "multimodal_features": Q.q_multimodal_features,
         "top_tokens": Q.q_top_tokens,
         "corpus_filter": Q.q_corpus_filter,
@@ -472,6 +473,50 @@ SELECT CAST(FLOOR(length(text) / 500) * 500 AS BIGINT) AS bucket_lo,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM documents
 GROUP BY 1
+""",
+        "dedup_groups": """
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 3 + 2), i ->
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+  FROM tok WHERE len(toks) >= 3
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM shared
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id
+  FROM reach GROUP BY a
+),
+sizes AS (SELECT canonical_id, COUNT(*) AS group_size FROM comp GROUP BY 1)
+SELECT c.doc_id, c.canonical_id, CAST(s.group_size AS BIGINT) AS group_size
+FROM comp c JOIN sizes s ON c.canonical_id = s.canonical_id
 """,
         "multimodal_features": """
 SELECT doc_id,

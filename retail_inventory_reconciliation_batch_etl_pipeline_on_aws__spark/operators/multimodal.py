@@ -65,3 +65,82 @@ def extract_binary_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+#: resize output: payload bytes + the metadata struct a real decoder
+#: would parse from the image header
+RESIZED_SCHEMA = (
+    "doc_id bigint, resized binary, width int, height int, channels int"
+)
+
+#: frame sampling output: one row per sampled frame, ordered by index
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary, frame_bytes bigint"
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched image resize over binary payloads (decode STUBBED).
+
+    The real body is decode -> resample -> re-encode via PIL; this
+    container has no media libs, so the stub emits a deterministic
+    fake -- payload truncated/cycled to exactly width*height*3 bytes --
+    preserving everything the plan cares about: binary-in/binary-out
+    through Arrow batches, typed metadata columns, per-batch (not
+    per-row) Python dispatch.
+    """
+    target = width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            fake = payloads.map(
+                lambda b: bytes((b * (target // max(len(b), 1) + 1))[:target])
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "resized": fake,
+                    "width": width,
+                    "height": height,
+                    "channels": 3,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Video frame sampling as a one-to-many Arrow-batched transform
+    (decode STUBBED): each payload yields ``n_frames`` evenly-spaced
+    'frames' (deterministic byte slices standing in for ffmpeg keyframe
+    extraction). The exploded output shape -- one row per (doc, frame),
+    stable frame_idx ordering -- is exactly what a downstream embedding
+    stage partitions on.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                n = max(len(payload), 1)
+                step = max(n // n_frames, 1)
+                for i in range(n_frames):
+                    lo = min(i * step, n - 1)
+                    frames.append(bytes(payload[lo : lo + step]))
+                    ids.append(doc_id)
+                    idxs.append(i)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                    "frame_bytes": pd.Series(
+                        [len(f) for f in frames], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, FRAME_SCHEMA)

@@ -334,6 +334,18 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise near-dups resolved to canonical dedup GROUPS: connected
+    components over the exact-Jaccard >= 0.5 pair graph via iterative
+    distributed label propagation (only a convergence scalar ever
+    reaches the driver). Oracle: recursive transitive closure."""
+    from .operators.dedup import shingle_jaccard_pairs
+    from .operators.graph import dedup_groups
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    return dedup_groups(shingle_jaccard_pairs(docs, n=3, threshold=0.5))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: opaque bytes -> Arrow-batched mapInPandas
     feature extraction (decode stubbed deterministically)."""

@@ -1,0 +1,39 @@
+"""Connected-components label propagation: hand-checkable graphs."""
+
+import pytest
+
+from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (
+    connected_components,
+    dedup_groups,
+)
+
+
+def test_components_chain_triangle_pair(spark):
+    # chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (21, 20)],
+        "src bigint, dst bigint",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_dedup_groups_shapes(spark):
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 7), (30, 31)], "doc_a bigint, doc_b bigint"
+    )
+    rows = {r.doc_id: (r.canonical_id, r.group_size) for r in dedup_groups(pairs).collect()}
+    assert rows == {
+        5: (5, 3), 7: (5, 3), 9: (5, 3),
+        30: (30, 2), 31: (30, 2),
+    }
+
+
+def test_components_nonconvergence_raises(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(40)], "src int, dst int")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
