@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": Q.q_langid,
         "dedup_exact": Q.q_dedup_exact,
         "simhash": Q.q_simhash,
+        "simhash_neardup": Q.q_simhash_neardup,
         "jaccard_pairs": Q.q_jaccard_pairs,
         "dedup_groups": Q.q_dedup_groups,
         "multimodal_features": Q.q_multimodal_features,
@@ -391,6 +392,40 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) AS BIGINT)
          AS simhash
 FROM votes GROUP BY doc_id
+""",
+        "simhash_neardup": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+t AS (SELECT doc_id, unnest(toks) AS tk FROM tok),
+h AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, 9), i ->
+           (strpos('0123456789abcdef', substr(md5(tk), CAST(i AS INT), 1)) - 1)
+           * power(16, 8 - i))) AS BIGINT) AS hv
+  FROM t
+),
+bits AS (
+  SELECT doc_id, unnest(range(0, 32)) AS i, hv FROM h
+),
+votes AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN (hv // CAST(power(2, i) AS BIGINT)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY doc_id, i
+),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
         "jaccard_pairs": """
 WITH tok AS (

@@ -334,6 +334,16 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3 of 32 bits): pigeonhole
+    chunk-banded candidates + exact bit_count verify -- recall is
+    exactly 1.0 by construction, so the brute-force oracle must agree."""
+    from .operators.dedup import simhash_neardup_pairs
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, max_hamming=3)
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise near-dups resolved to canonical dedup GROUPS: connected
     components over the exact-Jaccard >= 0.5 pair graph via iterative
