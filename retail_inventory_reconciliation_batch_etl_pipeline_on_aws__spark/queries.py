@@ -218,9 +218,11 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-way star join rolled up to region. The three dimension hops
-    (customer->nation->region) are broadcast; only lineitem x orders
-    shuffles, on the join key."""
+    """4-way star join rolled up to region. nation/region are bounded
+    (25/5 rows at any scale factor) -- explicit broadcast; customer
+    GROWS with scale, so its join strategy is left to the optimizer
+    (auto-broadcast under the threshold locally, shuffle join + AQE on
+    a cluster). Only lineitem x orders must shuffle, on the join key."""
     li = fixtures.load(spark, sf_dir, "lineitem")
     orders = fixtures.load(spark, sf_dir, "orders")
     cust = fixtures.load(spark, sf_dir, "customer")
@@ -231,7 +233,7 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"))
