@@ -46,6 +46,39 @@ def test_scan_is_column_pruned(spark):
     assert cols == {"l_partkey", "l_quantity", "l_shipdate"}, cols
 
 
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    # S3 on a real partitioned layout: the date filter must become a
+    # PartitionFilter (metadata-only pruning), not a data filter
+    import datetime as dt
+
+    import contextlib as cl
+    import io as iolib
+
+    from pyspark.sql import functions as F
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.writers import (
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "part_table")
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 1), "A", 1), (dt.date(2024, 1, 2), "B", 2),
+         (dt.date(2024, 1, 3), "C", 3)],
+        "date_key date, sku string, v long",
+    )
+    write_partitioned(df, path)
+    pruned = spark.read.parquet(path).where(
+        F.col("date_key") == F.lit(dt.date(2024, 1, 2))
+    )
+    buf = iolib.StringIO()
+    with cl.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    m = re.findall(r"PartitionFilters: \[[^\]]*date_key[^\]]*\]", plan)
+    assert m, plan
+    assert pruned.count() == 1
+
+
 def test_text_path_stays_jvm_side(spark):
     # SS2.10 discipline: tokenization/scoring/hashing are higher-order
     # functions, not Python UDFs -- no serialization boundary in the plan
