@@ -42,6 +42,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": Q.q_events_hourly,
         "events_sessionize": Q.q_events_sessionize,
         "events_json": Q.q_events_json,
+        "daily_active_users": Q.q_daily_active_users,
+        "signup_purchase_funnel": Q.q_signup_purchase_funnel,
+        "sku_sales_salted": Q.q_sku_sales_salted,
+        "top_part_per_brand": Q.q_top_part_per_brand,
         # text analysis / dedup / fingerprinting
         "text_stats": Q.q_text_stats,
         "lang_rollup": Q.q_lang_rollup,
@@ -73,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": Q.q_ann_topk,
         "embed_neardup_lsh": Q.q_embed_neardup_lsh,
         "ivf_topk": Q.q_ivf_topk,
+        "daily_active_users_approx": Q.q_daily_active_users_approx,
     }
 
 
@@ -298,6 +303,47 @@ SELECT event_type,
        CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events
 GROUP BY event_type
+""",
+        "daily_active_users": """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+""",
+        "signup_purchase_funnel": """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(datediff('day', CAST(first_signup AS DATE), CAST(first_purchase AS DATE))
+            AS INT) AS lag_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM firsts
+WHERE first_signup IS NOT NULL AND first_purchase IS NOT NULL
+  AND first_purchase > first_signup
+GROUP BY 1
+""",
+        "sku_sales_salted": """
+SELECT CAST(l_partkey AS VARCHAR) AS sku,
+       CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS total_qty
+FROM lineitem
+GROUP BY 1
+""",
+        "top_part_per_brand": """
+WITH rev AS (
+  SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT p.p_brand, p.p_partkey, ROUND(r.revenue, 2) AS revenue,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY p.p_brand ORDER BY r.revenue DESC, p.p_partkey ASC
+         ) AS BIGINT) AS rk
+  FROM rev r JOIN part p ON r.l_partkey = p.p_partkey
+)
+SELECT p_brand, p_partkey, revenue, rk FROM ranked WHERE rk <= 3
 """,
         # --- text analysis / dedup ---------------------------------------
         "text_stats": """

@@ -276,6 +276,87 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sku_sales_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted per-sku sales totals -- result-identical to a direct
+    groupBy (the oracle is the direct SQL), only the physical
+    distribution differs. The hot-sku story of this pipeline at scale."""
+    from .operators.skew import salted_agg_sum
+
+    sales = fixtures.pos_sales(spark, sf_dir).select(
+        "sku", F.col("quantity").cast("long").alias("total_qty")
+    )
+    return salted_agg_sum(sales, ["sku"], ["total_qty"], salt_buckets=8)
+
+
+def q_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per day -- the two-shuffle expansion Spark
+    plans for distinct aggregation."""
+    ev = fixtures.events(spark, sf_dir)
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def q_daily_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct -- the sketch path: one
+    shuffle carrying fixed-size sketches instead of the distinct
+    expansion. Approximate by design => rows-only check; the test
+    asserts relative error against the exact query."""
+    ev = fixtures.events(spark, sf_dir)
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+    )
+
+
+def q_top_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 revenue parts per brand: the rank-within-group pattern
+    (one shuffle on the window key, no global sort)."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    part = fixtures.load(spark, sf_dir, "part")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"))
+        .join(part, li.l_partkey == part.p_partkey)
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("revenue").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        rev.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", F.round("revenue", 2).alias("revenue"), "rk")
+    )
+
+
+def q_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel: users whose first purchase follows their first
+    signup, conversion lag bucketed by day -- sequence analysis as plain
+    min-aggregations, one shuffle on user_id."""
+    ev = fixtures.events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    converted = firsts.where(
+        F.col("first_signup").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_signup"))
+    )
+    return (
+        converted.select(
+            F.datediff(F.to_date("first_purchase"), F.to_date("first_signup")).alias(
+                "lag_days"
+            )
+        )
+        .groupBy("lag_days")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 # --- text analysis / dedup / fingerprinting (documents table) ----------
 
 

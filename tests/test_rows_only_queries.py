@@ -44,6 +44,20 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert [r.vec_id for r in ivf] == [r.vec_id for r in again]
 
 
+def test_approx_distinct_tracks_exact(spark):
+    qs = entry.queries()
+    exact = {
+        r.day: r.n_users for r in qs["daily_active_users"](spark, ORACLE_SF).collect()
+    }
+    approx = {
+        r.day: r.n_users_approx
+        for r in qs["daily_active_users_approx"](spark, ORACLE_SF).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.1 * n), (day, n, approx[day])
+
+
 def test_embed_neardup_lsh_recall_and_precision(spark):
     qs = entry.queries()
     exact = {
