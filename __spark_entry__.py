@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_active_users": Q.q_daily_active_users,
         "signup_purchase_funnel": Q.q_signup_purchase_funnel,
         "sku_sales_salted": Q.q_sku_sales_salted,
+        "stock_asof": Q.q_stock_asof,
         "top_part_per_brand": Q.q_top_part_per_brand,
         # text analysis / dedup / fingerprinting
         "text_stats": Q.q_text_stats,
@@ -323,6 +324,36 @@ FROM firsts
 WHERE first_signup IS NOT NULL AND first_purchase IS NOT NULL
   AND first_purchase > first_signup
 GROUP BY 1
+""",
+        "stock_asof": """
+WITH sales AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS sku,
+         CAST(l_quantity AS INT)    AS quantity,
+         CAST(l_shipdate AS DATE)   AS sale_date
+  FROM lineitem
+),
+daily AS (
+  SELECT sku, sale_date, CAST(SUM(quantity) AS BIGINT) AS day_qty
+  FROM sales WHERE CAST(sku AS INT) % 50 = 0
+  GROUP BY sku, sale_date
+),
+ledger AS (
+  SELECT d.sku, d.sale_date,
+         CAST(pt.p_size * 100
+              - SUM(d.day_qty) OVER (
+                  PARTITION BY d.sku ORDER BY d.sale_date
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS BIGINT) AS stock
+  FROM daily d
+  JOIN part pt ON CAST(pt.p_partkey AS VARCHAR) = d.sku
+),
+checks AS (
+  SELECT sku, sale_date AS check_date, stock AS checked_stock
+  FROM ledger WHERE day(sale_date) % 7 = 1
+)
+SELECT d.sku, d.sale_date, d.day_qty, c.check_date, c.checked_stock
+FROM daily d ASOF LEFT JOIN checks c
+  ON d.sku = c.sku AND d.sale_date >= c.check_date
 """,
         "sku_sales_salted": """
 SELECT CAST(l_partkey AS VARCHAR) AS sku,

@@ -1,0 +1,88 @@
+"""As-of (point-in-time) join -- the operator behind the reference's
+day-over-day snapshot pairing, generalized.
+
+The reference reads *yesterday's* inventory partition as the opening
+stock for today (glue_job_2_reconcile.py:35-36,41-43): a hand-rolled
+as-of join with a fixed 1-day lag. The general form -- "for each left
+row, the most recent right row at or before its timestamp, per key" --
+has no single Spark operator. A naive range-join (``l.t >= r.t`` +
+row_number) explodes quadratically per key; this implementation is the
+scalable union-window form:
+
+    tag both sides -> union -> one window over (key, time) ->
+    last non-null right payload carried forward -> keep left rows
+
+ONE shuffle on the key, linear in |L|+|R|, no UDFs. Equal timestamps
+match (the right row sorts first at the same instant), mirroring
+DuckDB's native ASOF JOIN semantics -- which is exactly the oracle used
+to verify it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the right-side payload of
+    the nearest right row at-or-before (``backward``) or at-or-after
+    (``forward``) its time, matched per key; right payload columns are
+    NULL when no such row exists.
+
+    Right non-key columns (including ``right_time``) must not collide
+    with left column names -- alias them on the way in.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    left_payload = [c for c in left.columns if c not in keys]
+    right_payload = [c for c in right.columns if c not in keys]
+    clash = set(left_payload) & set(right_payload)
+    if clash:
+        raise ValueError(f"colliding payload columns: {sorted(clash)}")
+
+    l_tagged = left.select(
+        *keys,
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        *left_payload,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_payload],
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        *right_payload,
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    if direction == "backward":
+        # right rows sort before left at equal _t => inclusive match
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_t").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_t").desc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    carried = unioned.select(
+        *keys,
+        "_t",
+        "_side",
+        *left_payload,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
+    )
+    return carried.where(F.col("_side") == 1).drop("_side", "_t")

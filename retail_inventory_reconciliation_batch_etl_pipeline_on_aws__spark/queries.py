@@ -276,6 +276,46 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stock_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General as-of join (SURVEY.md SS2.4 note: the reference's
+    day-over-day partition pairing, generalized): each daily sales row
+    picks up the most recent sparse inventory check at-or-before it,
+    per sku. Union-window implementation -- one shuffle, linear, no
+    range-join explosion; oracle is DuckDB's native ASOF JOIN."""
+    from .operators.asof import asof_join
+
+    sales = fixtures.pos_sales(spark, sf_dir).where(F.col("sku").cast("int") % 50 == 0)
+    part = fixtures.load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("sku"),
+        (F.col("p_size") * 100).alias("initial_stock"),
+    )
+    daily = sales.groupBy("sku", "sale_date").agg(
+        F.sum(F.col("quantity").cast("long")).alias("day_qty")
+    )
+    w_cum = (
+        Window.partitionBy("sku")
+        .orderBy("sale_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ledger = (
+        daily.join(part, "sku")
+        .withColumn("cum_qty", F.sum("day_qty").over(w_cum))
+        .select(
+            "sku",
+            "sale_date",
+            (F.col("initial_stock") - F.col("cum_qty")).cast("long").alias("stock"),
+        )
+    )
+    checks = ledger.where(F.dayofmonth("sale_date") % 7 == 1).select(
+        "sku",
+        F.col("sale_date").alias("check_date"),
+        F.col("stock").alias("checked_stock"),
+    )
+    return asof_join(
+        daily, checks, on="sku", left_time="sale_date", right_time="check_date"
+    )
+
+
 def q_sku_sales_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted per-sku sales totals -- result-identical to a direct
     groupBy (the oracle is the direct SQL), only the physical

@@ -1,0 +1,64 @@
+"""As-of join semantics on hand-checkable data (backward + forward,
+equal-timestamp inclusivity, no-match nulls, collision guard)."""
+
+import datetime as dt
+
+import pytest
+
+from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.asof import (
+    asof_join,
+)
+
+D = dt.date
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            ("A", D(2024, 1, 2), 5),
+            ("A", D(2024, 1, 5), 10),
+            ("B", D(2024, 1, 3), 7),
+        ],
+        "k string, t date, v int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", D(2024, 1, 1), 100),
+            ("A", D(2024, 1, 5), 200),
+            ("C", D(2024, 1, 1), 999),
+        ],
+        "k string, rt date, s int",
+    )
+    return left, right
+
+
+def test_backward_asof(spark):
+    left, right = _frames(spark)
+    got = {
+        (r.k, r.t): (r.rt, r.s)
+        for r in asof_join(left, right, "k", "t", "rt").collect()
+    }
+    assert got == {
+        ("A", D(2024, 1, 2)): (D(2024, 1, 1), 100),
+        ("A", D(2024, 1, 5)): (D(2024, 1, 5), 200),  # equal ts matches
+        ("B", D(2024, 1, 3)): (None, None),  # no right rows for key
+    }
+
+
+def test_forward_asof(spark):
+    left, right = _frames(spark)
+    got = {
+        (r.k, r.t): (r.rt, r.s)
+        for r in asof_join(left, right, "k", "t", "rt", direction="forward").collect()
+    }
+    assert got == {
+        ("A", D(2024, 1, 2)): (D(2024, 1, 5), 200),
+        ("A", D(2024, 1, 5)): (D(2024, 1, 5), 200),
+        ("B", D(2024, 1, 3)): (None, None),
+    }
+
+
+def test_asof_rejects_column_collision(spark):
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="colliding"):
+        asof_join(left, right.withColumnRenamed("s", "v"), "k", "t", "rt")
