@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_rollup": Q.q_lang_rollup,
         "langid": Q.q_langid,
         "dedup_exact": Q.q_dedup_exact,
+        "doc_chunks": Q.q_doc_chunks,
         "simhash": Q.q_simhash,
         "simhash_neardup": Q.q_simhash_neardup,
         "jaccard_pairs": Q.q_jaccard_pairs,
@@ -441,6 +442,26 @@ g AS (
 )
 SELECT doc_id, fingerprint, CAST(n_dups AS BIGINT) AS n_dups
 FROM g WHERE rn = 1
+""",
+        "doc_chunks": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(toks), 64), s -> struct_pack(
+           idx := CAST(s // 64 AS INT),
+           txt := array_to_string(list_slice(toks, CAST(s + 1 AS BIGINT),
+                                             CAST(s + 128 AS BIGINT)), ' '),
+           n := CAST(len(list_slice(toks, CAST(s + 1 AS BIGINT),
+                                    CAST(s + 128 AS BIGINT))) AS BIGINT)
+         ))) AS ch
+  FROM tok WHERE len(toks) > 0
+)
+SELECT doc_id, ch.idx AS chunk_idx, ch.txt AS chunk_text, ch.n AS n_tokens
+FROM c
 """,
         "simhash": """
 WITH tok AS (

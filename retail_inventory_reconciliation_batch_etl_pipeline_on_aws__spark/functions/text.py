@@ -145,6 +145,29 @@ def token_hash32(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
 
 
+def token_chunks(col: Column | str, chunk_tokens: int = 128, stride: int = 64) -> Column:
+    """Overlapping token-window chunks -- the split-for-context-window
+    step of an embedding/training pipeline.
+
+    Returns ``array<struct<idx int, text string, n_tokens int>>``: one
+    struct per window start (0, stride, 2*stride, ... < n_tokens), each
+    covering up to ``chunk_tokens`` tokens. Pure higher-order functions
+    (sequence/transform/slice/array_join) -- exploding the result is one
+    JVM-side projection per document, no shuffle, no UDF.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("int").alias("idx"),
+            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias("text"),
+            F.size(F.slice(toks, s + 1, chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+
+
 def rolling_fingerprint(col: Column | str, base: int = 31, mod: int = 2147483647) -> Column:
     """Polynomial rolling-hash document fingerprint over whitespace
     tokens: ``h = (h*base + token_hash32(t)) % mod``, left to right.

@@ -433,6 +433,23 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.langid("text").alias("lang_pred"))
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping 128-token windows at stride
+    64 -- one row per (doc, chunk), the unit a downstream embedding
+    stage consumes."""
+    from .functions.text import token_chunks, tokens
+
+    docs = fixtures.load(spark, sf_dir, "documents").where(F.size(tokens("text")) > 0)
+    return docs.select(
+        "doc_id", F.explode(token_chunks("text", 128, 64)).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.idx").alias("chunk_idx"),
+        F.col("c.text").alias("chunk_text"),
+        F.col("c.n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import exact_dedup
 
