@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_lsh": Q.q_embed_neardup_lsh,
         "ivf_topk": Q.q_ivf_topk,
         "daily_active_users_approx": Q.q_daily_active_users_approx,
+        "stratified_sample": Q.q_stratified_sample,
     }
 
 

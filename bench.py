@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "simhash",
     "sim_topk",
     "minhash_pairs",
+    "stock_asof",
 ]
 
 

@@ -739,6 +739,22 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rows-only queries (not SQL-expressible: seeded hash families) -----
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling for training-data curation: downsample
+    per language to rebalance the mix (here: 50% of 'en', 100% of the
+    rest), seeded for determinism. Bernoulli sampling is executed inside
+    the scan -- no shuffle, rows are dropped before anything downstream.
+    Sampling is engine-specific => rows-only; the proportion test lives
+    in tests/test_rows_only_queries.py."""
+    docs = fixtures.load(spark, sf_dir, "documents")
+    # strata are data-driven (unlisted strata would be dropped entirely);
+    # the distinct-lang lookup is a tiny metadata-sized action
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    fractions = {lang: (0.5 if lang == "en" else 1.0) for lang in langs}
+    sampled = docs.sampleBy("lang", fractions, seed=42)
+    return sampled.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
 def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup (seeded hash family)."""
     from .operators.similarity import lsh_neardup_pairs

@@ -58,6 +58,23 @@ def test_approx_distinct_tracks_exact(spark):
         assert abs(approx[day] - n) <= max(2, 0.1 * n), (day, n, approx[day])
 
 
+def test_stratified_sample_proportions_and_determinism(spark):
+    qs = entry.queries()
+    got = {r.lang: r.n_docs for r in qs["stratified_sample"](spark, ORACLE_SF).collect()}
+    again = {r.lang: r.n_docs for r in qs["stratified_sample"](spark, ORACLE_SF).collect()}
+    assert got == again  # seeded => identical across runs
+    full = {
+        r.lang: r.n_docs
+        for r in entry.queries()["lang_rollup"](spark, ORACLE_SF).collect()
+    }
+    # non-en strata pass through whole; en is downsampled to ~50%
+    for lang, n in full.items():
+        if lang == "en":
+            assert 0.2 * n <= got.get("en", 0) <= 0.8 * n, (got.get("en"), n)
+        else:
+            assert got.get(lang, 0) == n
+
+
 def test_embed_neardup_lsh_recall_and_precision(spark):
     qs = entry.queries()
     exact = {
