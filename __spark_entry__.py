@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signup_purchase_funnel": Q.q_signup_purchase_funnel,
         "sku_sales_salted": Q.q_sku_sales_salted,
         "stock_asof": Q.q_stock_asof,
+        "orders_in_promos": Q.q_orders_in_promos,
         "top_part_per_brand": Q.q_top_part_per_brand,
         # text analysis / dedup / fingerprinting
         "text_stats": Q.q_text_stats,
@@ -356,6 +357,26 @@ checks AS (
 SELECT d.sku, d.sale_date, d.day_qty, c.check_date, c.checked_stock
 FROM daily d ASOF LEFT JOIN checks c
   ON d.sku = c.sku AND d.sale_date >= c.check_date
+""",
+        "orders_in_promos": """
+WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+promos AS (
+  SELECT DISTINCT CAST(date_trunc('week', order_date) AS DATE) AS promo_start
+  FROM o
+),
+p2 AS (
+  SELECT promo_start, promo_start + INTERVAL 1 DAY AS promo_end FROM promos
+)
+SELECT p2.promo_start,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o.price) AS DOUBLE) AS promo_revenue
+FROM o JOIN p2
+  ON o.order_date BETWEEN p2.promo_start AND p2.promo_end
+GROUP BY 1
 """,
         "sku_sales_salted": """
 SELECT CAST(l_partkey AS VARCHAR) AS sku,

@@ -316,6 +316,32 @@ def q_stock_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_in_promos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: orders landing inside weekly 2-day promo windows
+    (Mon-Tue of every order week). Bucketized equi-join -- no
+    BroadcastNestedLoopJoin -- then exact containment; oracle is the
+    plain BETWEEN join."""
+    from .operators.interval import interval_join
+
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        _dec("o_totalprice").alias("_price"),
+    )
+    promos = (
+        orders.select(
+            F.date_trunc("week", F.col("order_date")).cast("date").alias("promo_start")
+        )
+        .distinct()
+        .withColumn("promo_end", F.date_add(F.col("promo_start"), 1))
+    )
+    joined = interval_join(orders, promos, "order_date", "promo_start", "promo_end")
+    return joined.groupBy("promo_start").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("_price").cast("double").alias("promo_revenue"),
+    )
+
+
 def q_sku_sales_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted per-sku sales totals -- result-identical to a direct
     groupBy (the oracle is the direct SQL), only the physical

@@ -58,6 +58,31 @@ def test_forward_asof(spark):
     }
 
 
+def test_interval_join_containment(spark):
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.interval import (
+        interval_join,
+    )
+
+    points = spark.createDataFrame(
+        [(1, D(2024, 1, 1)), (2, D(2024, 1, 3)), (3, D(2024, 2, 10))],
+        "pid int, t date",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (D(2024, 1, 1), D(2024, 1, 2), "a"),   # catches pid 1 (start-inclusive)
+            (D(2024, 1, 2), D(2024, 1, 3), "b"),   # catches pid 2 (end-inclusive)
+            (D(2024, 1, 1), D(2024, 1, 31), "c"),  # long interval: pids 1+2
+            (D(2024, 3, 1), D(2024, 3, 5), "d"),   # catches nothing
+        ],
+        "s date, e date, tag string",
+    )
+    got = sorted(
+        (r.pid, r.tag)
+        for r in interval_join(points, intervals, "t", "s", "e").collect()
+    )
+    assert got == [(1, "a"), (1, "c"), (2, "b"), (2, "c")]
+
+
 def test_asof_rejects_column_collision(spark):
     left, right = _frames(spark)
     with pytest.raises(ValueError, match="colliding"):
