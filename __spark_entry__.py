@@ -43,6 +43,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": Q.q_events_sessionize,
         "events_json": Q.q_events_json,
         "daily_active_users": Q.q_daily_active_users,
+        "events_daily_from_hourly": Q.q_events_daily_from_hourly,
+        "events_sessionize_native": Q.q_events_sessionize_native,
+        "event_value_percentiles": Q.q_event_value_percentiles,
         "signup_purchase_funnel": Q.q_signup_purchase_funnel,
         "sku_sales_salted": Q.q_sku_sales_salted,
         "stock_asof": Q.q_stock_asof,
@@ -305,6 +308,43 @@ SELECT event_type,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
        CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+""",
+        "events_daily_from_hourly": """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+        "events_sessionize_native": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT), 1, 0)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 30*60
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT *, SUM(new_session) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sess
+GROUP BY user_id, session_seq
+""",
+        "event_value_percentiles": """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
 FROM events
 GROUP BY event_type
 """,

@@ -354,6 +354,57 @@ def q_sku_sales_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_agg_sum(sales, ["sku"], ["total_qty"], salt_buckets=8)
 
 
+def q_events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate hierarchy (hypertable-style): the DAILY
+    rollup computed FROM the hourly rollup -- counts and sums re-merge
+    losslessly, so the cheap cascade equals the from-raw answer (which
+    is exactly what the oracle computes from raw)."""
+    from .operators.sessionize import hourly_rollup
+
+    hourly = hourly_rollup(fixtures.events(spark, sf_dir))
+    return (
+        hourly.groupBy(
+            F.to_date("bucket_start").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's native session_window operator --
+    the idiomatic form of operators.sessionize (same oracle SQL, so the
+    custom window-based implementation and the built-in must agree).
+    session_window end = last_event + gap, so true end is max(ts)."""
+    ev = fixtures.events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "sum_value"
+        )
+    )
+
+
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p95/p99) of value per
+    event_type -- Spark `percentile` and DuckDB `quantile_cont` share
+    the linear-interpolation definition."""
+    ev = fixtures.events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
 def q_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact COUNT(DISTINCT) per day -- the two-shuffle expansion Spark
     plans for distinct aggregation."""

@@ -172,6 +172,31 @@ def streaming_sessionize(
     )
 
 
+def streaming_dedup_events(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "1 hour",
+    key_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup: at-least-once sources
+    (Kafka redeliveries, retried producers) are collapsed to one row
+    per key with ``dropDuplicatesWithinWatermark`` -- the state store
+    remembers keys only within the watermark horizon, so state is
+    bounded by (arrival rate x watermark), not by stream length. The
+    batch twin is exact_dedup; here duplicates must also be NEAR in
+    time, which is exactly the redelivery model.
+    """
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("parquet")
+        .load(source_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    return raw.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def run_to_partitioned_parquet(
     agg: DataFrame,
     path: str,

@@ -14,6 +14,7 @@ from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.
 from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans import fixtures
 from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (
     run_to_memory_sink,
+    streaming_dedup_events,
     streaming_hourly_rollup,
     streaming_sessionize,
 )
@@ -39,6 +40,27 @@ def test_streaming_matches_batch(spark, tmp_path):
         for r in hourly_rollup(fixtures.events(spark, TESTDATA)).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_dedup_collapses_redeliveries(spark, tmp_path):
+    # simulate at-least-once delivery: the same event file lands twice
+    ev = spark.read.parquet(f"{TESTDATA}/events.parquet").limit(500)
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    for i in range(2):
+        stage = tmp_path / f"dstage{i}"
+        ev.coalesce(1).write.parquet(str(stage))
+        (pf,) = glob.glob(str(stage / "part-*.parquet"))
+        shutil.move(pf, src / f"{i:02d}.parquet")
+        os.utime(src / f"{i:02d}.parquet", (i + 1, i + 1))
+
+    deduped = streaming_dedup_events(spark, str(src))
+    assert deduped.isStreaming
+    run_to_memory_sink(deduped, "dedup_stream_test", output_mode="append")
+    out = spark.sql("SELECT event_id FROM dedup_stream_test").collect()
+    ids = [r.event_id for r in out]
+    assert len(ids) == len(set(ids)), "duplicates survived"
+    assert sorted(ids) == sorted(r.event_id for r in ev.select("event_id").collect())
 
 
 def test_stateful_sessionize_matches_batch(spark, tmp_path):
