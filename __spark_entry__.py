@@ -39,6 +39,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": Q.q_top_customers,
         "region_revenue": Q.q_region_revenue,
         # events (batch twins of the streaming path)
+        "revenue_forecast": Q.q_revenue_forecast,
+        "shipping_priority": Q.q_shipping_priority,
+        "customer_spend_quartiles": Q.q_customer_spend_quartiles,
+        # events (batch twins of the streaming path)
         "events_hourly": Q.q_events_hourly,
         "events_sessionize": Q.q_events_sessionize,
         "events_json": Q.q_events_json,
@@ -271,6 +275,46 @@ JOIN customer ON o_custkey   = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name
+""",
+        "revenue_forecast": """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS forecast_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+        "shipping_priority": """
+SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey  = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+        "customer_spend_quartiles": """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+  FROM orders GROUP BY o_custkey
+),
+q AS (
+  SELECT o_custkey, total_spent,
+         CAST(NTILE(4) OVER (ORDER BY total_spent DESC, o_custkey ASC) AS BIGINT)
+           AS quartile
+  FROM spend
+)
+SELECT quartile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(total_spent), 2) AS quartile_spend
+FROM q GROUP BY quartile
 """,
         # --- events ------------------------------------------------------
         "events_hourly": """

@@ -244,6 +244,75 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + single aggregate -- every predicate
+    must reach the parquet scan (no join, no shuffle beyond the final
+    1-row reduce)."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount").cast("decimal(18,2)") >= F.lit(0.05))
+            & (F.col("l_discount").cast("decimal(18,2)") <= F.lit(0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("forecast_revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective join + group + deterministic top-10 by
+    revenue (TakeOrderedAndProject after partial aggregation)."""
+    cust = fixtures.load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = fixtures.load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1998-01-01")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles over customer lifetime spend, rolled up per
+    quartile -- the distribution-bucketing window family.
+
+    The global (unpartitioned) window runs over the per-customer
+    AGGREGATE -- the smallest frame that can answer exact ntile -- not
+    raw orders. At cluster scale exact global ntile is a deliberate
+    choice (one sorted pass over |customers| rows); the cheap
+    alternative is approx_percentile cut points + range bucketing."""
+    orders = fixtures.load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_spent")
+    )
+    w = Window.orderBy(F.col("total_spent").desc(), F.col("o_custkey").asc())
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("total_spent"), 2).alias("quartile_spend"),
+        )
+    )
+
+
 # --- event-stream queries (batch forms; streaming twin in streaming/) --
 
 
