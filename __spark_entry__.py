@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": Q.q_region_revenue,
         # events (batch twins of the streaming path)
         "revenue_forecast": Q.q_revenue_forecast,
+        "parts_above_brand_avg": Q.q_parts_above_brand_avg,
+        "sales_grouping_sets": Q.q_sales_grouping_sets,
         "shipping_priority": Q.q_shipping_priority,
         "customer_spend_quartiles": Q.q_customer_spend_quartiles,
         # events (batch twins of the streaming path)
@@ -275,6 +277,29 @@ JOIN customer ON o_custkey   = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name
+""",
+        "parts_above_brand_avg": """
+WITH priced AS (
+  SELECT p_partkey, p_brand,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+         SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           OVER (PARTITION BY p_brand) AS sum_c,
+         COUNT(*) OVER (PARTITION BY p_brand) AS n_c
+  FROM part
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_above_avg,
+       CAST(MAX(pc * n_c - sum_c) AS BIGINT) AS max_excess_scaled
+FROM priced
+WHERE pc * n_c > sum_c
+GROUP BY p_brand
+""",
+        "sales_grouping_sets": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """,
         "revenue_forecast": """
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

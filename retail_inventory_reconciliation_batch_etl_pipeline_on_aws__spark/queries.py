@@ -244,6 +244,57 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape ('parts priced above their brand's
+    average'), decorrelated as window aggregates -- one shuffle on the
+    correlation key instead of a per-row subquery.
+
+    Arithmetic is exact integer cents: ``price > avg`` is evaluated as
+    ``price*n > sum`` and the excess reported as the exact scaled
+    integer ``price*n - sum`` -- no float accumulation anywhere, so the
+    comparison can never flip on engine-dependent rounding."""
+    part = fixtures.load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    priced = part.select(
+        "p_partkey",
+        "p_brand",
+        (_dec("p_retailprice") * 100).cast("long").alias("pc"),
+    ).select(
+        "p_partkey",
+        "p_brand",
+        "pc",
+        F.sum("pc").over(w).alias("sum_c"),
+        F.count("*").over(w).alias("n_c"),
+    )
+    return (
+        priced.where(F.col("pc") * F.col("n_c") > F.col("sum_c"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_above_avg"),
+            F.max(F.col("pc") * F.col("n_c") - F.col("sum_c")).alias(
+                "max_excess_scaled"
+            ),
+        )
+    )
+
+
+def q_sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((returnflag), (linestatus)) -- the two independent
+    marginal totals in ONE pass (neither rollup nor cube), via Spark
+    SQL over a temp view."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
 def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter + single aggregate -- every predicate
     must reach the parquet scan (no join, no shuffle beyond the final
