@@ -101,6 +101,33 @@ def write_jdbc(
     writer.save()
 
 
+def compact_partition(
+    spark,
+    path: str,
+    partition_col: str,
+    value,
+    target_files: int = 1,
+) -> None:
+    """Small-file compaction for one partition of a partitioned table.
+
+    Streaming foreachBatch sinks and frequent dynamic-overwrite loads
+    accumulate many small files per partition; at scale that turns
+    every scan into a file-listing + task-scheduling storm. This
+    maintenance op rewrites ONE partition (read -> coalesce ->
+    dynamic-partition-overwrite), leaving all other partitions
+    untouched and the data row-identical -- safe to run online because
+    the overwrite is atomic per partition.
+    """
+    from pyspark.sql import functions as F
+
+    part_df = (
+        spark.read.parquet(path).where(F.col(partition_col) == F.lit(value))
+    )
+    write_partitioned(
+        part_df.coalesce(target_files), path, partition_col, sort_within=None
+    )
+
+
 def write_single_file(df: DataFrame, path: str) -> None:
     """K2: small-table single-file write (glue_job_create_dims.py:56).
 

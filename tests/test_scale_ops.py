@@ -88,6 +88,38 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")
 
 
+def test_compact_partition_reduces_files_preserves_rows(spark, tmp_path):
+    import datetime as dt
+    import glob as globlib
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.writers import (
+        compact_partition,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    df = spark.range(1000).select(
+        F.when(F.col("id") % 2 == 0, d1).otherwise(d2).alias("date_key"),
+        F.col("id").cast("string").alias("sku"),
+        F.col("id").alias("v"),
+    )
+    # fragment: many small files per partition
+    write_partitioned(df.repartition(16), path)
+    day1_files = lambda: globlib.glob(f"{path}/date_key={d1}/*.parquet")
+    day2_files_before = set(globlib.glob(f"{path}/date_key={d2}/*.parquet"))
+    assert len(day1_files()) > 4
+    before = sorted((r.date_key, r.sku, r.v) for r in spark.read.parquet(path).collect())
+
+    compact_partition(spark, path, "date_key", d1, target_files=1)
+
+    assert len(day1_files()) == 1
+    # sibling partition untouched (same physical files)
+    assert set(globlib.glob(f"{path}/date_key={d2}/*.parquet")) == day2_files_before
+    after = sorted((r.date_key, r.sku, r.v) for r in spark.read.parquet(path).collect())
+    assert after == before
+
+
 def test_read_jsonl_schema_and_corruption(spark, tmp_path):
     p = tmp_path / "docs.jsonl"
     p.write_text(
