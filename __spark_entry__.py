@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # OLAP breadth: windows, rollup, semi/anti, set ops, pivot
         "sku_moving_avg": Q.q_sku_moving_avg,
         "sales_rollup": Q.q_sales_rollup,
+        "sales_cube": Q.q_sales_cube,
         "cust_no_orders": Q.q_cust_no_orders,
         "parts_ordered_semi": Q.q_parts_ordered_semi,
         "customer_setops": Q.q_customer_setops,
@@ -856,6 +857,14 @@ SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "sales_cube": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
         "cust_no_orders": """
 SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers

@@ -853,6 +853,18 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping levels in
+    one shuffle -- completes the grouping family next to ROLLUP and
+    GROUPING SETS."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("int")).cast("long").alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
 def q_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join: customers with no order since 1998-01-01, by segment.
     (Scoped to a year window: this testdata gives every customer at
