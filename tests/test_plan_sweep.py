@@ -1,0 +1,47 @@
+"""Engine-wide physical-plan invariants: EVERY queries() entry is swept
+for the anti-patterns that melt at 100TB. Exceptions are an explicit
+allow-list with the reason recorded, so a regression (a new cartesian
+product, a Python boundary sneaking into a JVM path) fails loudly."""
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entry
+
+from conftest import TESTDATA
+
+#: queries allowed to contain a nested-loop/cartesian stage, and why
+NESTED_LOOP_OK = {
+    "embed_neardup",  # exact all-pairs ground truth by design (scale path: embed_neardup_lsh)
+    "label_centroid_sim",  # 10x1 broadcast cross join against the reference centroid
+    "sim_topk",  # scan x 1-row literal query vector
+}
+
+#: queries allowed an Arrow-batched Python stage, and why
+PYTHON_OK = {
+    "multimodal_features",  # sanctioned mapInPandas binary-feature boundary
+    "minhash_ml_pairs",  # pyspark.ml MinHashLSH internals
+    "ann_topk",  # pyspark.ml BucketedRandomProjectionLSH internals
+    "embed_neardup_lsh",  # pyspark.ml LSH internals
+    "ivf_topk",  # pyspark.ml array_to_vector conversion
+}
+
+QUERIES = sorted(entry.queries())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_no_silent_antipatterns(spark, name):
+    df = entry.queries()[name](spark, TESTDATA)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    if name not in NESTED_LOOP_OK:
+        for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert node not in plan, f"{name}: unexpected {node}"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in PYTHON_OK:
+        for node in ("ArrowEvalPython", "MapInPandas"):
+            assert node not in plan, f"{name}: unexpected Python stage {node}"
