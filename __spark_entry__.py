@@ -40,6 +40,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": Q.q_region_revenue,
         # events (batch twins of the streaming path)
         "revenue_forecast": Q.q_revenue_forecast,
+        "nation_trade_volume": Q.q_nation_trade_volume,
+        "events_hour_of_day": Q.q_events_hour_of_day,
+        "dedup_applied": Q.q_dedup_applied,
         "parts_above_brand_avg": Q.q_parts_above_brand_avg,
         "sales_grouping_sets": Q.q_sales_grouping_sets,
         "shipping_priority": Q.q_shipping_priority,
@@ -301,6 +304,74 @@ SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""",
+        "nation_trade_volume": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(YEAR(l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+JOIN customer c ON o.o_custkey  = c.c_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY 1, 2, 3
+""",
+        "events_hour_of_day": """
+SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+       CAST(EXTRACT(dow FROM ts) + 1 AS BIGINT) AS day_of_week,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+        "dedup_applied": """
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 3 + 2), i ->
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+  FROM tok WHERE len(toks) >= 3
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM shared
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id
+  FROM reach GROUP BY a
+),
+losers AS (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs_kept
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM losers x WHERE x.doc_id = d.doc_id)
+GROUP BY d.lang
 """,
         "revenue_forecast": """
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

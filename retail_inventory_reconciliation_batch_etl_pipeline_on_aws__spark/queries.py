@@ -295,6 +295,69 @@ def q_sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation x customer-nation trade volume by
+    year -- a 5-way join where both nation hops broadcast and the fact
+    join shuffles once per key."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    orders = fixtures.load(spark, sf_dir, "orders")
+    cust = fixtures.load(spark, sf_dir, "customer")
+    supp = fixtures.load(spark, sf_dir, "supplier")
+    nation = fixtures.load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nk)
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("volume"), F.count("*").alias("n_items"))
+    )
+
+
+def q_events_hour_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry time-dimension rollup: hour-of-day x day-of-week event
+    counts (extract-function family over event time)."""
+    ev = fixtures.events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.hour("ts").cast("long").alias("hour_of_day"),
+            F.dayofweek("ts").cast("long").alias("day_of_week"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def q_dedup_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ladder APPLIED: drop every near-dup group member except
+    its canonical doc (anti join against the resolved groups), report
+    the surviving corpus per language -- the actual training-corpus
+    output of the dedup pipeline."""
+    from .operators.dedup import shingle_jaccard_pairs
+    from .operators.graph import dedup_groups
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    groups = dedup_groups(shingle_jaccard_pairs(docs, n=3, threshold=0.5))
+    losers = groups.where(F.col("doc_id") != F.col("canonical_id")).select("doc_id")
+    return (
+        docs.join(losers, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs_kept"))
+    )
+
+
 def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter + single aggregate -- every predicate
     must reach the parquet scan (no join, no shuffle beyond the final
