@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": Q.q_rolling_fingerprint,
         # OLAP breadth: windows, rollup, semi/anti, set ops, pivot
         "sku_moving_avg": Q.q_sku_moving_avg,
+        "sku_rolling_range": Q.q_sku_rolling_range,
+        "order_count_distribution": Q.q_order_count_distribution,
+        "dim_scd2": Q.q_dim_scd2,
         "sales_rollup": Q.q_sales_rollup,
         "sales_cube": Q.q_sales_cube,
         "cust_no_orders": Q.q_cust_no_orders,
@@ -920,6 +923,56 @@ SELECT sku, sale_date, day_qty,
        CAST(ROW_NUMBER() OVER (PARTITION BY sku ORDER BY sale_date) AS BIGINT)
          AS day_rank
 FROM daily
+""",
+        "sku_rolling_range": """
+WITH sales AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS sku,
+         CAST(l_quantity AS INT)    AS quantity,
+         CAST(l_shipdate AS DATE)   AS sale_date
+  FROM lineitem
+),
+daily AS (
+  SELECT sku, sale_date, CAST(SUM(quantity) AS BIGINT) AS day_qty
+  FROM sales WHERE CAST(sku AS INT) % 50 = 0
+  GROUP BY sku, sale_date
+)
+SELECT sku, sale_date, day_qty,
+       CAST(SUM(day_qty) OVER (
+         PARTITION BY sku ORDER BY sale_date
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS qty_7d
+FROM daily
+""",
+        "order_count_distribution": """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND YEAR(o.o_orderdate) = 1998
+  GROUP BY c.c_custkey
+)
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM per_cust
+GROUP BY n_orders
+""",
+        "dim_scd2": """
+WITH dd AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS d FROM lineitem),
+p AS (
+  SELECT CAST(p_partkey AS VARCHAR) AS sku,
+         TRIM(p_type)  AS cat_old,
+         CASE WHEN p_partkey % 5 = 0 THEN TRIM(p_brand) ELSE TRIM(p_type) END
+           AS cat_new
+  FROM part
+)
+SELECT sku, cat_old AS category,
+       CAST((SELECT d FROM dd) - 1 AS DATE) AS valid_from,
+       CASE WHEN cat_old <> cat_new THEN (SELECT d FROM dd) END AS valid_to,
+       cat_old = cat_new AS is_current
+FROM p
+UNION ALL
+SELECT sku, cat_new, (SELECT d FROM dd), NULL, TRUE
+FROM p WHERE cat_old <> cat_new
 """,
         "sales_rollup": """
 SELECT l_returnflag, l_linestatus,

@@ -1067,3 +1067,67 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = fixtures.load(spark, sf_dir, "embeddings")
     return lsh_ann_topk(emb, _query_vector(spark, sf_dir), k=10)
+
+
+def q_dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history: snapshot-1 (category = p_type) seeded at
+    d-1, snapshot-2 (20%% of skus recategorized to p_brand) merged at d.
+    Changed skus produce a closed-out row plus a new open row; unchanged
+    skus pass through open -- the TRUNCATE+COPY upgrade (operators/scd.py)."""
+    from .operators.scd import scd2_apply, scd2_init
+
+    d = fixtures.processing_date(spark, sf_dir)
+    part = fixtures.load(spark, sf_dir, "part")
+    sku = F.col("p_partkey").cast("string").alias("sku")
+    snap1 = part.select(sku, F.trim("p_type").alias("category"))
+    snap2 = part.select(
+        sku,
+        F.when(
+            F.col("p_partkey") % 5 == 0, F.trim(F.col("p_brand"))
+        ).otherwise(F.trim(F.col("p_type"))).alias("category"),
+    )
+    hist = scd2_init(snap1, ["sku"], ["category"], d - dt.timedelta(days=1))
+    return scd2_apply(hist, snap2, ["sku"], ["category"], d)
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer x filtered-orders LEFT join, count per
+    customer, then the distribution of those counts -- two chained
+    aggregations at different grains; zero-order customers must survive
+    the left join into the n_orders=0 bucket."""
+    cust = fixtures.load(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        fixtures.load(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1998)
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+def q_sku_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-sku 7-DAY rolling sales sum over the
+    daily series. Unlike the ROWS frame in q_sku_moving_avg, the frame
+    is bounded by the *date value* (gaps in the calendar shrink the
+    window), expressed as rangeBetween over day-since-epoch."""
+    sales = fixtures.pos_sales(spark, sf_dir).where(F.col("sku").cast("int") % 50 == 0)
+    daily = sales.groupBy("sku", "sale_date").agg(
+        F.sum(F.col("quantity").cast("long")).alias("day_qty")
+    )
+    w = (
+        Window.partitionBy("sku")
+        .orderBy(F.datediff(F.col("sale_date"), F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "sku",
+        "sale_date",
+        "day_qty",
+        F.sum("day_qty").over(w).alias("qty_7d"),
+    )

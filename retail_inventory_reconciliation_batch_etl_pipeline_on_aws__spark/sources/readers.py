@@ -72,6 +72,16 @@ def read_jsonl(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan -- the second columnar format Spark supports natively
+    (vectorized reader, predicate pushdown to stripe/row-group level,
+    same partition-discovery rules as parquet). Kept so a warehouse
+    standardized on ORC (classic Hive/EMR estates) can consume the
+    engine's marts without a conversion hop; writers.write_orc is the
+    producing side."""
+    return spark.read.orc(path)
+
+
 def read_partition(
     df: DataFrame,
     partition_col: str,

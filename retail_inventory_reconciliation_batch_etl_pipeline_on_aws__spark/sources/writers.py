@@ -135,3 +135,23 @@ def write_single_file(df: DataFrame, path: str) -> None:
     product dim); keep it out of fact paths.
     """
     df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str] | None = None,
+    sort_within: str | list[str] | None = None,
+) -> None:
+    """ORC mart write (zlib-compressed, Spark's vectorized writer) with
+    the same idempotent dynamic-partition-overwrite + sorted-at-rest
+    contract as the parquet writer; ``readers.read_orc`` is the
+    consuming side."""
+    if sort_within:
+        sort_cols = [sort_within] if isinstance(sort_within, str) else list(sort_within)
+        df = df.sortWithinPartitions(*sort_cols)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        writer = writer.partitionBy(*cols)
+    writer.orc(path)

@@ -197,6 +197,55 @@ def streaming_dedup_events(
     )
 
 
+def streaming_signup_purchase_join(
+    spark: SparkSession,
+    source_dir: str,
+    horizon_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream time-interval join: each purchase is attributed to
+    the same user's signup if it lands within ``horizon_minutes`` of it
+    (the streaming form of the signup->purchase funnel).
+
+    Both sides carry a watermark and the join predicate bounds event
+    time in BOTH directions (``signup_ts <= purchase_ts <= signup_ts +
+    horizon``), which is what lets Spark evict join state: a buffered
+    signup can be dropped once the purchase-side watermark passes
+    ``signup_ts + horizon``, so state is O(events within the horizon),
+    not O(stream). An unbounded predicate would buffer both streams
+    forever -- the canonical 100TB stream-join failure mode.
+    """
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("parquet")
+        .load(source_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    signups = (
+        raw.where(F.col("event_type") == "signup")
+        .select(F.col("user_id"), F.col("ts").alias("signup_ts"))
+        .withWatermark("signup_ts", watermark)
+    )
+    purchases = (
+        raw.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("signup_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+    ).select("user_id", "signup_ts", "purchase_ts", "purchase_value")
+
+
 def run_to_partitioned_parquet(
     agg: DataFrame,
     path: str,

@@ -108,3 +108,45 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         b_end, b_n, b_sum = batch[key]
         assert (s_end, s_n) == (b_end, b_n)
         assert s_sum == pytest.approx(b_sum, abs=1e-6)
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join must equal the equivalent batch join
+    over the same bounded data."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (
+        streaming_signup_purchase_join,
+    )
+
+    src = tmp_path / "ssj_src"
+    src.mkdir()
+    (src / "events.parquet").symlink_to(f"{TESTDATA}/events.parquet")
+    joined = streaming_signup_purchase_join(spark, str(src), horizon_minutes=60)
+    assert joined.isStreaming
+    run_to_memory_sink(joined, "ssj_stream_test", output_mode="append")
+    streamed = sorted(
+        (r.user_id, r.signup_ts, r.purchase_ts, r.purchase_value)
+        for r in spark.sql("SELECT * FROM ssj_stream_test").collect()
+    )
+
+    ev = fixtures.events(spark, TESTDATA)
+    s = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = sorted(
+        (r.user_id, r.signup_ts, r.purchase_ts, r.purchase_value)
+        for r in s.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("signup_ts"))
+            & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 60 MINUTES")),
+        )
+        .select("user_id", "signup_ts", "purchase_ts", "purchase_value")
+        .collect()
+    )
+    assert len(streamed) > 0, "join produced no attributed purchases"
+    assert streamed == batch
