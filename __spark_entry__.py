@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": Q.q_ivf_topk,
         "daily_active_users_approx": Q.q_daily_active_users_approx,
         "stratified_sample": Q.q_stratified_sample,
+        "value_quantile_sketch": Q.q_value_quantile_sketch,
     }
 
 

@@ -1131,3 +1131,19 @@ def q_sku_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_qty",
         F.sum("day_qty").over(w).alias("qty_7d"),
     )
+
+
+def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (Greenwald-Khanna style approx
+    percentile): per-event-type p50/p90/p99 of event value from
+    fixed-size partial sketches -- the scale companion of the exact
+    interpolated percentiles in q_event_value_percentiles. Approximate
+    by design => rows-only; the test bounds its error vs the exact
+    quantiles."""
+    ev = fixtures.events(spark, sf_dir)
+    pcts = F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000)
+    return ev.groupBy("event_type").agg(
+        F.round(pcts[0], 4).alias("p50_approx"),
+        F.round(pcts[1], 4).alias("p90_approx"),
+        F.round(pcts[2], 4).alias("p99_approx"),
+    )

@@ -86,3 +86,36 @@ def test_embed_neardup_lsh_recall_and_precision(spark):
     assert got <= exact
     # bucketed join should still recover most true pairs
     assert len(got) >= len(exact) * 0.6
+
+
+def test_quantile_sketch_tracks_exact(spark):
+    """The GK sketch guarantees RANK error (<= 1/accuracy), not value
+    error: for each reported quantile q, the fraction of values at or
+    below the sketch's answer must sit within 1% of q (value-level
+    comparison would be wrong -- the sketch returns a real data point
+    while the exact form interpolates between points)."""
+    from pyspark.sql import functions as F
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans import (
+        fixtures,
+    )
+
+    qs = entry.queries()
+    approx = {
+        r.event_type: (r.p50_approx, r.p90_approx, r.p99_approx)
+        for r in qs["value_quantile_sketch"](spark, ORACLE_SF).collect()
+    }
+    assert len(approx) == 5
+    ev = fixtures.events(spark, ORACLE_SF).select("event_type", "value").cache()
+    try:
+        for et, answers in approx.items():
+            vals = ev.where(F.col("event_type") == et)
+            n = vals.count()
+            for q, a in zip((0.5, 0.9, 0.99), answers):
+                rank = vals.where(F.col("value") <= a).count() / n
+                # rounding the reported value to 4dp can only move the
+                # achieved rank by the ties at that value; 1% + one row
+                # of slack covers both that and the sketch's own bound
+                assert abs(rank - q) <= 0.01 + 1.0 / n, (et, q, a, rank)
+    finally:
+        ev.unpersist()
