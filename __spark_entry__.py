@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sku_moving_avg": Q.q_sku_moving_avg,
         "sku_rolling_range": Q.q_sku_rolling_range,
         "order_count_distribution": Q.q_order_count_distribution,
+        "idle_rich_customers": Q.q_idle_rich_customers,
         "dim_scd2": Q.q_dim_scd2,
         "sales_rollup": Q.q_sales_rollup,
         "sales_cube": Q.q_sales_cube,
@@ -943,6 +944,26 @@ SELECT sku, sale_date, day_qty,
          RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
        ) AS BIGINT) AS qty_7d
 FROM daily
+""",
+        "idle_rich_customers": """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+  FROM customer
+),
+stats AS (
+  SELECT SUM(bal_c) AS sum_c, COUNT(*) AS n_c FROM cust WHERE bal_c > 0
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(bal_c) AS BIGINT) AS total_bal_scaled
+FROM cust c CROSS JOIN stats
+WHERE bal_c * n_c > sum_c
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND YEAR(o.o_orderdate) = 1998
+  )
+GROUP BY c_nationkey
 """,
         "order_count_distribution": """
 WITH per_cust AS (

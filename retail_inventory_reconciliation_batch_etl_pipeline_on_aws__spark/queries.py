@@ -1147,3 +1147,35 @@ def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pcts[1], 4).alias("p90_approx"),
         F.round(pcts[2], 4).alias("p99_approx"),
     )
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-(global positive)-average
+    balance and NO 1998 orders, rolled up per nation -- a global scalar
+    aggregate gate (decorrelated to a 1-row broadcast) composed with an
+    anti join. The 1-row cross join is how Spark itself executes scalar
+    subqueries: broadcast cost is one row, and the comparison is exact
+    integer cents (bal*n > sum), never a float average."""
+    cust = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        (_dec("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    stats = cust.where(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("sum_c"), F.count("*").alias("n_c")
+    )
+    orders98 = (
+        fixtures.load(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1998)
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(stats))
+        .where(F.col("bal_c") * F.col("n_c") > F.col("sum_c"))
+        .join(orders98, cust.c_custkey == orders98.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("bal_c").alias("total_bal_scaled"),
+        )
+    )

@@ -17,6 +17,7 @@ NESTED_LOOP_OK = {
     "embed_neardup",  # exact all-pairs ground truth by design (scale path: embed_neardup_lsh)
     "label_centroid_sim",  # 10x1 broadcast cross join against the reference centroid
     "sim_topk",  # scan x 1-row literal query vector
+    "idle_rich_customers",  # 1-row scalar-aggregate broadcast (decorrelated scalar subquery)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why
