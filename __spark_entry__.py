@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sku_rolling_range": Q.q_sku_rolling_range,
         "order_count_distribution": Q.q_order_count_distribution,
         "idle_rich_customers": Q.q_idle_rich_customers,
+        "sole_late_supplier": Q.q_sole_late_supplier,
         "dim_scd2": Q.q_dim_scd2,
         "sales_rollup": Q.q_sales_rollup,
         "sales_cube": Q.q_sales_cube,
@@ -944,6 +945,28 @@ SELECT sku, sale_date, day_qty,
          RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
        ) AS BIGINT) AS qty_7d
 FROM daily
+""",
+        "sole_late_supplier": """
+WITH lx AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate,
+         MAX(l_shipdate) OVER (PARTITION BY l_orderkey) AS max_ship
+  FROM lineitem
+),
+cand AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lx WHERE l_shipdate = max_ship
+)
+SELECT c.l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_orders_blamed
+FROM cand c
+WHERE EXISTS (
+    SELECT 1 FROM lineitem o
+    WHERE o.l_orderkey = c.l_orderkey AND o.l_suppkey <> c.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lx a
+    WHERE a.l_orderkey = c.l_orderkey AND a.l_suppkey <> c.l_suppkey
+      AND a.l_shipdate = a.max_ship
+  )
+GROUP BY c.l_suppkey
 """,
         "idle_rich_customers": """
 WITH cust AS (

@@ -1179,3 +1179,44 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_c").alias("total_bal_scaled"),
         )
     )
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS over the same fact): per
+    supplier, the number of multi-supplier orders where that supplier
+    alone shipped last. The correlated quantifiers decorrelate to a
+    window max + a semi join (another supplier exists) + an anti join
+    (no other supplier shipped at the max) -- all three hash on
+    l_orderkey, so the window shuffle is reused by both joins."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    w = Window.partitionBy("l_orderkey")
+    lx = li.withColumn("max_ship", F.max("l_shipdate").over(w))
+    cand = (
+        lx.where(F.col("l_shipdate") == F.col("max_ship"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    # the "another supplier also shipped at the max" set IS cand itself
+    # renamed -- reusing it keeps one window computation in the plan
+    late_others = cand.select(
+        F.col("l_orderkey").alias("a_ok"), F.col("l_suppkey").alias("a_sk")
+    )
+    return (
+        cand.join(
+            others,
+            (cand.l_orderkey == others.o_ok) & (cand.l_suppkey != others.o_sk),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (cand.l_orderkey == F.col("a_ok")) & (cand.l_suppkey != F.col("a_sk")),
+            "left_anti",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_orders_blamed"))
+    )

@@ -246,6 +246,28 @@ def streaming_signup_purchase_join(
     ).select("user_id", "signup_ts", "purchase_ts", "purchase_value")
 
 
+def streaming_enrich_with_dim(
+    spark: SparkSession,
+    source_dir: str,
+    dim: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a batch-side
+    dimension (the streaming form of the reference's J3 broadcast dim
+    join). The static side is re-resolved per micro-batch -- a dim
+    updated between batches is picked up without restarting the stream
+    -- and is broadcast, so the join adds no shuffle and NO state store
+    (unlike stream-stream joins, there is nothing to buffer: the static
+    side is always completely known)."""
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("parquet")
+        .load(source_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    return raw.join(F.broadcast(dim), key, "left")
+
+
 def run_to_partitioned_parquet(
     agg: DataFrame,
     path: str,

@@ -150,3 +150,33 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     )
     assert len(streamed) > 0, "join produced no attributed purchases"
     assert streamed == batch
+
+
+def test_stream_static_join_enriches_every_event(spark, tmp_path):
+    """Stream-static broadcast join: every event is enriched with its
+    dim row; events without a dim row survive (left join) with nulls."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (
+        streaming_enrich_with_dim,
+    )
+
+    src = tmp_path / "ssd_src"
+    src.mkdir()
+    (src / "events.parquet").symlink_to(f"{TESTDATA}/events.parquet")
+    ev = fixtures.events(spark, TESTDATA)
+    # dim covers only even user_ids: odd ones must pass through un-enriched
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .where(F.col("user_id") % 2 == 0)
+        .withColumn("tier", F.when(F.col("user_id") % 4 == 0, "gold").otherwise("std"))
+    )
+    enriched = streaming_enrich_with_dim(spark, str(src), dim)
+    assert enriched.isStreaming
+    run_to_memory_sink(enriched, "ssd_stream_test", output_mode="append")
+    out = spark.sql("SELECT user_id, tier FROM ssd_stream_test").collect()
+    assert len(out) == ev.count()
+    for r in out:
+        if r.user_id % 2 == 0:
+            assert r.tier == ("gold" if r.user_id % 4 == 0 else "std")
+        else:
+            assert r.tier is None
