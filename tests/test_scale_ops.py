@@ -184,3 +184,40 @@ def test_orc_roundtrip_partitioned_idempotent(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(sku), EqualTo(sku,A)]" in plan
+
+
+def test_merge_upsert_row_level_cdc(spark, tmp_path):
+    """merge_upsert: changed keys are replaced, new keys inserted,
+    untouched rows and untouched partitions survive; idempotent on
+    replay of the same batch."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.writers import (
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "cdc_mart")
+    base = spark.createDataFrame(
+        [
+            ("2024-01-01", "A", 1),
+            ("2024-01-01", "B", 2),
+            ("2024-01-02", "C", 3),
+        ],
+        "date_key string, sku string, qty int",
+    )
+    merge_upsert(spark, base, path, key_cols=["date_key", "sku"])
+
+    batch = spark.createDataFrame(
+        [("2024-01-01", "B", 20), ("2024-01-01", "D", 4)],
+        "date_key string, sku string, qty int",
+    )
+    for _ in range(2):  # replaying the same CDC batch must be a no-op
+        merge_upsert(spark, batch, path, key_cols=["date_key", "sku"])
+        rows = sorted(
+            (str(r.date_key), r.sku, r.qty)
+            for r in spark.read.parquet(path).collect()
+        )
+        assert rows == [
+            ("2024-01-01", "A", 1),   # untouched row in touched partition
+            ("2024-01-01", "B", 20),  # updated
+            ("2024-01-01", "D", 4),   # inserted
+            ("2024-01-02", "C", 3),   # untouched partition
+        ]
