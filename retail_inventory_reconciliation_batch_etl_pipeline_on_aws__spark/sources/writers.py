@@ -157,13 +157,31 @@ def write_orc(
     writer.orc(path)
 
 
+def _mart_exists(spark, path: str) -> bool:
+    """Existence probe that works on any Hadoop-supported filesystem
+    (local, HDFS, S3A...), unlike driver-local ``os.path.exists`` which
+    silently answers False for remote stores -- and a False answer here
+    routes ``merge_upsert`` to the clobbering first-write branch, i.e.
+    data loss. We ask Spark itself: a readable parquet table has a
+    schema; "path does not exist" (or an existing-but-empty directory,
+    which is equally not a mart yet) raises AnalysisException."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except AnalysisException:
+        return False
+
+
 def merge_upsert(
     spark,
     updates: DataFrame,
     path: str,
     key_cols: str | list[str],
     partition_col: str = "date_key",
-) -> None:
+    version_col: str | None = None,
+) -> dict:
     """Keyed MERGE (CDC upsert) into a partitioned parquet mart: rows in
     ``updates`` replace same-key rows, new keys insert, everything else
     is untouched -- generalizing the reference's whole-partition
@@ -180,22 +198,69 @@ def merge_upsert(
     cannot lazily read a path it is clobbering. (A production 100TB
     mart would put a transactional table format under this same plan;
     the merge plan itself is format-agnostic.)
+
+    Update-batch key collisions: with ``version_col`` the highest
+    version per key wins (deterministic keep-last); without it,
+    duplicate keys in one batch are a caller bug and raise ValueError
+    rather than silently doubling rows.
+
+    Returns an audit dict: ``partitions_touched``, ``rows_inserted``,
+    ``rows_replaced``, ``rows_kept``. Replaying the same batch is
+    idempotent in both data and metrics (second run reports the whole
+    batch as replacements, zero inserts).
     """
-    import os
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    if not os.path.exists(path):
-        write_partitioned(updates, path, partition_by=partition_col, sort_within=keys)
-        return
-    from pyspark.sql import functions as F
-
+    if version_col is not None:
+        w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        dup = (
+            updates.groupBy(*keys).count().where(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                "merge_upsert: duplicate keys within the update batch; "
+                "pass version_col to resolve keep-last deterministically"
+            )
+    updates_count = updates.count()
     touched = [
         r[0] for r in updates.select(partition_col).distinct().collect()
     ]
+    if not _mart_exists(spark, path):
+        write_partitioned(updates, path, partition_by=partition_col, sort_within=keys)
+        return {
+            "partitions_touched": len(touched),
+            "rows_inserted": updates_count,
+            "rows_replaced": 0,
+            "rows_kept": 0,
+        }
     existing = spark.read.parquet(path).where(F.col(partition_col).isin(touched))
+    # Parquet partition-directory read-back may type the partition column
+    # differently from the batch (date_key=2024-01-01 comes back DATE);
+    # align to the updates' type so unionByName can't silently coerce the
+    # mart's partition column type between first-write and merge paths.
+    part_type = dict(updates.dtypes)[partition_col]
+    existing = existing.withColumn(
+        partition_col, F.col(partition_col).cast(part_type)
+    )
+    existing_count = existing.count()
     merged = (
         existing.join(updates.select(*keys), keys, "left_anti")
         .unionByName(updates.select(*existing.columns))
         .localCheckpoint(eager=True)
     )
+    rows_kept = merged.count() - updates_count
     write_partitioned(merged, path, partition_by=partition_col, sort_within=keys)
+    return {
+        "partitions_touched": len(touched),
+        "rows_inserted": updates_count - (existing_count - rows_kept),
+        "rows_replaced": existing_count - rows_kept,
+        "rows_kept": rows_kept,
+    }
