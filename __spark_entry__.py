@@ -683,22 +683,37 @@ h AS (
   SELECT doc_id,
          CAST(list_sum(list_transform(range(1, 9), i ->
            (strpos('0123456789abcdef', substr(md5(tk), CAST(i AS INT), 1)) - 1)
-           * power(16, 8 - i))) AS BIGINT) AS hv
+           * power(16, 8 - i))) AS BIGINT) AS hv_hi,
+         CAST(list_sum(list_transform(range(9, 17), i ->
+           (strpos('0123456789abcdef', substr(md5(tk), CAST(i AS INT), 1)) - 1)
+           * power(16, 16 - i))) AS BIGINT) AS hv_lo
   FROM t
 ),
 bits AS (
-  SELECT doc_id, unnest(range(0, 32)) AS i, hv FROM h
+  SELECT doc_id, unnest(range(0, 64)) AS i, hv_hi, hv_lo FROM h
 ),
 votes AS (
   SELECT doc_id, i,
-         SUM(CASE WHEN (hv // CAST(power(2, i) AS BIGINT)) % 2 = 1
+         SUM(CASE WHEN ((CASE WHEN i < 32 THEN hv_lo ELSE hv_hi END)
+                  // CAST(power(2, i % 32) AS BIGINT)) % 2 = 1
                   THEN 1 ELSE -1 END) AS s
   FROM bits GROUP BY doc_id, i
+),
+halves AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 AND i < 32
+                       THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS sig_lo,
+         CAST(SUM(CASE WHEN s > 0 AND i >= 32
+                       THEN CAST(power(2, i - 32) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS sig_hi
+  FROM votes GROUP BY doc_id
 )
 SELECT doc_id,
-       CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) AS BIGINT)
-         AS simhash
-FROM votes GROUP BY doc_id
+       CAST(CASE WHEN sig_hi >= 2147483648
+                 THEN (sig_hi - 4294967296) * 4294967296 + sig_lo
+                 ELSE sig_hi * 4294967296 + sig_lo END AS BIGINT) AS simhash
+FROM halves
 """,
         "simhash_neardup": """
 WITH tok AS (
@@ -711,23 +726,38 @@ h AS (
   SELECT doc_id,
          CAST(list_sum(list_transform(range(1, 9), i ->
            (strpos('0123456789abcdef', substr(md5(tk), CAST(i AS INT), 1)) - 1)
-           * power(16, 8 - i))) AS BIGINT) AS hv
+           * power(16, 8 - i))) AS BIGINT) AS hv_hi,
+         CAST(list_sum(list_transform(range(9, 17), i ->
+           (strpos('0123456789abcdef', substr(md5(tk), CAST(i AS INT), 1)) - 1)
+           * power(16, 16 - i))) AS BIGINT) AS hv_lo
   FROM t
 ),
 bits AS (
-  SELECT doc_id, unnest(range(0, 32)) AS i, hv FROM h
+  SELECT doc_id, unnest(range(0, 64)) AS i, hv_hi, hv_lo FROM h
 ),
 votes AS (
   SELECT doc_id, i,
-         SUM(CASE WHEN (hv // CAST(power(2, i) AS BIGINT)) % 2 = 1
+         SUM(CASE WHEN ((CASE WHEN i < 32 THEN hv_lo ELSE hv_hi END)
+                  // CAST(power(2, i % 32) AS BIGINT)) % 2 = 1
                   THEN 1 ELSE -1 END) AS s
   FROM bits GROUP BY doc_id, i
 ),
+halves AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 AND i < 32
+                       THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS sig_lo,
+         CAST(SUM(CASE WHEN s > 0 AND i >= 32
+                       THEN CAST(power(2, i - 32) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS sig_hi
+  FROM votes GROUP BY doc_id
+),
 sh AS (
   SELECT doc_id,
-         CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) AS BIGINT)
-           AS simhash
-  FROM votes GROUP BY doc_id
+         CAST(CASE WHEN sig_hi >= 2147483648
+                   THEN (sig_hi - 4294967296) * 4294967296 + sig_lo
+                   ELSE sig_hi * 4294967296 + sig_lo END AS BIGINT) AS simhash
+  FROM halves
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming

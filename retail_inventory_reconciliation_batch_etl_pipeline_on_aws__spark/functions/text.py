@@ -194,6 +194,10 @@ def simhash32(col: Column | str) -> Column:
     because ``shiftright(h, i)`` with a *column* shift count is SQL-only;
     the Python wrapper requires a literal.) The DuckDB oracle computes
     the same thing via explode + group-by (see __spark_entry__.py).
+
+    Kept as the compact legacy variant; ``simhash64`` is the banding /
+    near-dup signature (256 buckets/band at 32-bit is quadratic-in-n
+    candidate volume at corpus scale).
     """
     name = col if isinstance(col, str) else col._jc.toString()
     toks = f"filter(split({name}, '\\\\s+'), t -> t != '')"
@@ -206,6 +210,47 @@ def simhash32(col: Column | str) -> Column:
     )
     final = (
         f"aggregate(zip_with({bit_counts}, sequence(0, 31), "
+        "(cnt, i) -> if(cnt > 0, shiftleft(cast(1 as long), i), cast(0 as long))), "
+        "cast(0 as long), (acc, x) -> acc + x)"
+    )
+    return F.expr(final)
+
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash over whitespace tokens -- single-pass, shuffle-free.
+
+    Same construction as :func:`simhash32` but over a 64-bit token hash
+    (first 16 hex chars of md5). The token hash is assembled from two
+    32-bit halves -- ``shiftleft(hi, 32) + lo`` -- because ``conv`` of 16
+    hex chars can exceed signed-long range; the two-halves form lands on
+    the exact two's-complement bit pattern instead. Bit extraction
+    ``(shiftright(h, i) & 1)`` is correct for all 64 positions (the
+    trailing ``& 1`` masks off arithmetic-shift sign extension), and the
+    final assembly's ``shiftleft(1L, 63)`` term is Long.MIN_VALUE, so the
+    sum of disjoint-bit terms IS the signed 64-bit signature.
+
+    The 64-bit width is what makes pigeonhole banding scale: 16-bit
+    chunks give 65,536 buckets/band vs 256 at 32-bit, keeping the
+    near-dup candidate join sub-quadratic on a corpus of billions
+    (see operators/dedup.py:simhash_neardup_pairs). DuckDB oracle
+    mirrors via two independent 32-bit half-signatures combined with an
+    explicit two's-complement CASE (see __spark_entry__.py).
+    """
+    name = col if isinstance(col, str) else col._jc.toString()
+    toks = f"filter(split({name}, '\\\\s+'), t -> t != '')"
+    hashes = (
+        f"transform({toks}, t -> "
+        "shiftleft(cast(conv(substring(md5(t), 1, 8), 16, 10) as long), 32) "
+        "+ cast(conv(substring(md5(t), 9, 8), 16, 10) as long))"
+    )
+    bit_counts = (
+        f"aggregate({hashes}, array_repeat(0L, 64), "
+        "(acc, h) -> zip_with(acc, "
+        "transform(sequence(0, 63), i -> (shiftright(h, i) & 1) * 2 - 1), "
+        "(a, b) -> a + cast(b as long)))"
+    )
+    final = (
+        f"aggregate(zip_with({bit_counts}, sequence(0, 63), "
         "(cnt, i) -> if(cnt > 0, shiftleft(cast(1 as long), i), cast(0 as long))), "
         "cast(0 as long), (acc, x) -> acc + x)"
     )

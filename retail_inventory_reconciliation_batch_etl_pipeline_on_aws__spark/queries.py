@@ -717,10 +717,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import simhash32
+    from .functions.text import simhash64
 
     docs = fixtures.load(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash32("text").alias("simhash"))
+    return docs.select("doc_id", simhash64("text").alias("simhash"))
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -735,7 +735,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3 of 32 bits): pigeonhole
+    """SimHash near-dup pairs (hamming <= 3 of 64 bits): pigeonhole
     chunk-banded candidates + exact bit_count verify -- recall is
     exactly 1.0 by construction, so the brute-force oracle must agree."""
     from .operators.dedup import simhash_neardup_pairs

@@ -84,3 +84,41 @@ def test_sessionize_gap_invariants(spark, gaps):
     # invariant 3: consecutive sessions are separated by > gap
     for prev, nxt in zip(sessions, sessions[1:]):
         assert (nxt.session_start - prev.session_end) > dt.timedelta(minutes=30)
+
+
+def test_simhash64_uses_full_width_and_pigeonhole_recall(spark):
+    """The 64-bit simhash must actually populate the high 32 bits (the
+    whole point of widening the banding keyspace to 65,536 buckets/band),
+    and the 16-bit-chunk pigeonhole banding must recover exactly the
+    brute-force hamming<=3 pairs."""
+    from pyspark.sql import functions as F
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.functions.text import (
+        simhash64,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = [(i, base + f" tail{i}") for i in range(8)]
+    # planted near-dup: same text -> hamming 0
+    docs.append((100, docs[0][1]))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sigs = {r.doc_id: r.sig for r in df.select("doc_id", simhash64("text").alias("sig")).collect()}
+    # high half is populated: some signature has a bit >= 32 set
+    assert any(abs(s) >> 32 for s in sigs.values()), "simhash64 never sets high bits"
+
+    brute = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_neardup_pairs(df, max_hamming=3).collect()
+    }
+    assert banded == brute  # pigeonhole recall AND precision both exact
+    assert (0, 100) in banded
