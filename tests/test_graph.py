@@ -36,4 +36,25 @@ def test_dedup_groups_shapes(spark):
 def test_components_nonconvergence_raises(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(40)], "src int, dst int")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=2)
+        connected_components(edges, max_iter=1)
+
+
+def test_components_long_chain_converges_fast(spark):
+    """A 30-hop path -- the worst shape for one-hop min-label
+    propagation (needs ~29 rounds there) -- must resolve well within
+    the default budget under large-star/small-star's O(log) rounds."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src bigint, dst bigint"
+    )
+    got = {r.node: r.component for r in connected_components(edges, max_iter=8).collect()}
+    assert got == {i: 0 for i in range(31)}
+
+
+def test_components_two_chains_reversed_ids(spark):
+    """Orientation-independence: descending ids and shuffled edge order."""
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(10, 15)] + [(100, 50), (50, 75)],
+        "src bigint, dst bigint",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {**{i: 10 for i in range(10, 16)}, 50: 50, 75: 50, 100: 50}
