@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_active_users_approx": Q.q_daily_active_users_approx,
         "stratified_sample": Q.q_stratified_sample,
         "value_quantile_sketch": Q.q_value_quantile_sketch,
+        "customer_spend_quartiles_approx": Q.q_customer_spend_quartiles_approx,
     }
 
 

@@ -427,6 +427,50 @@ def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_spend_quartiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for :func:`q_customer_spend_quartiles`: approx cut
+    points + range bucketing instead of a global NTILE window.
+
+    The exact form funnels every customer row through ONE task (a
+    global sort is the only way to exact ntile); at 100TB that window
+    is the bottleneck. Here ``percentile_approx`` computes the 25/50/75
+    cut points as a fixed-size sketch through a partial aggregate (one
+    row to the driver side of the plan, never the data), and bucketing
+    is a broadcast of that single row + a codegen'd CASE -- fully
+    parallel, no global sort, no shuffle beyond the spend groupBy.
+    Bucket populations drift only where customers tie exactly at a cut
+    point (the exact form splits ties by position, unattainable without
+    the sort); the companion test bounds that drift. Rows-only entry:
+    DuckDB's approx quantile sketch differs, so there is no exact SQL
+    twin -- the exact-ntile query IS the oracle via the drift test.
+    """
+    orders = fixtures.load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_spent")
+    )
+    cuts = spend.agg(
+        F.percentile_approx(
+            "total_spent", F.array(F.lit(0.75), F.lit(0.5), F.lit(0.25)), 10_000
+        ).alias("cuts")
+    )
+    return (
+        spend.join(F.broadcast(cuts))
+        .withColumn(
+            "quartile",
+            F.when(F.col("total_spent") >= F.col("cuts")[0], F.lit(1))
+            .when(F.col("total_spent") >= F.col("cuts")[1], F.lit(2))
+            .when(F.col("total_spent") >= F.col("cuts")[2], F.lit(3))
+            .otherwise(F.lit(4))
+            .cast("long"),
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("total_spent"), 2).alias("quartile_spend"),
+        )
+    )
+
+
 # --- event-stream queries (batch forms; streaming twin in streaming/) --
 
 

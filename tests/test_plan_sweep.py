@@ -18,6 +18,7 @@ NESTED_LOOP_OK = {
     "label_centroid_sim",  # 10x1 broadcast cross join against the reference centroid
     "sim_topk",  # scan x 1-row literal query vector
     "idle_rich_customers",  # 1-row scalar-aggregate broadcast (decorrelated scalar subquery)
+    "customer_spend_quartiles_approx",  # 1-row broadcast of approx cut points
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

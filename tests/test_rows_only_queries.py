@@ -119,3 +119,22 @@ def test_quantile_sketch_tracks_exact(spark):
                 assert abs(rank - q) <= 0.01 + 1.0 / n, (et, q, a, rank)
     finally:
         ev.unpersist()
+
+
+def test_spend_quartiles_approx_tracks_exact(spark):
+    """The approx (cut-point) quartile bucketing must stay close to the
+    exact global-NTILE form: same total customer count, and per-bucket
+    population drift bounded by ties at the cut points."""
+    qs = entry.queries()
+    exact = {r.quartile: r.n_customers for r in qs["customer_spend_quartiles"](spark, ORACLE_SF).collect()}
+    approx = {r.quartile: r.n_customers for r in qs["customer_spend_quartiles_approx"](spark, ORACLE_SF).collect()}
+    assert sum(exact.values()) == sum(approx.values())  # every customer bucketed once
+    assert set(approx) <= {1, 2, 3, 4}
+    total = sum(exact.values())
+    for q in (1, 2, 3, 4):
+        # percentile_approx with accuracy=10k is near-exact at this SF;
+        # allow 2% of customers to sit on the other side of a tie
+        assert abs(exact.get(q, 0) - approx.get(q, 0)) <= max(2, total * 0.02)
+    # deterministic across runs
+    again = {r.quartile: r.n_customers for r in qs["customer_spend_quartiles_approx"](spark, ORACLE_SF).collect()}
+    assert approx == again
