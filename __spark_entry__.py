@@ -92,6 +92,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_ordered_semi": Q.q_parts_ordered_semi,
         "customer_setops": Q.q_customer_setops,
         "returnflag_pivot": Q.q_returnflag_pivot,
+        # TPC-H decorrelation shapes: Q2 / Q11 / Q15 / Q20
+        "min_cost_supplier": Q.q_min_cost_supplier,
+        "important_part_values": Q.q_important_part_values,
+        "top_revenue_supplier": Q.q_top_revenue_supplier,
+        "bulk_red_shippers": Q.q_bulk_red_shippers,
         # rows-only (seeded hash families / approximate by design)
         "minhash_pairs": Q.q_minhash_pairs,
         "minhash_ml_pairs": Q.q_minhash_ml_pairs,
@@ -1115,5 +1120,74 @@ c2 AS (SELECT label, list(m ORDER BY pos) AS centroid FROM cent GROUP BY label),
 ref AS (SELECT centroid AS rc FROM c2 WHERE label = 0)
 SELECT label, ROUND(list_cosine_similarity(centroid, rc), 4) AS centroid_cos
 FROM c2 CROSS JOIN ref
+""",
+        "min_cost_supplier": """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+cand AS (
+  SELECT ps.l_partkey, p.p_brand, eu.s_name, eu.n_name, eu.s_acctbal, ps.cost
+  FROM ps
+  JOIN eu ON ps.l_suppkey = eu.s_suppkey
+  JOIN part p ON ps.l_partkey = p.p_partkey
+  WHERE p.p_size <= 10
+),
+mn AS (SELECT l_partkey, MIN(cost) AS min_cost FROM cand GROUP BY l_partkey)
+SELECT c.l_partkey AS p_partkey, c.p_brand, c.s_name, c.n_name, c.s_acctbal,
+       CAST(c.cost AS DOUBLE) AS cost
+FROM cand c JOIN mn ON c.l_partkey = mn.l_partkey AND c.cost = mn.min_cost
+""",
+        "important_part_values": """
+WITH asian AS (
+  SELECT s_suppkey FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+),
+v AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM asian)
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS part_value
+FROM v
+WHERE value * 1000 > (SELECT SUM(value) FROM v)
+""",
+        "top_revenue_supplier": """
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+        "bulk_red_shippers": """
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING SUM(l_quantity) > 300
+)
 """,
     }

@@ -1264,3 +1264,172 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.count("*").alias("n_orders_blamed"))
     )
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost-supplier-per-part, the correlated-
+    scalar-subquery pattern decorrelated to min-per-group + join-back.
+
+    The reference's partsupp role is played by the (part, supplier)
+    aggregate of lineitem (testdata has no partsupp table); "supply
+    cost" is the exact-decimal spend total per pair. Scope: European
+    suppliers, small parts (p_size <= 10). The min is computed per part
+    over the SAME scoped frame that is then joined back on
+    (partkey, cost == min_cost) -- ties keep all witnesses, exactly SQL
+    semantics. Dims (supplier+nation+region, part) ride broadcasts; the
+    only shuffles are the two aggregations on l_partkey[, l_suppkey].
+    All money stays DECIMAL(18,2) until the final double cast, so the
+    equality join-back is exact in both engines.
+    """
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    supp = fixtures.load(spark, sf_dir, "supplier")
+    nation = fixtures.load(spark, sf_dir, "nation")
+    region = fixtures.load(spark, sf_dir, "region")
+    part = fixtures.load(spark, sf_dir, "part")
+
+    eu = (
+        supp.join(
+            F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_extendedprice")).alias("cost")
+    )
+    cand = (
+        ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+        .join(
+            F.broadcast(part.where(F.col("p_size") <= 10)),
+            ps.l_partkey == F.col("p_partkey"),
+        )
+        .select("l_partkey", "p_brand", "s_name", "n_name", "s_acctbal", "cost")
+    )
+    mn = cand.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        cand.join(
+            mn,
+            (cand.l_partkey == mn.mk) & (cand.cost == mn.min_cost),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            F.col("cost").cast("double").alias("cost"),
+        )
+    )
+
+
+def q_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group-then-global-fraction filter.
+
+    Per-part spend value from ASIAN suppliers, keeping parts whose
+    value exceeds 0.1% of the GLOBAL total -- the pattern where a
+    grouped aggregate is filtered against a scalar aggregate of itself.
+    The global total is a second aggregation of the SAME grouped frame,
+    broadcast as one row; the threshold compare ``value * 1000 >
+    total`` stays in DECIMAL so both engines agree exactly (never
+    multiply by a float fraction). Driver-side data: none.
+    """
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    supp = fixtures.load(spark, sf_dir, "supplier")
+    nation = fixtures.load(spark, sf_dir, "nation")
+    region = fixtures.load(spark, sf_dir, "region")
+
+    asian = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .select("s_suppkey")
+    )
+    values = (
+        li.join(F.broadcast(asian), li.l_suppkey == asian.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("value"))
+    )
+    total = values.agg(F.sum("value").alias("total"))
+    return (
+        values.join(F.broadcast(total))
+        .where(F.col("value") * 1000 > F.col("total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value").cast("double").alias("part_value"),
+        )
+    )
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: view-over-max -- revenue per supplier for one
+    quarter, returning the supplier(s) achieving the maximum.
+
+    The "create view revenue0 ... where total_supplycost = (select
+    max(...) from revenue0)" pattern decorrelates to: aggregate once,
+    take the scalar max of that aggregate, join back on equality. The
+    revenue frame is computed ONCE (the max rides a 1-row broadcast of
+    a re-aggregation, not a second lineitem scan is avoided by Spark
+    reusing the shuffle output under AQE). Money in DECIMAL end to end
+    makes the equality exact; ties return every witness.
+    """
+    li = fixtures.load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    supp = fixtures.load(spark, sf_dir, "supplier")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    revenue = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_revenue"))
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_bulk_red_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain. Suppliers who shipped
+    more than 300 units of red parts during 1997, by name.
+
+    Inner subquery: red parts (p_name LIKE 'red%') restrict lineitem by
+    LEFT SEMI join (no part columns leak into the aggregate). Middle:
+    per-supplier shipped quantity over the restricted fact, thresholded.
+    Outer: supplier LEFT SEMI against the qualifying supplier keys --
+    the full IN-inside-IN chain, each level an equi-semi-join that
+    Catalyst keeps as such (no exists-count rewrite, no row explosion).
+    Quantities are small integers in doubles, so the sum is exact in
+    any order; the threshold compare never leaves the JVM.
+    """
+    li = fixtures.load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    part = fixtures.load(spark, sf_dir, "part")
+    supp = fixtures.load(spark, sf_dir, "supplier")
+    nation = fixtures.load(spark, sf_dir, "nation")
+
+    red = part.where(F.col("p_name").like("red%")).select("p_partkey")
+    shipped = (
+        li.join(
+            F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi"
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(shipped, supp.s_suppkey == shipped.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
