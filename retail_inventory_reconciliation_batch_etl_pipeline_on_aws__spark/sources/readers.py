@@ -100,3 +100,30 @@ def read_partition(
     else:
         pred = F.col(partition_col) == F.lit(value).cast("date")
     return df.where(pred)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """Capability probe for the ``avro`` DataSource (the spark-avro
+    connector is an EXTERNAL module since Spark 2.4 -- present only when
+    the deployment ships the jar). Probed by asking the JVM to resolve
+    the data source, which is a classloader lookup, not an I/O call.
+    Readers/writers raise a clear error when absent; tests skip."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsc.hadoopConfiguration()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan -- row-major interchange format (Kafka/Hive estates).
+    Same partition-discovery rules as parquet/ORC. Requires the
+    spark-avro connector jar; ``avro_available`` probes for it."""
+    if not avro_available(spark):
+        raise RuntimeError(
+            "spark-avro connector not on the classpath; add "
+            "org.apache.spark:spark-avro_2.13 to spark.jars.packages"
+        )
+    return spark.read.format("avro").load(path)

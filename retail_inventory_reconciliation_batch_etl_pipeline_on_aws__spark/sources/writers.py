@@ -264,3 +264,30 @@ def merge_upsert(
         "rows_replaced": existing_count - rows_kept,
         "rows_kept": rows_kept,
     }
+
+
+def write_avro(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str] | None = None,
+    sort_within: str | list[str] | None = None,
+) -> None:
+    """Avro mart write with the same idempotent dynamic-partition-
+    overwrite + sorted-at-rest contract as the parquet/ORC writers;
+    ``readers.read_avro`` is the consuming side. Requires the external
+    spark-avro connector (``readers.avro_available`` probes)."""
+    from .readers import avro_available
+
+    if not avro_available(df.sparkSession):
+        raise RuntimeError(
+            "spark-avro connector not on the classpath; add "
+            "org.apache.spark:spark-avro_2.13 to spark.jars.packages"
+        )
+    if sort_within:
+        sort_cols = [sort_within] if isinstance(sort_within, str) else list(sort_within)
+        df = df.sortWithinPartitions(*sort_cols)
+    writer = df.write.mode("overwrite").format("avro")
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        writer = writer.partitionBy(*cols)
+    writer.save(path)

@@ -266,3 +266,44 @@ def test_merge_upsert_duplicate_keys_and_version_resolution(spark, tmp_path):
     }
     rows = [(r.sku, r.qty, r.ver) for r in spark.read.parquet(path).collect()]
     assert rows == [("A", 9, 2)]  # keep-last by version
+
+
+def test_avro_roundtrip_or_explicit_skip(spark, tmp_path):
+    """Avro source/sink mirror of the ORC roundtrip. The spark-avro
+    connector is an external jar; when absent this SKIPS (never errors),
+    and the capability probe + clear RuntimeError are what's tested."""
+    import pytest
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.readers import (
+        avro_available,
+        read_avro,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.writers import (
+        write_avro,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01", "A", 1), ("2024-01-01", "B", 2), ("2024-01-02", "A", 3)],
+        "date_key string, sku string, qty int",
+    )
+    path = str(tmp_path / "avro_mart")
+    if not avro_available(spark):
+        # the gate must fail loudly with remediation, not half-write
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            write_avro(df, path, partition_by="date_key")
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            read_avro(spark, path)
+        pytest.skip("spark-avro connector not on classpath")
+    write_avro(df, path, partition_by="date_key", sort_within="sku")
+    back = read_avro(spark, path)
+    assert sorted((str(r.date_key), r.sku, r.qty) for r in back.collect()) == sorted(
+        (r.date_key, r.sku, r.qty) for r in df.collect()
+    )
+    day1 = spark.createDataFrame(
+        [("2024-01-01", "C", 9)], "date_key string, sku string, qty int"
+    )
+    write_avro(day1, path, partition_by="date_key")
+    after = sorted(
+        (str(r.date_key), r.sku, r.qty) for r in read_avro(spark, path).collect()
+    )
+    assert after == [("2024-01-01", "C", 9), ("2024-01-02", "A", 3)]
