@@ -307,3 +307,54 @@ def test_avro_roundtrip_or_explicit_skip(spark, tmp_path):
         (str(r.date_key), r.sku, r.qty) for r in read_avro(spark, path).collect()
     )
     assert after == [("2024-01-01", "C", 9), ("2024-01-02", "A", 3)]
+
+
+def test_aqe_skew_join_split_actually_fires(spark):
+    """Closes the configured-vs-proven gap for AQE skew handling: build
+    a zipfian sort-merge join (one key owning ~95% of rows), lower the
+    skew thresholds to test scale, and assert the FINAL adaptive plan
+    really split the skewed partition (skew=true on the join node) --
+    while the join result stays correct."""
+    hot = spark.range(300_000).select(
+        F.lit("HOT").alias("k"), F.col("id").alias("payload")
+    )
+    tail = spark.range(5_000).select(
+        F.concat(F.lit("t"), F.col("id") % 500).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    big = hot.unionByName(tail)
+    right = spark.range(2_000).select(
+        F.when(F.col("id") == 0, "HOT")
+        .otherwise(F.concat(F.lit("t"), F.col("id") % 500))
+        .alias("k"),
+        F.col("id").alias("attr"),
+    )
+    overrides = {
+        # force a sort-merge join, then make the skew machinery see the
+        # hot partition as skewed at test-data sizes
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        joined = big.join(right, "k")
+        # run the DataFrame's OWN QueryExecution (count() would plan a
+        # separate aggregate and leave this plan unexecuted/non-final)
+        n = len(joined.collect())
+        # HOT matches 1 right row; tail key t0 matches 3 (right id 0
+        # became HOT), t1..t499 match 4; left has 10 rows per tail key
+        assert n == 300_000 + 10 * 3 + 499 * 10 * 4
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, f"skew split did not fire:\n{plan}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
