@@ -85,6 +85,7 @@ def streaming_sessionize(
     gap_minutes: int = 30,
     watermark: str = "1 minute",
     max_files_per_trigger: int | None = None,
+    drain_user_id: int | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator: gap-based sessionization via
     ``applyInPandasWithState`` -- the semantics ``operators.sessionize``
@@ -100,9 +101,18 @@ def streaming_sessionize(
     O(events) -- the property that keeps this runnable on an unbounded
     100TB stream.
 
-    Output (append mode) is one row per *closed* session; the final
-    still-open session per user stays in state (a production job drains
-    it on stream end or via an idle-timeout policy).
+    Output (append mode) is one row per *closed* session. Sessions that
+    go idle mid-stream are closed by the same event-time timeout; the
+    LAST open session per user only closes once the watermark passes its
+    ``last_event + gap``, which a bounded stream's frozen watermark never
+    does on its own. The drain policy is the standard punctuation
+    pattern: ``write_drain_sentinel`` appends one far-future heartbeat
+    event for ``drain_user_id`` (a reserved id that never collides with
+    real users); processing it advances the watermark past every open
+    session's deadline, the no-data micro-batch fires all timeouts, and
+    the sentinel itself is absorbed without creating state or output --
+    so closed + drained output equals the batch twin EXACTLY and the
+    state store ends empty (tested).
     """
     import pandas as pd  # noqa: F401  (executor-side dependency)
 
@@ -114,6 +124,11 @@ def streaming_sessionize(
         import pandas as pd
 
         (user_id,) = key
+        if drain_user_id is not None and user_id == drain_user_id:
+            # watermark-advancing heartbeat: no session, no state, no rows
+            if state.exists:
+                state.remove()
+            return
         closed: list[tuple] = []
         if state.hasTimedOut:
             start_us, last_us, n, sv = state.get
@@ -170,6 +185,29 @@ def streaming_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def write_drain_sentinel(
+    spark: SparkSession,
+    source_dir: str,
+    ts_ns: int,
+    user_id: int = -1,
+) -> None:
+    """Append one punctuation/heartbeat event to a file-stream source.
+
+    ``ts_ns`` (raw parquet nanos, matching EVENT_SCHEMA) must exceed
+    ``max(event ts) + gap + watermark`` so that, once processed, the
+    stream's watermark passes every open session's timeout deadline and
+    the engine's no-data micro-batch closes them all. Pair with
+    ``streaming_sessionize(drain_user_id=...)`` so the sentinel row
+    itself never creates state or output. This is the bounded-replay /
+    end-of-day drain: at 100TB the same one-row append costs nothing
+    and needs no access to the state store internals.
+    """
+    row = [(int(-(2**62)), int(ts_ns), int(user_id), "__drain__", 0.0, None)]
+    spark.createDataFrame(row, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(source_dir)
 
 
 def streaming_dedup_events(

@@ -180,3 +180,58 @@ def test_stream_static_join_enriches_every_event(spark, tmp_path):
             assert r.tier == ("gold" if r.user_id % 4 == 0 else "std")
         else:
             assert r.tier is None
+
+
+def test_sessionize_drain_equals_batch_exactly(spark, tmp_path):
+    """Drain policy: with a far-future watermark sentinel staged as the
+    final file, EVERY session (including each user's open tail) is
+    emitted -- streamed output equals the batch twin EXACTLY."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (
+        write_drain_sentinel,
+    )
+
+    ev = spark.read.parquet(f"{TESTDATA}/events.parquet").where(
+        F.col("user_id") % 7 == 0
+    )
+    qs = ev.approxQuantile("ts", [0.5], 0.0)
+    src = tmp_path / "drain_src"
+    src.mkdir()
+    bounds = [None, *qs, None]
+    for i in range(2):
+        part = ev
+        if bounds[i] is not None:
+            part = part.where(F.col("ts") > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.where(F.col("ts") <= bounds[i + 1])
+        stage = tmp_path / f"dr_stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        (pf,) = glob.glob(str(stage / "part-*.parquet"))
+        shutil.move(pf, src / f"{i:02d}.parquet")
+        os.utime(src / f"{i:02d}.parquet", (i + 1, i + 1))
+    # heartbeat beyond max_ts + gap + watermark => every timeout fires
+    max_ts_ns = ev.agg(F.max("ts")).collect()[0][0]
+    write_drain_sentinel(
+        spark, str(src), ts_ns=max_ts_ns + 2 * 3600 * 1_000_000_000, user_id=-1
+    )
+
+    agg = streaming_sessionize(
+        spark,
+        str(src),
+        gap_minutes=30,
+        watermark="1 minute",
+        max_files_per_trigger=1,
+        drain_user_id=-1,
+    )
+    run_to_memory_sink(agg, "sessions_drain_test", output_mode="append")
+    streamed = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, round(r.sum_value, 2))
+        for r in spark.sql("SELECT * FROM sessions_drain_test").collect()
+    }
+    batch = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, round(r.sum_value, 2))
+        for r in sessionize(
+            fixtures.events(spark, TESTDATA).where(F.col("user_id") % 7 == 0),
+            gap_minutes=30,
+        ).collect()
+    }
+    assert streamed == batch  # no open tail left behind, sentinel invisible
