@@ -108,3 +108,22 @@ def test_topk_never_global_sorts(spark):
     # exchange+sort of every row
     p = plan_of(spark, "top_customers", mode="simple")
     assert "TakeOrderedAndProject" in p
+
+
+def test_reconcile_fused_plan_shape_regression_guard(spark):
+    """The headline fused plan (PLANS.md) as assertions: ONE fact scan
+    feeding opening/closing/sold via conditional aggregation, dims on
+    broadcast exchanges (never sort-merge), and exactly the two sku
+    aggregation shuffles -- so a refactor that re-derives snapshots from
+    separate scans, de-broadcasts the dim, or adds a shuffle fails here
+    and not at 100TB."""
+    p = plan_of(spark, "reconcile")
+    scans = re.findall(r"Location: InMemoryFileIndex \[[^\]]*?/(\w+)\.parquet\]", p)
+    assert scans.count("lineitem") == 1, f"fact scans: {scans}"
+    assert all(t in ("lineitem", "part") for t in scans), scans
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", p))
+    assert n_shuffles == 2, f"expected 2 sku shuffles, plan has {n_shuffles}"
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    # the date bound must be pushed into the fact scan
+    pushed = re.findall(r"PushedFilters: \[[^\]]*l_shipdate[^\]]*\]", p)
+    assert pushed, "l_shipdate bound not pushed to the lineitem scan"
