@@ -24,7 +24,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered so not-yet-driver-attested entries come FIRST.
+
+    Round 1's CORRECTNESS artifact recorded only the first 50 entries,
+    so ordering is part of the driver contract: entries the gate has
+    never attested (round-1 overflow + everything new this round) sit
+    at the front of the dict; the long-attested round-1 core fills the
+    remainder (its members are additionally pinned green every run by
+    tests/test_oracle_parity.py, which sweeps ALL oracle-paired
+    queries value-level).
+    """
     return {
+        # --- not yet attested by a driver CORRECTNESS artifact ---------
+        # round-1 overflow: OLAP breadth (windows, rollup, semi/anti,
+        # set ops, pivot)
+        "sku_rolling_range": Q.q_sku_rolling_range,
+        "order_count_distribution": Q.q_order_count_distribution,
+        "idle_rich_customers": Q.q_idle_rich_customers,
+        "sole_late_supplier": Q.q_sole_late_supplier,
+        "dim_scd2": Q.q_dim_scd2,
+        "sales_rollup": Q.q_sales_rollup,
+        "sales_cube": Q.q_sales_cube,
+        "cust_no_orders": Q.q_cust_no_orders,
+        "parts_ordered_semi": Q.q_parts_ordered_semi,
+        "customer_setops": Q.q_customer_setops,
+        "returnflag_pivot": Q.q_returnflag_pivot,
+        # round-1 overflow: rows-only (seeded hash families /
+        # approximate by design)
+        "minhash_pairs": Q.q_minhash_pairs,
+        "minhash_ml_pairs": Q.q_minhash_ml_pairs,
+        "ann_topk": Q.q_ann_topk,
+        "embed_neardup_lsh": Q.q_embed_neardup_lsh,
+        "ivf_topk": Q.q_ivf_topk,
+        "daily_active_users_approx": Q.q_daily_active_users_approx,
+        "stratified_sample": Q.q_stratified_sample,
+        "value_quantile_sketch": Q.q_value_quantile_sketch,
+        # new in round 2: TPC-H decorrelation shapes Q2/Q11/Q15/Q20 +
+        # the approx-quartile scale path
+        "min_cost_supplier": Q.q_min_cost_supplier,
+        "important_part_values": Q.q_important_part_values,
+        "top_revenue_supplier": Q.q_top_revenue_supplier,
+        "bulk_red_shippers": Q.q_bulk_red_shippers,
+        "customer_spend_quartiles_approx": Q.q_customer_spend_quartiles_approx,
+        # --- attested green in CORRECTNESS_r01 -------------------------
         "stage_sales": Q.q_stage_sales,
         "dim_products": Q.q_dim_products,
         "reconcile": Q.q_reconcile,
@@ -38,7 +80,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": Q.q_pricing_summary,
         "top_customers": Q.q_top_customers,
         "region_revenue": Q.q_region_revenue,
-        # events (batch twins of the streaming path)
         "revenue_forecast": Q.q_revenue_forecast,
         "nation_trade_volume": Q.q_nation_trade_volume,
         "events_hour_of_day": Q.q_events_hour_of_day,
@@ -79,34 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_sim": Q.q_label_centroid_sim,
         "embed_neardup": Q.q_embed_neardup,
         "rolling_fingerprint": Q.q_rolling_fingerprint,
-        # OLAP breadth: windows, rollup, semi/anti, set ops, pivot
         "sku_moving_avg": Q.q_sku_moving_avg,
-        "sku_rolling_range": Q.q_sku_rolling_range,
-        "order_count_distribution": Q.q_order_count_distribution,
-        "idle_rich_customers": Q.q_idle_rich_customers,
-        "sole_late_supplier": Q.q_sole_late_supplier,
-        "dim_scd2": Q.q_dim_scd2,
-        "sales_rollup": Q.q_sales_rollup,
-        "sales_cube": Q.q_sales_cube,
-        "cust_no_orders": Q.q_cust_no_orders,
-        "parts_ordered_semi": Q.q_parts_ordered_semi,
-        "customer_setops": Q.q_customer_setops,
-        "returnflag_pivot": Q.q_returnflag_pivot,
-        # TPC-H decorrelation shapes: Q2 / Q11 / Q15 / Q20
-        "min_cost_supplier": Q.q_min_cost_supplier,
-        "important_part_values": Q.q_important_part_values,
-        "top_revenue_supplier": Q.q_top_revenue_supplier,
-        "bulk_red_shippers": Q.q_bulk_red_shippers,
-        # rows-only (seeded hash families / approximate by design)
-        "minhash_pairs": Q.q_minhash_pairs,
-        "minhash_ml_pairs": Q.q_minhash_ml_pairs,
-        "ann_topk": Q.q_ann_topk,
-        "embed_neardup_lsh": Q.q_embed_neardup_lsh,
-        "ivf_topk": Q.q_ivf_topk,
-        "daily_active_users_approx": Q.q_daily_active_users_approx,
-        "stratified_sample": Q.q_stratified_sample,
-        "value_quantile_sketch": Q.q_value_quantile_sketch,
-        "customer_spend_quartiles_approx": Q.q_customer_spend_quartiles_approx,
     }
 
 
