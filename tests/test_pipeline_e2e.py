@@ -122,3 +122,46 @@ def test_streaming_parquet_sink_idempotent(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert again == got
+
+
+def test_airflow_adapter_preserves_graph_and_data_passing():
+    """to_airflow_tasks must mirror Pipeline's edges and resolve
+    dependency results (XCom contract) -- verified with a stub operator
+    so Airflow itself is never required."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.pipeline import (
+        Pipeline,
+        to_airflow_tasks,
+    )
+
+    class StubOp:
+        def __init__(self, task_id, python_callable, dag, **_):
+            self.task_id, self.fn, self.dag = task_id, python_callable, dag
+            self.upstream = []
+
+        def __rshift__(self, other):
+            other.upstream.append(self.task_id)
+            return other
+
+    p = (
+        Pipeline()
+        .add("stage_sales", lambda: 7)
+        .add("build_dims", lambda: 3)
+        .add("reconcile", lambda stage_sales, build_dims: stage_sales - build_dims,
+             ["stage_sales", "build_dims"])
+    )
+    ops = to_airflow_tasks(p, dag="DAG", operator_cls=StubOp)
+    assert set(ops) == {"stage_sales", "build_dims", "reconcile"}
+    assert sorted(ops["reconcile"].upstream) == ["build_dims", "stage_sales"]
+    assert all(o.dag == "DAG" for o in ops.values())
+
+    class FakeTI:  # XCom result store
+        def __init__(self, results):
+            self.results = results
+
+        def xcom_pull(self, task_ids):
+            return self.results[task_ids]
+
+    results = {}
+    for name in ("stage_sales", "build_dims", "reconcile"):
+        results[name] = ops[name].fn(ti=FakeTI(results))
+    assert results == p.run() == {"stage_sales": 7, "build_dims": 3, "reconcile": 4}
