@@ -66,6 +66,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_supplier": Q.q_top_revenue_supplier,
         "bulk_red_shippers": Q.q_bulk_red_shippers,
         "customer_spend_quartiles_approx": Q.q_customer_spend_quartiles_approx,
+        # new in round 2: corpus curation (quota, packing, splits)
+        "source_quota_sample": Q.q_source_quota_sample,
+        "corpus_pack": Q.q_corpus_pack,
+        "dataset_split": Q.q_dataset_split,
         # --- attested green in CORRECTNESS_r01 -------------------------
         "stage_sales": Q.q_stage_sales,
         "dim_products": Q.q_dim_products,
@@ -1203,5 +1207,50 @@ WHERE s.s_suppkey IN (
   GROUP BY l_suppkey
   HAVING SUM(l_quantity) > 300
 )
+""",
+        "source_quota_sample": """
+WITH kept AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS quota_rank
+FROM kept WHERE rk <= 50
+""",
+        "corpus_pack": """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_end
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       CAST((cum_end - n_tokens) // 512 AS BIGINT) AS bin_id,
+       CAST((cum_end - n_tokens) % 512 AS BIGINT) AS bin_offset
+FROM c
+""",
+        "dataset_split": """
+WITH b AS (
+  SELECT CAST(list_sum(list_transform(range(1, 9), i ->
+           (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+           * power(16, 8 - i))) AS BIGINT) % 10 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 8 THEN 'train'
+            WHEN bucket = 8 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM b GROUP BY 1
 """,
     }

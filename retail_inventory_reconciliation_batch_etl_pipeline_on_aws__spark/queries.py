@@ -1433,3 +1433,102 @@ def q_bulk_red_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+# --- corpus-curation operators (round 2: quota, packing, splits) -------
+
+
+def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping -- the corpus-curation op that stops one
+    crawl domain from dominating the training mix.
+
+    Keeps at most 50 docs per ``source`` by a deterministic priority
+    (longest first, doc_id tie-break) via rank-within-group. Scale
+    shape: the window partitions by source, so parallelism is
+    per-source and one mega-source is an AQE-skew concern, not a
+    correctness one; the shuffle carries (ids + priority), never text
+    -- the kept set is re-joined back to the corpus as a semi join.
+    """
+    docs = fixtures.load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    kept = (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 50)
+        .select("doc_id", F.col("rk").cast("long").alias("quota_rank"))
+    )
+    return (
+        docs.join(kept, "doc_id")
+        .select("doc_id", "source", "quota_rank")
+    )
+
+
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign every document a (bin, offset) in the
+    concatenate-then-split training layout -- per language, documents in
+    doc_id order are laid end-to-end and cut into 512-token bins, so a
+    doc starting at cumulative offset c lands in bin c // 512 at offset
+    c % 512 (docs may span a boundary, exactly like GPT-style pretrain
+    packing).
+
+    One cumulative-sum window partitioned by lang: parallel across
+    languages, shuffle carries (doc_id, lang, n_tokens) only. The whole
+    assignment is integer arithmetic on an exact window sum -- fully
+    SQL-mirrorable, no Python.
+    """
+    from .functions.text import token_count
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    return (
+        toks.withColumn("cum_end", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            ((F.col("cum_end") - F.col("n_tokens")) / 512)
+            .cast("long")
+            .alias("bin_id"),
+            ((F.col("cum_end") - F.col("n_tokens")) % 512)
+            .cast("long")
+            .alias("bin_offset"),
+        )
+    )
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment (80/10/10).
+
+    Split membership must be a pure function of the stable doc id --
+    never of row order, partitioning, or a seed table -- so re-runs,
+    backfills, and incremental appends land every doc in the same split
+    forever. Bucket = first 8 md5 hex chars of the id, mod 10 (the
+    engine's standard cross-engine-exact hash idiom); pure projection,
+    no shuffle. Returns the per-split doc counts grouped for a compact
+    oracle; the per-doc frame is the same expression un-aggregated.
+    """
+    docs = fixtures.load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
