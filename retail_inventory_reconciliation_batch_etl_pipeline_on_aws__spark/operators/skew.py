@@ -70,8 +70,13 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if salt_col is None:
-        # salt from a second hash of the key + partition id: deterministic
-        # per-row placement, uniform within a hot key
+        # salt from a second hash of the key + partition id: uniform
+        # within a hot key. monotonically_increasing_id is NOT stable
+        # under task retry/speculation -- safe HERE only because the
+        # small side is replicated across every salt value, so a row
+        # joins identically whichever salt it lands on; if a caller
+        # passes a salt_col whose correctness depends on the value
+        # itself, it must be derived from row CONTENT, not row position
         salt_col = F.pmod(
             F.xxhash64(F.col(on), F.monotonically_increasing_id()),
             F.lit(salt_buckets),

@@ -122,3 +122,53 @@ def test_simhash64_uses_full_width_and_pigeonhole_recall(spark):
     }
     assert banded == brute  # pigeonhole recall AND precision both exact
     assert (0, 100) in banded
+
+
+@SLOW
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["2024-01-01", "2024-01-02", "2024-01-03"]),
+                st.integers(min_value=0, max_value=6),   # sku
+                st.integers(min_value=-50, max_value=50),  # qty
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_merge_upsert_equals_dict_semantics(spark, tmp_path_factory, batches):
+    """Randomized CDC streams: after applying N batches (keep-last
+    within each batch by version), the mart must equal a driver-side
+    dict replay -- whatever the partition mix, collisions, or batch
+    sizes. Metrics must balance: kept+replaced = previous rows in the
+    touched partitions of the truth dict."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.writers import (
+        merge_upsert,
+    )
+
+    path = str(tmp_path_factory.mktemp("cdcprop") / "mart")
+    truth: dict = {}
+    for batch in batches:
+        rows = [
+            (d, str(sku), qty, i) for i, (d, sku, qty) in enumerate(batch)
+        ]
+        df = spark.createDataFrame(
+            rows, "date_key string, sku string, qty int, ver int"
+        )
+        touched = {d for d, *_ in rows}
+        prev_in_touched = sum(1 for (d, _s) in truth if d in touched)
+        metrics = merge_upsert(
+            spark, df, path, key_cols=["date_key", "sku"], version_col="ver"
+        )
+        for d, sku, qty, _v in rows:  # dict replay: last write per key wins
+            truth[(d, sku)] = qty
+        assert metrics["rows_kept"] + metrics["rows_replaced"] == prev_in_touched
+        got = {
+            (str(r.date_key), r.sku): r.qty
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == truth
