@@ -1273,13 +1273,14 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference's partsupp role is played by the (part, supplier)
     aggregate of lineitem (testdata has no partsupp table); "supply
     cost" is the exact-decimal spend total per pair. Scope: European
-    suppliers, small parts (p_size <= 10). The min is computed per part
-    over the SAME scoped frame that is then joined back on
-    (partkey, cost == min_cost) -- ties keep all witnesses, exactly SQL
-    semantics. Dims (supplier+nation+region, part) ride broadcasts; the
-    only shuffles are the two aggregations on l_partkey[, l_suppkey].
-    All money stays DECIMAL(18,2) until the final double cast, so the
-    equality join-back is exact in both engines.
+    suppliers, small parts (p_size <= 10). The per-part min is a WINDOW
+    over the scoped frame, not a groupBy-then-self-join: the join-back
+    form duplicates the whole candidate lineage (Catalyst plans the
+    fact scan + aggregation TWICE -- measured in the physical plan) and
+    adds a sort-merge join, while min-over-window is one extra shuffle
+    of the already-aggregated pair frame. Ties keep all witnesses,
+    exactly SQL semantics; money stays DECIMAL(18,2) until the final
+    double cast so the min-equality is exact in both engines.
     """
     li = fixtures.load(spark, sf_dir, "lineitem")
     supp = fixtures.load(spark, sf_dir, "supplier")
@@ -1306,14 +1307,10 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_partkey", "p_brand", "s_name", "n_name", "s_acctbal", "cost")
     )
-    mn = cand.groupBy(F.col("l_partkey").alias("mk")).agg(
-        F.min("cost").alias("min_cost")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        cand.join(
-            mn,
-            (cand.l_partkey == mn.mk) & (cand.cost == mn.min_cost),
-        )
+        cand.withColumn("min_cost", F.min("cost").over(w))
+        .where(F.col("cost") == F.col("min_cost"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             "p_brand",
@@ -1331,10 +1328,14 @@ def q_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-part spend value from ASIAN suppliers, keeping parts whose
     value exceeds 0.1% of the GLOBAL total -- the pattern where a
     grouped aggregate is filtered against a scalar aggregate of itself.
-    The global total is a second aggregation of the SAME grouped frame,
-    broadcast as one row; the threshold compare ``value * 1000 >
-    total`` stays in DECIMAL so both engines agree exactly (never
-    multiply by a float fraction). Driver-side data: none.
+    The global total is an unpartitioned window SUM over the
+    already-grouped frame: one pass over |parts| aggregate rows,
+    instead of re-running the fact join+aggregation lineage for a
+    1-row broadcast (Catalyst plans that lineage twice; the window form
+    scans lineitem once). The single-task window is dimension-sized by
+    construction -- post-aggregate cardinality, never fact rows. The
+    threshold compare ``value * 1000 > total`` stays in DECIMAL so both
+    engines agree exactly (never multiply by a float fraction).
     """
     li = fixtures.load(spark, sf_dir, "lineitem")
     supp = fixtures.load(spark, sf_dir, "supplier")
@@ -1352,9 +1353,9 @@ def q_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice")).alias("value"))
     )
-    total = values.agg(F.sum("value").alias("total"))
+    w = Window.partitionBy()  # global: one pass over the aggregate rows
     return (
-        values.join(F.broadcast(total))
+        values.withColumn("total", F.sum("value").over(w))
         .where(F.col("value") * 1000 > F.col("total"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
@@ -1369,11 +1370,12 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The "create view revenue0 ... where total_supplycost = (select
     max(...) from revenue0)" pattern decorrelates to: aggregate once,
-    take the scalar max of that aggregate, join back on equality. The
-    revenue frame is computed ONCE (the max rides a 1-row broadcast of
-    a re-aggregation, not a second lineitem scan is avoided by Spark
-    reusing the shuffle output under AQE). Money in DECIMAL end to end
-    makes the equality exact; ties return every witness.
+    compare every row to the max over an unpartitioned window of the
+    SAME aggregate. The window form guarantees the revenue lineage
+    (lineitem scan + aggregation) is planned exactly once -- a scalar
+    re-aggregation broadcast duplicates it -- and its single-task stage
+    sees only |suppliers| post-aggregate rows. Money in DECIMAL end to
+    end makes the equality exact; ties return every witness.
     """
     li = fixtures.load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
@@ -1384,9 +1386,9 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
     )
     revenue = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_revenue"))
-    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    w = Window.partitionBy()  # global: one pass over |suppliers| rows
     return (
-        revenue.join(F.broadcast(mx))
+        revenue.withColumn("max_revenue", F.max("total_revenue").over(w))
         .where(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select(

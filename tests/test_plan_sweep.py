@@ -19,8 +19,6 @@ NESTED_LOOP_OK = {
     "sim_topk",  # scan x 1-row literal query vector
     "idle_rich_customers",  # 1-row scalar-aggregate broadcast (decorrelated scalar subquery)
     "customer_spend_quartiles_approx",  # 1-row broadcast of approx cut points
-    "important_part_values",  # 1-row broadcast of the global total (Q11 fraction gate)
-    "top_revenue_supplier",  # 1-row broadcast of the scalar max (Q15 view-over-max)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why
