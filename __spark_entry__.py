@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota_sample": Q.q_source_quota_sample,
         "corpus_pack": Q.q_corpus_pack,
         "dataset_split": Q.q_dataset_split,
+        "bm25_search": Q.q_bm25_search,
         # --- attested green in CORRECTNESS_r01 -------------------------
         "stage_sales": Q.q_stage_sales,
         "dim_products": Q.q_dim_products,
@@ -1252,5 +1253,44 @@ SELECT CASE WHEN bucket < 8 THEN 'train'
             ELSE 'test' END AS split,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM b GROUP BY 1
+""",
+        "bm25_search": """
+WITH lens AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avg_dl FROM lens
+),
+tf AS (
+  SELECT doc_id, tk AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS tk
+    FROM documents
+  )
+  WHERE tk IN ('table', 'spark', 'merge')
+  GROUP BY doc_id, tk
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * (1.2 + 1)) /
+             (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avg_dl)),
+           8) AS DECIMAL(18,8)) AS part_score
+  FROM tf
+  JOIN dfreq d ON tf.term = d.term
+  JOIN lens l ON tf.doc_id = l.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id, ROUND(CAST(SUM(part_score) AS DOUBLE), 4) AS bm25
+FROM contrib GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
 """,
     }

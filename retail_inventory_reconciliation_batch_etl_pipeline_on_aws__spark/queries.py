@@ -1534,3 +1534,69 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: BM25 top-10 for a fixed 3-term query over the
+    corpus -- the inverted-index workload (tf, df, idf, length
+    normalization) as pure DataFrame algebra.
+
+    Plan shape: ONE explode of query-term matches feeds tf per
+    (doc, term); df per term is a tiny aggregate (|query terms| rows)
+    joined back by broadcast; the global doc-count/avg-length scalar
+    rides a 1-row broadcast whose lineage is a shuffle-free projection
+    of the documents scan (duplicating that scan is parallel and cheap
+    -- an unpartitioned window over |docs| rows would funnel the corpus
+    through one task instead). Nothing but (doc_id, term, tf) ever
+    shuffles; text stays in the scan stage.
+
+    Cross-engine float parity: each term's BM25 contribution is rounded
+    to DECIMAL(18,8) BEFORE the per-doc sum (3-double addition order
+    would otherwise differ between engines), and the final score is
+    rounded to 4dp before the deterministic (score desc, doc_id) top-k.
+    k1=1.2, b=0.75, idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+    """
+    from .functions.text import token_count, tokens
+
+    terms = ["table", "spark", "merge"]
+    k1, b = 1.2, 0.75
+    docs = fixtures.load(spark, sf_dir, "documents")
+    lens = docs.select("doc_id", token_count("text").alias("dl"))
+    stats = lens.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avg_dl"),
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(tokens("text"), lambda t: t.isin(terms))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .join(lens, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf", F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "part_score",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl"))),
+                8,
+            ).cast("decimal(18,8)"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("part_score").cast("double"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )

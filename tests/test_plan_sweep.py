@@ -19,6 +19,7 @@ NESTED_LOOP_OK = {
     "sim_topk",  # scan x 1-row literal query vector
     "idle_rich_customers",  # 1-row scalar-aggregate broadcast (decorrelated scalar subquery)
     "customer_spend_quartiles_approx",  # 1-row broadcast of approx cut points
+    "bm25_search",  # 1-row broadcast of (N, avg_dl) corpus stats
 }
 
 #: queries allowed an Arrow-batched Python stage, and why
