@@ -71,6 +71,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack": Q.q_corpus_pack,
         "dataset_split": Q.q_dataset_split,
         "bm25_search": Q.q_bm25_search,
+        "small_qty_revenue": Q.q_small_qty_revenue,
+        "large_volume_customers": Q.q_large_volume_customers,
+        "hybrid_rank": Q.q_hybrid_rank,
         # --- attested green in CORRECTNESS_r01 -------------------------
         "stage_sales": Q.q_stage_sales,
         "dim_products": Q.q_dim_products,
@@ -1291,6 +1294,64 @@ contrib AS (
 SELECT doc_id, ROUND(CAST(SUM(part_score) AS DOUBLE), 4) AS bm25
 FROM contrib GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+""",
+        "small_qty_revenue": """
+WITH a AS (
+  SELECT l_partkey, SUM(l_quantity) AS s, COUNT(*) AS c
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7
+         AS avg_yearly
+FROM lineitem l
+JOIN a ON l.l_partkey = a.l_partkey
+WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+  AND 2 * l.l_quantity * a.c < a.s
+""",
+        "large_volume_customers": """
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 300
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS order_date,
+       o.o_totalprice,
+       CAST(b.total_qty AS DOUBLE) AS total_qty
+FROM orders o
+JOIN big b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+        "hybrid_rank": """
+WITH ref AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS rv FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT vec_id,
+         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), rv), 4)
+           AS cos_sim
+  FROM embeddings CROSS JOIN ref
+),
+q AS (
+  SELECT doc_id,
+         ROUND(
+           0.5 * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+           + 0.3 * LEAST(1.0, 4.0 * (CAST(len(list_filter(toks, t -> t IN
+                ('the','a','and','of','to','is','in','it'))) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE)))
+           + 0.2 * (CASE WHEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                              / CAST(len(toks) AS DOUBLE) BETWEEN 3.0 AND 10.0
+                    THEN 1.0 ELSE 0.0 END), 4) AS quality
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+    FROM documents
+  )
+)
+SELECT q.doc_id, q.quality, s.cos_sim,
+       ROUND(q.quality * s.cos_sim, 4) AS hybrid_score
+FROM q JOIN scored s ON q.doc_id = s.vec_id
+ORDER BY hybrid_score DESC, doc_id ASC
 LIMIT 10
 """,
     }

@@ -1600,3 +1600,107 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-group average decorrelated to a
+    window -- revenue lost to small-quantity outlier purchases.
+
+    "quantity < half the part's average quantity" is evaluated as the
+    integer-exact cross-product form ``2*qty*cnt < sum`` over a window
+    of (sum, count) per part -- no division, so both engines compare
+    exactly (quantities are whole numbers in doubles). ONE lineitem
+    scan: the window shares the scan with the detail rows it gates
+    (join-back to a groupBy aggregate would plan the scan twice);
+    small-part dim filter rides a broadcast. Output is the classic
+    sum/7 scalar in DECIMAL until the final cast.
+    """
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    part = fixtures.load(spark, sf_dir, "part")
+    w = Window.partitionBy("l_partkey")
+    gated = (
+        li.join(
+            F.broadcast(part.where(F.col("p_size") <= 5)),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .withColumn("part_sum_qty", F.sum("l_quantity").over(w))
+        .withColumn("part_cnt", F.count("*").over(w))
+        .where(
+            F.lit(2) * F.col("l_quantity") * F.col("part_cnt")
+            < F.col("part_sum_qty")
+        )
+    )
+    return gated.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+            "avg_yearly"
+        )
+    )
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-gated IN-subquery as aggregate + semi
+    join -- customers who placed any single order totalling > 300 units.
+
+    The order-level quantity aggregate is computed once (shuffle on
+    l_orderkey, the fact's natural key); qualifying order keys gate
+    orders via LEFT SEMI; customer attaches by broadcast. Quantity sums
+    are whole-number doubles (exact in any order), and only keys cross
+    the semi join -- at 100TB the wide lineitem never reaches the
+    orders join.
+    """
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    orders = fixtures.load(spark, sf_dir, "orders")
+    cust = fixtures.load(spark, sf_dir, "customer")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(big_orders, orders.o_orderkey == big_orders.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_totalprice").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+def q_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval rank: lexical quality x embedding cosine --
+    joins the documents and embeddings tables (doc_id = vec_id) and
+    ranks by the product of the text quality score and cosine
+    similarity to the vec_id-0 probe, the standard two-signal re-rank
+    of a retrieval pipeline.
+
+    The embedding side carries only (vec_id, cosine) into the join;
+    both signals are rounded to 4dp BEFORE multiplying and the product
+    re-rounded, so cross-engine ulp noise can never reorder the top-k.
+    """
+    from .functions.text import quality_score
+    from .functions.vectors import as_double_array, cosine
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    qv = F.array(*[F.lit(float(x)) for x in _query_vector(spark, sf_dir)])
+    scored = emb.select(
+        "vec_id",
+        F.round(cosine(as_double_array("embedding"), qv), 4).alias("cos_sim"),
+    )
+    return (
+        docs.select("doc_id", F.round(quality_score("text"), 4).alias("quality"))
+        .join(scored, F.col("doc_id") == F.col("vec_id"))
+        .select(
+            "doc_id",
+            "quality",
+            "cos_sim",
+            F.round(F.col("quality") * F.col("cos_sim"), 4).alias("hybrid_score"),
+        )
+        .orderBy(F.col("hybrid_score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
