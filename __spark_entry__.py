@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": Q.q_small_qty_revenue,
         "large_volume_customers": Q.q_large_volume_customers,
         "hybrid_rank": Q.q_hybrid_rank,
+        "local_supplier_revenue": Q.q_local_supplier_revenue,
+        "returned_item_customers": Q.q_returned_item_customers,
+        "promo_revenue_share": Q.q_promo_revenue_share,
         # --- attested green in CORRECTNESS_r01 -------------------------
         "stage_sales": Q.q_stage_sales,
         "dim_products": Q.q_dim_products,
@@ -1353,5 +1356,54 @@ SELECT q.doc_id, q.quality, s.cos_sim,
 FROM q JOIN scored s ON q.doc_id = s.vec_id
 ORDER BY hybrid_score DESC, doc_id ASC
 LIMIT 10
+""",
+        "local_supplier_revenue": """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+                AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+""",
+        "returned_item_customers": """
+WITH lost AS (
+  SELECT o.o_custkey,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS lost_revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  GROUP BY o.o_custkey
+)
+SELECT c.c_custkey, c.c_name, c.c_acctbal, lost.lost_revenue
+FROM lost JOIN customer c ON lost.o_custkey = c.c_custkey
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+        "promo_revenue_share": """
+SELECT 100.0
+       * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                       THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l.l_shipdate < TIMESTAMP '1997-04-01'
 """,
     }

@@ -1704,3 +1704,104 @@ def q_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("hybrid_score").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the 6-table join with a SAME-NATION constraint
+    (supplier nation == customer nation) -- revenue kept in-region.
+
+    Join order follows fact-size: lineitem joins orders (both shuffle
+    on the order key once), the result joins supplier and customer on
+    their keys with the nation-equality as a residual condition, and
+    the nation/region dims broadcast. Revenue stays DECIMAL through
+    the aggregation, 1997 bound pushed into the orders scan.
+    """
+    cust = fixtures.load(spark, sf_dir, "customer")
+    orders = fixtures.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    supp = fixtures.load(spark, sf_dir, "supplier")
+    nation = fixtures.load(spark, sf_dir, "nation")
+    region = fixtures.load(spark, sf_dir, "region")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue-per-customer from returned items
+    in one quarter, deterministic top-20 (TakeOrderedAndProject, never
+    a global sort). Return-flag and date filters push into the scans;
+    the customer dim attaches AFTER the aggregate, so the shuffle
+    carries (custkey, revenue) pairs, not customer attributes."""
+    cust = fixtures.load(spark, sf_dir, "customer")
+    orders = fixtures.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = fixtures.load(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    lost = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).cast("double").alias("lost_revenue"))
+    )
+    return (
+        lost.join(F.broadcast(cust), lost.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "c_acctbal", "lost_revenue")
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio -- the share of one
+    month's revenue from PROMO-type parts, as 100 * promo / total.
+
+    Both the gated and total sums come from ONE pass (sum of a CASE,
+    the map-side-combinable form); the part type rides a broadcast.
+    Exact-decimal sums; the single final division happens in double on
+    two exact inputs, identical in both engines.
+    """
+    li = fixtures.load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    part = fixtures.load(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
