@@ -76,7 +76,19 @@ def connected_components(
     one-scalar ``count`` actions per round (the only driver-side data);
     an unconverged graph raises rather than returning silently-wrong
     groups.
+
+    Nodes appearing ONLY in self-loop edges (u == u) are still emitted,
+    as their own singleton component -- the star passes drop self-loops,
+    so these are captured up front and unioned back at the end.
     """
+    # nodes whose every edge is a self-loop would otherwise vanish when
+    # the u != v filter strips their edges; checkpointed ids-only frame
+    selfloop_nodes = (
+        edges.where(F.col(src) == F.col(dst))
+        .select(F.col(src).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     e = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),
@@ -106,12 +118,18 @@ def connected_components(
         if not changed:
             # star graph: every edge is (node, component_min); roots
             # appear only on the v side and label themselves
-            return e.select(
+            labeled = e.select(
                 F.col("u").alias("node"), F.col("v").alias("component")
             ).unionByName(
                 e.select(F.col("v").alias("node"), F.col("v").alias("component"))
                 .distinct()
             ).distinct()
+            # self-loop-only nodes: singleton components (nodes with any
+            # real edge are already labeled; anti-join filters those out)
+            orphans = selfloop_nodes.join(labeled, "node", "left_anti")
+            return labeled.unionByName(
+                orphans.select("node", F.col("node").alias("component"))
+            )
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )

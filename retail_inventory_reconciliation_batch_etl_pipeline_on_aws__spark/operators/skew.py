@@ -70,15 +70,17 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if salt_col is None:
-        # salt from a second hash of the key + partition id: uniform
-        # within a hot key. monotonically_increasing_id is NOT stable
-        # under task retry/speculation -- safe HERE only because the
-        # small side is replicated across every salt value, so a row
-        # joins identically whichever salt it lands on; if a caller
-        # passes a salt_col whose correctness depends on the value
-        # itself, it must be derived from row CONTENT, not row position
+        # salt derived from row CONTENT (xxhash64 over every big-side
+        # column), never from row position: the salt is the shuffle
+        # partitioning key, and a position-derived salt
+        # (monotonically_increasing_id) can change when a map task is
+        # recomputed under retry/speculation, routing rows to reducers
+        # that already fetched their input -- the SPARK-23207 class of
+        # silent row loss/duplication. Content hashing is stable under
+        # any recomputation. Caveat: fully-identical duplicate rows
+        # share a salt; they spread only if any column differs.
         salt_col = F.pmod(
-            F.xxhash64(F.col(on), F.monotonically_increasing_id()),
+            F.xxhash64(*[F.col(c) for c in big.columns]),
             F.lit(salt_buckets),
         )
     big_salted = big.withColumn("_salt", salt_col)

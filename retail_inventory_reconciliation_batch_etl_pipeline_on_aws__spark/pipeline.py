@@ -77,9 +77,15 @@ def to_airflow_tasks(pipeline: Pipeline, dag, operator_cls=None, **op_kwargs):
     return ops
 
 
-def to_cron_entry(pipeline_module: str, schedule: str = "0 3 * * *") -> str:
+def to_cron_entry(pipeline_entry: str, schedule: str = "0 3 * * *") -> str:
     """The cron form of the reference's daily 03:00 trigger
     (dags/retail_pipeline_dag.py:88 ``schedule_interval``): one line,
     no scheduler dependency -- ``Pipeline.run`` is already idempotent
-    per date because every sink is a dynamic-partition overwrite."""
-    return f"{schedule} spark-submit --deploy-mode cluster -m {pipeline_module}"
+    per date because every sink is a dynamic-partition overwrite.
+
+    ``pipeline_entry`` is either a script path (``.py`` -> submitted via
+    ``spark-submit``, which has no module flag) or a module name
+    (-> ``python -m``, the driver creating its own SparkSession)."""
+    if pipeline_entry.endswith(".py"):
+        return f"{schedule} spark-submit --deploy-mode cluster {pipeline_entry}"
+    return f"{schedule} python -m {pipeline_entry}"

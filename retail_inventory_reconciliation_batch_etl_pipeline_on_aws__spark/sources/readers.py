@@ -107,14 +107,27 @@ def avro_available(spark: SparkSession) -> bool:
     connector is an EXTERNAL module since Spark 2.4 -- present only when
     the deployment ships the jar). Probed by asking the JVM to resolve
     the data source, which is a classloader lookup, not an I/O call.
-    Readers/writers raise a clear error when absent; tests skip."""
+    Readers/writers raise a clear error when absent; tests skip.
+
+    ``lookupDataSource``'s JVM signature is ``(String, SQLConf)`` -- the
+    second argument must be the session's SQLConf, and only the
+    known "source absent" failure modes map to False; any other error
+    (signature drift, classloader breakage) propagates so a broken
+    probe can never masquerade as a missing connector."""
     try:
         spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
-            "avro", spark._jsc.hadoopConfiguration()
+            "avro", spark._jsparkSession.sessionState().conf()
         )
         return True
-    except Exception:
-        return False
+    except Exception as exc:
+        # PySpark converts the JVM error into a captured AnalysisException
+        # ("Failed to find data source: avro") when the jar is absent;
+        # classify by message and re-raise everything else (a Py4JError
+        # "Method ... does not exist" means the PROBE broke, not the jar)
+        msg = str(getattr(exc, "java_exception", exc))
+        if "Failed to find" in msg or "ClassNotFoundException" in msg:
+            return False
+        raise
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:

@@ -58,3 +58,20 @@ def test_components_two_chains_reversed_ids(spark):
     )
     got = {r.node: r.component for r in connected_components(edges).collect()}
     assert got == {**{i: 10 for i in range(10, 16)}, 50: 50, 75: 50, 100: 50}
+
+
+def test_components_selfloop_only_nodes_kept(spark):
+    """A node whose only edges are self-loops must still appear, as its
+    own singleton component (callers pass self-pairs as singleton
+    markers); nodes with real edges are unaffected by extra self-loops."""
+    edges = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 2), (9, 9), (9, 9)], "src bigint, dst bigint"
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 7: 7, 9: 9}
+
+
+def test_components_all_selfloops(spark):
+    edges = spark.createDataFrame([(3, 3), (5, 5)], "src bigint, dst bigint")
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {3: 3, 5: 5}

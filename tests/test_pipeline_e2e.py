@@ -165,3 +165,19 @@ def test_airflow_adapter_preserves_graph_and_data_passing():
     for name in ("stage_sales", "build_dims", "reconcile"):
         results[name] = ops[name].fn(ti=FakeTI(results))
     assert results == p.run() == {"stage_sales": 7, "build_dims": 3, "reconcile": 4}
+
+
+def test_cron_entry_is_runnable_command():
+    """The rendered crontab line must be a command that exists:
+    spark-submit takes a script path (it has no module flag), python -m
+    takes a module name. Guard both renderings."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.pipeline import (
+        to_cron_entry,
+    )
+
+    line = to_cron_entry("jobs/daily_reconcile.py")
+    assert line == "0 3 * * * spark-submit --deploy-mode cluster jobs/daily_reconcile.py"
+    assert " -m " not in line  # spark-submit has no -m flag
+
+    line = to_cron_entry("retail_jobs.daily", schedule="30 2 * * *")
+    assert line == "30 2 * * * python -m retail_jobs.daily"
