@@ -36,6 +36,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- not yet attested by a driver CORRECTNESS artifact ---------
+        # new in round 3: TPC-H Q8 market-share + Q9-adapted profit
+        "market_share": Q.q_market_share,
+        "nation_profit": Q.q_nation_profit,
         # round-1 overflow: OLAP breadth (windows, rollup, semi/anti,
         # set ops, pivot)
         "sku_rolling_range": Q.q_sku_rolling_range,
@@ -217,6 +220,47 @@ reconciled AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "market_share": """
+SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS mkt_share
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+JOIN region r   ON n1.n_regionkey = r.r_regionkey
+JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+WHERE r.r_name = 'AMERICA'
+  AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY o_year
+""",
+        "nation_profit": """
+SELECT n.n_name AS nation,
+       CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                - CAST(0.60 AS DECIMAL(3,2))
+                  * CAST(p.p_retailprice AS DECIMAL(12,2))
+                  * CAST(l.l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+""",
         "stage_sales": _FIXTURE_CTES
         + """
 SELECT CAST(p.d AS DATE) AS date_key, s.sku,

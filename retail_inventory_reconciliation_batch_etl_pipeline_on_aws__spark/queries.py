@@ -1805,3 +1805,108 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_1 suppliers' share of AMERICA-region
+    ECONOMY-part revenue, per order year.
+
+    The 8-table market-share join. part is filtered to one p_type
+    BEFORE the join (1/6 selectivity pushed into the scan) and
+    broadcast, as are supplier and both nation roles (customer's
+    nation n1 gates the region; supplier's nation n2 feeds the
+    numerator) and region -- all bounded dims. lineitem |x| orders
+    shuffles once on the order key; the customer attach is left to the
+    optimizer (it grows with SF -- AQE broadcasts it at bench scale,
+    shuffles it beyond). Numerator and denominator come from ONE pass
+    as sums of a CASE (map-side combinable); exact DECIMAL until the
+    single final double division, identical in both engines.
+    """
+    part = fixtures.load(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    orders = fixtures.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = fixtures.load(spark, sf_dir, "customer")
+    supp = fixtures.load(spark, sf_dir, "supplier")
+    nation = fixtures.load(spark, sf_dir, "nation")
+    region = fixtures.load(spark, sf_dir, "region")
+    vol = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    n1 = nation.alias("n1")
+    n2 = nation.alias("n2")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(
+            F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey
+        )
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey"))
+        .where(F.col("r_name") == "AMERICA")
+    )
+    return (
+        joined.select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("_vol"),
+            F.col("n2.n_name").alias("_supp_nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("_supp_nation") == "NATION_1", F.col("_vol")
+                    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+                ).cast("double")
+                / F.sum("_vol").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-adapted shape: per-(supplier nation, order year) profit
+    on red parts. The testdata has no partsupp table, so supply cost is
+    SYNTHESIZED deterministically as 0.60 * p_retailprice -- the same
+    expression the DuckDB oracle uses, keeping the query hash-checkable.
+
+    profit = revenue - cost*qty per line, every term held in exact
+    DECIMAL (widths sized so no product exceeds precision 38 -- a
+    clipped-scale decimal would round differently per engine) and cast
+    to double only after the SUM. part is filtered (p_name LIKE) then
+    broadcast with supplier and nation; lineitem |x| orders shuffles
+    once on the order key, then once more on the 2-key group.
+    """
+    part = fixtures.load(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    orders = fixtures.load(spark, sf_dir, "orders")
+    supp = fixtures.load(spark, sf_dir, "supplier")
+    nation = fixtures.load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    cost = (
+        F.lit("0.60").cast("decimal(3,2)")
+        * F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(8,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (rev - cost).alias("_amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("_amount").cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
