@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 3: TPC-H Q8 market-share + Q9-adapted profit
         "market_share": Q.q_market_share,
         "nation_profit": Q.q_nation_profit,
+        "image_dims": Q.q_image_dims,
         # round-1 overflow: OLAP breadth (windows, rollup, semi/anti,
         # set ops, pivot)
         "sku_rolling_range": Q.q_sku_rolling_range,
@@ -243,6 +244,15 @@ WHERE r.r_name = 'AMERICA'
   AND o.o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY 1
 ORDER BY o_year
+""",
+        "image_dims": """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+       CAST(doc_id % 61 + 4 AS INT) AS width,
+       CAST((doc_id * 13) % 47 + 4 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 24 END AS INT) AS bit_depth
+FROM documents
+ORDER BY doc_id
 """,
         "nation_profit": """
 SELECT n.n_name AS nation,

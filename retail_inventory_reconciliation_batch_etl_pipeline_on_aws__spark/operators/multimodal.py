@@ -3,14 +3,15 @@
 Images/audio/video ride through the engine as opaque ``binary`` columns
 with typed metadata; per-item decode/feature-extraction runs as
 Arrow-batched ``mapInPandas`` so payload bytes never cross a row-at-a-time
-Python boundary. The decode step itself is STUBBED (media libs are not
-in this container): ``decode_image`` raises, and the query path uses
-``extract_binary_features`` -- deterministic byte-level features with the
-same schema/partitioning/batch shape the real decoder would use.
+Python boundary. ``decode_image`` is a REAL pure-Python header decoder
+for PNG and BMP (no media libs needed); pixel-level work (resampling,
+model inference) remains a deterministic fake pending PIL/ffmpeg.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -21,15 +22,81 @@ from pyspark.sql import functions as F
 #: would produce (dims from header parse, features from the model stub).
 FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, first_byte int, byte_checksum bigint"
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-def decode_image(payload: bytes) -> "object":
-    """Real decoder hook. Media libraries (PIL/ffmpeg) are not available
-    in this environment -- clearly-marked stub per the build contract."""
-    raise NotImplementedError(
-        "image/audio decode requires PIL/ffmpeg; not available in this "
-        "container -- extract_binary_features provides the deterministic "
-        "fake used by tests and the oracle"
+
+def decode_image(payload: bytes) -> dict:
+    """Decode an image header from raw bytes -- pure Python, no media
+    libraries. Supports PNG (big-endian IHDR chunk, the first chunk by
+    spec) and BMP (little-endian BITMAPINFOHEADER; height may be
+    negative for top-down rows). Returns
+    ``{format, width, height, bit_depth}``; raises ``ValueError`` on
+    anything else -- the caller decides whether unknown payloads are
+    skipped or fatal."""
+    if payload[:8] == _PNG_SIG:
+        if len(payload) < 26 or payload[12:16] != b"IHDR":
+            raise ValueError("corrupt PNG: IHDR not first chunk")
+        width, height = struct.unpack(">II", payload[16:24])
+        return {
+            "format": "png",
+            "width": width,
+            "height": height,
+            "bit_depth": payload[24],
+        }
+    if payload[:2] == b"BM":
+        if len(payload) < 30:
+            raise ValueError("corrupt BMP: truncated DIB header")
+        width, height = struct.unpack("<ii", payload[18:26])
+        (bpp,) = struct.unpack("<H", payload[28:30])
+        return {
+            "format": "bmp",
+            "width": width,
+            "height": abs(height),
+            "bit_depth": bpp,
+        }
+    raise ValueError("unsupported image format (expect PNG or BMP)")
+
+
+def encode_png_gray(width: int, height: int, seed: int = 0) -> bytes:
+    """Build a VALID tiny 8-bit grayscale PNG (signature, IHDR, one
+    zlib-compressed IDAT of filter-0 scanlines, IEND -- each chunk
+    CRC'd). Deterministic in (width, height, seed); used to synthesize
+    image payloads for the decode path and its oracle."""
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    row = bytes((seed + x) % 256 for x in range(width))
+    raw = b"".join(b"\x00" + row for _ in range(height))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 1))
+        + chunk(b"IEND", b"")
     )
+
+
+def encode_bmp_rgb(width: int, height: int, seed: int = 0) -> bytes:
+    """Build a VALID tiny 24-bit BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + bottom-up rows padded to 4 bytes). Deterministic
+    in (width, height, seed)."""
+    row_bytes = (width * 3 + 3) // 4 * 4
+    pixels = b"".join(
+        bytes((seed + y + 3 * x) % 256 for x in range(width * 3)).ljust(
+            row_bytes, b"\x00"
+        )
+        for y in range(height)
+    )
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(pixels), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+    return header + dib + pixels
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -144,3 +211,57 @@ def sample_frames(
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+#: image header decode output
+DIMS_SCHEMA = "doc_id bigint, format string, width int, height int, bit_depth int"
+
+
+def with_test_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a deterministic VALID image payload per row -- even
+    ids get a grayscale PNG, odd ids a 24-bit BMP, with dimensions
+    derived arithmetically from the id (width = id % 61 + 4,
+    height = id * 13 % 47 + 4). Stands in for an object-store fetch;
+    because the dims are a pure function of the id, an SQL oracle can
+    verify the decode path end-to-end without ever seeing the bytes.
+    Arrow-batched like every other payload stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                encode_png_gray(int(i) % 61 + 4, int(i) * 13 % 47 + 4, seed=int(i))
+                if int(i) % 2 == 0
+                else encode_bmp_rgb(int(i) % 61 + 4, int(i) * 13 % 47 + 4, seed=int(i))
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, "doc_id bigint, payload binary"
+    )
+
+
+def image_dimensions(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched REAL header decode over binary payloads: format,
+    width, height, bit depth straight from the bytes via
+    ``decode_image``. Narrow (no shuffle); payloads are pruned away
+    after this projection, so downstream stages shuffle only the typed
+    metadata, never image bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [decode_image(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "format": [m["format"] for m in metas],
+                    "width": pd.Series([m["width"] for m in metas], dtype="int32"),
+                    "height": pd.Series([m["height"] for m in metas], dtype="int32"),
+                    "bit_depth": pd.Series(
+                        [m["bit_depth"] for m in metas], dtype="int32"
+                    ),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, DIMS_SCHEMA)

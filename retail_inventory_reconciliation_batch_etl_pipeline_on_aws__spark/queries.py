@@ -1910,3 +1910,19 @@ def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("_amount").cast("double").alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
+
+
+def q_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checkable end-to-end: each document id
+    gets a synthesized VALID image payload (even ids a grayscale PNG,
+    odd ids a 24-bit BMP) whose dimensions are a pure function of the
+    id; ``image_dimensions`` then parses format/width/height/bit-depth
+    back OUT OF THE BYTES (PNG IHDR big-endian, BMP DIB little-endian).
+    The oracle recomputes the expected dims arithmetically from doc_id,
+    so any header-parse bug hash-mismatches. Both stages are narrow
+    Arrow-batched mapInPandas; bytes never cross a shuffle.
+    """
+    from .operators.multimodal import image_dimensions, with_test_images
+
+    docs = fixtures.load(spark, sf_dir, "documents").select("doc_id")
+    return image_dimensions(with_test_images(docs)).orderBy("doc_id")

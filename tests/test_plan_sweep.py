@@ -25,6 +25,7 @@ NESTED_LOOP_OK = {
 #: queries allowed an Arrow-batched Python stage, and why
 PYTHON_OK = {
     "multimodal_features",  # sanctioned mapInPandas binary-feature boundary
+    "image_dims",  # sanctioned mapInPandas payload-synth + header-decode boundary
     "minhash_ml_pairs",  # pyspark.ml MinHashLSH internals
     "ann_topk",  # pyspark.ml BucketedRandomProjectionLSH internals
     "embed_neardup_lsh",  # pyspark.ml LSH internals
