@@ -45,20 +45,28 @@ def main() -> None:
 
     # warmup: one pass over the full headline set (JVM JIT, whole-stage
     # codegen compilation, parquet footer cache) so the timed passes
-    # measure steady-state query execution, not first-call compilation
+    # measure steady-state query execution, not first-call compilation.
+    # Recorded separately -- cold-start cost is real information, it just
+    # must not pollute the steady-state numbers.
+    warmup: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
         queries[name](spark, sf_dir).count()
+        warmup[name] = round(time.perf_counter() - t0, 3)
 
-    # best-of-3 per query: robust to co-tenant load spikes on the box;
-    # the minimum is the honest steady-state capability of the plan
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(3):
+    # n timed runs per query, ALL retained: "queries" reports the
+    # best-of (the steady-state capability of the plan, robust to
+    # co-tenant load spikes), "runs" reports every sample so a reader
+    # can classify a delta vs the previous round as noise (spread
+    # overlaps) or regression (spread cleanly shifted) without a rerun
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _ in range(n_runs):
+        for name in BENCH_QUERIES:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs[name].append(round(time.perf_counter() - t0, 3))
+    timings = {name: min(samples) for name, samples in runs.items()}
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -69,6 +77,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
+                "warmup": warmup,
+                "n_runs": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
