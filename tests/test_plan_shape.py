@@ -127,3 +127,50 @@ def test_reconcile_fused_plan_shape_regression_guard(spark):
     # the date bound must be pushed into the fact scan
     pushed = re.findall(r"PushedFilters: \[[^\]]*l_shipdate[^\]]*\]", p)
     assert pushed, "l_shipdate bound not pushed to the lineitem scan"
+
+
+def test_stock_asof_stays_linear_union_window(spark):
+    """The as-of join must remain the union-window form: windows over
+    the key, NEVER a range join (a theta-join per key explodes
+    quadratically -- at 100TB a hot sku melts one task). Pinned: no
+    nested-loop/cartesian stage, no sort-merge join, exactly the two
+    key-windows the shape implies, and exactly 4 exchanges (two daily
+    aggregations -- the checks side re-derives daily -- plus one
+    key-shuffle per window). A 5th exchange or a *NestedLoop* node here
+    is the regression this guard exists to catch."""
+    p = plan_of(spark, "stock_asof")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    n_windows = len(re.findall(r"\(\d+\) Window\b", p))
+    assert n_windows == 2, f"expected 2 key-windows, plan has {n_windows}"
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", p))
+    assert n_shuffles == 4, f"expected 4 exchanges, plan has {n_shuffles}"
+    scans = re.findall(r"Location: InMemoryFileIndex \[[^\]]*?/(\w+)\.parquet\]", p)
+    assert scans.count("lineitem") == 2, f"fact scans: {scans}"
+
+
+def test_region_revenue_broadcasts_dims_single_fact_exchange(spark):
+    """Q5-lite guard: every dim attach rides a broadcast (nation/region
+    are bounded at any SF; orders/customer qualify at test scale), and
+    the fact side shuffles exactly once -- for the final aggregation.
+    A SortMergeJoin or second Exchange means a dim fell off its
+    broadcast or the agg stopped combining map-side."""
+    p = plan_of(spark, "region_revenue")
+    assert "SortMergeJoin" not in p
+    n_broadcast = len(re.findall(r"\(\d+\) BroadcastHashJoin\b", p))
+    assert n_broadcast == 4, f"expected 4 broadcast joins, got {n_broadcast}"
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", p))
+    assert n_shuffles == 1, f"expected 1 agg exchange, plan has {n_shuffles}"
+
+
+def test_bm25_no_text_crosses_a_shuffle(spark):
+    """BM25 guard: raw document text is tokenized before any exchange;
+    every shuffle carries (doc_id, term, tf)-shaped rows, never the
+    text column. Formatted-explain lists each node's attributes --
+    assert no Exchange block references text#N."""
+    p = plan_of(spark, "bm25_search")
+    blocks = re.split(r"\n\n", p)
+    exchange_blocks = [b for b in blocks if re.match(r"\(\d+\) Exchange", b)]
+    assert exchange_blocks, "no Exchange blocks parsed from formatted plan"
+    for b in exchange_blocks:
+        assert not re.search(r"\btext#\d+", b), f"text crosses a shuffle:\n{b}"
