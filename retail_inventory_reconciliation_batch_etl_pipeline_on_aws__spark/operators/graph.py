@@ -17,8 +17,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .skew import salted_join
 
-def _large_star(e: DataFrame) -> DataFrame:
+
+def _attach_mins(neigh: DataFrame, mins: DataFrame, skew_salt: int) -> DataFrame:
+    """Join each (u, v) edge to its center's min label m.
+
+    This is the hot-key step of both star passes: a hub of degree d
+    puts d rows behind ONE shuffle key, so the plain equi-join melts a
+    single reducer on power-law graphs (dedup similarity graphs are
+    exactly that -- a boilerplate doc matches everything). ``mins`` has
+    one ids-only row per node, the textbook salted-join shape: salt the
+    edge side by row content, replicate the tiny mins side
+    ``skew_salt``-fold, and the hub's fan-in drops to ~d/skew_salt per
+    reducer. The min AGGREGATION itself needs no guard -- partial
+    (map-side) aggregation already collapses each partition's hub rows
+    to one."""
+    if skew_salt > 1:
+        return salted_join(neigh, mins, "u", salt_buckets=skew_salt)
+    return neigh.join(mins, "u")
+
+
+def _large_star(e: DataFrame, skew_salt: int = 1) -> DataFrame:
     """Large-star: for each node u, connect every strictly-larger
     neighbor to m(u) = min(N(u) + {u}). Operates on the symmetrized
     neighborhood so both endpoints act as the center."""
@@ -26,14 +46,14 @@ def _large_star(e: DataFrame) -> DataFrame:
     mins = sym.groupBy("u").agg(F.min("v").alias("_nmin"))
     mins = mins.select("u", F.least(F.col("u"), F.col("_nmin")).alias("m"))
     return (
-        sym.join(mins, "u")
+        _attach_mins(sym, mins, skew_salt)
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .distinct()
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, skew_salt: int = 1) -> DataFrame:
     """Small-star: orient edges larger-endpoint-first, then for each
     center u link u and all its (smaller) neighbors to m = min(N(u))."""
     oriented = (
@@ -46,7 +66,7 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
     mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
     return (
-        oriented.join(mins, "u")
+        _attach_mins(oriented, mins, skew_salt)
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
         .unionByName(mins.select("u", F.col("m").alias("v")))
@@ -59,6 +79,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    skew_salt: int = 8,
 ) -> DataFrame:
     """Resolve connected components by alternating large-star/small-star.
 
@@ -80,6 +101,14 @@ def connected_components(
     Nodes appearing ONLY in self-loop edges (u == u) are still emitted,
     as their own singleton component -- the star passes drop self-loops,
     so these are captured up front and unioned back at the end.
+
+    ``skew_salt``: hot-hub guard. Similarity graphs are power-law (one
+    boilerplate doc pairs with everything), and each star pass joins a
+    hub's d edges to one min-label row on a single key -- a d-row
+    reducer straggler unsalted. The edge side is salted by row content
+    into ``skew_salt`` buckets (ids-only min rows replicated that many
+    times), bounding per-reducer hub fan-in to ~d/skew_salt; results
+    are byte-identical for any value. 1 disables the guard.
     """
     # nodes whose every edge is a self-loop would otherwise vanish when
     # the u != v filter strips their edges; checkpointed ids-only frame
@@ -106,7 +135,9 @@ def connected_components(
     )
     prev_count = e.count()
     for _ in range(max_iter):
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_e = _small_star(
+            _large_star(e, skew_salt), skew_salt
+        ).localCheckpoint(eager=True)
         # fixpoint test as two driver scalars: equal cardinality AND
         # empty one-sided difference (both sides distinct by construction)
         new_count = new_e.count()

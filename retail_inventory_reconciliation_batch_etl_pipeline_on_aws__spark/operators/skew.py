@@ -45,6 +45,16 @@ def salted_agg_sum(
     return partial.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in sum_cols])
 
 
+def content_salt(df: DataFrame, salt_buckets: int) -> Column:
+    """The deterministic row-content salt used by ``salted_join``:
+    xxhash64 over every column, mod the bucket count. Exposed so tests
+    (and custom callers) can assert on the EXACT production expression's
+    spread, not a lookalike."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -79,10 +89,7 @@ def salted_join(
         # silent row loss/duplication. Content hashing is stable under
         # any recomputation. Caveat: fully-identical duplicate rows
         # share a salt; they spread only if any column differs.
-        salt_col = F.pmod(
-            F.xxhash64(*[F.col(c) for c in big.columns]),
-            F.lit(salt_buckets),
-        )
+        salt_col = content_salt(big, salt_buckets)
     big_salted = big.withColumn("_salt", salt_col)
     small_rep = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -75,3 +75,47 @@ def test_components_all_selfloops(spark):
     edges = spark.createDataFrame([(3, 3), (5, 5)], "src bigint, dst bigint")
     got = {r.node: r.component for r in connected_components(edges).collect()}
     assert got == {3: 3, 5: 5}
+
+
+def test_star_graph_hub_no_straggler(spark):
+    """1 hub, 10k spokes -- the hot-key shape of real similarity graphs.
+    Correctness: one component rooted at the hub (it is the min id).
+    Skew guard: the production content-salt must spread the hub's edges
+    so no (key, salt) bucket -- i.e. no reducer's share of the hub --
+    exceeds ~degree/buckets (2x slack for hash variance); unsalted, one
+    bucket would hold all 10k."""
+    from pyspark.sql import functions as F
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.skew import (
+        content_salt,
+    )
+
+    n = 10_000
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, n + 1)], "src bigint, dst bigint"
+    )
+    cc = connected_components(edges)
+    assert cc.count() == n + 1
+    assert cc.where(F.col("component") != 0).count() == 0
+
+    buckets = 8
+    sym = edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    max_bucket = (
+        sym.groupBy("u", content_salt(sym, buckets).alias("_s"))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_bucket <= (n // buckets) * 2, f"hot bucket: {max_bucket} rows"
+
+
+def test_components_salt_invariant(spark):
+    """Salting affects placement only, never values: salted and
+    unsalted runs must emit identical label sets."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (21, 20)],
+        "src bigint, dst bigint",
+    )
+    salted = {(r.node, r.component) for r in connected_components(edges, skew_salt=8).collect()}
+    plain = {(r.node, r.component) for r in connected_components(edges, skew_salt=1).collect()}
+    assert salted == plain
