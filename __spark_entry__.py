@@ -24,81 +24,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered so not-yet-driver-attested entries come FIRST.
+    """Ordered so the LEAST-RECENTLY driver-attested entries come FIRST.
 
-    Round 1's CORRECTNESS artifact recorded only the first 50 entries,
-    so ordering is part of the driver contract: entries the gate has
-    never attested (round-1 overflow + everything new this round) sit
-    at the front of the dict; the long-attested round-1 core fills the
-    remainder (its members are additionally pinned green every run by
-    tests/test_oracle_parity.py, which sweeps ALL oracle-paired
-    queries value-level).
+    The driver's CORRECTNESS artifact records only the first 50
+    entries, so ordering is part of the contract. Rotation per round:
+    everything NEW this round, then every entry whose latest green
+    attestation is the oldest artifact (r01), then enough
+    recently-attested (r02) core-pipeline entries to fill the 50
+    window; the freshly-r02-attested breadth block goes to the tail.
+    The union of artifacts covers every oracle-paired query, and
+    tests/test_oracle_parity.py additionally pins ALL of them
+    value-level on every pytest run.
     """
     return {
-        # --- not yet attested by a driver CORRECTNESS artifact ---------
-        # new in round 3: TPC-H Q8 market-share + Q9-adapted profit
+        # --- new in round 3 (never attested) ---------------------------
         "market_share": Q.q_market_share,
         "nation_profit": Q.q_nation_profit,
         "image_dims": Q.q_image_dims,
-        # round-1 overflow: OLAP breadth (windows, rollup, semi/anti,
-        # set ops, pivot)
-        "sku_rolling_range": Q.q_sku_rolling_range,
-        "order_count_distribution": Q.q_order_count_distribution,
-        "idle_rich_customers": Q.q_idle_rich_customers,
-        "sole_late_supplier": Q.q_sole_late_supplier,
-        "dim_scd2": Q.q_dim_scd2,
-        "sales_rollup": Q.q_sales_rollup,
-        "sales_cube": Q.q_sales_cube,
-        "cust_no_orders": Q.q_cust_no_orders,
-        "parts_ordered_semi": Q.q_parts_ordered_semi,
-        "customer_setops": Q.q_customer_setops,
-        "returnflag_pivot": Q.q_returnflag_pivot,
-        # round-1 overflow: rows-only (seeded hash families /
-        # approximate by design)
-        "minhash_pairs": Q.q_minhash_pairs,
-        "minhash_ml_pairs": Q.q_minhash_ml_pairs,
-        "ann_topk": Q.q_ann_topk,
-        "embed_neardup_lsh": Q.q_embed_neardup_lsh,
-        "ivf_topk": Q.q_ivf_topk,
-        "daily_active_users_approx": Q.q_daily_active_users_approx,
-        "stratified_sample": Q.q_stratified_sample,
-        "value_quantile_sketch": Q.q_value_quantile_sketch,
-        # new in round 2: TPC-H decorrelation shapes Q2/Q11/Q15/Q20 +
-        # the approx-quartile scale path
-        "min_cost_supplier": Q.q_min_cost_supplier,
-        "important_part_values": Q.q_important_part_values,
-        "top_revenue_supplier": Q.q_top_revenue_supplier,
-        "bulk_red_shippers": Q.q_bulk_red_shippers,
-        "customer_spend_quartiles_approx": Q.q_customer_spend_quartiles_approx,
-        # new in round 2: corpus curation (quota, packing, splits)
-        "source_quota_sample": Q.q_source_quota_sample,
-        "corpus_pack": Q.q_corpus_pack,
-        "dataset_split": Q.q_dataset_split,
-        "bm25_search": Q.q_bm25_search,
-        "small_qty_revenue": Q.q_small_qty_revenue,
-        "large_volume_customers": Q.q_large_volume_customers,
-        "hybrid_rank": Q.q_hybrid_rank,
-        "local_supplier_revenue": Q.q_local_supplier_revenue,
-        "returned_item_customers": Q.q_returned_item_customers,
-        "promo_revenue_share": Q.q_promo_revenue_share,
-        # --- attested green in CORRECTNESS_r01 -------------------------
-        "stage_sales": Q.q_stage_sales,
-        "dim_products": Q.q_dim_products,
-        "reconcile": Q.q_reconcile,
-        "reconcile_snapshots": Q.q_reconcile_snapshots,
-        "discrepancy_count": Q.q_discrepancy_count,
-        "discrepancy_topk": Q.q_discrepancy_topk,
-        "partition_prune": Q.q_partition_prune,
-        "normalize_clean": Q.q_normalize_clean,
-        "stock_timeseries": Q.q_stock_timeseries,
-        # general OLAP
-        "pricing_summary": Q.q_pricing_summary,
-        "top_customers": Q.q_top_customers,
-        "region_revenue": Q.q_region_revenue,
-        "revenue_forecast": Q.q_revenue_forecast,
-        "nation_trade_volume": Q.q_nation_trade_volume,
-        "events_hour_of_day": Q.q_events_hour_of_day,
-        "dedup_applied": Q.q_dedup_applied,
+        # --- attested only in r01 (stalest first-party evidence) -------
         "parts_above_brand_avg": Q.q_parts_above_brand_avg,
         "sales_grouping_sets": Q.q_sales_grouping_sets,
         "shipping_priority": Q.q_shipping_priority,
@@ -136,6 +79,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": Q.q_embed_neardup,
         "rolling_fingerprint": Q.q_rolling_fingerprint,
         "sku_moving_avg": Q.q_sku_moving_avg,
+        # --- r02-attested reference-parity core, re-attested every -----
+        # round (fills the 50-entry window: 3 + 34 + 13)
+        "stage_sales": Q.q_stage_sales,
+        "dim_products": Q.q_dim_products,
+        "reconcile": Q.q_reconcile,
+        "reconcile_snapshots": Q.q_reconcile_snapshots,
+        "discrepancy_count": Q.q_discrepancy_count,
+        "discrepancy_topk": Q.q_discrepancy_topk,
+        "partition_prune": Q.q_partition_prune,
+        "normalize_clean": Q.q_normalize_clean,
+        "stock_timeseries": Q.q_stock_timeseries,
+        "pricing_summary": Q.q_pricing_summary,
+        "top_customers": Q.q_top_customers,
+        "region_revenue": Q.q_region_revenue,
+        "dedup_applied": Q.q_dedup_applied,
+        # --- tail: freshly attested green in r02 -----------------------
+        "revenue_forecast": Q.q_revenue_forecast,
+        "nation_trade_volume": Q.q_nation_trade_volume,
+        "events_hour_of_day": Q.q_events_hour_of_day,
+        "sku_rolling_range": Q.q_sku_rolling_range,
+        "order_count_distribution": Q.q_order_count_distribution,
+        "idle_rich_customers": Q.q_idle_rich_customers,
+        "sole_late_supplier": Q.q_sole_late_supplier,
+        "dim_scd2": Q.q_dim_scd2,
+        "sales_rollup": Q.q_sales_rollup,
+        "sales_cube": Q.q_sales_cube,
+        "cust_no_orders": Q.q_cust_no_orders,
+        "parts_ordered_semi": Q.q_parts_ordered_semi,
+        "customer_setops": Q.q_customer_setops,
+        "returnflag_pivot": Q.q_returnflag_pivot,
+        # rows-only (seeded hash families / approximate by design)
+        "minhash_pairs": Q.q_minhash_pairs,
+        "minhash_ml_pairs": Q.q_minhash_ml_pairs,
+        "ann_topk": Q.q_ann_topk,
+        "embed_neardup_lsh": Q.q_embed_neardup_lsh,
+        "ivf_topk": Q.q_ivf_topk,
+        "daily_active_users_approx": Q.q_daily_active_users_approx,
+        "stratified_sample": Q.q_stratified_sample,
+        "value_quantile_sketch": Q.q_value_quantile_sketch,
+        # TPC-H decorrelation shapes Q2/Q11/Q15/Q20 + approx quartiles
+        "min_cost_supplier": Q.q_min_cost_supplier,
+        "important_part_values": Q.q_important_part_values,
+        "top_revenue_supplier": Q.q_top_revenue_supplier,
+        "bulk_red_shippers": Q.q_bulk_red_shippers,
+        "customer_spend_quartiles_approx": Q.q_customer_spend_quartiles_approx,
+        # corpus curation (quota, packing, splits)
+        "source_quota_sample": Q.q_source_quota_sample,
+        "corpus_pack": Q.q_corpus_pack,
+        "dataset_split": Q.q_dataset_split,
+        "bm25_search": Q.q_bm25_search,
+        "small_qty_revenue": Q.q_small_qty_revenue,
+        "large_volume_customers": Q.q_large_volume_customers,
+        "hybrid_rank": Q.q_hybrid_rank,
+        "local_supplier_revenue": Q.q_local_supplier_revenue,
+        "returned_item_customers": Q.q_returned_item_customers,
+        "promo_revenue_share": Q.q_promo_revenue_share,
     }
 
 
