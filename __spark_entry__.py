@@ -41,6 +41,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": Q.q_market_share,
         "nation_profit": Q.q_nation_profit,
         "image_dims": Q.q_image_dims,
+        "order_priority_check": Q.q_order_priority_check,
+        "disjunctive_revenue": Q.q_disjunctive_revenue,
+        "supplier_variety": Q.q_supplier_variety,
+        "contamination_check": Q.q_contamination_check,
+        "doc_repetition": Q.q_doc_repetition,
         # --- attested only in r01 (stalest first-party evidence) -------
         "parts_above_brand_avg": Q.q_parts_above_brand_avg,
         "sales_grouping_sets": Q.q_sales_grouping_sets,
@@ -80,7 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": Q.q_rolling_fingerprint,
         "sku_moving_avg": Q.q_sku_moving_avg,
         # --- r02-attested reference-parity core, re-attested every -----
-        # round (fills the 50-entry window: 3 + 34 + 13)
+        # round (fills the 50-entry window: 8 + 34 + 8)
         "stage_sales": Q.q_stage_sales,
         "dim_products": Q.q_dim_products,
         "reconcile": Q.q_reconcile,
@@ -252,6 +257,83 @@ SELECT doc_id,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 24 END AS INT) AS bit_depth
 FROM documents
 ORDER BY doc_id
+""",
+        "order_priority_check": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+        "disjunctive_revenue": """
+SELECT CAST(COUNT(*) AS BIGINT) AS matched_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+        "supplier_variety": """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#12'
+  AND p.p_type NOT LIKE 'MEDIUM%'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+""",
+        "contamination_check": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 3 + 2), i ->
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+  FROM tok WHERE len(toks) >= 3
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+SELECT b.doc_id AS bench_doc, c.doc_id AS corpus_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM ex b JOIN ex c ON b.shingle = c.shingle
+WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+ORDER BY bench_doc, corpus_doc
+""",
+        "doc_repetition": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+tg AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - 3 + 2), i ->
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS tris
+  FROM tok WHERE len(toks) >= 3
+)
+SELECT doc_id,
+       CAST(len(tris) AS INT) AS n_trigrams,
+       CAST(len(list_distinct(tris)) AS INT) AS n_distinct,
+       ROUND(1 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris), 4)
+         AS repetition
+FROM tg
+ORDER BY repetition DESC, doc_id ASC
+LIMIT 25
 """,
         "nation_profit": """
 SELECT n.n_name AS nation,

@@ -118,8 +118,10 @@ def fingerprint(col: Column | str) -> Column:
     return F.sha2(c, 256)
 
 
-def word_ngrams(col: Column | str, n: int) -> Column:
-    """Distinct word n-gram shingles, linear time.
+def word_ngrams(col: Column | str, n: int, distinct: bool = True) -> Column:
+    """Word n-gram shingles, linear time; distinct by default (the
+    dedup/LSH form), ``distinct=False`` keeps every occurrence in
+    position order (the repetition-analysis form).
 
     Built as n-1 ``zip_with`` folds over shifted slices rather than
     per-position ``element_at`` indexing: a lambda that indexes the token
@@ -135,7 +137,8 @@ def word_ngrams(col: Column | str, n: int) -> Column:
         acc = F.zip_with(
             acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y)
         )
-    return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
+    filtered = F.filter(acc, lambda x: x.isNotNull())
+    return F.array_distinct(filtered) if distinct else filtered
 
 
 def token_hash32(tok: Column) -> Column:

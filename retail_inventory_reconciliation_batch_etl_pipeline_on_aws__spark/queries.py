@@ -1926,3 +1926,135 @@ def q_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fixtures.load(spark, sf_dir, "documents").select("doc_id")
     return image_dimensions(with_test_images(docs)).orderBy("doc_id")
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted): orders per priority in one quarter
+    having at least one RETURNED line (the testdata has no
+    l_commitdate/l_receiptdate, so the 'problem line' predicate is
+    l_returnflag = 'R'). EXISTS compiles to a LEFT SEMI join -- the
+    fact side is deduplicated by the join itself, no distinct, and the
+    returnflag filter prunes the probe side in the scan."""
+    orders = fixtures.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = fixtures.load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted to available columns): revenue from an
+    OR of three (brand, size-range, quantity-range) branches -- the
+    disjunctive-predicate shape. The part-side conjuncts cannot be
+    pushed below the join individually, but their DISJUNCTION over
+    p_brand/p_size can and is (PushedFilters Or(...) on the part scan);
+    the quantity residual rides the broadcast-join filter. Exact
+    DECIMAL until the final cast."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    part = fixtures.load(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    qty = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(branch)
+        .agg(
+            F.count("*").cast("long").alias("matched_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted): distinct suppliers per part attribute
+    combo, with brand/type/size exclusions. The testdata has no
+    partsupp table, so the part-supplier relation is the one OBSERVED
+    in lineitem -- same join tree, count(distinct) aggregation with
+    Spark's two-phase partial-distinct (the (attrs, suppkey) dedup
+    happens map-side before the shuffle)."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    part = fixtures.load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#12")
+        & ~F.col("p_type").startswith("MEDIUM")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination scan: corpus docs sharing >= 2 distinct
+    trigrams with a 'benchmark' slice (every 97th doc). See
+    operators.dedup.contamination_pairs for the scale posture."""
+    from .operators.dedup import contamination_pairs
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return contamination_pairs(corpus, bench, n=3, min_shared=2).orderBy(
+        "bench_doc", "corpus_doc"
+    )
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score (Gopher/C4-style quality rule):
+    1 - distinct/total trigram ratio per doc, worst 25. All
+    higher-order functions -- the trigram arrays never leave their row,
+    and only (doc_id, 2 ints, 1 double) reach the top-k."""
+    from .functions.text import tokens, word_ngrams
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    tris = (
+        docs.where(F.size(tokens("text")) >= 3)
+        .select("doc_id", word_ngrams("text", 3, distinct=False).alias("_tris"))
+    )
+    return (
+        tris.select(
+            "doc_id",
+            F.size("_tris").cast("int").alias("n_trigrams"),
+            F.size(F.array_distinct("_tris")).cast("int").alias("n_distinct"),
+        )
+        .withColumn(
+            "repetition",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_trigrams"),
+                4,
+            ),
+        )
+        .orderBy(F.col("repetition").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
