@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_variety": Q.q_supplier_variety,
         "contamination_check": Q.q_contamination_check,
         "doc_repetition": Q.q_doc_repetition,
+        "priority_class_lines": Q.q_priority_class_lines,
         # --- attested only in r01 (stalest first-party evidence) -------
         "parts_above_brand_avg": Q.q_parts_above_brand_avg,
         "sales_grouping_sets": Q.q_sales_grouping_sets,
@@ -85,7 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": Q.q_rolling_fingerprint,
         "sku_moving_avg": Q.q_sku_moving_avg,
         # --- r02-attested reference-parity core, re-attested every -----
-        # round (fills the 50-entry window: 8 + 34 + 8)
+        # round (fills the 50-entry window: 9 + 34 + 7)
         "stage_sales": Q.q_stage_sales,
         "dim_products": Q.q_dim_products,
         "reconcile": Q.q_reconcile,
@@ -257,6 +258,18 @@ SELECT doc_id,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 24 END AS INT) AS bit_depth
 FROM documents
 ORDER BY doc_id
+""",
+        "priority_class_lines": """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
 """,
         "order_priority_check": """
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count

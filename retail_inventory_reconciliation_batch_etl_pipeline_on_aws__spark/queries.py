@@ -2058,3 +2058,27 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("repetition").desc(), F.col("doc_id").asc())
         .limit(25)
     )
+
+
+def q_priority_class_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted): two-bucket CASE counts per group from
+    one fact-dim join pass -- the testdata has no l_shipmode, so the
+    grouping is l_returnflag and the bucket predicate is the order's
+    priority class (URGENT/HIGH vs rest), preserving the shape: join,
+    then sum-of-CASE pairs (map-side combinable), one shuffle on the
+    group key, date bound pushed into the orders scan."""
+    orders = fixtures.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
