@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": Q.q_contamination_check,
         "doc_repetition": Q.q_doc_repetition,
         "priority_class_lines": Q.q_priority_class_lines,
+        "weekly_retention": Q.q_weekly_retention,
+        "segment_top_percentile": Q.q_segment_top_percentile,
         # --- attested only in r01 (stalest first-party evidence) -------
         "parts_above_brand_avg": Q.q_parts_above_brand_avg,
         "sales_grouping_sets": Q.q_sales_grouping_sets,
@@ -86,7 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": Q.q_rolling_fingerprint,
         "sku_moving_avg": Q.q_sku_moving_avg,
         # --- r02-attested reference-parity core, re-attested every -----
-        # round (fills the 50-entry window: 9 + 34 + 7)
+        # round (fills the 50-entry window: 11 + 34 + 5)
         "stage_sales": Q.q_stage_sales,
         "dim_products": Q.q_dim_products,
         "reconcile": Q.q_reconcile,
@@ -258,6 +260,28 @@ SELECT doc_id,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 24 END AS INT) AS bit_depth
 FROM documents
 ORDER BY doc_id
+""",
+        "weekly_retention": """
+WITH wk AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+)
+SELECT a.week AS week,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users,
+       CAST(COUNT(DISTINCT CASE WHEN b.user_id IS NOT NULL THEN a.user_id END)
+            AS BIGINT) AS retained_next_week
+FROM wk a LEFT JOIN wk b
+  ON a.user_id = b.user_id AND b.week = a.week + INTERVAL 7 DAY
+GROUP BY 1
+ORDER BY week
+""",
+        "segment_top_percentile": """
+SELECT c_mktsegment, c_custkey,
+       ROUND(percent_rank() OVER (
+         PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 4) AS pr
+FROM customer
+QUALIFY pr >= 0.99
+ORDER BY c_mktsegment, c_custkey
 """,
         "priority_class_lines": """
 SELECT l_returnflag,

@@ -2082,3 +2082,52 @@ def q_priority_class_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: per ISO week, active users and how many return
+    the FOLLOWING week. The (user, week) grain is deduplicated first --
+    the self-join then matches one row per user per week, so the
+    shuffle carries ids and dates only and can never explode past
+    |users| x |weeks|."""
+    ev = fixtures.events(spark, sf_dir)
+    wk = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    nxt = wk.select(
+        F.col("user_id").alias("_uid"), F.col("week").alias("_next_week")
+    )
+    return (
+        wk.join(
+            nxt,
+            (F.col("user_id") == F.col("_uid"))
+            & (F.col("_next_week") == F.date_add(F.col("week"), 7)),
+            "left",
+        )
+        .groupBy("week")
+        .agg(
+            F.count_distinct("user_id").alias("active_users"),
+            F.count_distinct(
+                F.when(F.col("_uid").isNotNull(), F.col("user_id"))
+            ).alias("retained_next_week"),
+        )
+        .orderBy("week")
+    )
+
+
+def q_segment_top_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank window per market segment: the top-1% customers by
+    account balance. Rank order is made total with the key tiebreak,
+    so the 4dp-rounded score is deterministic cross-engine; one
+    shuffle on the segment key."""
+    cust = fixtures.load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round(F.percent_rank().over(w), 4).alias("pr"),
+        )
+        .where(F.col("pr") >= 0.99)
+        .orderBy("c_mktsegment", "c_custkey")
+    )
