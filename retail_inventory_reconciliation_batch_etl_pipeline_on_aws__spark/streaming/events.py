@@ -357,3 +357,53 @@ def run_to_memory_sink(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def run_merge_upsert_stream(
+    updates_stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    key_cols: str | list[str],
+    partition_col: str = "date_key",
+    version_col: str | None = None,
+) -> list[dict]:
+    """Streaming CDC: a change stream lands in the partitioned mart as
+    row-level keyed MERGEs -- ``foreachBatch`` over the batch
+    ``merge_upsert``, one transactional-in-effect merge per micro-batch.
+
+    The streaming layer adds exactly-once-in-effect semantics on top of
+    the merge's own idempotency: a replayed micro-batch (restart from
+    the same checkpoint) re-merges identical rows, which same-key
+    replace makes a no-op. Returns the per-batch audit dicts (batch_id
+    added) so a monitoring hook sees rows_inserted/rows_replaced per
+    micro-batch -- the streaming equivalent of the reference DAG's
+    post-load row-count check (dags/retail_pipeline_dag.py:60-70).
+    """
+    from ..sources.writers import merge_upsert
+
+    audits: list[dict] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        audit = merge_upsert(
+            batch_df.sparkSession,
+            batch_df,
+            path,
+            key_cols,
+            partition_col=partition_col,
+            version_col=version_col,
+        )
+        audits.append({"batch_id": batch_id, **audit})
+
+    q = (
+        updates_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return audits

@@ -235,3 +235,62 @@ def test_sessionize_drain_equals_batch_exactly(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch  # no open tail left behind, sentinel invisible
+
+
+def test_streaming_cdc_merge_upsert(spark, tmp_path):
+    """foreachBatch CDC: a change-file stream lands as keyed merges;
+    per-batch audit metrics surface; replaying the same changes through
+    a FRESH stream (new checkpoint, same files) leaves the mart
+    byte-identical -- exactly-once-in-effect on top of merge
+    idempotency."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.writers import (
+        merge_upsert,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (
+        run_merge_upsert_stream,
+    )
+
+    mart = str(tmp_path / "cdc_mart")
+    base = spark.createDataFrame(
+        [("2024-01-01", "A", 1), ("2024-01-01", "B", 2), ("2024-01-02", "C", 3)],
+        "date_key string, sku string, qty int",
+    )
+    merge_upsert(spark, base, mart, key_cols=["date_key", "sku"])
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    changes = spark.createDataFrame(
+        [("2024-01-01", "B", 20), ("2024-01-01", "D", 4)],
+        "date_key string, sku string, qty int",
+    )
+    changes.coalesce(1).write.mode("append").parquet(str(src))
+
+    def run(ckpt: str) -> list[dict]:
+        stream = spark.readStream.schema(
+            "date_key string, sku string, qty int"
+        ).parquet(str(src))
+        return run_merge_upsert_stream(
+            stream, mart, str(tmp_path / ckpt), key_cols=["date_key", "sku"]
+        )
+
+    audits = run("ckpt1")
+    assert len(audits) == 1
+    assert audits[0]["rows_replaced"] == 1 and audits[0]["rows_inserted"] == 1
+
+    def snapshot():
+        return sorted(
+            (str(r.date_key), r.sku, r.qty)
+            for r in spark.read.parquet(mart).collect()
+        )
+
+    expected = [
+        ("2024-01-01", "A", 1),
+        ("2024-01-01", "B", 20),
+        ("2024-01-01", "D", 4),
+        ("2024-01-02", "C", 3),
+    ]
+    assert snapshot() == expected
+    # replay with a fresh checkpoint: same files re-merge to a no-op
+    audits2 = run("ckpt2")
+    assert len(audits2) == 1 and audits2[0]["rows_inserted"] == 0
+    assert snapshot() == expected
