@@ -80,6 +80,10 @@ def main() -> None:
                 "runs": runs,
                 "warmup": warmup,
                 "n_runs": n_runs,
+                # co-tenancy context: 1/5/15-min load averages at finish.
+                # this box runs other tenants; a uniformly-elevated round
+                # with high load is noise, not regression
+                "load_avg": [round(x, 2) for x in os.getloadavg()],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
