@@ -174,3 +174,33 @@ def test_bm25_no_text_crosses_a_shuffle(spark):
     assert exchange_blocks, "no Exchange blocks parsed from formatted plan"
     for b in exchange_blocks:
         assert not re.search(r"\btext#\d+", b), f"text crosses a shuffle:\n{b}"
+
+
+def test_market_share_single_fact_scan_all_joins_broadcast(spark):
+    """Q8 guard: the 8-table market-share join must keep ONE lineitem
+    scan, every join a broadcast at test scale (nation x2 / region /
+    part / supplier are forced; orders/customer qualify by size here --
+    at real SF those two fall back to shuffle joins and that is
+    correct), no sort-merge, and exactly 2 exchanges (the year
+    aggregation + the output ordering)."""
+    p = plan_of(spark, "market_share")
+    scans = re.findall(r"InMemoryFileIndex \[[^\]]*?/(\w+)\.parquet\]", p)
+    assert scans.count("lineitem") == 1, f"fact scans: {scans}"
+    assert scans.count("nation") == 2, f"need both nation roles: {scans}"
+    assert "SortMergeJoin" not in p
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", p))
+    assert n_shuffles == 2, f"expected 2 exchanges, plan has {n_shuffles}"
+    # the p_type filter must reach the part scan
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(p_type,ECONOMY\)", p), p
+
+
+def test_image_dims_narrow_until_output_sort(spark):
+    """Image decode guard: payload synth + header parse are two
+    Arrow-batched MapInPandas stages with NO exchange between them
+    (payload bytes never shuffle); the only exchange is the final
+    doc_id output ordering, which carries the decoded metadata."""
+    p = plan_of(spark, "image_dims")
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 2
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", p))
+    assert n_shuffles == 1, f"expected only the output-order exchange: {n_shuffles}"
+    assert "BatchEvalPython" not in p
