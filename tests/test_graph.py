@@ -119,3 +119,42 @@ def test_components_salt_invariant(spark):
     salted = {(r.node, r.component) for r in connected_components(edges, skew_salt=8).collect()}
     plain = {(r.node, r.component) for r in connected_components(edges, skew_salt=1).collect()}
     assert salted == plain
+
+
+def test_contamination_df_cap_prunes_common_shingles(spark):
+    """Stop-shingle guard: an uncapped run over a tiny fixture counts
+    every shared trigram; capping corpus shingle document-frequency at
+    1 must (a) drop pairs that met only through the boilerplate shingle
+    shared by every corpus doc and (b) leave the rare-shingle pair
+    intact with its rare-only count. A huge cap must equal uncapped."""
+    from pyspark.sql import functions as F
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.dedup import (
+        contamination_pairs,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "terms of service rare gem phrase")], "doc_id bigint, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "terms of service apply here now"),   # boilerplate only
+            (2, "terms of service rare gem phrase"),  # boilerplate + rare
+            (3, "terms of service apply here too"),   # boilerplate only
+        ],
+        "doc_id bigint, text string",
+    )
+
+    def pairs(**kw):
+        return {
+            (r.bench_doc, r.corpus_doc): r.n_shared
+            for r in contamination_pairs(corpus, bench, n=3, min_shared=1, **kw).collect()
+        }
+
+    uncapped = pairs()
+    assert uncapped[(0, 2)] == 4  # all 4 shared trigrams
+    assert (0, 1) in uncapped and (0, 3) in uncapped
+    capped = pairs(max_shingle_df=1)
+    assert set(capped) == {(0, 2)}  # boilerplate-only pairs gone
+    assert capped[(0, 2)] == 3      # 'terms of service' (df=3) excluded
+    assert pairs(max_shingle_df=10**6) == uncapped

@@ -172,3 +172,29 @@ def test_merge_upsert_equals_dict_semantics(spark, tmp_path_factory, batches):
             for r in spark.read.parquet(path).collect()
         }
         assert got == truth
+
+
+from hypothesis import given, settings as hsettings, strategies as st
+
+from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.multimodal import (
+    decode_image,
+    encode_bmp_rgb,
+    encode_png_gray,
+)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=4096),
+    h=st.integers(min_value=1, max_value=64),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@hsettings(max_examples=40, deadline=None)
+def test_image_codec_roundtrip_property(w, h, seed):
+    """Any (width, height, seed): the header decoder must recover the
+    encoder's dimensions exactly for both formats."""
+    assert decode_image(encode_png_gray(w, h, seed)) == {
+        "format": "png", "width": w, "height": h, "bit_depth": 8,
+    }
+    assert decode_image(encode_bmp_rgb(w, h, seed)) == {
+        "format": "bmp", "width": w, "height": h, "bit_depth": 24,
+    }
