@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_class_lines": Q.q_priority_class_lines,
         "weekly_retention": Q.q_weekly_retention,
         "segment_top_percentile": Q.q_segment_top_percentile,
+        "table_profile": Q.q_table_profile,
+        "sku_sale_gaps": Q.q_sku_sale_gaps,
         # --- attested only in r01 (stalest first-party evidence) -------
         "parts_above_brand_avg": Q.q_parts_above_brand_avg,
         "sales_grouping_sets": Q.q_sales_grouping_sets,
@@ -88,7 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": Q.q_rolling_fingerprint,
         "sku_moving_avg": Q.q_sku_moving_avg,
         # --- r02-attested reference-parity core, re-attested every -----
-        # round (fills the 50-entry window: 11 + 34 + 5)
+        # round (fills the 50-entry window: 13 + 34 + 3)
         "stage_sales": Q.q_stage_sales,
         "dim_products": Q.q_dim_products,
         "reconcile": Q.q_reconcile,
@@ -260,6 +262,68 @@ SELECT doc_id,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 24 END AS INT) AS bit_depth
 FROM documents
 ORDER BY doc_id
+""",
+        "table_profile": """
+SELECT 'o_orderkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_v,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_custkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_v,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_orderdate' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderdate) AS VARCHAR) AS min_v,
+       CAST(MAX(o_orderdate) AS VARCHAR) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderpriority) AS VARCHAR) AS min_v,
+       CAST(MAX(o_orderpriority) AS VARCHAR) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderstatus) AS VARCHAR) AS min_v,
+       CAST(MAX(o_orderstatus) AS VARCHAR) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_totalprice' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS min_v,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS max_v
+FROM orders
+ORDER BY col
+""",
+        "sku_sale_gaps": """
+WITH sales AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS sku, CAST(l_shipdate AS DATE) AS sale_date
+  FROM lineitem WHERE l_partkey % 100 = 0
+),
+daily AS (SELECT DISTINCT sku, sale_date FROM sales),
+gaps AS (
+  SELECT sku,
+         date_diff('day', lag(sale_date) OVER (PARTITION BY sku ORDER BY sale_date),
+                   sale_date) AS gap_days
+  FROM daily
+)
+SELECT sku, CAST(MAX(gap_days) AS INT) AS max_gap,
+       ROUND(AVG(gap_days), 4) AS mean_gap
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY sku
+ORDER BY sku
 """,
         "weekly_retention": """
 WITH wk AS (

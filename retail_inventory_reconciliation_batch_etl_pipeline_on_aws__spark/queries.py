@@ -2131,3 +2131,38 @@ def q_segment_top_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pr") >= 0.99)
         .orderBy("c_mktsegment", "c_custkey")
     )
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass ANALYZE-style column profile of the orders table
+    (functions.checks.column_profile): null/distinct/min/max per column
+    from a single aggregation + driver-free long-form pivot."""
+    from .functions.checks import column_profile
+
+    orders = fixtures.load(spark, sf_dir, "orders")
+    return column_profile(
+        orders, decimal_cols=("o_totalprice",)
+    ).orderBy("col")
+
+
+def q_sku_sale_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG + datediff shape: per-sku days-between-consecutive-sale-days
+    summary (max gap and mean gap, 4dp). One window shuffle on the sku
+    key, then one aggregation on the same key -- the second groupBy
+    reuses the window's hash partitioning, no extra exchange."""
+    sales = fixtures.pos_sales(spark, sf_dir).where(
+        F.col("sku").cast("int") % 100 == 0
+    )
+    daily = sales.select("sku", "sale_date").distinct()
+    w = Window.partitionBy("sku").orderBy("sale_date")
+    gaps = daily.withColumn(
+        "gap_days", F.datediff(F.col("sale_date"), F.lag("sale_date").over(w))
+    ).where(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("sku")
+        .agg(
+            F.max("gap_days").cast("int").alias("max_gap"),
+            F.round(F.avg("gap_days"), 4).alias("mean_gap"),
+        )
+        .orderBy("sku")
+    )

@@ -401,3 +401,45 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_broadcast_threshold_drives_join_strategy(spark):
+    """autoBroadcastJoinThreshold is the knob that decides dim-join
+    strategy for UNHINTED joins: disabled (-1) the same query plans a
+    shuffle join; at the default 10MB the small side broadcasts. Proves
+    the engine's unhinted joins stay tunable per-deployment instead of
+    hard-wiring a strategy (explicit F.broadcast hints are reserved for
+    the bounded dims that are broadcast-safe at ANY scale)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from conftest import TESTDATA
+
+    def plan_with(threshold: str) -> str:
+        # build the frame AFTER setting the conf: physical planning is
+        # cached per QueryExecution, so a pre-built frame would keep the
+        # strategy chosen under the previous threshold
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        try:
+            big = spark.read.parquet(f"{TESTDATA}/lineitem.parquet")
+            dim = spark.read.parquet(f"{TESTDATA}/part.parquet")
+            joined = (
+                big.join(dim, big.l_partkey == dim.p_partkey)
+                .groupBy("p_type")
+                .agg(F.sum("l_quantity").alias("q"))
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            return buf.getvalue()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    disabled = plan_with("-1")
+    assert "BroadcastHashJoin" not in disabled
+    assert "SortMergeJoin" in disabled or "ShuffledHashJoin" in disabled
+    enabled = plan_with("10485760")
+    assert "BroadcastHashJoin" in enabled
