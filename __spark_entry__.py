@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_top_percentile": Q.q_segment_top_percentile,
         "table_profile": Q.q_table_profile,
         "sku_sale_gaps": Q.q_sku_sale_gaps,
+        "decontaminated_split": Q.q_decontaminated_split,
         # --- attested only in r01 (stalest first-party evidence) -------
         "parts_above_brand_avg": Q.q_parts_above_brand_avg,
         "sales_grouping_sets": Q.q_sales_grouping_sets,
@@ -90,7 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": Q.q_rolling_fingerprint,
         "sku_moving_avg": Q.q_sku_moving_avg,
         # --- r02-attested reference-parity core, re-attested every -----
-        # round (fills the 50-entry window: 13 + 34 + 3)
+        # round (fills the 50-entry window: 14 + 34 + 2)
         "stage_sales": Q.q_stage_sales,
         "dim_products": Q.q_dim_products,
         "reconcile": Q.q_reconcile,
@@ -262,6 +263,44 @@ SELECT doc_id,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 24 END AS INT) AS bit_depth
 FROM documents
 ORDER BY doc_id
+""",
+        "decontaminated_split": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 3 + 2), i ->
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+  FROM tok WHERE len(toks) >= 3
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+dirty AS (
+  SELECT DISTINCT c.doc_id
+  FROM ex b JOIN ex c ON b.shingle = c.shingle
+  WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+  GROUP BY b.doc_id, c.doc_id
+  HAVING COUNT(*) >= 2
+),
+clean AS (
+  SELECT d.doc_id FROM documents d
+  WHERE d.doc_id % 97 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+),
+b2 AS (
+  SELECT CAST(list_sum(list_transform(range(1, 9), i ->
+           (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+           * power(16, 8 - i))) AS BIGINT) % 10 AS bucket
+  FROM clean
+)
+SELECT CASE WHEN bucket < 8 THEN 'train'
+            WHEN bucket = 8 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM b2 GROUP BY 1
+ORDER BY split
 """,
         "table_profile": """
 SELECT 'o_orderkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -2166,3 +2166,39 @@ def q_sku_sale_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sku")
     )
+
+
+def q_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline end-to-end: drop corpus docs contaminated
+    against the benchmark slice (>= 2 shared trigrams; anti join on the
+    contamination pairs, ids only), then hash-split the survivors
+    80/10/10. Composition of ``contamination_pairs`` + the
+    ``dataset_split`` bucket idiom -- the query a training job actually
+    ships. Benchmark docs themselves are excluded from the corpus."""
+    from .operators.dedup import contamination_pairs
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    dirty = (
+        contamination_pairs(corpus, bench, n=3, min_shared=2)
+        .select(F.col("corpus_doc").alias("doc_id"))
+        .distinct()
+    )
+    clean = corpus.join(dirty, "doc_id", "left_anti")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        clean.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split")
+    )
