@@ -1328,14 +1328,17 @@ def q_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-part spend value from ASIAN suppliers, keeping parts whose
     value exceeds 0.1% of the GLOBAL total -- the pattern where a
     grouped aggregate is filtered against a scalar aggregate of itself.
-    The global total is an unpartitioned window SUM over the
-    already-grouped frame: one pass over |parts| aggregate rows,
-    instead of re-running the fact join+aggregation lineage for a
-    1-row broadcast (Catalyst plans that lineage twice; the window form
-    scans lineitem once). The single-task window is dimension-sized by
-    construction -- post-aggregate cardinality, never fact rows. The
-    threshold compare ``value * 1000 > total`` stays in DECIMAL so both
-    engines agree exactly (never multiply by a float fraction).
+    Scale posture: the grouped aggregate is MATERIALIZED (``persist``),
+    then the global total is a 1-row ``agg`` over the cached frame,
+    rejoined via a broadcast cross-join.  Both consumers read the same
+    InMemoryRelation, so the fact join+aggregation lineage runs exactly
+    once, and -- unlike the ``Window.partitionBy()`` form this replaced
+    -- NO single-task stage exists anywhere: at 100 TB, where |parts|
+    is itself billions, an unpartitioned window over the aggregate is
+    a straggler/OOM, while the 1-row total reduces tree-style and the
+    broadcast is 16 bytes.  The threshold compare ``value * 1000 >
+    total`` stays in DECIMAL so both engines agree exactly (never
+    multiply by a float fraction).
     """
     li = fixtures.load(spark, sf_dir, "lineitem")
     supp = fixtures.load(spark, sf_dir, "supplier")
@@ -1352,10 +1355,11 @@ def q_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(asian), li.l_suppkey == asian.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice")).alias("value"))
+        .persist()  # both consumers below read this one materialization
     )
-    w = Window.partitionBy()  # global: one pass over the aggregate rows
+    total = values.agg(F.sum("value").alias("total"))  # 1 row, tree-reduced
     return (
-        values.withColumn("total", F.sum("value").over(w))
+        values.crossJoin(F.broadcast(total))
         .where(F.col("value") * 1000 > F.col("total"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
@@ -1369,13 +1373,16 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarter, returning the supplier(s) achieving the maximum.
 
     The "create view revenue0 ... where total_supplycost = (select
-    max(...) from revenue0)" pattern decorrelates to: aggregate once,
-    compare every row to the max over an unpartitioned window of the
-    SAME aggregate. The window form guarantees the revenue lineage
-    (lineitem scan + aggregation) is planned exactly once -- a scalar
-    re-aggregation broadcast duplicates it -- and its single-task stage
-    sees only |suppliers| post-aggregate rows. Money in DECIMAL end to
-    end makes the equality exact; ties return every witness.
+    max(...) from revenue0)" pattern decorrelates to: aggregate once
+    into a MATERIALIZED frame (``persist``), take the 1-row MAX of the
+    cached frame, and broadcast-cross-join it back for the equality
+    filter.  Both consumers read the same InMemoryRelation, so the
+    revenue lineage (lineitem scan + aggregation) runs exactly once,
+    and no single-task stage exists -- the ``Window.partitionBy()``
+    form this replaced funnels all |suppliers| aggregate rows (billions
+    at the 100 TB north star) through one task, while the 1-row max
+    reduces tree-style.  Money in DECIMAL end to end makes the
+    equality exact; ties return every witness.
     """
     li = fixtures.load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
@@ -1385,10 +1392,14 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec("l_extendedprice") * (
         F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
     )
-    revenue = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_revenue"))
-    w = Window.partitionBy()  # global: one pass over |suppliers| rows
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("total_revenue"))
+        .persist()  # both consumers below read this one materialization
+    )
+    best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
-        revenue.withColumn("max_revenue", F.max("total_revenue").over(w))
+        revenue.crossJoin(F.broadcast(best))
         .where(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select(

@@ -204,3 +204,21 @@ def test_image_dims_narrow_until_output_sort(spark):
     n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", p))
     assert n_shuffles == 1, f"expected only the output-order exchange: {n_shuffles}"
     assert "BatchEvalPython" not in p
+
+
+def test_global_scalar_gates_have_no_single_partition_window(spark):
+    """Q11/Q15 guard (VERDICT r3 top item): the grouped-aggregate vs
+    global-scalar pattern must be a persisted aggregate + 1-row agg +
+    broadcast cross-join -- NEVER an unpartitioned WindowExec, which
+    funnels the whole post-aggregate frame (billions of parts/suppliers
+    at 100 TB) through a single task.  Also pins: one fact scan (the
+    cache is the reuse point, not a second lineitem read) and the 1-row
+    scalar riding a broadcast."""
+    for q in ("important_part_values", "top_revenue_supplier"):
+        p = plan_of(spark, q)
+        assert "Window" not in p, f"{q}: single-partition window came back"
+        scans = re.findall(r"InMemoryFileIndex \[[^\]]*?/(\w+)\.parquet\]", p)
+        assert scans.count("lineitem") == 1, f"{q} fact scans: {scans}"
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, (
+            f"{q}: scalar gate must broadcast"
+        )

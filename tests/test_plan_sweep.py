@@ -20,6 +20,8 @@ NESTED_LOOP_OK = {
     "idle_rich_customers",  # 1-row scalar-aggregate broadcast (decorrelated scalar subquery)
     "customer_spend_quartiles_approx",  # 1-row broadcast of approx cut points
     "bm25_search",  # 1-row broadcast of (N, avg_dl) corpus stats
+    "important_part_values",  # 1-row global-total broadcast gate (r4 de-windowed Q11)
+    "top_revenue_supplier",  # 1-row max-revenue broadcast gate (r4 de-windowed Q15)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why
