@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     value-level on every pytest run.
     """
     return {
+        # --- new in round 4 (never attested) ---------------------------
+        "contamination_hashed": Q.q_contamination_hashed,
         # --- new in round 3 (never attested) ---------------------------
         "market_share": Q.q_market_share,
         "nation_profit": Q.q_nation_profit,
@@ -432,6 +434,30 @@ WHERE p.p_brand <> 'Brand#12'
   AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
 GROUP BY p.p_brand, p.p_type, p.p_size
 ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+""",
+        # hashed variant must reproduce the exact string-shingle result:
+        # same oracle, so a 64-bit fold collision or hashing bug fails the
+        # value-hash compare rather than passing silently
+        "contamination_hashed": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 3 + 2), i ->
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+  FROM tok WHERE len(toks) >= 3
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+SELECT b.doc_id AS bench_doc, c.doc_id AS corpus_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM ex b JOIN ex c ON b.shingle = c.shingle
+WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+ORDER BY bench_doc, corpus_doc
 """,
         "contamination_check": """
 WITH tok AS (

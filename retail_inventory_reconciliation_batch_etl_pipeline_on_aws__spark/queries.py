@@ -2040,6 +2040,24 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-posture contamination scan: identical semantics to
+    ``contamination_check`` but shingles are xxhash64-folded to longs
+    before any join/exchange, so at 100 TB the shuffle-fallback keys
+    are fixed 8-byte longs and no n-gram string ever leaves its
+    executor.  Oracle-paired against the exact STRING-shingle SQL --
+    a hash collision (or any fold bug) hash-mismatches the artifact,
+    which is the point of keeping both variants."""
+    from .operators.dedup import contamination_pairs
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return contamination_pairs(
+        corpus, bench, n=3, min_shared=2, hash_shingles=True
+    ).orderBy("bench_doc", "corpus_doc")
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition score (Gopher/C4-style quality rule):
     1 - distinct/total trigram ratio per doc, worst 25. All

@@ -222,3 +222,28 @@ def test_global_scalar_gates_have_no_single_partition_window(spark):
         assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, (
             f"{q}: scalar gate must broadcast"
         )
+
+
+def test_contamination_benchmark_side_is_the_build_side(spark):
+    """Contamination guard (VERDICT r3 / ADVICE): the benchmark shingle
+    side carries the broadcast hint, so the BUILD side is the bench
+    side (left) -- a corpus-side build is an OOM when the corpus is
+    trillions of shingles.  Pre-hint, Catalyst picked BuildRight at
+    test scale because both sides fit."""
+    for q in ("contamination_check", "contamination_hashed"):
+        p = plan_of(spark, q)
+        m = re.findall(r"BroadcastHashJoin.*Build(Left|Right)", p)
+        assert m, f"{q}: no broadcast hash join found\n{p}"
+        assert all(side == "Left" for side in m), f"{q}: corpus became build side: {m}"
+
+
+def test_contamination_hashed_no_string_crosses_an_exchange(spark):
+    """Hashed-variant guard: shingles fold to 8-byte longs before any
+    exchange, so no Exchange block may reference the text or shingle
+    string attributes (bm25-guard idiom)."""
+    p = plan_of(spark, "contamination_hashed")
+    blocks = re.split(r"\n\n", p)
+    exchange_blocks = [b for b in blocks if re.match(r"\(\d+\) Exchange", b)]
+    assert exchange_blocks, "no Exchange blocks parsed from formatted plan"
+    for b in exchange_blocks:
+        assert not re.search(r"\btext#\d+", b), f"text crosses a shuffle:\n{b}"
