@@ -59,7 +59,8 @@ def main() -> None:
     # co-tenant load spikes), "runs" reports every sample so a reader
     # can classify a delta vs the previous round as noise (spread
     # overlaps) or regression (spread cleanly shifted) without a rerun
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # clamp: 0/negative would leave empty sample lists and min() raises
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for _ in range(n_runs):
         for name in BENCH_QUERIES:

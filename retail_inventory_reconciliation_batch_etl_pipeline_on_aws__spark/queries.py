@@ -2107,7 +2107,10 @@ def q_priority_class_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+            # ~high (not otherwise(1)): a NULL priority is NULL under both
+            # `high` and `~high`, falling to 0 in both buckets -- matching
+            # the SQL oracle's CASE WHEN ... NOT IN, where NULL is neither
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
         .orderBy("l_returnflag")
     )

@@ -121,9 +121,17 @@ def avro_available(spark: SparkSession) -> bool:
         return True
     except Exception as exc:
         # PySpark converts the JVM error into a captured AnalysisException
-        # ("Failed to find data source: avro") when the jar is absent;
-        # classify by message and re-raise everything else (a Py4JError
+        # ("Failed to find data source: avro") when the jar is absent --
+        # the exception CLASS is the primary signal (wording is
+        # Spark-version-sensitive), the message substrings the fallback
+        # for raw Py4J surfaces; anything else re-raises (a Py4JError
         # "Method ... does not exist" means the PROBE broke, not the jar)
+        try:
+            from pyspark.errors import AnalysisException
+        except ImportError:  # pragma: no cover - pre-3.4 layout
+            from pyspark.sql.utils import AnalysisException
+        if isinstance(exc, AnalysisException):
+            return False
         msg = str(getattr(exc, "java_exception", exc))
         if "Failed to find" in msg or "ClassNotFoundException" in msg:
             return False
