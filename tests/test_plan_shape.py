@@ -247,3 +247,31 @@ def test_contamination_hashed_no_string_crosses_an_exchange(spark):
     assert exchange_blocks, "no Exchange blocks parsed from formatted plan"
     for b in exchange_blocks:
         assert not re.search(r"\btext#\d+", b), f"text crosses a shuffle:\n{b}"
+
+
+def test_nation_profit_broadcast_dims_two_exchanges_pushed_part_filter(spark):
+    """Q9-adapted guard: one lineitem scan, every dim riding a
+    broadcast (no sort-merge at this scale), exactly 2 shuffle
+    exchanges (group agg + output sort), and the p_name predicate
+    pushed into the part scan so the broadcast build is pre-filtered."""
+    p = plan_of(spark, "nation_profit")
+    scans = re.findall(r"InMemoryFileIndex \[[^\]]*?/(\w+)\.parquet\]", p)
+    assert scans.count("lineitem") == 1, f"fact scans: {scans}"
+    assert "SortMergeJoin" not in p
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", p))
+    assert n_shuffles == 2, f"expected 2 exchanges, plan has {n_shuffles}"
+    assert re.search(r"PushedFilters: \[[^\]]*StringContains\(p_name,red\)", p), p
+
+
+def test_weekly_retention_dedup_precedes_self_join(spark):
+    """Cohort-retention guard: the (user, week) grain is deduplicated
+    BEFORE the self-join, so every exchange carries ids+dates only --
+    the raw event timestamp must never cross a shuffle.  A refactor
+    that joins raw events first would ship |events| rows (and ts)
+    through the exchanges and explode past |users| x |weeks|."""
+    p = plan_of(spark, "weekly_retention")
+    blocks = re.split(r"\n\n", p)
+    exchange_blocks = [b for b in blocks if re.match(r"\(\d+\) Exchange", b)]
+    assert exchange_blocks, "no Exchange blocks parsed from formatted plan"
+    for b in exchange_blocks:
+        assert not re.search(r"\bts#\d+", b), f"raw ts crosses a shuffle:\n{b}"
