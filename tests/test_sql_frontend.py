@@ -13,7 +13,10 @@ from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sql import
 from conftest import TESTDATA, normalized_rows
 
 #: oracle SQL that is pure ANSI (no DuckDB list functions / QUALIFY),
-#: so it must parse and agree on Spark as well
+#: so it must parse and agree on Spark as well.  Excluded with reasons:
+#: events_hour_of_day (hour() extraction semantics diverge between the
+#: engines on the nanos-epoch timestamps); everything else that fails
+#: the probe uses DuckDB list_* lambdas, QUALIFY, or VARCHAR casts.
 PORTABLE = [
     "market_share",
     "nation_profit",
@@ -26,6 +29,38 @@ PORTABLE = [
     "promo_revenue_share",
     "region_revenue",
     "weekly_retention",
+    # round 4 expansion: every remaining oracle string that parses on
+    # Spark verbatim and 3-way agrees (DataFrame == spark.sql == DuckDB)
+    "image_dims",
+    "pricing_summary",
+    "top_customers",
+    "parts_above_brand_avg",
+    "sales_grouping_sets",
+    "nation_trade_volume",
+    "revenue_forecast",
+    "shipping_priority",
+    "customer_spend_quartiles",
+    "events_daily_from_hourly",
+    "daily_active_users",
+    "orders_in_promos",
+    "top_part_per_brand",
+    "lang_rollup",
+    "doclen_histogram",
+    "sole_late_supplier",
+    "idle_rich_customers",
+    "order_count_distribution",
+    "sales_rollup",
+    "sales_cube",
+    "cust_no_orders",
+    "parts_ordered_semi",
+    "customer_setops",
+    "min_cost_supplier",
+    "important_part_values",
+    "top_revenue_supplier",
+    "bulk_red_shippers",
+    "source_quota_sample",
+    "small_qty_revenue",
+    "large_volume_customers",
 ]
 
 
