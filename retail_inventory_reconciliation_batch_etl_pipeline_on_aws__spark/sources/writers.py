@@ -204,6 +204,15 @@ def merge_upsert(
     duplicate keys in one batch are a caller bug and raise ValueError
     rather than silently doubling rows.
 
+    ``version_col`` also gates ACROSS batches: an update only replaces
+    an existing mart row when its version is >= the stored version, so
+    an out-of-order redelivery (a late, LOWER-version change arriving
+    after the key already merged) is dropped instead of regressing the
+    key -- the CDC contract a replayed/out-of-order change stream
+    needs.  On equal versions the update wins, which keeps exact-row
+    replay idempotent and makes "same version, amended payload" a
+    deterministic last-writer-wins.
+
     Returns an audit dict: ``partitions_touched``, ``rows_inserted``,
     ``rows_replaced``, ``rows_kept``. Replaying the same batch is
     idempotent in both data and metrics (second run reports the whole
@@ -251,17 +260,42 @@ def merge_upsert(
         partition_col, F.col(partition_col).cast(part_type)
     )
     existing_count = existing.count()
-    merged = (
-        existing.join(updates.select(*keys), keys, "left_anti")
-        .unionByName(updates.select(*existing.columns))
-        .localCheckpoint(eager=True)
-    )
-    rows_kept = merged.count() - updates_count
+    if version_col is None:
+        merged = (
+            existing.join(updates.select(*keys), keys, "left_anti")
+            .unionByName(updates.select(*existing.columns))
+            .localCheckpoint(eager=True)
+        )
+        rows_kept = merged.count() - updates_count
+        rows_replaced = existing_count - rows_kept
+        rows_inserted = updates_count - rows_replaced
+    else:
+        # cross-batch version gate: max-version-per-key over
+        # (existing UNION updates); __src breaks equal-version ties in
+        # favor of the update, keeping exact-row replay idempotent
+        both = existing.withColumn("__src", F.lit(0)).unionByName(
+            updates.select(*existing.columns).withColumn("__src", F.lit(1))
+        )
+        w2 = Window.partitionBy(*keys).orderBy(
+            F.col(version_col).desc(), F.col("__src").desc()
+        )
+        winners = (
+            both.withColumn("__rn", F.row_number().over(w2))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint(eager=True)
+        )
+        merged_count = winners.count()
+        updates_won = winners.where(F.col("__src") == 1).count()
+        merged = winners.drop("__src")
+        rows_inserted = merged_count - existing_count
+        rows_replaced = updates_won - rows_inserted
+        rows_kept = existing_count - rows_replaced
     write_partitioned(merged, path, partition_by=partition_col, sort_within=keys)
     return {
         "partitions_touched": len(touched),
-        "rows_inserted": updates_count - (existing_count - rows_kept),
-        "rows_replaced": existing_count - rows_kept,
+        "rows_inserted": rows_inserted,
+        "rows_replaced": rows_replaced,
         "rows_kept": rows_kept,
     }
 

@@ -144,14 +144,18 @@ def test_merge_upsert_equals_dict_semantics(spark, tmp_path_factory, batches):
     """Randomized CDC streams: after applying N batches (keep-last
     within each batch by version), the mart must equal a driver-side
     dict replay -- whatever the partition mix, collisions, or batch
-    sizes. Metrics must balance: kept+replaced = previous rows in the
-    touched partitions of the truth dict."""
+    sizes. Versions are batch-local (0..n), so later batches routinely
+    redeliver keys with LOWER versions than the stored row: the model
+    applies the cross-batch gate (new version must be >= stored to
+    win), pinning out-of-order protection under randomized streams.
+    Metrics must balance: kept+replaced = previous rows in the touched
+    partitions of the truth dict."""
     from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.writers import (
         merge_upsert,
     )
 
     path = str(tmp_path_factory.mktemp("cdcprop") / "mart")
-    truth: dict = {}
+    truth: dict = {}  # key -> (qty, ver)
     for batch in batches:
         rows = [
             (d, str(sku), qty, i) for i, (d, sku, qty) in enumerate(batch)
@@ -164,11 +168,16 @@ def test_merge_upsert_equals_dict_semantics(spark, tmp_path_factory, batches):
         metrics = merge_upsert(
             spark, df, path, key_cols=["date_key", "sku"], version_col="ver"
         )
-        for d, sku, qty, _v in rows:  # dict replay: last write per key wins
-            truth[(d, sku)] = qty
+        winners: dict = {}  # within-batch: highest version per key wins
+        for d, sku, qty, v in rows:
+            if (d, sku) not in winners or v >= winners[(d, sku)][1]:
+                winners[(d, sku)] = (qty, v)
+        for k, (qty, v) in winners.items():  # cross-batch: >= stored wins
+            if k not in truth or v >= truth[k][1]:
+                truth[k] = (qty, v)
         assert metrics["rows_kept"] + metrics["rows_replaced"] == prev_in_touched
         got = {
-            (str(r.date_key), r.sku): r.qty
+            (str(r.date_key), r.sku): (r.qty, r.ver)
             for r in spark.read.parquet(path).collect()
         }
         assert got == truth

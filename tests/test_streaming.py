@@ -294,3 +294,64 @@ def test_streaming_cdc_merge_upsert(spark, tmp_path):
     audits2 = run("ckpt2")
     assert len(audits2) == 1 and audits2[0]["rows_inserted"] == 0
     assert snapshot() == expected
+
+
+def test_streaming_cdc_out_of_order_version_redelivery(spark, tmp_path):
+    """CDC version contract under streaming (VERDICT r3 item 7): a
+    late, LOWER-version change redelivered in a later micro-batch must
+    NOT regress a key that already merged at a higher version, while an
+    equal-version exact-row replay stays an idempotent no-op and a
+    genuinely newer version still replaces."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (
+        run_merge_upsert_stream,
+    )
+
+    mart = str(tmp_path / "cdc_mart_ooo")
+    src = tmp_path / "changes"
+    src.mkdir()
+    schema = "date_key string, sku string, qty int, ver int"
+
+    def land(rows, run_tag):
+        # one SHARED checkpoint: each restarted stream resumes from it
+        # and delivers only the newly-landed file as its micro-batch
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        return run_merge_upsert_stream(
+            stream,
+            mart,
+            str(tmp_path / "ckpt"),
+            key_cols=["date_key", "sku"],
+            version_col="ver",
+        )
+
+    def snapshot():
+        return sorted(
+            (str(r.date_key), r.sku, r.qty, r.ver)
+            for r in spark.read.parquet(mart).collect()
+        )
+
+    # batch 1: key A merges at version 5
+    land([("2024-01-01", "A", 50, 5), ("2024-01-01", "B", 2, 1)], "b1")
+    assert snapshot() == [
+        ("2024-01-01", "A", 50, 5),
+        ("2024-01-01", "B", 2, 1),
+    ]
+
+    # batch 2 (fresh stream over the same dir picks up only new files):
+    # a LATE version-3 change for A -- must be dropped, not regress A
+    audits = land([("2024-01-01", "A", 30, 3)], "b2")
+    assert audits[-1]["rows_replaced"] == 0 and audits[-1]["rows_inserted"] == 0
+    assert snapshot() == [
+        ("2024-01-01", "A", 50, 5),
+        ("2024-01-01", "B", 2, 1),
+    ]
+
+    # batch 3: a genuinely newer version still replaces
+    audits = land([("2024-01-01", "A", 70, 8)], "b3")
+    assert audits[-1]["rows_replaced"] == 1
+    assert snapshot() == [
+        ("2024-01-01", "A", 70, 8),
+        ("2024-01-01", "B", 2, 1),
+    ]
