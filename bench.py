@@ -35,6 +35,12 @@ BENCH_QUERIES = [
     "sim_topk",
     "minhash_pairs",
     "stock_asof",
+    # round-4 additions (VERDICT r3 item 4): the round-3 surface gets
+    # longitudinal timing from its first full round onward
+    "market_share",
+    "contamination_check",
+    "image_dims",
+    "table_profile",
 ]
 
 
