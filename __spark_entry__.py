@@ -39,6 +39,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in round 4 (never attested) ---------------------------
         "contamination_hashed": Q.q_contamination_hashed,
+        "pii_scan": Q.q_pii_scan,
+        "mixture_weights": Q.q_mixture_weights,
+        "quality_flags": Q.q_quality_flags,
+        "user_journey": Q.q_user_journey,
+        "sku_sales_anomaly": Q.q_sku_sales_anomaly,
+        "bigram_counts": Q.q_bigram_counts,
         # --- new in round 3 (never attested) ---------------------------
         "market_share": Q.q_market_share,
         "nation_profit": Q.q_nation_profit,
@@ -434,6 +440,135 @@ WHERE p.p_brand <> 'Brand#12'
   AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
 GROUP BY p.p_brand, p.p_type, p.p_size
 ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+""",
+        # the oracle repeats the deterministic PII injection, so the
+        # detect/redact regexes are verified end to end
+        "pii_scan": """
+WITH salted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN concat(text, ' contact user', CAST(doc_id AS TEXT),
+                          '@example.com now')
+              ELSE text END AS t1
+  FROM documents
+),
+salted2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN concat(t1, ' call 555-', CAST(1000 + doc_id % 9000 AS TEXT))
+              ELSE t1 END AS text
+  FROM salted
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS INT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS INT) AS n_phones,
+       CAST(length(regexp_replace(regexp_replace(text,
+              '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
+              '555-[0-9]{4}', '<PHONE>', 'g')) AS INT) AS clean_len
+FROM salted2
+WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+ORDER BY doc_id
+""",
+        "mixture_weights": """
+WITH per_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM per_lang),
+w AS (
+  SELECT lang, n_docs,
+         CAST(ROUND(sqrt(n_docs / n_total), 6) AS DECIMAL(18,6)) AS w
+  FROM per_lang CROSS JOIN tot
+),
+ws AS (SELECT SUM(w) AS w_total FROM w)
+SELECT lang, n_docs,
+       ROUND(CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE), 4) AS sample_weight
+FROM w CROSS JOIN ws
+ORDER BY lang
+""",
+        "quality_flags": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS INT) AS sum_len
+  FROM tok
+)
+SELECT doc_id, n_tokens,
+       (n_tokens >= 15 AND n_tokens <= 60) AS len_ok,
+       (sum_len >= 3 * n_tokens AND sum_len <= 8 * n_tokens) AS wordlen_ok,
+       (2 * n_distinct >= n_tokens) AS rep_ok
+FROM stats
+WHERE NOT ((n_tokens >= 15 AND n_tokens <= 60)
+           AND (sum_len >= 3 * n_tokens AND sum_len <= 8 * n_tokens)
+           AND (2 * n_distinct >= n_tokens))
+ORDER BY doc_id
+""",
+        "user_journey": """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+         MAX(CASE WHEN rn_d = 1 THEN event_type END) AS last_type
+  FROM ranked GROUP BY user_id
+)
+SELECT first_type, last_type, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM per_user
+GROUP BY first_type, last_type
+ORDER BY first_type, last_type
+""",
+        "sku_sales_anomaly": """
+WITH monthly AS (
+  SELECT l_partkey,
+         CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+stats AS (
+  SELECT l_partkey, month, qty,
+         COUNT(qty) OVER w AS n,
+         SUM(qty) OVER w AS s,
+         SUM(qty * qty) OVER w AS ss
+  FROM monthly
+  WINDOW w AS (PARTITION BY l_partkey ORDER BY month
+               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+SELECT l_partkey, month, qty,
+       CAST(n AS BIGINT) AS trail_n,
+       ROUND(s / n, 2) AS trail_mean
+FROM stats
+WHERE n >= 4
+  AND ss * n - s * s > 0
+  AND (qty * n - s) * (qty * n - s) * (n - 1) >= 4 * n * (ss * n - s * s)
+ORDER BY l_partkey, month
+""",
+        "bigram_counts": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(toks) - 2 + 2), i ->
+           concat_ws(' ', toks[i], toks[i+1]))) AS bigram
+  FROM tok WHERE len(toks) >= 2
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 25
 """,
         # hashed variant must reproduce the exact string-shingle result:
         # same oracle, so a 64-bit fold collision or hashing bug fails the

@@ -2234,3 +2234,237 @@ def q_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("split")
     )
+
+
+# --- round 4: PII scrub, mixture weights, quality gates, journeys ------
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction accounting -- the scrub every training
+    corpus runs before tokenization.  The testdata corpus is clean
+    word-salad, so PII is INJECTED as an arithmetic function of doc_id
+    (the ``image_dims`` synthesized-fixture idiom): every 7th doc gains
+    an email, every 11th a phone number, and the SQL oracle repeats the
+    injection -- so the regex detect/redact path is verified end to end
+    (a pattern bug changes counts or redacted lengths and
+    hash-mismatches).  Detection and redaction are JVM-side
+    ``regexp_count`` / ``regexp_replace``: one narrow projection, no
+    shuffle until the output ordering.  Patterns stay in the
+    dialect-portable subset (character classes, no shorthands) so the
+    same regex text runs on both engines."""
+    docs = fixtures.load(spark, sf_dir, "documents")
+    email_pat = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone_pat = r"555-[0-9]{4}"
+    salted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t1"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("t1"),
+                F.lit(" call 555-"),
+                (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            ),
+        )
+        .otherwise(F.col("t1"))
+        .alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), F.lit(email_pat), F.lit("<EMAIL>")),
+        F.lit(phone_pat),
+        F.lit("<PHONE>"),
+    )
+    return (
+        salted.where((F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 11 == 0))
+        .select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit(email_pat))
+            .cast("int")
+            .alias("n_emails"),
+            F.regexp_count(F.col("text"), F.lit(phone_pat))
+            .cast("int")
+            .alias("n_phones"),
+            F.length(clean).cast("int").alias("clean_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixture weights (the mT5/data-mixing
+    recipe at alpha=0.5): per-language sampling weight proportional to
+    sqrt(p_lang), normalized.  Float-parity discipline: sqrt is IEEE
+    correctly-rounded (bit-identical across engines, unlike pow),
+    the per-language weight is rounded and fixed as DECIMAL(18,6) so
+    the normalizing SUM is exact and order-independent, and the final
+    share divides two identical doubles.  Both global scalars (corpus
+    total, weight total) are 1-row aggregates broadcast back via
+    cross-join -- the de-windowed Q11/Q15 idiom, no single-task
+    stage."""
+    docs = fixtures.load(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = per_lang.agg(F.sum("n_docs").alias("n_total"))
+    w = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs") / F.col("n_total")), 6)
+        .cast("decimal(18,6)")
+        .alias("w"),
+    )
+    wsum = w.agg(F.sum("w").alias("w_total"))
+    return (
+        w.crossJoin(F.broadcast(wsum))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(
+                F.col("w").cast("double") / F.col("w_total").cast("double"), 4
+            ).alias("sample_weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style per-rule quality gate, reporting the REJECTS with
+    which rule(s) fired: token-count bounds, mean-word-length bounds,
+    and repetition ceiling.  Every rule is integer-exact arithmetic
+    (``3*n <= sum_len`` instead of ``avg >= 3.0``) so both engines
+    agree bit-for-bit with no float in any predicate; the token array
+    never leaves its row (higher-order functions only)."""
+    from .functions.text import tokens
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.size(F.array_distinct(tokens("text"))).alias("n_distinct"),
+        F.aggregate(
+            tokens("text"), F.lit(0), lambda acc, x: acc + F.length(x)
+        ).alias("sum_len"),
+    )
+    len_ok = (F.col("n_tokens") >= 15) & (F.col("n_tokens") <= 60)
+    wordlen_ok = (F.col("sum_len") >= 3 * F.col("n_tokens")) & (
+        F.col("sum_len") <= 8 * F.col("n_tokens")
+    )
+    rep_ok = 2 * F.col("n_distinct") >= F.col("n_tokens")
+    return (
+        stats.select(
+            "doc_id",
+            "n_tokens",
+            len_ok.alias("len_ok"),
+            wordlen_ok.alias("wordlen_ok"),
+            rep_ok.alias("rep_ok"),
+        )
+        .where(~(len_ok & wordlen_ok & rep_ok))
+        .orderBy("doc_id")
+    )
+
+
+def q_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch/last-touch journey matrix: per user the first and
+    last event type (ties broken by event_id, which is unique), then
+    the cohort count per (first, last) pair.  Both row-number ranks
+    share ONE partition-by-user exchange (two sorts, one shuffle); the
+    pair aggregation then shuffles only |users| rows of two short
+    strings."""
+    ev = fixtures.events(spark, sf_dir)
+    w_a = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_d = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    per_user = ranked.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("event_type"))).alias(
+            "first_type"
+        ),
+        F.max(F.when(F.col("rn_d") == 1, F.col("event_type"))).alias(
+            "last_type"
+        ),
+    )
+    return (
+        per_user.groupBy("first_type", "last_type")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("first_type", "last_type")
+    )
+
+
+def q_sku_sales_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SKU monthly demand anomalies: months where quantity deviates
+    >= 2 sigma from the SKU's trailing-6-observed-months window.  The
+    sigma test is cleared of floats entirely -- from ``|x - s/n| >=
+    2*sqrt(var)`` multiply through by ``n^2 (n-1)`` to the all-integer
+    form ``(x*n - s)^2 * (n-1) >= 4 * n * (ss*n - s^2)`` over exact
+    long sums/sum-of-squares, so both engines agree bit-for-bit.  The
+    window partitions by SKU (bounded per-partition, scale-safe --
+    never the global frame) and the reported trailing mean is the only
+    float, rounded for display."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_partkey",
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    w = Window.partitionBy("l_partkey").orderBy("month").rowsBetween(-6, -1)
+    stats = monthly.select(
+        "l_partkey",
+        "month",
+        "qty",
+        F.count("qty").over(w).alias("n"),
+        F.sum("qty").over(w).alias("s"),
+        F.sum(F.col("qty") * F.col("qty")).over(w).alias("ss"),
+    )
+    dev = F.col("qty") * F.col("n") - F.col("s")  # n*(x - mean), exact
+    nvar = F.col("ss") * F.col("n") - F.col("s") * F.col("s")  # n^2*var*(n-1)/n
+    return (
+        stats.where(
+            (F.col("n") >= 4)
+            & (nvar > 0)
+            & (dev * dev * (F.col("n") - 1) >= 4 * F.col("n") * nvar)
+        )
+        .select(
+            "l_partkey",
+            "month",
+            "qty",
+            F.col("n").cast("long").alias("trail_n"),
+            F.round(F.col("s") / F.col("n"), 2).alias("trail_mean"),
+        )
+        .orderBy("l_partkey", "month")
+    )
+
+
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency top-25 (the n-gram LM / collocation
+    counting stage): linear shingle, explode, count, deterministic
+    top-k.  Map-side partial aggregation collapses each partition's
+    bigram stream before the single (bigram, count) shuffle;
+    TakeOrderedAndProject keeps the top-k driver-bounded."""
+    from .functions.text import tokens, word_ngrams
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    return (
+        docs.where(F.size(tokens("text")) >= 2)
+        .select(F.explode(word_ngrams("text", 2, distinct=False)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(25)
+    )

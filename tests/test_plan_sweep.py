@@ -22,6 +22,7 @@ NESTED_LOOP_OK = {
     "bm25_search",  # 1-row broadcast of (N, avg_dl) corpus stats
     "important_part_values",  # 1-row global-total broadcast gate (r4 de-windowed Q11)
     "top_revenue_supplier",  # 1-row max-revenue broadcast gate (r4 de-windowed Q15)
+    "mixture_weights",  # two 1-row scalar broadcasts (corpus total, weight total)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -61,6 +61,10 @@ PORTABLE = [
     "source_quota_sample",
     "small_qty_revenue",
     "large_volume_customers",
+    # round-4 queries whose oracles are ANSI-portable
+    "mixture_weights",
+    "user_journey",
+    "sku_sales_anomaly",
 ]
 
 
