@@ -68,16 +68,26 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with ts normalized to microsecond timestamps.
+    """events table with ts normalized to microsecond LTZ timestamps.
 
-    The parquet stores TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a nanos long.
-    Integer ``div`` (not double division -- ns-since-epoch exceeds double
-    precision) floors to micros, matching DuckDB's own ns->us truncation.
+    The driver has shipped this table under two parquet layouts, so the
+    loader adapts to whichever is on disk:
+
+    - ``TIMESTAMP(NANOS)``: with ``spark.sql.legacy.parquet.nanosAsLong``
+      it arrives as a nanos BIGINT. Integer ``div`` (not double division
+      -- ns-since-epoch exceeds double precision) floors to micros,
+      matching DuckDB's own ns->us truncation.
+    - ``TIMESTAMP(MICROS, isAdjustedToUTC=false)``: Spark 4 infers
+      TIMESTAMP_NTZ; cast to LTZ (session tz pinned to UTC above) keeps
+      the wall-clock identical and restores the type every downstream
+      epoch-cast (``ts.cast("long")``) and window expects.
     """
     raw = load(spark, sf_dir, "events")
-    if dict(raw.dtypes)["ts"] == "bigint":
+    ts_dtype = dict(raw.dtypes)["ts"]
+    if ts_dtype == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

@@ -18,17 +18,69 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: Post-normalization event schema (ts already micros timestamp).
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (parquet NANOS as long)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+#: Raw on-disk event schema, parameterized by the ts column's physical
+#: layout -- the driver's testdata has shipped both TIMESTAMP(NANOS)
+#: (bigint under nanosAsLong) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+#: (timestamp_ntz under Spark 4's inference).
+def event_schema(ts_dtype: str = "bigint") -> T.StructType:
+    ts_type = {
+        "bigint": T.LongType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+    }.get(ts_dtype, T.TimestampType())
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+#: Back-compat alias: the nanos-long layout (write_drain_sentinel and
+#: the staging tests construct rows against it).
+EVENT_SCHEMA = event_schema("bigint")
+
+
+def _probe_ts_dtype(spark: SparkSession, source_dir: str) -> str:
+    """Footer-only batch read to learn the ts layout of a file source.
+
+    readStream needs the schema up front; probing the existing files
+    (a metadata operation -- no data scan) lets one reader serve both
+    layouts. An empty/unreadable dir defaults to the nanos-long layout.
+    """
+    from ..plans.fixtures import ensure_session_conf
+
+    ensure_session_conf(spark)
+    try:
+        return dict(spark.read.parquet(source_dir).dtypes).get("ts", "bigint")
+    except Exception:
+        return "bigint"
+
+
+def _normalize_ts(df: DataFrame, ts_dtype: str) -> DataFrame:
+    """Whatever the on-disk layout, downstream sees LTZ micros (UTC)."""
+    if ts_dtype == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def read_event_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source event stream with ts normalized to LTZ micros,
+    adapting to whichever physical layout the source dir holds."""
+    ts_dtype = _probe_ts_dtype(spark, source_dir)
+    reader = spark.readStream.schema(event_schema(ts_dtype)).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _normalize_ts(reader.load(source_dir), ts_dtype)
 
 
 def streaming_hourly_rollup(
@@ -44,12 +96,7 @@ def streaming_hourly_rollup(
     Returns the unstarted streaming DataFrame; callers attach a sink
     (memory sink in tests, kafka/parquet in production).
     """
-    raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .format("parquet")
-        .load(source_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    raw = read_event_stream(spark, source_dir)
     return (
         raw.withWatermark("ts", watermark)
         # group on the window struct itself (not a .start projection):
@@ -168,11 +215,8 @@ def streaming_sessionize(
                 }
             )
 
-    reader = spark.readStream.schema(EVENT_SCHEMA).format("parquet")
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.load(source_dir).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    raw = read_event_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
     )
     return (
         raw.withWatermark("ts", watermark)
@@ -195,17 +239,30 @@ def write_drain_sentinel(
 ) -> None:
     """Append one punctuation/heartbeat event to a file-stream source.
 
-    ``ts_ns`` (raw parquet nanos, matching EVENT_SCHEMA) must exceed
-    ``max(event ts) + gap + watermark`` so that, once processed, the
-    stream's watermark passes every open session's timeout deadline and
-    the engine's no-data micro-batch closes them all. Pair with
+    ``ts_ns`` (epoch nanos) must exceed ``max(event ts) + gap +
+    watermark`` so that, once processed, the stream's watermark passes
+    every open session's timeout deadline and the engine's no-data
+    micro-batch closes them all. Pair with
     ``streaming_sessionize(drain_user_id=...)`` so the sentinel row
     itself never creates state or output. This is the bounded-replay /
     end-of-day drain: at 100TB the same one-row append costs nothing
     and needs no access to the state store internals.
+
+    The sentinel file is written in the SAME ts layout the source dir
+    already holds -- a file stream reads every file under one fixed
+    schema, so a mixed-layout append would break the whole stream.
     """
-    row = [(int(-(2**62)), int(ts_ns), int(user_id), "__drain__", 0.0, None)]
-    spark.createDataFrame(row, EVENT_SCHEMA).coalesce(1).write.mode(
+    ts_dtype = _probe_ts_dtype(spark, source_dir)
+    if ts_dtype == "bigint":
+        ts_value = int(ts_ns)
+    else:
+        import datetime as _dt
+
+        ts_value = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            microseconds=int(ts_ns) // 1000
+        )
+    row = [(int(-(2**62)), ts_value, int(user_id), "__drain__", 0.0, None)]
+    spark.createDataFrame(row, event_schema(ts_dtype)).coalesce(1).write.mode(
         "append"
     ).parquet(source_dir)
 
@@ -224,12 +281,7 @@ def streaming_dedup_events(
     batch twin is exact_dedup; here duplicates must also be NEAR in
     time, which is exactly the redelivery model.
     """
-    raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .format("parquet")
-        .load(source_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    raw = read_event_stream(spark, source_dir)
     return raw.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
@@ -253,12 +305,7 @@ def streaming_signup_purchase_join(
     not O(stream). An unbounded predicate would buffer both streams
     forever -- the canonical 100TB stream-join failure mode.
     """
-    raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .format("parquet")
-        .load(source_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    raw = read_event_stream(spark, source_dir)
     signups = (
         raw.where(F.col("event_type") == "signup")
         .select(F.col("user_id"), F.col("ts").alias("signup_ts"))
@@ -297,12 +344,7 @@ def streaming_enrich_with_dim(
     -- and is broadcast, so the join adds no shuffle and NO state store
     (unlike stream-stream joins, there is nothing to buffer: the static
     side is always completely known)."""
-    raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .format("parquet")
-        .load(source_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    raw = read_event_stream(spark, source_dir)
     return raw.join(F.broadcast(dim), key, "left")
 
 

@@ -24,6 +24,24 @@ def spark():
     yield spark
 
 
+def raw_nanos_events(spark):
+    """events with ts as epoch-NANOS BIGINT, whatever the on-disk layout.
+
+    The streaming tests slice by numeric ts and re-stage micro-batch
+    files; writing them in the nanos-long layout keeps their epoch
+    arithmetic (quantile splits, drain-sentinel deadlines) valid under
+    both testdata layouts the driver has shipped (TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) -> timestamp_ntz)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{TESTDATA}/events.parquet")
+    if dict(ev.dtypes)["ts"] != "bigint":
+        ev = ev.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+        )
+    return ev
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()

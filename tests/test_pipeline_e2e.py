@@ -26,7 +26,7 @@ from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.
     streaming_hourly_rollup,
 )
 
-from conftest import TESTDATA
+from conftest import TESTDATA, raw_nanos_events
 
 
 def _recon_rows(df):
@@ -74,7 +74,7 @@ def test_daily_pipeline_end_to_end(spark, tmp_path):
 def test_streaming_parquet_sink_idempotent(spark, tmp_path):
     # stage events as two time-ordered files so the watermark advances
     # and append mode finalizes the early windows
-    ev = spark.read.parquet(f"{TESTDATA}/events.parquet")
+    ev = raw_nanos_events(spark)
     (mid,) = ev.approxQuantile("ts", [0.5], 0.0)
     src = tmp_path / "stream_src"
     src.mkdir()

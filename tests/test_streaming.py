@@ -19,7 +19,7 @@ from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.
     streaming_sessionize,
 )
 
-from conftest import TESTDATA
+from conftest import TESTDATA, raw_nanos_events
 
 
 def test_streaming_matches_batch(spark, tmp_path):
@@ -44,7 +44,7 @@ def test_streaming_matches_batch(spark, tmp_path):
 
 def test_streaming_dedup_collapses_redeliveries(spark, tmp_path):
     # simulate at-least-once delivery: the same event file lands twice
-    ev = spark.read.parquet(f"{TESTDATA}/events.parquet").limit(500)
+    ev = raw_nanos_events(spark).limit(500)
     src = tmp_path / "dedup_src"
     src.mkdir()
     for i in range(2):
@@ -70,7 +70,7 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     # stage events as 4 time-ordered files; maxFilesPerTrigger=1 makes
     # each a micro-batch so the watermark advances and event-time
     # timeouts actually fire
-    ev = spark.read.parquet(f"{TESTDATA}/events.parquet")
+    ev = raw_nanos_events(spark)
     qs = ev.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
     src = tmp_path / "sess_src"
     src.mkdir()
@@ -190,7 +190,7 @@ def test_sessionize_drain_equals_batch_exactly(spark, tmp_path):
         write_drain_sentinel,
     )
 
-    ev = spark.read.parquet(f"{TESTDATA}/events.parquet").where(
+    ev = raw_nanos_events(spark).where(
         F.col("user_id") % 7 == 0
     )
     qs = ev.approxQuantile("ts", [0.5], 0.0)
