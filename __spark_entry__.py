@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- new in round 4 (never attested) ------------------------
+        "lm_score": Q.q_lm_score,
         "contamination_hashed": Q.q_contamination_hashed,
         "pii_scan": Q.q_pii_scan,
         "mixture_weights": Q.q_mixture_weights,
@@ -564,6 +565,33 @@ SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
 FROM bg GROUP BY bigram
 ORDER BY n DESC, bigram ASC
 LIMIT 25
+""",
+        # unigram-LM scoring: the oracle joins on raw token strings; the
+        # Spark plan joins on xxhash64(token), so any hash collision or
+        # hashing bug surfaces as a value-hash mismatch
+        "lm_score": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+           AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+vocab AS (SELECT token, SUM(tf) AS n_tok FROM tf GROUP BY token),
+total AS (SELECT SUM(n_tok) AS n_total FROM vocab),
+per_doc AS (
+  SELECT f.doc_id,
+         CAST(SUM(f.tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(f.tf * v.n_tok) AS DECIMAL(38,0)) AS corpus_token_hits
+  FROM tf f JOIN vocab v USING (token)
+  GROUP BY f.doc_id
+)
+SELECT p.doc_id, p.n_tokens, p.corpus_token_hits,
+       CAST(p.corpus_token_hits AS DOUBLE) / p.n_tokens / t.n_total
+         AS lm_score
+FROM per_doc p CROSS JOIN total t
 """,
         # hashed variant must reproduce the exact string-shingle result:
         # same oracle, so a 64-bit fold collision or hashing bug fails the

@@ -2468,3 +2468,66 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(25)
     )
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring: the corpus IS the language model.
+
+    The perplexity-style quality gate of C4/Gopher/FineWeb-class
+    pipelines, reduced to its SQL-exact core: build the corpus unigram
+    table, then score every document by its mean token probability
+    ``(sum_t tf_doc(t) * count(t)) / n_tokens(doc) / N``. (The
+    log-domain variant has the identical plan shape but an
+    order-dependent float sum; this rational form is exact, so the
+    oracle hash-matches, and the pytest twin checks the log variant
+    within tolerance.)
+
+    Scale posture for a 100 TB corpus:
+    - Tokens are ``xxhash64``-ed BEFORE the first exchange -- no token
+      string ever crosses a shuffle (plan-guarded like bm25).
+    - The first aggregation collapses tokens to the (doc_id, token)
+      TF table -- the classic materialization point, far smaller than
+      the raw token stream -- and ``persist()`` shares it between the
+      vocab build and the scoring join (same idiom as the Q11/Q15
+      scalar gates).
+    - The vocab join is an 8-byte-key equi-join; the zipf head is
+      exactly what AQE skew-split handles, and a stop-token DF cap
+      (as in contamination_pairs) can shed the head entirely.
+    - N arrives as a 1-row broadcast cross-join, never a global window.
+    - ``tf * count`` is accumulated in DECIMAL(38,0): at 1e14 corpus
+      tokens the product tops BIGINT range, and DuckDB's HUGEINT sum
+      would diverge from a wrapped 64-bit sum.
+    """
+    from .functions.text import tokens
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .select("doc_id", F.xxhash64("token").alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.count("*").alias("tf"))
+        .persist()  # shared by vocab build + scoring join
+    )
+    vocab = tf.groupBy("h").agg(F.sum("tf").alias("n_tok"))
+    total = vocab.agg(F.sum("n_tok").alias("n_total"))  # 1 row, tree-reduced
+    return (
+        tf.join(vocab, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(
+                F.col("tf").cast("decimal(38,0)") * F.col("n_tok")
+            ).alias("corpus_token_hits"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "corpus_token_hits",
+            (
+                F.col("corpus_token_hits").cast("double")
+                / F.col("n_tokens")
+                / F.col("n_total")
+            ).alias("lm_score"),
+        )
+    )

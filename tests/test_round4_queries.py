@@ -71,3 +71,68 @@ def test_sku_sales_anomaly_rows_deviate_from_trailing_mean(spark):
     for r in rows:  # reported months really deviate from their window
         assert r.trail_n >= 4
         assert abs(float(r.qty) - float(r.trail_mean)) > 0
+
+
+def test_lm_score_token_conservation_and_bounds(spark):
+    """Every corpus token lands in exactly one per-doc TF cell, so
+    sum(n_tokens) over the result equals the whole-corpus token count;
+    the mean-probability score is a probability-weighted mean of token
+    frequencies, so 0 < score <= 1 (score == max_count/N only if a doc
+    is all top-token)."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.functions.text import (
+        token_count,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans import (
+        fixtures,
+    )
+
+    out = entry.queries()["lm_score"](spark, TESTDATA)
+    docs = fixtures.load(spark, TESTDATA, "documents")
+    n_corpus = docs.select(F.sum(token_count("text"))).collect()[0][0]
+    got = out.agg(
+        F.sum("n_tokens").alias("n"),
+        F.min("lm_score").alias("lo"),
+        F.max("lm_score").alias("hi"),
+    ).collect()[0]
+    assert got.n == n_corpus, (got.n, n_corpus)
+    assert 0.0 < got.lo <= got.hi <= 1.0, (got.lo, got.hi)
+
+
+def test_lm_score_rare_doc_scores_below_common_doc(spark):
+    """A doc made of hapax tokens must score strictly below a doc made
+    of the corpus head token -- the discriminative property the quality
+    gate relies on. Built on a synthetic corpus so the ranking claim is
+    exact, not statistical."""
+    rows = [(1, "aardwolf87 zyzzyva93 qwertyuiop42"), (2, "the the the")] + [
+        (i, "the common words appear here") for i in range(3, 20)
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs = spark.createDataFrame(
+            [(i, t, "en", "synthetic", len(t)) for i, t in rows],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+        docs.write.parquet(f"{d}/documents.parquet")
+        scores = {
+            r.doc_id: r.lm_score
+            for r in entry.queries()["lm_score"](spark, d).collect()
+        }
+    assert scores[1] < scores[2], scores
+
+
+def test_lm_score_no_token_string_crosses_a_shuffle(spark):
+    """Scale guard (bm25 idiom): tokens are xxhash64-ed before the
+    first exchange, so every shuffle carries 8-byte keys -- no raw
+    token/text column in any Exchange block."""
+    import re
+
+    df = entry.queries()["lm_score"](spark, TESTDATA)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    blocks = re.split(r"\n\n", p)
+    exchange_blocks = [b for b in blocks if re.match(r"\(\d+\) Exchange", b)]
+    assert exchange_blocks, "no Exchange blocks parsed from formatted plan"
+    for b in exchange_blocks:
+        assert not re.search(r"\b(token|text)#\d+", b), b
