@@ -66,6 +66,44 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    range_by: str | list[str],
+    num_files: int | None = None,
+    sort_extra: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Globally range-ordered parquet layout -- the at-rest form of a
+    compound ``SORTKEY`` (sql/create_redshift_tables.sql:15,38) for
+    HIGH-cardinality keys.
+
+    ``repartitionByRange`` samples range boundaries and gives each
+    output file a disjoint key range (one shuffle);
+    ``sortWithinPartitions`` orders rows inside each file. Parquet
+    footer min/max stats then form a coarse global index: a point or
+    range predicate on the layout key prunes to the files whose
+    [min, max] overlaps it -- at 100 TB that turns full scans into
+    touched-file scans with no catalog, no Z-order, and no directory
+    explosion. Use ``partitionBy`` for low-cardinality keys (dates),
+    this for billions of distinct keys (user_id, sku, doc_id) where
+    one-directory-per-value is unusable. ``sort_extra`` appends
+    secondary sort columns inside each file (minor SORTKEY columns).
+    """
+    cols = [range_by] if isinstance(range_by, str) else list(range_by)
+    ranged = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files is not None
+        else df.repartitionByRange(*cols)
+    )
+    scols = cols + (
+        [sort_extra]
+        if isinstance(sort_extra, str)
+        else list(sort_extra or [])
+    )
+    ranged.sortWithinPartitions(*scols).write.mode(mode).parquet(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

@@ -443,3 +443,59 @@ def test_broadcast_threshold_drives_join_strategy(spark):
     assert "SortMergeJoin" in disabled or "ShuffledHashJoin" in disabled
     enabled = plan_with("10485760")
     assert "BroadcastHashJoin" in enabled
+
+
+def test_write_range_sorted_disjoint_files_prune_by_footer(spark, tmp_path):
+    """Range-sorted layout contract: (1) round-trip preserves rows,
+    (2) per-file parquet footer [min, max] ranges on the layout key are
+    pairwise DISJOINT, (3) rows are sorted inside each file -- together
+    these make footer stats a coarse global index, so a point predicate
+    touches exactly one file's range. A plain repartition() write fails
+    (2): every file spans the whole key range."""
+    import glob as globlib
+
+    import pyarrow.parquet as pq
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.writers import (
+        write_range_sorted,
+    )
+
+    df = spark.range(0, 10_000).select(
+        (F.xxhash64("id") % 1_000_000).alias("user_id"),
+        F.col("id").alias("v"),
+    )
+    path = str(tmp_path / "range_sorted")
+    write_range_sorted(df, path, "user_id", num_files=8)
+
+    files = sorted(globlib.glob(f"{path}/part-*.parquet"))
+    assert len(files) > 2, files
+
+    spans = []
+    for f in files:
+        pf = pq.ParquetFile(f)
+        idx = pf.schema_arrow.get_field_index("user_id")
+        lo = min(
+            pf.metadata.row_group(g).column(idx).statistics.min
+            for g in range(pf.metadata.num_row_groups)
+        )
+        hi = max(
+            pf.metadata.row_group(g).column(idx).statistics.max
+            for g in range(pf.metadata.num_row_groups)
+        )
+        col = pq.read_table(f, columns=["user_id"])["user_id"].to_pylist()
+        assert col == sorted(col), f"not sorted within {f}"
+        spans.append((lo, hi))
+    spans.sort()
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next, f"overlapping file ranges: {spans}"
+
+    # a point predicate's footer-qualified file set is a single file
+    probe = spans[len(spans) // 2][0]
+    touched = [1 for lo, hi in spans if lo <= probe <= hi]
+    assert len(touched) == 1, (probe, spans)
+
+    back = sorted(
+        (r.user_id, r.v) for r in spark.read.parquet(path).collect()
+    )
+    orig = sorted((r.user_id, r.v) for r in df.collect())
+    assert back == orig
