@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in round 4 (never attested) ------------------------
         "lm_score": Q.q_lm_score,
+        "key_skew_profile": Q.q_key_skew_profile,
+        "incremental_hourly_merge": Q.q_incremental_hourly_merge,
         "contamination_hashed": Q.q_contamination_hashed,
         "pii_scan": Q.q_pii_scan,
         "mixture_weights": Q.q_mixture_weights,
@@ -565,6 +567,30 @@ SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
 FROM bg GROUP BY bigram
 ORDER BY n DESC, bigram ASC
 LIMIT 25
+""",
+        "key_skew_profile": """
+WITH per_key AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM per_key
+)
+SELECT p.user_id, p.n,
+       CAST(p.n AS DOUBLE) / t.total AS share,
+       CAST(p.n AS DOUBLE) * t.n_keys / t.total AS skew_ratio
+FROM per_key p CROSS JOIN tot t
+ORDER BY p.n DESC, p.user_id ASC
+LIMIT 10
+""",
+        # full recompute: associativity makes the incremental merge the
+        # exact same answer, so any partial-merge bug hash-mismatches
+        "incremental_hourly_merge": """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
 """,
         # unigram-LM scoring: the oracle joins on raw token strings; the
         # Spark plan joins on xxhash64(token), so any hash collision or

@@ -2531,3 +2531,79 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lm_score"),
         )
     )
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter / skew diagnostic over the telemetry key -- the
+    profile that *justifies* a salting or AQE-skew decision before
+    anyone pays for it.
+
+    Per-key counts (one map-side-combined shuffle), then the global
+    total and key cardinality as a 1-row broadcast cross-join over the
+    SAME persisted grouped frame (the Q11/Q15 scalar-gate idiom -- no
+    global window, no second scan), then a driver-bounded top-k
+    (TakeOrderedAndProject). ``skew_ratio`` is each key's count over
+    the mean per-key count: ratios near 1 say hash partitioning is
+    balanced; a 50x head key says salt it or let AQE split it.  All
+    arithmetic is exact-int until one correctly-rounded double divide,
+    so the oracle hash-matches.
+    """
+    ev = fixtures.events(spark, sf_dir)
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("n")).persist()
+    tot = per_key.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count("*").alias("n_keys"),
+    )  # 1 row, tree-reduced
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+            (F.col("n").cast("double") * F.col("n_keys") / F.col("total")).alias(
+                "skew_ratio"
+            ),
+        )
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+def q_incremental_hourly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: merge a late batch into a
+    materialized hourly aggregate WITHOUT rescanning history.
+
+    count/sum are mergeable partials, so refresh = (history partials
+    UNION late-batch partials) re-aggregated at the agg grain -- the
+    second aggregation shuffles |hours| x |event_types| rows, never raw
+    events. At 100 TB this is the rollup-maintenance idiom (the batch
+    twin of streaming append-mode windows, and of the reference DAG's
+    per-day partition replace): history is scanned once ever; each new
+    batch costs its own size plus a grain-sized merge. The money sum
+    stays DECIMAL across the merge, so late-arriving merges are exact
+    and order-independent (replay-safe); the double cast happens once,
+    at the end. The 1/4-of-events "late batch" split is deterministic
+    (event_id % 4) and hits hours history already covers -- the
+    merge-conflict case that matters. Oracle: a full recompute over all
+    events, which associativity makes the exact same answer.
+    """
+    ev = fixtures.events(spark, sf_dir)
+
+    def partial(part: DataFrame) -> DataFrame:
+        return part.groupBy(
+            F.window("ts", "1 hour").start.alias("bucket_start"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+        )
+
+    history = partial(ev.where(F.col("event_id") % 4 != 0))
+    late_batch = partial(ev.where(F.col("event_id") % 4 == 0))
+    return (
+        history.unionByName(late_batch)
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+        )
+    )

@@ -136,3 +136,59 @@ def test_lm_score_no_token_string_crosses_a_shuffle(spark):
     assert exchange_blocks, "no Exchange blocks parsed from formatted plan"
     for b in exchange_blocks:
         assert not re.search(r"\b(token|text)#\d+", b), b
+
+
+def test_key_skew_profile_bounds_and_plan(spark):
+    """Shares are probabilities, the head key's skew_ratio >= 1 (max >=
+    mean), and the plan uses TakeOrderedAndProject + broadcast scalar
+    gate -- never a global window or full sort."""
+    import re
+
+    df = entry.queries()["key_skew_profile"](spark, TESTDATA)
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    assert all(0.0 < r.share <= 1.0 for r in rows)
+    assert rows[0].skew_ratio >= 1.0  # the head key is at least average
+    assert rows == sorted(rows, key=lambda r: (-r.n, r.user_id))
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p, "scalar gate regressed to a global window"
+
+
+def test_incremental_merge_equals_full_recompute_with_conflicts(spark):
+    """The merged rollup must equal a from-scratch recompute, and the
+    late batch must actually collide with history on some hours --
+    otherwise the merge path under test is just a disjoint union."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.sessionize import (
+        hourly_rollup,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans import (
+        fixtures,
+    )
+
+    merged = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+        for r in entry.queries()["incremental_hourly_merge"](
+            spark, TESTDATA
+        ).collect()
+    }
+    full = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+        for r in hourly_rollup(fixtures.events(spark, TESTDATA)).collect()
+    }
+    assert merged == full
+
+    ev = fixtures.events(spark, TESTDATA)
+    grain = lambda part: {
+        (r.bucket_start, r.event_type)
+        for r in part.groupBy(
+            F.window("ts", "1 hour").start.alias("bucket_start"), "event_type"
+        )
+        .agg(F.count("*"))
+        .collect()
+    }
+    hist = grain(ev.where(F.col("event_id") % 4 != 0))
+    late = grain(ev.where(F.col("event_id") % 4 == 0))
+    assert hist & late, "late batch never collides with history"
