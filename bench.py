@@ -41,6 +41,10 @@ BENCH_QUERIES = [
     "contamination_check",
     "image_dims",
     "table_profile",
+    # round-4 surface: the corpus-wide token join (heaviest new shuffle)
+    # and the regex-heavy PII scrub
+    "lm_score",
+    "pii_scan",
 ]
 
 
