@@ -275,3 +275,49 @@ def test_weekly_retention_dedup_precedes_self_join(spark):
     assert exchange_blocks, "no Exchange blocks parsed from formatted plan"
     for b in exchange_blocks:
         assert not re.search(r"\bts#\d+", b), f"raw ts crosses a shuffle:\n{b}"
+
+
+def test_user_journey_single_user_exchange(spark):
+    """Both first/last row-number ranks must share ONE partition-by-user
+    exchange (the two windows differ only in sort direction); only the
+    tiny (first,last) pair aggregation may add exchanges beyond it.
+    Also: never an unpartitioned window."""
+    p = plan_of(spark, "user_journey")
+    assert "Window" in p
+    blocks = re.split(r"\n\n", p)
+    user_exchanges = [
+        b
+        for b in blocks
+        if re.match(r"\(\d+\) Exchange", b)
+        and re.search(r"hashpartitioning\(user_id#", b)
+    ]
+    assert len(user_exchanges) == 1, f"user_id shuffles: {len(user_exchanges)}"
+    assert "SinglePartition" not in p, "global window sneaked in"
+
+
+def test_mixture_weights_no_global_window(spark):
+    """Both global scalars (corpus total, weight total) must arrive as
+    1-row broadcast cross-joins -- the de-windowed Q11/Q15 idiom; a
+    refactor back to Window.partitionBy() funnels |languages| rows
+    (unbounded at 100TB multi-source corpora) through one task."""
+    p = plan_of(spark, "mixture_weights")
+    assert "Window" not in p, "scalar gate regressed to a global window"
+    n_bc = len(re.findall(r"BroadcastExchange", p))
+    assert n_bc >= 2, f"expected both scalar broadcasts, got {n_bc}"
+
+
+def test_incremental_merge_never_reshuffles_raw_events(spark):
+    """The merge re-aggregation must consume the two partial aggregates
+    (agg-grain rows), never the raw event stream: each branch gets its
+    own partial-agg exchange and the final merge shuffles the UNION of
+    grain rows -- so no exchange may carry the raw value/props columns,
+    and HashAggregate partial/merge pairs must bracket the union."""
+    p = plan_of(spark, "incremental_hourly_merge")
+    blocks = re.split(r"\n\n", p)
+    exchange_blocks = [b for b in blocks if re.match(r"\(\d+\) Exchange", b)]
+    assert exchange_blocks
+    for b in exchange_blocks:
+        assert not re.search(r"\b(value|props)#\d+", b), (
+            f"raw events cross a shuffle:\n{b}"
+        )
+    assert "Union" in p

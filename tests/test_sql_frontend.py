@@ -65,6 +65,7 @@ PORTABLE = [
     "mixture_weights",
     "user_journey",
     "sku_sales_anomaly",
+    "key_skew_profile",
 ]
 
 
