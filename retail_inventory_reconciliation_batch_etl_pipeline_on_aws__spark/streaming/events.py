@@ -231,6 +231,60 @@ def streaming_sessionize(
     )
 
 
+def streaming_sessionize_native(
+    spark: SparkSession,
+    source_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "1 minute",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE streaming session_window --
+    the built-in twin of the applyInPandasWithState sessionizer above
+    and of the batch ``q_events_sessionize_native``.
+
+    The engine maintains per-(user, session) state and MERGES windows
+    when a late-but-within-watermark event bridges two provisional
+    sessions; a session is emitted (append mode) once the watermark
+    passes its end+gap. Same state bound as the custom operator --
+    O(open sessions) -- with zero Python in the loop: prefer this form
+    unless the session logic needs custom transitions. ``session_end``
+    is taken as max(ts) inside the group (the window's own end is
+    last_event + gap), so output is row-identical to the batch twin.
+
+    DELIBERATELY NO in-plan heartbeat filter: ``user_id`` is a grouping
+    column, so a ``where(user_id != drain_id)`` above this aggregate is
+    pushed by Catalyst through the aggregate AND the EventTimeWatermark
+    node into the parquet scan -- the heartbeat rows then never reach
+    the watermark collector and the drain silently stops working
+    (numInputRows drops to 0 for sentinel files; verified on Spark
+    4.1). The custom sessionizer above is immune because its drain
+    filtering happens INSIDE the stateful function. Here the heartbeat
+    session comes out like any other and the CONSUMER drops it by its
+    reserved user_id -- the same contract as any tombstone row.
+    """
+    raw = read_event_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        raw.withWatermark("ts", watermark)
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"),
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "sum_value"
+        )
+    )
+
+
 def write_drain_sentinel(
     spark: SparkSession,
     source_dir: str,

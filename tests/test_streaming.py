@@ -355,3 +355,73 @@ def test_streaming_cdc_out_of_order_version_redelivery(spark, tmp_path):
         ("2024-01-01", "A", 70, 8),
         ("2024-01-01", "B", 2, 1),
     ]
+
+
+def test_native_session_window_stream_equals_batch(spark, tmp_path):
+    """The NATIVE streaming session_window twin must emit, after the
+    drain sentinel, exactly the batch native sessionizer's rows for the
+    same user subset -- including cross-file session merges (a user's
+    session split across the two staged micro-batch files must come out
+    as ONE merged session, which is the state-store property the
+    built-in is for)."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (
+        streaming_sessionize_native,
+        write_drain_sentinel,
+    )
+
+    ev = raw_nanos_events(spark).where(F.col("user_id") % 7 == 0)
+    qs = ev.approxQuantile("ts", [0.5], 0.0)
+    src = tmp_path / "native_sess_src"
+    src.mkdir()
+    bounds = [None, *qs, None]
+    for i in range(2):
+        part = ev
+        if bounds[i] is not None:
+            part = part.where(F.col("ts") > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.where(F.col("ts") <= bounds[i + 1])
+        stage = tmp_path / f"ns_stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        (pf,) = glob.glob(str(stage / "part-*.parquet"))
+        shutil.move(pf, src / f"{i:02d}.parquet")
+        os.utime(src / f"{i:02d}.parquet", (i + 1, i + 1))
+    max_ts_ns = ev.agg(F.max("ts")).collect()[0][0]
+    write_drain_sentinel(
+        spark, str(src), ts_ns=max_ts_ns + 2 * 3600 * 1_000_000_000, user_id=-1
+    )
+
+    agg = streaming_sessionize_native(
+        spark,
+        str(src),
+        gap_minutes=30,
+        watermark="1 minute",
+        max_files_per_trigger=1,
+    )
+    assert agg.isStreaming
+    run_to_memory_sink(agg, "native_sessions_test", output_mode="append")
+    # consumer-side heartbeat drop: an in-plan filter on the grouping
+    # column would be pushed below the watermark node and break the
+    # drain (see streaming_sessionize_native docstring)
+    streamed = {
+        (r.user_id, r.session_start): (
+            r.session_end,
+            r.n_events,
+            round(r.sum_value, 2),
+        )
+        for r in spark.sql(
+            "SELECT * FROM native_sessions_test WHERE user_id >= 0"
+        ).collect()
+    }
+    import __spark_entry__ as entry
+
+    batch = {
+        (r.user_id, r.session_start): (
+            r.session_end,
+            r.n_events,
+            round(r.sum_value, 2),
+        )
+        for r in entry.queries()["events_sessionize_native"](spark, TESTDATA)
+        .where(F.col("user_id") % 7 == 0)
+        .collect()
+    }
+    assert streamed == batch
