@@ -23,6 +23,8 @@ NESTED_LOOP_OK = {
     "important_part_values",  # 1-row global-total broadcast gate (r4 de-windowed Q11)
     "top_revenue_supplier",  # 1-row max-revenue broadcast gate (r4 de-windowed Q15)
     "mixture_weights",  # two 1-row scalar broadcasts (corpus total, weight total)
+    "lm_score",  # 1-row corpus-token-total broadcast gate
+    "key_skew_profile",  # 1-row (total, n_keys) broadcast gate
 }
 
 #: queries allowed an Arrow-batched Python stage, and why
