@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": Q.q_lm_score,
         "key_skew_profile": Q.q_key_skew_profile,
         "incremental_hourly_merge": Q.q_incremental_hourly_merge,
+        "embed_contamination": Q.q_embed_contamination,
         "contamination_hashed": Q.q_contamination_hashed,
         "pii_scan": Q.q_pii_scan,
         "mixture_weights": Q.q_mixture_weights,
@@ -567,6 +568,15 @@ SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
 FROM bg GROUP BY bigram
 ORDER BY n DESC, bigram ASC
 LIMIT 25
+""",
+        # embedding-space contamination: semantic sibling of the shingle
+        # scan; bench side tiny (vec_id % 97 == 0) and broadcast
+        "embed_contamination": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT b.vec_id AS bench_vec, c.vec_id AS corpus_vec,
+       ROUND(list_cosine_similarity(b.v, c.v), 4) AS cos_sim
+FROM e b JOIN e c ON b.vec_id % 97 = 0 AND c.vec_id % 97 <> 0
+WHERE ROUND(list_cosine_similarity(b.v, c.v), 4) >= 0.35
 """,
         "key_skew_profile": """
 WITH per_key AS (

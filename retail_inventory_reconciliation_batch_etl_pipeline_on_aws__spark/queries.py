@@ -2607,3 +2607,41 @@ def q_incremental_hourly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_dec").cast("double").alias("sum_value"),
         )
     )
+
+
+def q_embed_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space train/test contamination scan -- the semantic
+    sibling of the shingle-overlap ``contamination_check``, catching
+    paraphrased leakage that exact n-gram overlap misses.
+
+    benchmark := vec_id % 97 == 0 (the same held-out fixture rule as
+    the shingle scan); corpus := the rest. The benchmark side is tiny
+    by construction and BROADCAST, so the exact cosine verify is one
+    linear pass over the corpus: |corpus| x |bench| dot products with
+    the corpus side never shuffled at all. At 100 TB the shape holds --
+    a benchmark suite is KBs-to-MBs of vectors against trillions of
+    corpus rows; for benchmark sets too large to broadcast, the
+    LSH-bucketed generator (``embed_neardup_lsh``'s path) produces
+    candidates and this exact form is the verifier. Threshold 0.35 on
+    round(cos, 4): rounding BEFORE the compare keeps the boundary
+    decision identical across engines.
+    """
+    from .functions.vectors import as_double_array, cosine
+
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    bench = e.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("bench_vec"), F.col("v").alias("vb")
+    )
+    corpus = e.where(F.col("vec_id") % 97 != 0).select(
+        F.col("vec_id").alias("corpus_vec"), F.col("v").alias("vc")
+    )
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .select(
+            "bench_vec",
+            "corpus_vec",
+            F.round(cosine(F.col("vb"), F.col("vc")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.35)
+    )

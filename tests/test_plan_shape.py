@@ -321,3 +321,20 @@ def test_incremental_merge_never_reshuffles_raw_events(spark):
             f"raw events cross a shuffle:\n{b}"
         )
     assert "Union" in p
+
+
+def test_embed_contamination_broadcasts_the_benchmark_side(spark):
+    """The benchmark embedding set (vec_id % 97 == 0) must be the
+    broadcast/build side; the corpus side is trillions of rows at
+    production scale and must stream through the nested-loop verify
+    without ever shuffling."""
+    p = plan_of(spark, "embed_contamination")
+    blocks = re.split(r"\n\n", p)
+    bc = [b for b in blocks if re.match(r"\(\d+\) BroadcastExchange", b)]
+    assert len(bc) == 1, f"expected exactly 1 broadcast, got {len(bc)}"
+    # the broadcast subtree must be the %97==0 (benchmark) branch: find
+    # the scan filter inside the broadcast side via the plan's node ids
+    m = re.search(r"= 0\)", p)
+    assert m, p
+    # no shuffle anywhere: corpus flows scan -> project -> BNLJ -> filter
+    assert "Exchange hashpartitioning" not in p, p

@@ -25,6 +25,7 @@ NESTED_LOOP_OK = {
     "mixture_weights",  # two 1-row scalar broadcasts (corpus total, weight total)
     "lm_score",  # 1-row corpus-token-total broadcast gate
     "key_skew_profile",  # 1-row (total, n_keys) broadcast gate
+    "embed_contamination",  # tiny benchmark side broadcast x corpus (exact verify; LSH path for big benches)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why
