@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": Q.q_stratified_sample,
         "value_quantile_sketch": Q.q_value_quantile_sketch,
         "customer_spend_quartiles_approx": Q.q_customer_spend_quartiles_approx,
+        "dau_sketch_merge": Q.q_dau_sketch_merge,
     }
 
 

@@ -2645,3 +2645,35 @@ def q_embed_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cos_sim") >= 0.35)
     )
+
+
+def q_dau_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch incremental maintenance for DISTINCT counts --
+    the sibling of ``incremental_hourly_merge`` for the one aggregate
+    that is NOT a trivially mergeable sum.
+
+    Per-day DataSketches HLL sketches of user_id (``hll_sketch_agg``),
+    then the monthly distinct-user estimate from ``hll_union_agg`` over
+    the daily sketch blobs. At 100 TB this is how distinct counts are
+    maintained without rescans: each day's partition stores its KB-size
+    sketch once; any date-range DAU/MAU query unions sketches instead
+    of re-reading events, and sketch union is exact with respect to the
+    sketch state (tested: merged == direct-sketch estimate, bit-equal).
+    Rows-only: DataSketches HLL has no DuckDB mirror; the pytest twin
+    pins merge losslessness and a relative-error bound vs the exact
+    distinct count.
+    """
+    ev = fixtures.events(spark, sf_dir)
+    daily = ev.select(
+        F.to_date("ts").alias("day"),
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        "user_id",
+    ).groupBy("month", "day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("month")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        )
+        .orderBy("month")
+    )

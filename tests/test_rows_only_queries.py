@@ -138,3 +138,41 @@ def test_spend_quartiles_approx_tracks_exact(spark):
     # deterministic across runs
     again = {r.quartile: r.n_customers for r in qs["customer_spend_quartiles_approx"](spark, ORACLE_SF).collect()}
     assert approx == again
+
+
+def test_dau_sketch_merge_lossless_and_tracks_exact(spark):
+    """Sketch-merge contract: the union of per-day HLL sketches must
+    give the SAME estimate as sketching the whole month directly
+    (merge is exact w.r.t. sketch state -- the property that makes
+    per-partition sketch storage sound), and the estimate must track
+    the exact distinct count within HLL's error bound."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans import (
+        fixtures,
+    )
+
+    from conftest import TESTDATA
+
+    merged = {
+        r.month: r.est_users
+        for r in entry.queries()["dau_sketch_merge"](spark, TESTDATA).collect()
+    }
+    ev = fixtures.events(spark, TESTDATA)
+    mo = ev.select(
+        F.date_trunc("month", "ts").cast("date").alias("month"), "user_id"
+    )
+    direct = {
+        r.month: r.est
+        for r in mo.groupBy("month")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r.month: r["count"]
+        for r in mo.distinct().groupBy("month").count().collect()
+    }
+    assert merged == direct, (merged, direct)  # merge losslessness
+    for m, est in merged.items():
+        assert abs(est - exact[m]) / exact[m] < 0.05, (m, est, exact[m])
