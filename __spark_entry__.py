@@ -28,13 +28,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     The driver's CORRECTNESS artifact records only the first 50
     entries, so ordering is part of the contract. Round-4 rotation per
-    the round-3 verdict: the 7 queries NEW this round, then the 39
-    oracle-paired entries whose freshest driver artifact predates
-    CORRECTNESS_r03.json, so the union of r03+r04 artifacts covers
-    every oracle-paired query. The 50 entries freshly green in r03
-    follow; the 9 rows-only (seeded/approximate) entries close the
-    tail. tests/test_oracle_parity.py additionally pins ALL
-    oracle-paired queries value-level on every pytest run.
+    the round-3 verdict: the 11 oracle-paired queries NEW this round,
+    then the 39 oracle-paired entries whose freshest driver artifact
+    predates CORRECTNESS_r03.json (11 + 39 = the full 50 window), so
+    the union of r03+r04 artifacts covers every oracle-paired query.
+    The 50 entries freshly green in r03 follow; the 10 rows-only
+    (sketch/seeded) entries close the tail.
+    tests/test_oracle_parity.py additionally pins ALL oracle-paired
+    queries value-level on every pytest run.
     """
     return {
         # --- new in round 4 (never attested) ------------------------
