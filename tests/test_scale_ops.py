@@ -499,3 +499,51 @@ def test_write_range_sorted_disjoint_files_prune_by_footer(spark, tmp_path):
     )
     orig = sorted((r.user_id, r.v) for r in df.collect())
     assert back == orig
+
+
+def test_dynamic_partition_pruning_prunes_fact_partitions(spark, tmp_path):
+    """Dynamic partition pruning: joining a date-partitioned fact to a
+    dim with a selective predicate must inject a dynamicpruning
+    expression into the fact scan's PartitionFilters -- at 100TB the
+    fact side then reads only the dim-selected partitions' files
+    instead of the whole table. Completes the runtime-pruning proofs
+    (AQE skew split, bloom filter injection, and now DPP).
+
+    Two empirically-pinned preconditions worth knowing: the dim filter
+    must be one Spark's isLikelySelective heuristic accepts (a bare
+    boolean-column filter is NOT; an equality compare is), and the dim
+    must actually be the broadcast/build side (at toy sizes the FACT
+    wins the broadcast otherwise and the rule has nothing to prune)."""
+    import contextlib as cl
+    import datetime as dt
+    import io as iolib
+    import re as relib
+
+    fact_path = str(tmp_path / "dpp_fact")
+    days = [dt.date(2024, 1, d) for d in range(1, 11)]
+    fact = spark.range(10_000).select(
+        F.element_at(
+            F.array(*[F.lit(d) for d in days]),
+            (F.col("id") % 10 + 1).cast("int"),
+        ).alias("date_key"),
+        F.col("id").alias("v"),
+    )
+    fact.write.mode("overwrite").partitionBy("date_key").parquet(fact_path)
+    dim = spark.createDataFrame(
+        [(d, "special" if d.day <= 2 else "normal") for d in days],
+        "date_key date, kind string",
+    )
+
+    joined = (
+        spark.read.parquet(fact_path)
+        .join(F.broadcast(dim.where(F.col("kind") == "special")), "date_key")
+        .agg(F.count("*").alias("n"))
+    )
+    buf = iolib.StringIO()
+    with cl.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    pf = relib.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert pf and any("dynamicpruning" in f for f in pf), plan
+    # 2 of 10 days qualify; ids are uniform mod 10 -> exactly 2000 rows
+    assert joined.collect()[0].n == 2000
