@@ -93,6 +93,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_revenue": Q.q_local_supplier_revenue,
         "returned_item_customers": Q.q_returned_item_customers,
         "promo_revenue_share": Q.q_promo_revenue_share,
+        # new in round 4 but deliberately OUTSIDE the 50-window (the
+        # window is exactly 11 new + 39 stale; displacing a stale entry
+        # would break union coverage). Pinned value-level by
+        # test_oracle_parity.py; leads the round-5 rotation.
+        "dedup_keep_best": Q.q_dedup_keep_best,
         # --- freshly attested green in CORRECTNESS_r03.json ----------
         "stage_sales": Q.q_stage_sales,
         "dim_products": Q.q_dim_products,
@@ -1417,6 +1422,76 @@ comp AS (
 sizes AS (SELECT canonical_id, COUNT(*) AS group_size FROM comp GROUP BY 1)
 SELECT c.doc_id, c.canonical_id, CAST(s.group_size AS BIGINT) AS group_size
 FROM comp c JOIN sizes s ON c.canonical_id = s.canonical_id
+""",
+        # quality-aware canonical keep: dedup_groups' transitive closure
+        # joined to corpus_filter's quality expression, best-per-group
+        "dedup_keep_best": """
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 3 + 2), i ->
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+  FROM tok WHERE len(toks) >= 3
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM shared
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id
+  FROM reach GROUP BY a
+),
+sizes AS (SELECT canonical_id, COUNT(*) AS group_size FROM comp GROUP BY 1),
+q AS (
+  SELECT doc_id,
+         ROUND(
+           0.5 * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+           + 0.3 * LEAST(1.0, 4.0 * (CAST(len(list_filter(toks, t -> t IN
+                ('the','a','and','of','to','is','in','it'))) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE)))
+           + 0.2 * (CASE WHEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                              / CAST(len(toks) AS DOUBLE) BETWEEN 3.0 AND 10.0
+                    THEN 1.0 ELSE 0.0 END), 4) AS kept_quality
+  FROM tok
+),
+ranked AS (
+  SELECT c.canonical_id, c.doc_id, q.kept_quality, s.group_size,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.canonical_id
+           ORDER BY q.kept_quality DESC, c.doc_id ASC
+         ) AS rn
+  FROM comp c
+  JOIN sizes s ON s.canonical_id = c.canonical_id
+  JOIN q ON q.doc_id = c.doc_id
+  WHERE s.group_size >= 2
+)
+SELECT canonical_id, doc_id AS kept_doc, kept_quality,
+       CAST(group_size - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1
 """,
         "multimodal_features": """
 SELECT doc_id,

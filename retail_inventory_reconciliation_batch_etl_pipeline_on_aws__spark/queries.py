@@ -2677,3 +2677,42 @@ def q_dau_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: in each near-dup group, KEEP
+    the highest-quality member (tie -> lowest doc_id) -- the curation
+    decision that follows clustering. ``dedup_applied`` keeps a hash
+    canonical; real pipelines keep the best-scoring variant of a
+    boilerplate cluster, which is exactly this.
+
+    Composition of two independently-oracled stages: connected
+    components over the exact-Jaccard pair graph (``dedup_groups``)
+    joined to the Gopher/C4-style ``quality_score``, ranked by a window
+    PARTITIONED BY canonical_id -- bounded by the largest dup cluster,
+    never global. One output row per multi-doc group: the kept doc, its
+    quality, and how many near-dups were dropped.
+    """
+    from .functions.text import quality_score
+    from .operators.dedup import shingle_jaccard_pairs
+    from .operators.graph import dedup_groups
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    groups = dedup_groups(shingle_jaccard_pairs(docs, n=3, threshold=0.5))
+    scored = groups.where(F.col("group_size") >= 2).join(
+        docs.select("doc_id", quality_score("text").alias("kept_quality")),
+        "doc_id",
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.col("kept_quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "canonical_id",
+            F.col("doc_id").alias("kept_doc"),
+            "kept_quality",
+            (F.col("group_size") - 1).cast("long").alias("n_dropped"),
+        )
+    )

@@ -192,3 +192,43 @@ def test_incremental_merge_equals_full_recompute_with_conflicts(spark):
     hist = grain(ev.where(F.col("event_id") % 4 != 0))
     late = grain(ev.where(F.col("event_id") % 4 == 0))
     assert hist & late, "late batch never collides with history"
+
+
+def test_dedup_keep_best_keeps_the_max_quality_member(spark):
+    """The kept doc must carry its group's maximum quality (lowest
+    doc_id on ties), and the dropped count must conserve: sum(n_dropped)
+    == grouped docs - number of groups."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.functions.text import (
+        quality_score,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.dedup import (
+        shingle_jaccard_pairs,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (
+        dedup_groups,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans import (
+        fixtures,
+    )
+
+    docs = fixtures.load(spark, TESTDATA, "documents")
+    groups = dedup_groups(
+        shingle_jaccard_pairs(docs, n=3, threshold=0.5)
+    ).where(F.col("group_size") >= 2)
+    member_q = {
+        (r.canonical_id, r.doc_id): r.q
+        for r in groups.join(
+            docs.select("doc_id", quality_score("text").alias("q")), "doc_id"
+        ).collect()
+    }
+    kept = entry.queries()["dedup_keep_best"](spark, TESTDATA).collect()
+    assert kept
+    by_group = {}
+    for (g, d), q in member_q.items():
+        by_group.setdefault(g, []).append((q, d))
+    for r in kept:
+        best_q = max(q for q, _ in by_group[r.canonical_id])
+        assert r.kept_quality == best_q
+        best_doc = min(d for q, d in by_group[r.canonical_id] if q == best_q)
+        assert r.kept_doc == best_doc
+    assert sum(r.n_dropped for r in kept) == len(member_q) - len(by_group)
