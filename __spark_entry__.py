@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # would break union coverage). Pinned value-level by
         # test_oracle_parity.py; leads the round-5 rotation.
         "dedup_keep_best": Q.q_dedup_keep_best,
+        "dedup_canonical": Q.q_dedup_canonical,
         # --- freshly attested green in CORRECTNESS_r03.json ----------
         "stage_sales": Q.q_stage_sales,
         "dim_products": Q.q_dim_products,
@@ -1184,6 +1185,21 @@ g AS (
 )
 SELECT doc_id, fingerprint, CAST(n_dups AS BIGINT) AS n_dups
 FROM g WHERE rn = 1
+""",
+        # canonicalization-aware dedup: lower+whitespace-collapsed form
+        "dedup_canonical": """
+WITH c AS (
+  SELECT doc_id,
+         sha256(text) AS raw_fp,
+         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           AS fingerprint
+  FROM documents
+)
+SELECT fingerprint,
+       MIN(doc_id) AS kept_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(DISTINCT raw_fp) AS BIGINT) AS n_raw_variants
+FROM c GROUP BY 1
 """,
         "doc_chunks": """
 WITH tok AS (

@@ -2716,3 +2716,31 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("group_size") - 1).cast("long").alias("n_dropped"),
         )
     )
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization-aware exact dedup: case and whitespace variants
+    of the same document (the most common crawl-dup form) hash to ONE
+    canonical fingerprint that byte-exact dedup misses.
+
+    canonical := trim(collapse-whitespace(lower(text))); group by
+    sha256(canonical). ``n_raw_variants`` counts distinct RAW
+    fingerprints inside each canonical group -- > 1 means this pass
+    caught dups that ``dedup_exact`` could not. Plan: both hashes are
+    computed in the scan projection, so only (doc_id, 2 x 64-char hash)
+    rows ever shuffle -- document text stays pre-exchange, and the
+    aggregate is a plain hash-groupBy with map-side combine.
+    """
+    docs = fixtures.load(spark, sf_dir, "documents")
+    c = docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("raw_fp"),
+        F.sha2(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
+        ).alias("fingerprint"),
+    )
+    return c.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("kept_doc"),
+        F.count("*").alias("n_members"),
+        F.count_distinct("raw_fp").alias("n_raw_variants"),
+    )

@@ -232,3 +232,31 @@ def test_dedup_keep_best_keeps_the_max_quality_member(spark):
         best_doc = min(d for q, d in by_group[r.canonical_id] if q == best_q)
         assert r.kept_doc == best_doc
     assert sum(r.n_dropped for r in kept) == len(member_q) - len(by_group)
+
+
+def test_dedup_canonical_catches_case_whitespace_variants(spark):
+    """On a synthetic corpus where byte-exact dedup sees all-distinct
+    docs, the canonical pass must collapse case/whitespace variants
+    into one group and report n_raw_variants > 1 -- the delta that
+    justifies the canonicalization stage."""
+    import tempfile
+
+    rows = [
+        (1, "Hello  World"),
+        (2, "hello world"),
+        (3, "HELLO\tWORLD "),
+        (4, "entirely different text"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "synthetic", len(t)) for i, t in rows],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {
+            r.kept_doc: (r.n_members, r.n_raw_variants)
+            for r in entry.queries()["dedup_canonical"](spark, d).collect()
+        }
+        exact = entry.queries()["dedup_exact"](spark, d).count()
+    assert exact == 4  # byte-exact sees four distinct docs
+    assert out[1] == (3, 3), out  # canonical collapses the three variants
+    assert out[4] == (1, 1), out
