@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # test_oracle_parity.py; leads the round-5 rotation.
         "dedup_keep_best": Q.q_dedup_keep_best,
         "dedup_canonical": Q.q_dedup_canonical,
+        "source_quality_drift": Q.q_source_quality_drift,
         # --- freshly attested green in CORRECTNESS_r03.json ----------
         "stage_sales": Q.q_stage_sales,
         "dim_products": Q.q_dim_products,
@@ -1185,6 +1186,38 @@ g AS (
 )
 SELECT doc_id, fingerprint, CAST(n_dups AS BIGINT) AS n_dups
 FROM g WHERE rn = 1
+""",
+        # per-source quality drift: decimal-exact sums, one double divide
+        "source_quality_drift": """
+WITH tok AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+q AS (
+  SELECT source,
+         CAST(ROUND(
+           0.5 * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+           + 0.3 * LEAST(1.0, 4.0 * (CAST(len(list_filter(toks, t -> t IN
+                ('the','a','and','of','to','is','in','it'))) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE)))
+           + 0.2 * (CASE WHEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                              / CAST(len(toks) AS DOUBLE) BETWEEN 3.0 AND 10.0
+                    THEN 1.0 ELSE 0.0 END), 4) AS DECIMAL(8,4)) AS qd
+  FROM tok
+),
+per_source AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, SUM(qd) AS sum_q
+  FROM q GROUP BY source
+),
+tot AS (SELECT SUM(sum_q) AS g_sum, SUM(n_docs) AS g_n FROM per_source)
+SELECT p.source, p.n_docs,
+       ROUND(CAST(p.sum_q AS DOUBLE) / p.n_docs, 6) AS avg_quality,
+       ROUND(CAST(p.sum_q AS DOUBLE) / p.n_docs
+             - CAST(t.g_sum AS DOUBLE) / t.g_n, 6) AS drift,
+       ABS(CAST(p.sum_q AS DOUBLE) / p.n_docs
+           - CAST(t.g_sum AS DOUBLE) / t.g_n) > 0.05 AS flagged
+FROM per_source p CROSS JOIN tot t
 """,
         # canonicalization-aware dedup: lower+whitespace-collapsed form
         "dedup_canonical": """

@@ -2744,3 +2744,45 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.count_distinct("raw_fp").alias("n_raw_variants"),
     )
+
+
+def q_source_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality drift monitor: the check that catches one
+    crawl source going bad inside a mixed corpus.
+
+    Per-source mean quality against the corpus mean, flagging sources
+    drifting more than 0.05. Float-parity discipline: the 4dp quality
+    scores are summed as DECIMAL (exact, order-independent -- a double
+    sum over a distributed frame is reduction-order dependent and would
+    flap the oracle hash), and each mean is ONE double division of
+    exact operands. The corpus mean arrives as a 1-row broadcast
+    cross-join over the same persisted per-source frame -- the scalar
+    gate idiom; per-source rows are bounded by |sources|, so everything
+    after the one quality scan is dimension-sized.
+    """
+    from .functions.text import quality_score
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    per_source = (
+        docs.select(
+            "source", quality_score("text").cast("decimal(8,4)").alias("qd")
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("qd").alias("sum_q"))
+        .persist()
+    )
+    tot = per_source.agg(
+        F.sum("sum_q").alias("g_sum"), F.sum("n_docs").alias("g_n")
+    )  # 1 row
+    avg = F.col("sum_q").cast("double") / F.col("n_docs")
+    g_avg = F.col("g_sum").cast("double") / F.col("g_n")
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(avg, 6).alias("avg_quality"),
+            F.round(avg - g_avg, 6).alias("drift"),
+            (F.abs(avg - g_avg) > 0.05).alias("flagged"),
+        )
+    )

@@ -26,6 +26,7 @@ NESTED_LOOP_OK = {
     "lm_score",  # 1-row corpus-token-total broadcast gate
     "key_skew_profile",  # 1-row (total, n_keys) broadcast gate
     "embed_contamination",  # tiny benchmark side broadcast x corpus (exact verify; LSH path for big benches)
+    "source_quality_drift",  # 1-row (global sum, count) broadcast gate
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

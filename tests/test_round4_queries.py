@@ -260,3 +260,31 @@ def test_dedup_canonical_catches_case_whitespace_variants(spark):
     assert exact == 4  # byte-exact sees four distinct docs
     assert out[1] == (3, 3), out  # canonical collapses the three variants
     assert out[4] == (1, 1), out
+
+
+def test_source_quality_drift_flags_a_degraded_source(spark):
+    """Weighted drift must sum to ~0 (it is deviation from the weighted
+    mean), and a synthetic source of garbage one-token docs must be the
+    one flagged."""
+    import tempfile
+
+    out = entry.queries()["source_quality_drift"](spark, TESTDATA).collect()
+    weighted = sum(r.drift * r.n_docs for r in out)
+    assert abs(weighted) < 1e-3 * sum(r.n_docs for r in out)
+
+    # degraded source small enough (5%) that it cannot drag the global
+    # mean past the good source's own 0.05 tolerance
+    good = [(i, "the quick brown fox jumps over a lazy dog " * 6, "good")
+            for i in range(190)]
+    bad = [(1000 + i, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz", "degraded")
+           for i in range(10)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", s, len(t)) for i, t, s in good + bad],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        ).write.parquet(f"{d}/documents.parquet")
+        flags = {
+            r.source: r.flagged
+            for r in entry.queries()["source_quality_drift"](spark, d).collect()
+        }
+    assert flags == {"good": False, "degraded": True}, flags
