@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": Q.q_dedup_keep_best,
         "dedup_canonical": Q.q_dedup_canonical,
         "source_quality_drift": Q.q_source_quality_drift,
+        "stock_asof_tolerant": Q.q_stock_asof_tolerant,
         # --- freshly attested green in CORRECTNESS_r03.json ----------
         "stage_sales": Q.q_stage_sales,
         "dim_products": Q.q_dim_products,
@@ -1079,6 +1080,46 @@ checks AS (
 SELECT d.sku, d.sale_date, d.day_qty, c.check_date, c.checked_stock
 FROM daily d ASOF LEFT JOIN checks c
   ON d.sku = c.sku AND d.sale_date >= c.check_date
+""",
+        # tolerance-bounded as-of: stale matches (check older than 7
+        # days) are nulled, the left row survives
+        "stock_asof_tolerant": """
+WITH sales AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS sku,
+         CAST(l_quantity AS INT)    AS quantity,
+         CAST(l_shipdate AS DATE)   AS sale_date
+  FROM lineitem
+),
+daily AS (
+  SELECT sku, sale_date, CAST(SUM(quantity) AS BIGINT) AS day_qty
+  FROM sales WHERE CAST(sku AS INT) % 50 = 0
+  GROUP BY sku, sale_date
+),
+ledger AS (
+  SELECT d.sku, d.sale_date,
+         CAST(pt.p_size * 100
+              - SUM(d.day_qty) OVER (
+                  PARTITION BY d.sku ORDER BY d.sale_date
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS BIGINT) AS stock
+  FROM daily d
+  JOIN part pt ON CAST(pt.p_partkey AS VARCHAR) = d.sku
+),
+checks AS (
+  SELECT sku, sale_date AS check_date, stock AS checked_stock
+  FROM ledger WHERE day(sale_date) % 7 = 1
+),
+matched AS (
+  SELECT d.sku, d.sale_date, d.day_qty, c.check_date, c.checked_stock
+  FROM daily d ASOF LEFT JOIN checks c
+    ON d.sku = c.sku AND d.sale_date >= c.check_date
+)
+SELECT sku, sale_date, day_qty,
+       CASE WHEN check_date >= sale_date - INTERVAL 7 DAY
+            THEN check_date ELSE NULL END AS check_date,
+       CASE WHEN check_date >= sale_date - INTERVAL 7 DAY
+            THEN checked_stock ELSE NULL END AS checked_stock
+FROM matched
 """,
         "orders_in_promos": """
 WITH o AS (

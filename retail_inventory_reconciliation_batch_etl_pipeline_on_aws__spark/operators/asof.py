@@ -31,11 +31,18 @@ def asof_join(
     left_time: str,
     right_time: str,
     direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the right-side payload of
     the nearest right row at-or-before (``backward``) or at-or-after
     (``forward``) its time, matched per key; right payload columns are
     NULL when no such row exists.
+
+    ``tolerance_seconds`` bounds match staleness (pandas
+    ``merge_asof(tolerance=...)`` parity): a carried match farther than
+    the tolerance from the left row's time is nulled out, keeping the
+    left row. Implemented by carrying the matched right time through
+    the same window -- no extra shuffle, still one exchange per key.
 
     Right non-key columns (including ``right_time``) must not collide
     with left column names -- alias them on the way in.
@@ -83,6 +90,28 @@ def asof_join(
         "_t",
         "_side",
         *left_payload,
+        F.last(
+            F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True
+        ).over(w).alias("_rt"),
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
     )
-    return carried.where(F.col("_side") == 1).drop("_side", "_t")
+    out = carried.where(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        within = (
+            F.abs(
+                F.col("_t").cast("timestamp").cast("long")
+                - F.col("_rt").cast("timestamp").cast("long")
+            )
+            <= F.lit(int(tolerance_seconds))
+        )
+        out = out.select(
+            *keys,
+            "_t",
+            "_side",
+            *left_payload,
+            *[
+                F.when(within, F.col(c)).otherwise(F.lit(None)).alias(c)
+                for c in right_payload
+            ],
+        )
+    return out.drop("_side", "_t", "_rt")

@@ -2786,3 +2786,52 @@ def q_source_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(avg - g_avg) > 0.05).alias("flagged"),
         )
     )
+
+
+def q_stock_asof_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas merge_asof(tolerance=...)
+    parity): same backward as-of as ``stock_asof``, but a carried
+    inventory check older than 7 days is STALE and nulled out -- the
+    left row survives with null payload, which is what a downstream
+    freshness SLA wants. Same union-window plan, same single exchange
+    per key: the matched check date rides the existing window, and the
+    staleness gate is a post-carry projection, not a join."""
+    from .operators.asof import asof_join
+
+    sales = fixtures.pos_sales(spark, sf_dir).where(
+        F.col("sku").cast("int") % 50 == 0
+    )
+    part = fixtures.load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("sku"),
+        (F.col("p_size") * 100).alias("initial_stock"),
+    )
+    daily = sales.groupBy("sku", "sale_date").agg(
+        F.sum(F.col("quantity").cast("long")).alias("day_qty")
+    )
+    w_cum = (
+        Window.partitionBy("sku")
+        .orderBy("sale_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ledger = (
+        daily.join(part, "sku")
+        .withColumn("cum_qty", F.sum("day_qty").over(w_cum))
+        .select(
+            "sku",
+            "sale_date",
+            (F.col("initial_stock") - F.col("cum_qty")).cast("long").alias("stock"),
+        )
+    )
+    checks = ledger.where(F.dayofmonth("sale_date") % 7 == 1).select(
+        "sku",
+        F.col("sale_date").alias("check_date"),
+        F.col("stock").alias("checked_stock"),
+    )
+    return asof_join(
+        daily,
+        checks,
+        on="sku",
+        left_time="sale_date",
+        right_time="check_date",
+        tolerance_seconds=7 * 24 * 3600,
+    )

@@ -87,3 +87,39 @@ def test_asof_rejects_column_collision(spark):
     left, right = _frames(spark)
     with pytest.raises(ValueError, match="colliding"):
         asof_join(left, right.withColumnRenamed("s", "v"), "k", "t", "rt")
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    """merge_asof(tolerance=) parity: a backward match farther than the
+    tolerance is nulled (left row kept); within-tolerance matches are
+    untouched; rows with no match at all stay null either way."""
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [("a", dt.date(2024, 1, 10)),   # check 9 days back -> stale
+         ("a", dt.date(2024, 1, 3)),    # check 2 days back -> fresh
+         ("b", dt.date(2024, 1, 5))],   # no check at all
+        "k string, lt date",
+    )
+    right = spark.createDataFrame(
+        [("a", dt.date(2024, 1, 1), 42)], "k string, rt date, payload int"
+    )
+    out = {
+        (r.k, r.lt): (r.rt, r.payload)
+        for r in asof_join(
+            left, right, on="k", left_time="lt", right_time="rt",
+            tolerance_seconds=7 * 24 * 3600,
+        ).collect()
+    }
+    assert out[("a", dt.date(2024, 1, 3))] == (dt.date(2024, 1, 1), 42)
+    assert out[("a", dt.date(2024, 1, 10))] == (None, None)
+    assert out[("b", dt.date(2024, 1, 5))] == (None, None)
+
+    # without tolerance the stale match is carried
+    base = {
+        (r.k, r.lt): r.payload
+        for r in asof_join(
+            left, right, on="k", left_time="lt", right_time="rt"
+        ).collect()
+    }
+    assert base[("a", dt.date(2024, 1, 10))] == 42
