@@ -338,3 +338,17 @@ def test_embed_contamination_broadcasts_the_benchmark_side(spark):
     assert m, p
     # no shuffle anywhere: corpus flows scan -> project -> BNLJ -> filter
     assert "Exchange hashpartitioning" not in p, p
+
+
+def test_stock_asof_tolerant_adds_no_shuffle_over_base(spark):
+    """The tolerance gate must be a post-carry projection, not a join:
+    the tolerant plan keeps the base as-of's exact shuffle budget
+    (4 exchanges, 2 key-windows, no range-join explosion) -- the
+    matched-time carry rides the existing window."""
+    p = plan_of(spark, "stock_asof_tolerant")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    n_windows = len(re.findall(r"\(\d+\) Window\b", p))
+    assert n_windows == 2, f"expected 2 key-windows, plan has {n_windows}"
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", p))
+    assert n_shuffles == 4, f"expected 4 exchanges, plan has {n_shuffles}"

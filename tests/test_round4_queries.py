@@ -2,6 +2,7 @@
 parity sweep: the properties a refactor could silently break while the
 oracle (which shares the recipe) still agreed."""
 
+import pytest
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entry
@@ -288,3 +289,43 @@ def test_source_quality_drift_flags_a_degraded_source(spark):
             for r in entry.queries()["source_quality_drift"](spark, d).collect()
         }
     assert flags == {"good": False, "degraded": True}, flags
+
+
+@pytest.mark.parametrize("mod,rem", [(2, 0), (3, 1), (5, 4)])
+def test_incremental_merge_invariant_to_split_choice(spark, mod, rem):
+    """Partial-aggregate merge must equal the full recompute for ANY
+    deterministic history/late-batch split -- the %4 in the shipped
+    query is one instance of a general associativity property."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.sessionize import (
+        hourly_rollup,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans import (
+        fixtures,
+    )
+
+    ev = fixtures.events(spark, TESTDATA)
+
+    def partial(part):
+        return part.groupBy(
+            F.window("ts", "1 hour").start.alias("bucket_start"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+        )
+
+    merged = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+        for r in partial(ev.where(F.col("event_id") % mod != rem))
+        .unionByName(partial(ev.where(F.col("event_id") % mod == rem)))
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    full = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+        for r in hourly_rollup(ev).collect()
+    }
+    assert merged == full
