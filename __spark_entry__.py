@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": Q.q_dedup_canonical,
         "source_quality_drift": Q.q_source_quality_drift,
         "stock_asof_tolerant": Q.q_stock_asof_tolerant,
+        "value_anomalies": Q.q_value_anomalies,
         # --- freshly attested green in CORRECTNESS_r03.json ----------
         "stage_sales": Q.q_stage_sales,
         "dim_products": Q.q_dim_products,
@@ -1080,6 +1081,33 @@ checks AS (
 SELECT d.sku, d.sale_date, d.day_qty, c.check_date, c.checked_stock
 FROM daily d ASOF LEFT JOIN checks c
   ON d.sku = c.sku AND d.sale_date >= c.check_date
+""",
+        # running z-score anomalies in exact integer arithmetic (HUGEINT
+        # mirror of the Spark DECIMAL(38,0) squared-form test)
+        "value_anomalies": """
+WITH e AS (
+  SELECT event_type, ts, event_id, value,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events
+),
+st AS (
+  SELECT event_type, ts, event_id, value, c,
+         COUNT(c) OVER w AS n_prior,
+         COALESCE(SUM(c) OVER w, 0) AS sum_prior,
+         COALESCE(SUM(CAST(c AS HUGEINT) * c) OVER w, 0) AS sumsq_prior
+  FROM e
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, ts, event_id, value,
+       CAST(n_prior AS BIGINT) AS n_prior,
+       CAST(sum_prior AS BIGINT) AS sum_prior
+FROM st
+WHERE n_prior >= 10
+  AND CAST(c * n_prior - sum_prior AS HUGEINT)
+      * CAST(c * n_prior - sum_prior AS HUGEINT)
+      > 9 * (CAST(n_prior AS HUGEINT) * sumsq_prior
+             - CAST(sum_prior AS HUGEINT) * sum_prior)
 """,
         # tolerance-bounded as-of: stale matches (check older than 7
         # days) are nulled, the left row survives

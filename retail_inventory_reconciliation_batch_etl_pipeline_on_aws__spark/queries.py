@@ -2835,3 +2835,51 @@ def q_stock_asof_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_time="check_date",
         tolerance_seconds=7 * 24 * 3600,
     )
+
+
+def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running z-score anomaly detection, in EXACT integer
+    arithmetic -- the batch twin of the streaming Welford alerter.
+
+    Each event is tested against the running mean/stddev of everything
+    BEFORE it (per event_type, ordered by ts,event_id): alert when
+    ``|v - mean| > 3*stddev`` with at least 10 prior samples. Floats
+    never enter the decision: values quantize to cents, the test is the
+    squared integer form ``(c*n - s)^2 > 9*(n*ss - s^2)`` over
+    DECIMAL(38,0) (HUGEINT in the oracle), so the alert set is
+    bit-identical across engines AND across the streaming twin.
+    One window over one event_type exchange; intermediates stay
+    sub-1e25, far inside decimal-38 range at this key cardinality.
+    """
+    ev = fixtures.events(spark, sf_dir)
+    c = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = lambda col: col.cast("decimal(38,0)")
+    st = (
+        ev.select("event_type", "ts", "event_id", "value", c.alias("c"))
+        .withColumn("n_prior", F.count("c").over(w))
+        .withColumn("sum_prior", F.coalesce(F.sum("c").over(w), F.lit(0)))
+        .withColumn(
+            "sumsq_prior",
+            F.coalesce(
+                F.sum(d(F.col("c")) * F.col("c")).over(w),
+                F.lit(0).cast("decimal(38,0)"),
+            ),
+        )
+    )
+    dev = d(F.col("c")) * F.col("n_prior") - F.col("sum_prior")
+    var_n2 = d(F.col("n_prior")) * F.col("sumsq_prior") - d(
+        F.col("sum_prior")
+    ) * F.col("sum_prior")
+    return (
+        st.where(
+            (F.col("n_prior") >= 10)
+            & (dev * dev > F.lit(9).cast("decimal(38,0)") * var_n2)
+        )
+        .select("event_type", "ts", "event_id", "value", "n_prior",
+                F.col("sum_prior").cast("long").alias("sum_prior"))
+    )

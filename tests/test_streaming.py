@@ -425,3 +425,49 @@ def test_native_session_window_stream_equals_batch(spark, tmp_path):
         .collect()
     }
     assert streamed == batch
+
+
+def test_streaming_anomaly_alerts_equal_batch_exactly(spark, tmp_path):
+    """The stateful z-score alerter must emit, across micro-batch
+    boundaries, EXACTLY the batch twin's alert set -- the integer-exact
+    state (n, sum_cents, sumsq_cents) carries between batches, so an
+    alert whose prior-window spans both staged files is the
+    cross-batch case that matters."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (
+        streaming_value_anomalies,
+    )
+
+    ev = raw_nanos_events(spark)
+    qs = ev.approxQuantile("ts", [0.5], 0.0)
+    src = tmp_path / "anom_src"
+    src.mkdir()
+    bounds = [None, *qs, None]
+    for i in range(2):
+        part = ev
+        if bounds[i] is not None:
+            part = part.where(F.col("ts") > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.where(F.col("ts") <= bounds[i + 1])
+        stage = tmp_path / f"an_stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        (pf,) = glob.glob(str(stage / "part-*.parquet"))
+        shutil.move(pf, src / f"{i:02d}.parquet")
+        os.utime(src / f"{i:02d}.parquet", (i + 1, i + 1))
+
+    alerts = streaming_value_anomalies(
+        spark, str(src), max_files_per_trigger=1
+    )
+    assert alerts.isStreaming
+    run_to_memory_sink(alerts, "anomaly_stream_test", output_mode="append")
+    streamed = {
+        (r.event_type, r.event_id): (r.n_prior, r.sum_prior)
+        for r in spark.sql("SELECT * FROM anomaly_stream_test").collect()
+    }
+    import __spark_entry__ as entry
+
+    batch = {
+        (r.event_type, r.event_id): (r.n_prior, r.sum_prior)
+        for r in entry.queries()["value_anomalies"](spark, TESTDATA).collect()
+    }
+    assert streamed == batch
+    assert batch, "alert set is vacuous on testdata"
