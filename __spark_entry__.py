@@ -31,7 +31,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the round-3 verdict: the 11 oracle-paired queries NEW this round,
     then the 39 oracle-paired entries whose freshest driver artifact
     predates CORRECTNESS_r03.json (11 + 39 = the full 50 window), so
-    the union of r03+r04 artifacts covers every oracle-paired query.
+    the union of r03+r04 artifacts covers every PRE-round-4
+    oracle-paired query. Five late-round-4 additions (dedup_keep_best,
+    dedup_canonical, source_quality_drift, stock_asof_tolerant,
+    value_anomalies) sit just past the window -- displacing a stale
+    entry would break that union -- and lead the round-5 rotation.
     The 50 entries freshly green in r03 follow; the 10 rows-only
     (sketch/seeded) entries close the tail.
     tests/test_oracle_parity.py additionally pins ALL oracle-paired
