@@ -45,6 +45,31 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_evolving(
+    spark: SparkSession,
+    path: str,
+    tolerate_corrupt: bool = False,
+) -> DataFrame:
+    """Parquet scan over a directory whose files span SCHEMA VERSIONS
+    (columns added over time -- the normal life of a long-lived staging
+    zone): ``mergeSchema`` unions every footer's schema, older files
+    surface the new columns as NULL.
+
+    The per-table footer-merge costs one extra metadata pass, which is
+    why it is a separate entry point and not the default ``read_parquet``
+    -- at 100 TB you pay it only on zones that actually evolve.
+    ``tolerate_corrupt`` additionally skips unreadable files
+    (``ignoreCorruptFiles``) instead of failing the job -- the
+    quarantine-and-continue posture for ingest zones fed by flaky
+    producers; leave False for warehouse zones where a corrupt file
+    must fail loudly.
+    """
+    reader = spark.read.option("mergeSchema", "true")
+    if tolerate_corrupt:
+        reader = reader.option("ignoreCorruptFiles", "true")
+    return reader.parquet(path)
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,

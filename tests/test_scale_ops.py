@@ -547,3 +547,37 @@ def test_dynamic_partition_pruning_prunes_fact_partitions(spark, tmp_path):
     assert pf and any("dynamicpruning" in f for f in pf), plan
     # 2 of 10 days qualify; ids are uniform mod 10 -> exactly 2000 rows
     assert joined.collect()[0].n == 2000
+
+
+def test_read_parquet_evolving_merges_schema_versions(spark, tmp_path):
+    """Schema evolution contract: a staging zone whose later files
+    carry an added column reads as the UNION schema, old files
+    null-filled; and with tolerate_corrupt a garbage file is skipped
+    instead of failing the scan (quarantine-and-continue), while the
+    strict default fails loudly."""
+    import pytest as _pytest
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.readers import (
+        read_parquet_evolving,
+    )
+
+    zone = tmp_path / "zone"
+    zone.mkdir()
+    spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(zone))
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).coalesce(1).write.mode("append").parquet(str(zone))
+
+    got = {
+        r.id: (r.v, r.score)
+        for r in read_parquet_evolving(spark, str(zone)).collect()
+    }
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+    (zone / "zz_garbage.parquet").write_bytes(b"this is not parquet at all")
+    tolerant = read_parquet_evolving(spark, str(zone), tolerate_corrupt=True)
+    assert {r.id for r in tolerant.collect()} == {1, 2}
+    with _pytest.raises(Exception):
+        read_parquet_evolving(spark, str(zone)).collect()  # strict fails
