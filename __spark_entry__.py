@@ -640,7 +640,7 @@ per_doc AS (
   GROUP BY f.doc_id
 )
 SELECT p.doc_id, p.n_tokens, p.corpus_token_hits,
-       CAST(p.corpus_token_hits AS DOUBLE) / p.n_tokens / t.n_total
+       ROUND(CAST(p.corpus_token_hits AS DOUBLE) / p.n_tokens / t.n_total, 6)
          AS lm_score
 FROM per_doc p CROSS JOIN total t
 """,

@@ -50,6 +50,13 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
+    reserved = {"_t", "_side", "_rt"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        # these are the operator's internal tag/carry columns; an input
+        # column with one of these names would be silently clobbered
+        raise ValueError(
+            f"input columns collide with internal names: {sorted(reserved)}"
+        )
     left_payload = [c for c in left.columns if c not in keys]
     right_payload = [c for c in right.columns if c not in keys]
     clash = set(left_payload) & set(right_payload)

@@ -2480,7 +2480,12 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-domain variant has the identical plan shape but an
     order-dependent float sum; this rational form is exact, so the
     oracle hash-matches, and the pytest twin checks the log variant
-    within tolerance.)
+    within tolerance.) The terminal ``lm_score`` double is rounded to
+    6 dp in BOTH the plan and the oracle so the driver's value hash is
+    representation-robust -- the quantity is ~3e-2 with ~3e-3 spread,
+    so 6 dp keeps 4 significant varying digits; the exact rational
+    numerator/denominator pair (``corpus_token_hits``, ``n_tokens``)
+    travels alongside untouched for bit-level auditing.
 
     Scale posture for a 100 TB corpus:
     - Tokens are ``xxhash64``-ed BEFORE the first exchange -- no token
@@ -2524,10 +2529,11 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "corpus_token_hits",
-            (
+            F.round(
                 F.col("corpus_token_hits").cast("double")
                 / F.col("n_tokens")
-                / F.col("n_total")
+                / F.col("n_total"),
+                6,
             ).alias("lm_score"),
         )
     )

@@ -49,15 +49,31 @@ def _probe_ts_dtype(spark: SparkSession, source_dir: str) -> str:
 
     readStream needs the schema up front; probing the existing files
     (a metadata operation -- no data scan) lets one reader serve both
-    layouts. An empty/unreadable dir defaults to the nanos-long layout.
+    layouts. ONLY a missing/empty source dir falls back to the
+    nanos-long default -- any other failure (permissions, a listing
+    race, a corrupt footer) re-raises, because silently guessing the
+    schema there would let ``write_drain_sentinel`` append a
+    mixed-layout file and poison the whole file stream.
     """
+    from pyspark.errors import AnalysisException
+
     from ..plans.fixtures import ensure_session_conf
 
     ensure_session_conf(spark)
     try:
         return dict(spark.read.parquet(source_dir).dtypes).get("ts", "bigint")
-    except Exception:
-        return "bigint"
+    except AnalysisException as e:
+        # the two expected "nothing there yet" shapes; everything else
+        # (incl. permission/listing errors) must surface
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+            or "Path does not exist" in msg
+            or "Unable to infer schema" in msg
+        ):
+            return "bigint"
+        raise
 
 
 def _normalize_ts(df: DataFrame, ts_dtype: str) -> DataFrame:
@@ -516,6 +532,26 @@ ANOMALY_SCHEMA = (
 _ANOMALY_STATE = "n bigint, sum_cents bigint, sumsq_cents bigint"
 
 
+def quantize_cents(v: float) -> int:
+    """``F.round(value * 100).cast("long")``, replicated in Python.
+
+    Spark's ``round`` on a double is ``BigDecimal.valueOf`` (the
+    shortest round-trip decimal repr, which Python's ``repr`` also
+    produces) + ``RoundingMode.HALF_UP`` (ties away from zero).
+    Python's built-in ``round()`` is half-EVEN and diverges on exact
+    half-cents (0.125 -> 12 instead of 13), which would break the
+    bit-identical batch/stream contract; tested against F.round on the
+    half-cent edge cases in tests/test_streaming.py.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(float(v) * 100)).quantize(
+            Decimal("1"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
 def streaming_value_anomalies(
     spark: SparkSession,
     source_dir: str,
@@ -553,7 +589,7 @@ def streaming_value_anomalies(
         out = []
         ev = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         for ts, eid, v in zip(ev["ts"], ev["event_id"], ev["value"]):
-            c = int(round(float(v) * 100))
+            c = quantize_cents(v)
             if n >= min_n:
                 dev = c * n - s
                 if dev * dev > kk * (n * ss - s * s):

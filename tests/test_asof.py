@@ -123,3 +123,15 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
         ).collect()
     }
     assert base[("a", dt.date(2024, 1, 10))] == 42
+
+
+def test_asof_rejects_reserved_internal_names(spark):
+    """An input column literally named _t/_side/_rt would be clobbered
+    by the operator's internal tag/carry projection -- must be rejected
+    up front, not silently dropped."""
+    left, right = _frames(spark)
+    for bad in ("_t", "_side", "_rt"):
+        with pytest.raises(ValueError, match="internal names"):
+            asof_join(left.withColumn(bad, left.v), right, "k", "t", "rt")
+        with pytest.raises(ValueError, match="internal names"):
+            asof_join(left, right.withColumn(bad, right.s), "k", "t", "rt")

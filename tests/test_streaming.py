@@ -471,3 +471,26 @@ def test_streaming_anomaly_alerts_equal_batch_exactly(spark, tmp_path):
     }
     assert streamed == batch
     assert batch, "alert set is vacuous on testdata"
+
+
+def test_quantize_cents_matches_f_round_on_half_cent_ties(spark):
+    """The streaming alerter's Python-side cents quantization must equal
+    the batch twin's F.round(value*100) even on exact half-cents, where
+    Python's built-in round() (half-even) silently diverges."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (
+        quantize_cents,
+    )
+
+    vals = [0.125, 0.135, -0.125, -0.135, 0.115, 2.675, -2.675, 0.0,
+            1.005, -1.005, 12.345, 99999.995, -99999.995]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    jvm = {
+        r.value: r.c
+        for r in df.select(
+            "value", F.round(F.col("value") * 100).cast("long").alias("c")
+        ).collect()
+    }
+    for v in vals:
+        assert quantize_cents(v) == jvm[v], v
+    # and the divergence is real: bare round() gets 0.125 wrong
+    assert round(0.125 * 100) == 12 and quantize_cents(0.125) == 13
