@@ -2854,28 +2854,77 @@ def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared integer form ``(c*n - s)^2 > 9*(n*ss - s^2)`` over
     DECIMAL(38,0) (HUGEINT in the oracle), so the alert set is
     bit-identical across engines AND across the streaming twin.
-    One window over one event_type exchange; intermediates stay
-    sub-1e25, far inside decimal-38 range at this key cardinality.
+
+    Scale posture (VERDICT r4: the naive form is a
+    straggler-by-construction): a single cumulative window partitioned
+    by ``event_type`` alone funnels the ENTIRE event stream into
+    |event_types| (~5) tasks. The recurrence is therefore SEGMENTED --
+    running sums are associative, so the prefix splits at day
+    boundaries:
+
+    1. per-(event_type, day) partial moments (one map-side-combined
+       aggregate -- the only full-data shuffle, keyed by types*days);
+    2. exclusive day-prefix merge of those partials per type -- a
+       cumulative window, but over the TINY daily aggregate
+       (|types| * |days| rows), never the raw stream;
+    3. the prefix broadcast-joined back, and an intra-day cumulative
+       window partitioned by (event_type, day) -- no task ever sees
+       more than one day of one type;
+    4. prior = day-prefix + intra-day running sums. Identical output
+       (day boundaries respect the (ts, event_id) order), now with
+       types*days-way parallelism instead of |types|-way.
+
+    Plan-guarded: tests/test_plan_shape.py rejects any cumulative
+    window partitioned by the bare key and ordered by raw ts. The
+    streaming twin (``streaming_value_anomalies``) remains the
+    incremental production path (24 bytes of state per key);
+    this batch form is its replayable ground truth.
     """
     ev = fixtures.events(spark, sf_dir)
     c = F.round(F.col("value") * 100).cast("long")
-    w = (
+    d = lambda col: col.cast("decimal(38,0)")
+    base = ev.select(
+        "event_type", "ts", "event_id", "value", c.alias("c"),
+        F.to_date("ts").alias("day"),
+    )
+    daily = base.groupBy("event_type", "day").agg(
+        F.count("*").alias("dn"),
+        F.sum("c").alias("ds"),
+        F.sum(d(F.col("c")) * F.col("c")).alias("dss"),
+    )
+    wd = (
         Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # cumulative over the daily AGGREGATE (|types|*|days| rows), not raw events
+    prefix = daily.select(
+        "event_type",
+        "day",
+        F.coalesce(F.sum("dn").over(wd), F.lit(0)).alias("n0"),
+        F.coalesce(F.sum("ds").over(wd), F.lit(0)).alias("s0"),
+        F.coalesce(
+            F.sum("dss").over(wd), F.lit(0).cast("decimal(38,0)")
+        ).alias("ss0"),
+    )
+    wi = (
+        Window.partitionBy("event_type", "day")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    d = lambda col: col.cast("decimal(38,0)")
     st = (
-        ev.select("event_type", "ts", "event_id", "value", c.alias("c"))
-        .withColumn("n_prior", F.count("c").over(w))
-        .withColumn("sum_prior", F.coalesce(F.sum("c").over(w), F.lit(0)))
+        base.withColumn("n_in", F.count("c").over(wi))
+        .withColumn("s_in", F.coalesce(F.sum("c").over(wi), F.lit(0)))
         .withColumn(
-            "sumsq_prior",
+            "ss_in",
             F.coalesce(
-                F.sum(d(F.col("c")) * F.col("c")).over(w),
+                F.sum(d(F.col("c")) * F.col("c")).over(wi),
                 F.lit(0).cast("decimal(38,0)"),
             ),
         )
+        .join(F.broadcast(prefix), ["event_type", "day"])
+        .withColumn("n_prior", F.col("n0") + F.col("n_in"))
+        .withColumn("sum_prior", F.col("s0") + F.col("s_in"))
+        .withColumn("sumsq_prior", d(F.col("ss0")) + F.col("ss_in"))
     )
     dev = d(F.col("c")) * F.col("n_prior") - F.col("sum_prior")
     var_n2 = d(F.col("n_prior")) * F.col("sumsq_prior") - d(

@@ -352,3 +352,26 @@ def test_stock_asof_tolerant_adds_no_shuffle_over_base(spark):
     assert n_windows == 2, f"expected 2 key-windows, plan has {n_windows}"
     n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", p))
     assert n_shuffles == 4, f"expected 4 exchanges, plan has {n_shuffles}"
+
+
+def test_value_anomalies_cumulative_window_is_day_segmented(spark):
+    """VERDICT r4 scale item: a cumulative window partitioned by the
+    bare event_type (~5 keys) and ordered by raw ts funnels the entire
+    event stream into |event_types| tasks. The segmented form must
+    (a) never run an event_type-only window over the raw row order --
+    that spec shape (partition [event_type], order [ts, ...]) is the
+    straggler-by-construction and turns this guard red; (b) run the
+    intra-day cumulative partitioned by (event_type, day); (c) merge
+    day prefixes with a window over the daily AGGREGATE only (ordered
+    by day, not ts) and broadcast them back."""
+    p = plan_of(spark, "value_anomalies")
+    assert not re.search(
+        r"windowspecdefinition\(event_type#\d+, ts#\d+ ASC", p
+    ), "event_type-only cumulative window over raw events came back"
+    assert re.search(
+        r"windowspecdefinition\(event_type#\d+, day#\d+, ts#\d+ ASC", p
+    ), "intra-day window missing (event_type, day) partition spec"
+    assert re.search(
+        r"windowspecdefinition\(event_type#\d+, day#\d+ ASC", p
+    ), "day-prefix window over the daily aggregate missing"
+    assert "BroadcastExchange" in p, "day-prefix must ride a broadcast"
