@@ -220,3 +220,55 @@ def dim_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("product_name"),
         F.explode(variants).alias("category"),
     )
+
+
+# --- schema-evolution fixture -------------------------------------------
+# A long-lived staging zone accumulates files across schema versions;
+# readers.read_parquet_evolving is the entry point that tolerates that.
+# The driver's oracle needs BOTH engines reading the same files, so this
+# builds a tiny deterministic two-schema parquet dir inside the repo
+# (gitignored) -- v1 files lack unit_price, v2 files carry it.
+
+import os as _os
+
+EVOLVING_FIXTURE_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    ".fixtures",
+    "evolving_sales",
+)
+
+
+def ensure_evolving_fixture() -> str:
+    """Idempotently materialize the two-schema fixture; returns its dir.
+
+    Written with pyarrow directly (not Spark) so it exists before any
+    session does -- __spark_entry__ builds it at import time, which
+    guarantees the DuckDB oracle can read it even if the driver runs
+    the oracle side first.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = EVOLVING_FIXTURE_DIR
+    marker = _os.path.join(d, "_SUCCESS")
+    if _os.path.exists(marker):
+        return d
+    _os.makedirs(d, exist_ok=True)
+    v1 = pa.table(
+        {
+            "sku": pa.array(["A", "B", "C"], pa.string()),
+            "qty": pa.array([1, 2, 3], pa.int32()),
+        }
+    )
+    pq.write_table(v1, _os.path.join(d, "part-v1.parquet"))
+    v2 = pa.table(
+        {
+            "sku": pa.array(["B", "D"], pa.string()),
+            "qty": pa.array([20, 40], pa.int32()),
+            "unit_price": pa.array([1.5, 2.25], pa.float64()),
+        }
+    )
+    pq.write_table(v2, _os.path.join(d, "part-v2.parquet"))
+    with open(marker, "w"):
+        pass
+    return d

@@ -503,15 +503,16 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_stock_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """General as-of join (SURVEY.md SS2.4 note: the reference's
-    day-over-day partition pairing, generalized): each daily sales row
-    picks up the most recent sparse inventory check at-or-before it,
-    per sku. Union-window implementation -- one shuffle, linear, no
-    range-join explosion; oracle is DuckDB's native ASOF JOIN."""
-    from .operators.asof import asof_join
-
-    sales = fixtures.pos_sales(spark, sf_dir).where(F.col("sku").cast("int") % 50 == 0)
+def _stock_asof_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared scaffolding for the three stock_asof variants: the daily
+    sales frame (left) and the sparse inventory-check frame (right,
+    every ~7th ledger day), built once so backward / tolerance /
+    forward only differ in the asof_join call."""
+    sales = fixtures.pos_sales(spark, sf_dir).where(
+        F.col("sku").cast("int") % 50 == 0
+    )
     part = fixtures.load(spark, sf_dir, "part").select(
         F.col("p_partkey").cast("string").alias("sku"),
         (F.col("p_size") * 100).alias("initial_stock"),
@@ -538,6 +539,18 @@ def q_stock_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sale_date").alias("check_date"),
         F.col("stock").alias("checked_stock"),
     )
+    return daily, checks
+
+
+def q_stock_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General as-of join (SURVEY.md SS2.4 note: the reference's
+    day-over-day partition pairing, generalized): each daily sales row
+    picks up the most recent sparse inventory check at-or-before it,
+    per sku. Union-window implementation -- one shuffle, linear, no
+    range-join explosion; oracle is DuckDB's native ASOF JOIN."""
+    from .operators.asof import asof_join
+
+    daily, checks = _stock_asof_frames(spark, sf_dir)
     return asof_join(
         daily, checks, on="sku", left_time="sale_date", right_time="check_date"
     )
@@ -2804,41 +2817,36 @@ def q_stock_asof_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     staleness gate is a post-carry projection, not a join."""
     from .operators.asof import asof_join
 
-    sales = fixtures.pos_sales(spark, sf_dir).where(
-        F.col("sku").cast("int") % 50 == 0
-    )
-    part = fixtures.load(spark, sf_dir, "part").select(
-        F.col("p_partkey").cast("string").alias("sku"),
-        (F.col("p_size") * 100).alias("initial_stock"),
-    )
-    daily = sales.groupBy("sku", "sale_date").agg(
-        F.sum(F.col("quantity").cast("long")).alias("day_qty")
-    )
-    w_cum = (
-        Window.partitionBy("sku")
-        .orderBy("sale_date")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ledger = (
-        daily.join(part, "sku")
-        .withColumn("cum_qty", F.sum("day_qty").over(w_cum))
-        .select(
-            "sku",
-            "sale_date",
-            (F.col("initial_stock") - F.col("cum_qty")).cast("long").alias("stock"),
-        )
-    )
-    checks = ledger.where(F.dayofmonth("sale_date") % 7 == 1).select(
-        "sku",
-        F.col("sale_date").alias("check_date"),
-        F.col("stock").alias("checked_stock"),
-    )
+    daily, checks = _stock_asof_frames(spark, sf_dir)
     return asof_join(
         daily,
         checks,
         on="sku",
         left_time="sale_date",
         right_time="check_date",
+        tolerance_seconds=7 * 24 * 3600,
+    )
+
+
+def q_stock_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (VERDICT r4 item 7): each daily sales row
+    pairs with the NEXT inventory check at-or-after it -- the
+    "reconcile against the upcoming audit" direction -- nulled when the
+    next check is more than 7 days out (tolerance applies symmetrically
+    via |left - matched|, pandas merge_asof parity). Same union-window
+    plan as backward: one exchange on the key, the sort is simply
+    descending; oracle is DuckDB's native ASOF with the ``<=`` pairing.
+    """
+    from .operators.asof import asof_join
+
+    daily, checks = _stock_asof_frames(spark, sf_dir)
+    return asof_join(
+        daily,
+        checks,
+        on="sku",
+        left_time="sale_date",
+        right_time="check_date",
+        direction="forward",
         tolerance_seconds=7 * 24 * 3600,
     )
 
@@ -2937,4 +2945,33 @@ def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "ts", "event_id", "value", "n_prior",
                 F.col("sum_prior").cast("long").alias("sum_prior"))
+    )
+
+
+def q_evolving_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read surfaced as an attested query (VERDICT r4
+    item 4): a staging zone whose files span two schema versions --
+    v1 files predate the ``unit_price`` column -- read through
+    ``read_parquet_evolving`` (footer ``mergeSchema``), so old files
+    NULL-fill the new column and the derived ``revenue`` propagates
+    that NULL instead of inventing a zero.
+
+    The input is the deterministic repo-local two-schema fixture
+    (``fixtures.ensure_evolving_fixture``), identical bytes for both
+    engines; the oracle is DuckDB's ``read_parquet(...,
+    union_by_name=true)`` over the same files. ``sf_dir`` is unused:
+    evolution is a property of the zone, not the scale factor. At
+    100 TB the mergeSchema footer pass is per-file METADATA work
+    (no data scan) and only paid on zones that actually evolve --
+    ``read_parquet`` stays the fast path elsewhere.
+    """
+    from .sources.readers import read_parquet_evolving
+
+    path = fixtures.ensure_evolving_fixture()
+    df = read_parquet_evolving(spark, path)
+    return df.select(
+        "sku",
+        "qty",
+        "unit_price",
+        (F.col("qty") * F.col("unit_price")).alias("revenue"),
     )

@@ -135,3 +135,26 @@ def test_asof_rejects_reserved_internal_names(spark):
             asof_join(left.withColumn(bad, left.v), right, "k", "t", "rt")
         with pytest.raises(ValueError, match="internal names"):
             asof_join(left, right.withColumn(bad, right.s), "k", "t", "rt")
+
+
+def test_asof_forward_tolerance_nulls_distant_matches(spark):
+    """Tolerance guard extended to the forward direction (VERDICT r4
+    item 7): a next-at-or-after match farther than the tolerance is
+    nulled (left row kept); a within-tolerance match is untouched."""
+    left = spark.createDataFrame(
+        [("A", D(2024, 1, 2), 5), ("B", D(2024, 1, 2), 6)],
+        "k string, t date, v int",
+    )
+    right = spark.createDataFrame(
+        [("A", D(2024, 1, 20), 9), ("B", D(2024, 1, 4), 7)],
+        "k string, rt date, s int",
+    )
+    got = {
+        r.k: (r.rt, r.s)
+        for r in asof_join(
+            left, right, "k", "t", "rt",
+            direction="forward", tolerance_seconds=7 * 24 * 3600,
+        ).collect()
+    }
+    assert got["A"] == (None, None)          # 18 days out: stale-nulled
+    assert got["B"] == (D(2024, 1, 4), 7)    # 2 days out: kept
