@@ -183,7 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _FIXTURE_CTES = """
 WITH sales AS (
-  SELECT CAST(l_partkey AS VARCHAR) AS sku,
+  SELECT CAST(l_partkey AS STRING) AS sku,
          CAST(l_quantity AS INT)    AS quantity,
          CAST(l_shipdate AS DATE)   AS sale_date
   FROM lineitem
@@ -199,7 +199,7 @@ opening AS (
   SELECT s.sku,
          CAST(MAX(pt.p_size) * 100 - SUM(s.quantity) AS INT) AS opening_stock
   FROM sales s
-  JOIN part pt ON CAST(pt.p_partkey AS VARCHAR) = s.sku
+  JOIN part pt ON CAST(pt.p_partkey AS STRING) = s.sku
   CROSS JOIN params p
   WHERE s.sale_date <= p.d - 1 AND pt.p_partkey % 10 <> 3
   GROUP BY s.sku
@@ -210,16 +210,16 @@ closing AS (
               - MAX(CASE WHEN pt.p_partkey % 7 = 0 THEN 1 ELSE 0 END) AS INT)
            AS actual_closing_stock
   FROM sales s
-  JOIN part pt ON CAST(pt.p_partkey AS VARCHAR) = s.sku
+  JOIN part pt ON CAST(pt.p_partkey AS STRING) = s.sku
   CROSS JOIN params p
   WHERE s.sale_date <= p.d AND pt.p_partkey % 10 <> 3
   GROUP BY s.sku
 ),
 dim_src AS (
-  SELECT CAST(p_partkey AS VARCHAR) AS sku, p_name AS product_name, p_type AS category
+  SELECT CAST(p_partkey AS STRING) AS sku, p_name AS product_name, p_type AS category
   FROM part
   UNION ALL
-  SELECT CAST(p_partkey AS VARCHAR), p_name, p_brand
+  SELECT CAST(p_partkey AS STRING), p_name, p_brand
   FROM part WHERE p_partkey % 5 = 0
 ),
 dim AS (
@@ -320,7 +320,7 @@ clean AS (
 b2 AS (
   SELECT CAST(list_sum(list_transform(range(1, 9), i ->
            (strpos('0123456789abcdef',
-                   substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+                   substr(md5(CAST(doc_id AS STRING)), CAST(i AS INT), 1)) - 1)
            * power(16, 8 - i))) AS BIGINT) % 10 AS bucket
   FROM clean
 )
@@ -335,49 +335,49 @@ ORDER BY split
 SELECT 'o_orderkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
-       CAST(MIN(o_orderkey) AS VARCHAR) AS min_v,
-       CAST(MAX(o_orderkey) AS VARCHAR) AS max_v
+       CAST(MIN(o_orderkey) AS STRING) AS min_v,
+       CAST(MAX(o_orderkey) AS STRING) AS max_v
 FROM orders
 UNION ALL
 SELECT 'o_custkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
-       CAST(MIN(o_custkey) AS VARCHAR) AS min_v,
-       CAST(MAX(o_custkey) AS VARCHAR) AS max_v
+       CAST(MIN(o_custkey) AS STRING) AS min_v,
+       CAST(MAX(o_custkey) AS STRING) AS max_v
 FROM orders
 UNION ALL
 SELECT 'o_orderdate' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_distinct,
-       CAST(MIN(o_orderdate) AS VARCHAR) AS min_v,
-       CAST(MAX(o_orderdate) AS VARCHAR) AS max_v
+       CAST(MIN(o_orderdate) AS STRING) AS min_v,
+       CAST(MAX(o_orderdate) AS STRING) AS max_v
 FROM orders
 UNION ALL
 SELECT 'o_orderpriority' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct,
-       CAST(MIN(o_orderpriority) AS VARCHAR) AS min_v,
-       CAST(MAX(o_orderpriority) AS VARCHAR) AS max_v
+       CAST(MIN(o_orderpriority) AS STRING) AS min_v,
+       CAST(MAX(o_orderpriority) AS STRING) AS max_v
 FROM orders
 UNION ALL
 SELECT 'o_orderstatus' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
-       CAST(MIN(o_orderstatus) AS VARCHAR) AS min_v,
-       CAST(MAX(o_orderstatus) AS VARCHAR) AS max_v
+       CAST(MIN(o_orderstatus) AS STRING) AS min_v,
+       CAST(MAX(o_orderstatus) AS STRING) AS max_v
 FROM orders
 UNION ALL
 SELECT 'o_totalprice' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
-       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS min_v,
-       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS max_v
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS min_v,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS max_v
 FROM orders
 ORDER BY col
 """,
         "sku_sale_gaps": """
 WITH sales AS (
-  SELECT CAST(l_partkey AS VARCHAR) AS sku, CAST(l_shipdate AS DATE) AS sale_date
+  SELECT CAST(l_partkey AS STRING) AS sku, CAST(l_shipdate AS DATE) AS sale_date
   FROM lineitem WHERE l_partkey % 100 = 0
 ),
 daily AS (SELECT DISTINCT sku, sale_date FROM sales),
@@ -618,7 +618,7 @@ LIMIT 10
         # full recompute: associativity makes the incremental merge the
         # exact same answer, so any partial-merge bug hash-mismatches
         "incremental_hourly_merge": """
-SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+SELECT date_trunc('hour', ts) AS bucket_start, event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
@@ -767,7 +767,7 @@ WHERE s.sale_date = p.d
 GROUP BY s.sale_date
 """,
         "normalize_clean": """
-SELECT UPPER(TRIM(CAST(p_partkey AS VARCHAR))) AS sku,
+SELECT UPPER(TRIM(CAST(p_partkey AS STRING))) AS sku,
        TRIM(p_name) AS product_name,
        UPPER(TRIM(p_type)) AS category_norm,
        CAST(p_size AS INT) AS p_size
@@ -775,7 +775,7 @@ FROM part
 """,
         "stock_timeseries": """
 WITH sales AS (
-  SELECT CAST(l_partkey AS VARCHAR) AS sku,
+  SELECT CAST(l_partkey AS STRING) AS sku,
          CAST(l_quantity AS INT)    AS quantity,
          CAST(l_shipdate AS DATE)   AS sale_date
   FROM lineitem
@@ -794,7 +794,7 @@ ledger AS (
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                 ) AS BIGINT) AS closing_stock
   FROM daily d
-  JOIN part pt ON CAST(pt.p_partkey AS VARCHAR) = d.sku
+  JOIN part pt ON CAST(pt.p_partkey AS STRING) = d.sku
 )
 SELECT sku, sale_date, day_qty, closing_stock,
        CAST(LAG(closing_stock) OVER (PARTITION BY sku ORDER BY sale_date) AS BIGINT)
@@ -969,7 +969,7 @@ FROM q GROUP BY quartile
 """,
         # --- events ------------------------------------------------------
         "events_hourly": """
-SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+SELECT date_trunc('hour', ts) AS bucket_start, event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
@@ -1065,7 +1065,7 @@ GROUP BY 1
 """,
         "stock_asof": """
 WITH sales AS (
-  SELECT CAST(l_partkey AS VARCHAR) AS sku,
+  SELECT CAST(l_partkey AS STRING) AS sku,
          CAST(l_quantity AS INT)    AS quantity,
          CAST(l_shipdate AS DATE)   AS sale_date
   FROM lineitem
@@ -1083,7 +1083,7 @@ ledger AS (
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                 ) AS BIGINT) AS stock
   FROM daily d
-  JOIN part pt ON CAST(pt.p_partkey AS VARCHAR) = d.sku
+  JOIN part pt ON CAST(pt.p_partkey AS STRING) = d.sku
 ),
 checks AS (
   SELECT sku, sale_date AS check_date, stock AS checked_stock
@@ -1124,7 +1124,7 @@ WHERE n_prior >= 10
         # days) are nulled, the left row survives
         "stock_asof_tolerant": """
 WITH sales AS (
-  SELECT CAST(l_partkey AS VARCHAR) AS sku,
+  SELECT CAST(l_partkey AS STRING) AS sku,
          CAST(l_quantity AS INT)    AS quantity,
          CAST(l_shipdate AS DATE)   AS sale_date
   FROM lineitem
@@ -1142,7 +1142,7 @@ ledger AS (
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                 ) AS BIGINT) AS stock
   FROM daily d
-  JOIN part pt ON CAST(pt.p_partkey AS VARCHAR) = d.sku
+  JOIN part pt ON CAST(pt.p_partkey AS STRING) = d.sku
 ),
 checks AS (
   SELECT sku, sale_date AS check_date, stock AS checked_stock
@@ -1164,7 +1164,7 @@ FROM matched
         # ASOF with the <= pairing), nulled when >7 days out
         "stock_asof_forward": """
 WITH sales AS (
-  SELECT CAST(l_partkey AS VARCHAR) AS sku,
+  SELECT CAST(l_partkey AS STRING) AS sku,
          CAST(l_quantity AS INT)    AS quantity,
          CAST(l_shipdate AS DATE)   AS sale_date
   FROM lineitem
@@ -1182,7 +1182,7 @@ ledger AS (
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                 ) AS BIGINT) AS stock
   FROM daily d
-  JOIN part pt ON CAST(pt.p_partkey AS VARCHAR) = d.sku
+  JOIN part pt ON CAST(pt.p_partkey AS STRING) = d.sku
 ),
 checks AS (
   SELECT sku, sale_date AS check_date, stock AS checked_stock
@@ -1221,7 +1221,7 @@ FROM o JOIN p2
 GROUP BY 1
 """,
         "sku_sales_salted": """
-SELECT CAST(l_partkey AS VARCHAR) AS sku,
+SELECT CAST(l_partkey AS STRING) AS sku,
        CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS total_qty
 FROM lineitem
 GROUP BY 1
@@ -1711,7 +1711,7 @@ FROM th
         # --- OLAP breadth --------------------------------------------------
         "sku_moving_avg": """
 WITH sales AS (
-  SELECT CAST(l_partkey AS VARCHAR) AS sku,
+  SELECT CAST(l_partkey AS STRING) AS sku,
          CAST(l_quantity AS INT)    AS quantity,
          CAST(l_shipdate AS DATE)   AS sale_date
   FROM lineitem
@@ -1731,7 +1731,7 @@ FROM daily
 """,
         "sku_rolling_range": """
 WITH sales AS (
-  SELECT CAST(l_partkey AS VARCHAR) AS sku,
+  SELECT CAST(l_partkey AS STRING) AS sku,
          CAST(l_quantity AS INT)    AS quantity,
          CAST(l_shipdate AS DATE)   AS sale_date
   FROM lineitem
@@ -1806,7 +1806,7 @@ GROUP BY n_orders
         "dim_scd2": """
 WITH dd AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS d FROM lineitem),
 p AS (
-  SELECT CAST(p_partkey AS VARCHAR) AS sku,
+  SELECT CAST(p_partkey AS STRING) AS sku,
          TRIM(p_type)  AS cat_old,
          CASE WHEN p_partkey % 5 = 0 THEN TRIM(p_brand) ELSE TRIM(p_type) END
            AS cat_new
@@ -1991,7 +1991,7 @@ FROM c
 WITH b AS (
   SELECT CAST(list_sum(list_transform(range(1, 9), i ->
            (strpos('0123456789abcdef',
-                   substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+                   substr(md5(CAST(doc_id AS STRING)), CAST(i AS INT), 1)) - 1)
            * power(16, 8 - i))) AS BIGINT) % 10 AS bucket
   FROM documents
 )

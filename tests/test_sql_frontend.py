@@ -14,9 +14,14 @@ from conftest import TESTDATA, normalized_rows
 
 #: oracle SQL that is pure ANSI (no DuckDB list functions / QUALIFY),
 #: so it must parse and agree on Spark as well.  Excluded with reasons:
-#: events_hour_of_day (hour() extraction semantics diverge between the
-#: engines on the nanos-epoch timestamps); everything else that fails
-#: the probe uses DuckDB list_* lambdas, QUALIFY, or VARCHAR casts.
+#: events_hour_of_day (EXTRACT(dow) is Sunday=1 on Spark vs Sunday=0 on
+#: DuckDB -- a constant off-by-one with no common spelling); ASOF JOIN
+#: (DuckDB-only syntax); sha256/json_extract_string/quantile_cont and
+#: the list_*/unnest lambda family (no shared function names); HUGEINT
+#: (DECIMAL(38,0) multiply would overflow DuckDB's width-38 cap);
+#: regexp_replace 'g' flag (Spark is global by default, 4th arg is
+#: position); date_diff units (string literal on DuckDB, bare keyword
+#: on Spark); 1-based [] list indexing (0-based on Spark).
 PORTABLE = [
     "market_share",
     "nation_profit",
@@ -66,6 +71,26 @@ PORTABLE = [
     "user_journey",
     "sku_sales_anomaly",
     "key_skew_profile",
+    # round-5 expansion: oracles rewritten into the common dialect --
+    # CAST(AS STRING) (a DuckDB VARCHAR alias Spark also parses) and
+    # date_trunc instead of time_bucket -- then re-probed for 3-way
+    # agreement (DataFrame == spark.sql == DuckDB)
+    "stage_sales",
+    "dim_products",
+    "reconcile",
+    "reconcile_snapshots",
+    "discrepancy_count",
+    "discrepancy_topk",
+    "partition_prune",
+    "normalize_clean",
+    "stock_timeseries",
+    "sku_sales_salted",
+    "sku_moving_avg",
+    "sku_rolling_range",
+    "dim_scd2",
+    "table_profile",
+    "events_hourly",
+    "incremental_hourly_merge",
 ]
 
 
