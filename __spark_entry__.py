@@ -104,6 +104,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": Q.q_dedup_groups,
         "multimodal_features": Q.q_multimodal_features,
         # ---- end of the 50-entry attested window --------------------
+        # new in round 5, post-window (displacing a must-attest or
+        # r03-stale entry would cost more than it buys); pinned by
+        # test_oracle_parity.py; leads the round-6 window together
+        # with the overflow block below.
+        "token_budget": Q.q_token_budget,
         # r03-attested overflow (8): did not fit this round; MUST lead
         # the round-6 window. Pinned by test_oracle_parity.py.
         "top_tokens": Q.q_top_tokens,
@@ -2146,6 +2151,24 @@ FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
   AND l.l_shipdate < TIMESTAMP '1997-04-01'
+""",
+        # BPE-ish token budget: escape-free alternation with disjoint
+        # charsets so Java and RE2 tokenize identically
+        "token_budget": """
+WITH t AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))
+              AS BIGINT) AS nt,
+         CAST(LENGTH(text) AS BIGINT) AS nc
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT)  AS n_tokens,
+       ROUND(CAST(SUM(nt) AS BIGINT) / COUNT(*), 6)               AS tokens_per_doc,
+       ROUND(CAST(SUM(nt) AS BIGINT) / CAST(SUM(nc) AS BIGINT), 6) AS tokens_per_char
+FROM t
+GROUP BY source
 """,
         # schema-evolution read: DuckDB's union_by_name is the oracle
         # for Spark's mergeSchema -- v1 files NULL-fill unit_price and

@@ -97,6 +97,36 @@ def read_jsonl(
     return reader.json(path)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Opaque-binary ingestion via Spark's native ``binaryFile`` source
+    -- the entry point for image/audio/video corpora: one row per file
+    with ``(path, modificationTime, length, content)``, where
+    ``content`` is the raw bytes column the multimodal operators
+    (``operators.multimodal.image_dimensions`` etc.) decode.
+
+    ``glob`` filters by filename pattern (``pathGlobFilter`` -- applied
+    during listing, BEFORE any byte is read); ``recursive`` walks
+    nested dirs (``recursiveFileLookup``). Scale posture: files are
+    Spark's split unit here (binary payloads don't split), so millions
+    of small images parallelize naturally, while the listing itself is
+    the bottleneck at 1e8+ files -- at that point the production move
+    is packing payloads into parquet binary columns (which is exactly
+    what the multimodal operators consume downstream), keeping this
+    source as the one-time packer input.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan -- the second columnar format Spark supports natively
     (vectorized reader, predicate pushdown to stripe/row-group level,

@@ -122,3 +122,47 @@ def test_sample_frames_explodes_with_stable_order(spark):
         assert sorted(f.frame_idx for f in frames) == [0, 1, 2, 3]
         for f in frames:
             assert f.frame_bytes == len(f.frame) > 0
+
+
+def test_binary_file_source_feeds_image_decode(spark, tmp_path):
+    """End-to-end multimodal ingest: real files on disk -> binaryFile
+    source (path/length/content rows, glob applied at listing time) ->
+    the same header decoder the parquet-packed path uses. Proves the
+    source composes with the operators, not just the synthetic
+    payload column."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.multimodal import (
+        encode_bmp_rgb,
+        encode_png_gray,
+        image_dimensions,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.readers import (
+        read_binary_files,
+    )
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "a.png").write_bytes(encode_png_gray(12, 7, seed=1))
+    (d / "b.bmp").write_bytes(encode_bmp_rgb(9, 5, seed=2))
+    (d / "ignore.txt").write_bytes(b"not an image")
+
+    df = read_binary_files(spark, str(d), glob="*.{png,bmp}")
+    assert sorted(df.columns) == ["content", "length", "modificationTime", "path"]
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 2, "glob must exclude the .txt at listing time"
+    for r in rows:
+        assert r.length == len(r.content)
+
+    payload = df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.col("path"),
+    )
+    dims = {
+        r.path.rsplit("/", 1)[-1]: (r.format, r.width, r.height)
+        for r in image_dimensions(payload, id_col="doc_id")
+        .join(payload.select("doc_id", "path"), "doc_id")
+        .collect()
+    }
+    assert dims["a.png"] == ("png", 12, 7)
+    assert dims["b.bmp"] == ("bmp", 9, 5)
