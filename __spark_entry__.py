@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # test_oracle_parity.py; leads the round-6 window together
         # with the overflow block below.
         "token_budget": Q.q_token_budget,
+        "copurchase_pairs": Q.q_copurchase_pairs,
+        "name_match_candidates": Q.q_name_match_candidates,
         # r03-attested overflow (8): did not fit this round; MUST lead
         # the round-6 window. Pinned by test_oracle_parity.py.
         "top_tokens": Q.q_top_tokens,
@@ -2151,6 +2153,37 @@ FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
   AND l.l_shipdate < TIMESTAMP '1997-04-01'
+""",
+        # market-basket pair counting: each unordered pair once via the
+        # a<b tiebreak; ties in the top-k broken by (part_a, part_b)
+        "copurchase_pairs": """
+WITH pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM pairs
+GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 25
+""",
+        # blocked fuzzy matching: block on (brand, first word), verify
+        # with exact levenshtein -- same metric in both engines
+        "name_match_candidates": """
+WITH p AS (
+  SELECT p_partkey, p_brand, p_name, split_part(p_name, ' ', 1) AS w1
+  FROM part
+)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM p a
+JOIN p b ON a.p_brand = b.p_brand AND a.w1 = b.w1
+        AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 10
+ORDER BY id_a, id_b
 """,
         # BPE-ish token budget: escape-free alternation with disjoint
         # charsets so Java and RE2 tokenize identically

@@ -3025,3 +3025,79 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_tokens") / F.col("n_chars"), 6).alias("tokens_per_char"),
         )
     )
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the top co-purchased part pairs
+    across all orders -- the co-occurrence statistic behind
+    recommenders and complement-pricing, and (swapping parts for
+    tokens) the document co-occurrence matrix of embedding pipelines.
+
+    Self-equi-join of the order lines on ``l_orderkey`` with an
+    ``a < b`` tiebreak (each unordered pair once), then a counted
+    group-by and a deterministic top-k. Scale shape: ONE shuffle of
+    (orderkey, partkey) pairs; pair generation is intra-partition and
+    bounded by lines-per-order squared (TPC-H max 7 lines -> <=21
+    pairs/order, never corpus-quadratic); the pair counts map-side
+    combine, and the top-k is TakeOrderedAndProject, never a global
+    sort. Ties broken by (part_a, part_b) so the oracle hash-matches.
+    """
+    li = fixtures.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+def q_name_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string matching: near-identical part names within
+    a brand -- the entity-resolution primitive (catalog dedup, vendor
+    reconciliation) in its scale-honest two-stage form.
+
+    Stage 1 BLOCKS: equi-join on (brand, first word of the name), so
+    candidate generation is an 8-byte-ish key join, never all-pairs
+    over the catalog. Stage 2 VERIFIES: exact ``levenshtein`` edit
+    distance (JVM built-in, identical metric in DuckDB) with an
+    ``a < b`` tiebreak. Block sizes are bounded by (|brands| x
+    |first words|) fan-in; at catalog scales where a block degenerates
+    (single mega-brand), the documented move is refining the block key
+    (name length band, 2-gram prefix), exactly like the shingle-hash
+    dedup family. Output is every candidate pair with its distance,
+    ordered deterministically.
+    """
+    p = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_name",
+        F.split_part("p_name", F.lit(" "), F.lit(1)).alias("w1"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.w1") == F.col("b.w1"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 10)
+        .orderBy("id_a", "id_b")
+    )

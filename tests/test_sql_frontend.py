@@ -91,6 +91,10 @@ PORTABLE = [
     "table_profile",
     "events_hourly",
     "incremental_hourly_merge",
+    # round-5 additions born portable (split_part / levenshtein exist
+    # with identical semantics in both engines)
+    "copurchase_pairs",
+    "name_match_candidates",
 ]
 
 
