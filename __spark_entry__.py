@@ -2182,7 +2182,7 @@ SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
 FROM p a
 JOIN p b ON a.p_brand = b.p_brand AND a.w1 = b.w1
         AND a.p_partkey < b.p_partkey
-WHERE levenshtein(a.p_name, b.p_name) <= 10
+WHERE levenshtein(a.p_name, b.p_name) <= 4
 ORDER BY id_a, id_b
 """,
         # BPE-ish token budget: escape-free alternation with disjoint

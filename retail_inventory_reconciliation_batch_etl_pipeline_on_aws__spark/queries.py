@@ -3098,6 +3098,6 @@ def q_name_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.p_name").alias("name_b"),
             F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
         )
-        .where(F.col("edit_dist") <= 10)
+        .where(F.col("edit_dist") <= 4)
         .orderBy("id_a", "id_b")
     )
