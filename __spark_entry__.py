@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": Q.q_token_budget,
         "copurchase_pairs": Q.q_copurchase_pairs,
         "name_match_candidates": Q.q_name_match_candidates,
+        "stock_twa": Q.q_stock_twa,
         # r03-attested overflow (8): did not fit this round; MUST lead
         # the round-6 window. Pinned by test_oracle_parity.py.
         "top_tokens": Q.q_top_tokens,
@@ -2153,6 +2154,47 @@ FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
   AND l.l_shipdate < TIMESTAMP '1997-04-01'
+""",
+        # time-weighted average stock: integer level x holding-days
+        # sums, one rounded terminal division; last (open-ended)
+        # observation excluded on both sides
+        "stock_twa": """
+WITH sales AS (
+  SELECT CAST(l_partkey AS STRING) AS sku,
+         CAST(l_quantity AS INT)    AS quantity,
+         CAST(l_shipdate AS DATE)   AS sale_date
+  FROM lineitem
+),
+daily AS (
+  SELECT sku, sale_date, CAST(SUM(quantity) AS BIGINT) AS day_qty
+  FROM sales WHERE CAST(sku AS INT) % 50 = 0
+  GROUP BY sku, sale_date
+),
+ledger AS (
+  SELECT d.sku, d.sale_date,
+         CAST(pt.p_size * 100
+              - SUM(d.day_qty) OVER (
+                  PARTITION BY d.sku ORDER BY d.sale_date
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS BIGINT) AS stock
+  FROM daily d
+  JOIN part pt ON CAST(pt.p_partkey AS STRING) = d.sku
+),
+held AS (
+  SELECT sku, stock,
+         CAST(date_diff('day', sale_date,
+              LEAD(sale_date) OVER (PARTITION BY sku ORDER BY sale_date))
+           AS BIGINT) AS held_days
+  FROM ledger
+)
+SELECT sku,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(held_days) AS BIGINT) AS total_days,
+       ROUND(CAST(SUM(stock * held_days) AS DOUBLE) / SUM(held_days), 6)
+         AS twa_stock
+FROM held
+WHERE held_days IS NOT NULL
+GROUP BY sku
 """,
         # market-basket pair counting: each unordered pair once via the
         # a<b tiebreak; ties in the top-k broken by (part_a, part_b)

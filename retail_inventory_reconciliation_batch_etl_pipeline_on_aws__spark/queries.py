@@ -3101,3 +3101,62 @@ def q_name_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("edit_dist") <= 4)
         .orderBy("id_a", "id_b")
     )
+
+
+def q_stock_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average stock (TWAP form): each ledger level is
+    weighted by how long it HELD -- days until the next movement via
+    ``LEAD`` -- which is the financially-correct average for irregular
+    time series (a plain AVG over-weights busy days; SURVEY.md SS2.4's
+    ledger generalization taken one step further).
+
+    Plan shape: the daily pre-aggregate shuffles once on
+    (sku, sale_date); then the cumulative window, the LEAD, and the
+    final per-sku aggregate all share ONE sku exchange -- Catalyst
+    fuses both window functions into a single Window operator and the
+    aggregate consumes its partitioning directly (verified: 2 hash
+    exchanges total). Weights and levels stay integer (BIGINT days x BIGINT
+    stock) until one rounded terminal division; the open-ended last
+    observation has no holding period and is excluded on both sides.
+    """
+    sales = fixtures.pos_sales(spark, sf_dir).where(
+        F.col("sku").cast("int") % 50 == 0
+    )
+    part = fixtures.load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("sku"),
+        (F.col("p_size") * 100).alias("initial_stock"),
+    )
+    daily = sales.groupBy("sku", "sale_date").agg(
+        F.sum(F.col("quantity").cast("long")).alias("day_qty")
+    )
+    w_cum = (
+        Window.partitionBy("sku")
+        .orderBy("sale_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = Window.partitionBy("sku").orderBy("sale_date")
+    ledger = (
+        daily.join(part, "sku")
+        .withColumn("cum_qty", F.sum("day_qty").over(w_cum))
+        .select(
+            "sku",
+            "sale_date",
+            (F.col("initial_stock") - F.col("cum_qty")).cast("long").alias("stock"),
+        )
+    )
+    held = ledger.withColumn(
+        "held_days",
+        F.datediff(F.lead("sale_date").over(w), F.col("sale_date")).cast("long"),
+    ).where(F.col("held_days").isNotNull())
+    return (
+        held.groupBy("sku")
+        .agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            F.sum("held_days").alias("total_days"),
+            F.round(
+                F.sum(F.col("stock") * F.col("held_days"))
+                / F.sum("held_days"),
+                6,
+            ).alias("twa_stock"),
+        )
+    )
