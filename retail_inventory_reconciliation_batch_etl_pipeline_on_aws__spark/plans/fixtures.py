@@ -260,7 +260,6 @@ def ensure_evolving_fixture() -> str:
             "qty": pa.array([1, 2, 3], pa.int32()),
         }
     )
-    pq.write_table(v1, _os.path.join(d, "part-v1.parquet"))
     v2 = pa.table(
         {
             "sku": pa.array(["B", "D"], pa.string()),
@@ -268,7 +267,16 @@ def ensure_evolving_fixture() -> str:
             "unit_price": pa.array([1.5, 2.25], pa.float64()),
         }
     )
-    pq.write_table(v2, _os.path.join(d, "part-v2.parquet"))
+    # write-then-rename so a concurrent importer (two driver processes,
+    # Spark + DuckDB sides racing) never reads a half-written footer;
+    # rename is atomic on one filesystem and the bytes are
+    # deterministic, so last-writer-wins is byte-identical
+    for name, tbl in (("part-v1.parquet", v1), ("part-v2.parquet", v2)):
+        # .tmp suffix so neither Spark's listing nor a '*.parquet' glob
+        # can ever see the in-flight file
+        tmp = _os.path.join(d, f"{name}.{_os.getpid()}.tmp")
+        pq.write_table(tbl, tmp)
+        _os.replace(tmp, _os.path.join(d, name))
     with open(marker, "w"):
         pass
     return d
