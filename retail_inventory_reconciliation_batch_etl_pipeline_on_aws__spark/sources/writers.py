@@ -17,6 +17,7 @@ row-group min/max stats act as zone maps for later range scans.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -102,6 +103,96 @@ def write_range_sorted(
         else list(sort_extra or [])
     )
     ranged.sortWithinPartitions(*scols).write.mode(mode).parquet(path)
+
+
+def zorder_key(bucketized: list, bits: int = 16):
+    """Morton (Z-order) interleave of pre-bucketized integer columns:
+    bit i of column k lands at output bit ``i * n_cols + k``, so the
+    key preserves locality in EVERY input dimension at once. Pure
+    shift/and/or column expressions -- a static ``bits x n_cols``-term
+    tree, whole-stage-codegen'd, no UDF. Inputs must already be in
+    ``[0, 2**bits)``; ``write_zordered`` handles the scaling.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(bucketized)
+    out = None
+    for k, c in enumerate(bucketized):
+        lc = c.cast("long")
+        for i in range(bits):
+            term = F.shiftleft(
+                F.shiftright(lc, i).bitwiseAND(F.lit(1)), i * n + k
+            )
+            out = term if out is None else out.bitwiseOR(term)
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-ORDERED parquet layout (the technique behind Delta/Iceberg
+    ``OPTIMIZE ZORDER BY``): multi-column file pruning where
+    ``write_range_sorted`` can only serve its FIRST sort column.
+
+    A linear sort on (x, y) gives perfect footer-stat pruning on x and
+    NONE on y -- every file spans y's full range. Interleaving the bits
+    of min-max-scaled x and y into one Morton key and range-writing on
+    it makes each file a small hyper-rectangle in (x, y) space: a
+    predicate on ANY z-ordered column prunes to ~sqrt-fraction of
+    files (d-th root in general), with no catalog and no directory
+    explosion -- the right layout when two+ high-cardinality columns
+    are both common scan predicates (user_id x day, sku x store).
+
+    Mechanics, all scale-safe idioms already used elsewhere: per-column
+    min/max as a 1-row broadcast cross-join (scalar-gate idiom, no
+    global window), scaling + bit interleave in the scan projection
+    (codegen), then ONE range shuffle on the z-key +
+    ``sortWithinPartitions`` so footer min/max form the zone map.
+    Column-shape caveat (documented, mirrors Delta): z-order helps
+    when the bucketized value distribution is not pathologically
+    skewed; a heavy-hitter value degrades to range-sort behavior for
+    that column, never worse.
+    """
+    mm = df.agg(
+        *[
+            a
+            for c in zorder_by
+            for a in (F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}"))
+        ]
+    )
+    scaled = df.crossJoin(F.broadcast(mm))
+    top = (1 << bits) - 1
+    buckets = []
+    for c in zorder_by:
+        rng = F.col(f"_mx_{c}").cast("double") - F.col(f"_mn_{c}").cast("double")
+        buckets.append(
+            F.when(rng <= 0, F.lit(0)).otherwise(
+                F.least(
+                    F.lit(top),
+                    (
+                        (F.col(c).cast("double") - F.col(f"_mn_{c}").cast("double"))
+                        / rng
+                        * top
+                    ).cast("long"),
+                )
+            )
+        )
+    keyed = scaled.withColumn("_zkey", zorder_key(buckets, bits)).drop(
+        *[f"_mn_{c}" for c in zorder_by], *[f"_mx_{c}" for c in zorder_by]
+    )
+    ranged = (
+        keyed.repartitionByRange(num_files, "_zkey")
+        if num_files is not None
+        else keyed.repartitionByRange("_zkey")
+    )
+    ranged.sortWithinPartitions("_zkey").drop("_zkey").write.mode(mode).parquet(
+        path
+    )
 
 
 def write_jdbc(

@@ -581,3 +581,66 @@ def test_read_parquet_evolving_merges_schema_versions(spark, tmp_path):
     assert {r.id for r in tolerant.collect()} == {1, 2}
     with _pytest.raises(Exception):
         read_parquet_evolving(spark, str(zone)).collect()  # strict fails
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
+    """Z-order vs linear layout, measured the way a scan engine
+    actually prunes: per-FILE parquet footer min/max. A linear sort on
+    x serves x-predicates perfectly but every file spans y's full
+    range (zero y-pruning); the Morton layout must (a) keep every row
+    (same multiset), (b) prune files on BOTH x and y point
+    predicates, (c) beat linear's y-pruning by a wide margin."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.writers import (
+        write_range_sorted,
+        write_zordered,
+    )
+
+    n = 64
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).cast("long").alias("x"),
+        (F.col("id") / n).cast("long").alias("y"),
+    )
+    lin, zo = str(tmp_path / "lin"), str(tmp_path / "zo")
+    write_range_sorted(grid, lin, "x", num_files=16, sort_extra="y")
+    write_zordered(grid, zo, ["x", "y"], bits=6, num_files=16)
+
+    assert spark.read.parquet(zo).count() == n * n
+    assert (
+        spark.read.parquet(zo).groupBy("x", "y").count().where("count > 1").count()
+        == 0
+    )
+
+    def files_hit(path, col, val):
+        hit, total = 0, 0
+        for f in globmod.glob(f"{path}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                for j in range(md.num_columns):
+                    cc = rg.column(j)
+                    if cc.path_in_schema == col:
+                        mins.append(cc.statistics.min)
+                        maxs.append(cc.statistics.max)
+            total += 1
+            if min(mins) <= val <= max(maxs):
+                hit += 1
+        return hit, total
+
+    probe = n // 2
+    lin_x, n_lin = files_hit(lin, "x", probe)
+    lin_y, _ = files_hit(lin, "y", probe)
+    zo_x, n_zo = files_hit(zo, "x", probe)
+    zo_y, _ = files_hit(zo, "y", probe)
+    assert n_lin >= 8 and n_zo >= 8
+    # linear: great on x, useless on y
+    assert lin_x <= 2
+    assert lin_y == n_lin, "linear layout should not prune y at all"
+    # z-order: prunes BOTH dimensions, and beats linear on y by 2x+
+    assert zo_x <= n_zo // 2
+    assert zo_y <= n_zo // 2
+    assert zo_y * 2 <= lin_y
