@@ -23,6 +23,7 @@ from ..alerts import Alert, AlertSink, build_alert
 from ..pipeline import Pipeline
 from ..sources.writers import write_partitioned, write_single_file
 from . import fixtures
+from .audit import lint_plan
 from .build_dims import build_dim_products
 from .reconcile import reconcile
 from .stage_sales import stage_sales
@@ -35,6 +36,7 @@ def run_daily_pipeline(
     processing_date: dt.date | None = None,
     alert_sink: AlertSink | None = None,
     top_k: int = 5,
+    lint: bool = True,
 ) -> dict:
     """Run the full daily pipeline for one processing date.
 
@@ -43,6 +45,12 @@ def run_daily_pipeline(
     ``processed/dim_products`` (full-refresh single file),
     ``processed/reconciled_inventory`` (date-partitioned). Replayable:
     re-running a date replaces exactly that date's partitions.
+
+    ``lint`` (default on) runs ``plans.audit.lint_plan`` over each
+    frame immediately before its write -- a cartesian product, a
+    row-at-a-time Python stage, or any other house-rule violation that
+    sneaks into a plan edit fails the job BEFORE it burns a cluster,
+    the same guard the test suite applies, enforced at run time.
 
     Returns the Pipeline results dict: paths per job plus the Alert (or
     None) under ``"alert"``.
@@ -54,7 +62,10 @@ def run_daily_pipeline(
 
     def stage() -> str:
         day = fixtures.pos_sales(spark, sf_dir).where(F.col("sale_date") == F.lit(d))
-        write_partitioned(stage_sales(day, d), staging_path, "date_key", "sku")
+        staged = stage_sales(day, d)
+        if lint:
+            lint_plan(staged)
+        write_partitioned(staged, staging_path, "date_key", "sku")
         return staging_path
 
     def dims() -> str:
@@ -78,6 +89,8 @@ def run_daily_pipeline(
             spark, sf_dir, d, inject_shrinkage=True
         ).select("sku", F.col("stock_on_hand").alias("actual_closing_stock"))
         out = reconcile(opening, closing, staged, dim, d)
+        if lint:
+            lint_plan(out)
         write_partitioned(out, recon_path, "date_key", "sku")
         return recon_path
 
