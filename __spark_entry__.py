@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_pairs": Q.q_copurchase_pairs,
         "name_match_candidates": Q.q_name_match_candidates,
         "stock_twa": Q.q_stock_twa,
+        "brand_trend": Q.q_brand_trend,
+        "winsorized_stats": Q.q_winsorized_stats,
         # r03-attested overflow (8): did not fit this round; MUST lead
         # the round-6 window. Pinned by test_oracle_parity.py.
         "top_tokens": Q.q_top_tokens,
@@ -183,6 +185,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantile_sketch": Q.q_value_quantile_sketch,
         "customer_spend_quartiles_approx": Q.q_customer_spend_quartiles_approx,
         "dau_sketch_merge": Q.q_dau_sketch_merge,
+        # iterative fixed-point loop (operators.graph.pagerank): not
+        # SQL-expressible; exact integer twin in tests/test_graph.py
+        "pagerank": Q.q_pagerank,
     }
 
 
@@ -2251,5 +2256,104 @@ GROUP BY source
         "evolving_schema": f"""
 SELECT sku, qty, unit_price, qty * unit_price AS revenue
 FROM read_parquet('{_EVOLVING_DIR}/*.parquet', union_by_name=true)
+""",
+        # per-brand OLS from exact integer sufficient statistics
+        # (HUGEINT ≡ the Spark plan's DECIMAL(38,0)); one terminal
+        # rounded double division per coefficient
+        "brand_trend": """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1
+              AS BIGINT) AS x
+  FROM lineitem
+),
+monthly AS (
+  SELECT p.p_brand AS brand, li.x, CAST(SUM(li.qty) AS BIGINT) AS y
+  FROM li JOIN part p ON li.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, li.x
+),
+stats AS (
+  SELECT brand,
+         CAST(COUNT(*) AS BIGINT)       AS n,
+         SUM(CAST(x AS HUGEINT))        AS sx,
+         SUM(CAST(y AS HUGEINT))        AS sy,
+         SUM(CAST(x AS HUGEINT) * x)    AS sxx,
+         SUM(CAST(x AS HUGEINT) * y)    AS sxy
+  FROM monthly
+  GROUP BY brand
+)
+SELECT brand,
+       n AS n_months,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+       ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept
+FROM stats
+WHERE n >= 2
+ORDER BY brand
+""",
+        # winsorized stats from the exact cents histogram: 20x the
+        # type-7 quantile is pure BIGINT ((20-r)*c[i] + r*c[i+1]), so
+        # no float threshold is ever compared against data
+        "winsorized_stats": """
+WITH hist AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events
+  GROUP BY event_type, CAST(ROUND(value * 100) AS BIGINT)
+),
+cum AS (
+  SELECT event_type, c, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hist
+),
+tot AS (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM hist GROUP BY event_type
+),
+idx AS (
+  SELECT event_type, n,
+         CAST(FLOOR((n - 1) * 1  / 20.0) AS BIGINT) AS i05,
+         CAST(FLOOR((n - 1) * 19 / 20.0) AS BIGINT) AS i95
+  FROM tot
+),
+th AS (
+  SELECT cum.event_type, idx.n,
+         (idx.n - 1) * 1  - 20 * idx.i05 AS r05,
+         (idx.n - 1) * 19 - 20 * idx.i95 AS r95,
+         MIN(CASE WHEN cum.cum >= idx.i05 + 1 THEN cum.c END) AS p05a,
+         MIN(CASE WHEN cum.cum >= idx.i05 + 2 THEN cum.c END) AS p05b,
+         MIN(CASE WHEN cum.cum >= idx.i95 + 1 THEN cum.c END) AS p95a,
+         MIN(CASE WHEN cum.cum >= idx.i95 + 2 THEN cum.c END) AS p95b
+  FROM cum JOIN idx USING (event_type)
+  GROUP BY cum.event_type, idx.n,
+           (idx.n - 1) * 1  - 20 * idx.i05,
+           (idx.n - 1) * 19 - 20 * idx.i95
+),
+bounds AS (
+  SELECT event_type, n,
+         (20 - r05) * p05a + r05 * COALESCE(p05b, p05a) AS t20lo,
+         (20 - r95) * p95a + r95 * COALESCE(p95b, p95a) AS t20hi
+  FROM th
+),
+wins AS (
+  SELECT h.event_type, b.n, b.t20lo, b.t20hi,
+         SUM(CAST(h.cnt * GREATEST(b.t20lo, LEAST(b.t20hi, 20 * h.c))
+                  AS HUGEINT)) AS wsum20
+  FROM hist h JOIN bounds b USING (event_type)
+  GROUP BY h.event_type, b.n, b.t20lo, b.t20hi
+)
+SELECT event_type,
+       n AS n_events,
+       ROUND(CAST(t20lo AS DOUBLE) / 2000, 6) AS p05,
+       ROUND(CAST(t20hi AS DOUBLE) / 2000, 6) AS p95,
+       ROUND(CAST(wsum20 AS DOUBLE) / CAST(n * 2000 AS DOUBLE), 6)
+         AS winsorized_mean
+FROM wins
+ORDER BY event_type
 """,
     }

@@ -181,3 +181,91 @@ def dedup_groups(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -> 
             F.col("group_size").cast("long").alias("group_size"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 8,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-point PageRank: the canonical iterative link-analysis
+    score, here as the influence ranking over a co-occurrence graph
+    (parts that co-sell with well-connected parts matter more than raw
+    degree shows; swap parts for documents and this is citation/link
+    authority for corpus curation).
+
+    Spark has no iterative-graph operator, so this is the Pregel-style
+    join-agg loop -- but in INTEGER fixed-point: ranks live as BIGINT
+    multiples of 1/``scale``, every division is floor division, and
+    damping is the exact rational ``damping_pct``/100. That buys
+    bit-deterministic output for ANY partitioning and executor count
+    (BIGINT sums are exact and order-free; double sums are neither),
+    so the result is reproducible cluster-to-cluster and testable
+    against an exact arbitrary-precision twin -- same discipline as the
+    DECIMAL accumulation in ``lm_score``/``incremental_hourly_merge``.
+
+    Recurrence (floor-div throughout, mirroring ``tests``' pure-int
+    twin): r0 = scale; contribs(v) = sum over in-neighbors u of
+    r(u) DIV outdeg(u); r'(v) = (100-d)*scale DIV 100
+    + d*contribs(v) DIV 100. Dangling nodes (outdeg 0) exist only if
+    the input is directed-asymmetric; their mass is dropped, the
+    standard sparse simplification. Floor loss <1 unit per term --
+    ~1e-12 of a rank -- far below any ranking-relevant gap.
+
+    Scale shape: per round, ONE shuffle-join of edges to the
+    ids-only rank frame on src (hot hubs salt-able exactly like
+    ``_attach_mins``) and one map-side-combined sum on dst. Ranks are
+    eagerly localCheckpoint-ed each round: lineage would otherwise
+    deepen by a join+agg per iteration and Catalyst re-analysis, not
+    execution, becomes the bottleneck (same rationale as
+    ``connected_components``). Driver sees no data at all.
+    """
+    deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").cast("long").alias("outdeg")
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    # outdeg joined once up front; dangling nodes keep outdeg NULL and
+    # contribute nothing (their rank row survives via the left join)
+    state = (
+        nodes.join(deg, "node", "left")
+        .select("node", "outdeg", F.lit(scale).cast("long").alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    base = (100 - damping_pct) * scale // 100
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(
+                state.where(F.col("outdeg").isNotNull()).select(
+                    # `div` = exact BIGINT floor division on the JVM --
+                    # never a double detour, so no 2^53 mantissa ceiling
+                    "node",
+                    F.expr("rank div outdeg").alias("_c"),
+                ),
+                "node",
+            )
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum("_c").alias("_in"))
+        )
+        state = (
+            state.join(contribs, "node", "left")
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damping_pct}L * coalesce(_in, 0L)) div 100"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("node", "rank")

@@ -158,3 +158,59 @@ def test_contamination_df_cap_prunes_common_shingles(spark):
     assert set(capped) == {(0, 2)}  # boilerplate-only pairs gone
     assert capped[(0, 2)] == 3      # 'terms of service' (df=3) excluded
     assert pairs(max_shingle_df=10**6) == uncapped
+
+
+def _pagerank_int_twin(edges, iterations=8, damping_pct=85, scale=10**12):
+    """Pure-Python arbitrary-precision mirror of operators.graph.pagerank:
+    same floor-div fixed-point recurrence, so equality is EXACT."""
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    rank = {n: scale for n in nodes}
+    base = (100 - damping_pct) * scale // 100
+    for _ in range(iterations):
+        contrib = {n: 0 for n in nodes}
+        for u, v in edges:
+            contrib[v] += rank[u] // outdeg[u]
+        rank = {n: base + damping_pct * contrib[n] // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_exact_vs_int_twin(spark):
+    """The Spark loop must match the exact integer recurrence
+    rank-for-rank -- the bit-determinism contract that lets the same
+    job reproduce across clusters and partitionings."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (
+        pagerank,
+    )
+
+    # directed graph with a hub (1), a cycle (2-3-4), a dangling sink
+    # (9: receives, never emits), and an isolated pair
+    raw = [(1, 2), (1, 3), (1, 4), (2, 3), (3, 4), (4, 2), (2, 9),
+           (5, 6), (6, 5), (4, 1)]
+    edges = spark.createDataFrame(raw, "src bigint, dst bigint")
+    got = {r.node: r["rank"] for r in pagerank(edges, iterations=8).collect()}
+    assert got == _pagerank_int_twin(raw, iterations=8)
+
+
+def test_pagerank_mass_and_hub_ordering(spark):
+    """On a star with all spokes pointing at the hub, the hub must
+    outrank every spoke, and total mass stays within floor-loss of
+    N*scale (each floor division loses < 1 unit per edge per round)."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (
+        pagerank,
+    )
+
+    n_spokes, scale, iters = 20, 10**12, 6
+    raw = [(i, 0) for i in range(1, n_spokes + 1)] + [
+        (0, i) for i in range(1, n_spokes + 1)
+    ]
+    edges = spark.createDataFrame(raw, "src bigint, dst bigint")
+    got = {r.node: r["rank"] for r in pagerank(edges, iterations=iters).collect()}
+    assert all(got[0] > got[i] for i in range(1, n_spokes + 1))
+    total = sum(got.values())
+    n_nodes = n_spokes + 1
+    assert total <= n_nodes * scale
+    # floor loss bound: per round, < 1 unit per (edge + node) term
+    assert n_nodes * scale - total < iters * (len(raw) + n_nodes) * 100

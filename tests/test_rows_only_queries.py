@@ -176,3 +176,16 @@ def test_dau_sketch_merge_lossless_and_tracks_exact(spark):
     assert merged == direct, (merged, direct)  # merge losslessness
     for m, est in merged.items():
         assert abs(est - exact[m]) / exact[m] < 0.05, (m, est, exact[m])
+
+
+def test_pagerank_query_deterministic_and_ranked(spark):
+    """q_pagerank: stable across invocations (integer fixed-point),
+    top-50 ordered by (rank desc, part), all ranks positive."""
+    q = entry.queries()["pagerank"]
+    a = [tuple(r) for r in q(spark, ORACLE_SF).collect()]
+    b = [tuple(r) for r in q(spark, ORACLE_SF).collect()]
+    assert a == b
+    assert 0 < len(a) <= 50
+    ranks = [r for _, r in a]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r > 0 for r in ranks)
