@@ -203,3 +203,73 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
             "org.apache.spark:spark-avro_2.13 to spark.jars.packages"
         )
     return spark.read.format("avro").load(path)
+
+
+def read_parquet_incremental(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str,
+) -> tuple[DataFrame, list[str]]:
+    """Manifest-gated incremental ingestion: read ONLY the files of a
+    landing zone that no previous run has processed -- the file-level
+    watermark every production batch loader needs once producers append
+    continuously (the same discover-vs-committed split a Delta/Iceberg
+    log performs, done here against a plain parquet directory).
+
+    Discovery uses the hidden ``_metadata.file_path`` column projected
+    alone, so Spark's scan touches footers and listing only -- no data
+    column is materialized. The processed set lives in ``manifest_path``
+    as newline-delimited paths (written by ``commit_ingest_manifest``
+    AFTER the downstream write succeeds, making the pair crash-safe:
+    a run that dies mid-write re-reads the same files on retry --
+    at-least-once, deduplicated by the idempotent sinks this repo
+    already ships). New files are found by an ids-only anti-join; the
+    driver materializes only the path LIST (bounded by file count, the
+    same driver-side object a Delta log replay holds -- never data).
+
+    Returns ``(df, new_files)``: ``df`` scans exactly ``new_files``
+    (empty-but-typed when the zone is fully caught up). Feed
+    ``new_files`` to ``commit_ingest_manifest`` after the sink commits.
+    """
+    zone = spark.read.parquet(path)
+    discovered = zone.select(
+        F.col("_metadata.file_path").alias("file_path")
+    ).distinct()
+    if _manifest_exists(spark, manifest_path):
+        seen = spark.read.text(manifest_path).select(
+            F.col("value").alias("file_path")
+        )
+        fresh = discovered.join(seen, "file_path", "left_anti")
+    else:
+        fresh = discovered
+    new_files = sorted(r.file_path for r in fresh.collect())
+    if not new_files:
+        return spark.createDataFrame([], zone.schema), []
+    return spark.read.schema(zone.schema).parquet(*new_files), new_files
+
+
+def commit_ingest_manifest(
+    spark: SparkSession, manifest_path: str, files: list[str]
+) -> None:
+    """Record ``files`` as processed (append-only text, one path per
+    line). Append mode adds new part files without touching existing
+    ones, so concurrent readers never see a half-written manifest; a
+    replayed commit merely duplicates lines, which the anti-join in
+    ``read_parquet_incremental`` treats identically (set semantics)."""
+    if not files:
+        return
+    spark.createDataFrame(
+        [(f,) for f in files], "value string"
+    ).coalesce(1).write.mode("append").text(manifest_path)
+
+
+def _manifest_exists(spark: SparkSession, path: str) -> bool:
+    """FS-agnostic probe (same rationale as writers._mart_exists: a
+    driver-local os.path check lies about remote stores)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.text(path).schema
+        return True
+    except AnalysisException:
+        return False

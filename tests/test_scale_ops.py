@@ -644,3 +644,44 @@ def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
     assert zo_x <= n_zo // 2
     assert zo_y <= n_zo // 2
     assert zo_y * 2 <= lin_y
+
+
+def test_incremental_manifest_ingestion(spark, tmp_path):
+    """read_parquet_incremental: each run sees exactly the files no
+    committed run processed; commit replay is harmless (set semantics);
+    a caught-up zone yields an empty-but-typed frame."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.readers import (
+        commit_ingest_manifest,
+        read_parquet_incremental,
+    )
+
+    zone = str(tmp_path / "landing")
+    manifest = str(tmp_path / "manifest")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id long, v string"
+    ).repartition(2).write.mode("append").parquet(zone)
+
+    df1, files1 = read_parquet_incremental(spark, zone, manifest)
+    assert len(files1) == 2
+    assert sorted(r.id for r in df1.collect()) == [1, 2, 3, 4]
+    commit_ingest_manifest(spark, manifest, files1)
+
+    # caught up: typed empty frame, no files
+    df_idle, files_idle = read_parquet_incremental(spark, zone, manifest)
+    assert files_idle == [] and df_idle.count() == 0
+    assert df_idle.schema == df1.schema
+
+    # a producer appends one more file; only IT is read
+    spark.createDataFrame([(5, "e")], "id long, v string").coalesce(
+        1
+    ).write.mode("append").parquet(zone)
+    df2, files2 = read_parquet_incremental(spark, zone, manifest)
+    assert len(files2) == 1 and not set(files2) & set(files1)
+    assert [r.id for r in df2.collect()] == [5]
+
+    # commit replay (crash between sink and manifest, run retried):
+    # duplicate manifest lines must not resurrect old files
+    commit_ingest_manifest(spark, manifest, files2)
+    commit_ingest_manifest(spark, manifest, files2)
+    df3, files3 = read_parquet_incremental(spark, zone, manifest)
+    assert files3 == [] and df3.count() == 0
