@@ -45,6 +45,13 @@ BENCH_QUERIES = [
     # and the regex-heavy PII scrub
     "lm_score",
     "pii_scan",
+    # round-5 surface: first floors for the heaviest new shapes -- the
+    # order-pair self-join, the corpus-wide tokenizer scan, the exact
+    # per-group OLS, and the histogram winsorize
+    "copurchase_pairs",
+    "token_budget",
+    "brand_trend",
+    "winsorized_stats",
 ]
 
 

@@ -3252,8 +3252,11 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = fixtures.events(spark, sf_dir)
     c = F.round(F.col("value") * 100).cast("long")
-    hist = ev.select("event_type", c.alias("c")).groupBy("event_type", "c").agg(
-        F.count("*").cast("long").alias("cnt")
+    hist = (
+        ev.select("event_type", c.alias("c"))
+        .groupBy("event_type", "c")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .persist()  # cum/tot/clamp branches all read this one materialization
     )
     wv = (
         Window.partitionBy("event_type")
