@@ -2257,9 +2257,12 @@ GROUP BY source
 SELECT sku, qty, unit_price, qty * unit_price AS revenue
 FROM read_parquet('{_EVOLVING_DIR}/*.parquet', union_by_name=true)
 """,
-        # per-brand OLS from exact integer sufficient statistics
-        # (HUGEINT ≡ the Spark plan's DECIMAL(38,0)); one terminal
-        # rounded double division per coefficient
+        # per-brand OLS from exact integer sufficient statistics, in
+        # the shared dialect: sums re-narrowed to DECIMAL(18,0) so
+        # every product stays inside DuckDB's width-38 decimal cap
+        # (the Spark DataFrame plan's DECIMAL(38,0) values are equal
+        # integers); one terminal rounded double division per
+        # coefficient
         "brand_trend": """
 WITH li AS (
   SELECT l_partkey,
@@ -2275,20 +2278,22 @@ monthly AS (
 ),
 stats AS (
   SELECT brand,
-         CAST(COUNT(*) AS BIGINT)       AS n,
-         SUM(CAST(x AS HUGEINT))        AS sx,
-         SUM(CAST(y AS HUGEINT))        AS sy,
-         SUM(CAST(x AS HUGEINT) * x)    AS sxx,
-         SUM(CAST(x AS HUGEINT) * y)    AS sxy
+         CAST(COUNT(*) AS BIGINT)                   AS n,
+         CAST(SUM(x) AS DECIMAL(18,0))              AS sx,
+         CAST(SUM(y) AS DECIMAL(18,0))              AS sy,
+         CAST(SUM(x * x) AS DECIMAL(18,0))          AS sxx,
+         CAST(SUM(x * y) AS DECIMAL(18,0))          AS sxy
   FROM monthly
   GROUP BY brand
 )
 SELECT brand,
        n AS n_months,
-       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+       ROUND(CAST(CAST(n AS DECIMAL(18,0)) * sxy - sx * sy AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(18,0)) * sxx - sx * sx AS DOUBLE),
+             6) AS slope,
        ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept
+             / CAST(CAST(n AS DECIMAL(18,0)) * sxx - sx * sx AS DOUBLE),
+             6) AS intercept
 FROM stats
 WHERE n >= 2
 ORDER BY brand
@@ -2343,7 +2348,7 @@ bounds AS (
 wins AS (
   SELECT h.event_type, b.n, b.t20lo, b.t20hi,
          SUM(CAST(h.cnt * GREATEST(b.t20lo, LEAST(b.t20hi, 20 * h.c))
-                  AS HUGEINT)) AS wsum20
+                  AS DECIMAL(18,0))) AS wsum20
   FROM hist h JOIN bounds b USING (event_type)
   GROUP BY h.event_type, b.n, b.t20lo, b.t20hi
 )

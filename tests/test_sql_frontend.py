@@ -95,6 +95,11 @@ PORTABLE = [
     # with identical semantics in both engines)
     "copurchase_pairs",
     "name_match_candidates",
+    # round-5 session 2: written in the shared dialect from the start
+    # (DECIMAL(18,0) sufficient statistics keep every product inside
+    # DuckDB's width-38 cap; FLOOR/GREATEST/LEAST/USING are common)
+    "brand_trend",
+    "winsorized_stats",
 ]
 
 
