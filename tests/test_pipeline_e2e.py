@@ -181,3 +181,51 @@ def test_cron_entry_is_runnable_command():
 
     line = to_cron_entry("retail_jobs.daily", schedule="30 2 * * *")
     assert line == "30 2 * * * python -m retail_jobs.daily"
+
+
+def test_incremental_ingest_crash_replay_converges(spark, tmp_path):
+    """run_incremental_ingest: normal pickup, crash-replay (data
+    written, manifest commit lost) converges to the same bytes, and
+    later batches land beside earlier ones."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans.daily import (
+        run_incremental_ingest,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.readers import (
+        read_parquet_incremental,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "bronze")
+    manifest = str(tmp_path / "manifest")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    r1 = run_incremental_ingest(spark, landing, out, manifest)
+    assert r1["rows"] == 2 and len(r1["files"]) == 1
+
+    # crash window: simulate a run that wrote data but lost the
+    # manifest commit -- wipe the manifest, re-run: same files, same
+    # batch id, partition overwritten in place, NO duplication
+    import shutil
+
+    shutil.rmtree(manifest)
+    r_replay = run_incremental_ingest(spark, landing, out, manifest)
+    assert r_replay["batch_id"] == r1["batch_id"]
+    assert spark.read.parquet(out).count() == 2
+
+    # producer appends; only the new file is picked up, old batch kept
+    spark.createDataFrame([(3, "c")], "id long, v string").coalesce(
+        1
+    ).write.mode("append").parquet(landing)
+    r2 = run_incremental_ingest(spark, landing, out, manifest)
+    assert r2["rows"] == 1 and r2["batch_id"] != r1["batch_id"]
+    assert sorted(
+        r.id for r in spark.read.parquet(out).select("id").collect()
+    ) == [1, 2, 3]
+
+    # caught up: no-op
+    assert run_incremental_ingest(spark, landing, out, manifest)["rows"] == 0
+    # and the manifest now covers both files
+    _, fresh = read_parquet_incremental(spark, landing, manifest)
+    assert fresh == []
