@@ -618,3 +618,93 @@ def streaming_value_anomalies(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def run_distinct_bitmap_stream(
+    events_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    grain: str = "month",
+) -> list[dict]:
+    """Streaming maintenance of EXACT distinct counts: the incremental
+    twin of the batch ``dau_bitmap_merge``. Each micro-batch builds its
+    per-(grain, bucket) id bitmaps and ORs them into a tiny partitioned
+    state table -- distinct users per month stays queryable at any
+    moment without ever rescanning history, and the count is exact, not
+    a sketch estimate.
+
+    Exactly-once-in-effect comes from OR's IDEMPOTENCE, one level
+    stronger than the CDC stream's same-key-replace: a replayed
+    micro-batch re-ORs ids that are already set, leaving the state
+    byte-identical -- no version column, no dedup bookkeeping. Only the
+    grains touched by the batch are read and dynamically overwritten
+    (same touched-partition discipline as ``merge_upsert``); state size
+    is bounded by the id-space density (~4 KB/bucket ceiling), not by
+    event volume.
+
+    Returns per-batch audits: ``{"batch_id", "grains", "rows"}``.
+    Query the state with ``distinct_counts_from_state``.
+    """
+    from ..sources.writers import _mart_exists
+
+    audits: list[dict] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_bm = (
+            batch_df.select(
+                F.date_trunc(grain, "ts").cast("date").alias("grain"),
+                F.col(key_col).alias("k"),
+            )
+            .groupBy("grain", F.bitmap_bucket_number("k").alias("bucket"))
+            .agg(F.bitmap_construct_agg(F.bitmap_bit_position("k")).alias("bm"))
+        )
+        if _mart_exists(spark, state_path):
+            touched = [r.grain for r in batch_bm.select("grain").distinct().collect()]
+            prior = spark.read.parquet(state_path).where(
+                F.col("grain").isin(touched)
+            )
+            batch_bm = (
+                prior.unionByName(batch_bm)
+                .groupBy("grain", "bucket")
+                .agg(F.bitmap_or_agg("bm").alias("bm"))
+            )
+        # cut lineage before overwriting the files the plan reads from
+        # (same read-then-replace discipline as merge_upsert)
+        merged = batch_bm.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").partitionBy("grain").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(state_path)
+        audits.append(
+            {
+                "batch_id": batch_id,
+                "grains": sorted(str(g) for g in {r.grain for r in merged.select("grain").collect()}),
+                "rows": merged.count(),
+            }
+        )
+
+    q = (
+        events_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return audits
+
+
+def distinct_counts_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Exact distinct count per grain from the bitmap state table --
+    a KB-scale scan regardless of how many events ever streamed."""
+    return (
+        spark.read.parquet(state_path)
+        .groupBy("grain")
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("exact_distinct"))
+        .orderBy("grain")
+    )

@@ -494,3 +494,73 @@ def test_quantize_cents_matches_f_round_on_half_cent_ties(spark):
         assert quantize_cents(v) == jvm[v], v
     # and the divergence is real: bare round() gets 0.125 wrong
     assert round(0.125 * 100) == 12 and quantize_cents(0.125) == 13
+
+
+def test_streaming_bitmap_distinct_matches_batch_and_is_idempotent(spark, tmp_path):
+    """Bitmap-OR distinct maintenance: after streaming two change
+    files, state counts equal a batch COUNT(DISTINCT); replaying the
+    SAME files through a fresh stream (new checkpoint) leaves counts
+    unchanged -- OR idempotence IS the exactly-once mechanism."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (
+        distinct_counts_from_state,
+        run_distinct_bitmap_stream,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    import datetime as dt
+
+    schema = "ts timestamp, user_id long"
+    t = lambda m, d, h: dt.datetime(2024, m, d, h)
+    batch1 = spark.createDataFrame(
+        [(t(1, 3, 10), 1), (t(1, 5, 11), 2), (t(1, 7, 12), 1),
+         (t(2, 1, 9), 7)],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+
+    state = str(tmp_path / "bm_state")
+
+    def run(ckpt: str):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        return run_distinct_bitmap_stream(stream, state, str(tmp_path / ckpt))
+
+    run("c1")
+    got1 = {
+        str(r.grain): r.exact_distinct
+        for r in distinct_counts_from_state(spark, state).collect()
+    }
+    assert got1 == {"2024-01-01": 2, "2024-02-01": 1}
+
+    # second file: overlaps user 2 in January (no count change there),
+    # adds user 9 to February
+    spark.createDataFrame(
+        [(t(1, 20, 8), 2), (t(2, 11, 10), 9)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run("c1")
+    got2 = {
+        str(r.grain): r.exact_distinct
+        for r in distinct_counts_from_state(spark, state).collect()
+    }
+    assert got2 == {"2024-01-01": 2, "2024-02-01": 2}
+
+    # a batch touching ONLY March: January/February partitions must
+    # survive the dynamic overwrite untouched
+    spark.createDataFrame([(t(3, 2, 9), 1)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(str(src))
+    run("c1")
+    got3 = {
+        str(r.grain): r.exact_distinct
+        for r in distinct_counts_from_state(spark, state).collect()
+    }
+    assert got3 == {**got2, "2024-03-01": 1}
+
+    # replay everything with a FRESH checkpoint: re-ORing set bits is
+    # a no-op, counts identical
+    run("c_fresh")
+    got4 = {
+        str(r.grain): r.exact_distinct
+        for r in distinct_counts_from_state(spark, state).collect()
+    }
+    assert got4 == got3
