@@ -212,7 +212,10 @@ def pagerank(
     r(u) DIV outdeg(u); r'(v) = (100-d)*scale DIV 100
     + d*contribs(v) DIV 100. Dangling nodes (outdeg 0) exist only if
     the input is directed-asymmetric; their mass is dropped, the
-    standard sparse simplification. Floor loss <1 unit per term --
+    standard sparse simplification. Duplicate (src, dst) rows are
+    MULTI-edges (outdeg counts them, contributions double) -- callers
+    wanting simple-graph semantics ``distinct()`` the edge list first,
+    as ``q_pagerank`` does. Floor loss <1 unit per term --
     ~1e-12 of a rank -- far below any ranking-relevant gap.
 
     Scale shape: per round, ONE shuffle-join of edges to the

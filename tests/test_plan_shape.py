@@ -375,3 +375,41 @@ def test_value_anomalies_cumulative_window_is_day_segmented(spark):
         r"windowspecdefinition\(event_type#\d+, day#\d+ ASC", p
     ), "day-prefix window over the daily aggregate missing"
     assert "BroadcastExchange" in p, "day-prefix must ride a broadcast"
+
+
+def test_brand_trend_broadcast_dim_no_window_bounded_exchanges(spark):
+    """OLS via sufficient statistics must stay a pure two-level
+    aggregate: part dim broadcast, NO window operator anywhere (the
+    closed form needs none), and the exchange budget is the
+    (brand, month) shuffle + the ~25-row stats shuffle + the output
+    sort -- three, fixed."""
+    p = plan_of(spark, "brand_trend", "simple")
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+    assert p.count("Exchange") - p.count("BroadcastExchange") <= 3, p
+
+
+def test_winsorized_stats_single_histogram_materialization(spark):
+    """The cents histogram must be persisted and reused: every
+    consumer (cum window, totals, clamp sum) reads the cache, and the
+    only window in the plan runs over the histogram AGGREGATE ordered
+    by the single rolled-up grain column -- never a rank over raw
+    events (the |types|-task funnel this design exists to avoid)."""
+    p = plan_of(spark, "winsorized_stats", "simple")
+    assert p.count("InMemoryTableScan") >= 3, p
+    wins = [l for l in p.splitlines() if re.search(r"\bWindow \[", l)]
+    assert len(wins) == 1, wins
+    # cumulative sum over the histogram grain, not a raw-row rank
+    assert "row_number" not in p.lower()
+    assert "c#" in wins[0] and "event_type#" in wins[0], wins
+
+
+def test_dau_bitmap_merge_shuffles_bitmaps_not_events(spark):
+    """Bitmap distinct maintenance: user_id must die at the first
+    (month, day, bucket) construct aggregate -- every exchange after
+    it carries bitmap blobs or counts, never the raw id column."""
+    p = plan_of(spark, "dau_bitmap_merge", "simple")
+    assert "bitmap_construct_agg" in p, p
+    assert "bitmap_or_agg" in p, p
+    # map-side combine on the only full-data shuffle
+    assert "partial_bitmap_construct_agg" in p, p

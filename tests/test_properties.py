@@ -207,3 +207,24 @@ def test_image_codec_roundtrip_property(w, h, seed):
     assert decode_image(encode_bmp_rgb(w, h, seed)) == {
         "format": "bmp", "width": w, "height": h, "bit_depth": 24,
     }
+
+
+@given(
+    xs=st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=1, max_size=300),
+    k=st.sampled_from([1, 5, 10, 19]),
+)
+@settings(max_examples=200, deadline=None)
+def test_integer_type7_quantile_matches_numpy(xs, k):
+    """The winsorize query's BIGINT quantile formulation -- 20*q =
+    (20-r)*c[i] + r*c[i+1] with i = (n-1)*k div 20, r = (n-1)*k mod
+    20 -- must equal numpy's linear-interpolation (type-7) percentile
+    at p = k/20 for ANY integer data. Pure math check, no Spark."""
+    import numpy as np
+
+    c = sorted(xs)
+    n = len(c)
+    h20 = (n - 1) * k
+    i, r = divmod(h20, 20)
+    t20 = (20 - r) * c[i] + r * (c[i + 1] if r else c[i])
+    expected = np.percentile(np.array(xs, dtype=np.int64), 5 * k)
+    assert abs(t20 / 20 - expected) <= 1e-9 * max(1.0, abs(expected))

@@ -100,6 +100,10 @@ PORTABLE = [
     # DuckDB's width-38 cap; FLOOR/GREATEST/LEAST/USING are common)
     "brand_trend",
     "winsorized_stats",
+    # the bitmap query's oracle is plain COUNT(DISTINCT): running it
+    # verbatim on Spark pins the bitmap path == the naive path on a
+    # THIRD engine-path, not just DuckDB
+    "dau_bitmap_merge",
 ]
 
 
