@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_trend": Q.q_brand_trend,
         "winsorized_stats": Q.q_winsorized_stats,
         "dau_bitmap_merge": Q.q_dau_bitmap_merge,
+        "repeated_spans": Q.q_repeated_spans,
         # r03-attested overflow (8): did not fit this round; MUST lead
         # the round-6 window. Pinned by test_oracle_parity.py.
         "top_tokens": Q.q_top_tokens,
@@ -2371,5 +2372,31 @@ SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
 FROM events
 GROUP BY CAST(date_trunc('month', ts) AS DATE)
 ORDER BY month
+""",
+        # string-side oracle on purpose: a Spark-side xxhash64 fold
+        # collision would fail the value hash (contamination_hashed
+        # discipline)
+        "repeated_spans": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 5 + 2), i ->
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))
+           AS span
+  FROM tok WHERE len(toks) >= 5
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM sp GROUP BY doc_id),
+dup AS (SELECT span FROM sp GROUP BY span HAVING MIN(doc_id) <> MAX(doc_id)),
+dc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans
+       FROM sp JOIN dup USING (span) GROUP BY doc_id)
+SELECT s.doc_id, s.n_spans,
+       CAST(COALESCE(dc.dup_spans, 0) AS BIGINT) AS dup_spans,
+       ROUND(COALESCE(dc.dup_spans, 0) / CAST(s.n_spans AS DOUBLE), 6) AS dup_ratio
+FROM sizes s LEFT JOIN dc USING (doc_id)
+ORDER BY s.doc_id
 """,
     }

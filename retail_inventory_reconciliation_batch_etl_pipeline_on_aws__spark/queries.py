@@ -3409,3 +3409,62 @@ def q_dau_bitmap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("month", "n_days", "exact_users")
         .orderBy("month")
     )
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-corpus repeated-span detection -- the substring-level
+    dedup statistic (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): for every document, how many of
+    its positional 5-token spans also occur in ANOTHER document, and
+    what fraction of the document that covers. The per-doc ratio is
+    the drop/trim signal substring dedup acts on (cross-doc boilerplate,
+    licence blocks, templated headers).
+
+    Distinct from the shingle families already here: ``jaccard_pairs``
+    is SET-similarity (distinct shingles, pairwise), ``doc_repetition``
+    is INTRA-doc repetition; this is positional cross-doc coverage.
+
+    Scale shape: spans are built linearly per doc (``word_ngrams``
+    zip-with fold, positions kept) and folded to ``xxhash64`` longs in
+    the same projection, so no span STRING ever crosses an exchange
+    (contamination_hashed discipline; the string-side DuckDB oracle
+    makes a 64-bit fold collision fail the value hash). The exploded
+    (doc_id, h) frame is persisted and both consumers -- the
+    duplicated-span set (min(doc) <> max(doc), no count-distinct) and
+    the per-doc dup count -- hash-partition by ``h``, so the exchange
+    is planned once and reused. Only 16-byte rows shuffle; at 100 TB
+    the span table is the corpus x ~1 long/token, the same budget the
+    contamination scan already carries.
+    """
+    from .functions import text as TX
+
+    docs = fixtures.load(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = docs.where(TX.token_count("text") >= 5).select(
+        "doc_id", TX.word_ngrams("text", 5, distinct=False).alias("spans")
+    )
+    sizes = spans.select("doc_id", F.size("spans").cast("long").alias("n_spans"))
+    hashed = spans.select(
+        "doc_id",
+        F.explode(F.transform("spans", lambda s: F.xxhash64(s))).alias("h"),
+    ).persist()
+    dup = (
+        hashed.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .where(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    dup_counts = (
+        hashed.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("dup_spans"))
+    )
+    return (
+        sizes.join(dup_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce(F.col("dup_spans"), F.lit(0)).cast("long").alias("dup_spans"),
+        )
+        .withColumn("dup_ratio", F.round(F.col("dup_spans") / F.col("n_spans"), 6))
+        .orderBy("doc_id")
+    )

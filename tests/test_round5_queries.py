@@ -74,3 +74,48 @@ def test_winsorized_mean_between_bounds_and_robust(spark):
     for r in rows.values():
         assert r.p05 <= r.winsorized_mean <= r.p95
         assert r.n_events > 0
+
+
+def test_repeated_spans_plants_cross_doc_duplicates(spark):
+    """A planted shared 5-token span is counted for BOTH docs; an
+    intra-doc repeat alone is not cross-doc duplicated."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark import (
+        queries as Q,
+    )
+    import tempfile
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, shared + " one two three"),
+        (2, "x y z " + shared),
+        (3, "p q r s t p q r s t"),  # intra-doc repeat only
+        (4, "lone words here only four"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            f"{d}/documents.parquet"
+        )
+        got = {
+            r.doc_id: (r.n_spans, r.dup_spans)
+            for r in Q.q_repeated_spans(spark, d).collect()
+        }
+    assert got[1] == (4, 1) and got[2] == (4, 1)
+    # doc 3: spans repeat within the doc, but no OTHER doc shares them
+    assert got[3][1] == 0
+    assert got[4] == (1, 0)
+
+
+def test_repeated_spans_no_span_string_crosses_an_exchange(spark):
+    """Spans fold to xxhash64 longs in the scan projection; no
+    Exchange block may carry the text or a span string (the
+    contamination_hashed shuffle-budget discipline)."""
+    import re as _re
+
+    from test_plan_shape import plan_of
+
+    p = plan_of(spark, "repeated_spans")
+    blocks = _re.split(r"\n\n", p)
+    exchange_blocks = [b for b in blocks if _re.match(r"\(\d+\) Exchange", b)]
+    assert exchange_blocks, "no Exchange blocks parsed"
+    for b in exchange_blocks:
+        assert not _re.search(r"\btext#\d+", b), f"text crosses a shuffle:\n{b}"
