@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_stats": Q.q_winsorized_stats,
         "dau_bitmap_merge": Q.q_dau_bitmap_merge,
         "repeated_spans": Q.q_repeated_spans,
+        "token_dist_drift": Q.q_token_dist_drift,
         # r03-attested overflow (8): did not fit this round; MUST lead
         # the round-6 window. Pinned by test_oracle_parity.py.
         "top_tokens": Q.q_top_tokens,
@@ -2398,5 +2399,46 @@ SELECT s.doc_id, s.n_spans,
        ROUND(COALESCE(dc.dup_spans, 0) / CAST(s.n_spans AS DOUBLE), 6) AS dup_ratio
 FROM sizes s LEFT JOIN dc USING (doc_id)
 ORDER BY s.doc_id
+""",
+        # exact-rational TV distance; every mass term stays DECIMAL
+        # until the single terminal double division (brand_trend
+        # discipline), so the value hash is representation-robust
+        "token_dist_drift": """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+           AS t
+  FROM documents
+),
+sf AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY source, t
+),
+cf AS (SELECT t, CAST(SUM(tf) AS BIGINT) AS ctf FROM sf GROUP BY t),
+ns AS (
+  SELECT source, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM sf GROUP BY source
+),
+nc AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_c FROM sf),
+terms AS (
+  SELECT sf.source,
+         SUM(ABS(CAST(sf.tf AS DECIMAL(18,0)) * CAST(nc.n_c AS DECIMAL(18,0))
+                 - CAST(cf.ctf AS DECIMAL(18,0))
+                   * CAST(ns.n_tokens AS DECIMAL(18,0)))) AS a_num,
+         SUM(CAST(cf.ctf AS DECIMAL(18,0))
+             * CAST(ns.n_tokens AS DECIMAL(18,0))) AS cmass
+  FROM sf JOIN cf USING (t) JOIN ns USING (source) CROSS JOIN nc
+  GROUP BY sf.source
+)
+SELECT ns.source, ns.n_tokens, ns.vocab,
+       ROUND(CAST(terms.a_num
+                  + (CAST(ns.n_tokens AS DECIMAL(18,0))
+                     * CAST(nc.n_c AS DECIMAL(18,0)) - terms.cmass)
+                  AS DOUBLE)
+             / (2.0 * CAST(ns.n_tokens AS DOUBLE) * CAST(nc.n_c AS DOUBLE)),
+             6) AS tv_distance
+FROM terms JOIN ns USING (source) CROSS JOIN nc
+ORDER BY ns.source
 """,
     }

@@ -3468,3 +3468,86 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dup_ratio", F.round(F.col("dup_spans") / F.col("n_spans"), 6))
         .orderBy("doc_id")
     )
+
+
+def q_token_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-DISTRIBUTION drift: exact total-variation
+    distance between each source's unigram distribution and the whole
+    corpus's -- the statistic mixture curation watches to catch a
+    source whose content shifted (scrape change, spam influx) even
+    when its quality score holds. Complements ``source_quality_drift``
+    (score-space) and ``mixture_weights`` (count-space).
+
+    TV(s, c) = 1/2 * sum_t |p_s(t) - p_c(t)| needs only the SOURCE's
+    own vocabulary: tokens outside it contribute 1 - sum_{t in V_s}
+    p_c(t), so the corpus vocab never fans out per source. All mass
+    terms are integer rationals kept exact in DECIMAL -- |tf_s*N_c -
+    ctf*N_s| and ctf*N_s sums -- with ONE terminal double division
+    (brand_trend discipline), so both engines agree bit-for-bit; no
+    transcendental (a log-space KL would be 1-ulp-unstable across
+    engines, and TV is the bounded [0,1] metric monitoring wants).
+
+    Scale shape: tokens fold to xxhash64 longs in the scan projection
+    (string-side oracle makes a fold collision fail the hash); the
+    (source, h) TF table is persisted and feeds all three aggregates;
+    corpus TF joins back on the same hash partitioning; N_c rides a
+    1-row broadcast; per-source frames (|sources| rows) broadcast.
+    """
+    from .functions import text as TX
+
+    def d18(c):  # noqa: ANN001 -- exact-product width, 18+18+1 <= 38
+        return c.cast("decimal(18,0)")
+
+    docs = fixtures.load(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select(
+        "source",
+        F.explode(F.transform(TX.tokens("text"), lambda t: F.xxhash64(t))).alias("h"),
+    )
+    sf_ = (
+        tok.groupBy("source", "h")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .persist()
+    )
+    cf = sf_.groupBy("h").agg(F.sum("tf").cast("long").alias("ctf"))
+    ns = sf_.groupBy("source").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    nc = sf_.agg(F.sum("tf").cast("long").alias("n_c"))
+    terms = (
+        sf_.join(cf, "h")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nc))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(
+                    d18(F.col("tf")) * d18(F.col("n_c"))
+                    - d18(F.col("ctf")) * d18(F.col("n_tokens"))
+                )
+            ).alias("a_num"),
+            F.sum(d18(F.col("ctf")) * d18(F.col("n_tokens"))).alias("cmass"),
+        )
+    )
+    return (
+        terms.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            F.round(
+                (
+                    F.col("a_num")
+                    + (d18(F.col("n_tokens")) * d18(F.col("n_c")) - F.col("cmass"))
+                ).cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("n_tokens").cast("double")
+                    * F.col("n_c").cast("double")
+                ),
+                6,
+            ).alias("tv_distance"),
+        )
+        .orderBy("source")
+    )

@@ -27,6 +27,7 @@ NESTED_LOOP_OK = {
     "key_skew_profile",  # 1-row (total, n_keys) broadcast gate
     "embed_contamination",  # tiny benchmark side broadcast x corpus (exact verify; LSH path for big benches)
     "source_quality_drift",  # 1-row (global sum, count) broadcast gate
+    "token_dist_drift",  # 1-row corpus-token-total (N_c) broadcast gate
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -119,3 +119,38 @@ def test_repeated_spans_no_span_string_crosses_an_exchange(spark):
     assert exchange_blocks, "no Exchange blocks parsed"
     for b in exchange_blocks:
         assert not _re.search(r"\btext#\d+", b), f"text crosses a shuffle:\n{b}"
+
+
+def test_token_dist_drift_closed_forms(spark):
+    """Single source => TV = 0 exactly; two sources with DISJOINT
+    vocab => TV(s) = 1 - N_s/N exactly (the out-of-vocab mass and the
+    in-vocab excess coincide)."""
+    import tempfile
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark import (
+        queries as Q,
+    )
+
+    rows = [
+        (1, "aa bb aa cc", "web"),      # 4 tokens
+        (2, "aa bb", "web"),            # 2 tokens -> web N_s=6
+        (3, "xx yy zz xx", "books"),    # 4 tokens -> books N_s=4; N=10
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {
+            r.source: (r.n_tokens, r.vocab, r.tv_distance)
+            for r in Q.q_token_dist_drift(spark, d).collect()
+        }
+    assert got["web"] == (6, 3, round(1 - 6 / 10, 6))
+    assert got["books"] == (4, 3, round(1 - 4 / 10, 6))
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, "p q p", "only"), (2, "q p q", "only")],
+            "doc_id long, text string, source string",
+        ).write.parquet(f"{d}/documents.parquet")
+        sole = Q.q_token_dist_drift(spark, d).collect()
+    assert len(sole) == 1 and sole[0].tv_distance == 0.0
