@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dau_bitmap_merge": Q.q_dau_bitmap_merge,
         "repeated_spans": Q.q_repeated_spans,
         "token_dist_drift": Q.q_token_dist_drift,
+        "tfidf_keywords": Q.q_tfidf_keywords,
         # r03-attested overflow (8): did not fit this round; MUST lead
         # the round-6 window. Pinned by test_oracle_parity.py.
         "top_tokens": Q.q_top_tokens,
@@ -2440,5 +2441,34 @@ SELECT ns.source, ns.n_tokens, ns.vocab,
              6) AS tv_distance
 FROM terms JOIN ns USING (source) CROSS JOIN nc
 ORDER BY ns.source
+""",
+        # raw idf (tf * N/df) keeps every arithmetic step IEEE-identical
+        # across engines; log-idf would be 1-ulp-unstable at rank ties
+        "tfidf_keywords": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+           AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, token
+),
+dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+         ROUND(CAST(tf.tf AS DOUBLE) * nd.n_docs / dfq.df, 6) AS score
+  FROM tf JOIN dfq USING (token) CROSS JOIN nd
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, token, tf, df, score
+FROM rk WHERE rk <= 3
+ORDER BY doc_id, rk
 """,
     }

@@ -3551,3 +3551,61 @@ def q_token_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by tf-idf -- the
+    doc-labeling primitive (topic tagging, index terms, weak
+    supervision features). Completes the lexical family: ``top_tokens``
+    is corpus-global, ``bm25_search`` is query-conditioned; this is
+    per-document.
+
+    Scoring uses RAW idf (``tf * N/df``) rather than log-idf on
+    purpose: ranking is identical (x -> N*x is monotone in tf/df) and
+    every arithmetic step -- integer-to-double cast, multiply, divide,
+    half-up round -- is IEEE-identical across engines, where ``ln``
+    is 1-ulp-unstable and could flip a rank at the boundary. No df
+    stopword cut: raw idf already downweights ubiquitous terms, and the
+    testdata vocabulary is deliberately tiny (31 tokens, median df 78%
+    of docs), so a df threshold would empty the output.
+
+    Scale shape: the heavy aggregates (per-doc TF, corpus DF) group on
+    xxhash64 longs; the (h, token) vocab map is distinct-combined
+    map-side, so each partition ships each distinct token once --
+    vocab-bounded, not corpus-bounded -- and the only window is
+    partitioned by doc_id (full parallelism, <= vocab-per-doc rows per
+    group). N rides a 1-row broadcast.
+    """
+    from .functions import text as TX
+
+    docs = fixtures.load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+    hashed = tok.select("doc_id", F.xxhash64("token").alias("h"), "token")
+    tf = (
+        hashed.groupBy("doc_id", "h")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .persist()
+    )
+    df_ = tf.groupBy("h").agg(F.count("*").cast("long").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    vocab = hashed.select("h", "token").distinct()
+    scored = (
+        tf.join(df_, "h")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double") * F.col("n_docs") / F.col("df"), 6
+            ),
+        )
+        .join(vocab, "h")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "doc_id", F.col("rk").cast("int").alias("rk"), "token", "tf", "df", "score"
+        )
+        .orderBy("doc_id", "rk")
+    )

@@ -28,6 +28,7 @@ NESTED_LOOP_OK = {
     "embed_contamination",  # tiny benchmark side broadcast x corpus (exact verify; LSH path for big benches)
     "source_quality_drift",  # 1-row (global sum, count) broadcast gate
     "token_dist_drift",  # 1-row corpus-token-total (N_c) broadcast gate
+    "tfidf_keywords",  # 1-row corpus-doc-count (N) broadcast gate
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -154,3 +154,28 @@ def test_token_dist_drift_closed_forms(spark):
         ).write.parquet(f"{d}/documents.parquet")
         sole = Q.q_token_dist_drift(spark, d).collect()
     assert len(sole) == 1 and sole[0].tv_distance == 0.0
+
+
+def test_tfidf_planted_rare_token_is_top_keyword(spark):
+    """A token unique to one doc maximizes tf*N/df there and must rank
+    rk=1; a token present in every doc ranks below any rarer one."""
+    import tempfile
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark import (
+        queries as Q,
+    )
+
+    rows = [
+        (1, "common zebra zebra"),
+        (2, "common common common rare rare"),
+        (3, "common filler filler"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            f"{d}/documents.parquet"
+        )
+        out = Q.q_tfidf_keywords(spark, d).collect()
+    top = {r.doc_id: r.token for r in out if r.rk == 1}
+    assert top[1] == "zebra"      # 2*3/1=6.0 beats common 1*3/3=1.0
+    assert top[2] == "rare"       # 2*3/1=6.0 beats common 3*3/3=3.0
+    assert top[3] == "filler"     # 2*3/1=6.0
