@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": Q.q_repeated_spans,
         "token_dist_drift": Q.q_token_dist_drift,
         "tfidf_keywords": Q.q_tfidf_keywords,
+        "epoch_shuffle": Q.q_epoch_shuffle,
         # r03-attested overflow (8): did not fit this round; MUST lead
         # the round-6 window. Pinned by test_oracle_parity.py.
         "top_tokens": Q.q_top_tokens,
@@ -2470,5 +2471,23 @@ rk AS (
 SELECT doc_id, CAST(rk AS INT) AS rk, token, tf, df, score
 FROM rk WHERE rk <= 3
 ORDER BY doc_id, rk
+""",
+        # same md5-hex fold the dataset_split oracle uses -- the
+        # engine's cross-engine-exact hash idiom
+        "epoch_shuffle": """
+WITH ep AS (SELECT unnest(range(0, 2)) AS epoch),
+k AS (
+  SELECT CAST(ep.epoch AS INT) AS epoch, d.doc_id,
+         CAST(list_sum(list_transform(range(1, 9), i ->
+           (strpos('0123456789abcdef',
+                   substr(md5(concat(CAST(d.doc_id AS VARCHAR), ':',
+                                     CAST(ep.epoch AS VARCHAR))),
+                          CAST(i AS INT), 1)) - 1)
+           * power(16, 8 - i))) AS BIGINT) AS order_key
+  FROM documents d CROSS JOIN ep
+)
+SELECT epoch, doc_id, order_key, CAST(order_key % 8 AS INT) AS shard
+FROM k
+ORDER BY epoch, shard, order_key, doc_id
 """,
     }

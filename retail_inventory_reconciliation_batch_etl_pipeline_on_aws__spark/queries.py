@@ -3609,3 +3609,51 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rk")
     )
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle + shard assignment: every
+    (doc, epoch) gets a pseudo-random ORDER KEY that is a pure function
+    of (doc_id, epoch) -- no seed table, no row order, no RNG state --
+    so any worker, any re-run, any backfill derives the identical
+    epoch-2 permutation. This is the data-ordering contract an LLM
+    training job needs: reshuffle between epochs, reproducible resume
+    mid-epoch, and shard = key % n so each trainer rank can locate its
+    files without coordination.
+
+    Key = first 8 md5 hex chars of "doc_id:epoch" (the engine's
+    cross-engine-exact hash idiom, shared with ``dataset_split``).
+    Pure projection -- the only join is a 2-row broadcast of the epoch
+    axis; physically writing the shards in key order is the sink's job
+    (``writers.write_range_sorted`` / ``write_partitioned``), so no
+    window or global sort is needed here beyond the presentation
+    ORDER BY the oracle mirrors.
+    """
+    docs = fixtures.load(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    keyed = (
+        docs.crossJoin(F.broadcast(epochs))
+        .select(
+            "epoch",
+            "doc_id",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id").cast("string"),
+                            F.col("epoch").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("order_key"),
+        )
+        .withColumn("shard", (F.col("order_key") % 8).cast("int"))
+    )
+    return keyed.orderBy("epoch", "shard", "order_key", "doc_id")

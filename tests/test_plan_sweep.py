@@ -29,6 +29,7 @@ NESTED_LOOP_OK = {
     "source_quality_drift",  # 1-row (global sum, count) broadcast gate
     "token_dist_drift",  # 1-row corpus-token-total (N_c) broadcast gate
     "tfidf_keywords",  # 1-row corpus-doc-count (N) broadcast gate
+    "epoch_shuffle",  # 2-row epoch-axis broadcast
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -179,3 +179,27 @@ def test_tfidf_planted_rare_token_is_top_keyword(spark):
     assert top[1] == "zebra"      # 2*3/1=6.0 beats common 1*3/3=1.0
     assert top[2] == "rare"       # 2*3/1=6.0 beats common 3*3/3=3.0
     assert top[3] == "filler"     # 2*3/1=6.0
+
+
+def test_epoch_shuffle_permutes_between_epochs_and_balances_shards(spark):
+    """Epoch 0 and epoch 1 must order the same docs differently (else
+    it isn't a reshuffle), every doc appears exactly once per epoch,
+    and no shard hogs the corpus (md5 uniformity at n=500)."""
+    from collections import Counter
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark import (
+        queries as Q,
+    )
+
+    rows = Q.q_epoch_shuffle(spark, ORACLE_SF).collect()
+    by_epoch = {e: [r for r in rows if r.epoch == e] for e in (0, 1)}
+    docs0 = [r.doc_id for r in sorted(by_epoch[0], key=lambda r: r.order_key)]
+    docs1 = [r.doc_id for r in sorted(by_epoch[1], key=lambda r: r.order_key)]
+    assert sorted(docs0) == sorted(docs1)          # same corpus each epoch
+    assert docs0 != docs1                          # different permutation
+    assert len(set(docs0)) == len(docs0)           # exactly once per epoch
+    shard_sizes = Counter(r.shard for r in by_epoch[0])
+    n = len(docs0)
+    assert all(abs(c - n / 8) < 0.5 * n / 8 for c in shard_sizes.values()), (
+        f"shard imbalance: {shard_sizes}"
+    )
