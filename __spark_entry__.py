@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_dist_drift": Q.q_token_dist_drift,
         "tfidf_keywords": Q.q_tfidf_keywords,
         "epoch_shuffle": Q.q_epoch_shuffle,
+        "k_anonymity": Q.q_k_anonymity,
         # r03-attested overflow (8): did not fit this round; MUST lead
         # the round-6 window. Pinned by test_oracle_parity.py.
         "top_tokens": Q.q_top_tokens,
@@ -2489,5 +2490,14 @@ k AS (
 SELECT epoch, doc_id, order_key, CAST(order_key % 8 AS INT) AS shard
 FROM k
 ORDER BY epoch, shard, order_key, doc_id
+""",
+        "k_anonymity": """
+SELECT lang, source,
+       CAST(floor(n_chars / 500.0) AS BIGINT) AS len_band,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       COUNT(*) < 5 AS at_risk
+FROM documents
+GROUP BY lang, source, CAST(floor(n_chars / 500.0) AS BIGINT)
+ORDER BY lang, source, len_band
 """,
     }

@@ -3657,3 +3657,33 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shard", (F.col("order_key") % 8).cast("int"))
     )
     return keyed.orderBy("epoch", "shard", "order_key", "doc_id")
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the corpus's quasi-identifiers -- the
+    privacy gate that complements ``pii_scan``: PII scrubbing removes
+    DIRECT identifiers, but a row can still be re-identified when its
+    quasi-identifier combination (language, source, size band) is
+    shared by fewer than k other rows. Releasing a training corpus (or
+    its per-slice metrics) usually requires every equivalence class to
+    have >= k members; smaller classes get suppressed or generalized.
+
+    Output: one row per equivalence class with its size and an
+    ``at_risk`` flag (k = 5), the exact worklist a suppression pass
+    consumes. One map-side-combined groupBy on three tiny attributes
+    -- equivalence-class cardinality, not corpus cardinality, crosses
+    the shuffle -- then a presentation sort. Band width 500 chars
+    mirrors the generalization step (exact lengths would make nearly
+    every doc its own class).
+    """
+    docs = fixtures.load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / 500).cast("long").alias("len_band"),
+        )
+        .agg(F.count("*").cast("long").alias("class_size"))
+        .withColumn("at_risk", F.col("class_size") < 5)
+        .orderBy("lang", "source", "len_band")
+    )

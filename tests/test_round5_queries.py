@@ -203,3 +203,27 @@ def test_epoch_shuffle_permutes_between_epochs_and_balances_shards(spark):
     assert all(abs(c - n / 8) < 0.5 * n / 8 for c in shard_sizes.values()), (
         f"shard imbalance: {shard_sizes}"
     )
+
+
+def test_k_anonymity_flags_exactly_the_small_classes(spark):
+    """Planted: one class of 6 (safe) and one of 2 (at risk); sizes
+    partition the corpus exactly."""
+    import tempfile
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark import (
+        queries as Q,
+    )
+
+    rows = [(i, "t", "en", "web", 100) for i in range(6)] + [
+        (10, "t", "de", "web", 100),
+        (11, "t", "de", "web", 120),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {(r.lang, r.source, r.len_band): (r.class_size, r.at_risk)
+               for r in Q.q_k_anonymity(spark, d).collect()}
+    assert out[("en", "web", 0)] == (6, False)
+    assert out[("de", "web", 0)] == (2, True)
+    assert sum(v[0] for v in out.values()) == 8
