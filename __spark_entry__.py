@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iterative fixed-point loop (operators.graph.pagerank): not
         # SQL-expressible; exact integer twin in tests/test_graph.py
         "pagerank": Q.q_pagerank,
+        "weighted_sample": Q.q_weighted_sample,
     }
 
 

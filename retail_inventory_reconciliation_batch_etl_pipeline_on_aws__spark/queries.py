@@ -3687,3 +3687,39 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("at_risk", F.col("class_size") < 5)
         .orderBy("lang", "source", "len_band")
     )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str, k: int = 100, seed: int = 7) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the exponential race
+    (Efraimidis-Spirakis A-ES): draw u_i deterministically from
+    (doc_id, seed), give row i the race time ``t_i = -ln(u_i) / w_i``,
+    keep the k smallest. Inclusion probability is proportional-to-size
+    without replacement -- the curation sampler for quality-weighted
+    corpus downsampling (weight here = token count, so it is
+    token-budget-proportional, matching how mixture weights are spent).
+
+    Distributed shape: t_i is a pure projection (no RNG state, no row
+    order -- any partitioning, any retry, same sample), and the k
+    smallest ride TakeOrderedAndProject (per-partition heap + driver
+    merge), never a global sort. Rows-only entry: ln is 1-ulp
+    engine-specific, so the SELECTION boundary is not SQL-mirrorable;
+    the pytest twin pins determinism, PPS monotonicity, and the
+    zero-weight exclusion instead.
+    """
+    from .functions import text as TX
+
+    docs = fixtures.load(spark, sf_dir, "documents").select("doc_id", "text")
+    # u in (0,1): 64-bit xxhash64 folded to [0,1) via unsigned scaling,
+    # +0.5 ulp-ish offset so ln(u) is finite
+    u = (F.xxhash64(F.col("doc_id"), F.lit(seed)).cast("double") / F.lit(2.0**64)) + F.lit(0.5)
+    w = TX.token_count("text").cast("double")
+    return (
+        docs.where(TX.token_count("text") > 0)
+        .select(
+            "doc_id",
+            TX.token_count("text").alias("weight"),
+            (-F.log(u) / w).alias("race_t"),
+        )
+        .orderBy("race_t", "doc_id")
+        .limit(k)
+    )

@@ -189,3 +189,37 @@ def test_pagerank_query_deterministic_and_ranked(spark):
     ranks = [r for _, r in a]
     assert ranks == sorted(ranks, reverse=True)
     assert all(r > 0 for r in ranks)
+
+
+def test_weighted_sample_deterministic_pps_and_zero_weight_excluded(spark):
+    """A-ES contract: (a) same seed => identical sample under any
+    partitioning; (b) exactly k rows; (c) heavier docs win more seats
+    across seeds (PPS monotonicity at 10x weight); (d) empty docs never
+    appear."""
+    import tempfile
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark import (
+        queries as Q,
+    )
+
+    q = entry.queries()["weighted_sample"]
+    a = [tuple(r) for r in q(spark, ORACLE_SF).collect()]
+    b = [tuple(r) for r in q(spark, ORACLE_SF).collect()]
+    assert a == b and len(a) == 100
+    assert all(r[1] > 0 for r in a)
+
+    # planted PPS check: ids 0..19 weight ~10 tokens, ids 100..119 weight 1
+    heavy = [(i, "w " * 10) for i in range(20)]
+    light = [(100 + i, "w") for i in range(20)]
+    empty = [(500, " ")]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            heavy + light + empty, "doc_id long, text string"
+        ).write.parquet(f"{d}/documents.parquet")
+        heavy_seats = light_seats = 0
+        for seed in range(30):
+            got = {r.doc_id for r in Q.q_weighted_sample(spark, d, k=10, seed=seed).collect()}
+            assert 500 not in got
+            heavy_seats += sum(1 for g in got if g < 100)
+            light_seats += sum(1 for g in got if g >= 100)
+    assert heavy_seats > light_seats * 2, (heavy_seats, light_seats)
