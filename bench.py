@@ -52,6 +52,11 @@ BENCH_QUERIES = [
     "token_budget",
     "brand_trend",
     "winsorized_stats",
+    # round-5 late additions: the positional-span corpus join (heaviest
+    # of the new text shapes) and the three-aggregate TF/DF/vocab scan
+    "repeated_spans",
+    "token_dist_drift",
+    "tfidf_keywords",
 ]
 
 

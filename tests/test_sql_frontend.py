@@ -104,6 +104,10 @@ PORTABLE = [
     # verbatim on Spark pins the bitmap path == the naive path on a
     # THIRD engine-path, not just DuckDB
     "dau_bitmap_merge",
+    # round-5 session 3: k_anonymity is plain GROUP BY + FLOOR --
+    # portable as written (token_dist_drift / tfidf_keywords /
+    # repeated_spans / epoch_shuffle stay DuckDB-side: list_* lambdas)
+    "k_anonymity",
 ]
 
 
