@@ -92,14 +92,24 @@ def asof_join(
             .orderBy(F.col("_t").desc(), F.col("_side").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+    # _rt (the carried match time) is only needed to evaluate the
+    # staleness bound -- leave it out of the untolerated fast path so
+    # the window computes one aggregate per payload column, no more
+    rt_cols = (
+        [
+            F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True)
+            .over(w)
+            .alias("_rt")
+        ]
+        if tolerance_seconds is not None
+        else []
+    )
     carried = unioned.select(
         *keys,
         "_t",
         "_side",
         *left_payload,
-        F.last(
-            F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True
-        ).over(w).alias("_rt"),
+        *rt_cols,
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
     )
     out = carried.where(F.col("_side") == 1)
