@@ -55,17 +55,34 @@ def run_daily_pipeline(
     Returns the Pipeline results dict: paths per job plus the Alert (or
     None) under ``"alert"``.
     """
+    from pyspark.sql import Observation
+
     d = processing_date or fixtures.processing_date(spark, sf_dir)
     staging_path = f"{out_root}/staging/pos_sales"
     dim_path = f"{out_root}/processed/dim_products"
     recon_path = f"{out_root}/processed/reconciled_inventory"
+    # single-pass audit metrics: Observation rides the write's own
+    # action (the Glue jobs' logged row counts, without the second
+    # scan a count() after the write would cost)
+    metrics: dict[str, dict] = {}
 
     def stage() -> str:
         day = fixtures.pos_sales(spark, sf_dir).where(F.col("sale_date") == F.lit(d))
         staged = stage_sales(day, d)
         if lint:
             lint_plan(staged)
+        obs = Observation("stage_audit")
+        staged = staged.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_written"),
+            F.sum("total_quantity_sold").cast("long").alias("units_sold"),
+            # observe() forbids DISTINCT aggregates; the HLL form is the
+            # observe-compatible spelling (and the output is 1 row/sku
+            # anyway, so rows_written is the exact count)
+            F.approx_count_distinct("sku").alias("skus"),
+        )
         write_partitioned(staged, staging_path, "date_key", "sku")
+        metrics["stage"] = obs.get
         return staging_path
 
     def dims() -> str:
@@ -91,7 +108,16 @@ def run_daily_pipeline(
         out = reconcile(opening, closing, staged, dim, d)
         if lint:
             lint_plan(out)
+        obs = Observation("reconcile_audit")
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_written"),
+            F.sum(
+                F.when(F.col("discrepancy_amount") != 0, 1).otherwise(0)
+            ).cast("long").alias("discrepant_rows"),
+        )
         write_partitioned(out, recon_path, "date_key", "sku")
+        metrics["reconcile"] = obs.get
         return recon_path
 
     def alert(reconcile: str) -> Alert | None:
@@ -103,7 +129,7 @@ def run_daily_pipeline(
             alert_sink.publish(a)
         return a
 
-    return (
+    results = (
         Pipeline()
         .add("stage", stage)
         .add("dims", dims)
@@ -111,6 +137,8 @@ def run_daily_pipeline(
         .add("alert", alert, deps=["reconcile"])
         .run()
     )
+    results["metrics"] = metrics
+    return results
 
 
 def run_incremental_ingest(

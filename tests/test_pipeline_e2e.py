@@ -64,6 +64,19 @@ def test_daily_pipeline_end_to_end(spark, tmp_path):
     assert len(sink.alerts) == 1 and sink.alerts[0].count == n_disc
     assert len(results["alert"].examples) == 5
 
+    # single-pass Observation audit metrics agree with the artifacts
+    # they rode along with (no second scan was issued to compute them)
+    m = results["metrics"]
+    assert m["stage"]["rows_written"] == spark.read.parquet(results["stage"]).count()
+    assert m["reconcile"]["rows_written"] == written.count()
+    assert m["reconcile"]["discrepant_rows"] == n_disc
+    assert m["stage"]["units_sold"] > 0
+    # staged output is one row per sku, so the HLL estimate must land
+    # within its default 5% rsd of the exact row count
+    assert abs(m["stage"]["skus"] - m["stage"]["rows_written"]) <= max(
+        3, 0.05 * m["stage"]["rows_written"]
+    )
+
     # replay: run-twice == run-once (idempotent partition replace)
     before = _recon_rows(spark.read.parquet(results["reconcile"]))
     run_daily_pipeline(spark, TESTDATA, out, alert_sink=sink)
