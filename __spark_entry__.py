@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": Q.q_tfidf_keywords,
         "epoch_shuffle": Q.q_epoch_shuffle,
         "k_anonymity": Q.q_k_anonymity,
+        "curation_summary": Q.q_curation_summary,
         # r03-attested overflow (8): did not fit this round; MUST lead
         # the round-6 window. Pinned by test_oracle_parity.py.
         "top_tokens": Q.q_top_tokens,
@@ -2500,5 +2501,69 @@ SELECT lang, source,
 FROM documents
 GROUP BY lang, source, CAST(floor(n_chars / 500.0) AS BIGINT)
 ORDER BY lang, source, len_band
+""",
+        # the composed curation DAG's disposition counts: precedence is
+        # duplicate > contaminated > low_quality > kept, benchmark docs
+        # (doc_id % 97 = 0) excluded from the corpus side
+        "curation_summary": """
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+    FROM corpus) WHERE rn = 1
+),
+ctok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM corpus
+),
+btok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM bench
+),
+csh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 3 + 2), i ->
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
+  FROM ctok WHERE len(toks) >= 3
+),
+bsh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 3 + 2), i ->
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
+  FROM btok WHERE len(toks) >= 3
+),
+cont AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT c.doc_id, b.doc_id AS bdoc
+    FROM csh c JOIN bsh b USING (shingle)
+    GROUP BY c.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2)
+),
+qual AS (
+  SELECT doc_id,
+         (len(toks) >= 15 AND len(toks) <= 60
+          AND list_sum(list_transform(toks, t -> length(t))) >= 3 * len(toks)
+          AND list_sum(list_transform(toks, t -> length(t))) <= 8 * len(toks)
+          AND 2 * len(list_distinct(toks)) >= len(toks)) AS ok
+  FROM ctok
+),
+disp AS (
+  SELECT c.doc_id,
+         CASE WHEN k.doc_id IS NULL THEN 'duplicate'
+              WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+              WHEN NOT q.ok THEN 'low_quality'
+              ELSE 'kept' END AS disposition
+  FROM corpus c
+  LEFT JOIN keep k ON c.doc_id = k.doc_id
+  LEFT JOIN cont ct ON c.doc_id = ct.doc_id
+  JOIN qual q ON c.doc_id = q.doc_id
+)
+SELECT disposition, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM disp GROUP BY disposition
+ORDER BY disposition
 """,
     }

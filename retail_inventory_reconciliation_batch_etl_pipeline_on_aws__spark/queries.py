@@ -3723,3 +3723,24 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str, k: int = 100, seed: int 
         .orderBy("race_t", "doc_id")
         .limit(k)
     )
+
+
+def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level attestation of the COMPOSED curation DAG
+    (``plans/curation.py``): per-disposition document counts from the
+    same tagged frame the pipeline's ledger and curated-zone writes
+    branch from. The individual stages are each oracle-paired on their
+    own (``dedup_exact``, ``contamination_check``, ``quality_flags``);
+    this entry pins their composition -- the precedence order
+    duplicate > contaminated > low_quality > kept and the benchmark
+    carve-out -- against one SQL mirror, so a regression in how stages
+    stack (not just in a stage) fails the driver gate.
+    """
+    from .plans.curation import disposition_frame
+
+    return (
+        disposition_frame(spark, sf_dir)
+        .groupBy("disposition")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("disposition")
+    )

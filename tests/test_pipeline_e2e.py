@@ -242,3 +242,52 @@ def test_incremental_ingest_crash_replay_converges(spark, tmp_path):
     # and the manifest now covers both files
     _, fresh = read_parquet_incremental(spark, landing, manifest)
     assert fresh == []
+
+
+def test_curation_pipeline_end_to_end(spark, tmp_path):
+    """The composed curation DAG: dispositions partition the corpus
+    exactly, each rejection agrees with its oracle-paired query twin,
+    the curated zone is scrubbed + split + sharded, and replaying is
+    idempotent."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans.curation import (
+        run_curation_pipeline,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark import (
+        queries as Q,
+    )
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "lake")
+    res = run_curation_pipeline(spark, TESTDATA, out)
+    m = res["metrics"]["ledger"]
+
+    # dispositions partition the (non-benchmark) corpus exactly
+    assert m["total"] == m["kept"] + m["duplicate"] + m["contaminated"] + m["low_quality"]
+    n_corpus = (
+        spark.read.parquet(f"{TESTDATA}/documents.parquet")
+        .where(F.col("doc_id") % 97 != 0)
+        .count()
+    )
+    assert m["total"] == n_corpus
+    assert res["metrics"]["curated"]["rows"] == m["kept"]
+    c = res["metrics"]["curated"]
+    assert c["rows"] == c["train"] + c["val"] + c["test"]
+
+    # the written artifacts agree with the observation metrics
+    curated = spark.read.parquet(res["curated"])
+    ledger = spark.read.parquet(res["ledger"])
+    assert curated.count() == m["kept"]
+    assert ledger.count() == m["total"]
+
+    # curated zone carries no un-scrubbed PII pattern and full lineage cols
+    assert curated.where(
+        F.col("text").rlike(r"[a-z0-9]+@[a-z]+\.[a-z]+")
+    ).count() == 0
+    assert {"doc_id", "text", "split", "order_key", "shard"} <= set(curated.columns)
+    assert curated.select("shard").distinct().count() <= 8
+
+    # replay: identical ledger (deterministic end to end)
+    before = sorted(map(tuple, ledger.collect()))
+    res2 = run_curation_pipeline(spark, TESTDATA, out)
+    after = sorted(map(tuple, spark.read.parquet(res2["ledger"]).collect()))
+    assert before == after
