@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": Q.q_epoch_shuffle,
         "k_anonymity": Q.q_k_anonymity,
         "curation_summary": Q.q_curation_summary,
+        "events_sliding": Q.q_events_sliding,
         # r03-attested overflow (8): did not fit this round; MUST lead
         # the round-6 window. Pinned by test_oracle_parity.py.
         "top_tokens": Q.q_top_tokens,
@@ -2565,5 +2566,26 @@ disp AS (
 SELECT disposition, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM disp GROUP BY disposition
 ORDER BY disposition
+""",
+        # Spark's sliding window(ts, 2h, 1h) = each event in the window
+        # starting at its own hour AND the one an hour earlier -- the
+        # Expand mirrored as a 2-way shifted UNION ALL
+        "events_sliding": """
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+),
+x AS (
+  SELECT h AS window_start, event_type, v FROM e
+  UNION ALL
+  SELECT h - INTERVAL 1 HOUR AS window_start, event_type, v FROM e
+)
+SELECT window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM x
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
 """,
     }

@@ -59,3 +59,31 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
+
+
+def sliding_rollup(
+    events: DataFrame, duration: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding event-time windows per event_type -- the smoothing form
+    of ``hourly_rollup`` (each event lands in duration/slide
+    overlapping windows; a 2h window sliding 1h gives hour-grain output
+    with 2h context, the standard rate/trend smoother).
+
+    ``F.window(ts, duration, slide)`` is the native Spark form --
+    internally an Expand of duration/slide rows per event followed by
+    the same tumbling aggregation, exactly what the streaming twin
+    does with a watermark. Map-side combinable; the shuffle carries
+    (window, type) partials only.
+    """
+    return (
+        events.groupBy(
+            F.window("ts", duration, slide).start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

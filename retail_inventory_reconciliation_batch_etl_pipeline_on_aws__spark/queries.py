@@ -3744,3 +3744,14 @@ def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy("disposition")
     )
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2h-window/1h-slide smoothed event rollup (the sliding sibling of
+    ``events_hourly``); oracle mirrors the Expand with a 2-way shifted
+    UNION ALL of hour truncs."""
+    from .operators.sessionize import sliding_rollup
+
+    return sliding_rollup(fixtures.events(spark, sf_dir)).orderBy(
+        "window_start", "event_type"
+    )

@@ -227,3 +227,20 @@ def test_k_anonymity_flags_exactly_the_small_classes(spark):
     assert out[("en", "web", 0)] == (6, False)
     assert out[("de", "web", 0)] == (2, True)
     assert sum(v[0] for v in out.values()) == 8
+
+
+def test_sliding_window_equals_sum_of_covered_tumbling_hours(spark):
+    """A [h, h+2h) sliding window must count exactly tumbling(h) +
+    tumbling(h+1) -- the Expand semantics pinned against the tumbling
+    rollup for every window and type."""
+    import datetime as dt
+
+    tumb = {
+        (r.bucket_start, r.event_type): r.n_events
+        for r in entry.queries()["events_hourly"](spark, ORACLE_SF).collect()
+    }
+    for r in entry.queries()["events_sliding"](spark, ORACLE_SF).collect():
+        expect = tumb.get((r.window_start, r.event_type), 0) + tumb.get(
+            (r.window_start + dt.timedelta(hours=1), r.event_type), 0
+        )
+        assert r.n_events == expect, (r.window_start, r.event_type)
