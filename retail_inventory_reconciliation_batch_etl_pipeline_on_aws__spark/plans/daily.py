@@ -188,3 +188,60 @@ def run_incremental_ingest(
     )
     commit_ingest_manifest(spark, manifest_path, new_files)
     return {"files": new_files, "batch_id": batch_id, "rows": rows}
+
+
+def plan_backfill(
+    spark: SparkSession, out_root: str, dates: list[dt.date]
+) -> list[dt.date]:
+    """Which of ``dates`` has no reconciled partition yet -- the gap
+    list an Airflow catch-up run (or an operator after an outage) needs
+    before replaying history.
+
+    Discovery is partition-metadata-only: reading JUST the partition
+    column of a partitioned parquet table resolves its values from the
+    directory names (partition discovery), so no data row group is
+    ever decoded, on any Hadoop filesystem. A missing/empty mart means
+    everything is missing -- the first-ever backfill.
+    """
+    from pyspark.errors import AnalysisException
+
+    recon_path = f"{out_root}/processed/reconciled_inventory"
+    try:
+        have = {
+            r.date_key
+            for r in spark.read.parquet(recon_path)
+            .select("date_key")
+            .distinct()
+            .collect()
+        }
+    except AnalysisException:
+        have = set()
+    return sorted(d for d in dates if d not in have)
+
+
+def run_backfill(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str,
+    dates: list[dt.date],
+    alert_sink: AlertSink | None = None,
+) -> dict:
+    """Replay the daily DAG for every date in ``dates`` that is not
+    already materialized (idempotent by construction: each run replaces
+    only its own partitions, so a crash mid-backfill just re-plans the
+    remainder on retry). Returns {date: pipeline results} for the dates
+    actually run, plus the planned gap list under ``"planned"``.
+
+    The loop is driver-side over the DATE AXIS -- a handful of
+    orchestration steps, not data (each step is a full distributed
+    job); a cluster-parallel backfill would instead union the staged
+    days and let dynamic partition overwrite replace them all in one
+    write, at the cost of per-day audit metrics and alerts.
+    """
+    todo = plan_backfill(spark, out_root, dates)
+    results: dict = {"planned": todo}
+    for d in todo:
+        results[d] = run_daily_pipeline(
+            spark, sf_dir, out_root, processing_date=d, alert_sink=alert_sink
+        )
+    return results

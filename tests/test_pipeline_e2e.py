@@ -291,3 +291,36 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
     res2 = run_curation_pipeline(spark, TESTDATA, out)
     after = sorted(map(tuple, spark.read.parquet(res2["ledger"]).collect()))
     assert before == after
+
+
+def test_backfill_plans_gaps_and_fills_idempotently(spark, tmp_path):
+    """plan_backfill: everything missing on a fresh lake; after running
+    one date, only the others are planned; run_backfill fills them and
+    a re-plan is empty (crash-retry convergence)."""
+    import datetime as dt
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans import (
+        fixtures,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans.daily import (
+        plan_backfill,
+        run_backfill,
+        run_daily_pipeline,
+    )
+
+    out = str(tmp_path / "lake")
+    d = fixtures.processing_date(spark, TESTDATA)
+    dates = [d - dt.timedelta(days=1), d]
+
+    assert plan_backfill(spark, out, dates) == dates  # fresh lake: all missing
+
+    run_daily_pipeline(spark, TESTDATA, out, processing_date=dates[0])
+    assert plan_backfill(spark, out, dates) == [d]    # only the gap remains
+
+    res = run_backfill(spark, TESTDATA, out, dates)
+    assert res["planned"] == [d] and d in res
+    assert plan_backfill(spark, out, dates) == []     # converged
+
+    # the backfilled partition equals a direct run of that date
+    got = spark.read.parquet(f"{out}/processed/reconciled_inventory")
+    assert got.where(F.col("date_key") == d).count() > 0
