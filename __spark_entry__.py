@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": Q.q_k_anonymity,
         "curation_summary": Q.q_curation_summary,
         "events_sliding": Q.q_events_sliding,
+        "funnel_latency": Q.q_funnel_latency,
         # r03-attested overflow (8): did not fit this round; MUST lead
         # the round-6 window. Pinned by test_oracle_parity.py.
         "top_tokens": Q.q_top_tokens,
@@ -2587,5 +2588,31 @@ SELECT window_start, event_type,
 FROM x
 GROUP BY window_start, event_type
 ORDER BY window_start, event_type
+""",
+        # integer-seconds latency (epoch-floor diff), BIGINT-exact sums,
+        # one terminal rounded double division
+        "funnel_latency": """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT CAST(first_signup AS DATE) AS cohort_date,
+         CAST(FLOOR(epoch(first_purchase)) AS BIGINT)
+           - CAST(FLOOR(epoch(first_signup)) AS BIGINT) AS lag_s
+  FROM firsts
+  WHERE first_signup IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase > first_signup
+)
+SELECT cohort_date,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       MIN(lag_s) AS min_lag_s,
+       MAX(lag_s) AS max_lag_s,
+       ROUND(CAST(SUM(lag_s) AS DOUBLE) / COUNT(*), 6) AS avg_lag_s
+FROM conv
+GROUP BY cohort_date
+ORDER BY cohort_date
 """,
     }

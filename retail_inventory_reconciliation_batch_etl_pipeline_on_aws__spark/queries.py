@@ -3755,3 +3755,46 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_rollup(fixtures.events(spark, sf_dir)).orderBy(
         "window_start", "event_type"
     )
+
+
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency cohort table: for users whose first purchase
+    follows their first signup, the per-signup-day cohort's count and
+    min/avg/max signup->purchase latency in seconds -- the timing
+    companion of ``signup_purchase_funnel`` (which buckets by lag days
+    and drops the time axis).
+
+    Latency is integer seconds (epoch-floor difference, the sessionize
+    oracle idiom), summed exactly in BIGINT; the mean is the single
+    terminal double division, rounded (the engine's cross-engine float
+    discipline). One shuffle on user_id for the firsts, then a
+    cohort-grain aggregate -- day cohorts keep every stage
+    group-parallel, no global window anywhere.
+    """
+    ev = fixtures.events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    lag = F.col("first_purchase").cast("long") - F.col("first_signup").cast("long")
+    converted = firsts.where(
+        F.col("first_signup").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_signup"))
+    ).select(F.to_date("first_signup").alias("cohort_date"), lag.alias("lag_s"))
+    return (
+        converted.groupBy("cohort_date")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.min("lag_s").alias("min_lag_s"),
+            F.max("lag_s").alias("max_lag_s"),
+            F.round(
+                F.sum("lag_s").cast("double") / F.count("*"), 6
+            ).alias("avg_lag_s"),
+        )
+        .orderBy("cohort_date")
+    )
