@@ -131,6 +131,34 @@ def streaming_hourly_rollup(
     )
 
 
+def streaming_sliding_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "3 hours",
+) -> DataFrame:
+    """readStream twin of ``operators.sessionize.sliding_rollup``
+    (2h windows sliding 1h): identical Expand-then-aggregate plan, plus
+    the watermark that lets append mode finalize each overlapping
+    window once its close passes the event-time high-water mark.
+    Watermark must cover the window DURATION plus lateness -- a 2h
+    window needs >= 2h of horizon or nothing ever finalizes."""
+    raw = read_event_stream(spark, source_dir)
+    return (
+        raw.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("_w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("_w").start.alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 #: Closed-session output schema of the stateful sessionizer.
 SESSION_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "

@@ -564,3 +564,30 @@ def test_streaming_bitmap_distinct_matches_batch_and_is_idempotent(spark, tmp_pa
         for r in distinct_counts_from_state(spark, state).collect()
     }
     assert got4 == got3
+
+
+def test_streaming_sliding_rollup_matches_batch(spark, tmp_path):
+    """The streamed 2h/1h sliding rollup (complete mode over the whole
+    source) must equal the batch sliding_rollup exactly."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.sessionize import (
+        sliding_rollup,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (
+        streaming_sliding_rollup,
+    )
+
+    src = tmp_path / "sliding_src"
+    src.mkdir()
+    (src / "events.parquet").symlink_to(f"{TESTDATA}/events.parquet")
+    agg = streaming_sliding_rollup(spark, str(src))
+    assert agg.isStreaming
+    run_to_memory_sink(agg, "sliding_stream_test")
+    streamed = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sliding_stream_test").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in sliding_rollup(fixtures.events(spark, TESTDATA)).collect()
+    }
+    assert streamed == batch
