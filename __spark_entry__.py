@@ -106,8 +106,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- end of the 50-entry attested window --------------------
         # new in round 5, post-window (displacing a must-attest or
         # r03-stale entry would cost more than it buys); pinned by
-        # test_oracle_parity.py; leads the round-6 window together
-        # with the overflow block below.
+        # test_oracle_parity.py AND bit-exact-verified at sf0.01 by
+        # tools/strict_parity.py; leads the round-6 window together
+        # with the overflow block below. The round-6 lead set is:
+        # the 8 r03-overflow entries, then these 15 round-5 entries
+        # (token_budget .. funnel_latency).
         "token_budget": Q.q_token_budget,
         "copurchase_pairs": Q.q_copurchase_pairs,
         "name_match_candidates": Q.q_name_match_candidates,
