@@ -228,3 +228,71 @@ def test_integer_type7_quantile_matches_numpy(xs, k):
     t20 = (20 - r) * c[i] + r * (c[i + 1] if r else c[i])
     expected = np.percentile(np.array(xs, dtype=np.int64), 5 * k)
     assert abs(t20 / 20 - expected) <= 1e-9 * max(1.0, abs(expected))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=25
+    ),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    """asof_join == pandas.merge_asof(by=key) on random keyed integer
+    timelines, both directions -- the industry-reference semantics,
+    property-tested (duplicates, empty right side, equal timestamps)."""
+    import pandas as pd
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.asof import (
+        asof_join,
+    )
+
+    # dedup (key, t) on the right: at equal (key, t) merge_asof takes the
+    # LAST right row while the union-window form takes a deterministic
+    # one -- pin the fixture instead of the tie
+    right_rows = list({(k, t): (k, t) for k, t in right_rows}.values())
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], "k int, lt long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, t * 10 + k) for k, t in right_rows] or [],
+        "k int, rt long, rv long",
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            (r.k, r.lt, r.lid): r.rv
+            for r in asof_join(
+                left, right, on="k", left_time="lt", right_time="rt",
+                direction=direction,
+            ).collect()
+        }
+        lp = pd.DataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+            columns=["k", "lt", "lid"],
+        ).sort_values("lt", kind="stable")
+        if right_rows:
+            rp = pd.DataFrame(right_rows, columns=["k", "rt"])
+            rp["rv"] = rp["rt"] * 10 + rp["k"]
+        else:
+            rp = pd.DataFrame(
+                {
+                    "k": pd.Series(dtype="int64"),
+                    "rt": pd.Series(dtype="int64"),
+                    "rv": pd.Series(dtype="int64"),
+                }
+            )
+        rp = rp.sort_values("rt", kind="stable")
+        exp_df = pd.merge_asof(
+            lp, rp, left_on="lt", right_on="rt", by="k", direction=direction
+        )
+        exp = {
+            (int(r.k), int(r.lt), int(r.lid)): (None if pd.isna(r.rv) else int(r.rv))
+            for r in exp_df.itertuples()
+        }
+        assert got == exp, direction
