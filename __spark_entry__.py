@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL-expressible; exact integer twin in tests/test_graph.py
         "pagerank": Q.q_pagerank,
         "weighted_sample": Q.q_weighted_sample,
+        "quantized_topk": Q.q_quantized_topk,
     }
 
 

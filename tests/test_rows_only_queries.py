@@ -223,3 +223,39 @@ def test_weighted_sample_deterministic_pps_and_zero_weight_excluded(spark):
             heavy_seats += sum(1 for g in got if g < 100)
             light_seats += sum(1 for g in got if g >= 100)
     assert heavy_seats > light_seats * 2, (heavy_seats, light_seats)
+
+
+def test_quantized_topk_overlap_and_reconstruction_bound(spark):
+    """int8 contract: (a) per-dim dequantization error <= scale/2;
+    (b) the quantized top-10 recovers most of the exact top-10 and the
+    query vector itself stays rank 1."""
+    from pyspark.sql import functions as F
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.similarity import (
+        quantize_embeddings,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans import (
+        fixtures,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.functions.vectors import (
+        as_double_array,
+    )
+
+    emb = fixtures.load(spark, ORACLE_SF, "embeddings")
+    qz = quantize_embeddings(emb)
+    joined = emb.join(qz, "vec_id").select(
+        F.array_max(
+            F.zip_with(
+                as_double_array("embedding"),
+                F.transform("q_embedding", lambda v: v.cast("double") * F.col("scale")),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("max_err"),
+        (F.col("scale") / 2 + 1e-12).alias("bound"),
+    )
+    assert joined.where(F.col("max_err") > F.col("bound")).count() == 0
+
+    got = entry.queries()["quantized_topk"](spark, ORACLE_SF).collect()
+    exact = {r.vec_id for r in entry.queries()["sim_topk"](spark, ORACLE_SF).collect()}
+    assert len(got) == 10 and got[0].vec_id == 0
+    assert len(exact & {r.vec_id for r in got}) >= 8
