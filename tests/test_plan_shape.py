@@ -413,3 +413,16 @@ def test_dau_bitmap_merge_shuffles_bitmaps_not_events(spark):
     assert "bitmap_or_agg" in p, p
     # map-side combine on the only full-data shuffle
     assert "partial_bitmap_construct_agg" in p, p
+
+
+def test_copurchase_is_join_free_group_then_expand(spark):
+    """Pair mining must not self-join the fact table: at test scale
+    Catalyst would happily broadcast a full lineitem side (an OOM at
+    100 TB). The group-then-expand shape has NO join node at all --
+    one collect_list shuffle + one map-side-combined pair count."""
+    import re as _re
+
+    p = plan_of(spark, "copurchase_pairs")
+    assert "Join" not in p, "a join crept back into pair mining"
+    assert len(_re.findall(r"\(\d+\) Exchange", p)) <= 2
+    assert "TakeOrderedAndProject" in p
