@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": Q.q_pagerank,
         "weighted_sample": Q.q_weighted_sample,
         "quantized_topk": Q.q_quantized_topk,
+        "ann_recall": Q.q_ann_recall,
     }
 
 

@@ -3827,3 +3827,27 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = fixtures.load(spark, sf_dir, "embeddings")
     return quantized_topk(emb, _query_vector(spark, sf_dir), k=10)
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality monitor: recall@10 of every approximate similarity
+    path (RP-LSH, IVF, int8-quantized) against the exact brute-force
+    ranking for the standard probe vector -- the dashboard number a
+    production vector index is paged on when it drifts after a re-index
+    or a quantization change. Joins are ids-only over k=10-row frames
+    (driver-light, broadcast-trivial); rows-only entry because every
+    approximate path is seeded-hash-dependent by design.
+    """
+    exact = q_sim_topk(spark, sf_dir).select("vec_id")
+    paths = {
+        "lsh": q_ann_topk(spark, sf_dir),
+        "ivf": q_ivf_topk(spark, sf_dir),
+        "int8": q_quantized_topk(spark, sf_dir),
+    }
+    outs = []
+    for method, df in paths.items():
+        hit = df.select("vec_id").join(exact, "vec_id").count()
+        outs.append((method, hit, 10, round(hit / 10.0, 6)))
+    return spark.createDataFrame(
+        outs, "method string, hits long, k long, recall double"
+    ).orderBy("method")

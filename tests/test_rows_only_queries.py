@@ -259,3 +259,15 @@ def test_quantized_topk_overlap_and_reconstruction_bound(spark):
     exact = {r.vec_id for r in entry.queries()["sim_topk"](spark, ORACLE_SF).collect()}
     assert len(got) == 10 and got[0].vec_id == 0
     assert len(exact & {r.vec_id for r in got}) >= 8
+
+
+def test_ann_recall_reports_every_path_above_floor(spark):
+    rows = {r.method: r for r in entry.queries()["ann_recall"](spark, ORACLE_SF).collect()}
+    assert set(rows) == {"lsh", "ivf", "int8"}
+    for m, r in rows.items():
+        assert r.k == 10 and 0 <= r.hits <= 10
+        assert r.recall == round(r.hits / 10.0, 6)
+    # floors matching the per-path overlap tests
+    assert rows["int8"].hits >= 8
+    assert rows["ivf"].hits >= 5
+    assert rows["lsh"].hits >= 3
