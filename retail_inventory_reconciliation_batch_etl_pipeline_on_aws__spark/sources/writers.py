@@ -454,3 +454,59 @@ def write_avro(
         cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         writer = writer.partitionBy(*cols)
     writer.save(path)
+
+
+def small_file_report(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    by: str | list[str] | None = None,
+) -> DataFrame:
+    """The compaction TRIGGER for ``compact_partition``: per partition
+    group (or whole table), how many files, how many are below half the
+    target size, and the byte stats -- from the ``_metadata`` hidden
+    column, so the report is a listing/footer-level scan (file path and
+    size come from the file index; no data column is read).
+
+    The ops loop a warehouse actually runs: streaming foreachBatch and
+    frequent dynamic overwrites fragment partitions; this report feeds
+    the partitions where ``small_files > 0`` into ``compact_partition``.
+    """
+    from pyspark.sql import functions as F
+
+    group = ([by] if isinstance(by, str) else list(by)) if by else []
+    files = (
+        spark.read.parquet(path)
+        .select(
+            *group,
+            F.col("_metadata.file_path").alias("_fp"),
+            F.col("_metadata.file_size").alias("_fs"),
+        )
+        .groupBy(*group, "_fp", "_fs")
+        .agg(F.count("*").cast("long").alias("rows"))
+    )
+    return (
+        files.groupBy(*group)
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum(F.when(F.col("_fs") * 2 < target_bytes, 1).otherwise(0))
+            .cast("long")
+            .alias("small_files"),
+            F.sum("_fs").cast("long").alias("total_bytes"),
+            F.min("_fs").cast("long").alias("min_bytes"),
+            F.max("_fs").cast("long").alias("max_bytes"),
+            F.sum("rows").cast("long").alias("total_rows"),
+        )
+        .orderBy(*group)
+        if group
+        else files.agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum(F.when(F.col("_fs") * 2 < target_bytes, 1).otherwise(0))
+            .cast("long")
+            .alias("small_files"),
+            F.sum("_fs").cast("long").alias("total_bytes"),
+            F.min("_fs").cast("long").alias("min_bytes"),
+            F.max("_fs").cast("long").alias("max_bytes"),
+            F.sum("rows").cast("long").alias("total_rows"),
+        )
+    )

@@ -741,3 +741,35 @@ def test_cbo_statistics_drive_join_reorder(spark, tmp_path):
                 spark.conf.set(k, v)
         spark.sql(f"USE {prev_db}")
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_small_file_report_drives_compaction(spark, tmp_path):
+    """Fragment a partition into 8 files; the report counts them as
+    small; compact_partition collapses them; the report then shows 1
+    file per partition and identical row totals."""
+    from pyspark.sql import functions as F
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.writers import (
+        compact_partition,
+        small_file_report,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "frag")
+    df = spark.range(2000).select(
+        (F.col("id") % 2).cast("int").alias("p"), F.col("id").alias("v")
+    )
+    write_partitioned(df.repartition(8), path, "p", sort_within=None)
+
+    rep = {r.p: r for r in small_file_report(spark, path, by="p").collect()}
+    assert rep[0].n_files == 8 and rep[0].small_files == 8
+    total_rows = {p: r.total_rows for p, r in rep.items()}
+
+    compact_partition(spark, path, "p", 0)
+    rep2 = {r.p: r for r in small_file_report(spark, path, by="p").collect()}
+    assert rep2[0].n_files == 1          # compacted
+    assert rep2[1].n_files == 8          # untouched
+    assert {p: r.total_rows for p, r in rep2.items()} == total_rows
+
+    whole = small_file_report(spark, path).collect()[0]
+    assert whole.n_files == 9 and whole.total_rows == 2000
