@@ -773,3 +773,39 @@ def test_small_file_report_drives_compaction(spark, tmp_path):
 
     whole = small_file_report(spark, path).collect()[0]
     assert whole.n_files == 9 and whole.total_rows == 2000
+
+
+def test_persisted_ivf_index_serves_identical_results_and_prunes(spark, tmp_path):
+    """build-once/serve-many == train-per-query bit-for-bit, and the
+    probe scan partition-prunes to the probed cluster directories."""
+    import contextlib
+    import io
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans import (
+        fixtures,
+    )
+
+    emb = fixtures.load(spark, TESTDATA, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0].embedding
+    ]
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx)
+
+    served = ivf_index_topk(spark, idx, qv)
+    direct = ivf_topk(emb, qv)
+    assert [tuple(r) for r in served.collect()] == [tuple(r) for r in direct.collect()]
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served.explain("formatted")
+    p = buf.getvalue()
+    # cluster IN (...) must reach the scan as a partition filter
+    assert "PartitionFilters:" in p
+    assert "cluster" in p.split("PartitionFilters:")[1].split("]")[0]
