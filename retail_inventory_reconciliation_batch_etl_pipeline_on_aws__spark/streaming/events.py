@@ -481,6 +481,49 @@ def run_to_partitioned_parquet(
         q.stop()
 
 
+def run_observed(
+    sdf: DataFrame,
+    observation_name: str,
+    sink,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> list[dict]:
+    """Drive a bounded stream through ``foreachBatch`` while collecting
+    the per-micro-batch metrics an upstream ``df.observe(name, ...)``
+    attached -- streaming's version of the batch pipeline's single-pass
+    Observation audit (batch ``Observation.get`` blocks forever on a
+    stream; here each batch's metrics arrive in
+    ``lastProgress.observedMetrics`` after the batch commits).
+
+    Returns one dict per non-empty micro-batch: the observed metric row
+    plus ``batchId``. The metrics ride the stream's own processing --
+    no second pass, no extra state.
+    """
+    import json
+
+    collected: list[dict] = []
+
+    q = (
+        sdf.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # recentProgress holds every batch of this bounded run
+        for prog in q.recentProgress:
+            p = json.loads(prog.json) if hasattr(prog, "json") else prog
+            om = p.get("observedMetrics") or {}
+            if observation_name in om:
+                row = dict(om[observation_name])
+                row["batchId"] = p.get("batchId")
+                collected.append(row)
+    finally:
+        q.stop()
+    return collected
+
+
 def run_to_memory_sink(
     agg: DataFrame, query_name: str = "events_stream", output_mode: str = "complete"
 ) -> None:

@@ -591,3 +591,56 @@ def test_streaming_sliding_rollup_matches_batch(spark, tmp_path):
         for r in sliding_rollup(fixtures.events(spark, TESTDATA)).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_observed_metrics_account_for_every_row(spark, tmp_path):
+    """df.observe on a stream: per-micro-batch row counts + value sums
+    arrive via observedMetrics, and their totals equal the source --
+    the streaming twin of the batch pipeline's Observation audit."""
+    from pyspark.sql import functions as F
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (
+        read_event_stream,
+        run_observed,
+    )
+
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    ev = raw_nanos_events(spark).limit(600)
+    src = tmp_path / "obs_src"
+    src.mkdir()
+    halves = [ev.where(F.col("event_id") % 2 == 0), ev.where(F.col("event_id") % 2 == 1)]
+    for i, part in enumerate(halves):
+        stage = tmp_path / f"ostage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        (pf,) = glob.glob(str(stage / "part-*.parquet"))
+        shutil.move(pf, src / f"{i:02d}.parquet")
+        os.utime(src / f"{i:02d}.parquet", (i + 1, i + 1))
+
+    raw = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).option("maxFilesPerTrigger", 1).parquet(str(src))
+    observed = raw.observe(
+        "ingest_audit",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("value_sum"),
+    )
+
+    seen: list[int] = []
+
+    def sink(batch_df, batch_id):
+        seen.append(batch_df.count())
+
+    metrics = run_observed(
+        observed, "ingest_audit", sink, str(tmp_path / "obs_ckpt")
+    )
+    assert len(metrics) == 2                      # one per file/micro-batch
+    assert sum(m["rows"] for m in metrics) == 600
+    assert sum(m["rows"] for m in metrics) == sum(seen)
+    exact = ev.agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s")
+    ).collect()[0].s
+    # observedMetrics round-trip through progress JSON as floats; the
+    # per-batch sums are 2dp decimals, so shortest-roundtrip repr is exact
+    from decimal import Decimal
+
+    assert sum(Decimal(str(m["value_sum"])) for m in metrics) == exact
