@@ -143,3 +143,43 @@ def column_profile(
         ]
     )
     return wide.select(F.explode(entries).alias("e")).select("e.*")
+
+
+def referential_report(
+    fact: DataFrame,
+    refs: dict[str, tuple[DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key orphan counts in ``quality_report``'s (check,
+    n_violations) shape -- the cross-table contract the single-frame
+    checks can't express (the DDL's unenforced REFERENCES intent:
+    warehouse engines parse FK clauses but do not police them, so the
+    pipeline must).
+
+    ``refs`` maps a fact column to (dim_frame, dim_column). Each check
+    is a LEFT ANTI join counting fact rows whose non-null key has no
+    dim match; dims are broadcast when small (Catalyst decides), the
+    fact is scanned once per declared key. NULL keys are not orphans --
+    declare the column in ``quality_report(not_null=...)`` to forbid
+    them separately.
+    """
+    parts = []
+    for col, (dim, dim_col) in refs.items():
+        orphans = (
+            fact.where(F.col(col).isNotNull())
+            .join(
+                dim.select(F.col(dim_col).alias(col)).distinct(),
+                col,
+                "left_anti",
+            )
+            .agg(F.count("*").cast("long").alias("n_violations"))
+            .select(
+                F.lit(f"fk:{col}->{dim_col}").alias("check"), "n_violations"
+            )
+        )
+        parts.append(orphans)
+    if not parts:
+        raise ValueError("no foreign keys declared")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

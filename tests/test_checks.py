@@ -54,3 +54,25 @@ def test_dim_products_meets_warehouse_contract(spark):
     )
     bad = {r.check: r.n_violations for r in report.collect() if r.n_violations > 0}
     assert bad == {}
+
+
+def test_referential_report_counts_only_nonnull_orphans(spark):
+    """Planted: 2 orphan skus, 1 null (not an orphan), rest matched;
+    a second FK with full coverage reports zero."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.functions.checks import (
+        referential_report,
+    )
+
+    fact = spark.createDataFrame(
+        [("A", 1), ("B", 1), ("X", 2), ("Y", 2), (None, 1)],
+        "sku string, store_id int",
+    )
+    dim = spark.createDataFrame([("A",), ("B",), ("C",)], "sku string")
+    stores = spark.createDataFrame([(1,), (2,)], "store_id int")
+    rep = {
+        r.check: r.n_violations
+        for r in referential_report(
+            fact, {"sku": (dim, "sku"), "store_id": (stores, "store_id")}
+        ).collect()
+    }
+    assert rep == {"fk:sku->sku": 2, "fk:store_id->store_id": 0}
