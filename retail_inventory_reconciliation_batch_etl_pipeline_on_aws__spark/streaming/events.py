@@ -779,3 +779,83 @@ def distinct_counts_from_state(spark: SparkSession, state_path: str) -> DataFram
         .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("exact_distinct"))
         .orderBy("grain")
     )
+
+
+def tws_available() -> bool:
+    """Capability probe for ``transformWithStateInPandas`` (Spark 4's
+    successor to applyInPandasWithState): its driver-side state server
+    speaks protobuf, so the API needs the ``google.protobuf`` package
+    at RUNTIME (verified empirically: without it the streaming Python
+    runner exits -2 with ImportError before the first batch). Gate,
+    don't crash -- the Avro-jar discipline (sources/readers.py).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+#: user-totals state: exact cents in BIGINT (quantize_cents discipline)
+_TOTALS_SCHEMA = "user_id bigint, n_events bigint, cents bigint"
+
+
+def streaming_user_totals(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Third custom stateful operator, on the MODERN state API
+    (``transformWithStateInPandas`` + ValueState + RocksDB provider):
+    per-user running (event count, exact cents) totals, emitted on
+    every update -- the feature-store freshness pattern (running user
+    aggregates consumed by a serving layer).
+
+    vs ``applyInPandasWithState`` (the sessionizer/alerter API): state
+    here is a typed, named ValueState the engine owns -- composable
+    with ListState/MapState, TTL, and timers -- rather than one opaque
+    tuple per key. Requires ``tws_available()``; callers must set the
+    RocksDB state store provider (transformWithState's only supported
+    backend):
+
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+
+    The batch twin is ``events.groupBy(user_id).agg(count, sum(cents))``
+    -- the gated test pins streamed-final == batch exactly.
+    """
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs the google.protobuf package; "
+            "gate calls behind tws_available()"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    class _UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._s = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, cents = self._s.get() if self._s.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(sum(quantize_cents(v) for v in pdf["value"]))
+            self._s.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    raw = read_event_stream(spark, source_dir)
+    return raw.groupBy("user_id").transformWithStateInPandas(
+        _UserTotals(),
+        outputStructType=_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -644,3 +644,65 @@ def test_streaming_observed_metrics_account_for_every_row(spark, tmp_path):
     from decimal import Decimal
 
     assert sum(Decimal(str(m["value_sum"])) for m in metrics) == exact
+
+def test_transform_with_state_user_totals_matches_batch(spark, tmp_path):
+    """Gated on google.protobuf (transformWithState's state-server
+    dependency -- absent in this container; probe documented): when
+    available, each user's FINAL streamed totals must equal the batch
+    aggregate exactly, cents included."""
+    import pytest as _pytest
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (
+        quantize_cents,
+        streaming_user_totals,
+        tws_available,
+    )
+
+    if not tws_available():
+        _pytest.skip("google.protobuf not installed -- transformWithState gated")
+
+    ev = raw_nanos_events(spark).limit(500)
+    src = tmp_path / "tws_src"
+    src.mkdir()
+    stage = tmp_path / "tws_stage"
+    ev.coalesce(1).write.parquet(str(stage))
+    (pf,) = glob.glob(str(stage / "part-*.parquet"))
+    shutil.move(pf, src / "00.parquet")
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = streaming_user_totals(spark, str(src))
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # update mode emits a row per (user, batch); the final row per
+        # user carries the complete running total
+        got = {
+            r.user_id: (r.n_events, r.cents)
+            for r in spark.sql("SELECT * FROM tws_totals").collect()
+        }
+        batch_n = {
+            r.user_id: r.n
+            for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        }
+        exact_cents = {
+            u: sum(quantize_cents(v) for v in vals)
+            for u, vals in (
+                (r.user_id, [x.value for x in ev.where(F.col("user_id") == r.user_id).collect()])
+                for r in ev.select("user_id").distinct().collect()
+            )
+        }
+        assert set(got) == set(batch_n)
+        for u, (n, cents) in got.items():
+            assert n == batch_n[u]
+            assert cents == exact_cents[u]
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
