@@ -809,3 +809,52 @@ def test_persisted_ivf_index_serves_identical_results_and_prunes(spark, tmp_path
     # cluster IN (...) must reach the scan as a partition filter
     assert "PartitionFilters:" in p
     assert "cluster" in p.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_aqe_coalesces_post_shuffle_partitions(spark):
+    """The remaining AQE mechanism (skew-split and bloom already
+    proven): a small shuffle declared with 32 partitions must be
+    COALESCED at runtime -- the final adaptive plan reads the shuffle
+    with fewer partitions than the static plan declared."""
+    import contextlib
+    import io
+
+    df = (
+        spark.range(10_000)
+        .select((F.col("id") % 100).alias("k"), F.col("id").alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+    )
+    df.collect()  # run so AQE finalizes
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "AQEShuffleRead" in p, "no adaptive shuffle read in final plan"
+    assert "coalesced" in p, f"post-shuffle coalescing did not fire:\n{p[:800]}"
+
+
+def test_nested_schema_pruning_reads_only_the_touched_subfield(spark, tmp_path):
+    """Struct columns must prune to the accessed subfield in ReadSchema
+    -- at 100 TB a metadata struct with a fat blob field must not be
+    materialized to read one scalar out of it."""
+    import contextlib
+    import io
+
+    path = str(tmp_path / "nested")
+    spark.range(100).select(
+        F.col("id"),
+        F.struct(
+            (F.col("id") % 5).alias("width"),
+            F.repeat(F.lit("x"), 1000).alias("fat_blob"),
+        ).alias("meta"),
+    ).write.parquet(path)
+
+    df = spark.read.parquet(path).select("id", F.col("meta.width"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "width" in read_schema
+    assert "fat_blob" not in read_schema, f"blob not pruned: {read_schema}"
