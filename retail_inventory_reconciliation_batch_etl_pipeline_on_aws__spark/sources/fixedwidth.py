@@ -1,0 +1,136 @@
+"""Fixed-width text source via Spark 4's Python DataSource API.
+
+Fixed-width layouts (COBOL copybooks, bank/POS settlement files,
+mainframe extracts) are the one legacy ETL interchange format Spark has
+no native reader for -- the reference's retail domain is exactly where
+they still appear. This implements one as a REGISTERED custom data
+source, exercising the full DataSource V2-for-Python machinery: schema
+declaration, one InputPartition per file (parallelism = file count,
+the same unit a text scan uses), and a per-partition reader that
+slices + types each record.
+
+Usage::
+
+    spark.dataSource.register(FixedWidthDataSource)
+    df = (spark.read.format("fixedwidth")
+          .option("path", "/data/settle/*.dat")
+          .option("layout", "sku:0:8:string,qty:8:5:int,amount:13:9:decimal(7,2)")
+          .load())
+
+Layout grammar: ``name:start:width:type`` comma-separated, 0-based
+byte offsets, types = string|int|long|double|decimal(p,s)|date
+(ISO yyyy-MM-dd). Values are stripped; blank -> NULL. Records shorter
+than a field's window yield NULL for that field (ragged tail), records
+longer are allowed (trailing filler) -- both standard copybook
+behaviors. Python-side parsing is the slow path by house rules, but a
+custom source IS the sanctioned boundary: there is no JVM operator to
+stay inside, and the reader is partition-parallel (one task per file).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import glob as _glob
+import os
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+def parse_layout(layout: str) -> list[tuple[str, int, int, str]]:
+    """``name:start:width:type`` fields -> [(name, start, width, type)].
+    Validates overlaps are allowed (aliased views of the same bytes are
+    legal in copybooks) but widths/starts must be non-negative ints."""
+    import re
+
+    fields = []
+    # split on commas NOT inside a type's parentheses (decimal(7,2))
+    for part in re.split(r",(?![^()]*\))", layout):
+        bits = part.strip().split(":")
+        if len(bits) != 4:
+            raise ValueError(f"bad layout field {part!r}: want name:start:width:type")
+        name, start, width, typ = bits
+        start_i, width_i = int(start), int(width)
+        if start_i < 0 or width_i <= 0:
+            raise ValueError(f"bad offsets in {part!r}")
+        fields.append((name, start_i, width_i, typ))
+    return fields
+
+
+def _spark_type(typ: str) -> T.DataType:
+    if typ.startswith("decimal"):
+        p, s = typ[len("decimal(") : -1].split(",")
+        return T.DecimalType(int(p), int(s))
+    return {
+        "string": T.StringType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "double": T.DoubleType(),
+        "date": T.DateType(),
+    }[typ]
+
+
+def _convert(raw: str, typ: str):
+    v = raw.strip()
+    if not v:
+        return None
+    if typ == "string":
+        return v
+    if typ == "int":
+        return int(v)
+    if typ == "long":
+        return int(v)
+    if typ == "double":
+        return float(v)
+    if typ.startswith("decimal"):
+        return decimal.Decimal(v)
+    if typ == "date":
+        return dt.date.fromisoformat(v)
+    raise ValueError(f"unsupported type {typ!r}")
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class FixedWidthReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self._paths = sorted(_glob.glob(options["path"]))
+        if not self._paths and os.path.exists(options["path"]):
+            self._paths = [options["path"]]
+        self._fields = parse_layout(options["layout"])
+
+    def partitions(self):
+        # one task per file -- the text-scan parallelism unit; a missing
+        # glob yields zero partitions (empty frame), matching file sources
+        return [_FilePartition(p) for p in self._paths]
+
+    def read(self, partition: _FilePartition):
+        with open(partition.path, encoding="utf-8") as f:
+            for line in f:
+                rec = line.rstrip("\n")
+                yield tuple(
+                    _convert(rec[start : start + width], typ)
+                    if start < len(rec)
+                    else None
+                    for (_n, start, width, typ) in self._fields
+                )
+
+
+class FixedWidthDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "fixedwidth"
+
+    def schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(n, _spark_type(t))
+                for (n, _s, _w, t) in parse_layout(self.options["layout"])
+            ]
+        )
+
+    def reader(self, schema: T.StructType) -> FixedWidthReader:
+        return FixedWidthReader(self.options)

@@ -858,3 +858,36 @@ def test_nested_schema_pruning_reads_only_the_touched_subfield(spark, tmp_path):
     read_schema = p.split("ReadSchema:")[1].splitlines()[0]
     assert "width" in read_schema
     assert "fat_blob" not in read_schema, f"blob not pruned: {read_schema}"
+
+
+def test_fixed_width_datasource_reads_typed_partitioned(spark, tmp_path):
+    """Custom Python DataSource: registered format parses fixed-width
+    records into typed columns, one partition per file, ragged tails
+    and blanks -> NULL, decimals exact."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.fixedwidth import (
+        FixedWidthDataSource,
+    )
+
+    (tmp_path / "a.dat").write_text(
+        "SKU00001  42  1234.50\n"
+        "SKU00002     \n"          # ragged: qty blank, amount missing
+    )
+    (tmp_path / "b.dat").write_text("SKU00003   7   -10.25\n")
+
+    spark.dataSource.register(FixedWidthDataSource)
+    df = (
+        spark.read.format("fixedwidth")
+        .option("path", str(tmp_path / "*.dat"))
+        .option("layout", "sku:0:8:string,qty:8:4:int,amount:12:9:decimal(7,2)")
+        .load()
+    )
+    assert df.schema.simpleString() == "struct<sku:string,qty:int,amount:decimal(7,2)>"
+    assert df.rdd.getNumPartitions() == 2  # one per file
+    import decimal
+
+    rows = sorted((r.sku, r.qty, r.amount) for r in df.collect())
+    assert rows == [
+        ("SKU00001", 42, decimal.Decimal("1234.50")),
+        ("SKU00002", None, None),
+        ("SKU00003", 7, decimal.Decimal("-10.25")),
+    ]
