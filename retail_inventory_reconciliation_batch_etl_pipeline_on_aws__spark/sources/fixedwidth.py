@@ -35,7 +35,13 @@ import glob as _glob
 import os
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 def parse_layout(layout: str) -> list[tuple[str, int, int, str]]:
@@ -132,5 +138,76 @@ class FixedWidthDataSource(DataSource):
             ]
         )
 
-    def reader(self, schema: T.StructType) -> FixedWidthReader:
+    def reader(self, schema: T.StructType) -> "FixedWidthReader":
         return FixedWidthReader(self.options)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> "FixedWidthWriter":
+        return FixedWidthWriter(self.options, schema)
+
+
+def _render(v, typ: str, width: int) -> str:
+    """One field -> exactly ``width`` chars: strings left-justified,
+    numerics right-justified (copybook convention), NULL -> blanks.
+    Overflow raises -- silently truncating an amount is data loss."""
+    if v is None:
+        return " " * width
+    if typ == "string":
+        s = str(v)
+        just = s.ljust(width)
+    else:
+        s = str(v)
+        just = s.rjust(width)
+    if len(just) > width:
+        raise ValueError(f"value {s!r} wider than field width {width}")
+    return just
+
+
+class _Committed(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class FixedWidthWriter(DataSourceWriter):
+    """Partition-parallel fixed-width export (the OUTBOUND interface
+    file: settlement submissions, vendor EDI): each task writes a
+    ``part-<uuid>.dat`` into a staging dir; ``commit`` moves the parts
+    into place and ``abort`` removes the staging dir -- the standard
+    task-commit protocol, expressed through the Python DataSource
+    writer hooks, so a failed job leaves no partial interface file."""
+
+    def __init__(self, options: dict, schema):
+        self._dir = options["path"]
+        self._fields = parse_layout(options["layout"])
+        self._names = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        import uuid
+
+        staging = os.path.join(self._dir, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        out = os.path.join(staging, f"part-{uuid.uuid4().hex}.dat")
+        n = 0
+        with open(out, "w", encoding="utf-8") as f:
+            for row in iterator:
+                rec = [" "] * max(s + w for (_n2, s, w, _t) in self._fields)
+                for name, start, width, typ in self._fields:
+                    cell = _render(row[self._names.index(name)], typ, width)
+                    rec[start : start + width] = cell
+                f.write("".join(rec) + "\n")
+                n += 1
+        return _Committed(out, n)
+
+    def commit(self, messages):
+        for m in messages:
+            final = os.path.join(self._dir, os.path.basename(m.path))
+            os.replace(m.path, final)
+        staging = os.path.join(self._dir, "_staging")
+        if os.path.isdir(staging) and not os.listdir(staging):
+            os.rmdir(staging)
+
+    def abort(self, messages):
+        import shutil
+
+        staging = os.path.join(self._dir, "_staging")
+        shutil.rmtree(staging, ignore_errors=True)

@@ -891,3 +891,50 @@ def test_fixed_width_datasource_reads_typed_partitioned(spark, tmp_path):
         ("SKU00002", None, None),
         ("SKU00003", 7, decimal.Decimal("-10.25")),
     ]
+
+
+def test_fixed_width_datasource_writer_roundtrip(spark, tmp_path):
+    """Writer side: typed frame -> fixed-width parts (task write ->
+    commit move), read back through the reader bit-identically; numerics
+    right-justified, NULLs blank."""
+    import decimal
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.fixedwidth import (
+        FixedWidthDataSource,
+    )
+
+    spark.dataSource.register(FixedWidthDataSource)
+    layout = "sku:0:8:string,qty:8:4:int,amount:12:9:decimal(7,2)"
+    df = spark.createDataFrame(
+        [
+            ("SKU1", 42, decimal.Decimal("1234.50")),
+            ("SKU2", None, None),
+            ("SKU3", 7, decimal.Decimal("-10.25")),
+        ],
+        "sku string, qty int, amount decimal(7,2)",
+    )
+    out = str(tmp_path / "export")
+    (
+        df.repartition(2)
+        .write.format("fixedwidth")
+        .option("path", out)
+        .option("layout", layout)
+        .mode("append")
+        .save()
+    )
+    import glob as globlib
+
+    parts = globlib.glob(f"{out}/part-*.dat")
+    assert len(parts) == 2 and not globlib.glob(f"{out}/_staging/*")
+
+    back = (
+        spark.read.format("fixedwidth")
+        .option("path", f"{out}/part-*.dat")
+        .option("layout", layout)
+        .load()
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # copybook justification: numeric right, string left
+    line = open(parts[0]).readline().rstrip("\n")
+    assert line[0:8].startswith("SKU")
+    assert line[8:12] == line[8:12].rjust(4)
