@@ -1,0 +1,90 @@
+"""Longitudinal bench discipline (VERDICT r4 item 5), automated.
+
+Compares a fresh ``bench.py`` run (or a given JSON line) against the
+FLOOR of every recorded ``BENCH_r*.json``: each query's first/best
+recorded steady-state time. Flags anything over ``--ratio`` (default
+2.0) of its floor -- the judge's regression bar -- and prints a table.
+
+    python tools/bench_compare.py               # run bench now, compare
+    python tools/bench_compare.py --json '...'  # compare a recorded line
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _unwrap(d: dict) -> dict:
+    """Driver BENCH_r*.json artifacts wrap bench.py's line under
+    'parsed' as a python-repr string; accept that, a JSON string, or
+    the bare line."""
+    import ast
+
+    if "queries" in d:
+        return d
+    p = d.get("parsed")
+    if isinstance(p, str):
+        try:
+            return json.loads(p)
+        except json.JSONDecodeError:
+            return ast.literal_eval(p)
+    return p if isinstance(p, dict) else {}
+
+
+def floors() -> dict[str, float]:
+    out: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        try:
+            d = _unwrap(json.load(open(path)))
+        except Exception:  # noqa: BLE001 -- tolerate a malformed artifact
+            continue
+        for q, t in (d.get("queries") or {}).items():
+            if isinstance(t, (int, float)):
+                out[q] = min(out.get(q, float("inf")), float(t))
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ratio", type=float, default=2.0)
+    ap.add_argument("--json", default=None, help="bench JSON line to compare")
+    args = ap.parse_args()
+
+    if args.json:
+        current = _unwrap(json.loads(args.json))
+    else:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        current = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    fl = floors()
+    bad = []
+    print(f"{'query':26s} {'now':>7s} {'floor':>7s} {'ratio':>6s}")
+    for q, t in current["queries"].items():
+        f = fl.get(q)
+        if f is None:
+            print(f"{q:26s} {t:7.3f} {'--':>7s} {'new':>6s}")
+            continue
+        r = t / f if f > 0 else float("inf")
+        flag = " <-- REGRESSION" if r > args.ratio else ""
+        print(f"{q:26s} {t:7.3f} {f:7.3f} {r:6.2f}{flag}")
+        if r > args.ratio:
+            bad.append(q)
+    if bad:
+        print(f"\n{len(bad)} queries over {args.ratio}x floor: {bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
