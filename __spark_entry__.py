@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_summary": Q.q_curation_summary,
         "events_sliding": Q.q_events_sliding,
         "funnel_latency": Q.q_funnel_latency,
+        "events_variant": Q.q_events_variant,
         # r03-attested overflow (8): did not fit this round; MUST lead
         # the round-6 window. Pinned by test_oracle_parity.py.
         "top_tokens": Q.q_top_tokens,
@@ -2619,5 +2620,20 @@ SELECT cohort_date,
 FROM conv
 GROUP BY cohort_date
 ORDER BY cohort_date
+""",
+        # VARIANT-decoded rollup; the oracle decodes with DuckDB's JSON
+        # reader -- two independent decoders must agree on every sum
+        "events_variant": """
+WITH x AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(k % 2 AS INT) AS k_parity,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM x
+GROUP BY event_type, CAST(k % 2 AS INT)
+ORDER BY event_type, k_parity
 """,
     }

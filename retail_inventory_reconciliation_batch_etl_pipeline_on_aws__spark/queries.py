@@ -3851,3 +3851,32 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         outs, "method string, hits long, k long, recall double"
     ).orderBy("method")
+
+
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type: parse the
+    JSON ONCE into the binary variant encoding, then typed-path
+    extraction (``try_variant_get``) -- vs ``events_json``'s
+    ``get_json_object``, which re-parses the string per access. With
+    several extracted fields (here: k, plus its parity bucket derived
+    post-decode) the single decode amortizes; at 100 TB the variant
+    column is also the shape you'd persist (decode at ingest, not at
+    every query). Rollup mirrors ``events_json``'s so the two entries
+    cross-check each other's sums through independent JSON decoders.
+    """
+    ev = fixtures.events(spark, sf_dir)
+    parsed = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "long").alias("k"),
+    )
+    return (
+        parsed.withColumn("k_parity", (F.col("k") % 2).cast("int"))
+        .groupBy("event_type", "k_parity")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+        .orderBy("event_type", "k_parity")
+    )
