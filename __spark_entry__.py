@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": Q.q_events_sliding,
         "funnel_latency": Q.q_funnel_latency,
         "events_variant": Q.q_events_variant,
+        "audio_meta": Q.q_audio_meta,
         # r03-attested overflow (8): did not fit this round; MUST lead
         # the round-6 window. Pinned by test_oracle_parity.py.
         "top_tokens": Q.q_top_tokens,
@@ -2635,5 +2636,19 @@ SELECT event_type, CAST(k % 2 AS INT) AS k_parity,
 FROM x
 GROUP BY event_type, CAST(k % 2 AS INT)
 ORDER BY event_type, k_parity
+""",
+        # every field is a pure function of doc_id (the image_dims
+        # fixture idiom), so the oracle checks the REAL RIFF decode
+        # without seeing the bytes; duration = n*1000 // 16000
+        "audio_meta": """
+SELECT doc_id,
+       'wav' AS format,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS channels,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(16 AS INT) AS bits,
+       CAST(doc_id % 97 * 160 + 160 AS BIGINT) AS n_samples,
+       CAST((doc_id % 97 * 160 + 160) * 1000 // 16000 AS BIGINT) AS duration_ms
+FROM documents
+ORDER BY doc_id
 """,
     }

@@ -4,8 +4,10 @@ Images/audio/video ride through the engine as opaque ``binary`` columns
 with typed metadata; per-item decode/feature-extraction runs as
 Arrow-batched ``mapInPandas`` so payload bytes never cross a row-at-a-time
 Python boundary. ``decode_image`` is a REAL pure-Python header decoder
-for PNG and BMP (no media libs needed); pixel-level work (resampling,
-model inference) remains a deterministic fake pending PIL/ffmpeg.
+for PNG and BMP, and ``decode_audio`` a REAL RIFF/WAVE chunk-walker
+(no media libs needed); pixel/sample-level work (resampling, model
+inference, video frame extraction) remains a deterministic fake
+pending PIL/ffmpeg.
 """
 
 from __future__ import annotations
@@ -265,3 +267,119 @@ def image_dimensions(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, DIMS_SCHEMA)
+
+
+#: audio metadata schema (real RIFF/WAVE header decode)
+AUDIO_SCHEMA = (
+    "doc_id bigint, format string, channels int, sample_rate int, "
+    "bits int, n_samples bigint, duration_ms bigint"
+)
+
+
+def encode_wav_pcm(
+    n_samples: int, sample_rate: int = 16000, channels: int = 1, seed: int = 0
+) -> bytes:
+    """A VALID minimal PCM WAV: RIFF header + fmt chunk + data chunk of
+    deterministic 16-bit samples (seeded LCG -- reproducible bytes, no
+    RNG state). Real files, so the decoder is exercised honestly."""
+    bits = 16
+    byte_rate = sample_rate * channels * bits // 8
+    block_align = channels * bits // 8
+    x = (seed * 2654435761 + 1) & 0x7FFFFFFF
+    samples = bytearray()
+    for _ in range(n_samples * channels):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        samples += struct.pack("<h", (x % 65536) - 32768)
+    data = bytes(samples)
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate, byte_rate,
+        block_align, bits,
+    )
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_audio(payload: bytes) -> dict:
+    """REAL RIFF/WAVE header decode -- pure Python, no media libs:
+    channels, sample rate, bit depth from the fmt chunk; sample count
+    and duration from the data chunk length. Walks chunks (fmt is not
+    guaranteed first by spec), raises ValueError on non-WAV."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("unsupported audio format (expect RIFF/WAVE)")
+    pos, fmt_info, data_len = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if tag == b"fmt ":
+            _codec, ch, rate = struct.unpack("<HHI", payload[pos + 8 : pos + 16])
+            (bits,) = struct.unpack("<H", payload[pos + 22 : pos + 24])
+            fmt_info = (ch, rate, bits)
+        elif tag == b"data":
+            data_len = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_info is None or data_len is None:
+        raise ValueError("corrupt WAV: missing fmt or data chunk")
+    ch, rate, bits = fmt_info
+    n = data_len // (ch * bits // 8)
+    return {
+        "format": "wav",
+        "channels": ch,
+        "sample_rate": rate,
+        "bits": bits,
+        "n_samples": n,
+        "duration_ms": n * 1000 // rate,
+    }
+
+
+def with_test_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic VALID WAV payload per row (the audio sibling of
+    ``with_test_images``): n_samples = id % 97 * 160 + 160, rate
+    16 kHz, stereo for ids % 3 == 0 -- all pure functions of the id so
+    an SQL oracle can verify the decode end to end."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                encode_wav_pcm(
+                    int(i) % 97 * 160 + 160,
+                    channels=2 if int(i) % 3 == 0 else 1,
+                    seed=int(i),
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, "doc_id bigint, payload binary"
+    )
+
+
+def audio_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched REAL WAV header decode; payload bytes die in this
+    projection -- only typed metadata flows on."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [decode_audio(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "format": [m["format"] for m in metas],
+                    "channels": pd.Series(
+                        [m["channels"] for m in metas], dtype="int32"
+                    ),
+                    "sample_rate": pd.Series(
+                        [m["sample_rate"] for m in metas], dtype="int32"
+                    ),
+                    "bits": pd.Series([m["bits"] for m in metas], dtype="int32"),
+                    "n_samples": pd.Series(
+                        [m["n_samples"] for m in metas], dtype="int64"
+                    ),
+                    "duration_ms": pd.Series(
+                        [m["duration_ms"] for m in metas], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, AUDIO_SCHEMA)

@@ -3880,3 +3880,20 @@ def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "k_parity")
     )
+
+
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality twin of ``image_dims``: deterministic VALID PCM
+    WAV payloads synthesized per doc (stand-in for the object-store
+    fetch), then a REAL pure-Python RIFF/WAVE header decode in one
+    Arrow batch -- channels/rate/bits from the fmt chunk, duration from
+    the data chunk. Every output field is a pure function of doc_id
+    (n_samples = id % 97 * 160 + 160, stereo iff id % 3 == 0), so the
+    SQL oracle verifies the encode->decode loop end to end without
+    seeing a byte. Payloads never cross a shuffle (metadata-only after
+    the decode projection).
+    """
+    from .operators.multimodal import audio_metadata, with_test_audio
+
+    docs = fixtures.load(spark, sf_dir, "documents").select("doc_id")
+    return audio_metadata(with_test_audio(docs)).orderBy("doc_id")

@@ -166,3 +166,38 @@ def test_binary_file_source_feeds_image_decode(spark, tmp_path):
     }
     assert dims["a.png"] == ("png", 12, 7)
     assert dims["b.bmp"] == ("bmp", 9, 5)
+
+
+def test_wav_decode_walks_chunks_and_rejects_corruption():
+    """decode_audio on a FOREIGN wav (extra LIST chunk before fmt,
+    odd-size chunk word-aligned) -- not just our own encoder's output;
+    truncated/alien bytes raise."""
+    import struct
+
+    import pytest as _pytest
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.multimodal import (
+        decode_audio,
+        encode_wav_pcm,
+    )
+
+    # roundtrip of our encoder
+    m = decode_audio(encode_wav_pcm(320, sample_rate=8000, channels=2, seed=3))
+    assert m == {
+        "format": "wav", "channels": 2, "sample_rate": 8000, "bits": 16,
+        "n_samples": 320, "duration_ms": 320 * 1000 // 8000,
+    }
+
+    # foreign layout: LIST chunk (odd size 7 -> padded to 8) BEFORE fmt
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 44100, 44100 * 2, 2, 16)
+    data = struct.pack("<4sI", b"data", 4) + b"\x01\x02\x03\x04"
+    lst = struct.pack("<4sI", b"LIST", 7) + b"INFOabc" + b"\x00"
+    body = lst + fmt + data
+    wav = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    m = decode_audio(wav)
+    assert (m["channels"], m["sample_rate"], m["n_samples"]) == (1, 44100, 2)
+
+    with _pytest.raises(ValueError):
+        decode_audio(b"OggS\x00\x00")
+    with _pytest.raises(ValueError):
+        decode_audio(struct.pack("<4sI4s", b"RIFF", 4, b"WAVE"))  # no chunks

@@ -40,6 +40,7 @@ PYTHON_OK = {
     "ann_topk",  # pyspark.ml BucketedRandomProjectionLSH internals
     "embed_neardup_lsh",  # pyspark.ml LSH internals
     "ivf_topk",  # pyspark.ml array_to_vector conversion
+    "audio_meta",  # sanctioned mapInPandas payload-synth + RIFF-decode boundary
 }
 
 QUERIES = sorted(entry.queries())
