@@ -109,8 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # test_oracle_parity.py AND bit-exact-verified at sf0.01 by
         # tools/strict_parity.py; leads the round-6 window together
         # with the overflow block below. The round-6 lead set is:
-        # the 8 r03-overflow entries, then these 15 round-5 entries
-        # (token_budget .. funnel_latency).
+        # the 8 r03-overflow entries, then these 17 round-5 entries
+        # (token_budget .. audio_meta).
         "token_budget": Q.q_token_budget,
         "copurchase_pairs": Q.q_copurchase_pairs,
         "name_match_candidates": Q.q_name_match_candidates,
