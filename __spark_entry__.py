@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_latency": Q.q_funnel_latency,
         "events_variant": Q.q_events_variant,
         "audio_meta": Q.q_audio_meta,
+        "frame_meta": Q.q_frame_meta,
         # r03-attested overflow (8): did not fit this round; MUST lead
         # the round-6 window. Pinned by test_oracle_parity.py.
         "top_tokens": Q.q_top_tokens,
@@ -2648,6 +2649,18 @@ SELECT doc_id,
        CAST(16 AS INT) AS bits,
        CAST(doc_id % 97 * 160 + 160 AS BIGINT) AS n_samples,
        CAST((doc_id % 97 * 160 + 160) * 1000 // 16000 AS BIGINT) AS duration_ms
+FROM documents
+ORDER BY doc_id
+""",
+        # GIF frame-walk oracle: all fields pure functions of doc_id;
+        # duration_cs = n_frames * 4
+        "frame_meta": """
+SELECT doc_id,
+       'gif' AS format,
+       CAST(doc_id % 11 + 2 AS INT) AS width,
+       CAST(doc_id % 5 + 2 AS INT) AS height,
+       CAST(doc_id % 7 + 1 AS INT) AS n_frames,
+       CAST((doc_id % 7 + 1) * 4 AS BIGINT) AS duration_cs
 FROM documents
 ORDER BY doc_id
 """,

@@ -3897,3 +3897,19 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fixtures.load(spark, sf_dir, "documents").select("doc_id")
     return audio_metadata(with_test_audio(docs)).orderBy("doc_id")
+
+
+def q_frame_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animation/video frame metadata: deterministic VALID animated
+    GIFs synthesized per doc, then a REAL block walk (no pixel
+    decompression -- the metadata pass a video pipeline runs before
+    deciding what to sample): dims from the screen descriptor, frame
+    count from the image descriptors, duration from the Graphic Control
+    delays. Every field is a pure function of doc_id (n_frames =
+    id % 7 + 1 at 4 cs/frame, dims (id % 11 + 2, id % 5 + 2)), so the
+    oracle attests the encoder->walker loop end to end.
+    """
+    from .operators.multimodal import frame_metadata, with_test_animations
+
+    docs = fixtures.load(spark, sf_dir, "documents").select("doc_id")
+    return frame_metadata(with_test_animations(docs)).orderBy("doc_id")

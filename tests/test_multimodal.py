@@ -201,3 +201,24 @@ def test_wav_decode_walks_chunks_and_rejects_corruption():
         decode_audio(b"OggS\x00\x00")
     with _pytest.raises(ValueError):
         decode_audio(struct.pack("<4sI4s", b"RIFF", 4, b"WAVE"))  # no chunks
+
+
+def test_gif_frame_walk_counts_frames_and_duration():
+    """decode_frames: frame count from image descriptors, duration from
+    GCE delays, robust to truncation and foreign formats."""
+    import pytest as _pytest
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.multimodal import (
+        decode_frames,
+        encode_gif_frames,
+    )
+
+    m = decode_frames(encode_gif_frames(5, 3, 4, delay_cs=6, seed=2))
+    assert m == {
+        "format": "gif", "width": 5, "height": 3, "n_frames": 4,
+        "duration_cs": 24,
+    }
+    with _pytest.raises(ValueError):
+        decode_frames(b"MP4\x00\x00\x00")
+    with _pytest.raises(ValueError):
+        decode_frames(b"GIF89a" + b"\x00" * 4)

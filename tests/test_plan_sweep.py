@@ -41,6 +41,7 @@ PYTHON_OK = {
     "embed_neardup_lsh",  # pyspark.ml LSH internals
     "ivf_topk",  # pyspark.ml array_to_vector conversion
     "audio_meta",  # sanctioned mapInPandas payload-synth + RIFF-decode boundary
+    "frame_meta",  # sanctioned mapInPandas payload-synth + GIF-walk boundary
 }
 
 QUERIES = sorted(entry.queries())
