@@ -222,3 +222,36 @@ def test_gif_frame_walk_counts_frames_and_duration():
         decode_frames(b"MP4\x00\x00\x00")
     with _pytest.raises(ValueError):
         decode_frames(b"GIF89a" + b"\x00" * 4)
+
+
+def test_extracted_gif_frames_are_standalone_valid_gifs(spark):
+    """Each sampled frame re-wraps into a VALID 1-frame GIF: the real
+    decoder accepts it, dims match the parent, and sampling every=2
+    takes ceil(n/2) frames."""
+    from pyspark.sql import functions as F
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.multimodal import (
+        decode_frames,
+        encode_gif_frames,
+        extract_gif_frames,
+        sample_animation_frames,
+        with_test_animations,
+    )
+
+    g = encode_gif_frames(6, 4, 5, delay_cs=4, seed=9)
+    frames = extract_gif_frames(g, every=2)
+    assert len(frames) == 3  # frames 0, 2, 4
+    for fb in frames:
+        m = decode_frames(fb)
+        assert (m["width"], m["height"], m["n_frames"]) == (6, 4, 1)
+        assert m["duration_cs"] == 4  # GCE carried with its frame
+
+    docs = spark.range(6).select(F.col("id").alias("doc_id"))
+    out = sample_animation_frames(with_test_animations(docs), every=2).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+        assert decode_frames(r.frame)["n_frames"] == 1
+    for i in range(6):
+        expect = (i % 7 + 1 + 1) // 2  # ceil(n_frames / 2)
+        assert len(per_doc[i]) == expect, i
