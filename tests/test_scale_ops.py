@@ -938,3 +938,51 @@ def test_fixed_width_datasource_writer_roundtrip(spark, tmp_path):
     line = open(parts[0]).readline().rstrip("\n")
     assert line[0:8].startswith("SKU")
     assert line[8:12] == line[8:12].rjust(4)
+
+
+def test_fixed_width_stream_reader_tails_growing_files(spark, tmp_path):
+    """readStream over the custom source: first batch reads the initial
+    lines, appended lines arrive in the next batch exactly once, a
+    half-written line (no newline) is held back until complete."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.fixedwidth import (
+        FixedWidthDataSource,
+    )
+
+    spark.dataSource.register(FixedWidthDataSource)
+    layout = "sku:0:8:string,qty:8:4:int"
+    f = tmp_path / "drop.dat"
+    f.write_text("SKU1       1\nSKU2       2\n")
+
+    stream = (
+        spark.readStream.format("fixedwidth")
+        .option("path", str(tmp_path / "*.dat"))
+        .option("layout", layout)
+        .load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("fw_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {(r.sku, r.qty) for r in spark.sql("SELECT * FROM fw_stream").collect()}
+        assert got1 == {("SKU1", 1), ("SKU2", 2)}
+
+        # append one complete line and one incomplete (no newline)
+        with open(f, "a") as fh:
+            fh.write("SKU3       3\nSKU4    ")
+        q.processAllAvailable()
+        got2 = {(r.sku, r.qty) for r in spark.sql("SELECT * FROM fw_stream").collect()}
+        assert got2 == got1 | {("SKU3", 3)}  # SKU4 held back: incomplete
+
+        with open(f, "a") as fh:
+            fh.write("   4\n")
+        q.processAllAvailable()
+        got3 = {(r.sku, r.qty) for r in spark.sql("SELECT * FROM fw_stream").collect()}
+        assert got3 == got2 | {("SKU4", 4)}
+    finally:
+        q.stop()
