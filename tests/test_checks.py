@@ -76,3 +76,36 @@ def test_referential_report_counts_only_nonnull_orphans(spark):
         ).collect()
     }
     assert rep == {"fk:sku->sku": 2, "fk:store_id->store_id": 0}
+
+
+def test_range_checksums_localize_a_single_row_divergence(spark):
+    """Identical replicas agree bucket-for-bucket regardless of
+    partitioning; mutating ONE row flags EXACTLY that key's bucket;
+    deleting a row likewise."""
+    from pyspark.sql import functions as F
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.functions.checks import (
+        diff_ranges,
+        range_checksums,
+    )
+
+    base = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("v")
+    )
+    a = range_checksums(base, "k", n_buckets=32)
+    b = range_checksums(base.repartition(13), "k", n_buckets=32)  # order-free
+    assert diff_ranges(a, b).count() == 0
+
+    mutated = base.withColumn(
+        "v", F.when(F.col("k") == 4242, F.lit(-1)).otherwise(F.col("v"))
+    )
+    d = diff_ranges(a, range_checksums(mutated, "k", n_buckets=32)).collect()
+    expected_bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(4242).cast("long")), F.lit(32)).cast("int").alias("b")
+    ).collect()[0].b
+    assert [r.bucket for r in d] == [expected_bucket]
+    assert d[0].n_rows_a == d[0].n_rows_b  # same count, different content
+
+    removed = base.where(F.col("k") != 17)
+    d2 = diff_ranges(a, range_checksums(removed, "k", n_buckets=32)).collect()
+    assert len(d2) == 1 and d2[0].n_rows_a == d2[0].n_rows_b + 1
