@@ -986,3 +986,29 @@ def test_fixed_width_stream_reader_tails_growing_files(spark, tmp_path):
         assert got3 == got2 | {("SKU4", 4)}
     finally:
         q.stop()
+
+
+def test_fixed_width_layout_and_overflow_errors():
+    """Contract errors are loud: malformed layout rejected at parse;
+    a value wider than its field raises on write-render (silent
+    truncation of an amount is data loss)."""
+    import pytest as _pytest
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.fixedwidth import (
+        _render,
+        parse_layout,
+    )
+
+    with _pytest.raises(ValueError, match="bad layout"):
+        parse_layout("sku:0:8")  # missing type
+    with _pytest.raises(ValueError, match="bad offsets"):
+        parse_layout("sku:-1:8:string")
+    assert parse_layout("a:0:4:decimal(7,2),b:4:2:int") == [
+        ("a", 0, 4, "decimal(7,2)"),
+        ("b", 4, 2, "int"),
+    ]
+    with _pytest.raises(ValueError, match="wider than"):
+        _render(123456, "int", 4)
+    assert _render(None, "int", 4) == "    "
+    assert _render("ab", "string", 4) == "ab  "
+    assert _render(42, "int", 4) == "  42"
