@@ -106,8 +106,13 @@ PORTABLE = [
     "dau_bitmap_merge",
     # round-5 session 3: k_anonymity is plain GROUP BY + FLOOR --
     # portable as written (token_dist_drift / tfidf_keywords /
-    # repeated_spans / epoch_shuffle stay DuckDB-side: list_* lambdas)
+    # repeated_spans / epoch_shuffle stay DuckDB-side: list_* lambdas;
+    # audio_meta uses DuckDB's // integer division; funnel_latency
+    # epoch(); events_variant json_extract_string; curation_summary
+    # sha256 + list lambdas)
     "k_anonymity",
+    "events_sliding",  # date_trunc/INTERVAL/UNION ALL parse on both
+    "frame_meta",  # pure integer arithmetic of doc_id
 ]
 
 
