@@ -1,0 +1,134 @@
+"""Minimal versioned table layer (time travel) from plain parquet.
+
+The Delta/Iceberg core idea without the format dependency: data files
+are IMMUTABLE (uuid-named under ``data/``), and a table VERSION is just
+a commit file listing exactly which data files are in that snapshot.
+Readers resolve a commit first, then read only its files -- so a reader
+pinned to version N is isolated from every later write, ``overwrite``
+is a metadata operation (new commit referencing new files; old files
+untouched), and time travel is "read an old commit". The write-side
+discipline is the one this repo already uses for ingest: stage, then
+one atomic rename publishes the commit.
+
+Single-writer by assumption (the reference's Airflow DAG serializes
+writers); a concurrent-writer CAS would swap the rename for a
+conditional put. ``vacuum`` deletes data files no RETAINED commit
+references -- the GC step that makes overwrite storage-safe.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _commit_paths(path: str) -> list[str]:
+    return sorted(_glob.glob(os.path.join(path, "commits", "v*.json")))
+
+
+def _load_commit(p: str) -> dict:
+    with open(p) as f:
+        return json.load(f)
+
+
+def latest_version(path: str) -> int:
+    """-1 for an empty/new table."""
+    cs = _commit_paths(path)
+    return int(os.path.basename(cs[-1])[1:-5]) if cs else -1
+
+
+def write_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Publish ``df`` as a new table version; returns the version.
+
+    ``append`` keeps the parent snapshot's files and adds the new ones;
+    ``overwrite`` references ONLY the new files (the old version stays
+    readable -- replacement is logical, not physical). The commit
+    becomes visible in one ``os.replace`` rename; a crash before it
+    leaves only unreferenced data files for ``vacuum``.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append/overwrite, got {mode!r}")
+    data_dir = os.path.join(path, "data")
+    commits_dir = os.path.join(path, "commits")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(commits_dir, exist_ok=True)
+
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    new_files = []
+    for pf in sorted(_glob.glob(os.path.join(staging, "part-*.parquet"))):
+        name = f"{uuid.uuid4().hex}.parquet"
+        os.replace(pf, os.path.join(data_dir, name))
+        new_files.append(name)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    parent = latest_version(path)
+    base = (
+        _load_commit(os.path.join(commits_dir, f"v{parent:05d}.json"))["files"]
+        if (mode == "append" and parent >= 0)
+        else []
+    )
+    version = parent + 1
+    commit = {"version": version, "parent": parent, "mode": mode,
+              "files": base + new_files}
+    tmp = os.path.join(commits_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(commit, f)
+    os.replace(tmp, os.path.join(commits_dir, f"v{version:05d}.json"))
+    return version
+
+
+def read_versioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot (latest if ``version`` is None). The returned
+    frame's file list is FIXED at resolve time: later commits cannot
+    change what this reader sees."""
+    v = latest_version(path) if version is None else version
+    cp = os.path.join(path, "commits", f"v{v:05d}.json")
+    if not os.path.exists(cp):
+        raise ValueError(f"version {v} does not exist at {path}")
+    files = _load_commit(cp)["files"]
+    if not files:
+        raise ValueError(f"version {v} is empty")
+    return spark.read.parquet(
+        *[os.path.join(path, "data", f) for f in files]
+    )
+
+
+def history(path: str) -> list[dict]:
+    """Commit log, oldest first: version, parent, mode, n_files."""
+    out = []
+    for p in _commit_paths(path):
+        c = _load_commit(p)
+        out.append(
+            {"version": c["version"], "parent": c["parent"],
+             "mode": c["mode"], "n_files": len(c["files"])}
+        )
+    return out
+
+
+def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """Delete data files referenced by NO retained commit (the newest
+    ``keep_versions`` commits are retained; older commit files are
+    dropped too). Returns the deleted data file names. With
+    ``keep_versions=1`` only the live snapshot survives -- the standard
+    storage-reclaim after overwrites."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    cs = _commit_paths(path)
+    keep, drop = cs[-keep_versions:], cs[:-keep_versions]
+    live = {f for p in keep for f in _load_commit(p)["files"]}
+    deleted = []
+    for df_ in sorted(os.listdir(os.path.join(path, "data"))):
+        if df_ not in live:
+            os.remove(os.path.join(path, "data", df_))
+            deleted.append(df_)
+    for p in drop:
+        os.remove(p)
+    return deleted

@@ -1012,3 +1012,42 @@ def test_fixed_width_layout_and_overflow_errors():
     assert _render(None, "int", 4) == "    "
     assert _render("ab", "string", 4) == "ab  "
     assert _render(42, "int", 4) == "  42"
+
+
+def test_versioned_table_time_travel_isolation_and_vacuum(spark, tmp_path):
+    """append/append/overwrite produce three readable snapshots; a
+    reader resolved at v0 is isolated from later writes; vacuum keeps
+    only the live snapshot's files and old versions become unreadable."""
+    import pytest as _pytest
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.versioned import (
+        history,
+        latest_version,
+        read_versioned,
+        vacuum,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    mk = lambda lo, hi: spark.range(lo, hi).select(F.col("id").alias("v"))
+    rows = lambda df: sorted(r.v for r in df.collect())
+
+    assert latest_version(path) == -1
+    assert write_versioned(mk(0, 10), path) == 0
+    # pin a reader to v0 BEFORE later writes
+    pinned = read_versioned(spark, path, 0)
+    assert write_versioned(mk(10, 15), path) == 1            # append
+    assert write_versioned(mk(100, 103), path, "overwrite") == 2
+
+    assert rows(read_versioned(spark, path, 0)) == list(range(10))
+    assert rows(read_versioned(spark, path, 1)) == list(range(15))
+    assert rows(read_versioned(spark, path, 2)) == [100, 101, 102]
+    assert rows(read_versioned(spark, path)) == [100, 101, 102]  # latest
+    assert rows(pinned) == list(range(10))                   # isolation
+    assert [h["mode"] for h in history(path)] == ["append", "append", "overwrite"]
+
+    deleted = vacuum(path, keep_versions=1)
+    assert deleted  # v0/v1's files are unreferenced by v2
+    assert rows(read_versioned(spark, path)) == [100, 101, 102]  # live intact
+    with _pytest.raises(ValueError):
+        read_versioned(spark, path, 0)  # dropped commit
