@@ -132,3 +132,28 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     for p in drop:
         os.remove(p)
     return deleted
+
+
+def table_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Row-level change feed between two snapshots (the CDF read
+    pattern): full-row anti-joins in both directions, tagged
+    ``insert`` / ``delete`` (an update appears as its delete+insert
+    pair -- the grain a keyed ``merge_upsert`` consumer collapses).
+    Snapshots resolve to fixed file lists first, so the diff is stable
+    under concurrent writes; the join keys are ALL columns, i.e.
+    content identity, no key declaration needed.
+    """
+    from pyspark.sql import functions as F
+
+    old = read_versioned(spark, path, from_version)
+    new = read_versioned(spark, path, to_version)
+    cols = old.columns
+    inserts = new.join(old, cols, "left_anti").withColumn(
+        "_change", F.lit("insert")
+    )
+    deletes = old.join(new, cols, "left_anti").withColumn(
+        "_change", F.lit("delete")
+    )
+    return inserts.unionByName(deletes)

@@ -1051,3 +1051,28 @@ def test_versioned_table_time_travel_isolation_and_vacuum(spark, tmp_path):
     assert rows(read_versioned(spark, path)) == [100, 101, 102]  # live intact
     with _pytest.raises(ValueError):
         read_versioned(spark, path, 0)  # dropped commit
+
+
+def test_versioned_table_changes_feed(spark, tmp_path):
+    """CDF between snapshots: append shows pure inserts; an overwrite
+    that keeps some rows shows exactly the delta (update = delete +
+    insert at content grain)."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.versioned import (
+        table_changes,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "cdf")
+    df0 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    df1 = spark.createDataFrame([(3, "c")], "k int, v string")
+    df2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c")], "k int, v string"
+    )  # k=2 updated
+    write_versioned(df0, path)
+    write_versioned(df1, path)            # v1 = append
+    write_versioned(df2, path, "overwrite")  # v2
+
+    c01 = {(r.k, r.v, r._change) for r in table_changes(spark, path, 0, 1).collect()}
+    assert c01 == {(3, "c", "insert")}
+    c12 = {(r.k, r.v, r._change) for r in table_changes(spark, path, 1, 2).collect()}
+    assert c12 == {(2, "B", "insert"), (2, "b", "delete")}
