@@ -10,10 +10,13 @@ untouched), and time travel is "read an old commit". The write-side
 discipline is the one this repo already uses for ingest: stage, then
 one atomic rename publishes the commit.
 
-Single-writer by assumption (the reference's Airflow DAG serializes
-writers); a concurrent-writer CAS would swap the rename for a
-conditional put. ``vacuum`` deletes data files no RETAINED commit
-references -- the GC step that makes overwrite storage-safe.
+Writers use optimistic concurrency: the commit file is created with
+O_EXCL (a compare-and-swap on the version number), so racing writers
+serialize -- the loser recomputes against the new parent and retries
+metadata-only (its data files are immutable and uuid-named). On an
+object store, swap the exclusive create for a conditional put.
+``vacuum`` deletes data files no RETAINED commit references -- the GC
+step that makes overwrite storage-safe.
 """
 
 from __future__ import annotations
@@ -48,8 +51,9 @@ def write_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
     ``append`` keeps the parent snapshot's files and adds the new ones;
     ``overwrite`` references ONLY the new files (the old version stays
     readable -- replacement is logical, not physical). The commit
-    becomes visible in one ``os.replace`` rename; a crash before it
-    leaves only unreferenced data files for ``vacuum``.
+    becomes visible in one exclusive create (the CAS described in the
+    module docstring); a crash before it leaves only unreferenced data
+    files for ``vacuum``.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append/overwrite, got {mode!r}")
@@ -67,20 +71,30 @@ def write_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
         new_files.append(name)
     shutil.rmtree(staging, ignore_errors=True)
 
-    parent = latest_version(path)
-    base = (
-        _load_commit(os.path.join(commits_dir, f"v{parent:05d}.json"))["files"]
-        if (mode == "append" and parent >= 0)
-        else []
-    )
-    version = parent + 1
-    commit = {"version": version, "parent": parent, "mode": mode,
-              "files": base + new_files}
-    tmp = os.path.join(commits_dir, f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump(commit, f)
-    os.replace(tmp, os.path.join(commits_dir, f"v{version:05d}.json"))
-    return version
+    # optimistic concurrency: the commit file is created with O_EXCL,
+    # so two writers racing for version N cannot both publish -- the
+    # loser re-reads the new parent and retries (its data files are
+    # already uuid-named and immutable, so only the METADATA retries)
+    while True:
+        parent = latest_version(path)
+        base = (
+            _load_commit(os.path.join(commits_dir, f"v{parent:05d}.json"))["files"]
+            if (mode == "append" and parent >= 0)
+            else []
+        )
+        version = parent + 1
+        commit = {"version": version, "parent": parent, "mode": mode,
+                  "files": base + new_files}
+        try:
+            fd = os.open(
+                os.path.join(commits_dir, f"v{version:05d}.json"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue  # lost the race: recompute against the new parent
+        with os.fdopen(fd, "w") as f:
+            json.dump(commit, f)
+        return version
 
 
 def read_versioned(

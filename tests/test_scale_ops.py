@@ -1076,3 +1076,36 @@ def test_versioned_table_changes_feed(spark, tmp_path):
     assert c01 == {(3, "c", "insert")}
     c12 = {(r.k, r.v, r._change) for r in table_changes(spark, path, 1, 2).collect()}
     assert c12 == {(2, "B", "insert"), (2, "b", "delete")}
+
+
+def test_versioned_table_concurrent_writers_serialize(spark, tmp_path):
+    """Two writers racing: the O_EXCL commit CAS gives them distinct
+    consecutive versions and BOTH snapshots contain their own rows
+    (append semantics, no lost update)."""
+    import threading
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.versioned import (
+        history,
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "race")
+    write_versioned(
+        spark.createDataFrame([(0,)], "v int"), path
+    )  # v0 so both racers append
+
+    results = {}
+
+    def writer(tag, lo):
+        df = spark.createDataFrame([(lo,), (lo + 1,)], "v int")
+        results[tag] = write_versioned(df, path)
+
+    t1 = threading.Thread(target=writer, args=("a", 10))
+    t2 = threading.Thread(target=writer, args=("b", 20))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    assert sorted(results.values()) == [1, 2]  # distinct, consecutive
+    final = sorted(r.v for r in read_versioned(spark, path).collect())
+    assert final == [0, 10, 11, 20, 21]  # no lost update
+    assert len(history(path)) == 3
