@@ -171,3 +171,15 @@ def table_changes(
         "_change", F.lit("delete")
     )
     return inserts.unionByName(deletes)
+
+
+def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
+    """OPTIMIZE for the versioned layer: rewrite the live snapshot into
+    ``target_files`` files and publish it as a new overwrite commit --
+    row-identical (pinned by test), old versions still readable until
+    ``vacuum``, readers never see a half-compacted table (they hold
+    either the old or the new commit, nothing between). The
+    accumulated-small-files problem ``small_file_report`` diagnoses,
+    solved transactionally."""
+    live = read_versioned(spark, path)
+    return write_versioned(live.coalesce(target_files), path, mode="overwrite")

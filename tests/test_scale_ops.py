@@ -1109,3 +1109,31 @@ def test_versioned_table_concurrent_writers_serialize(spark, tmp_path):
     final = sorted(r.v for r in read_versioned(spark, path).collect())
     assert final == [0, 10, 11, 20, 21]  # no lost update
     assert len(history(path)) == 3
+
+
+def test_versioned_compact_is_transactional_and_row_identical(spark, tmp_path):
+    """Many appends -> many files; compact publishes ONE new version
+    with fewer files and identical rows; the pre-compact snapshot is
+    still readable (transactional OPTIMIZE)."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.versioned import (
+        compact,
+        history,
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "opt")
+    for i in range(4):
+        write_versioned(
+            spark.range(i * 10, i * 10 + 10).select(F.col("id").alias("v")), path
+        )
+    before = sorted(r.v for r in read_versioned(spark, path).collect())
+    assert history(path)[-1]["n_files"] >= 4
+
+    v = compact(spark, path)
+    assert v == 4
+    h = history(path)[-1]
+    assert h["n_files"] == 1 and h["mode"] == "overwrite"
+    assert sorted(r.v for r in read_versioned(spark, path).collect()) == before
+    # pre-compact version still time-travelable
+    assert sorted(r.v for r in read_versioned(spark, path, 3).collect()) == before
