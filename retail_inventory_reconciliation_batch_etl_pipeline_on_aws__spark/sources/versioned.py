@@ -183,3 +183,45 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
     solved transactionally."""
     live = read_versioned(spark, path)
     return write_versioned(live.coalesce(target_files), path, mode="overwrite")
+
+
+def run_stream_to_versioned(sdf: DataFrame, path: str, checkpoint_dir: str) -> None:
+    """Exactly-once streaming append into the versioned table: each
+    micro-batch becomes one commit CARRYING ITS BATCH ID, and a batch
+    id already present in the commit log is skipped -- so a replayed
+    micro-batch (restart between sink write and engine checkpoint) is
+    a no-op instead of a duplicate snapshot. The same
+    write-then-idempotence discipline as the partitioned-parquet sink,
+    but here the transaction boundary is the commit file itself.
+    Drives the bounded stream to completion (test/dev harness)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        done = {
+            c.get("batch_id")
+            for c in (_load_commit(p) for p in _commit_paths(path))
+        }
+        if batch_id in done:
+            return  # replayed micro-batch: already committed
+        v = write_versioned(batch_df, path, mode="append")
+        # stamp the batch id into the just-written commit (single
+        # writer per query; the stamp is read only by this dedup)
+        cp = os.path.join(path, "commits", f"v{v:05d}.json")
+        c = _load_commit(cp)
+        c["batch_id"] = batch_id
+        tmp = cp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(c, f)
+        os.replace(tmp, cp)
+
+    q = (
+        sdf.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

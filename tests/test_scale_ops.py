@@ -1137,3 +1137,50 @@ def test_versioned_compact_is_transactional_and_row_identical(spark, tmp_path):
     assert sorted(r.v for r in read_versioned(spark, path).collect()) == before
     # pre-compact version still time-travelable
     assert sorted(r.v for r in read_versioned(spark, path, 3).collect()) == before
+
+
+def test_stream_to_versioned_table_exactly_once(spark, tmp_path):
+    """Two staged files -> two commits with batch ids; replaying the
+    whole stream from a FRESH checkpoint adds no rows (batch-id dedup),
+    and history shows each micro-batch as one version."""
+    import glob as globlib
+    import os
+    import shutil as shutillib
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.versioned import (
+        history,
+        read_versioned,
+        run_stream_to_versioned,
+    )
+
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    for i in range(2):
+        stage = tmp_path / f"vstage{i}"
+        spark.range(i * 5, i * 5 + 5).select(F.col("id").alias("v")).coalesce(
+            1
+        ).write.parquet(str(stage))
+        (pf,) = globlib.glob(str(stage / "part-*.parquet"))
+        shutillib.move(pf, src / f"{i:02d}.parquet")
+        os.utime(src / f"{i:02d}.parquet", (i + 1, i + 1))
+
+    table = str(tmp_path / "vtable")
+    stream = (
+        spark.readStream.schema("v bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_stream_to_versioned(stream, table, str(tmp_path / "vck1"))
+    rows1 = sorted(r.v for r in read_versioned(spark, table).collect())
+    assert rows1 == list(range(10))
+    assert len(history(table)) == 2  # one commit per micro-batch
+
+    # full replay, fresh checkpoint: same batch ids -> no-op
+    stream2 = (
+        spark.readStream.schema("v bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_stream_to_versioned(stream2, table, str(tmp_path / "vck2"))
+    assert sorted(r.v for r in read_versioned(spark, table).collect()) == rows1
+    assert len(history(table)) == 2
