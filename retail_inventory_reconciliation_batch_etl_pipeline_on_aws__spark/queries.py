@@ -475,12 +475,16 @@ def q_customer_spend_quartiles_approx(spark: SparkSession, sf_dir: str) -> DataF
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time rollup per type (native F.window; the
+    batch twin of the watermarked streaming rollup)."""
     from .operators.sessionize import hourly_rollup
 
     return hourly_rollup(fixtures.events(spark, sf_dir))
 
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): both windows share one
+    user_id exchange; twin of the stateful streaming sessionizer."""
     from .operators.sessionize import sessionize
 
     return sessionize(fixtures.events(spark, sf_dir), gap_minutes=30)
@@ -718,6 +722,8 @@ def q_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text statistics: token/distinct/BPE-ish counts, stopword
+    ratio, quality score -- all HOF built-ins, zero UDFs."""
     from .functions import text as TX
 
     docs = fixtures.load(spark, sf_dir, "documents")
@@ -733,6 +739,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by language: doc counts + size aggregates per
+    lang (one map-side-combined groupBy)."""
     docs = fixtures.load(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -744,6 +752,8 @@ def q_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID per doc, checked against the labeled
+    lang column (the n-gram-heuristic family, JVM-side)."""
     from .functions import text as TX
 
     docs = fixtures.load(spark, sf_dir, "documents")
@@ -768,12 +778,16 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: sha256 fingerprint, lowest-id keeper,
+    duplicate count per group; only 32-byte hashes + ids shuffle."""
     from .operators.dedup import exact_dedup
 
     return exact_dedup(fixtures.load(spark, sf_dir, "documents"))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature per doc (single-pass HOF fold) -- the
+    shuffle-free aggressive near-dup signature."""
     from .functions.text import simhash64
 
     docs = fixtures.load(spark, sf_dir, "documents")
@@ -1120,6 +1134,8 @@ def q_minhash_ml_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 by random-projection LSH bucketing (seeded
+    pyspark.ml); overlap-vs-exact pinned by test."""
     from .operators.similarity import lsh_ann_topk
 
     emb = fixtures.load(spark, sf_dir, "embeddings")
