@@ -53,10 +53,13 @@ BENCH_QUERIES = [
     "brand_trend",
     "winsorized_stats",
     # round-5 late additions: the positional-span corpus join (heaviest
-    # of the new text shapes) and the three-aggregate TF/DF/vocab scan
+    # of the new text shapes), the three-aggregate TF/DF/vocab scan,
+    # and the COMPOSED curation DAG (dedup + contamination + quality
+    # in one plan -- the heaviest end-to-end LLM shape)
     "repeated_spans",
     "token_dist_drift",
     "tfidf_keywords",
+    "curation_summary",
 ]
 
 
