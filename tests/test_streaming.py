@@ -706,3 +706,68 @@ def test_transform_with_state_user_totals_matches_batch(spark, tmp_path):
             assert cents == exact_cents[u]
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_append_mode_late_window_semantics_pinned(spark, tmp_path):
+    """Pin the ACTUAL Spark 4.1 late-data semantics our exactly-once
+    sink's reasoning depends on (folklore says 'watermark drops late
+    input'; measured behavior differs): rows arriving for a window
+    NEVER seen before, already below the watermark, are ABSORBED --
+    aggregated and emitted exactly once in the same batch, with
+    numRowsDroppedByWatermark staying 0. If an engine upgrade flips
+    this to dropping (or to double emission), the partitioned-overwrite
+    sink's replay contract must be revisited -- this test is the
+    tripwire."""
+    import json
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (
+        read_event_stream,
+    )
+
+    ev = raw_nanos_events(spark)
+    hi = ev.agg(F.max("ts").alias("m")).collect()[0].m
+    lo = ev.agg(F.min("ts").alias("m")).collect()[0].m
+    day_ns = 24 * 3600 * 10**9
+    recent = ev.where(F.col("ts") > hi - day_ns)
+    ancient = ev.where(F.col("ts") < lo + 3 * day_ns).limit(50)
+    assert recent.count() > 0 and ancient.count() == 50
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    for i, part in enumerate([recent, ancient]):  # late file arrives SECOND
+        stage = tmp_path / f"lstage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        (pf,) = glob.glob(str(stage / "part-*.parquet"))
+        shutil.move(pf, src / f"{i:02d}.parquet")
+        os.utime(src / f"{i:02d}.parquet", (i + 1, i + 1))
+
+    raw = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    agg = (
+        raw.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("_w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_semantics")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dropped = 0
+        for prog in q.recentProgress:
+            p = json.loads(prog.json) if hasattr(prog, "json") else prog
+            for op in p.get("stateOperators") or []:
+                dropped += op.get("numRowsDroppedByWatermark", 0)
+    finally:
+        q.stop()
+
+    out = spark.sql("SELECT _w.start AS s, event_type, n_events FROM late_semantics").collect()
+    keys = [(r.s, r.event_type) for r in out]
+    assert len(keys) == len(set(keys)), "a window emitted twice"
+    assert dropped == 0, "engine began dropping late input: revisit sink contract"
+    total = sum(r.n_events for r in out)
+    # all 50 ancient rows are in the output; only still-open recent
+    # windows may be absent
+    assert total >= 50
