@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_variant": Q.q_events_variant,
         "audio_meta": Q.q_audio_meta,
         "frame_meta": Q.q_frame_meta,
+        "returnflag_unpivot": Q.q_returnflag_unpivot,
         # r03-attested overflow (8): did not fit this round; MUST lead
         # the round-6 window. Pinned by test_oracle_parity.py.
         "top_tokens": Q.q_top_tokens,
@@ -2663,5 +2664,20 @@ SELECT doc_id,
        CAST((doc_id % 7 + 1) * 4 AS BIGINT) AS duration_cs
 FROM documents
 ORDER BY doc_id
+""",
+        # UNPIVOT long form; the wide sums cast to one DECIMAL(38,2)
+        # so the melted column has a single exact type on both engines
+        "returnflag_unpivot": """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, amount
+FROM wide
+UNPIVOT (amount FOR measure IN (sum_qty, sum_price, sum_disc))
+ORDER BY l_returnflag, measure
 """,
     }

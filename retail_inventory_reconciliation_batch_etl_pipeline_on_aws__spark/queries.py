@@ -3929,3 +3929,28 @@ def q_frame_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fixtures.load(spark, sf_dir, "documents").select("doc_id")
     return frame_metadata(with_test_animations(docs)).orderBy("doc_id")
+
+
+def q_returnflag_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (the inverse of ``returnflag_pivot``):
+    per-returnflag totals computed wide (one pass, three sums), then
+    melted with Spark's native ``unpivot`` into (returnflag, measure,
+    amount) long form -- the shape metric stores and chart feeds
+    ingest. The melt is a zero-shuffle Expand; DECIMAL sums cast to
+    one common width pre-melt so the long column has a single type.
+    """
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_price"),
+        F.sum(_dec("l_discount")).cast("decimal(38,2)").alias("sum_disc"),
+    )
+    return (
+        wide.unpivot(
+            "l_returnflag",
+            ["sum_qty", "sum_price", "sum_disc"],
+            "measure",
+            "amount",
+        )
+        .orderBy("l_returnflag", "measure")
+    )
