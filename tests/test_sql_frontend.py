@@ -113,6 +113,7 @@ PORTABLE = [
     "k_anonymity",
     "events_sliding",  # date_trunc/INTERVAL/UNION ALL parse on both
     "frame_meta",  # pure integer arithmetic of doc_id
+    "returnflag_unpivot",  # UNPIVOT syntax shared since Spark 3.4
 ]
 
 
