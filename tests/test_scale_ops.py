@@ -1184,3 +1184,30 @@ def test_stream_to_versioned_table_exactly_once(spark, tmp_path):
     run_stream_to_versioned(stream2, table, str(tmp_path / "vck2"))
     assert sorted(r.v for r in read_versioned(spark, table).collect()) == rows1
     assert len(history(table)) == 2
+
+
+def test_salting_measurably_levels_partition_load(spark):
+    """The balance diagnostic proves salting's point: hash-partitioning
+    a zipfian key funnels the hot key's mass into one partition
+    (max/mean >> 1); the salted repartition levels it (max/mean ~ 1)."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.skew import (
+        balance_stats,
+        content_salt,
+    )
+
+    hot = spark.range(20_000).select(F.lit("HOT").alias("k"), F.col("id").alias("v"))
+    tail = spark.range(200).select(
+        F.concat(F.lit("t"), F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    df = hot.unionByName(tail)
+
+    skewed = balance_stats(df.repartition(16, "k"))
+    # 256 salt cells over 16 partitions: balls-in-bins smoothing --
+    # ~16 hot cells per partition +- Poisson (too few cells, e.g.
+    # 16-over-16, would re-collide into a 2-3x imbalance)
+    salted = balance_stats(
+        df.withColumn("_salt", content_salt(df, 256)).repartition(16, "k", "_salt")
+    )
+    assert skewed["max_over_mean"] > 5, skewed           # hot key owns a partition
+    assert salted["max_over_mean"] < 2, salted           # leveled
+    assert salted["max_over_mean"] * 3 < skewed["max_over_mean"]
