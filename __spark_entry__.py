@@ -109,8 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # test_oracle_parity.py AND bit-exact-verified at sf0.01 by
         # tools/strict_parity.py; leads the round-6 window together
         # with the overflow block below. The round-6 lead set is:
-        # the 8 r03-overflow entries, then these 17 round-5 entries
-        # (token_budget .. audio_meta).
+        # the 8 r03-overflow entries, then these round-5 entries
+        # (token_budget .. join_view_merge).
         "token_budget": Q.q_token_budget,
         "copurchase_pairs": Q.q_copurchase_pairs,
         "name_match_candidates": Q.q_name_match_candidates,
@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta": Q.q_audio_meta,
         "frame_meta": Q.q_frame_meta,
         "returnflag_unpivot": Q.q_returnflag_unpivot,
+        "join_view_merge": Q.q_join_view_merge,
         # r03-attested overflow (8): did not fit this round; MUST lead
         # the round-6 window. Pinned by test_oracle_parity.py.
         "top_tokens": Q.q_top_tokens,
@@ -2679,5 +2680,16 @@ SELECT l_returnflag, measure, amount
 FROM wide
 UNPIVOT (amount FOR measure IN (sum_qty, sum_price, sum_disc))
 ORDER BY l_returnflag, measure
+""",
+        # join-view incremental maintenance: the oracle is the full
+        # recompute the delta algebra must equal exactly
+        "join_view_merge": """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
 """,
     }

@@ -3954,3 +3954,50 @@ def q_returnflag_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "measure")
     )
+
+
+def q_join_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained JOIN view via the delta rule
+    d(A |><| B) = dA|><|B_old U A_old|><|dB U dA|><|dB -- the join
+    sibling of ``incremental_hourly_merge`` (aggregates) and
+    ``dau_sketch_merge`` (distincts), completing the
+    no-history-rescan maintenance family.
+
+    Fixture: V = orders |><| lineitem on orderkey, with deterministic
+    "late batch" splits (o_orderkey % 5 == 0, l_orderkey % 7 == 0) so
+    every quadrant -- old x old, delta x old, old x delta,
+    delta x delta -- is non-empty. The refreshed view is summarized per
+    order priority so the attested output is grain-sized; the oracle is
+    the full recompute, which the delta algebra equals exactly
+    (``tests/test_round5_queries.py`` proves row-level equality and
+    quadrant disjointness). Money stays DECIMAL through every term of
+    the union, so the merge is order-independent and replay-exact.
+
+    At 100 TB: refresh cost = |deltas| + key-lookups into the bucketed
+    stored sides (shuffle-free there) + a broadcast-sized dAxdB join;
+    the full join only ever runs once, at view creation.
+    """
+    from .operators.incremental import join_view_delta, join_view_refresh
+
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        _dec("l_extendedprice").alias("price"),
+    )
+    a_old = orders.where(F.col("o_orderkey") % 5 != 0)
+    a_delta = orders.where(F.col("o_orderkey") % 5 == 0)
+    b_old = li.where(F.col("o_orderkey") % 7 != 0)
+    b_delta = li.where(F.col("o_orderkey") % 7 == 0)
+
+    view_old = a_old.join(b_old, on=["o_orderkey"], how="inner")
+    view = join_view_refresh(
+        view_old, join_view_delta(a_old, a_delta, b_old, b_delta, on="o_orderkey")
+    )
+    return view.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("qty").alias("sum_qty"),
+        F.sum("price").cast("double").alias("revenue"),
+    )

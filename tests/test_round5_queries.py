@@ -244,3 +244,59 @@ def test_sliding_window_equals_sum_of_covered_tumbling_hours(spark):
             (r.window_start + dt.timedelta(hours=1), r.event_type), 0
         )
         assert r.n_events == expect, (r.window_start, r.event_type)
+
+
+def test_join_view_delta_equals_full_recompute(spark):
+    """The delta rule's refreshed view must equal the from-scratch join
+    ROW FOR ROW (the oracle only sees the aggregate), and the three
+    delta terms must be pairwise disjoint -- what makes the refresh a
+    plain append with no dedup pass."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.incremental import (
+        join_view_delta,
+        join_view_refresh,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans import (
+        fixtures,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    orders = fixtures.load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    li = fixtures.load(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    a_old = orders.where(F.col("o_orderkey") % 5 != 0)
+    a_delta = orders.where(F.col("o_orderkey") % 5 == 0)
+    b_old = li.where(F.col("o_orderkey") % 7 != 0)
+    b_delta = li.where(F.col("o_orderkey") % 7 == 0)
+
+    delta = join_view_delta(a_old, a_delta, b_old, b_delta, on="o_orderkey")
+    refreshed = join_view_refresh(a_old.join(b_old, on=["o_orderkey"]), delta)
+    direct = orders.join(li, on=["o_orderkey"])
+
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # disjointness: quadrant sizes must add up with no overlap
+    terms = [
+        a_delta.join(b_old, on=["o_orderkey"]),
+        a_old.join(b_delta, on=["o_orderkey"]),
+        a_delta.join(b_delta, on=["o_orderkey"]),
+    ]
+    counts = [t.count() for t in terms]
+    assert all(c > 0 for c in counts), "fixture must exercise every quadrant"
+    assert delta.count() == sum(counts)
+
+
+def test_join_view_delta_rejects_payload_collision(spark):
+    """Overlapping non-key payload columns would silently mis-merge on
+    unionByName -- the guard must refuse up front."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.incremental import (
+        join_view_delta,
+    )
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(1, "y")], "k long, v string")
+    with pytest.raises(ValueError, match="disjoint payload"):
+        join_view_delta(a, a, b, b, on="k")
