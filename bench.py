@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "token_dist_drift",
     "tfidf_keywords",
     "curation_summary",
+    # the 4-way delta-join union (incremental view maintenance): first
+    # floor this round
+    "join_view_merge",
 ]
 
 
