@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_meta": Q.q_frame_meta,
         "returnflag_unpivot": Q.q_returnflag_unpivot,
         "join_view_merge": Q.q_join_view_merge,
+        "dedup_incremental": Q.q_dedup_incremental,
         # r03-attested overflow (8): did not fit this round; MUST lead
         # the round-6 window. Pinned by test_oracle_parity.py.
         "top_tokens": Q.q_top_tokens,
@@ -2691,5 +2692,25 @@ SELECT o_orderpriority,
 FROM orders
 JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority
+""",
+        # incremental dedup: old corpus always wins; batch winner is the
+        # min-doc_id holder of each hash not already in the stored index
+        "dedup_incremental": """
+WITH hashed AS (SELECT doc_id, sha256(text) AS content_hash FROM documents),
+batch AS (SELECT * FROM hashed WHERE doc_id % 4 = 0),
+stored_index AS (
+  SELECT DISTINCT content_hash FROM hashed WHERE doc_id % 4 <> 0
+),
+first_in_batch AS (
+  SELECT doc_id, content_hash,
+         ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+  FROM batch
+)
+SELECT f.doc_id, f.content_hash
+FROM first_in_batch f
+WHERE f.rn = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM stored_index s WHERE s.content_hash = f.content_hash
+  )
 """,
     }

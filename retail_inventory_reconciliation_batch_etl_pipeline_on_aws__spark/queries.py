@@ -4001,3 +4001,43 @@ def q_join_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").alias("sum_qty"),
         F.sum("price").cast("double").alias("revenue"),
     )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: a new crawl batch deduped against the
+    STORED corpus hash index -- ``dedup_exact``'s production cadence
+    (the delta sibling in the maintenance family, like
+    ``join_view_merge`` is to a join view).
+
+    Corpus docs already shipped can't be retracted, so old always wins:
+    a batch doc survives iff its content hash is absent from the stored
+    index AND it is the first holder of that hash within the batch
+    (min doc_id -- deterministic). Fixture split: batch := doc_id % 4
+    == 0, index := sha256 of the rest. The oracle mirrors the whole
+    rule in SQL; idempotency (re-running a merged batch keeps nothing)
+    is pytest-pinned.
+
+    At 100 TB: the corpus TEXT is never rescanned -- the stored index
+    is 32-byte hashes, the batch hashes in its scan projection, and
+    both the in-batch winner window and the anti-join move hashes+ids
+    only. Bucketing the stored index by hash makes the anti-join
+    shuffle-free on the index side.
+    """
+    docs = fixtures.load(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_hash")
+    )
+    batch = hashed.where(F.col("doc_id") % 4 == 0)
+    stored_index = hashed.where(F.col("doc_id") % 4 != 0).select(
+        "content_hash"
+    ).distinct()
+
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    first_in_batch = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return first_in_batch.join(stored_index, on="content_hash", how="left_anti").select(
+        "doc_id", "content_hash"
+    )

@@ -300,3 +300,41 @@ def test_join_view_delta_rejects_payload_collision(spark):
     b = spark.createDataFrame([(1, "y")], "k long, v string")
     with pytest.raises(ValueError, match="disjoint payload"):
         join_view_delta(a, a, b, b, on="k")
+
+
+def test_dedup_incremental_old_wins_and_is_idempotent(spark):
+    """Incremental dedup contract: (a) no kept hash exists in the
+    stored index; (b) within-batch dups collapse to the min doc_id;
+    (c) merging the batch into the index and re-running keeps NOTHING
+    -- the idempotency a replayed crawl depends on."""
+    from pyspark.sql import Window
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha"),   # batch; dup of corpus doc 1 -> dropped
+            (4, "beta"),    # batch; dup within batch of doc 8
+            (8, "beta"),    # batch; loses in-batch tie to doc 4
+            (12, "gamma"),  # batch; genuinely new -> kept
+            (1, "alpha"),   # corpus
+            (2, "delta"),   # corpus
+        ],
+        "doc_id long, text string",
+    )
+    hashed = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+    batch = hashed.where(F.col("doc_id") % 4 == 0)
+    index = hashed.where(F.col("doc_id") % 4 != 0).select("h").distinct()
+
+    def run(batch_df, index_df):
+        w = Window.partitionBy("h").orderBy("doc_id")
+        first = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        return first.join(index_df, on="h", how="left_anti")
+
+    kept = run(batch, index)
+    assert sorted(r.doc_id for r in kept.collect()) == [4, 12]
+
+    merged_index = index.unionByName(kept.select("h")).distinct()
+    assert run(batch, merged_index).count() == 0
