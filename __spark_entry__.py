@@ -110,7 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/strict_parity.py; leads the round-6 window together
         # with the overflow block below. The round-6 lead set is:
         # the 8 r03-overflow entries, then these round-5 entries
-        # (token_budget .. join_view_merge).
+        # (token_budget .. dedup_incremental).
         "token_budget": Q.q_token_budget,
         "copurchase_pairs": Q.q_copurchase_pairs,
         "name_match_candidates": Q.q_name_match_candidates,
