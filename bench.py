@@ -60,9 +60,10 @@ BENCH_QUERIES = [
     "token_dist_drift",
     "tfidf_keywords",
     "curation_summary",
-    # the 4-way delta-join union (incremental view maintenance): first
-    # floor this round
+    # the 4-way delta-join union (incremental view maintenance) and the
+    # stored-index incremental dedup: first floors this round
     "join_view_merge",
+    "dedup_incremental",
 ]
 
 
