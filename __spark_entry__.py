@@ -676,7 +676,7 @@ total AS (SELECT SUM(n_tok) AS n_total FROM vocab),
 per_doc AS (
   SELECT f.doc_id,
          CAST(SUM(f.tf) AS BIGINT) AS n_tokens,
-         CAST(SUM(f.tf * v.n_tok) AS DECIMAL(38,0)) AS corpus_token_hits
+         CAST(CAST(SUM(f.tf * v.n_tok) AS DECIMAL(38,0)) AS BIGINT) AS corpus_token_hits
   FROM tf f JOIN vocab v USING (token)
   GROUP BY f.doc_id
 )

@@ -2514,7 +2514,10 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     representation-robust -- the quantity is ~3e-2 with ~3e-3 spread,
     so 6 dp keeps 4 significant varying digits; the exact rational
     numerator/denominator pair (``corpus_token_hits``, ``n_tokens``)
-    travels alongside untouched for bit-level auditing.
+    travels alongside for bit-level auditing, emitted as BIGINT (the
+    DECIMAL(38,0) accumulation is internal only -- emitting DECIMAL
+    made the driver's cross-engine cell hash diverge in r4/r5 despite
+    bit-exact values).
 
     Scale posture for a 100 TB corpus:
     - Tokens are ``xxhash64``-ed BEFORE the first exchange -- no token
@@ -2557,7 +2560,13 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            "corpus_token_hits",
+            # DECIMAL(38,0) accumulation stays INTERNAL; the output
+            # contract is BIGINT -- the r4/r5 driver hash mismatches
+            # were DECIMAL cell canonicalization across engines, never
+            # the values (bit-exact locally both rounds). Values fit
+            # int64 at every test SF; at 1e14 corpus tokens, widen the
+            # contract to STRING rather than re-emitting DECIMAL.
+            F.col("corpus_token_hits").cast("long").alias("corpus_token_hits"),
             F.round(
                 F.col("corpus_token_hits").cast("double")
                 / F.col("n_tokens")
