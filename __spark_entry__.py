@@ -18,12 +18,15 @@ from pyspark.sql import DataFrame, SparkSession
 from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark import queries as Q
 from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans.fixtures import (
     ensure_evolving_fixture,
+    ensure_versioned_fixture,
 )
 
 #: Built at import so the DuckDB oracle can read the two-schema fixture
 #: even if the driver runs the oracle side first (deterministic bytes,
 #: idempotent, repo-local + gitignored).
 _EVOLVING_DIR = ensure_evolving_fixture()
+#: Same contract for the 3-version versioned-table fixture.
+_VERSIONED_DIR = ensure_versioned_fixture()
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -35,32 +38,122 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the LEAST-RECENTLY driver-attested entries come FIRST.
 
     The driver's CORRECTNESS artifact records only the first 50
-    entries, so ordering is part of the contract. Round-5 rotation per
-    the round-4 verdict: (a) the 6 entries with NO green driver row --
-    lm_score (red hash in r04, output now rounded identically on both
-    sides) and the five late-round-4 additions; (b) the 2 queries new
-    this round (evolving_schema, stock_asof_forward); (c) 42 of the 50
-    entries whose freshest green artifact is CORRECTNESS_r03.json,
-    in list order. The 8 r03-attested entries that do not fit
-    (top_tokens .. sku_moving_avg, marked below) sit immediately past
-    the window, stay pinned value-level by test_oracle_parity.py, and
-    MUST lead the round-6 rotation. The 49 entries freshly green in
-    r04 follow; the 10 rows-only (sketch/seeded) entries close the
-    tail, outside the window by design (they would waste an attested
-    slot on a weaker rows-only check).
+    entries, so ordering is part of the contract. Round-6 rotation,
+    exactly as queued by the round-5 verdict: (1) lm_score stays at
+    position 1 -- red hash in r04/r05 from DECIMAL cell
+    canonicalization, output contract now BIGINT on both sides;
+    (2) the 8 r03-attested overflow entries whose freshest green row
+    is CORRECTNESS_r03.json; (3) the 21 round-5 additions that have
+    never been driver-attested (strict-parity + pytest green);
+    (4) the 3 versioned-table reads new this round (time travel /
+    CDF / history); (5) 17 of the r04-green entries, stalest-first in
+    list order. With this window, the union of r04+r05+r06 green rows
+    covers every oracle-paired entry. Past the window: the remaining
+    32 r04-green entries, the 49 r05-green entries, then the 14
+    rows-only (seeded/approximate/iterative) entries that close the
+    tail by design -- attesting those would waste a slot on a weaker
+    rows-only check. All post-window entries stay pinned value-level
+    by tests/test_oracle_parity.py and bit-exactly by
+    tools/strict_parity.py.
     """
     return {
-        # --- (a) no green driver attestation yet --------------------
+        # --- (1) red in r04+r05 (DECIMAL hash artifact; now BIGINT) --
         "lm_score": Q.q_lm_score,
+        # --- (2) r03-attested overflow: freshest green is r03 -------
+        "top_tokens": Q.q_top_tokens,
+        "corpus_filter": Q.q_corpus_filter,
+        "doclen_histogram": Q.q_doclen_histogram,
+        "sim_topk": Q.q_sim_topk,
+        "label_centroid_sim": Q.q_label_centroid_sim,
+        "embed_neardup": Q.q_embed_neardup,
+        "rolling_fingerprint": Q.q_rolling_fingerprint,
+        "sku_moving_avg": Q.q_sku_moving_avg,
+        # --- (3) round-5 additions, never driver-attested -----------
+        "token_budget": Q.q_token_budget,
+        "copurchase_pairs": Q.q_copurchase_pairs,
+        "name_match_candidates": Q.q_name_match_candidates,
+        "stock_twa": Q.q_stock_twa,
+        "brand_trend": Q.q_brand_trend,
+        "winsorized_stats": Q.q_winsorized_stats,
+        "dau_bitmap_merge": Q.q_dau_bitmap_merge,
+        "repeated_spans": Q.q_repeated_spans,
+        "token_dist_drift": Q.q_token_dist_drift,
+        "tfidf_keywords": Q.q_tfidf_keywords,
+        "epoch_shuffle": Q.q_epoch_shuffle,
+        "k_anonymity": Q.q_k_anonymity,
+        "curation_summary": Q.q_curation_summary,
+        "events_sliding": Q.q_events_sliding,
+        "funnel_latency": Q.q_funnel_latency,
+        "events_variant": Q.q_events_variant,
+        "audio_meta": Q.q_audio_meta,
+        "frame_meta": Q.q_frame_meta,
+        "returnflag_unpivot": Q.q_returnflag_unpivot,
+        "join_view_merge": Q.q_join_view_merge,
+        "dedup_incremental": Q.q_dedup_incremental,
+        # --- (4) new in round 6: versioned-table read paths ---------
+        "table_time_travel": Q.q_table_time_travel,
+        "table_cdf": Q.q_table_cdf,
+        "table_history": Q.q_table_history,
+        # --- (5) stalest r04-green fill to 50 -----------------------
+        "key_skew_profile": Q.q_key_skew_profile,
+        "incremental_hourly_merge": Q.q_incremental_hourly_merge,
+        "embed_contamination": Q.q_embed_contamination,
+        "contamination_hashed": Q.q_contamination_hashed,
+        "pii_scan": Q.q_pii_scan,
+        "mixture_weights": Q.q_mixture_weights,
+        "quality_flags": Q.q_quality_flags,
+        "user_journey": Q.q_user_journey,
+        "sku_sales_anomaly": Q.q_sku_sales_anomaly,
+        "bigram_counts": Q.q_bigram_counts,
+        "reconcile": Q.q_reconcile,
+        "reconcile_snapshots": Q.q_reconcile_snapshots,
+        "discrepancy_count": Q.q_discrepancy_count,
+        "discrepancy_topk": Q.q_discrepancy_topk,
+        "partition_prune": Q.q_partition_prune,
+        "normalize_clean": Q.q_normalize_clean,
+        "stock_timeseries": Q.q_stock_timeseries,
+        # ---- end of the 50-entry attested window --------------------
+        # r04-green remainder (green row in CORRECTNESS_r04.json)
+        "pricing_summary": Q.q_pricing_summary,
+        "top_customers": Q.q_top_customers,
+        "region_revenue": Q.q_region_revenue,
+        "dedup_applied": Q.q_dedup_applied,
+        "revenue_forecast": Q.q_revenue_forecast,
+        "nation_trade_volume": Q.q_nation_trade_volume,
+        "events_hour_of_day": Q.q_events_hour_of_day,
+        "sku_rolling_range": Q.q_sku_rolling_range,
+        "order_count_distribution": Q.q_order_count_distribution,
+        "idle_rich_customers": Q.q_idle_rich_customers,
+        "sole_late_supplier": Q.q_sole_late_supplier,
+        "dim_scd2": Q.q_dim_scd2,
+        "sales_rollup": Q.q_sales_rollup,
+        "sales_cube": Q.q_sales_cube,
+        "cust_no_orders": Q.q_cust_no_orders,
+        "parts_ordered_semi": Q.q_parts_ordered_semi,
+        "customer_setops": Q.q_customer_setops,
+        "returnflag_pivot": Q.q_returnflag_pivot,
+        "min_cost_supplier": Q.q_min_cost_supplier,
+        "important_part_values": Q.q_important_part_values,
+        "top_revenue_supplier": Q.q_top_revenue_supplier,
+        "bulk_red_shippers": Q.q_bulk_red_shippers,
+        "source_quota_sample": Q.q_source_quota_sample,
+        "corpus_pack": Q.q_corpus_pack,
+        "dataset_split": Q.q_dataset_split,
+        "bm25_search": Q.q_bm25_search,
+        "small_qty_revenue": Q.q_small_qty_revenue,
+        "large_volume_customers": Q.q_large_volume_customers,
+        "hybrid_rank": Q.q_hybrid_rank,
+        "local_supplier_revenue": Q.q_local_supplier_revenue,
+        "returned_item_customers": Q.q_returned_item_customers,
+        "promo_revenue_share": Q.q_promo_revenue_share,
+        # r05-green (green row in CORRECTNESS_r05.json)
         "dedup_keep_best": Q.q_dedup_keep_best,
         "dedup_canonical": Q.q_dedup_canonical,
         "source_quality_drift": Q.q_source_quality_drift,
         "stock_asof_tolerant": Q.q_stock_asof_tolerant,
         "value_anomalies": Q.q_value_anomalies,
-        # --- (b) new in round 5 -------------------------------------
         "evolving_schema": Q.q_evolving_schema,
         "stock_asof_forward": Q.q_stock_asof_forward,
-        # --- (c) freshest green artifact is r03: 42 of 50 ------------
         "stage_sales": Q.q_stage_sales,
         "dim_products": Q.q_dim_products,
         "market_share": Q.q_market_share,
@@ -103,96 +196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": Q.q_jaccard_pairs,
         "dedup_groups": Q.q_dedup_groups,
         "multimodal_features": Q.q_multimodal_features,
-        # ---- end of the 50-entry attested window --------------------
-        # new in round 5, post-window (displacing a must-attest or
-        # r03-stale entry would cost more than it buys); pinned by
-        # test_oracle_parity.py AND bit-exact-verified at sf0.01 by
-        # tools/strict_parity.py; leads the round-6 window together
-        # with the overflow block below. The round-6 lead set is:
-        # the 8 r03-overflow entries, then these round-5 entries
-        # (token_budget .. dedup_incremental).
-        "token_budget": Q.q_token_budget,
-        "copurchase_pairs": Q.q_copurchase_pairs,
-        "name_match_candidates": Q.q_name_match_candidates,
-        "stock_twa": Q.q_stock_twa,
-        "brand_trend": Q.q_brand_trend,
-        "winsorized_stats": Q.q_winsorized_stats,
-        "dau_bitmap_merge": Q.q_dau_bitmap_merge,
-        "repeated_spans": Q.q_repeated_spans,
-        "token_dist_drift": Q.q_token_dist_drift,
-        "tfidf_keywords": Q.q_tfidf_keywords,
-        "epoch_shuffle": Q.q_epoch_shuffle,
-        "k_anonymity": Q.q_k_anonymity,
-        "curation_summary": Q.q_curation_summary,
-        "events_sliding": Q.q_events_sliding,
-        "funnel_latency": Q.q_funnel_latency,
-        "events_variant": Q.q_events_variant,
-        "audio_meta": Q.q_audio_meta,
-        "frame_meta": Q.q_frame_meta,
-        "returnflag_unpivot": Q.q_returnflag_unpivot,
-        "join_view_merge": Q.q_join_view_merge,
-        "dedup_incremental": Q.q_dedup_incremental,
-        # r03-attested overflow (8): did not fit this round; MUST lead
-        # the round-6 window. Pinned by test_oracle_parity.py.
-        "top_tokens": Q.q_top_tokens,
-        "corpus_filter": Q.q_corpus_filter,
-        "doclen_histogram": Q.q_doclen_histogram,
-        "sim_topk": Q.q_sim_topk,
-        "label_centroid_sim": Q.q_label_centroid_sim,
-        "embed_neardup": Q.q_embed_neardup,
-        "rolling_fingerprint": Q.q_rolling_fingerprint,
-        "sku_moving_avg": Q.q_sku_moving_avg,
-        # --- freshly attested green in CORRECTNESS_r04.json ----------
-        "key_skew_profile": Q.q_key_skew_profile,
-        "incremental_hourly_merge": Q.q_incremental_hourly_merge,
-        "embed_contamination": Q.q_embed_contamination,
-        "contamination_hashed": Q.q_contamination_hashed,
-        "pii_scan": Q.q_pii_scan,
-        "mixture_weights": Q.q_mixture_weights,
-        "quality_flags": Q.q_quality_flags,
-        "user_journey": Q.q_user_journey,
-        "sku_sales_anomaly": Q.q_sku_sales_anomaly,
-        "bigram_counts": Q.q_bigram_counts,
-        "reconcile": Q.q_reconcile,
-        "reconcile_snapshots": Q.q_reconcile_snapshots,
-        "discrepancy_count": Q.q_discrepancy_count,
-        "discrepancy_topk": Q.q_discrepancy_topk,
-        "partition_prune": Q.q_partition_prune,
-        "normalize_clean": Q.q_normalize_clean,
-        "stock_timeseries": Q.q_stock_timeseries,
-        "pricing_summary": Q.q_pricing_summary,
-        "top_customers": Q.q_top_customers,
-        "region_revenue": Q.q_region_revenue,
-        "dedup_applied": Q.q_dedup_applied,
-        "revenue_forecast": Q.q_revenue_forecast,
-        "nation_trade_volume": Q.q_nation_trade_volume,
-        "events_hour_of_day": Q.q_events_hour_of_day,
-        "sku_rolling_range": Q.q_sku_rolling_range,
-        "order_count_distribution": Q.q_order_count_distribution,
-        "idle_rich_customers": Q.q_idle_rich_customers,
-        "sole_late_supplier": Q.q_sole_late_supplier,
-        "dim_scd2": Q.q_dim_scd2,
-        "sales_rollup": Q.q_sales_rollup,
-        "sales_cube": Q.q_sales_cube,
-        "cust_no_orders": Q.q_cust_no_orders,
-        "parts_ordered_semi": Q.q_parts_ordered_semi,
-        "customer_setops": Q.q_customer_setops,
-        "returnflag_pivot": Q.q_returnflag_pivot,
-        "min_cost_supplier": Q.q_min_cost_supplier,
-        "important_part_values": Q.q_important_part_values,
-        "top_revenue_supplier": Q.q_top_revenue_supplier,
-        "bulk_red_shippers": Q.q_bulk_red_shippers,
-        "source_quota_sample": Q.q_source_quota_sample,
-        "corpus_pack": Q.q_corpus_pack,
-        "dataset_split": Q.q_dataset_split,
-        "bm25_search": Q.q_bm25_search,
-        "small_qty_revenue": Q.q_small_qty_revenue,
-        "large_volume_customers": Q.q_large_volume_customers,
-        "hybrid_rank": Q.q_hybrid_rank,
-        "local_supplier_revenue": Q.q_local_supplier_revenue,
-        "returned_item_customers": Q.q_returned_item_customers,
-        "promo_revenue_share": Q.q_promo_revenue_share,
-        # --- rows-only tail (seeded hash families / approximate) -----
+        # --- rows-only tail (seeded hash families / approximate /
+        # iterative) -- outside the window by design ------------------
         "minhash_pairs": Q.q_minhash_pairs,
         "minhash_ml_pairs": Q.q_minhash_ml_pairs,
         "ann_topk": Q.q_ann_topk,
@@ -203,8 +208,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantile_sketch": Q.q_value_quantile_sketch,
         "customer_spend_quartiles_approx": Q.q_customer_spend_quartiles_approx,
         "dau_sketch_merge": Q.q_dau_sketch_merge,
-        # iterative fixed-point loop (operators.graph.pagerank): not
-        # SQL-expressible; exact integer twin in tests/test_graph.py
         "pagerank": Q.q_pagerank,
         "weighted_sample": Q.q_weighted_sample,
         "quantized_topk": Q.q_quantized_topk,
@@ -2277,6 +2280,40 @@ GROUP BY source
         "evolving_schema": f"""
 SELECT sku, qty, unit_price, qty * unit_price AS revenue
 FROM read_parquet('{_EVOLVING_DIR}/*.parquet', union_by_name=true)
+""",
+        # time travel: the oracle names v1's file list directly, so a
+        # commit-resolution bug (wrong files, leaked v2 rows after the
+        # overwrite) hash-mismatches
+        "table_time_travel": f"""
+SELECT sku,
+       CAST(SUM(qty) AS BIGINT) AS qty_total,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM read_parquet(['{_VERSIONED_DIR}/data/d0.parquet',
+                   '{_VERSIONED_DIR}/data/d1.parquet'])
+GROUP BY sku
+""",
+        # CDF between pinned versions: full-row anti-joins both ways,
+        # mirrored as NOT EXISTS over each version's known files
+        "table_cdf": f"""
+WITH old AS (SELECT sku, qty FROM read_parquet(
+        ['{_VERSIONED_DIR}/data/d0.parquet',
+         '{_VERSIONED_DIR}/data/d1.parquet'])),
+     new AS (SELECT sku, qty FROM read_parquet(
+        ['{_VERSIONED_DIR}/data/d2.parquet']))
+SELECT sku, qty, 'insert' AS _change FROM new n
+WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.sku = n.sku AND o.qty = n.qty)
+UNION ALL
+SELECT sku, qty, 'delete' AS _change FROM old o
+WHERE NOT EXISTS (SELECT 1 FROM new n WHERE n.sku = o.sku AND n.qty = o.qty)
+""",
+        # commit-log audit over the same JSON bytes read_versioned
+        # resolves
+        "table_history": f"""
+SELECT CAST(version AS BIGINT) AS version,
+       CAST(parent AS BIGINT) AS parent,
+       mode,
+       CAST(len(files) AS BIGINT) AS n_files
+FROM read_json_auto('{_VERSIONED_DIR}/commits/v*.json')
 """,
         # per-brand OLS from exact integer sufficient statistics, in
         # the shared dialect: sums re-narrowed to DECIMAL(18,0) so

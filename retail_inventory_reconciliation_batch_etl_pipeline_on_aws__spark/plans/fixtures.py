@@ -280,3 +280,71 @@ def ensure_evolving_fixture() -> str:
     with open(marker, "w"):
         pass
     return d
+
+
+VERSIONED_FIXTURE_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    ".fixtures",
+    "versioned_stock",
+)
+
+
+def ensure_versioned_fixture() -> str:
+    """Idempotently materialize a 3-version ``sources.versioned`` table.
+
+    Same import-time/both-engines contract as the evolving fixture,
+    but laid out in the versioned-table format (immutable data files
+    under ``data/``, commit JSONs under ``commits/``) so the REAL
+    ``read_versioned`` / ``table_changes`` read path is what the
+    driver attests, against a DuckDB oracle that reads each version's
+    known file list directly. Data file names are deterministic here
+    (the production writer uses uuids) precisely so the oracle can
+    name v1's files without consulting the commit log -- an
+    independent check that commit resolution picks the right files.
+    ``tests/test_versioned_fixture.py`` pins this hand-built layout
+    row-identical to what ``write_versioned`` produces for the same
+    three operations, so the fixture cannot drift from the writer.
+
+    Versions: v0 append {A:10,B:20,C:30}; v1 append {B:21,D:40}
+    (snapshot = both files); v2 OVERWRITE {A:99,E:50} (old versions
+    stay readable -- replacement is logical).
+    """
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = VERSIONED_FIXTURE_DIR
+    marker = _os.path.join(d, "_SUCCESS")
+    if _os.path.exists(marker):
+        return d
+    data_dir = _os.path.join(d, "data")
+    commits_dir = _os.path.join(d, "commits")
+    _os.makedirs(data_dir, exist_ok=True)
+    _os.makedirs(commits_dir, exist_ok=True)
+    batches = {
+        "d0.parquet": (["A", "B", "C"], [10, 20, 30]),
+        "d1.parquet": (["B", "D"], [21, 40]),
+        "d2.parquet": (["A", "E"], [99, 50]),
+    }
+    for name, (skus, qtys) in batches.items():
+        tbl = pa.table(
+            {"sku": pa.array(skus, pa.string()), "qty": pa.array(qtys, pa.int32())}
+        )
+        tmp = _os.path.join(data_dir, f"{name}.{_os.getpid()}.tmp")
+        pq.write_table(tbl, tmp)
+        _os.replace(tmp, _os.path.join(data_dir, name))
+    commits = [
+        {"version": 0, "parent": -1, "mode": "append", "files": ["d0.parquet"]},
+        {"version": 1, "parent": 0, "mode": "append",
+         "files": ["d0.parquet", "d1.parquet"]},
+        {"version": 2, "parent": 1, "mode": "overwrite", "files": ["d2.parquet"]},
+    ]
+    for c in commits:
+        tmp = _os.path.join(commits_dir, f"v{c['version']:05d}.json.{_os.getpid()}.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(c, f, sort_keys=True)
+        _os.replace(tmp, _os.path.join(commits_dir, f"v{c['version']:05d}.json"))
+    with open(marker, "w"):
+        pass
+    return d

@@ -4050,3 +4050,77 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_in_batch.join(stored_index, on="content_hash", how="left_anti").select(
         "doc_id", "content_hash"
     )
+
+
+def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read of the versioned-table layer surfaced as an
+    attested query (VERDICT r5 item 5): read version 1 of a 3-version
+    table whose LATEST commit is an overwrite that replaced every row,
+    and aggregate the pinned snapshot -- proving the reader resolves
+    the commit log, not the data directory (which also holds v2's
+    file), and that logical overwrite left old versions readable.
+
+    Input is the deterministic repo-local fixture
+    (``fixtures.ensure_versioned_fixture``, layout pinned to the real
+    ``write_versioned`` output by ``tests/test_versioned_fixture.py``);
+    the oracle reads v1's known file list directly, so a commit-
+    resolution bug (wrong files, leaked v2 rows) hash-mismatches.
+    ``sf_dir`` is unused: versioning is a property of the zone.
+
+    At 100 TB this is exactly the Delta/Iceberg economics: time travel
+    costs one small-JSON commit read plus a scan of only that
+    snapshot's files -- no copy-on-read, no directory diff.
+    """
+    from .sources.versioned import read_versioned
+
+    path = fixtures.ensure_versioned_fixture()
+    snap = read_versioned(spark, path, version=1)
+    return snap.groupBy("sku").agg(
+        F.sum("qty").cast("long").alias("qty_total"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+
+
+def q_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read between two pinned versions of the
+    versioned table: ``table_changes(1, 2)`` where v2 is a full
+    overwrite -- every v1 row surfaces as a ``delete`` and every v2
+    row as an ``insert`` (an update is its delete+insert pair at this
+    grain; a keyed ``merge_upsert`` consumer collapses them).
+
+    Both snapshots resolve to FIXED file lists before the diff, so the
+    feed is stable under concurrent writers. The oracle mirrors the
+    two full-row anti-joins with NOT EXISTS over each version's known
+    files. At 100 TB the diff is two hash anti-joins on content
+    identity -- no per-row version bookkeeping stored in the data
+    files, the trade the module docstring documents.
+    """
+    from .sources.versioned import table_changes
+
+    path = fixtures.ensure_versioned_fixture()
+    return table_changes(spark, path, from_version=1, to_version=2)
+
+
+def q_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log audit of the versioned table (DESCRIBE HISTORY):
+    one row per commit with its parent and mode, and the snapshot's
+    file count derived IN-PLAN from the commit's ``files`` array --
+    read through ``spark.read.json`` over the commits directory, so
+    the attested path is the same bytes ``read_versioned`` resolves.
+
+    The oracle is DuckDB ``read_json_auto`` over the same JSONs. The
+    commit log is metadata (one small JSON per commit -- bounded by
+    write count, never by data volume), so at 100 TB this stays a
+    driver-cheap listing while the data files it describes never get
+    touched.
+    """
+    import os
+
+    path = fixtures.ensure_versioned_fixture()
+    commits = spark.read.json(os.path.join(path, "commits", "v*.json"))
+    return commits.select(
+        F.col("version").cast("long").alias("version"),
+        F.col("parent").cast("long").alias("parent"),
+        "mode",
+        F.size("files").cast("long").alias("n_files"),
+    )
