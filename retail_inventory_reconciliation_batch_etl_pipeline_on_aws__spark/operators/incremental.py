@@ -43,8 +43,28 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 
 
-def _check_disjoint_payloads(a: DataFrame, b: DataFrame, on: Sequence[str]) -> None:
-    overlap = (set(a.columns) & set(b.columns)) - set(on)
+def _check_frames(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: Sequence[str],
+) -> None:
+    """Fail fast on the two shapes that would otherwise surface later
+    as an ambiguous-column or unionByName error: payload-column overlap
+    across the A/B sides (checked on ALL four frames, since a collision
+    present only on a delta slips past an old-sides-only check), and a
+    delta whose schema drifted from its own old side."""
+    for side, old, delta in (("A", a_old, a_delta), ("B", b_old, b_delta)):
+        if set(old.columns) != set(delta.columns):
+            raise ValueError(
+                f"join_view_delta: {side}-side delta columns "
+                f"{sorted(delta.columns)} differ from its stored side "
+                f"{sorted(old.columns)}"
+            )
+    a_cols = set(a_old.columns) | set(a_delta.columns)
+    b_cols = set(b_old.columns) | set(b_delta.columns)
+    overlap = (a_cols & b_cols) - set(on)
     if overlap:
         raise ValueError(
             f"join_view_delta needs disjoint payload columns; both sides "
@@ -67,7 +87,7 @@ def join_view_delta(
     key-lookup joins -- never rescanned in full against each other.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    _check_disjoint_payloads(a_old, b_old, keys)
+    _check_frames(a_old, a_delta, b_old, b_delta, keys)
     return (
         a_delta.join(b_old, on=keys, how="inner")
         .unionByName(a_old.join(b_delta, on=keys, how="inner"))

@@ -4024,7 +4024,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min doc_id -- deterministic). Fixture split: batch := doc_id % 4
     == 0, index := sha256 of the rest. The oracle mirrors the whole
     rule in SQL; idempotency (re-running a merged batch keeps nothing)
-    is pytest-pinned.
+    is pytest-pinned on ``operators.dedup.incremental_exact_dedup`` --
+    the SAME function this query runs, so the contract test cannot
+    drift from the query.
 
     At 100 TB: the corpus TEXT is never rescanned -- the stored index
     is 32-byte hashes, the batch hashes in its scan projection, and
@@ -4040,14 +4042,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored_index = hashed.where(F.col("doc_id") % 4 != 0).select(
         "content_hash"
     ).distinct()
+    from .operators.dedup import incremental_exact_dedup
 
-    w = Window.partitionBy("content_hash").orderBy("doc_id")
-    first_in_batch = (
-        batch.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    return first_in_batch.join(stored_index, on="content_hash", how="left_anti").select(
+    return incremental_exact_dedup(batch, stored_index).select(
         "doc_id", "content_hash"
     )
 

@@ -306,8 +306,12 @@ def test_dedup_incremental_old_wins_and_is_idempotent(spark):
     """Incremental dedup contract: (a) no kept hash exists in the
     stored index; (b) within-batch dups collapse to the min doc_id;
     (c) merging the batch into the index and re-running keeps NOTHING
-    -- the idempotency a replayed crawl depends on."""
-    from pyspark.sql import Window
+    -- the idempotency a replayed crawl depends on. Drives the SAME
+    ``incremental_exact_dedup`` that q_dedup_incremental runs, so the
+    query cannot drift from this contract."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
 
     docs = spark.createDataFrame(
         [
@@ -324,17 +328,8 @@ def test_dedup_incremental_old_wins_and_is_idempotent(spark):
     batch = hashed.where(F.col("doc_id") % 4 == 0)
     index = hashed.where(F.col("doc_id") % 4 != 0).select("h").distinct()
 
-    def run(batch_df, index_df):
-        w = Window.partitionBy("h").orderBy("doc_id")
-        first = (
-            batch_df.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-        )
-        return first.join(index_df, on="h", how="left_anti")
-
-    kept = run(batch, index)
+    kept = incremental_exact_dedup(batch, index, hash_col="h")
     assert sorted(r.doc_id for r in kept.collect()) == [4, 12]
 
     merged_index = index.unionByName(kept.select("h")).distinct()
-    assert run(batch, merged_index).count() == 0
+    assert incremental_exact_dedup(batch, merged_index, hash_col="h").count() == 0
