@@ -34,11 +34,27 @@ def brute_force_topk(
 
     Scores rounded to 4dp before ranking (ties broken by id) so results
     are stable across engines and partitionings.
+
+    The query-vector norm is a CONSTANT, but Catalyst does not
+    constant-fold higher-order aggregates, so an in-plan
+    ``l2_norm(query)`` would re-reduce the d-element literal on every
+    row (~1/3 of the per-row HOF work). Precompute it in Python with
+    the same left-to-right double accumulation the in-plan HOF uses --
+    bit-identical, so scores cannot move even at a 4dp rounding edge.
     """
+    from math import sqrt
+
+    from ..functions.vectors import dot, l2_norm
+
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    acc = 0.0
+    for x in query_vec:  # plain sequential sum == the HOF's fold order
+        acc = acc + float(x) * float(x)
+    q_norm = sqrt(acc)
+    v = as_double_array(vec_col)
     scored = embeddings.select(
         F.col(id_col),
-        F.round(cosine(as_double_array(vec_col), as_double_array(q)), 4).alias(
+        F.round(dot(v, as_double_array(q)) / (l2_norm(v) * F.lit(q_norm)), 4).alias(
             "score"
         ),
     )

@@ -523,7 +523,8 @@ def _stock_asof_frames(
     )
     daily = sales.groupBy("sku", "sale_date").agg(
         F.sum(F.col("quantity").cast("long")).alias("day_qty")
-    )
+    ).persist()  # feeds BOTH asof sides (left rows + the ledger->checks
+    # branch); without it the lineitem scan + daily aggregate run twice
     w_cum = (
         Window.partitionBy("sku")
         .orderBy("sale_date")

@@ -134,19 +134,22 @@ def test_stock_asof_stays_linear_union_window(spark):
     the key, NEVER a range join (a theta-join per key explodes
     quadratically -- at 100TB a hot sku melts one task). Pinned: no
     nested-loop/cartesian stage, no sort-merge join, exactly the two
-    key-windows the shape implies, and exactly 4 exchanges (two daily
-    aggregations -- the checks side re-derives daily -- plus one
-    key-shuffle per window). A 5th exchange or a *NestedLoop* node here
-    is the regression this guard exists to catch."""
+    key-windows the shape implies, and exactly 3 exchanges (ONE daily
+    aggregation -- the shared daily frame is persisted, so the checks
+    branch reads the cache instead of re-deriving it (r6) -- plus one
+    key-shuffle per window). A 4th exchange, a 2nd lineitem scan, or a
+    *NestedLoop* node here is the regression this guard exists to
+    catch."""
     p = plan_of(spark, "stock_asof")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
     n_windows = len(re.findall(r"\(\d+\) Window\b", p))
     assert n_windows == 2, f"expected 2 key-windows, plan has {n_windows}"
     n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", p))
-    assert n_shuffles == 4, f"expected 4 exchanges, plan has {n_shuffles}"
+    assert n_shuffles == 3, f"expected 3 exchanges, plan has {n_shuffles}"
     scans = re.findall(r"Location: InMemoryFileIndex \[[^\]]*?/(\w+)\.parquet\]", p)
-    assert scans.count("lineitem") == 2, f"fact scans: {scans}"
+    assert scans.count("lineitem") == 1, f"fact scans: {scans}"
+    assert "InMemoryTableScan" in p  # the persisted shared daily frame
 
 
 def test_region_revenue_broadcasts_dims_single_fact_exchange(spark):
@@ -343,7 +346,7 @@ def test_embed_contamination_broadcasts_the_benchmark_side(spark):
 def test_stock_asof_tolerant_adds_no_shuffle_over_base(spark):
     """The tolerance gate must be a post-carry projection, not a join:
     the tolerant plan keeps the base as-of's exact shuffle budget
-    (4 exchanges, 2 key-windows, no range-join explosion) -- the
+    (3 exchanges, 2 key-windows, no range-join explosion) -- the
     matched-time carry rides the existing window."""
     p = plan_of(spark, "stock_asof_tolerant")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
@@ -351,7 +354,7 @@ def test_stock_asof_tolerant_adds_no_shuffle_over_base(spark):
     n_windows = len(re.findall(r"\(\d+\) Window\b", p))
     assert n_windows == 2, f"expected 2 key-windows, plan has {n_windows}"
     n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", p))
-    assert n_shuffles == 4, f"expected 4 exchanges, plan has {n_shuffles}"
+    assert n_shuffles == 3, f"expected 3 exchanges, plan has {n_shuffles}"
 
 
 def test_value_anomalies_cumulative_window_is_day_segmented(spark):

