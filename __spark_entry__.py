@@ -420,8 +420,10 @@ WITH sales AS (
 daily AS (SELECT DISTINCT sku, sale_date FROM sales),
 gaps AS (
   SELECT sku,
-         date_diff('day', lag(sale_date) OVER (PARTITION BY sku ORDER BY sale_date),
-                   sale_date) AS gap_days
+         CAST((FLOOR(epoch(CAST(sale_date AS TIMESTAMP)))
+               - FLOOR(epoch(CAST(lag(sale_date) OVER (
+                   PARTITION BY sku ORDER BY sale_date) AS TIMESTAMP)))) / 86400
+              AS BIGINT) AS gap_days
   FROM daily
 )
 SELECT sku, CAST(MAX(gap_days) AS INT) AS max_gap,
@@ -913,7 +915,7 @@ GROUP BY 1, 2, 3
 """,
         "events_hour_of_day": """
 SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
-       CAST(EXTRACT(dow FROM ts) + 1 AS BIGINT) AS day_of_week,
+       CAST(isodow(ts) AS BIGINT) AS day_of_week,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events
 GROUP BY 1, 2
@@ -1092,7 +1094,8 @@ WITH firsts AS (
          MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
   FROM events GROUP BY user_id
 )
-SELECT CAST(datediff('day', CAST(first_signup AS DATE), CAST(first_purchase AS DATE))
+SELECT CAST((FLOOR(epoch(CAST(CAST(first_purchase AS DATE) AS TIMESTAMP)))
+             - FLOOR(epoch(CAST(CAST(first_signup AS DATE) AS TIMESTAMP)))) / 86400
             AS INT) AS lag_days,
        CAST(COUNT(*) AS BIGINT) AS n_users
 FROM firsts
@@ -2211,9 +2214,10 @@ ledger AS (
 ),
 held AS (
   SELECT sku, stock,
-         CAST(date_diff('day', sale_date,
-              LEAD(sale_date) OVER (PARTITION BY sku ORDER BY sale_date))
-           AS BIGINT) AS held_days
+         CAST((FLOOR(epoch(CAST(LEAD(sale_date) OVER (
+                 PARTITION BY sku ORDER BY sale_date) AS TIMESTAMP)))
+               - FLOOR(epoch(CAST(sale_date AS TIMESTAMP)))) / 86400
+              AS BIGINT) AS held_days
   FROM ledger
 )
 SELECT sku,

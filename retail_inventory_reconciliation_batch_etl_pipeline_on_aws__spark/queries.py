@@ -329,12 +329,16 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_hour_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Telemetry time-dimension rollup: hour-of-day x day-of-week event
-    counts (extract-function family over event time)."""
+    counts (extract-function family over event time). ``day_of_week``
+    is ISO (Monday=1..Sunday=7) -- the one dow convention with a
+    portable SQL spelling (DuckDB ``isodow``, shimmed on Spark from
+    EXTRACT(DOW_ISO); the Sunday-first forms are constant-offset
+    incompatible between engines with no common name)."""
     ev = fixtures.events(spark, sf_dir)
     return (
         ev.groupBy(
             F.hour("ts").cast("long").alias("hour_of_day"),
-            F.dayofweek("ts").cast("long").alias("day_of_week"),
+            (F.weekday("ts") + 1).cast("long").alias("day_of_week"),
         )
         .agg(F.count("*").alias("n_events"))
     )

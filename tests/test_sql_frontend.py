@@ -12,16 +12,20 @@ from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sql import
 
 from conftest import TESTDATA, normalized_rows
 
-#: oracle SQL that is pure ANSI (no DuckDB list functions / QUALIFY),
-#: so it must parse and agree on Spark as well.  Excluded with reasons:
-#: events_hour_of_day (EXTRACT(dow) is Sunday=1 on Spark vs Sunday=0 on
-#: DuckDB -- a constant off-by-one with no common spelling); ASOF JOIN
-#: (DuckDB-only syntax); sha256/json_extract_string/quantile_cont and
-#: the list_*/unnest lambda family (no shared function names); HUGEINT
-#: (DECIMAL(38,0) multiply would overflow DuckDB's width-38 cap);
-#: regexp_replace 'g' flag (Spark is global by default, 4th arg is
-#: position); date_diff units (string literal on DuckDB, bare keyword
-#: on Spark); 1-based [] list indexing (0-based on Spark).
+#: oracle SQL that runs VERBATIM on Spark as well -- either pure ANSI
+#: or via the DuckDB-name compat shims ``sql.register_compat_functions``
+#: installs (sha256/epoch/json_extract_string/isodow: SQL UDFs that
+#: compile to JVM expressions, shimmable because Spark has no builtin
+#: of that name). Still excluded, with reasons: ASOF JOIN (DuckDB-only
+#: syntax); quantile_cont (aggregate -- SQL UDFs are scalar-only) and
+#: the list_*/unnest lambda family (lambda-taking functions cannot be
+#: aliased, and Spark resolves builtins before temp functions so
+#: same-name/different-semantics builtins like dayofweek or len(list)
+#: cannot be shadowed); HUGEINT (DECIMAL(38,0) multiply would overflow
+#: DuckDB's width-38 cap); regexp_replace 'g' flag (Spark is global by
+#: default, 4th arg is position); PIVOT/QUALIFY dialect forms; [] list
+#: literals and 1-based indexing; // integer division; read_parquet/
+#: read_json_auto table functions (the versioned-fixture oracles).
 PORTABLE = [
     "market_share",
     "nation_profit",
@@ -114,6 +118,24 @@ PORTABLE = [
     "events_sliding",  # date_trunc/INTERVAL/UNION ALL parse on both
     "frame_meta",  # pure integer arithmetic of doc_id
     "returnflag_unpivot",  # UNPIVOT syntax shared since Spark 3.4
+    # round-6 expansion: the compat shims (sha256/epoch/
+    # json_extract_string/isodow) unlock the hashed-dedup and
+    # event-time families verbatim ...
+    "dedup_exact",
+    "dedup_incremental",
+    "events_sessionize",
+    "events_sessionize_native",
+    "funnel_latency",
+    "events_json",
+    "events_variant",
+    "events_hour_of_day",  # day_of_week redefined as ISO dow (portable)
+    # ... the date_diff('day', a, b) oracles rewritten to the
+    # epoch-based day difference (exact: whole-day deltas in double) ...
+    "signup_purchase_funnel",
+    "stock_twa",
+    "sku_sale_gaps",
+    # ... and one that was portable all along, just never probed
+    "join_view_merge",
 ]
 
 
