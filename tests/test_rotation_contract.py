@@ -1,0 +1,34 @@
+"""Pins the attestation-window rotation contract (no Spark needed).
+
+The window ordering in ``__spark_entry__.queries()`` is hand-curated
+each round; ``tools/rotation_check.py`` recomputes the staleness facts
+from the CORRECTNESS artifacts and this wrapper makes any mis-queue a
+test failure instead of a wasted driver round.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+import __spark_entry__ as entry
+from rotation_check import WINDOW, check, last_green
+
+
+def test_window_holds_least_recently_attested():
+    problems = check(list(entry.queries()), set(entry.oracle_sql()))
+    assert not problems, "\n".join(problems)
+
+
+def test_window_is_exactly_full():
+    """Fewer than 50 paired entries up front would waste attested
+    slots; the driver never reads past 50."""
+    window = list(entry.queries())[:WINDOW]
+    paired = set(entry.oracle_sql())
+    assert len(window) == WINDOW
+    assert all(q in paired for q in window)
+
+
+def test_artifacts_are_readable_and_nonempty():
+    green = last_green()
+    assert len(green) >= 50  # at least one full driver round recorded

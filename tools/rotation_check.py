@@ -1,0 +1,100 @@
+"""Attestation-window rotation validator.
+
+The driver records correctness for only the FIRST 50 ``queries()``
+entries each round, so the dict's ordering is a contract: the window
+must hold the least-recently-attested oracle-paired entries. Manual
+rotation has been the per-round failure mode this guards against --
+this tool recomputes, from the ``CORRECTNESS_r*.json`` artifacts
+actually on disk, when each entry was last green, and checks:
+
+1. every oracle-paired entry with NO green row anywhere sits inside
+   the window (never-attested first -- the whole point of rotating);
+2. no entry in the window is FRESHER than an oracle-paired entry
+   outside it (stalest-first, with the explicit exception of red rows:
+   a red entry is pinned at the front regardless);
+3. rows-only entries (no oracle) sit outside the window -- attesting
+   one would waste a slot on a weaker rows-only check.
+
+Run directly (``python tools/rotation_check.py``) or via the pytest
+wrapper in ``tests/test_rotation_contract.py``.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+
+def last_green(repo: str = REPO) -> dict[str, int]:
+    """query name -> highest round with a fully-green row (rows+schema+
+    hash for oracle-paired entries; rows-only rows count too -- the
+    driver records what it can)."""
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path)[13:-5])
+        try:
+            d = json.load(open(path))
+        except Exception:  # noqa: BLE001 -- tolerate a malformed artifact
+            continue
+        for q, row in d.items():
+            if not isinstance(row, dict):
+                continue
+            ok = row.get("rows_match") and row.get("schema_match") is not False and (
+                row.get("hash_match") is not False
+            )
+            if ok:
+                out[q] = max(out.get(q, -1), rnd)
+    return out
+
+
+def check(queries: list[str], oracle_paired: set[str], repo: str = REPO) -> list[str]:
+    """Returns a list of violations (empty == rotation contract holds)."""
+    green = last_green(repo)
+    window = queries[:WINDOW]
+    window_set = set(window)
+    problems: list[str] = []
+
+    paired_outside = [q for q in queries[WINDOW:] if q in oracle_paired]
+    for q in paired_outside:
+        if q not in green:
+            problems.append(
+                f"{q}: oracle-paired and never driver-green, but outside the window"
+            )
+
+    # staleness inversion: something outside is staler than the
+    # freshest windowed entry that has ever been green
+    if paired_outside:
+        oldest_outside = min(green.get(q, -1) for q in paired_outside)
+        for q in window:
+            if q in oracle_paired and green.get(q, -1) > oldest_outside:
+                problems.append(
+                    f"{q}: green in r{green[q]} yet windowed ahead of an entry "
+                    f"last green in r{oldest_outside}"
+                )
+
+    for q in window_set - oracle_paired:
+        problems.append(f"{q}: rows-only entry occupies an attested-window slot")
+    return problems
+
+
+def main() -> int:
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+
+    qs = list(entry.queries())
+    paired = set(entry.oracle_sql())
+    problems = check(qs, paired)
+    for p in problems:
+        print("VIOLATION:", p)
+    print(f"{len(qs)} entries, window={WINDOW}, "
+          f"{len(paired)} oracle-paired, {len(problems)} violations")
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
