@@ -139,7 +139,10 @@ def test_stock_asof_stays_linear_union_window(spark):
     branch reads the cache instead of re-deriving it (r6) -- plus one
     key-shuffle per window). A 4th exchange, a 2nd lineitem scan, or a
     *NestedLoop* node here is the regression this guard exists to
-    catch."""
+    catch. Cache cleared first: once another test materializes the
+    persisted daily frame, the cached relation's finalized plan prints
+    an extra exchange node -- the fresh logical shape is the contract."""
+    spark.catalog.clearCache()
     p = plan_of(spark, "stock_asof")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
@@ -347,7 +350,9 @@ def test_stock_asof_tolerant_adds_no_shuffle_over_base(spark):
     """The tolerance gate must be a post-carry projection, not a join:
     the tolerant plan keeps the base as-of's exact shuffle budget
     (3 exchanges, 2 key-windows, no range-join explosion) -- the
-    matched-time carry rides the existing window."""
+    matched-time carry rides the existing window. Cache cleared first
+    (see the base guard)."""
+    spark.catalog.clearCache()
     p = plan_of(spark, "stock_asof_tolerant")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
