@@ -45,11 +45,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (2) the 8 r03-attested overflow entries whose freshest green row
     is CORRECTNESS_r03.json; (3) the 21 round-5 additions that have
     never been driver-attested (strict-parity + pytest green);
-    (4) the 3 versioned-table reads new this round (time travel /
-    CDF / history); (5) 17 of the r04-green entries, stalest-first in
+    (4) the 4 entries new this round (versioned-table time travel /
+    CDF / history, and the banded-prefix-sum ABC classification);
+    (5) 16 of the r04-green entries, stalest-first in
     list order. With this window, the union of r04+r05+r06 green rows
     covers every oracle-paired entry. Past the window: the remaining
-    32 r04-green entries, the 49 r05-green entries, then the 14
+    33 r04-green entries, the 49 r05-green entries, then the 14
     rows-only (seeded/approximate/iterative) entries that close the
     tail by design -- attesting those would waste a slot on a weaker
     rows-only check. All post-window entries stay pinned value-level
@@ -94,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_time_travel": Q.q_table_time_travel,
         "table_cdf": Q.q_table_cdf,
         "table_history": Q.q_table_history,
+        "abc_classification": Q.q_abc_classification,
         # --- (5) stalest r04-green fill to 50 -----------------------
         "key_skew_profile": Q.q_key_skew_profile,
         "incremental_hourly_merge": Q.q_incremental_hourly_merge,
@@ -111,9 +113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discrepancy_topk": Q.q_discrepancy_topk,
         "partition_prune": Q.q_partition_prune,
         "normalize_clean": Q.q_normalize_clean,
-        "stock_timeseries": Q.q_stock_timeseries,
         # ---- end of the 50-entry attested window --------------------
         # r04-green remainder (green row in CORRECTNESS_r04.json)
+        "stock_timeseries": Q.q_stock_timeseries,
         "pricing_summary": Q.q_pricing_summary,
         "top_customers": Q.q_top_customers,
         "region_revenue": Q.q_region_revenue,
@@ -2318,6 +2320,31 @@ SELECT CAST(version AS BIGINT) AS version,
        mode,
        CAST(len(files) AS BIGINT) AS n_files
 FROM read_json_auto('{_VERSIONED_DIR}/commits/v*.json')
+""",
+        # global running-share window: the oracle runs the single
+        # SUM() OVER (ORDER BY) form; the engine's banded segmentation
+        # must reproduce it exactly (all-decimal until the terminal
+        # double division)
+        "abc_classification": """
+WITH per_sku AS (
+  SELECT CAST(l_partkey AS STRING) AS sku,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(revenue) AS total FROM per_sku),
+c AS (
+  SELECT sku, revenue,
+         SUM(revenue) OVER (ORDER BY revenue DESC, sku
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM per_sku
+)
+SELECT c.sku,
+       CAST(c.revenue AS DOUBLE) AS revenue,
+       ROUND(CAST(c.cum AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS cum_share,
+       CASE WHEN CAST(c.cum AS DOUBLE) / CAST(t.total AS DOUBLE) <= 0.80 THEN 'A'
+            WHEN CAST(c.cum AS DOUBLE) / CAST(t.total AS DOUBLE) <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c CROSS JOIN tot t
 """,
         # per-brand OLS from exact integer sufficient statistics, in
         # the shared dialect: sums re-narrowed to DECIMAL(18,0) so

@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     # stored-index incremental dedup: first floors this round
     "join_view_merge",
     "dedup_incremental",
+    # round-6: the banded global prefix sum (full per-sku revenue agg +
+    # per-decade cumulative windows) -- first floor this round
+    "abc_classification",
 ]
 
 

@@ -1,0 +1,79 @@
+"""Distributed global prefix sums (running totals over a GLOBAL order).
+
+The naive Spark spelling -- ``Window.orderBy(...)`` with no
+partitionBy -- funnels the entire dataset through ONE task (the
+engine-wide plan sweep red-flags it). The scale-honest form used here
+is the same segmentation trick as ``value_anomalies``' day-segmented
+recurrence, applied to an arbitrary global order:
+
+1. assign every row a BAND that is monotone in the global order (a
+   deterministic function of the ordering value, e.g. the magnitude
+   decade of a revenue column) -- all of band k precedes band k+1;
+2. run the cumulative window PARTITIONED BY band (parallel across
+   bands, bounded rows per task);
+3. per-band totals are a tiny aggregate (#bands rows, bounded by the
+   band function's range -- e.g. <= ~40 decades for any DECIMAL) --
+   prefix-sum them driver-side with exact ``decimal.Decimal``
+   arithmetic and broadcast the offsets back;
+4. global running total = band offset + within-band running total.
+
+Everything is exact integer/decimal arithmetic until the caller's
+terminal division, so a SQL oracle's single ``SUM() OVER (ORDER BY)``
+window hash-matches. Skewed bands (a zipfian value column concentrates
+rows in middle decades) parallelize within the band ONLY via the order
+key -- if one band dominates, refine the band function (half-decades)
+exactly like salting a hot key.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def banded_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[Column | str],
+    band: Column,
+    cum_col: str = "cum",
+) -> tuple[DataFrame, Decimal]:
+    """Global inclusive running total of ``value_col`` over
+    ``order_cols``, segmented by ``band`` (monotone non-decreasing in
+    the global order -- the caller's contract; rows in a lower band
+    must sort before every row of a higher band).
+
+    Returns ``(frame with cum_col, grand_total)``. The per-band totals
+    collect is bounded by the band function's range, never by the data
+    (the sanctioned bounded-scalar pattern, like IVF's nlist
+    centroids). ``value_col`` must be DECIMAL for exactness; the
+    running total inherits it.
+    """
+    banded = df.withColumn("_band", band)
+    w = (
+        Window.partitionBy("_band")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = banded.withColumn("_cum_in_band", F.sum(value_col).over(w))
+
+    totals = sorted(
+        banded.groupBy("_band").agg(F.sum(value_col).alias("t")).collect(),
+        key=lambda r: r["_band"],
+    )  # bounded: one row per band
+    offsets, acc = [], Decimal(0)
+    for r in totals:
+        offsets.append((r["_band"], acc))
+        acc += r["t"]
+
+    spark = df.sparkSession
+    scale = getattr(df.schema[value_col].dataType, "scale", 0)
+    off_df = spark.createDataFrame(offsets, f"_band int, _off decimal(38,{scale})")
+    out = (
+        within.join(F.broadcast(off_df), "_band")
+        .withColumn(cum_col, F.col("_off") + F.col("_cum_in_band"))
+        .drop("_band", "_cum_in_band", "_off")
+    )
+    return out, acc

@@ -4126,3 +4126,51 @@ def q_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mode",
         F.size("files").cast("long").alias("n_files"),
     )
+
+
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: rank every sku by total
+    revenue, take the GLOBAL running share of revenue in descending
+    order, and class A = the head skus covering 80% of revenue, B = to
+    95%, C = the tail -- the stock-policy segmentation every inventory
+    planner runs (cycle-count frequency, service levels, safety stock
+    all key off the class).
+
+    The global running total is the scale trap: the direct spelling is
+    ``Window.orderBy(revenue)`` with no partition key -- one task for
+    the whole table (the plan sweep rejects it). This uses
+    ``operators.prefix.banded_cumsum``: bands = the revenue decade
+    (monotone in the sort order by construction), cumulative window
+    partitioned per band, exact-decimal band offsets prefix-summed
+    driver-side (bounded: one row per decade) and broadcast back. All
+    arithmetic is exact DECIMAL until the two terminal double
+    divisions, so the oracle's single SUM() OVER (ORDER BY) window
+    hash-matches; the band function only has to be deterministic
+    WITHIN Spark (the oracle never sees it).
+    """
+    from .operators.prefix import banded_cumsum
+
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("sku"),
+        _dec("l_extendedprice").alias("rev"),
+    )
+    per_sku = li.groupBy("sku").agg(F.sum("rev").alias("revenue"))
+    # descending-revenue order; band = negated revenue decade so band
+    # k's rows all sort before band k+1's (ties stay in one band)
+    band = (-F.floor(F.log10(F.col("revenue").cast("double")))).cast("int")
+    cum, total = banded_cumsum(
+        per_sku,
+        "revenue",
+        [F.col("revenue").desc(), F.col("sku").asc()],
+        band,
+    )
+    share = F.col("cum").cast("double") / F.lit(total).cast("double")
+    return cum.select(
+        "sku",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.80, F.lit("A"))
+        .when(share <= 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )

@@ -1,0 +1,96 @@
+"""Banded global prefix sum (operators/prefix.py) and its ABC query."""
+
+from decimal import Decimal
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.prefix import (
+    banded_cumsum,
+)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "k string, v decimal(18,2)")
+
+
+def test_banded_cumsum_equals_global_window(spark):
+    """The segmented form must reproduce the single global window
+    bit-for-bit (exact decimals), including bands with one row, many
+    rows, ties inside a band, and gaps in the band range."""
+    rows = [
+        ("a", Decimal("900.00")),   # band -2 (decade 2)
+        ("b", Decimal("850.00")),
+        ("c", Decimal("850.00")),   # tie with b -> order by key
+        ("d", Decimal("99.99")),    # band -1
+        ("e", Decimal("5.25")),     # band 0 (gap: no band for decade 1... )
+        ("f", Decimal("0.50")),     # band 1
+    ]
+    df = _frame(spark, rows)
+    band = (-F.floor(F.log10(F.col("v").cast("double")))).cast("int")
+    got, total = banded_cumsum(
+        df, "v", [F.col("v").desc(), F.col("k").asc()], band
+    )
+    w = Window.orderBy(F.col("v").desc(), F.col("k").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert sorted((r.k, r.cum) for r in got.collect()) == sorted(
+        (r.k, r.cum) for r in want.collect()
+    )
+    assert total == sum((v for _, v in rows), Decimal(0))
+
+
+def test_banded_cumsum_single_band(spark):
+    """Degenerate banding (everything in one band) still correct --
+    the offset table is a single zero row."""
+    df = _frame(spark, [("a", Decimal("3.00")), ("b", Decimal("1.00"))])
+    got, total = banded_cumsum(df, "v", [F.col("v").desc()], F.lit(0))
+    vals = {r.k: r.cum for r in got.collect()}
+    assert vals["a"] == Decimal("3.00") and vals["b"] == Decimal("4.00")
+    assert total == Decimal("4.00")
+
+
+def test_abc_query_avoids_global_window(spark):
+    """The scale contract: the plan must contain NO window without a
+    partition key (windowspecdefinition listing no partition columns
+    funnels the table through one task), and the cumulative windows it
+    does run are partitioned by the band."""
+    import io
+    import contextlib
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark import (
+        queries as Q,
+    )
+
+    df = Q.q_abc_classification(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue()
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        # spec = "part_cols..., order ASC ..., frame"; a spec whose
+        # first element is already an ordering expression has no
+        # partition keys at all
+        first = spec.split(",")[0]
+        assert "ASC" not in first and "DESC" not in first, (
+            f"single-partition window in plan: {spec}"
+        )
+    assert "_band" in plan  # the banded window is what runs
+
+
+def test_abc_classes_partition_the_catalog(spark):
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark import (
+        queries as Q,
+    )
+
+    rows = Q.q_abc_classification(spark, "/root/testdata/sf0.001").collect()
+    assert {r.abc_class for r in rows} <= {"A", "B", "C"}
+    # running share is a share: within (0, 1]; max ~1
+    assert all(0 < r.cum_share <= 1.000001 for r in rows)
+    by_share = sorted(rows, key=lambda r: r.cum_share)
+    # classes are contiguous in share order: A... then B... then C
+    labels = "".join(r.abc_class for r in by_share)
+    assert "BA" not in labels and "CA" not in labels and "CB" not in labels
