@@ -45,12 +45,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (2) the 8 r03-attested overflow entries whose freshest green row
     is CORRECTNESS_r03.json; (3) the 21 round-5 additions that have
     never been driver-attested (strict-parity + pytest green);
-    (4) the 4 entries new this round (versioned-table time travel /
-    CDF / history, and the banded-prefix-sum ABC classification);
-    (5) 16 of the r04-green entries, stalest-first in
+    (4) the 7 entries new this round (versioned-table time travel /
+    CDF / history, the banded-prefix-sum ABC classification, reorder
+    points, the SCD2 state history, and the ABC-XYZ matrix);
+    (5) 13 of the r04-green entries, stalest-first in
     list order. With this window, the union of r04+r05+r06 green rows
     covers every oracle-paired entry. Past the window: the remaining
-    33 r04-green entries, the 49 r05-green entries, then the 14
+    36 r04-green entries, the 49 r05-green entries, then the 14
     rows-only (seeded/approximate/iterative) entries that close the
     tail by design -- attesting those would waste a slot on a weaker
     rows-only check. All post-window entries stay pinned value-level
@@ -96,6 +97,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_cdf": Q.q_table_cdf,
         "table_history": Q.q_table_history,
         "abc_classification": Q.q_abc_classification,
+        "reorder_points": Q.q_reorder_points,
+        "user_state_history": Q.q_user_state_history,
+        "abc_xyz_matrix": Q.q_abc_xyz_matrix,
         # --- (5) stalest r04-green fill to 50 -----------------------
         "key_skew_profile": Q.q_key_skew_profile,
         "incremental_hourly_merge": Q.q_incremental_hourly_merge,
@@ -110,11 +114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconcile": Q.q_reconcile,
         "reconcile_snapshots": Q.q_reconcile_snapshots,
         "discrepancy_count": Q.q_discrepancy_count,
+        # ---- end of the 50-entry attested window --------------------
+        # r04-green remainder (green row in CORRECTNESS_r04.json)
         "discrepancy_topk": Q.q_discrepancy_topk,
         "partition_prune": Q.q_partition_prune,
         "normalize_clean": Q.q_normalize_clean,
-        # ---- end of the 50-entry attested window --------------------
-        # r04-green remainder (green row in CORRECTNESS_r04.json)
         "stock_timeseries": Q.q_stock_timeseries,
         "pricing_summary": Q.q_pricing_summary,
         "top_customers": Q.q_top_customers,
@@ -2345,6 +2349,123 @@ SELECT c.sku,
             WHEN CAST(c.cum AS DOUBLE) / CAST(t.total AS DOUBLE) <= 0.95 THEN 'B'
             ELSE 'C' END AS abc_class
 FROM c CROSS JOIN tot t
+""",
+        # safety stock from exact integer sufficient statistics: the
+        # variance is the integer rational (n*SS - S^2)/(n*(n-1)); one
+        # terminal double conversion before sqrt on both sides
+        "reorder_points": """
+WITH daily AS (
+  SELECT CAST(l_partkey AS STRING) AS sku,
+         CAST(l_shipdate AS DATE) AS sale_day,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem GROUP BY 1, 2
+),
+stats AS (
+  SELECT sku,
+         CAST(COUNT(*) AS BIGINT)              AS n,
+         CAST(SUM(d) AS DECIMAL(38,0))         AS s,
+         CAST(SUM(d * d) AS DECIMAL(38,0))     AS ss
+  FROM daily GROUP BY sku
+)
+SELECT sku,
+       n AS n_days,
+       ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_daily,
+       ROUND(SQRT(CAST(CAST(n AS DECIMAL(38,0)) * ss - s * s AS DOUBLE)
+                  / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE)),
+             6) AS std_daily,
+       ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 7
+             + 1.65 * SQRT(CAST(CAST(n AS DECIMAL(38,0)) * ss - s * s AS DOUBLE)
+                           / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE))
+               * SQRT(7.0),
+             4) AS reorder_point
+FROM stats
+WHERE n >= 2
+ORDER BY sku
+""",
+        # gaps-and-islands SCD2: island id = running sum of the LAG
+        # change flag; valid_to = LEAD over the collapsed islands
+        "user_state_history": """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE user_id % 20 = 0
+),
+flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                   OR event_type <> LAG(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+grp AS (
+  SELECT user_id, ts, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM flagged
+),
+island AS (
+  SELECT user_id, g, event_type AS state,
+         MIN(ts) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM grp GROUP BY user_id, g, event_type
+)
+SELECT user_id, state, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to,
+       n_events
+FROM island
+ORDER BY user_id, valid_from
+""",
+        # two-axis inventory grid: the ABC window share crossed with
+        # the weekly-demand coefficient of variation (exact stats)
+        "abc_xyz_matrix": """
+WITH per_sku AS (
+  SELECT CAST(l_partkey AS STRING) AS sku,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(revenue) AS total FROM per_sku),
+abc AS (
+  SELECT sku,
+         CASE WHEN CAST(SUM(revenue) OVER (ORDER BY revenue DESC, sku
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / CAST(t.total AS DOUBLE) <= 0.80 THEN 'A'
+              WHEN CAST(SUM(revenue) OVER (ORDER BY revenue DESC, sku
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / CAST(t.total AS DOUBLE) <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM per_sku CROSS JOIN tot t
+),
+weekly AS (
+  SELECT CAST(l_partkey AS STRING) AS sku,
+         CAST(FLOOR(datediff('day', DATE '1992-01-01',
+                             CAST(l_shipdate AS DATE)) / 7) AS BIGINT) AS wk,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem GROUP BY 1, 2
+),
+stats AS (
+  SELECT sku,
+         CAST(COUNT(*) AS BIGINT)          AS n,
+         CAST(SUM(d) AS DECIMAL(38,0))     AS s,
+         CAST(SUM(d * d) AS DECIMAL(38,0)) AS ss
+  FROM weekly GROUP BY sku
+),
+xyz AS (
+  SELECT sku,
+         CASE WHEN n < 2 THEN 'Z'
+              WHEN SQRT(CAST(CAST(n AS DECIMAL(38,0)) * ss - s * s AS DOUBLE)
+                        / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE))
+                   / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) <= 0.5 THEN 'X'
+              WHEN SQRT(CAST(CAST(n AS DECIMAL(38,0)) * ss - s * s AS DOUBLE)
+                        / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE))
+                   / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) <= 1.0 THEN 'Y'
+              ELSE 'Z' END AS xyz_class
+  FROM stats
+)
+SELECT a.abc_class, x.xyz_class, CAST(COUNT(*) AS BIGINT) AS n_skus
+FROM abc a JOIN xyz x USING (sku)
+GROUP BY a.abc_class, x.xyz_class
+ORDER BY a.abc_class, x.xyz_class
 """,
         # per-brand OLS from exact integer sufficient statistics, in
         # the shared dialect: sums re-narrowed to DECIMAL(18,0) so

@@ -51,7 +51,11 @@ def banded_cumsum(
     centroids). ``value_col`` must be DECIMAL for exactness; the
     running total inherits it.
     """
-    banded = df.withColumn("_band", band)
+    # Persist the banded frame: it feeds BOTH the per-band totals job
+    # (collected next) and the windowed path (consumed by the caller's
+    # terminal action). Without this the whole upstream plan -- at
+    # scale, the query's biggest scan+shuffle -- runs twice.
+    banded = df.withColumn("_band", band).persist()
     w = (
         Window.partitionBy("_band")
         .orderBy(*order_cols)

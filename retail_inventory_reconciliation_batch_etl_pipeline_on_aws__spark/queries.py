@@ -4174,3 +4174,161 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
+
+
+def q_reorder_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety-stock / reorder-point calculation -- the planning query an
+    inventory-reconciliation warehouse exists to feed (the reference's
+    discrepancy marts are its input; reorder policy is its output).
+    Per sku: daily demand statistics over observed sale days, then the
+    textbook normal-approximation policy for lead time L=7 days at a
+    95% service level (z=1.65): reorder_point = mean*L + z*std*sqrt(L).
+
+    Exactness contract (the brand_trend idiom): mean and variance come
+    from integer sufficient statistics (n, S, SS) accumulated in
+    DECIMAL -- order-independent, identical across engines -- with the
+    variance as the exact integer rational (n*SS - S^2)/(n*(n-1)) and
+    ONE terminal double conversion before sqrt; every IEEE op after
+    that is deterministic, so the 4dp round hash-matches the oracle.
+
+    Scale shape: one (sku, day) pre-aggregate shuffle (map-side
+    combined), then the per-sku statistics shuffle carries three
+    numbers per (sku, day) group -- never raw line items. No window,
+    no collect; output is one row per qualifying sku.
+    """
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("sku"),
+        F.to_date("l_shipdate").alias("sale_day"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    daily = li.groupBy("sku", "sale_day").agg(F.sum("qty").alias("d"))
+    d38 = lambda c: c.cast("decimal(38,0)")
+    stats = daily.groupBy("sku").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d38(F.col("d"))).alias("s"),
+        F.sum(d38(F.col("d")) * F.col("d")).alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    mean = s.cast("double") / n.cast("double")
+    var = (d38(n) * ss - s * s).cast("double") / (
+        d38(n) * (n - 1)
+    ).cast("double")
+    std = F.sqrt(var)
+    return (
+        stats.where(n >= 2)
+        .select(
+            "sku",
+            n.alias("n_days"),
+            F.round(mean, 6).alias("mean_daily"),
+            F.round(std, 6).alias("std_daily"),
+            F.round(mean * 7 + 1.65 * std * F.sqrt(F.lit(7.0)), 4).alias(
+                "reorder_point"
+            ),
+        )
+        .orderBy("sku")
+    )
+
+
+def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build via gaps-and-islands: collapse each
+    user's event stream into runs of consecutive identical states
+    (event_type), emitting one validity interval per run --
+    ``valid_from`` = the run's first event, ``valid_to`` = the next
+    run's start (NULL for the current state). The change-data-capture
+    -> dimension-history transform every warehouse runs; distinct from
+    ``events_sessionize`` (islands break on VALUE change, not time
+    gaps) and complementary to ``operators/scd.py`` (which diffs
+    periodic SNAPSHOTS; this builds the same intervals from a raw
+    change stream).
+
+    Plan shape: island id = running SUM of a LAG-computed change flag;
+    both windows and the island groupBy partition on user_id, so the
+    whole query is ONE exchange on the natural key followed by
+    key-local work -- no global window, no skew beyond the per-user
+    event count. The final LEAD over per-user islands runs on the
+    collapsed (bounded) island set.
+    """
+    ev = fixtures.events(spark, sf_dir).where(F.col("user_id") % 20 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    grp = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("chg", chg)
+        .withColumn(
+            "g",
+            F.sum("chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    island = grp.groupBy("user_id", "g", F.col("event_type").alias("state")).agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return island.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    ).orderBy("user_id", "valid_from")
+
+
+def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ segmentation matrix -- the standard two-axis inventory
+    policy grid: revenue importance (A/B/C from the banded global
+    prefix sum, ``q_abc_classification``) crossed with demand
+    VOLATILITY (X/Y/Z from the coefficient of variation of weekly
+    demand: X = cv <= 0.5 steady, Y = cv <= 1.0 variable, Z = erratic;
+    skus with fewer than 2 sale weeks have no sample stddev and are Z
+    by convention). AX items get tight service levels, CZ items get
+    make-to-order -- this 9-cell count table is the policy input.
+
+    CV uses the same exact-sufficient-statistics contract as
+    ``q_reorder_points`` (integer n/S/SS in DECIMAL, one terminal
+    double conversion), so the class thresholds compare identical
+    doubles in both engines. The ABC side reuses the scale-safe banded
+    cumulative share; the two per-sku frames equi-join on sku and
+    collapse to at most 9 rows.
+    """
+    abc = q_abc_classification(spark, sf_dir).select("sku", "abc_class")
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("sku"),
+        F.floor(
+            F.datediff(F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date"))
+            / 7
+        )
+        .cast("long")
+        .alias("wk"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    weekly = li.groupBy("sku", "wk").agg(F.sum("qty").alias("d"))
+    d38 = lambda c: c.cast("decimal(38,0)")
+    stats = weekly.groupBy("sku").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d38(F.col("d"))).alias("s"),
+        F.sum(d38(F.col("d")) * F.col("d")).alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    cv = F.sqrt(
+        (d38(n) * ss - s * s).cast("double") / (d38(n) * (n - 1)).cast("double")
+    ) / (s.cast("double") / n.cast("double"))
+    xyz = stats.select(
+        "sku",
+        F.when(n < 2, F.lit("Z"))
+        .when(cv <= 0.5, F.lit("X"))
+        .when(cv <= 1.0, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "sku")
+        .groupBy("abc_class", "xyz_class")
+        .agg(F.count("*").alias("n_skus"))
+        .orderBy("abc_class", "xyz_class")
+    )
