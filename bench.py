@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     # round-6: the banded global prefix sum (full per-sku revenue agg +
     # per-decade cumulative windows) -- first floor this round
     "abc_classification",
+    # safety-stock policy: per-sku exact demand stats -- first floor r6
+    "reorder_points",
 ]
 
 
