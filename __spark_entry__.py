@@ -2437,9 +2437,11 @@ abc AS (
   FROM per_sku CROSS JOIN tot t
 ),
 weekly AS (
+  -- epoch-based day difference (shared dialect: Spark needs datediff's
+  -- unit unquoted, DuckDB quoted -- whole-day deltas in double are exact)
   SELECT CAST(l_partkey AS STRING) AS sku,
-         CAST(FLOOR(datediff('day', DATE '1992-01-01',
-                             CAST(l_shipdate AS DATE)) / 7) AS BIGINT) AS wk,
+         CAST(FLOOR((epoch(CAST(l_shipdate AS DATE))
+                     - epoch(DATE '1992-01-01')) / 604800) AS BIGINT) AS wk,
          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
   FROM lineitem GROUP BY 1, 2
 ),

@@ -136,6 +136,16 @@ PORTABLE = [
     "sku_sale_gaps",
     # ... and one that was portable all along, just never probed
     "join_view_merge",
+    # round-6 policy queries, written in the shared dialect from the
+    # start (ABC window/CROSS JOIN, exact DECIMAL sufficient stats,
+    # named WINDOW clause, epoch-based week index); running the
+    # abc oracles verbatim on Spark ALSO pins the banded prefix-sum
+    # against Spark's own single-partition global window, not just
+    # DuckDB's
+    "abc_classification",
+    "reorder_points",
+    "user_state_history",
+    "abc_xyz_matrix",
 ]
 
 
