@@ -45,13 +45,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (2) the 8 r03-attested overflow entries whose freshest green row
     is CORRECTNESS_r03.json; (3) the 21 round-5 additions that have
     never been driver-attested (strict-parity + pytest green);
-    (4) the 7 entries new this round (versioned-table time travel /
+    (4) the 8 entries new this round (versioned-table time travel /
     CDF / history, the banded-prefix-sum ABC classification, reorder
-    points, the SCD2 state history, and the ABC-XYZ matrix);
-    (5) 13 of the r04-green entries, stalest-first in
+    points, the SCD2 state history, the ABC-XYZ matrix, and the
+    Z-order curve key);
+    (5) 12 of the r04-green entries, stalest-first in
     list order. With this window, the union of r04+r05+r06 green rows
     covers every oracle-paired entry. Past the window: the remaining
-    36 r04-green entries, the 49 r05-green entries, then the 14
+    37 r04-green entries, the 49 r05-green entries, then the 14
     rows-only (seeded/approximate/iterative) entries that close the
     tail by design -- attesting those would waste a slot on a weaker
     rows-only check. All post-window entries stay pinned value-level
@@ -100,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reorder_points": Q.q_reorder_points,
         "user_state_history": Q.q_user_state_history,
         "abc_xyz_matrix": Q.q_abc_xyz_matrix,
+        "zorder_curve": Q.q_zorder_curve,
         # --- (5) stalest r04-green fill to 50 -----------------------
         "key_skew_profile": Q.q_key_skew_profile,
         "incremental_hourly_merge": Q.q_incremental_hourly_merge,
@@ -113,9 +115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_counts": Q.q_bigram_counts,
         "reconcile": Q.q_reconcile,
         "reconcile_snapshots": Q.q_reconcile_snapshots,
-        "discrepancy_count": Q.q_discrepancy_count,
         # ---- end of the 50-entry attested window --------------------
         # r04-green remainder (green row in CORRECTNESS_r04.json)
+        "discrepancy_count": Q.q_discrepancy_count,
         "discrepancy_topk": Q.q_discrepancy_topk,
         "partition_prune": Q.q_partition_prune,
         "normalize_clean": Q.q_normalize_clean,
@@ -2468,6 +2470,34 @@ SELECT a.abc_class, x.xyz_class, CAST(COUNT(*) AS BIGINT) AS n_skus
 FROM abc a JOIN xyz x USING (sku)
 GROUP BY a.abc_class, x.xyz_class
 ORDER BY a.abc_class, x.xyz_class
+""",
+        # Morton key: the binary-magic-numbers spread ladder written
+        # out stage by stage -- an independent SQL spelling of the
+        # engine's zvalue16 bit interleave
+        "zorder_curve": """
+WITH base AS (
+  SELECT l_orderkey,
+         CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         (l_partkey & 65535) AS x0,
+         (CAST(l_quantity AS BIGINT) & 65535) AS y0
+  FROM lineitem
+),
+s1 AS (SELECT l_orderkey, l_linenumber,
+              ((x0 | (x0 << 8)) & 16711935) AS x1,
+              ((y0 | (y0 << 8)) & 16711935) AS y1 FROM base),
+s2 AS (SELECT l_orderkey, l_linenumber,
+              ((x1 | (x1 << 4)) & 252645135) AS x2,
+              ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s1),
+s3 AS (SELECT l_orderkey, l_linenumber,
+              ((x2 | (x2 << 2)) & 858993459) AS x3,
+              ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2),
+s4 AS (SELECT l_orderkey, l_linenumber,
+              ((x3 | (x3 << 1)) & 1431655765) AS x4,
+              ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3)
+SELECT l_orderkey, l_linenumber, (x4 | (y4 << 1)) AS zval
+FROM s4
+ORDER BY zval, l_orderkey, l_linenumber
+LIMIT 100
 """,
         # per-brand OLS from exact integer sufficient statistics, in
         # the shared dialect: sums re-narrowed to DECIMAL(18,0) so

@@ -4332,3 +4332,28 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_skus"))
         .orderBy("abc_class", "xyz_class")
     )
+
+
+def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key over (l_partkey, l_quantity) -- the curve
+    that drives ``operators/layout.write_zordered``'s multi-dimensional
+    file clustering, exposed as a query so the bit-interleave math is
+    pinned value-exact against an independent SQL spelling. Top-100 by
+    key (TakeOrderedAndProject); the interleave is 10 shift/and/or ops
+    per row, all inside whole-stage codegen (see
+    ``tests/test_layout.py`` for the measured file-pruning proof the
+    layout exists for).
+    """
+    from .operators.layout import zvalue16
+
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    z = zvalue16(F.col("l_partkey"), F.col("l_quantity").cast("long"))
+    return (
+        li.select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            z.alias("zval"),
+        )
+        .orderBy("zval", "l_orderkey", "l_linenumber")
+        .limit(100)
+    )

@@ -1,0 +1,121 @@
+"""Z-order layout (operators/layout.py): curve math pinned against a
+pure-python reference, and the file-pruning claim MEASURED from real
+parquet footers rather than asserted."""
+
+from pyspark.sql import functions as F
+
+from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.layout import (
+    file_prune_fraction,
+    scale16,
+    spread16,
+    write_zordered,
+    zvalue16,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _py_spread16(v: int) -> int:
+    x = v & 0xFFFF
+    for shift, mask in [(8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)]:
+        x = (x | (x << shift)) & mask
+    return x
+
+
+def _py_z(x: int, y: int) -> int:
+    return _py_spread16(x) | (_py_spread16(y) << 1)
+
+
+def test_zvalue_matches_python_reference(spark):
+    vals = [(0, 0), (1, 0), (0, 1), (65535, 65535), (43690, 21845), (7, 300)]
+    df = spark.createDataFrame(vals, "x long, y long")
+    got = df.select(
+        "x", "y", zvalue16(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+    for r in got:
+        assert r.z == _py_z(r.x, r.y), (r.x, r.y)
+    # bit-level invariants: spreading doubles the index of every bit
+    one_bit = spark.createDataFrame(
+        [(1 << b,) for b in range(16)], "v long"
+    ).select("v", spread16(F.col("v")).alias("s"))
+    for r in one_bit.collect():
+        b = r.v.bit_length() - 1
+        assert r.s == 1 << (2 * b)
+
+
+def test_scale16_maps_domain_endpoints_and_clamps(spark):
+    df = spark.createDataFrame([(1,), (50,), (25,), (-3,), (99,)], "q long")
+    got = {
+        r.q: r.s
+        for r in df.select(
+            "q", scale16(F.col("q"), 1, 50).alias("s")
+        ).collect()
+    }
+    assert got[1] == 0
+    assert got[50] == 65535
+    assert 0 < got[25] < 65535
+    assert got[-3] == 0 and got[99] == 65535  # out-of-domain clamps
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """The reason the operator exists, measured: a partkey-sorted
+    layout prunes files only for partkey predicates (quantity
+    predicates touch EVERY file), while the scaled Morton layout
+    prunes well on BOTH dimensions, paying a bounded amount of
+    partkey sharpness. Thresholds are below measured values (0.69 /
+    0.63 / 0.63 at sf0.01, 16 files) with slack for file-boundary
+    jitter."""
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_partkey", F.col("l_quantity").cast("long").alias("qty"))
+    )
+    pk_max = li.agg(F.max("l_partkey")).first()[0]
+    lin, zd = str(tmp_path / "linear"), str(tmp_path / "zord")
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(lin)
+    )
+    write_zordered(
+        li,
+        zd,
+        scale16(F.col("l_partkey"), 0, pk_max),
+        scale16(F.col("qty"), 1, 50),
+        16,
+    )
+    # narrow-dimension predicate: linear layout cannot skip anything
+    assert file_prune_fraction(lin, "qty", 1, 6) == 0.0
+    assert file_prune_fraction(zd, "qty", 1, 6) >= 0.4
+    # wide-dimension predicate: z-order stays useful
+    assert file_prune_fraction(lin, "l_partkey", 0, pk_max // 8) >= 0.6
+    assert file_prune_fraction(zd, "l_partkey", 0, pk_max // 8) >= 0.4
+    # layout changes bytes, never rows
+    back = spark.read.parquet(zd)
+    assert back.count() == li.count()
+    assert (
+        back.groupBy().agg(F.sum("qty"), F.sum("l_partkey")).collect()
+        == li.groupBy().agg(F.sum("qty"), F.sum("l_partkey")).collect()
+    )
+
+
+def test_zorder_curve_query_is_topk(spark):
+    """The query surface stays a bounded TakeOrderedAndProject -- the
+    curve key itself never forces a global sort of the table."""
+    import contextlib
+    import io
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark import (
+        queries as Q,
+    )
+
+    df = Q.q_zorder_curve(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    assert "TakeOrderedAndProject" in buf.getvalue()
+    rows = df.collect()
+    assert len(rows) == 100
+    assert rows == sorted(
+        rows, key=lambda r: (r.zval, r.l_orderkey, r.l_linenumber)
+    )

@@ -146,6 +146,9 @@ PORTABLE = [
     "reorder_points",
     "user_state_history",
     "abc_xyz_matrix",
+    # bit operators (& | <<) parse identically on both engines; the
+    # spread-ladder CTE pins the Morton interleave 3-way
+    "zorder_curve",
 ]
 
 
