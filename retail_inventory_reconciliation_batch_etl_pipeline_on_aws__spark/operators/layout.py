@@ -84,10 +84,12 @@ def write_zordered(
     )
 
 
-def file_prune_fraction(path: str, col: str, lo, hi) -> float:
+def file_prune_fraction(path, col: str, lo, hi) -> float:
     """Fraction of data files a min/max-stats reader SKIPS for the
     predicate ``lo <= col <= hi`` -- measured from real parquet footers
     (pyarrow), the same statistics any engine's scan pruning uses.
+    ``path`` is a directory of ``part-*.parquet`` or an explicit list
+    of parquet file paths (e.g. a versioned snapshot's live file set).
     Diagnostic helper for layout tests/reports; runs driver-side over
     footers only (no data pages are read)."""
     import glob as _glob
@@ -95,7 +97,11 @@ def file_prune_fraction(path: str, col: str, lo, hi) -> float:
 
     import pyarrow.parquet as pq
 
-    files = sorted(_glob.glob(os.path.join(path, "part-*.parquet")))
+    files = (
+        sorted(path)
+        if isinstance(path, (list, tuple))
+        else sorted(_glob.glob(os.path.join(path, "part-*.parquet")))
+    )
     skipped = 0
     for f in files:
         md = pq.ParquetFile(f).metadata

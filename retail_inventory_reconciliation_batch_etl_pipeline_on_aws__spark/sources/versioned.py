@@ -173,16 +173,51 @@ def table_changes(
     return inserts.unionByName(deletes)
 
 
-def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    zorder: tuple[str, str] | None = None,
+) -> int:
     """OPTIMIZE for the versioned layer: rewrite the live snapshot into
     ``target_files`` files and publish it as a new overwrite commit --
     row-identical (pinned by test), old versions still readable until
     ``vacuum``, readers never see a half-compacted table (they hold
     either the old or the new commit, nothing between). The
     accumulated-small-files problem ``small_file_report`` diagnoses,
-    solved transactionally."""
+    solved transactionally.
+
+    ``zorder=(col_a, col_b)`` additionally rewrites the LAYOUT
+    (OPTIMIZE ZORDER BY): each dimension is fixed-point scaled onto 16
+    bits from its live min/max (two bounded scalars) and the files are
+    range-partitioned on the Morton key, so after compaction min/max
+    footer pruning works on BOTH columns (measured in
+    ``tests/test_layout.py``). Same single shuffle as the plain
+    rewrite; the curve changes which rows co-locate, not the cost."""
+    from pyspark.sql import functions as F
+
     live = read_versioned(spark, path)
-    return write_versioned(live.coalesce(target_files), path, mode="overwrite")
+    if zorder is None:
+        return write_versioned(live.coalesce(target_files), path, mode="overwrite")
+
+    from ..operators.layout import scale16, zvalue16
+
+    a, b = zorder
+    bounds = live.agg(
+        F.min(a), F.max(a), F.min(b), F.max(b)
+    ).first()  # bounded: 4 scalars
+    a_lo, a_hi, b_lo, b_hi = bounds
+    z = zvalue16(
+        scale16(F.col(a), a_lo, max(a_hi, a_lo + 1)),
+        scale16(F.col(b), b_lo, max(b_hi, b_lo + 1)),
+    )
+    laid_out = (
+        live.withColumn("_z", z)
+        .repartitionByRange(target_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    return write_versioned(laid_out, path, mode="overwrite")
 
 
 def run_stream_to_versioned(sdf: DataFrame, path: str, checkpoint_dir: str) -> None:

@@ -119,3 +119,51 @@ def test_zorder_curve_query_is_topk(spark):
     assert rows == sorted(
         rows, key=lambda r: (r.zval, r.l_orderkey, r.l_linenumber)
     )
+
+
+def test_versioned_zorder_compact_rewrites_layout(spark, tmp_path):
+    """OPTIMIZE ZORDER BY for the versioned layer: appends land in
+    arrival order (no pruning on either dimension beyond luck), one
+    zorder-compact publishes a row-identical overwrite version whose
+    live files prune on BOTH columns; the pre-compact version stays
+    time-travelable."""
+    import json
+    import os
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.versioned import (
+        compact,
+        history,
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "zopt")
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_partkey", F.col("l_quantity").cast("long").alias("qty"))
+    )
+    # 4 appended batches split by a hash -- each batch spans the full
+    # (partkey, qty) domain, so every file covers everything
+    for i in range(4):
+        write_versioned(li.where(F.col("l_partkey") % 4 == i), path)
+    before = read_versioned(spark, path).groupBy().agg(
+        F.count("*"), F.sum("qty"), F.sum("l_partkey")
+    ).collect()
+
+    v = compact(spark, path, target_files=8, zorder=("l_partkey", "qty"))
+    h = history(path)[-1]
+    assert h["version"] == v and h["mode"] == "overwrite"
+
+    live = json.load(
+        open(os.path.join(path, "commits", f"v{v:05d}.json"))
+    )["files"]
+    live_paths = [os.path.join(path, "data", f) for f in live]
+    assert file_prune_fraction(live_paths, "qty", 1, 6) >= 0.4
+    assert file_prune_fraction(live_paths, "l_partkey", 0, 200) >= 0.4
+
+    after = read_versioned(spark, path).groupBy().agg(
+        F.count("*"), F.sum("qty"), F.sum("l_partkey")
+    ).collect()
+    assert after == before
+    # pre-compact snapshot untouched
+    assert read_versioned(spark, path, v - 1).count() == after[0][0]
