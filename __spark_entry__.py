@@ -45,14 +45,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (2) the 8 r03-attested overflow entries whose freshest green row
     is CORRECTNESS_r03.json; (3) the 21 round-5 additions that have
     never been driver-attested (strict-parity + pytest green);
-    (4) the 8 entries new this round (versioned-table time travel /
+    (4) the 10 entries new this round (versioned-table time travel /
     CDF / history, the banded-prefix-sum ABC classification, reorder
-    points, the SCD2 state history, the ABC-XYZ matrix, and the
-    Z-order curve key);
-    (5) 12 of the r04-green entries, stalest-first in
+    points, the SCD2 state history, the ABC-XYZ matrix, the Z-order
+    curve key, the recursive hierarchy rollup, and the gap-fill);
+    (5) 10 of the r04-green entries, stalest-first in
     list order. With this window, the union of r04+r05+r06 green rows
     covers every oracle-paired entry. Past the window: the remaining
-    37 r04-green entries, the 49 r05-green entries, then the 14
+    39 r04-green entries, the 49 r05-green entries, then the 14
     rows-only (seeded/approximate/iterative) entries that close the
     tail by design -- attesting those would waste a slot on a weaker
     rows-only check. All post-window entries stay pinned value-level
@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_state_history": Q.q_user_state_history,
         "abc_xyz_matrix": Q.q_abc_xyz_matrix,
         "zorder_curve": Q.q_zorder_curve,
+        "part_hierarchy_rollup": Q.q_part_hierarchy_rollup,
+        "stock_gap_fill": Q.q_stock_gap_fill,
         # --- (5) stalest r04-green fill to 50 -----------------------
         "key_skew_profile": Q.q_key_skew_profile,
         "incremental_hourly_merge": Q.q_incremental_hourly_merge,
@@ -113,10 +115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_journey": Q.q_user_journey,
         "sku_sales_anomaly": Q.q_sku_sales_anomaly,
         "bigram_counts": Q.q_bigram_counts,
-        "reconcile": Q.q_reconcile,
-        "reconcile_snapshots": Q.q_reconcile_snapshots,
         # ---- end of the 50-entry attested window --------------------
         # r04-green remainder (green row in CORRECTNESS_r04.json)
+        "reconcile": Q.q_reconcile,
+        "reconcile_snapshots": Q.q_reconcile_snapshots,
         "discrepancy_count": Q.q_discrepancy_count,
         "discrepancy_topk": Q.q_discrepancy_topk,
         "partition_prune": Q.q_partition_prune,
@@ -2498,6 +2500,62 @@ SELECT l_orderkey, l_linenumber, (x4 | (y4 << 1)) AS zval
 FROM s4
 ORDER BY zval, l_orderkey, l_linenumber
 LIMIT 100
+""",
+        # the declarative spelling of the engine's iterative
+        # transitive-closure loop: a native recursive CTE walks each
+        # part to its decimal-hierarchy root
+        "part_hierarchy_rollup": """
+WITH RECURSIVE anc AS (
+  SELECT p_partkey AS p, p_partkey AS cur FROM part
+  UNION ALL
+  SELECT p, CAST(FLOOR(cur / 10) AS BIGINT) FROM anc WHERE cur >= 10
+),
+roots AS (
+  SELECT p, cur AS root,
+         CAST(LENGTH(CAST(p AS STRING)) - 1 AS BIGINT) AS depth
+  FROM anc WHERE cur < 10
+)
+SELECT r.root,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(MAX(r.depth) AS BIGINT) AS max_depth,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+FROM lineitem l JOIN roots r ON l.l_partkey = r.p
+GROUP BY r.root
+ORDER BY r.root
+""",
+        # calendar-spine densification + forward fill (last_value
+        # IGNORE NULLS over the sku-local window)
+        "stock_gap_fill": """
+WITH li AS (
+  SELECT CAST(l_partkey AS STRING) AS sku,
+         CAST(l_shipdate AS DATE) AS day,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_partkey % 500 = 0 AND year(l_shipdate) = 1995
+),
+daily AS (
+  SELECT sku, day, CAST(SUM(qty) AS BIGINT) AS qty
+  FROM li GROUP BY 1, 2
+),
+spine AS (
+  SELECT CAST(gs AS DATE) AS day
+  FROM generate_series(DATE '1995-01-01', DATE '1995-12-31',
+                       INTERVAL 1 DAY) t(gs)
+),
+dense AS (
+  SELECT s.sku, sp.day
+  FROM (SELECT DISTINCT sku FROM daily) s CROSS JOIN spine sp
+)
+SELECT d.sku, d.day,
+       (dl.qty IS NOT NULL) AS observed,
+       LAST_VALUE(dl.qty IGNORE NULLS)
+         OVER (PARTITION BY d.sku ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS qty_filled
+FROM dense d
+LEFT JOIN daily dl ON d.sku = dl.sku AND d.day = dl.day
+ORDER BY d.sku, d.day
 """,
         # per-brand OLS from exact integer sufficient statistics, in
         # the shared dialect: sums re-narrowed to DECIMAL(18,0) so

@@ -4357,3 +4357,111 @@ def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zval", "l_orderkey", "l_linenumber")
         .limit(100)
     )
+
+
+def q_part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy traversal + rollup -- the BOM-explosion / org-chart
+    shape SQL expresses with WITH RECURSIVE and Spark has no operator
+    for: every part belongs to a synthetic decimal hierarchy
+    (parent(p) = p DIV 10, roots are the single-digit keys), and
+    revenue rolls up to each part's ROOT ancestor.
+
+    The Spark side is the iterative transitive-closure loop: the
+    (part, current-ancestor, depth) frame self-improves by joining
+    current-ancestor to its parent until every chain hits a root --
+    O(max_depth) rounds (= digits of the largest key, ~7 at any SF),
+    each ONE broadcast-able join on integer keys, localCheckpoint-ed
+    per round like ``connected_components``/``pagerank`` so lineage
+    stays flat. The oracle is DuckDB's native recursive CTE -- the
+    declarative spelling of the same fixpoint, pinning the loop
+    value-exact. All arithmetic integer/DECIMAL until the terminal
+    revenue cast.
+    """
+    part = fixtures.load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("p")
+    )
+    state = part.select("p", F.col("p").alias("cur"))
+    # fixpoint: advance every non-root chain one level per round (the
+    # ancestor is the loop state; depth falls out of the digit length
+    # exactly -- integer, engine-agnostic, no float log10)
+    for _ in range(8):  # 8 decimal digits covers p_partkey at any SF
+        nxt = state.withColumn(
+            "cur",
+            F.when(
+                # `div` = exact BIGINT floor division (no double detour)
+                F.col("cur") >= 10, F.expr("cur div 10")
+            ).otherwise(F.col("cur")),
+        )
+        state = nxt.localCheckpoint(eager=True)
+    roots = state.select(
+        "p",
+        F.col("cur").alias("root"),
+        (F.length(F.col("p").cast("string")) - 1).cast("long").alias("depth"),
+    )
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("long").alias("p"),
+        _dec("l_extendedprice").alias("rev"),
+    )
+    return (
+        li.join(roots, "p")
+        .groupBy("root")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.max("depth").cast("long").alias("max_depth"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        .orderBy("root")
+    )
+
+
+def q_stock_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification + forward fill: the observed per-sku
+    daily quantities are joined onto a COMPLETE 1995 calendar spine
+    (cross join with a 365-row generated dimension -- the densified
+    grain is the product, intrinsic to the ask) and missing days carry
+    the last observed value forward (``last(ignorenulls)`` over a
+    sku-partitioned window; days before the first observation stay
+    NULL). The gap-filling idiom every stock/metric dashboard needs --
+    ``sku_sale_gaps`` measures the holes, this FILLS them.
+
+    Scale: the spine is 365 literal rows (broadcast side of the cross
+    join); the window partitions on sku, so fill work is key-local.
+    """
+    li = (
+        fixtures.load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_partkey") % 500 == 0)
+            & (F.year("l_shipdate") == 1995)
+        )
+        .select(
+            F.col("l_partkey").cast("string").alias("sku"),
+            F.to_date("l_shipdate").alias("day"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    daily = li.groupBy("sku", "day").agg(F.sum("qty").alias("qty"))
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-12-31").cast("date"),
+            )
+        ).alias("day")
+    )
+    skus = daily.select("sku").distinct()
+    dense = skus.crossJoin(F.broadcast(spine))
+    w = (
+        Window.partitionBy("sku")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dense.join(daily, ["sku", "day"], "left")
+        .select(
+            "sku",
+            "day",
+            F.col("qty").isNotNull().alias("observed"),
+            F.last("qty", ignorenulls=True).over(w).alias("qty_filled"),
+        )
+        .orderBy("sku", "day")
+    )

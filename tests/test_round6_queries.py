@@ -112,3 +112,50 @@ def test_abc_xyz_matrix_partitions_the_catalog(spark):
         .count()
     )
     assert sum(r.n_skus for r in rows) == n_skus
+
+
+def test_hierarchy_rollup_roots_and_totals(spark):
+    """Roots are the single-digit keys, every part rolls to its first
+    decimal digit, and the rollup conserves total revenue."""
+    rows = Q.q_part_hierarchy_rollup(spark, SF).collect()
+    assert rows
+    assert all(0 <= r.root <= 9 for r in rows)  # partkeys start at 0 here
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans import (
+        fixtures,
+    )
+
+    li = fixtures.load(spark, SF, "lineitem")
+    total = li.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    ).first()[0]
+    assert abs(sum(r.revenue for r in rows) - float(total)) < 1e-4
+    assert sum(r.n_lines for r in rows) == li.count()
+    # single-digit roots that only appear as themselves have depth 0;
+    # multi-digit chains give their root a positive max depth
+    assert all(r.max_depth >= 0 for r in rows)
+    assert max(r.max_depth for r in rows) >= 2  # real multi-level chains
+
+
+def test_gap_fill_densifies_and_carries_forward(spark):
+    """Every sku gets all 365 spine days; filled values only change on
+    observed days; before the first observation the fill is NULL."""
+    rows = Q.q_stock_gap_fill(spark, SF).collect()
+    by_sku = defaultdict(list)
+    for r in rows:
+        by_sku[r.sku].append(r)
+    assert by_sku
+    for sku, days in by_sku.items():
+        assert len(days) == 365
+        days.sort(key=lambda r: r.day)
+        last = None
+        seen_first = False
+        for r in days:
+            if r.observed:
+                seen_first = True
+                last = r.qty_filled
+                assert r.qty_filled is not None
+            elif seen_first:
+                assert r.qty_filled == last  # carried forward unchanged
+            else:
+                assert r.qty_filled is None  # before first observation

@@ -149,6 +149,11 @@ PORTABLE = [
     # bit operators (& | <<) parse identically on both engines; the
     # spread-ladder CTE pins the Morton interleave 3-way
     "zorder_curve",
+    # WITH RECURSIVE parses natively on Spark 4 -- the declarative
+    # fixpoint runs verbatim on BOTH engines against the iterative
+    # localCheckpoint loop (stock_gap_fill stays DuckDB-side: its
+    # generate_series/unnest spine is a table function, not shimmable)
+    "part_hierarchy_rollup",
 ]
 
 
