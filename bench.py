@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "abc_classification",
     # safety-stock policy: per-sku exact demand stats -- first floor r6
     "reorder_points",
+    # iterative transitive-closure loop (8 localCheckpoint rounds) and
+    # spine densification + forward fill -- first floors r6
+    "part_hierarchy_rollup",
+    "stock_gap_fill",
 ]
 
 
