@@ -2414,11 +2414,13 @@ island AS (
   FROM grp GROUP BY user_id, g, event_type
 )
 SELECT user_id, state, valid_from,
-       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+       -- g breaks valid_from ties (two same-ts events of different
+       -- types make two islands sharing a valid_from)
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, g)
          AS valid_to,
        n_events
 FROM island
-ORDER BY user_id, valid_from
+ORDER BY user_id, valid_from, state
 """,
         # two-axis inventory grid: the ABC window share crossed with
         # the weekly-demand coefficient of variation (exact stats)

@@ -54,7 +54,10 @@ def banded_cumsum(
     # Persist the banded frame: it feeds BOTH the per-band totals job
     # (collected next) and the windowed path (consumed by the caller's
     # terminal action). Without this the whole upstream plan -- at
-    # scale, the query's biggest scan+shuffle -- runs twice.
+    # scale, the query's biggest scan+shuffle -- runs twice. The
+    # persist is intentionally left for Spark's CacheManager/LRU to
+    # reclaim: unpersisting after the totals collect would re-run the
+    # upstream plan for the window path, defeating the point.
     banded = df.withColumn("_band", band).persist()
     w = (
         Window.partitionBy("_band")
@@ -65,8 +68,17 @@ def banded_cumsum(
 
     totals = sorted(
         banded.groupBy("_band").agg(F.sum(value_col).alias("t")).collect(),
-        key=lambda r: r["_band"],
+        key=lambda r: (r["_band"] is None, r["_band"]),
     )  # bounded: one row per band
+    if totals and totals[-1]["_band"] is None:
+        # a NULL band breaks the contract silently (the inner join
+        # below would drop those rows) -- fail loudly instead; the
+        # caller's band function must be total (e.g. map non-positive
+        # values to a dedicated band, as q_abc_classification does)
+        raise ValueError(
+            "band expression evaluated to NULL for some rows; "
+            "the band function must be total over the input domain"
+        )
     offsets, acc = [], Decimal(0)
     for r in totals:
         offsets.append((r["_band"], acc))

@@ -4157,7 +4157,19 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_sku = li.groupBy("sku").agg(F.sum("rev").alias("revenue"))
     # descending-revenue order; band = negated revenue decade so band
     # k's rows all sort before band k+1's (ties stay in one band)
-    band = (-F.floor(F.log10(F.col("revenue").cast("double")))).cast("int")
+    # the band function must be TOTAL (banded_cumsum raises on NULL):
+    # log10 is NULL for revenue <= 0 (possible with refund/credit
+    # lines in non-TPC-H data), so zero revenue gets its own band and
+    # negatives band by -log10(|r|) NEGATED AGAIN so that within the
+    # negative range, closer-to-zero (which sorts first desc) lands in
+    # the lower band -- monotone across the whole domain:
+    # positives (-k..m) < zero (100000) < negatives (200000-j..)
+    rev_d = F.col("revenue").cast("double")
+    band = (
+        F.when(rev_d > 0, -F.floor(F.log10(rev_d)))
+        .when(rev_d == 0, F.lit(100000))
+        .otherwise(F.lit(200000) + F.floor(F.log10(-rev_d)))
+    ).cast("int")
     cum, total = banded_cumsum(
         per_sku,
         "revenue",
@@ -4174,6 +4186,29 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
+
+
+def _exact_demand_stats(grain: DataFrame, key: str = "sku", val: str = "d"):
+    """Shared exactness contract of the inventory-policy queries
+    (reorder_points, abc_xyz_matrix): per-key integer sufficient
+    statistics (n, S, SS) accumulated in DECIMAL -- order-independent,
+    identical across engines -- and the mean / sample-variance
+    expressions over them as the exact rationals S/n and
+    (n*SS - S^2)/(n*(n-1)) with ONE terminal double conversion each.
+    Returns (stats_frame, mean_col, var_col); callers filter n >= 2
+    before touching var."""
+    d38 = lambda c: c.cast("decimal(38,0)")
+    stats = grain.groupBy(key).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d38(F.col(val))).alias("s"),
+        F.sum(d38(F.col(val)) * F.col(val)).alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    mean = s.cast("double") / n.cast("double")
+    var = (d38(n) * ss - s * s).cast("double") / (
+        d38(n) * (n - 1)
+    ).cast("double")
+    return stats, mean, var
 
 
 def q_reorder_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4202,17 +4237,8 @@ def q_reorder_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("qty"),
     )
     daily = li.groupBy("sku", "sale_day").agg(F.sum("qty").alias("d"))
-    d38 = lambda c: c.cast("decimal(38,0)")
-    stats = daily.groupBy("sku").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(d38(F.col("d"))).alias("s"),
-        F.sum(d38(F.col("d")) * F.col("d")).alias("ss"),
-    )
-    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
-    mean = s.cast("double") / n.cast("double")
-    var = (d38(n) * ss - s * s).cast("double") / (
-        d38(n) * (n - 1)
-    ).cast("double")
+    stats, mean, var = _exact_demand_stats(daily)
+    n = F.col("n")
     std = F.sqrt(var)
     return (
         stats.where(n >= 2)
@@ -4269,14 +4295,18 @@ def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("valid_from"),
         F.count("*").cast("long").alias("n_events"),
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    # g (the island id) breaks valid_from ties deterministically: two
+    # same-ts events of different types make two islands sharing a
+    # valid_from, and without g the LEAD assignment would be
+    # engine-dependent
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "g")
     return island.select(
         "user_id",
         "state",
         "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"),
         "n_events",
-    ).orderBy("user_id", "valid_from")
+    ).orderBy("user_id", "valid_from", "state")
 
 
 def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4308,16 +4338,9 @@ def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("qty"),
     )
     weekly = li.groupBy("sku", "wk").agg(F.sum("qty").alias("d"))
-    d38 = lambda c: c.cast("decimal(38,0)")
-    stats = weekly.groupBy("sku").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(d38(F.col("d"))).alias("s"),
-        F.sum(d38(F.col("d")) * F.col("d")).alias("ss"),
-    )
-    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
-    cv = F.sqrt(
-        (d38(n) * ss - s * s).cast("double") / (d38(n) * (n - 1)).cast("double")
-    ) / (s.cast("double") / n.cast("double"))
+    stats, mean, var = _exact_demand_stats(weekly)
+    n = F.col("n")
+    cv = F.sqrt(var) / mean
     xyz = stats.select(
         "sku",
         F.when(n < 2, F.lit("Z"))

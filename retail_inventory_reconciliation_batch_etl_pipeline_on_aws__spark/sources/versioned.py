@@ -207,6 +207,14 @@ def compact(
         F.min(a), F.max(a), F.min(b), F.max(b)
     ).first()  # bounded: 4 scalars
     a_lo, a_hi, b_lo, b_hi = bounds
+    if any(v is None for v in bounds):
+        # an all-NULL dimension (or an empty snapshot) has no layout
+        # to optimize -- fail loudly rather than TypeError below; the
+        # caller can re-run without zorder for a plain rewrite
+        raise ValueError(
+            f"zorder columns ({a!r}, {b!r}) have no non-NULL values "
+            "in the live snapshot; run compact() without zorder"
+        )
     z = zvalue16(
         scale16(F.col(a), a_lo, max(a_hi, a_lo + 1)),
         scale16(F.col(b), b_lo, max(b_hi, b_lo + 1)),

@@ -94,3 +94,48 @@ def test_abc_classes_partition_the_catalog(spark):
     # classes are contiguous in share order: A... then B... then C
     labels = "".join(r.abc_class for r in by_share)
     assert "BA" not in labels and "CA" not in labels and "CB" not in labels
+
+
+def test_banded_cumsum_rejects_null_band(spark):
+    """A band function that is not total (NULL for some rows) must fail
+    loudly -- silently dropping those rows via the band join would
+    corrupt the running total."""
+    import pytest
+
+    df = _frame(spark, [("a", Decimal("3.00")), ("b", Decimal("0.00"))])
+    band = F.when(F.col("v") > 0, 0)  # NULL for v == 0
+    with pytest.raises(ValueError, match="NULL"):
+        banded_cumsum(df, "v", [F.col("v").desc()], band)
+
+
+def test_abc_band_is_total_on_nonpositive_revenue(spark):
+    """The query's band function maps zero and negative revenue to
+    dedicated monotone bands instead of NULL (log10 domain)."""
+    from decimal import Decimal as D
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.prefix import (
+        banded_cumsum as bc,
+    )
+
+    rows = [
+        ("a", D("900.00")),
+        ("b", D("0.50")),
+        ("z", D("0.00")),
+        ("n1", D("-0.75")),
+        ("n2", D("-80.00")),
+    ]
+    df = _frame(spark, rows)
+    rev_d = F.col("v").cast("double")
+    band = (
+        F.when(rev_d > 0, -F.floor(F.log10(rev_d)))
+        .when(rev_d == 0, F.lit(100000))
+        .otherwise(F.lit(200000) + F.floor(F.log10(-rev_d)))
+    ).cast("int")
+    got, total = bc(df, "v", [F.col("v").desc(), F.col("k").asc()], band)
+    w = Window.orderBy(F.col("v").desc(), F.col("k").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert sorted((r.k, r.cum) for r in got.collect()) == sorted(
+        (r.k, r.cum) for r in want.collect()
+    )

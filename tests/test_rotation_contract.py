@@ -32,3 +32,36 @@ def test_window_is_exactly_full():
 def test_artifacts_are_readable_and_nonempty():
     green = last_green()
     assert len(green) >= 50  # at least one full driver round recorded
+
+
+def test_red_pinned_entry_is_exempt_from_staleness_inversion(tmp_path):
+    """An entry whose LAST driver verdict was red is correctly pinned
+    at the window front even if its last GREEN round is fresher than
+    an outside entry's (the lm_score precedent)."""
+    import json
+
+    from tools.rotation_check import check
+
+    def art(rnd, rows):
+        (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(
+            json.dumps(
+                {
+                    q: {
+                        "rows_match": True,
+                        "schema_match": True,
+                        "hash_match": ok,
+                    }
+                    for q, ok in rows.items()
+                }
+            )
+        )
+
+    # x: green in r06, red in r07 (front-pinned for r08);
+    # y: green only in r05, sits OUTSIDE the window.
+    art(5, {"y": True})
+    art(6, {"x": True})
+    art(7, {"x": False})
+    queries = ["x"] + [f"f{i}" for i in range(49)] + ["y"]
+    paired = set(queries)
+    problems = check(queries, paired, repo=str(tmp_path))
+    assert not [p for p in problems if p.startswith("x:")], problems

@@ -30,11 +30,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
 
-def last_green(repo: str = REPO) -> dict[str, int]:
-    """query name -> highest round with a fully-green row (rows+schema+
-    hash for oracle-paired entries; rows-only rows count too -- the
-    driver records what it can)."""
-    out: dict[str, int] = {}
+def last_attested(repo: str = REPO) -> tuple[dict[str, int], dict[str, int]]:
+    """(last_green, last_red): query name -> highest round with a
+    fully-green row (rows+schema+hash for oracle-paired entries;
+    rows-only rows count too -- the driver records what it can) and
+    highest round with a red row."""
+    green: dict[str, int] = {}
+    red: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(path)[13:-5])
         try:
@@ -47,14 +49,18 @@ def last_green(repo: str = REPO) -> dict[str, int]:
             ok = row.get("rows_match") and row.get("schema_match") is not False and (
                 row.get("hash_match") is not False
             )
-            if ok:
-                out[q] = max(out.get(q, -1), rnd)
-    return out
+            (green if ok else red)[q] = max((green if ok else red).get(q, -1), rnd)
+    return green, red
+
+
+def last_green(repo: str = REPO) -> dict[str, int]:
+    """Back-compat wrapper: just the green map."""
+    return last_attested(repo)[0]
 
 
 def check(queries: list[str], oracle_paired: set[str], repo: str = REPO) -> list[str]:
     """Returns a list of violations (empty == rotation contract holds)."""
-    green = last_green(repo)
+    green, red = last_attested(repo)
     window = queries[:WINDOW]
     window_set = set(window)
     problems: list[str] = []
@@ -67,11 +73,18 @@ def check(queries: list[str], oracle_paired: set[str], repo: str = REPO) -> list
             )
 
     # staleness inversion: something outside is staler than the
-    # freshest windowed entry that has ever been green
+    # freshest windowed entry that has ever been green -- EXCEPT an
+    # entry whose most recent attestation was RED: those are correctly
+    # pinned at the front regardless of when they were last green (the
+    # lm_score precedent; the module docstring's rule 2 exception)
     if paired_outside:
         oldest_outside = min(green.get(q, -1) for q in paired_outside)
         for q in window:
-            if q in oracle_paired and green.get(q, -1) > oldest_outside:
+            if q not in oracle_paired:
+                continue
+            if red.get(q, -1) >= green.get(q, -1):
+                continue  # last driver verdict was red: front-pin is correct
+            if green.get(q, -1) > oldest_outside:
                 problems.append(
                     f"{q}: green in r{green[q]} yet windowed ahead of an entry "
                     f"last green in r{oldest_outside}"
