@@ -4390,15 +4390,18 @@ def q_part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue rolls up to each part's ROOT ancestor.
 
     The Spark side is the iterative transitive-closure loop: the
-    (part, current-ancestor, depth) frame self-improves by joining
-    current-ancestor to its parent until every chain hits a root --
-    O(max_depth) rounds (= digits of the largest key, ~7 at any SF),
-    each ONE broadcast-able join on integer keys, localCheckpoint-ed
-    per round like ``connected_components``/``pagerank`` so lineage
-    stays flat. The oracle is DuckDB's native recursive CTE -- the
-    declarative spelling of the same fixpoint, pinning the loop
-    value-exact. All arithmetic integer/DECIMAL until the terminal
-    revenue cast.
+    (part, current-ancestor) frame advances one level per round until
+    every chain hits a root -- O(max_depth) rounds (= digits of the
+    largest key, ~7 at any SF), localCheckpoint-ed per round like
+    ``connected_components``/``pagerank`` so lineage stays flat. With
+    this synthetic hierarchy the parent is COMPUTABLE (``cur div 10``),
+    so each round is a narrow projection; against a stored parent-
+    pointer edge table the same loop shape becomes one broadcast-able
+    integer-key join per round, which is what the localCheckpoint
+    discipline is budgeted for. The oracle is DuckDB's native
+    recursive CTE -- the declarative spelling of the same fixpoint,
+    pinning the loop value-exact. All arithmetic integer/DECIMAL until
+    the terminal revenue cast.
     """
     part = fixtures.load(spark, sf_dir, "part").select(
         F.col("p_partkey").cast("long").alias("p")
