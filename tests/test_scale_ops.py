@@ -1211,3 +1211,59 @@ def test_salting_measurably_levels_partition_load(spark):
     assert skewed["max_over_mean"] > 5, skewed           # hot key owns a partition
     assert salted["max_over_mean"] < 2, salted           # leveled
     assert salted["max_over_mean"] * 3 < skewed["max_over_mean"]
+
+
+def test_runtime_bloom_filter_fires_at_scale(spark):
+    """Runtime bloom-filter join pruning (the semi-join pushdown that
+    matters on a 100 TB fact scan): a selective dim filter gets
+    compiled into a bloom_filter_agg on the build side and a
+    might_contain pre-filter on the fact side, so most fact rows die
+    BEFORE the shuffle. Spark only injects it when the application-side
+    scan is big enough to pay for the filter (10 GB default) -- never
+    true at test SF -- so the test lowers the threshold to emulate the
+    at-scale decision and pins (a) the session keeps the feature
+    enabled and (b) the injection actually happens on our fact-dim
+    join shape."""
+    import contextlib
+    import io
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    # sf0.1: the fact scan must clear even the LOWERED threshold for
+    # the injection cost model to say yes (sf0.01's scan is too small)
+    sf = "/root/testdata/sf0.1"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join regime (at 100 TB the dim outgrows
+        # broadcast) and emulate an at-scale fact scan
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "1MB",
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain()
+        plan = buf.getvalue()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        # and the result is unchanged by the pre-filter
+        assert j.collect()[0]["count"] == li.join(
+            F.broadcast(orders), li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
