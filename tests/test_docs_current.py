@@ -1,0 +1,32 @@
+"""Generated docs must match the code they index -- a stale committed
+QUERIES.md once claimed 146 entries while the surface had 152 (the
+generator printed to stdout and two runs piped it to /dev/null)."""
+
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_queries_md_matches_regeneration():
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import gen_queries_md
+
+    with open(os.path.join(REPO, "QUERIES.md")) as f:
+        committed = f.read()
+    assert committed == gen_queries_md.render(), (
+        "QUERIES.md is stale -- run: python tools/gen_queries_md.py"
+    )
+
+
+def test_readme_counts_match_surface():
+    import __spark_entry__ as entry
+
+    n = len(entry.queries())
+    paired = len(entry.oracle_sql())
+    with open(os.path.join(REPO, "README.md")) as f:
+        readme = f.read()
+    assert f"{n} `queries()` entries ({paired} DuckDB-oracle-paired" in readme, (
+        f"README.md counts drifted from the actual surface ({n}/{paired})"
+    )
