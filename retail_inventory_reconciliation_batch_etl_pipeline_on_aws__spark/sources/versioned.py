@@ -228,6 +228,92 @@ def compact(
     return write_versioned(laid_out, path, mode="overwrite")
 
 
+def delete_where(spark: SparkSession, path: str, condition) -> tuple[int, int]:
+    """Row-level DELETE as copy-on-write, rewriting ONLY touched files:
+    the live snapshot is scanned once with file identity attached
+    (``input_file_name``), files containing at least one matching row
+    are rewritten without those rows, and the new commit references the
+    untouched files UNCHANGED plus the rewrites -- the Delta/Iceberg
+    DELETE shape. On a z-ordered table a selective predicate touches
+    few files (measured in ``tests/test_layout.py``), so the rewrite
+    cost tracks the data deleted, not the table size. Readers hold
+    either commit, never a half-deleted table; old versions stay
+    time-travelable until ``vacuum``.
+
+    Returns ``(new_version, n_files_rewritten)``. ``condition`` is a
+    Column predicate selecting the rows to DELETE.
+    """
+    from pyspark.sql import functions as F
+
+    v = latest_version(path)
+    cp = os.path.join(path, "commits", f"v{v:05d}.json")
+    files = _load_commit(cp)["files"]
+    data_dir = os.path.join(path, "data")
+
+    tagged = spark.read.parquet(
+        *[os.path.join(data_dir, f) for f in files]
+    ).withColumn("_file", F.input_file_name())
+    touched_paths = {
+        r["_file"]
+        for r in tagged.where(condition).select("_file").distinct().collect()
+    }  # bounded: one row per touched FILE, never per row
+    touched = {os.path.basename(p) for p in touched_paths}
+    if not touched:
+        return v, 0  # nothing matches: no new commit needed
+
+    survivors = (
+        tagged.where(
+            F.col("_file").isin(list(touched_paths)) & ~condition
+        ).drop("_file")
+    )
+    # stage the rewrites exactly like write_versioned, then publish a
+    # commit that splices untouched + rewritten file lists
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    survivors.repartition(max(1, len(touched))).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    new_files = []
+    for pf in sorted(_glob.glob(os.path.join(staging, "part-*.parquet"))):
+        name = f"{uuid.uuid4().hex}.parquet"
+        os.replace(pf, os.path.join(data_dir, name))
+        new_files.append(name)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    commits_dir = os.path.join(path, "commits")
+    while True:
+        parent = latest_version(path)
+        parent_files = _load_commit(
+            os.path.join(commits_dir, f"v{parent:05d}.json")
+        )["files"]
+        if not touched <= set(parent_files):
+            # a racing commit rewrote/removed files we read: splicing
+            # would resurrect or double-delete rows -- serializable
+            # semantics require the caller to re-run against the new
+            # snapshot (Delta raises ConcurrentDeleteReadException here)
+            raise RuntimeError(
+                "concurrent modification: files read by this DELETE were "
+                "replaced by another commit; re-run delete_where()"
+            )
+        keep = [f for f in parent_files if f not in touched]
+        version = parent + 1
+        commit = {
+            "version": version,
+            "parent": parent,
+            "mode": "delete",
+            "files": keep + new_files,
+        }
+        try:
+            fd = os.open(
+                os.path.join(commits_dir, f"v{version:05d}.json"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue  # lost the CAS race: retry against the new parent
+        with os.fdopen(fd, "w") as f:
+            json.dump(commit, f)
+        return version, len(touched)
+
+
 def run_stream_to_versioned(sdf: DataFrame, path: str, checkpoint_dir: str) -> None:
     """Exactly-once streaming append into the versioned table: each
     micro-batch becomes one commit CARRYING ITS BATCH ID, and a batch

@@ -167,3 +167,74 @@ def test_versioned_zorder_compact_rewrites_layout(spark, tmp_path):
     assert after == before
     # pre-compact snapshot untouched
     assert read_versioned(spark, path, v - 1).count() == after[0][0]
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    """Copy-on-write DELETE composed with the z-order layout: a
+    selective two-sided predicate touches only the files whose z-range
+    intersects it, so most live files survive BY NAME into the new
+    commit; the change feed between the two versions is exactly the
+    deleted rows; old version still time-travelable."""
+    import json
+    import os
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.versioned import (
+        compact,
+        delete_where,
+        read_versioned,
+        table_changes,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "del")
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_partkey", F.col("l_quantity").cast("long").alias("qty"))
+    )
+    write_versioned(li, path)
+    v_opt = compact(spark, path, target_files=16, zorder=("l_partkey", "qty"))
+
+    cond = (F.col("qty") <= 3) & (F.col("l_partkey") <= 200)
+    n_match = read_versioned(spark, path).where(cond).count()
+    assert n_match > 0
+    before_files = set(
+        json.load(open(os.path.join(path, "commits", f"v{v_opt:05d}.json")))["files"]
+    )
+
+    v_new, n_rewritten = delete_where(spark, path, cond)
+    after_files = set(
+        json.load(open(os.path.join(path, "commits", f"v{v_new:05d}.json")))["files"]
+    )
+    # the layout makes the predicate touch a strict minority of files,
+    # and every untouched file survives by NAME (no pointless rewrite)
+    assert 0 < n_rewritten < len(before_files) / 2
+    assert len(before_files & after_files) == len(before_files) - n_rewritten
+
+    new = read_versioned(spark, path)
+    assert new.where(cond).count() == 0
+    assert new.count() == read_versioned(spark, path, v_opt).count() - n_match
+    # CDF: exactly the deleted rows, all tagged delete
+    diff = table_changes(spark, path, v_opt, v_new)
+    assert diff.where(F.col("_change") == "insert").count() == 0
+    # content identity diff collapses duplicates; compare distinct sets
+    assert (
+        diff.where(F.col("_change") == "delete").select("l_partkey", "qty").distinct().count()
+        == read_versioned(spark, path, v_opt).where(cond).select("l_partkey", "qty").distinct().count()
+    )
+
+
+def test_delete_where_no_match_is_noop(spark, tmp_path):
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.versioned import (
+        delete_where,
+        latest_version,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "noop")
+    write_versioned(
+        spark.range(10).select(F.col("id").alias("v")), path
+    )
+    v0 = latest_version(path)
+    v, n = delete_where(spark, path, F.col("v") > 100)
+    assert (v, n) == (v0, 0)
+    assert latest_version(path) == v0  # no empty commit published
