@@ -228,21 +228,16 @@ def compact(
     return write_versioned(laid_out, path, mode="overwrite")
 
 
-def delete_where(spark: SparkSession, path: str, condition) -> tuple[int, int]:
-    """Row-level DELETE as copy-on-write, rewriting ONLY touched files:
-    the live snapshot is scanned once with file identity attached
-    (``input_file_name``), files containing at least one matching row
-    are rewritten without those rows, and the new commit references the
-    untouched files UNCHANGED plus the rewrites -- the Delta/Iceberg
-    DELETE shape. On a z-ordered table a selective predicate touches
-    few files (measured in ``tests/test_layout.py``), so the rewrite
-    cost tracks the data deleted, not the table size. Readers hold
-    either commit, never a half-deleted table; old versions stay
-    time-travelable until ``vacuum``.
-
-    Returns ``(new_version, n_files_rewritten)``. ``condition`` is a
-    Column predicate selecting the rows to DELETE.
-    """
+def _rewrite_touched(
+    spark: SparkSession, path: str, condition, transform, mode: str
+) -> tuple[int, int]:
+    """Shared copy-on-write core of row-level DELETE/UPDATE: tag the
+    live snapshot with file identity, find the files containing
+    matching rows (bounded per-FILE collect), apply ``transform`` to
+    the touched files' rows, and publish a commit splicing the
+    untouched files in BY NAME. Conflict rule: if a racing commit
+    replaced any file this operation read, refuse to publish
+    (serializable semantics; Delta's ConcurrentDeleteReadException)."""
     from pyspark.sql import functions as F
 
     v = latest_version(path)
@@ -261,15 +256,13 @@ def delete_where(spark: SparkSession, path: str, condition) -> tuple[int, int]:
     if not touched:
         return v, 0  # nothing matches: no new commit needed
 
-    survivors = (
-        tagged.where(
-            F.col("_file").isin(list(touched_paths)) & ~condition
-        ).drop("_file")
-    )
+    rewritten = transform(
+        tagged.where(F.col("_file").isin(list(touched_paths)))
+    ).drop("_file")
     # stage the rewrites exactly like write_versioned, then publish a
     # commit that splices untouched + rewritten file lists
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
-    survivors.repartition(max(1, len(touched))).write.mode(
+    rewritten.repartition(max(1, len(touched))).write.mode(
         "overwrite"
     ).parquet(staging)
     new_files = []
@@ -286,20 +279,17 @@ def delete_where(spark: SparkSession, path: str, condition) -> tuple[int, int]:
             os.path.join(commits_dir, f"v{parent:05d}.json")
         )["files"]
         if not touched <= set(parent_files):
-            # a racing commit rewrote/removed files we read: splicing
-            # would resurrect or double-delete rows -- serializable
-            # semantics require the caller to re-run against the new
-            # snapshot (Delta raises ConcurrentDeleteReadException here)
             raise RuntimeError(
-                "concurrent modification: files read by this DELETE were "
-                "replaced by another commit; re-run delete_where()"
+                f"concurrent modification: files read by this {mode.upper()} "
+                "were replaced by another commit; re-run against the new "
+                "snapshot"
             )
         keep = [f for f in parent_files if f not in touched]
         version = parent + 1
         commit = {
             "version": version,
             "parent": parent,
-            "mode": "delete",
+            "mode": mode,
             "files": keep + new_files,
         }
         try:
@@ -312,6 +302,49 @@ def delete_where(spark: SparkSession, path: str, condition) -> tuple[int, int]:
         with os.fdopen(fd, "w") as f:
             json.dump(commit, f)
         return version, len(touched)
+
+
+def delete_where(spark: SparkSession, path: str, condition) -> tuple[int, int]:
+    """Row-level DELETE as copy-on-write, rewriting ONLY touched files:
+    the live snapshot is scanned once with file identity attached
+    (``input_file_name``), files containing at least one matching row
+    are rewritten without those rows, and the new commit references the
+    untouched files UNCHANGED plus the rewrites -- the Delta/Iceberg
+    DELETE shape. On a z-ordered table a selective predicate touches
+    few files (measured in ``tests/test_layout.py``), so the rewrite
+    cost tracks the data deleted, not the table size. Readers hold
+    either commit, never a half-deleted table; old versions stay
+    time-travelable until ``vacuum``.
+
+    Returns ``(new_version, n_files_rewritten)``. ``condition`` is a
+    Column predicate selecting the rows to DELETE.
+    """
+    from pyspark.sql import functions as F  # noqa: F401 -- transform closure
+
+    return _rewrite_touched(
+        spark, path, condition, lambda df: df.where(~condition), "delete"
+    )
+
+
+def update_where(
+    spark: SparkSession, path: str, condition, assignments: dict
+) -> tuple[int, int]:
+    """Row-level UPDATE, same copy-on-write shape as ``delete_where``:
+    only the files containing matching rows are rewritten, with
+    ``assignments`` (column name -> Column expression) applied to the
+    matching rows and every other row carried through unchanged --
+    completing the DML triad with ``merge_upsert`` (keyed MERGE) and
+    ``delete_where``. Returns ``(new_version, n_files_rewritten)``."""
+    from pyspark.sql import functions as F
+
+    def apply(df):
+        for col, expr in assignments.items():
+            df = df.withColumn(
+                col, F.when(condition, expr).otherwise(F.col(col))
+            )
+        return df
+
+    return _rewrite_touched(spark, path, condition, apply, "update")
 
 
 def run_stream_to_versioned(sdf: DataFrame, path: str, checkpoint_dir: str) -> None:

@@ -238,3 +238,50 @@ def test_delete_where_no_match_is_noop(spark, tmp_path):
     v, n = delete_where(spark, path, F.col("v") > 100)
     assert (v, n) == (v0, 0)
     assert latest_version(path) == v0  # no empty commit published
+
+
+def test_update_where_rewrites_only_touched_files(spark, tmp_path):
+    """Row-level UPDATE through the shared copy-on-write core: matching
+    rows get the assignment, non-matching rows in touched files are
+    carried through byte-identical, untouched files survive by name."""
+    import json
+    import os
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.versioned import (
+        compact,
+        read_versioned,
+        update_where,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "upd")
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_partkey", F.col("l_quantity").cast("long").alias("qty"))
+    )
+    write_versioned(li, path)
+    v_opt = compact(spark, path, target_files=16, zorder=("l_partkey", "qty"))
+    before_files = set(
+        json.load(open(os.path.join(path, "commits", f"v{v_opt:05d}.json")))["files"]
+    )
+
+    cond = (F.col("qty") <= 2) & (F.col("l_partkey") <= 150)
+    n_match = read_versioned(spark, path).where(cond).count()
+    assert n_match > 0
+    v_new, n_rw = update_where(spark, path, cond, {"qty": F.col("qty") + 1000})
+    after_files = set(
+        json.load(open(os.path.join(path, "commits", f"v{v_new:05d}.json")))["files"]
+    )
+    assert 0 < n_rw < len(before_files) / 2
+    assert len(before_files & after_files) == len(before_files) - n_rw
+
+    new = read_versioned(spark, path)
+    assert new.count() == read_versioned(spark, path, v_opt).count()
+    assert new.where(cond).count() == 0  # originals gone...
+    assert new.where(F.col("qty") > 1000).count() == n_match  # ...updated
+    # history records the mode
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.versioned import (
+        history,
+    )
+
+    assert history(path)[-1]["mode"] == "update"
