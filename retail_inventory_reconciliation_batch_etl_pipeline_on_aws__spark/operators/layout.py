@@ -1,47 +1,42 @@
-"""Z-order (Morton-curve) data layout for multi-dimensional skipping.
+"""Z-order layout helpers COMPLEMENTING the canonical Morton writer.
 
-A table range-partitioned and sorted on ONE column skips files well for
-predicates on that column and not at all for any other. Interleaving
-the bits of two dimension columns into a single Morton key and laying
-the table out in key order gives every interleaved dimension locality:
-a box predicate on (x, y) touches only the files whose z-range
-intersects the box, so parquet min/max footer stats prune most files
-for EITHER dimension -- the OPTIMIZE ZORDER BY idea (public Delta/
-Iceberg feature; curve math from the classic interleave-by-magic-
-numbers bit trick) rebuilt on plain Spark.
+The engine's one Morton implementation lives in
+``sources/writers.py`` (``zorder_key``: generic n-column interleave,
+``write_zordered``: auto min/max-scaled z-ordered parquet) -- r5 code,
+already measured and tested. This module adds the pieces the
+versioned-table OPTIMIZE ZORDER path and the layout diagnostics need
+WITHOUT duplicating the curve math:
 
-Everything is integer bit arithmetic on the JVM (shiftleft / '&' /
-'|'), fully inside whole-stage codegen -- no UDF, no collect. The
-write path is ``repartitionByRange(z)`` + ``sortWithinPartitions(z)``:
-the range exchange gives files DISJOINT z-ranges (that disjointness is
-what makes footer pruning sharp), and at 100 TB it is the same single
-shuffle any global sort-write costs.
+- ``zvalue16``: the 2-dimension/16-bit special case, delegating to
+  ``zorder_key`` (bit i of column k lands at 2i+k: x in the even
+  bits, y in the odd -- the classic interleave, pinned value-exact
+  against an independent SQL spelling by the ``zorder_curve`` oracle);
+- ``scale16``: fixed-point bucketing from EXPLICIT bounds, for
+  callers that already hold min/max as collected scalars (the
+  versioned ``compact(..., zorder=...)`` path) instead of the
+  broadcast-join scaling ``write_zordered`` does inline. Scaling to a
+  common width is REQUIRED before interleaving dimensions of unequal
+  width: raw bits from an 11-bit key and a 6-bit quantity leave the
+  Morton key's high bits owned entirely by the wide column,
+  degenerating the curve to a single-column sort (measured: 0% file
+  pruning on the narrow dimension without scaling);
+- ``file_prune_fraction``: footer-stats skip measurement, so layout
+  claims are numbers, not prose.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: (shift, mask) ladder spreading a 16-bit value over 32 bits (one
-#: zero bit between payload bits) -- the binary-magic-numbers ladder.
-_SPREAD = [
-    (8, 0x00FF00FF),
-    (4, 0x0F0F0F0F),
-    (2, 0x33333333),
-    (1, 0x55555555),
-]
+from ..sources.writers import zorder_key
 
 
 def scale16(col: Column, lo, hi) -> Column:
     """Fixed-point scale ``col`` from [lo, hi] onto the full 16-bit
-    range [0, 65535] (clamped). REQUIRED before interleaving dimensions
-    of unequal width: raw bits from an 11-bit key and a 6-bit quantity
-    leave the Morton key's high bits owned entirely by the wide column,
-    degenerating the curve to a single-column sort (measured: 0%% file
-    pruning on the narrow dimension without scaling). lo/hi are domain
-    constants or cheaply collected min/max scalars -- exact integer
-    arithmetic, deterministic."""
+    range [0, 65535] (clamped). lo/hi are domain constants or cheaply
+    collected min/max scalars -- exact integer arithmetic,
+    deterministic."""
     span = hi - lo
     scaled = ((col.cast("long") - F.lit(lo)) * F.lit(65535)) / F.lit(span)
     return F.greatest(
@@ -49,38 +44,15 @@ def scale16(col: Column, lo, hi) -> Column:
     )
 
 
-def spread16(col: Column) -> Column:
-    """Spread the low 16 bits of ``col`` so payload bit b lands at
-    position 2b (a zero gap bit between each)."""
-    x = col.cast("long").bitwiseAND(F.lit(0xFFFF))
-    for shift, mask in _SPREAD:
-        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
-    return x
-
-
 def zvalue16(x: Column, y: Column) -> Column:
     """32-bit Morton key of two 16-bit dimensions (x in the even bits,
-    y in the odd). Callers pre-scale each dimension into [0, 2^16)
-    (fixed-point bucket of its domain); values beyond 16 bits are
+    y in the odd) -- ``zorder_key`` at n=2. Callers pre-scale each
+    dimension into [0, 2^16) (``scale16``); values beyond 16 bits are
     masked, not errors, so the key is total on any input."""
-    return spread16(x).bitwiseOR(F.shiftleft(spread16(y), 1))
-
-
-def write_zordered(
-    df: DataFrame, path: str, x: Column, y: Column, num_files: int
-) -> None:
-    """Write ``df`` as parquet laid out in Morton order of (x, y):
-    range-partition on the z-key (files get disjoint z-ranges), sort
-    within each file, drop the key from the stored schema. One shuffle,
-    scale-identical to any sorted write."""
-    z = zvalue16(x, y)
-    (
-        df.withColumn("_z", z)
-        .repartitionByRange(num_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .parquet(path)
+    mask = F.lit(0xFFFF)
+    return zorder_key(
+        [x.cast("long").bitwiseAND(mask), y.cast("long").bitwiseAND(mask)],
+        bits=16,
     )
 
 
