@@ -4466,16 +4466,22 @@ def q_stock_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     daily = li.groupBy("sku", "day").agg(F.sum("qty").alias("qty"))
-    spine = spark.range(1).select(
-        F.explode(
-            F.sequence(
-                F.lit("1995-01-01").cast("date"),
-                F.lit("1995-12-31").cast("date"),
-            )
-        ).alias("day")
+    # densify by EXPLODING the literal calendar per sku -- no join at
+    # all (a broadcast cross join would be a plan-sweep-flagged
+    # nested-loop; the generate is narrow, key-local work)
+    dense = (
+        daily.select("sku")
+        .distinct()
+        .select(
+            "sku",
+            F.explode(
+                F.sequence(
+                    F.lit("1995-01-01").cast("date"),
+                    F.lit("1995-12-31").cast("date"),
+                )
+            ).alias("day"),
+        )
     )
-    skus = daily.select("sku").distinct()
-    dense = skus.crossJoin(F.broadcast(spine))
     w = (
         Window.partitionBy("sku")
         .orderBy("day")
