@@ -259,8 +259,17 @@ def _rewrite_touched(
     rewritten = transform(
         tagged.where(F.col("_file").isin(list(touched_paths)))
     ).drop("_file")
-    # stage the rewrites exactly like write_versioned, then publish a
-    # commit that splices untouched + rewritten file lists
+    return _stage_and_splice(path, touched, rewritten, mode)
+
+
+def _stage_and_splice(
+    path: str, touched: set, rewritten: DataFrame, mode: str
+) -> tuple[int, int]:
+    """Stage ``rewritten`` exactly like write_versioned, then publish a
+    commit that keeps every non-touched parent file BY NAME and swaps
+    the touched set for the staged files. CAS publish; refuses if a
+    racing commit replaced any touched file (serializable semantics)."""
+    data_dir = os.path.join(path, "data")
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
     rewritten.repartition(max(1, len(touched))).write.mode(
         "overwrite"
@@ -345,6 +354,63 @@ def update_where(
         return df
 
     return _rewrite_touched(spark, path, condition, apply, "update")
+
+
+def merge_into(
+    spark: SparkSession, path: str, updates: DataFrame, keys: list[str]
+) -> tuple[int, int]:
+    """Keyed MERGE (upsert) into the versioned table -- Delta's
+    ``MERGE INTO`` shape on the same copy-on-write core: files
+    containing a matching key are rewritten with the matched rows
+    REPLACED whole-row by their update, unmatched update rows are
+    appended, untouched files survive by name. ``updates`` must be
+    unique per key (checked -- one bounded job -- because a duplicate
+    key would make "replace" order-dependent). A pure-insert merge
+    (no key matches) touches zero files and appends one.
+
+    The updates side is broadcast (the CDC-batch regime: updates are
+    small relative to the table); for a bulk merge larger than
+    broadcast memory, drop the hints and Spark falls back to a
+    sort-merge anti/semi on the key -- same correctness, one shuffle.
+
+    Returns ``(new_version, n_files_rewritten)``.
+    """
+    from pyspark.sql import functions as F
+
+    dup = (
+        updates.groupBy(*keys).count().where(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError("updates frame has duplicate keys; MERGE needs one row per key")
+
+    v = latest_version(path)
+    files = _load_commit(
+        os.path.join(path, "commits", f"v{v:05d}.json")
+    )["files"]
+    data_dir = os.path.join(path, "data")
+    tagged = spark.read.parquet(
+        *[os.path.join(data_dir, f) for f in files]
+    ).withColumn("_file", F.input_file_name())
+
+    upd_keys = F.broadcast(updates.select(*keys).distinct())
+    touched_paths = {
+        r["_file"]
+        for r in tagged.join(upd_keys, keys, "left_semi")
+        .select("_file")
+        .distinct()
+        .collect()
+    }  # bounded: one row per touched FILE
+    touched = {os.path.basename(p) for p in touched_paths}
+
+    survivors = (
+        tagged.where(F.col("_file").isin(list(touched_paths)))
+        .drop("_file")
+        .join(F.broadcast(updates.select(*keys)), keys, "left_anti")
+        if touched
+        else updates.limit(0)
+    )
+    rewritten = survivors.unionByName(updates)
+    return _stage_and_splice(path, touched, rewritten, "merge")
 
 
 def run_stream_to_versioned(sdf: DataFrame, path: str, checkpoint_dir: str) -> None:

@@ -294,3 +294,92 @@ def test_update_where_rewrites_only_touched_files(spark, tmp_path):
     )
 
     assert history(path)[-1]["mode"] == "update"
+
+
+def test_merge_into_upserts_with_minimal_rewrite(spark, tmp_path):
+    """Keyed MERGE: matched keys replaced whole-row, new keys appended,
+    untouched files survive by name; duplicate update keys rejected."""
+    import json
+    import os
+
+    import pytest
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.versioned import (
+        compact,
+        merge_into,
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "mrg")
+    base = spark.range(1000).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") % 7).cast("long").alias("val"),
+    )
+    write_versioned(base, path)
+    v_opt = compact(spark, path, target_files=10, zorder=("k", "val"))
+    before_files = set(
+        json.load(open(os.path.join(path, "commits", f"v{v_opt:05d}.json")))["files"]
+    )
+
+    updates = spark.createDataFrame(
+        [(5, 999), (6, 999), (2000, 111), (2001, 222)], "k long, val long"
+    )
+    v_new, n_rw = merge_into(spark, path, updates, ["k"])
+    after_files = set(
+        json.load(open(os.path.join(path, "commits", f"v{v_new:05d}.json")))["files"]
+    )
+    # keys 5 and 6 are adjacent on the z-curve -> few files touched
+    assert 0 < n_rw < len(before_files)
+    assert len(before_files & after_files) == len(before_files) - n_rw
+
+    new = read_versioned(spark, path)
+    assert new.count() == 1002  # 1000 - 2 replaced + 2 replacements + 2 inserts
+    got = {r.k: r.val for r in new.where(F.col("k").isin(5, 6, 2000, 2001)).collect()}
+    assert got == {5: 999, 6: 999, 2000: 111, 2001: 222}
+    # old snapshot unchanged
+    assert read_versioned(spark, path, v_opt).where(
+        F.col("k") == 5
+    ).first().val == 5 % 7
+
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_into(
+            spark,
+            path,
+            spark.createDataFrame([(1, 1), (1, 2)], "k long, val long"),
+            ["k"],
+        )
+
+
+def test_merge_into_pure_insert_touches_no_files(spark, tmp_path):
+    import json
+    import os
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.versioned import (
+        merge_into,
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "mrgins")
+    write_versioned(
+        spark.range(100).select(F.col("id").alias("k"), F.lit(0).alias("val")),
+        path,
+    )
+    v0_files = set(
+        json.load(
+            open(os.path.join(path, "commits", "v00000.json"))
+        )["files"]
+    )
+    v, n_rw = merge_into(
+        spark,
+        path,
+        spark.createDataFrame([(500, 9)], "k long, val long"),
+        ["k"],
+    )
+    assert n_rw == 0
+    after = set(
+        json.load(open(os.path.join(path, "commits", f"v{v:05d}.json")))["files"]
+    )
+    assert v0_files <= after  # every original file kept by name
+    assert read_versioned(spark, path).count() == 101
