@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark import queries as Q
 from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans.fixtures import (
+    ensure_dml_fixture,
     ensure_evolving_fixture,
     ensure_versioned_fixture,
 )
@@ -27,6 +28,8 @@ from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans.fixt
 _EVOLVING_DIR = ensure_evolving_fixture()
 #: Same contract for the 3-version versioned-table fixture.
 _VERSIONED_DIR = ensure_versioned_fixture()
+#: And for the DML-triad (append/delete/update/merge) history fixture.
+_DML_DIR = ensure_dml_fixture()
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -45,14 +48,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (2) the 8 r03-attested overflow entries whose freshest green row
     is CORRECTNESS_r03.json; (3) the 21 round-5 additions that have
     never been driver-attested (strict-parity + pytest green);
-    (4) the 10 entries new this round (versioned-table time travel /
-    CDF / history, the banded-prefix-sum ABC classification, reorder
-    points, the SCD2 state history, the ABC-XYZ matrix, the Z-order
-    curve key, the recursive hierarchy rollup, and the gap-fill);
-    (5) 10 of the r04-green entries, stalest-first in
+    (4) the 11 entries new this round (versioned-table time travel /
+    CDF / history / DML-triad read, the banded-prefix-sum ABC
+    classification, reorder points, the SCD2 state history, the
+    ABC-XYZ matrix, the Z-order curve key, the recursive hierarchy
+    rollup, and the gap-fill);
+    (5) 9 of the r04-green entries, stalest-first in
     list order. With this window, the union of r04+r05+r06 green rows
     covers every oracle-paired entry. Past the window: the remaining
-    39 r04-green entries, the 49 r05-green entries, then the 14
+    40 r04-green entries, the 49 r05-green entries, then the 14
     rows-only (seeded/approximate/iterative) entries that close the
     tail by design -- attesting those would waste a slot on a weaker
     rows-only check. All post-window entries stay pinned value-level
@@ -104,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_curve": Q.q_zorder_curve,
         "part_hierarchy_rollup": Q.q_part_hierarchy_rollup,
         "stock_gap_fill": Q.q_stock_gap_fill,
+        "table_after_dml": Q.q_table_after_dml,
         # --- (5) stalest r04-green fill to 50 -----------------------
         "key_skew_profile": Q.q_key_skew_profile,
         "incremental_hourly_merge": Q.q_incremental_hourly_merge,
@@ -114,9 +119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_flags": Q.q_quality_flags,
         "user_journey": Q.q_user_journey,
         "sku_sales_anomaly": Q.q_sku_sales_anomaly,
-        "bigram_counts": Q.q_bigram_counts,
         # ---- end of the 50-entry attested window --------------------
         # r04-green remainder (green row in CORRECTNESS_r04.json)
+        "bigram_counts": Q.q_bigram_counts,
         "reconcile": Q.q_reconcile,
         "reconcile_snapshots": Q.q_reconcile_snapshots,
         "discrepancy_count": Q.q_discrepancy_count,
@@ -2328,6 +2333,32 @@ SELECT CAST(version AS BIGINT) AS version,
        mode,
        CAST(len(files) AS BIGINT) AS n_files
 FROM read_json_auto('{_VERSIONED_DIR}/commits/v*.json')
+""",
+        # DML-triad history read: each version's aggregate over its
+        # KNOWN file list, independent of the commit log the engine
+        # resolves -- resurrection/leak/splice bugs all hash-mismatch
+        "table_after_dml": f"""
+SELECT CAST(0 AS BIGINT) AS version, 'append' AS mode,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(qty) AS BIGINT) AS qty_total
+FROM read_parquet(['{_DML_DIR}/data/f0.parquet',
+                   '{_DML_DIR}/data/f1.parquet'])
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'delete',
+       CAST(COUNT(*) AS BIGINT), CAST(SUM(qty) AS BIGINT)
+FROM read_parquet(['{_DML_DIR}/data/f0.parquet',
+                   '{_DML_DIR}/data/f1d.parquet'])
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'update',
+       CAST(COUNT(*) AS BIGINT), CAST(SUM(qty) AS BIGINT)
+FROM read_parquet(['{_DML_DIR}/data/f1d.parquet',
+                   '{_DML_DIR}/data/f0u.parquet'])
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'merge',
+       CAST(COUNT(*) AS BIGINT), CAST(SUM(qty) AS BIGINT)
+FROM read_parquet(['{_DML_DIR}/data/f1d.parquet',
+                   '{_DML_DIR}/data/m0.parquet'])
+ORDER BY version
 """,
         # global running-share window: the oracle runs the single
         # SUM() OVER (ORDER BY) form; the engine's banded segmentation

@@ -348,3 +348,79 @@ def ensure_versioned_fixture() -> str:
     with open(marker, "w"):
         pass
     return d
+
+
+DML_FIXTURE_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    ".fixtures",
+    "versioned_dml",
+)
+
+
+def ensure_dml_fixture() -> str:
+    """Idempotently materialize a versioned table whose history is the
+    DML triad: v0 append, v1 row-level DELETE, v2 row-level UPDATE,
+    v3 keyed MERGE -- each commit rewriting ONLY the touched file and
+    keeping the other by name (the copy-on-write contract).
+
+    Layout is hand-built and deterministic (named files) so the DuckDB
+    oracle can read the FINAL commit's known file list directly --
+    independent of the commit log the engine resolves;
+    ``tests/test_versioned_fixture.py`` replays the same four
+    operations through the REAL ``delete_where`` / ``update_where`` /
+    ``merge_into`` on a scratch table and pins every version's rows
+    and every commit's mode/splice shape to this fixture, so the
+    fixture cannot drift from the DML implementations.
+
+    History (two initial files f0=[A:10,B:20], f1=[C:30,D:40]):
+      v0 append    files=[f0, f1]           {A:10,B:20,C:30,D:40}
+      v1 delete C  files=[f0, f1d],  f1d=[D:40]          (f1 touched)
+      v2 update B->21 files=[f1d, f0u], f0u=[A:10,B:21]  (f0 touched)
+      v3 merge B->22, +E:50 files=[f1d, m0],
+         m0=[A:10,B:22,E:50]                             (f0u touched)
+    """
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = DML_FIXTURE_DIR
+    marker = _os.path.join(d, "_SUCCESS")
+    if _os.path.exists(marker):
+        return d
+    data_dir = _os.path.join(d, "data")
+    commits_dir = _os.path.join(d, "commits")
+    _os.makedirs(data_dir, exist_ok=True)
+    _os.makedirs(commits_dir, exist_ok=True)
+    batches = {
+        "f0.parquet": (["A", "B"], [10, 20]),
+        "f1.parquet": (["C", "D"], [30, 40]),
+        "f1d.parquet": (["D"], [40]),
+        "f0u.parquet": (["A", "B"], [10, 21]),
+        "m0.parquet": (["A", "B", "E"], [10, 22, 50]),
+    }
+    for name, (skus, qtys) in batches.items():
+        tbl = pa.table(
+            {"sku": pa.array(skus, pa.string()), "qty": pa.array(qtys, pa.int32())}
+        )
+        tmp = _os.path.join(data_dir, f"{name}.{_os.getpid()}.tmp")
+        pq.write_table(tbl, tmp)
+        _os.replace(tmp, _os.path.join(data_dir, name))
+    commits = [
+        {"version": 0, "parent": -1, "mode": "append",
+         "files": ["f0.parquet", "f1.parquet"]},
+        {"version": 1, "parent": 0, "mode": "delete",
+         "files": ["f0.parquet", "f1d.parquet"]},
+        {"version": 2, "parent": 1, "mode": "update",
+         "files": ["f1d.parquet", "f0u.parquet"]},
+        {"version": 3, "parent": 2, "mode": "merge",
+         "files": ["f1d.parquet", "m0.parquet"]},
+    ]
+    for c in commits:
+        tmp = _os.path.join(commits_dir, f"v{c['version']:05d}.json.{_os.getpid()}.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(c, f, sort_keys=True)
+        _os.replace(tmp, _os.path.join(commits_dir, f"v{c['version']:05d}.json"))
+    with open(marker, "w"):
+        pass
+    return d

@@ -4497,3 +4497,40 @@ def q_stock_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sku", "day")
     )
+
+
+def q_table_after_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attested read across the DML triad's history: a versioned table
+    whose commits are append -> row-level DELETE -> row-level UPDATE ->
+    keyed MERGE (``fixtures.ensure_dml_fixture``; layout pinned to the
+    real ``delete_where``/``update_where``/``merge_into`` output by
+    ``tests/test_versioned_fixture.py``), read at EVERY version with
+    the real commit-resolving reader and aggregated per version.
+
+    A copy-on-write bug of any kind -- resurrecting deleted rows,
+    leaking pre-update rows, dropping the spliced untouched file --
+    changes some version's (n_rows, qty_total) and hash-mismatches the
+    oracle, which reads each version's known file list directly
+    without consulting the commit log. ``sf_dir`` is unused:
+    versioning is a property of the zone.
+    """
+    from .sources.versioned import history, read_versioned
+
+    path = fixtures.ensure_dml_fixture()
+    per_version = None
+    for h in history(path):
+        snap = (
+            read_versioned(spark, path, version=h["version"])
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("qty").cast("long").alias("qty_total"),
+            )
+            .select(
+                F.lit(int(h["version"])).cast("long").alias("version"),
+                F.lit(h["mode"]).alias("mode"),
+                "n_rows",
+                "qty_total",
+            )
+        )
+        per_version = snap if per_version is None else per_version.unionByName(snap)
+    return per_version.orderBy("version")

@@ -72,3 +72,78 @@ def test_fixture_cdf_is_full_replacement(spark):
         ("D", 40, "delete"),
         ("E", 50, "insert"),
     ]
+
+
+def test_dml_fixture_matches_real_dml_replay(spark, tmp_path):
+    """The hand-built DML fixture must be row-identical, per VERSION,
+    to what the real delete_where / update_where / merge_into produce
+    for the same four operations -- and each DML commit must splice
+    (exactly one parent file kept by name, one rewritten)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans.fixtures import (
+        ensure_dml_fixture,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.versioned import (
+        delete_where,
+        history,
+        merge_into,
+        read_versioned,
+        update_where,
+        write_versioned,
+    )
+
+    fix = ensure_dml_fixture()
+
+    # replay with the REAL implementations on a scratch table, forcing
+    # the same two-file initial layout (one write per file)
+    live = str(tmp_path / "replay")
+    # coalesce(1): one data file per append, matching the fixture's
+    # two-file layout exactly (local[32] would otherwise split each
+    # tiny frame across many part files)
+    write_versioned(
+        spark.createDataFrame(
+            [("A", 10), ("B", 20)], "sku string, qty int"
+        ).coalesce(1),
+        live,
+    )
+    write_versioned(
+        spark.createDataFrame(
+            [("C", 30), ("D", 40)], "sku string, qty int"
+        ).coalesce(1),
+        live,
+    )
+    delete_where(spark, live, F.col("sku") == "C")
+    update_where(spark, live, F.col("sku") == "B", {"qty": F.lit(21)})
+    merge_into(
+        spark,
+        live,
+        spark.createDataFrame([("B", 22), ("E", 50)], "sku string, qty int"),
+        ["sku"],
+    )
+
+    def rows(path, v):
+        return sorted(
+            (r.sku, r.qty) for r in read_versioned(spark, path, v).collect()
+        )
+
+    # fixture v0..v3 == replay v1..v4 (the replay needed two appends
+    # to lay out two files; its v1 is the fixture's v0 snapshot)
+    for fix_v, live_v in [(0, 1), (1, 2), (2, 3), (3, 4)]:
+        assert rows(fix, fix_v) == rows(live, live_v), (fix_v, live_v)
+    modes = [h["mode"] for h in history(live)]
+    assert modes == ["append", "append", "delete", "update", "merge"]
+
+    # splice shape: every DML commit keeps exactly one parent file
+    commits = {
+        h["version"]: json.load(
+            open(os.path.join(live, "commits", f"v{h['version']:05d}.json"))
+        )["files"]
+        for h in history(live)
+    }
+    for v in (2, 3, 4):
+        kept = set(commits[v]) & set(commits[v - 1])
+        assert len(kept) == 1, (v, commits[v], commits[v - 1])
