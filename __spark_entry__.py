@@ -2980,7 +2980,10 @@ FROM documents
 ORDER BY doc_id
 """,
         # UNPIVOT long form; the wide sums cast to one DECIMAL(38,2)
-        # so the melted column has a single exact type on both engines
+        # so the melted column has a single exact type on both engines,
+        # then ONE terminal double conversion -- the output contract is
+        # DOUBLE, never DECIMAL (driver-hasher DECIMAL canonicalization
+        # differs across engines; see lm_score r04/r05)
         "returnflag_unpivot": """
 WITH wide AS (
   SELECT l_returnflag,
@@ -2989,7 +2992,7 @@ WITH wide AS (
          CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_disc
   FROM lineitem GROUP BY l_returnflag
 )
-SELECT l_returnflag, measure, amount
+SELECT l_returnflag, measure, CAST(amount AS DOUBLE) AS amount
 FROM wide
 UNPIVOT (amount FOR measure IN (sum_qty, sum_price, sum_disc))
 ORDER BY l_returnflag, measure

@@ -36,11 +36,27 @@ def scale16(col: Column, lo, hi) -> Column:
     """Fixed-point scale ``col`` from [lo, hi] onto the full 16-bit
     range [0, 65535] (clamped). lo/hi are domain constants or cheaply
     collected min/max scalars -- exact integer arithmetic,
-    deterministic."""
+    deterministic.
+
+    The value is clamped into [lo, hi] BEFORE scaling, and the
+    (diff * 65535) DIV span quotient runs entirely in DECIMAL(38,0)
+    IntegralDivide: in long arithmetic a span above ~1.4e14 wraps the
+    multiply (non-ANSI), silently scrambling the z-key -- data stays
+    correct but the clustering/pruning the key exists for degrades
+    arbitrarily. Decimal `/` is no fix either: precision-loss scale
+    reduction makes the quotient ROUND (half-up at the reduced scale)
+    before the floor, which crosses integer boundaries at large
+    spans. Clamped-diff * 65535 is at most ~1.2e24, well inside
+    DECIMAL(38,0), and `div` truncates exactly."""
     span = hi - lo
-    scaled = ((col.cast("long") - F.lit(lo)) * F.lit(65535)) / F.lit(span)
-    return F.greatest(
-        F.lit(0), F.least(F.lit(65535), F.floor(scaled).cast("long"))
+    clamped = F.least(
+        F.greatest(col.cast("long"), F.lit(lo).cast("long")),
+        F.lit(hi).cast("long"),
+    )
+    return F.call_function(
+        "div",
+        (clamped - F.lit(lo)).cast("decimal(38,0)") * F.lit(65535),
+        F.lit(span).cast("decimal(38,0)"),
     )
 
 

@@ -79,17 +79,35 @@ def banded_cumsum(
             "band expression evaluated to NULL for some rows; "
             "the band function must be total over the input domain"
         )
-    offsets, acc = [], Decimal(0)
+    offsets, acc, seen_nonnull = [], Decimal(0), False
     for r in totals:
-        offsets.append((r["_band"], acc))
-        acc += r["t"]
+        offsets.append((r["_band"], acc, seen_nonnull))
+        # SUM over a band whose every value is NULL is NULL (SQL
+        # aggregate semantics) -- contribute 0 to the running offset
+        # instead of crashing the += with a TypeError. Per-row, the
+        # global window oracle says: running SUM ignores NULLs, so a
+        # row whose within-band cum is NULL (no non-NULL value yet in
+        # its band) still shows the offset of the EARLIER bands --
+        # unless the entire global prefix is NULL, where SQL gives
+        # NULL. _seen carries that earlier-band-had-a-value bit.
+        if r["t"] is not None:
+            acc += r["t"]
+            seen_nonnull = True
 
     spark = df.sparkSession
     scale = getattr(df.schema[value_col].dataType, "scale", 0)
-    off_df = spark.createDataFrame(offsets, f"_band int, _off decimal(38,{scale})")
+    off_df = spark.createDataFrame(
+        offsets, f"_band int, _off decimal(38,{scale}), _seen boolean"
+    )
     out = (
         within.join(F.broadcast(off_df), "_band")
-        .withColumn(cum_col, F.col("_off") + F.col("_cum_in_band"))
-        .drop("_band", "_cum_in_band", "_off")
+        .withColumn(
+            cum_col,
+            F.when(
+                F.col("_cum_in_band").isNotNull(),
+                F.col("_off") + F.col("_cum_in_band"),
+            ).when(F.col("_seen"), F.col("_off")),
+        )
+        .drop("_band", "_cum_in_band", "_off", "_seen")
     )
     return out, acc

@@ -3952,6 +3952,11 @@ def q_returnflag_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount) long form -- the shape metric stores and chart feeds
     ingest. The melt is a zero-shuffle Expand; DECIMAL sums cast to
     one common width pre-melt so the long column has a single type.
+    The OUTPUT contract is DOUBLE: the sums stay exact DECIMAL through
+    aggregation and melt, with one terminal double conversion of the
+    already-exact total -- never a DECIMAL output column (the r04/r05
+    ``lm_score`` lesson: cross-engine DECIMAL cell canonicalization in
+    the external hasher, not values, caused the only red hashes).
     """
     li = fixtures.load(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
@@ -3966,6 +3971,7 @@ def q_returnflag_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "measure",
             "amount",
         )
+        .withColumn("amount", F.col("amount").cast("double"))
         .orderBy("l_returnflag", "measure")
     )
 

@@ -263,12 +263,25 @@ def _rewrite_touched(
 
 
 def _stage_and_splice(
-    path: str, touched: set, rewritten: DataFrame, mode: str
+    path: str,
+    touched: set,
+    rewritten: DataFrame,
+    mode: str,
+    require_parent: int | None = None,
 ) -> tuple[int, int]:
     """Stage ``rewritten`` exactly like write_versioned, then publish a
     commit that keeps every non-touched parent file BY NAME and swaps
     the touched set for the staged files. CAS publish; refuses if a
-    racing commit replaced any touched file (serializable semantics)."""
+    racing commit replaced any touched file (serializable semantics).
+
+    ``require_parent``: when set, additionally refuse to publish unless
+    the parent commit IS exactly that version -- the strict
+    snapshot-isolation check MERGE needs, because a merge's inserts
+    depend on the ABSENCE of keys in the whole snapshot it read, so a
+    concurrent append can conflict even though it replaced no touched
+    file (Delta's ConcurrentAppendException for MERGE). Touched-file
+    checking alone is vacuous for a pure-insert merge (touched is
+    empty)."""
     data_dir = os.path.join(path, "data")
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
     rewritten.repartition(max(1, len(touched))).write.mode(
@@ -284,6 +297,13 @@ def _stage_and_splice(
     commits_dir = os.path.join(path, "commits")
     while True:
         parent = latest_version(path)
+        if require_parent is not None and parent != require_parent:
+            raise RuntimeError(
+                f"concurrent modification: this {mode.upper()} read snapshot "
+                f"v{require_parent} but the table is now at v{parent}; "
+                "its key-match set may be stale -- re-run against the new "
+                "snapshot"
+            )
         parent_files = _load_commit(
             os.path.join(commits_dir, f"v{parent:05d}.json")
         )["files"]
@@ -326,12 +346,19 @@ def delete_where(spark: SparkSession, path: str, condition) -> tuple[int, int]:
     time-travelable until ``vacuum``.
 
     Returns ``(new_version, n_files_rewritten)``. ``condition`` is a
-    Column predicate selecting the rows to DELETE.
+    Column predicate selecting the rows to DELETE. SQL DELETE
+    semantics: a row is deleted only where the condition is TRUE;
+    rows where it evaluates to NULL survive. The survivor filter must
+    therefore be NOT-coalesce(cond, FALSE), not plain NOT-cond --
+    plain negation is also NULL on NULL and would silently drop any
+    NULL-evaluating row that happens to live in a touched file (row
+    survival must never depend on file co-location).
     """
-    from pyspark.sql import functions as F  # noqa: F401 -- transform closure
+    from pyspark.sql import functions as F
 
+    keep = ~F.coalesce(condition, F.lit(False))
     return _rewrite_touched(
-        spark, path, condition, lambda df: df.where(~condition), "delete"
+        spark, path, condition, lambda df: df.where(keep), "delete"
     )
 
 
@@ -343,15 +370,24 @@ def update_where(
     ``assignments`` (column name -> Column expression) applied to the
     matching rows and every other row carried through unchanged --
     completing the DML triad with ``merge_upsert`` (keyed MERGE) and
-    ``delete_where``. Returns ``(new_version, n_files_rewritten)``."""
+    ``delete_where``. Returns ``(new_version, n_files_rewritten)``.
+
+    SQL UPDATE semantics: every SET right-hand side is evaluated
+    against the ORIGINAL row, so ``{"a": col("b"), "b": col("a")}``
+    swaps. All assignments therefore go into ONE projection --
+    sequential ``withColumn`` would let a later expression see an
+    earlier assignment's NEW value."""
     from pyspark.sql import functions as F
 
     def apply(df):
-        for col, expr in assignments.items():
-            df = df.withColumn(
-                col, F.when(condition, expr).otherwise(F.col(col))
-            )
-        return df
+        return df.select(
+            *[
+                F.when(condition, assignments[c]).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
 
     return _rewrite_touched(spark, path, condition, apply, "update")
 
@@ -366,7 +402,11 @@ def merge_into(
     appended, untouched files survive by name. ``updates`` must be
     unique per key (checked -- one bounded job -- because a duplicate
     key would make "replace" order-dependent). A pure-insert merge
-    (no key matches) touches zero files and appends one.
+    (no key matches) touches zero files and appends one. Conflict
+    rule: the commit refuses to publish if ANY commit landed after the
+    snapshot this merge read (Delta's ConcurrentAppendException shape)
+    -- a racing append can carry keys this merge is inserting, so the
+    touched-file check alone is not enough.
 
     The updates side is broadcast (the CDC-batch regime: updates are
     small relative to the table); for a bulk merge larger than
@@ -410,7 +450,12 @@ def merge_into(
         else updates.limit(0)
     )
     rewritten = survivors.unionByName(updates)
-    return _stage_and_splice(path, touched, rewritten, "merge")
+    # require_parent=v: the key-match set above was computed against
+    # snapshot v; ANY later commit (even a pure append touching no
+    # file we read) may hold keys this merge is about to insert, so
+    # publishing over it would duplicate keys. Strict check, not the
+    # touched-file check alone -- which is vacuous when touched == {}.
+    return _stage_and_splice(path, touched, rewritten, "merge", require_parent=v)
 
 
 def run_stream_to_versioned(sdf: DataFrame, path: str, checkpoint_dir: str) -> None:

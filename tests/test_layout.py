@@ -383,3 +383,121 @@ def test_merge_into_pure_insert_touches_no_files(spark, tmp_path):
     )
     assert v0_files <= after  # every original file kept by name
     assert read_versioned(spark, path).count() == 101
+
+
+def test_delete_where_keeps_null_predicate_rows(spark):
+    """SQL DELETE removes rows only where the condition is TRUE; a row
+    where it evaluates to NULL survives. Regression: the survivor
+    filter used plain ~cond (NULL on NULL), so a NULL-evaluating row
+    co-located in a touched file was silently lost while an identical
+    row in an untouched file survived -- survival must never depend on
+    file co-location. One file holds all three cases here."""
+    import tempfile
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.versioned import (
+        delete_where,
+        read_versioned,
+        write_versioned,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t"
+        df = spark.createDataFrame(
+            [(1, 10), (2, None), (3, 5)], "k int, x int"
+        ).coalesce(1)
+        write_versioned(df, path)
+        v, n_rw = delete_where(spark, path, F.col("x") > 7)
+        assert n_rw == 1  # the single file was touched
+        got = {(r.k, r.x) for r in read_versioned(spark, path).collect()}
+        assert got == {(2, None), (3, 5)}  # NULL-predicate row survives
+
+
+def test_update_where_set_evaluates_against_original_row(spark):
+    """SQL UPDATE evaluates every SET right-hand side against the
+    ORIGINAL row: SET a = b, b = a swaps. Regression: sequential
+    withColumn let the second assignment see the first one's result,
+    turning the swap into a copy."""
+    import tempfile
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.versioned import (
+        read_versioned,
+        update_where,
+        write_versioned,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t"
+        df = spark.createDataFrame(
+            [(1, 10, 20), (2, 3, 4)], "k int, a int, b int"
+        ).coalesce(1)
+        write_versioned(df, path)
+        update_where(
+            spark,
+            path,
+            F.col("k") == 1,
+            {"a": F.col("b"), "b": F.col("a")},
+        )
+        got = {(r.k, r.a, r.b) for r in read_versioned(spark, path).collect()}
+        assert got == {(1, 20, 10), (2, 3, 4)}  # swapped, not copied
+
+
+def test_merge_into_refuses_concurrent_append(spark, monkeypatch):
+    """MERGE's conflict window is the whole snapshot it read, not just
+    its touched files: a racing append may carry keys the merge is
+    inserting, so publishing over ANY later commit must refuse -- even
+    for a pure-insert merge whose touched set is empty (where the
+    touched-files-still-present check is vacuous). Delta raises
+    ConcurrentAppendException for exactly this; we inject the race
+    between merge's snapshot read and its commit publish."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources import (
+        versioned,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t"
+        versioned.write_versioned(
+            spark.createDataFrame([(1, "a")], "k int, v string"), path
+        )
+
+        real = versioned._stage_and_splice
+
+        def racing(path_, touched, rewritten, mode, require_parent=None):
+            # the race: another writer appends key 9 AFTER the merge
+            # computed its key-match set, BEFORE it publishes
+            versioned.write_versioned(
+                spark.createDataFrame([(9, "raced")], "k int, v string"),
+                path_,
+            )
+            return real(path_, touched, rewritten, mode, require_parent)
+
+        monkeypatch.setattr(versioned, "_stage_and_splice", racing)
+        updates = spark.createDataFrame([(9, "mine")], "k int, v string")
+        with _pytest.raises(RuntimeError, match="concurrent modification"):
+            versioned.merge_into(spark, path, updates, ["k"])
+        # the raced append's row is intact; the merge published nothing
+        got = {
+            (r.k, r.v)
+            for r in versioned.read_versioned(spark, path).collect()
+        }
+        assert got == {(1, "a"), (9, "raced")}
+
+
+def test_scale16_survives_huge_span(spark):
+    """A span above ~1.4e14 wraps the *65535 multiply in long
+    arithmetic (non-ANSI), silently scrambling the z-key; the scaling
+    now runs in DECIMAL(38,0), so buckets stay exact at any int64
+    span."""
+    lo, hi = 0, 10**15
+    vals = [0, 10**15, 5 * 10**14, 3, hi - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "q long")
+    got = {
+        r.q: r.s
+        for r in df.select("q", scale16(F.col("q"), lo, hi).alias("s")).collect()
+    }
+    for v in vals:
+        assert got[v] == (v - lo) * 65535 // (hi - lo), v
+    assert got[0] == 0 and got[10**15] == 65535

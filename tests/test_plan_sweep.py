@@ -61,3 +61,19 @@ def test_no_silent_antipatterns(spark, name):
     if name not in PYTHON_OK:
         for node in ("ArrowEvalPython", "MapInPandas"):
             assert node not in plan, f"{name}: unexpected Python stage {node}"
+    # OUTPUT contract: no DECIMAL columns, ever. DECIMAL is welcome
+    # INSIDE a plan (exact money/token accumulation) but the external
+    # hasher canonicalizes DECIMAL cells differently across engines --
+    # the ONLY red driver hashes ever recorded (lm_score r04/r05,
+    # returnflag_unpivot r06) were DECIMAL outputs with bit-exact
+    # values. Terminal cast to DOUBLE/BIGINT/STRING on both sides.
+    dec_cols = [
+        f.name
+        for f in df.schema.fields
+        if "decimal" in f.dataType.simpleString()
+    ]
+    assert not dec_cols, (
+        f"{name}: DECIMAL output column(s) {dec_cols} -- cast to "
+        "double/bigint/string at the output boundary (driver-hasher "
+        "canonicalization is not cross-engine stable for DECIMAL)"
+    )

@@ -139,3 +139,35 @@ def test_abc_band_is_total_on_nonpositive_revenue(spark):
     assert sorted((r.k, r.cum) for r in got.collect()) == sorted(
         (r.k, r.cum) for r in want.collect()
     )
+
+
+def test_banded_cumsum_all_null_band_total(spark):
+    """A band whose EVERY value is NULL has SUM(v) = NULL (SQL
+    aggregate semantics). The offset accumulation must treat that as
+    a zero contribution -- not crash with ``Decimal + None`` -- and
+    the global window oracle must still be reproduced exactly: NULL
+    cum for the all-NULL band's rows (nothing summed yet when the
+    whole prefix is NULL... exactly what F.sum over the window gives),
+    correct offsets for every later band."""
+    from decimal import Decimal as D
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, D("2.00")),
+            ("b", 1, None),       # band 1 is ALL NULL
+            ("c", 1, None),
+            ("d", 2, D("5.00")),
+        ],
+        "k string, b int, v decimal(18,2)",
+    )
+    got, total = banded_cumsum(
+        df, "v", [F.col("b").asc(), F.col("k").asc()], F.col("b")
+    )
+    w = Window.orderBy(F.col("b").asc(), F.col("k").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert sorted((r.k, r.cum) for r in got.collect()) == sorted(
+        (r.k, r.cum) for r in want.collect()
+    )
+    assert total == D("7.00")
