@@ -125,6 +125,17 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Diagnostics (every sample + the per-query warmups, so a reader
+    # can classify round-over-round deltas as noise or regression) go
+    # to STDERR: the driver captures only a bounded stdout tail and
+    # parses the final JSON line from it -- in r5/r6 the inlined
+    # runs/warmup dicts pushed that line past the capture window and
+    # the artifact recorded parsed:null. The stdout line stays the
+    # compact contract: metric/value/unit/queries/sf.
+    print(
+        json.dumps({"runs": runs, "warmup": warmup}),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -132,8 +143,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs": runs,
-                "warmup": warmup,
                 "n_runs": n_runs,
                 # co-tenancy context: 1/5/15-min load averages at finish.
                 # this box runs other tenants; a uniformly-elevated round
