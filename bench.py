@@ -73,6 +73,16 @@ BENCH_QUERIES = [
     # spine densification + forward fill -- first floors r6
     "part_hierarchy_rollup",
     "stock_gap_fill",
+    # round-7: the SCD2 point-in-time join, the 3-way-star chi2
+    # residual screen, the full-scan sha256 fingerprint, the fact-fact
+    # latency join, and the two corpus shingle joins (novelty is the
+    # heaviest new text shape) -- first floors this round
+    "scd2_point_in_time",
+    "brand_segment_chi2",
+    "table_checksum",
+    "ship_latency",
+    "shingle_containment",
+    "ngram_novelty",
 ]
 
 

@@ -4540,3 +4540,346 @@ def q_table_after_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         per_version = snap if per_version is None else per_version.unionByName(snap)
     return per_version.orderBy("version")
+
+
+# --- round-7 additions: temporal PIT join, table integrity, statistics,
+# and two exact corpus-curation twins (containment, novelty) ------------
+
+
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: every lineitem priced against the
+    dimension attributes that were CURRENT on its ship date -- the
+    standard fact-vs-SCD2 `FOR SYSTEM_TIME AS OF` shape warehouses run
+    for as-was reporting. The dim history is built with the real SCD2
+    machinery (``operators/scd.py``): category = p_type from 1995-01-01,
+    every 5th part recategorized to p_brand at 1998-01-01, so each sku
+    has 1-2 validity windows.
+
+    Plan shape: the PIT join is a HASH join on the sku key with the
+    validity-window containment as a residual filter -- NOT a
+    nested-loop range join. Per key there are O(1) versions, so the
+    residual rejects at most one candidate per row; at 100 TB the
+    history side is dim-sized and broadcasts, the fact side never
+    shuffles at all.
+    """
+    from .operators.scd import scd2_apply, scd2_init
+
+    part = fixtures.load(spark, sf_dir, "part")
+    sku = F.col("p_partkey").alias("sku")
+    snap1 = part.select(sku, F.trim("p_type").alias("category"))
+    snap2 = part.select(
+        sku,
+        F.when(F.col("p_partkey") % 5 == 0, F.trim(F.col("p_brand")))
+        .otherwise(F.trim(F.col("p_type")))
+        .alias("category"),
+    )
+    hist = scd2_apply(
+        scd2_init(snap1, ["sku"], ["category"], dt.date(1995, 1, 1)),
+        snap2,
+        ["sku"],
+        ["category"],
+        dt.date(1998, 1, 1),
+    )
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("sku"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        _dec("l_extendedprice").alias("price"),
+    )
+    pit = li.join(F.broadcast(hist), "sku").where(
+        (F.col("ship_date") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ship_date") < F.col("valid_to")))
+    )
+    return (
+        pit.groupBy("category")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+        .orderBy("category")
+    )
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint -- the anti-entropy check a
+    replication/migration pipeline runs to assert two copies of a table
+    are row-identical WITHOUT sorting or moving either one: per-row
+    sha256 over a canonical '|'-joined rendering, folded to 60 bits,
+    reduced with the commutative pair (bit_xor, count) plus min/max as
+    cheap discriminators. Any single-row difference flips the xor; the
+    whole check is one scan + a 1-row aggregate, no shuffle of data
+    rows (partial aggregation reduces each partition to one row).
+
+    Only columns with engine-stable string renderings participate
+    (ints, strings, dates) -- float formatting is not a cross-engine
+    contract, which is itself the lesson of this query's design.
+    """
+    o = fixtures.load(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    sig = F.conv(F.substring(F.sha2(row, 256), 1, 15), 16, 10).cast("long")
+    return o.select(sig.alias("sig")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr("bit_xor(sig)").alias("xor_sig"),
+        F.min("sig").alias("min_sig"),
+        F.max("sig").alias("max_sig"),
+    )
+
+
+def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (Deequ's shape) over the orders
+    table via ``functions/checks.quality_report``: NOT NULL, accepted
+    domain, VARCHAR width, and table-grain checks all fold into ONE
+    aggregate pass (a single job, partial-aggregated -- no shuffle of
+    data rows), plus a referential-integrity row (lineitem.l_orderkey
+    into orders) from one anti-join. The accepted-domain rule is
+    deliberately tighter than the data ('O','F' but the table also
+    holds 'P') so the report proves it can count, not just zero-fill.
+    """
+    from .functions.checks import quality_report
+
+    o = fixtures.load(spark, sf_dir, "orders")
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    report = quality_report(
+        o,
+        not_null=["o_orderkey", "o_custkey", "o_orderdate"],
+        max_len={"o_orderpriority": 15},
+        accepted={"o_orderstatus": ["O", "F"]},
+        unique_key=["o_orderkey"],
+    )
+    orphans = (
+        li.select(F.col("l_orderkey").alias("o_orderkey"))
+        .join(o.select("o_orderkey"), "o_orderkey", "left_anti")
+        .agg(F.count("*").cast("long").alias("n_violations"))
+        .select(
+            F.lit("ref:lineitem.l_orderkey->orders").alias("check"),
+            "n_violations",
+        )
+    )
+    return report.unionByName(orphans).orderBy("check")
+
+
+def q_brand_segment_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square association residuals between part brand and customer
+    market segment -- the categorical-dependence screen a feature-
+    selection / data-drift pipeline runs over a fact join. Contingency
+    counts come from the 3-way star join (lineitem -> orders ->
+    customer, part dim broadcast); row/column marginals are broadcast
+    joins on the 25-brand / 5-segment keys; the grand total is a 1-row
+    scalar broadcast (the sanctioned pattern).
+
+    Exactness discipline: each cell's statistic uses only ITS OWN
+    row's values -- numerator n*N - r*c and denominator N*r*c are
+    exact int64 at test scales (documented bound; the DECIMAL spelling
+    is the >2^63 escape hatch), squared/divided in double with the
+    identical operation order on both engines -- so no cross-row
+    float accumulation exists and the result is bit-identical. Top-20
+    residuals by (contrib desc, brand, segment). ``cells`` (125 rows)
+    is persisted: it feeds the three marginal aggregates AND the final
+    join, and without the persist the 3-way star join would run four
+    times.
+    """
+    li = fixtures.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = fixtures.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = fixtures.load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    part = fixtures.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .persist()
+    )
+    row_tot = cells.groupBy("brand").agg(F.sum("n").alias("r"))
+    col_tot = cells.groupBy("segment").agg(F.sum("n").alias("c"))
+    # "tot", not "N": Spark resolution is case-insensitive, so a column
+    # named N would collide with the cell count n
+    grand = cells.agg(F.sum("n").alias("tot"))
+    num = (F.col("n") * F.col("tot") - F.col("r") * F.col("c")).cast("double")
+    den = (F.col("tot") * F.col("r") * F.col("c")).cast("double")
+    return (
+        cells.join(F.broadcast(row_tot), "brand")
+        .join(F.broadcast(col_tot), "segment")
+        .crossJoin(F.broadcast(grand))
+        .withColumn("contrib", num * num / den)
+        .select("brand", "segment", "n", "contrib")
+        .orderBy(F.col("contrib").desc(), "brand", "segment")
+        .limit(20)
+    )
+
+
+def q_brand_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand equi-depth price quartiles via ntile(4) PARTITIONED BY
+    brand (never a global partition-less ntile -- that funnels the
+    table through one task; for a global equi-depth histogram the
+    engine's banded-prefix or sketch paths apply). Deterministic
+    tie-break (price, partkey) makes the bucket assignment an exact
+    cross-engine contract. Money follows the DECIMAL-accumulate /
+    terminal-double convention.
+    """
+    part = fixtures.load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        _dec("p_retailprice").asc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.select(
+            F.col("p_brand").alias("brand"),
+            _dec("p_retailprice").alias("price"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .groupBy("brand", "quartile")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("price").cast("double").alias("lo"),
+            F.max("price").cast("double").alias("hi"),
+            (F.sum("price").cast("double") / F.count("*")).alias("avg_price"),
+        )
+        .orderBy("brand", "quartile")
+    )
+
+
+def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase gap distribution per market segment: LAG over a
+    per-customer window (partitioned -- parallel by key) yields days
+    between consecutive orders; the customer dim broadcasts; per
+    segment the gaps aggregate to n / mean / median / max. Gaps are
+    exact integers, so mean is ONE terminal division and median is the
+    deterministic interpolated percentile both engines define
+    identically.
+    """
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d"), "o_orderkey"
+    )
+    cust = fixtures.load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        orders.withColumn("gap", F.datediff("d", F.lag("d").over(w)))
+        .where(F.col("gap").isNotNull())
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        gaps.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            (F.sum("gap").cast("double") / F.count("*")).alias("mean_gap"),
+            F.percentile("gap", F.lit(0.5)).alias("median_gap"),
+            F.max("gap").cast("long").alias("max_gap"),
+        )
+        .orderBy("segment")
+    )
+
+
+def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLA report per order priority: one
+    fact-fact equi-join on the order key (co-partitioned shuffle,
+    AQE-coalesced), then exact integer day-latencies aggregated to
+    n / mean / p50 / p95 / max. The percentiles are Spark's exact
+    ``percentile`` (interpolated, same definition as quantile_cont);
+    at 100 TB the sketch twin (``value_quantile_sketch``) is the
+    scale path -- this is the exact contract it is graded against.
+    """
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("order_d"), "o_orderpriority"
+    )
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority", F.datediff("ship_d", "order_d").alias("latency")
+    )
+    return (
+        lat.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.sum("latency").cast("double") / F.count("*")).alias("mean_days"),
+            F.percentile("latency", F.lit(0.5)).alias("p50_days"),
+            F.percentile("latency", F.lit(0.95)).alias("p95_days"),
+            F.max("latency").cast("long").alias("max_days"),
+        )
+        .orderBy("priority")
+    )
+
+
+def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment near-dup pairs: |A n B| / |A| >= 0.8
+    finds documents SUBSUMED by another (quotes, excerpts, supersets)
+    that symmetric Jaccard misses when sizes differ -- the curation
+    filter that catches a snippet of a long doc. Same candidate
+    discipline as ``jaccard_pairs``: pairs meet only through a shared
+    full shingle (equi-join), counts-not-sets arithmetic, one terminal
+    rounded division. Output is directional (doc_a contained in
+    doc_b), both orientations examined, self-pairs excluded.
+    """
+    from .functions.text import tokens, word_ngrams
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    n = 3
+    shingled = docs.where(F.size(tokens("text")) >= n).select(
+        F.col("doc_id").alias("_id"),
+        word_ngrams("text", n).alias("shingles"),
+    )
+    sizes = shingled.select("_id", F.size("shingles").alias("n_shingles"))
+    exploded = shingled.select("_id", F.explode("shingles").alias("shingle"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    return (
+        shared.join(sa, "doc_a")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared").cast("double") / F.col("size_a"), 4),
+        )
+        .where(F.col("containment") >= 0.8)
+        .select("doc_a", "doc_b", "containment")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-gram shingles whose FIRST corpus occurrence (min doc_id) is the
+    doc itself -- the marginal-contribution score a training-data
+    curator uses to rank candidate documents by how much unseen text
+    they add (greedy corpus growth in doc_id order). One groupBy per
+    shingle for the first-occurrence table, one join back, one
+    terminal rounded division per doc; shingle strings stay within
+    the exact-twin tier (the hashed fold is the 100 TB shuffle path,
+    as in the dedup ladder).
+    """
+    from .functions.text import tokens, word_ngrams
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    n = 3
+    shingled = docs.where(F.size(tokens("text")) >= n).select(
+        "doc_id", F.explode(word_ngrams("text", n)).alias("shingle")
+    )
+    first = shingled.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        shingled.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.round(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -30,6 +30,7 @@ NESTED_LOOP_OK = {
     "token_dist_drift",  # 1-row corpus-token-total (N_c) broadcast gate
     "tfidf_keywords",  # 1-row corpus-doc-count (N) broadcast gate
     "epoch_shuffle",  # 2-row epoch-axis broadcast
+    "brand_segment_chi2",  # 1-row grand-total broadcast gate (chi2 expected counts)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -154,6 +154,15 @@ PORTABLE = [
     # localCheckpoint loop (stock_gap_fill stays DuckDB-side: its
     # generate_series/unnest spine is a table function, not shimmable)
     "part_hierarchy_rollup",
+    # round-7 additions that are pure ANSI (CASE/trim/ntile/USING/
+    # CROSS JOIN); excluded from this list with reasons:
+    # order_gap_stats + ship_latency (quantile_cont aggregate),
+    # table_checksum (hex-string CAST, Spark spells it conv()),
+    # dq_violations (FILTER ok but double-quoted identifier "check"),
+    # shingle_containment + ngram_novelty (list_* lambda family)
+    "scd2_point_in_time",
+    "brand_segment_chi2",
+    "brand_price_deciles",
 ]
 
 
