@@ -67,6 +67,31 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster before EXPENSIVE per-row
+    work (shingling, regex scans, sha256 folds, Arrow-batched decode).
+
+    The test fixtures are single-file, single-row-group parquet, so a
+    scan -- and every map stage fused onto it -- runs as ONE task no
+    matter what ``spark.sql.files.maxPartitionBytes`` says (a row
+    group is the minimum split unit). At 100 TB the file count
+    provides this parallelism for free; locally a one-time round-robin
+    shuffle of the raw rows buys a cores-wide map stage. Use it ONLY
+    where measurement says the map work outweighs one shuffle of the
+    input. Measured at sf0.1 (min-of-3, isolated): the shingle
+    SELF-JOIN pipelines gain ~2x (containment 4.4s -> 2.3s, novelty
+    1.5 -> 1.2) and Arrow-decode mapInPandas gains ~15% (image_dims
+    1.02 -> 0.88); but single-pass tokenize->aggregate scans LOSE --
+    lm_score 0.53 -> 0.97, tfidf 0.68 -> 1.20, text_stats 0.25 ->
+    0.32 -- because the explode/aggregate already parallelizes at its
+    own shuffle and the added exchange is pure cost. The rule: fan out
+    when the scan feeds multiple expensive consumers or a per-row
+    Python boundary, never in front of one aggregation.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n)
+
+
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with ts normalized to microsecond LTZ timestamps.
 

@@ -806,7 +806,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-bucketed scale path must recover)."""
     from .operators.dedup import shingle_jaccard_pairs
 
-    docs = fixtures.load(spark, sf_dir, "documents")
+    docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
     return shingle_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
@@ -828,7 +828,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import shingle_jaccard_pairs
     from .operators.graph import dedup_groups
 
-    docs = fixtures.load(spark, sf_dir, "documents")
+    docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
     return dedup_groups(shingle_jaccard_pairs(docs, n=3, threshold=0.5))
 
 
@@ -837,7 +837,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature extraction (decode stubbed deterministically)."""
     from .operators.multimodal import extract_binary_features, with_binary_payload
 
-    docs = fixtures.load(spark, sf_dir, "documents")
+    docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
     return extract_binary_features(with_binary_payload(docs))
 
 
@@ -1125,7 +1125,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path; exact-verified so precision is 1.0)."""
     from .operators.dedup import minhash_banded_pairs
 
-    docs = fixtures.load(spark, sf_dir, "documents")
+    docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
     return minhash_banded_pairs(docs, threshold=0.5)
 
 
@@ -1969,7 +1969,9 @@ def q_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .operators.multimodal import image_dimensions, with_test_images
 
-    docs = fixtures.load(spark, sf_dir, "documents").select("doc_id")
+    docs = fixtures.fan_out(
+        fixtures.load(spark, sf_dir, "documents").select("doc_id")
+    )
     return image_dimensions(with_test_images(docs)).orderBy("doc_id")
 
 
@@ -3925,7 +3927,9 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .operators.multimodal import audio_metadata, with_test_audio
 
-    docs = fixtures.load(spark, sf_dir, "documents").select("doc_id")
+    docs = fixtures.fan_out(
+        fixtures.load(spark, sf_dir, "documents").select("doc_id")
+    )
     return audio_metadata(with_test_audio(docs)).orderBy("doc_id")
 
 
@@ -3941,7 +3945,9 @@ def q_frame_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .operators.multimodal import frame_metadata, with_test_animations
 
-    docs = fixtures.load(spark, sf_dir, "documents").select("doc_id")
+    docs = fixtures.fan_out(
+        fixtures.load(spark, sf_dir, "documents").select("doc_id")
+    )
     return frame_metadata(with_test_animations(docs)).orderBy("doc_id")
 
 
@@ -4815,26 +4821,49 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     full shingle (equi-join), counts-not-sets arithmetic, one terminal
     rounded division. Output is directional (doc_a contained in
     doc_b), both orientations examined, self-pairs excluded.
+
+    n_shared is SYMMETRIC, so the candidate join runs once with the
+    a < b ordering (half the join output and aggregation state of the
+    naive a != b spelling) and the swapped orientation is a
+    zero-shuffle projection union before the per-direction |A|
+    normalization. The exploded shingle frame is PERSISTED: it feeds
+    both sides of the self-join AND the per-doc size aggregate, and
+    the shingling itself (tokenize + n-1 zip_with folds) is the
+    dominant scan cost -- profiled at sf0.1, the un-persisted plan
+    re-shingles the corpus three times (4.4s -> 2.5s persisted).
     """
     from .functions.text import tokens, word_ngrams
 
-    docs = fixtures.load(spark, sf_dir, "documents")
+    docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
     n = 3
     shingled = docs.where(F.size(tokens("text")) >= n).select(
         F.col("doc_id").alias("_id"),
         word_ngrams("text", n).alias("shingles"),
     )
-    sizes = shingled.select("_id", F.size("shingles").alias("n_shingles"))
-    exploded = shingled.select("_id", F.explode("shingles").alias("shingle"))
+    exploded = shingled.select(
+        "_id", F.explode("shingles").alias("shingle")
+    ).persist()
+    # shingles are already distinct per doc, so the per-doc size is a
+    # count over the persisted exploded frame -- no fourth shingling
+    sizes = exploded.groupBy("_id").agg(
+        F.count("*").cast("int").alias("n_shingles")
+    )
     a, b = exploded.alias("a"), exploded.alias("b")
-    shared = (
+    shared_lt = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a._id") != F.col("b._id")),
+            & (F.col("a._id") < F.col("b._id")),
         )
         .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .agg(F.count("*").alias("n_shared"))
+    )
+    shared = shared_lt.unionByName(
+        shared_lt.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "n_shared",
+        )
     )
     sa = sizes.select(F.col("_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
     return (
@@ -4858,15 +4887,17 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle for the first-occurrence table, one join back, one
     terminal rounded division per doc; shingle strings stay within
     the exact-twin tier (the hashed fold is the 100 TB shuffle path,
-    as in the dedup ladder).
+    as in the dedup ladder). The exploded frame is persisted -- it
+    feeds the first-occurrence aggregate AND the join-back side, and
+    the shingling is the dominant scan cost (one pass, not two).
     """
     from .functions.text import tokens, word_ngrams
 
-    docs = fixtures.load(spark, sf_dir, "documents")
+    docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
     n = 3
     shingled = docs.where(F.size(tokens("text")) >= n).select(
         "doc_id", F.explode(word_ngrams("text", n)).alias("shingle")
-    )
+    ).persist()
     first = shingled.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     return (
         shingled.join(first, "shingle")

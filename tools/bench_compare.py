@@ -50,7 +50,25 @@ def _unwrap(d: dict) -> dict:
             return json.loads(p)
         except json.JSONDecodeError:
             return ast.literal_eval(p)
-    return p if isinstance(p, dict) else {}
+    if isinstance(p, dict):
+        return p
+    # r5/r6 artifacts: parsed is null because the one-line JSON outgrew
+    # the driver's bounded stdout-tail capture (fixed in r7 by moving
+    # runs/warmup to stderr). The per-query RUN LISTS survive inside
+    # the truncated tail; salvage min-of-runs as that round's
+    # steady-state floor. The `"name": [floats]` shape only occurs in
+    # the runs dict, so the regex cannot match queries/warmup scalars.
+    import re
+
+    tail = d.get("tail") or ""
+    salvaged = {
+        name: min(float(x) for x in nums.split(","))
+        for name, nums in re.findall(
+            r'"([a-z0-9_]+)": \[([0-9. ,]+)\]', tail
+        )
+        if name != "load_avg"
+    }
+    return {"queries": salvaged} if salvaged else {}
 
 
 def floors() -> dict[str, float]:
