@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ship_latency": Q.q_ship_latency,
         "shingle_containment": Q.q_shingle_containment,
         "ngram_novelty": Q.q_ngram_novelty,
+        "basket_rules": Q.q_basket_rules,
+        "forecast_backtest": Q.q_forecast_backtest,
         # --- (3) stalest greens: freshest row is CORRECTNESS_r04 -----
         "bigram_counts": Q.q_bigram_counts,
         "reconcile": Q.q_reconcile,
@@ -3218,6 +3220,76 @@ SELECT e.doc_id,
                     AS DOUBLE) / COUNT(*), 4) AS novelty
 FROM ex e JOIN fd f ON e.shingle = f.shingle
 GROUP BY 1 ORDER BY 1
+""",
+
+        # association rules: directional confidence + symmetric lift,
+        # every metric one division of exact int64 products
+        "basket_rules": """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+po AS (
+  SELECT l_partkey, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_part
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders_total
+  FROM lineitem
+)
+SELECT part_a, part_b, n_pair,
+       ROUND(CAST(n_pair AS DOUBLE) / CAST(n_orders_total AS DOUBLE), 6)
+         AS support,
+       ROUND(CAST(n_pair AS DOUBLE) / CAST(pa.n_part AS DOUBLE), 6)
+         AS confidence,
+       ROUND(CAST(n_pair * n_orders_total AS DOUBLE)
+               / CAST(pa.n_part * pb.n_part AS DOUBLE), 6) AS lift
+FROM pairs
+JOIN po pa ON pa.l_partkey = part_a
+JOIN po pb ON pb.l_partkey = part_b
+CROSS JOIN tot
+WHERE n_pair >= 2
+ORDER BY lift DESC, part_a, part_b
+LIMIT 25
+""",
+        # OLS backtest: exact-rational per-week errors (integer
+        # numerators, HUGEINT sums), one terminal double division
+        "forecast_backtest": """
+WITH li AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(FLOOR((CAST(l_shipdate AS DATE) - DATE '1995-01-02') / 7)
+              AS BIGINT) AS x
+  FROM lineitem
+),
+weekly AS (
+  SELECT p_brand AS brand, x, SUM(qty) AS y
+  FROM li JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM weekly WHERE x < 261 GROUP BY 1
+),
+sc AS (
+  SELECT w.brand, w.x, w.y, s.n, s.sx, s.sy,
+         s.n * s.sxx - s.sx * s.sx AS den,
+         s.n * s.sxy - s.sx * s.sy AS a_num
+  FROM weekly w JOIN stats s USING (brand)
+  WHERE w.x >= 261 AND s.n >= 2
+)
+SELECT brand,
+       CAST(MAX(n) AS BIGINT) AS n_train,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       ROUND(CAST(SUM(ABS(y * n * den - (sy * den - a_num * sx + n * a_num * x)))
+                    AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)
+                  * CAST(MAX(den) AS DOUBLE)), 6) AS mae_qty
+FROM sc GROUP BY brand ORDER BY brand
 """,
 
     }

@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     "ship_latency",
     "shingle_containment",
     "ngram_novelty",
+    # association-rule expansion over baskets and the exact-rational
+    # OLS backtest -- first floors this round
+    "basket_rules",
+    "forecast_backtest",
 ]
 
 

@@ -4914,3 +4914,184 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (support / confidence / lift) over co-purchase
+    pairs -- the market-basket step AFTER ``copurchase_pairs``' raw
+    counts: how much more likely is part_b given part_a than its base
+    rate. Pair counts come from the same group-then-expand shape (sorted
+    distinct parts per order, nested-transform pair expansion -- never
+    an order-lines self-join whose broadcast side melts at scale); the
+    per-part order counts and the 1-row order total are broadcast.
+
+    Exactness: every metric is ONE division of exact int64 products
+    (pair*N and n_a*n_b both bounded far inside int64 at any test SF;
+    the DECIMAL(38,0)/HUGEINT spelling is the >2^63 escape hatch), so
+    the top-25 by lift is engine-stable. Rules are DIRECTIONAL
+    (a->b and b->a differ in confidence; lift is symmetric).
+    """
+    li = fixtures.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                "ps",
+                lambda a: F.transform(
+                    F.col("ps"),
+                    lambda b: F.when(
+                        a < b, F.struct(a.alias("part_a"), b.alias("part_b"))
+                    ),
+                ),
+            )
+        ),
+        lambda s: s.isNotNull(),
+    )
+    pairs_lt = (
+        grouped.select(F.explode(pair_arr).alias("pr"))
+        .select("pr.part_a", "pr.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+    )
+    pairs = pairs_lt.unionByName(
+        pairs_lt.select(
+            F.col("part_b").alias("part_a"),
+            F.col("part_a").alias("part_b"),
+            "n_pair",
+        )
+    )
+    part_orders = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_part")
+    )
+    total = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders_total")
+    )
+    na = part_orders.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    nb = part_orders.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    return (
+        pairs.where(F.col("n_pair") >= 2)
+        .join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            F.round(
+                F.col("n_pair").cast("double")
+                / F.col("n_orders_total").cast("double"),
+                6,
+            ).alias("support"),
+            F.round(
+                F.col("n_pair").cast("double") / F.col("n_a").cast("double"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("n_pair") * F.col("n_orders_total")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-split forecast BACKTEST: fit the per-brand weekly-demand OLS
+    on pre-2000 weeks only, score it on the 2000+ holdout, report MAE
+    per brand -- the train/eval discipline a demand-forecasting
+    pipeline runs before trusting a model (``brand_trend`` is the fit;
+    this is the honest out-of-sample evaluation of the same closed
+    form).
+
+    Exact-rational scoring (the token_dist_drift discipline): with
+    D = n*Sxx - Sx^2 and A = n*Sxy - Sx*Sy from the TRAIN sufficient
+    statistics, pred(w) = (Sy*D - A*Sx + n*A*w) / (n*D), so the
+    per-week absolute error has the exact integer numerator
+    |y_w*n*D - (Sy*D - A*Sx + n*A*w)| -- summed in DECIMAL(38,0)
+    (HUGEINT in the oracle), with ONE terminal double division by
+    n_test*n*D. No float ever enters an aggregation, so MAE is
+    bit-identical on any engine and any partitioning.
+
+    Scale shape: weekly pre-aggregate shuffles on (brand, week); the
+    25-row train-stats table broadcasts into the holdout join; the
+    weekly frame is persisted (train stats + holdout scan share it).
+    """
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        (
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1995-01-02").cast("date")
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    part = fixtures.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    weekly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), "x")
+        .agg(F.sum("qty").alias("y"))
+        .persist()
+    )
+    # split on the WEEK INDEX, not the calendar year: a week straddling
+    # the boundary must land wholly on one side or the (brand, x) grain
+    # would split into two rows and corrupt the OLS. Week 261 begins
+    # 2000-01-03 -- the first full holdout week.
+    train = weekly.where(F.col("x") < 261)
+    test = weekly.where(F.col("x") >= 261)
+    d = lambda c: c.cast("decimal(38,0)")
+    stats = train.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d(F.col("x"))).alias("sx"),
+        F.sum(d(F.col("y"))).alias("sy"),
+        F.sum(d(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(d(F.col("x")) * F.col("y")).alias("sxy"),
+    )
+    den = d(F.col("n")) * F.col("sxx") - F.col("sx") * F.col("sx")
+    a_num = d(F.col("n")) * F.col("sxy") - F.col("sx") * F.col("sy")
+    scored = test.join(
+        F.broadcast(stats.where(F.col("n") >= 2).select("brand", "n", "sx", "sy", "sxx", "sxy", den.alias("den"), a_num.alias("a_num"))),
+        "brand",
+    )
+    err_num = F.abs(
+        d(F.col("y")) * F.col("n") * F.col("den")
+        - (
+            F.col("sy") * F.col("den")
+            - F.col("a_num") * F.col("sx")
+            + d(F.col("n")) * F.col("a_num") * F.col("x")
+        )
+    )
+    return (
+        scored.groupBy("brand")
+        .agg(
+            F.max("n").alias("n_train"),
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(err_num).alias("err_sum"),
+            F.max(F.col("den")).alias("_den"),
+            F.max(F.col("n")).alias("_n"),
+        )
+        .select(
+            "brand",
+            F.col("n_train").cast("long").alias("n_train"),
+            "n_test",
+            F.round(
+                F.col("err_sum").cast("double")
+                / (
+                    F.col("n_test").cast("double")
+                    * F.col("_n").cast("double")
+                    * F.col("_den").cast("double")
+                ),
+                6,
+            ).alias("mae_qty"),
+        )
+        .orderBy("brand")
+    )

@@ -31,6 +31,7 @@ NESTED_LOOP_OK = {
     "tfidf_keywords",  # 1-row corpus-doc-count (N) broadcast gate
     "epoch_shuffle",  # 2-row epoch-axis broadcast
     "brand_segment_chi2",  # 1-row grand-total broadcast gate (chi2 expected counts)
+    "basket_rules",  # 1-row order-total broadcast gate (support/lift denominators)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -218,3 +218,69 @@ def test_ngram_novelty_boundaries(spark):
     for r in rows:
         assert 0.0 <= r.novelty <= 1.0
         assert r.n_shingles >= 1
+
+
+def test_basket_rules_metrics_are_consistent(spark):
+    """Lift algebra: lift(a,b) == lift(b,a); confidence(a->b) =
+    support(pair) / support(a); every pair's support <= both parts'
+    marginal supports; counts are >= the min-support floor."""
+    rows = Q.q_basket_rules(spark, SF).collect()
+    assert rows
+    by_pair = {(r.part_a, r.part_b): r for r in rows}
+    for r in rows:
+        assert r.n_pair >= 2
+        assert 0 < r.support <= r.confidence <= 1.0 + 1e-9
+        mirror = by_pair.get((r.part_b, r.part_a))
+        if mirror is not None:
+            assert abs(r.lift - mirror.lift) < 1e-9  # symmetric
+            assert r.n_pair == mirror.n_pair
+
+
+def test_forecast_backtest_matches_float_recompute(spark):
+    """The exact-rational MAE must equal the naive float recompute
+    (fit on train, score on holdout) to ~1e-6 -- the rational form is
+    a determinism device, not a different statistic."""
+    from collections import defaultdict
+
+    rows = {r.brand: r for r in Q.q_forecast_backtest(spark, SF).collect()}
+    assert rows
+    li = fixtures.load(spark, SF, "lineitem")
+    part = fixtures.load(spark, SF, "part")
+    weekly = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.lit("1995-01-02").cast("date"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("y"))
+        .collect()
+    )
+    train, test = defaultdict(list), defaultdict(list)
+    for r in weekly:
+        (train if r.x < 261 else test)[r.brand].append((r.x, r.y))
+    for brand, pts in train.items():
+        if len(pts) < 2 or brand not in rows:
+            continue
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        den = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / den
+        intercept = (sy - slope * sx) / n
+        hold = test.get(brand, [])
+        if not hold:
+            continue
+        mae = sum(abs(y - (intercept + slope * x)) for x, y in hold) / len(hold)
+        got = rows[brand]
+        assert got.n_train == n and got.n_test == len(hold)
+        assert abs(got.mae_qty - mae) < 1e-4, (brand, got.mae_qty, mae)
