@@ -296,3 +296,77 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
             for r in exp_df.itertuples()
         }
         assert got == exp, direction
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=12
+    ),
+    lo=st.integers(min_value=-(2**40), max_value=2**40),
+    span=st.integers(min_value=1, max_value=2**62),
+)
+def test_scale16_matches_python_integer_math(spark, vals, lo, span):
+    """scale16 == pure-Python clamped exact bucketing at ANY int64
+    span -- the decimal IntegralDivide must never wrap or misround."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.layout import (
+        scale16,
+    )
+    from pyspark.sql import functions as F
+
+    hi = lo + span
+    df = spark.createDataFrame([(v,) for v in vals], "q long")
+    got = {
+        r.q: r.s
+        for r in df.select("q", scale16(F.col("q"), lo, hi).alias("s")).collect()
+    }
+    for v in vals:
+        c = min(max(v, lo), hi)
+        assert got[v] == (c - lo) * 65535 // span, (v, lo, hi)
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # band
+            st.one_of(
+                st.none(),
+                st.decimals(
+                    min_value=-999, max_value=999, places=2, allow_nan=False
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_banded_cumsum_equals_global_window_with_nulls(spark, rows):
+    """For ANY mix of NULLs and values (including all-NULL bands and
+    NULL prefixes), the banded form reproduces the single global
+    running-sum window bit-for-bit."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.prefix import (
+        banded_cumsum,
+    )
+
+    data = [
+        (i, b, None if v is None else Decimal(v).quantize(Decimal("0.01")))
+        for i, (b, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "k int, b int, v decimal(18,2)")
+    got, total = banded_cumsum(
+        df, "v", [F.col("b").asc(), F.col("k").asc()], F.col("b")
+    )
+    w = Window.orderBy(F.col("b").asc(), F.col("k").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert sorted((r.k, r.cum) for r in got.collect()) == sorted(
+        (r.k, r.cum) for r in want.collect()
+    )
+    assert total == sum((v for _, _, v in data if v is not None), Decimal(0))
