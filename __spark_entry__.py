@@ -46,15 +46,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DECIMAL-output canonicalization artifact lm_score had in r04/r05;
     its melted amount is now a terminal DOUBLE on both sides (and the
     plan sweep bans DECIMAL output columns engine-wide);
-    (2) the 9 round-7 additions, never driver-attested: the SCD2
+    (2) the 11 round-7 additions, never driver-attested: the SCD2
     point-in-time join, the order-independent table checksum, the DQ
     audit, the chi-square residual screen, per-brand equi-depth
-    quartiles, inter-order gaps, ship latency SLA, and the two exact
-    corpus-curation twins (directional containment, n-gram novelty);
-    (3) the 40 entries whose freshest green row is CORRECTNESS_r04
-    (stalest greens, in r04 attestation order). That fills the window
-    at exactly 50. Past the window: the 49 r05-green entries, the 49
-    r06-green entries (freshest), then the 14 rows-only
+    quartiles, inter-order gaps, ship latency SLA, the two exact
+    corpus-curation twins (directional containment, n-gram novelty),
+    association rules, and the exact-rational forecast backtest;
+    (3) 38 of the 40 entries whose freshest green row is
+    CORRECTNESS_r04 (stalest greens, in r04 attestation order) -- the
+    late additions displaced the last two (returned_item_customers,
+    promo_revenue_share) past the boundary; their r04 greens stand and
+    they lead the stale queue next round. That fills the window at
+    exactly 50. Past the window: those two, the 49 r05-green entries,
+    the 49 r06-green entries (freshest), then the 14 rows-only
     (seeded/approximate/iterative) entries that close the tail by
     design -- attesting those would waste a slot on a weaker
     rows-only check. All post-window entries stay pinned value-level
@@ -115,9 +119,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": Q.q_large_volume_customers,
         "hybrid_rank": Q.q_hybrid_rank,
         "local_supplier_revenue": Q.q_local_supplier_revenue,
+        # ---- end of the 50-entry attested window --------------------
+        # two r04-green entries displaced past the window by the late
+        # round-7 additions (basket_rules, forecast_backtest) -- their
+        # r04 green rows still stand; re-queue them first among the
+        # stalest next round
         "returned_item_customers": Q.q_returned_item_customers,
         "promo_revenue_share": Q.q_promo_revenue_share,
-        # ---- end of the 50-entry attested window --------------------
         # r05-green remainder (freshest row CORRECTNESS_r05.json)
         "dedup_keep_best": Q.q_dedup_keep_best,
         "dedup_canonical": Q.q_dedup_canonical,
@@ -3045,6 +3053,10 @@ WITH pit AS (
               ELSE trim(p_type) END AS category,
          CAST(l_extendedprice AS DECIMAL(18,2)) AS price
   FROM lineitem JOIN part ON l_partkey = p_partkey
+  -- PIT semantics: a fact BEFORE the first validity window (or with a
+  -- NULL ship date) has no as-was dimension version and is dropped,
+  -- exactly as the engine's residual filter drops it
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
 )
 SELECT category, CAST(COUNT(*) AS BIGINT) AS n_lines,
        CAST(SUM(price) AS DOUBLE) AS revenue

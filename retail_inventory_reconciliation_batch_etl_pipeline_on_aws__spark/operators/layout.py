@@ -46,17 +46,26 @@ def scale16(col: Column, lo, hi) -> Column:
     arbitrarily. Decimal `/` is no fix either: precision-loss scale
     reduction makes the quotient ROUND (half-up at the reduced scale)
     before the floor, which crosses integer boundaries at large
-    spans. Clamped-diff * 65535 is at most ~1.2e24, well inside
-    DECIMAL(38,0), and `div` truncates exactly."""
-    span = hi - lo
+    spans. Clamped-diff * 65535 is at most ~2.4e24, well inside
+    DECIMAL(38,0), and `div` truncates exactly. The clamp,
+    subtraction, and span literal are ALL decimal: bounds like
+    (-2^62, 2^62) are each valid int64 yet their span 2^63 exceeds
+    Long.MAX, so a long literal or long subtraction anywhere would
+    overflow before the decimal cast could save it."""
+    dec = "decimal(38,0)"
+
+    def dlit(v) -> Column:
+        # route big python ints through a string literal: F.lit() on an
+        # int past Long.MAX raises NumberFormatException
+        return F.lit(str(int(v))).cast(dec)
+
     clamped = F.least(
-        F.greatest(col.cast("long"), F.lit(lo).cast("long")),
-        F.lit(hi).cast("long"),
+        F.greatest(col.cast("long").cast(dec), dlit(lo)), dlit(hi)
     )
     return F.call_function(
         "div",
-        (clamped - F.lit(lo)).cast("decimal(38,0)") * F.lit(65535),
-        F.lit(span).cast("decimal(38,0)"),
+        (clamped - dlit(lo)) * F.lit(65535),
+        dlit(hi - lo),
     )
 
 

@@ -5026,7 +5026,11 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = fixtures.load(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.col("l_quantity").cast("long").alias("qty"),
-        (
+        # floor, not cast('long'): cast truncates toward zero, so a
+        # shipdate BEFORE the 1995-01-02 epoch would bucket into week 0
+        # on Spark while the oracle's FLOOR puts it in week -1 -- floor
+        # on both sides makes the grain identical for any date domain
+        F.floor(
             F.datediff(
                 F.col("l_shipdate").cast("date"), F.lit("1995-01-02").cast("date")
             )

@@ -294,11 +294,24 @@ def _stage_and_splice(
         new_files.append(name)
     shutil.rmtree(staging, ignore_errors=True)
 
+    def _refuse(why: str):
+        # a refused commit must not leak its staged output: the files
+        # were already moved into data/ but no commit references them,
+        # so they would sit as orphans until some later vacuum. They
+        # are this writer's own uuid-named files -- deleting them races
+        # with nobody.
+        for name in new_files:
+            try:
+                os.remove(os.path.join(data_dir, name))
+            except FileNotFoundError:
+                pass
+        raise RuntimeError(why)
+
     commits_dir = os.path.join(path, "commits")
     while True:
         parent = latest_version(path)
         if require_parent is not None and parent != require_parent:
-            raise RuntimeError(
+            _refuse(
                 f"concurrent modification: this {mode.upper()} read snapshot "
                 f"v{require_parent} but the table is now at v{parent}; "
                 "its key-match set may be stale -- re-run against the new "
@@ -308,7 +321,7 @@ def _stage_and_splice(
             os.path.join(commits_dir, f"v{parent:05d}.json")
         )["files"]
         if not touched <= set(parent_files):
-            raise RuntimeError(
+            _refuse(
                 f"concurrent modification: files read by this {mode.upper()} "
                 "were replaced by another commit; re-run against the new "
                 "snapshot"

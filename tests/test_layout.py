@@ -484,6 +484,21 @@ def test_merge_into_refuses_concurrent_append(spark, monkeypatch):
             for r in versioned.read_versioned(spark, path).collect()
         }
         assert got == {(1, "a"), (9, "raced")}
+        # and the refused merge cleaned up its staged output: every
+        # data file on disk is referenced by some commit (no orphans
+        # waiting for vacuum)
+        import glob as _glob
+        import json as _json
+        import os as _os
+
+        referenced = set()
+        for cp in sorted(_glob.glob(f"{path}/commits/v*.json")):
+            with open(cp) as fh:
+                referenced.update(_json.load(fh)["files"])
+        on_disk = {
+            _os.path.basename(f) for f in _glob.glob(f"{path}/data/*.parquet")
+        }
+        assert on_disk == referenced
 
 
 def test_scale16_survives_huge_span(spark):

@@ -203,12 +203,18 @@ def test_market_share_single_fact_scan_all_joins_broadcast(spark):
 def test_image_dims_narrow_until_output_sort(spark):
     """Image decode guard: payload synth + header parse are two
     Arrow-batched MapInPandas stages with NO exchange between them
-    (payload bytes never shuffle); the only exchange is the final
-    doc_id output ordering, which carries the decoded metadata."""
+    (payload bytes never shuffle); the only exchanges are the narrow
+    doc_id fan-out BEFORE any payload exists (fixtures.fan_out -- the
+    single-file fixture scan would otherwise run the whole decode as
+    one task) and the final doc_id output ordering, which carries the
+    decoded metadata."""
     p = plan_of(spark, "image_dims")
     assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 2
     n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", p))
-    assert n_shuffles == 1, f"expected only the output-order exchange: {n_shuffles}"
+    assert n_shuffles == 2, f"expected fan-out + output-order exchanges: {n_shuffles}"
+    # the fan-out must shuffle BEFORE the payload stages: RoundRobin
+    # over the bare doc_id, never the synthesized binary
+    assert "RoundRobinPartitioning" in p
     assert "BatchEvalPython" not in p
 
 

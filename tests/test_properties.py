@@ -303,8 +303,8 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
     vals=st.lists(
         st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=12
     ),
-    lo=st.integers(min_value=-(2**40), max_value=2**40),
-    span=st.integers(min_value=1, max_value=2**62),
+    lo=st.integers(min_value=-(2**63), max_value=2**63 - 2),
+    span=st.integers(min_value=1, max_value=2**64 - 1),
 )
 def test_scale16_matches_python_integer_math(spark, vals, lo, span):
     """scale16 == pure-Python clamped exact bucketing at ANY int64

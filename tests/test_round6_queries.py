@@ -9,7 +9,7 @@ from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark import (
     queries as Q,
 )
 
-SF = "/root/testdata/sf0.001"
+from conftest import TESTDATA as SF
 
 
 def test_reorder_point_dominates_lead_time_demand(spark):

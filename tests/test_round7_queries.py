@@ -12,7 +12,7 @@ from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans impo
     fixtures,
 )
 
-SF = "/root/testdata/sf0.001"
+from conftest import TESTDATA as SF
 
 
 def test_scd2_pit_totals_partition_the_fact_table(spark):
@@ -250,7 +250,7 @@ def test_forecast_backtest_matches_float_recompute(spark):
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(
             F.col("p_brand").alias("brand"),
-            (
+            F.floor(
                 F.datediff(
                     F.col("l_shipdate").cast("date"),
                     F.lit("1995-01-02").cast("date"),
