@@ -46,18 +46,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DECIMAL-output canonicalization artifact lm_score had in r04/r05;
     its melted amount is now a terminal DOUBLE on both sides (and the
     plan sweep bans DECIMAL output columns engine-wide);
-    (2) the 11 round-7 additions, never driver-attested: the SCD2
+    (2) the 12 round-7 additions, never driver-attested: the SCD2
     point-in-time join, the order-independent table checksum, the DQ
     audit, the chi-square residual screen, per-brand equi-depth
     quartiles, inter-order gaps, ship latency SLA, the two exact
     corpus-curation twins (directional containment, n-gram novelty),
-    association rules, and the exact-rational forecast backtest;
-    (3) 38 of the 40 entries whose freshest green row is
+    association rules, the exact-rational forecast backtest, and the
+    banded global equi-depth histogram;
+    (3) 37 of the 40 entries whose freshest green row is
     CORRECTNESS_r04 (stalest greens, in r04 attestation order) -- the
-    late additions displaced the last two (returned_item_customers,
-    promo_revenue_share) past the boundary; their r04 greens stand and
-    they lead the stale queue next round. That fills the window at
-    exactly 50. Past the window: those two, the 49 r05-green entries,
+    late additions displaced the last three (local_supplier_revenue,
+    returned_item_customers, promo_revenue_share) past the boundary;
+    their r04 greens stand and they lead the stale queue next round.
+    That fills the window at exactly 50. Past the window: those three,
+    the 49 r05-green entries,
     the 49 r06-green entries (freshest), then the 14 rows-only
     (seeded/approximate/iterative) entries that close the tail by
     design -- attesting those would waste a slot on a weaker
@@ -80,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": Q.q_ngram_novelty,
         "basket_rules": Q.q_basket_rules,
         "forecast_backtest": Q.q_forecast_backtest,
+        "price_equidepth_hist": Q.q_price_equidepth_hist,
         # --- (3) stalest greens: freshest row is CORRECTNESS_r04 -----
         "bigram_counts": Q.q_bigram_counts,
         "reconcile": Q.q_reconcile,
@@ -118,12 +121,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": Q.q_small_qty_revenue,
         "large_volume_customers": Q.q_large_volume_customers,
         "hybrid_rank": Q.q_hybrid_rank,
-        "local_supplier_revenue": Q.q_local_supplier_revenue,
         # ---- end of the 50-entry attested window --------------------
-        # two r04-green entries displaced past the window by the late
-        # round-7 additions (basket_rules, forecast_backtest) -- their
-        # r04 green rows still stand; re-queue them first among the
-        # stalest next round
+        # three r04-green entries displaced past the window by the late
+        # round-7 additions (basket_rules, forecast_backtest,
+        # price_equidepth_hist) -- their r04 green rows still stand;
+        # re-queue them first among the stalest next round
+        "local_supplier_revenue": Q.q_local_supplier_revenue,
         "returned_item_customers": Q.q_returned_item_customers,
         "promo_revenue_share": Q.q_promo_revenue_share,
         # r05-green remainder (freshest row CORRECTNESS_r05.json)
@@ -3302,6 +3305,33 @@ SELECT brand,
                / (CAST(COUNT(*) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)
                   * CAST(MAX(den) AS DOUBLE)), 6) AS mae_qty
 FROM sc GROUP BY brand ORDER BY brand
+""",
+
+        # global equi-depth histogram: value-level bucket rule over the
+        # cents histogram's running count -- exact integer division,
+        # never a float rank; the oracle's global window is the naive
+        # spelling the engine's banded prefix replaces at scale
+        "price_equidepth_hist": """
+WITH h AS (
+  SELECT CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS c,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT c, n,
+         SUM(n) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum
+  FROM h
+),
+tot AS (SELECT SUM(n) AS n_total FROM h)
+SELECT LEAST(9, (cum - n) * 10 // n_total) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MIN(c) AS DOUBLE) / 100.0 AS lo,
+       CAST(MAX(c) AS DOUBLE) / 100.0 AS hi
+FROM cum CROSS JOIN tot
+GROUP BY 1 ORDER BY 1
 """,
 
     }

@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     # OLS backtest -- first floors this round
     "basket_rules",
     "forecast_backtest",
+    # banded global equi-depth histogram -- first floor this round
+    "price_equidepth_hist",
 ]
 
 

@@ -284,3 +284,23 @@ def test_forecast_backtest_matches_float_recompute(spark):
         got = rows[brand]
         assert got.n_train == n and got.n_test == len(hold)
         assert abs(got.mae_qty - mae) < 1e-4, (brand, got.mae_qty, mae)
+
+
+def test_price_equidepth_hist_is_balanced_value_level(spark):
+    """Equi-depth contract at the VALUE level: buckets partition the
+    row count with each bucket's rows within one distinct-value weight
+    of N/B (ties never split); boundaries strictly increase; bucket
+    ids are exactly 0..B-1 when N >= B."""
+    rows = Q.q_price_equidepth_hist(spark, SF).collect()
+    n_total = sum(r.n_rows for r in rows)
+    assert [r.bucket for r in rows] == list(range(len(rows)))
+    li = fixtures.load(spark, SF, "lineitem")
+    assert n_total == li.count()
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi < b.lo  # value ranges disjoint and ordered
+    # depth balance: every bucket's cumulative start is < its upper
+    # rank bound (the value-level rule guarantees start = floor-rank)
+    cum = 0
+    for r in rows:
+        assert cum * 10 < n_total * (r.bucket + 1)
+        cum += r.n_rows
