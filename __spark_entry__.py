@@ -46,19 +46,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DECIMAL-output canonicalization artifact lm_score had in r04/r05;
     its melted amount is now a terminal DOUBLE on both sides (and the
     plan sweep bans DECIMAL output columns engine-wide);
-    (2) the 12 round-7 additions, never driver-attested: the SCD2
+    (2) the 13 round-7 additions, never driver-attested: the SCD2
     point-in-time join, the order-independent table checksum, the DQ
     audit, the chi-square residual screen, per-brand equi-depth
     quartiles, inter-order gaps, ship latency SLA, the two exact
     corpus-curation twins (directional containment, n-gram novelty),
-    association rules, the exact-rational forecast backtest, and the
-    banded global equi-depth histogram;
-    (3) 37 of the 40 entries whose freshest green row is
+    association rules, the exact-rational forecast backtest, the
+    banded global equi-depth histogram, and the fixed-point domain
+    classifier;
+    (3) 36 of the 40 entries whose freshest green row is
     CORRECTNESS_r04 (stalest greens, in r04 attestation order) -- the
-    late additions displaced the last three (local_supplier_revenue,
-    returned_item_customers, promo_revenue_share) past the boundary;
+    late additions displaced the last four (hybrid_rank,
+    local_supplier_revenue, returned_item_customers,
+    promo_revenue_share) past the boundary;
     their r04 greens stand and they lead the stale queue next round.
-    That fills the window at exactly 50. Past the window: those three,
+    That fills the window at exactly 50. Past the window: those four,
     the 49 r05-green entries,
     the 49 r06-green entries (freshest), then the 14 rows-only
     (seeded/approximate/iterative) entries that close the tail by
@@ -83,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_rules": Q.q_basket_rules,
         "forecast_backtest": Q.q_forecast_backtest,
         "price_equidepth_hist": Q.q_price_equidepth_hist,
+        "domain_classifier": Q.q_domain_classifier,
         # --- (3) stalest greens: freshest row is CORRECTNESS_r04 -----
         "bigram_counts": Q.q_bigram_counts,
         "reconcile": Q.q_reconcile,
@@ -120,12 +123,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": Q.q_bm25_search,
         "small_qty_revenue": Q.q_small_qty_revenue,
         "large_volume_customers": Q.q_large_volume_customers,
-        "hybrid_rank": Q.q_hybrid_rank,
         # ---- end of the 50-entry attested window --------------------
-        # three r04-green entries displaced past the window by the late
+        # four r04-green entries displaced past the window by the late
         # round-7 additions (basket_rules, forecast_backtest,
-        # price_equidepth_hist) -- their r04 green rows still stand;
-        # re-queue them first among the stalest next round
+        # price_equidepth_hist, domain_classifier) -- their r04 green
+        # rows still stand; re-queue them first among the stalest next
+        # round
+        "hybrid_rank": Q.q_hybrid_rank,
         "local_supplier_revenue": Q.q_local_supplier_revenue,
         "returned_item_customers": Q.q_returned_item_customers,
         "promo_revenue_share": Q.q_promo_revenue_share,
@@ -3332,6 +3336,77 @@ SELECT LEAST(9, (cum - n) * 10 // n_total) AS bucket,
        CAST(MAX(c) AS DOUBLE) / 100.0 AS hi
 FROM cum CROSS JOIN tot
 GROUP BY 1 ORDER BY 1
+""",
+
+        # fixed-point class-unigram-LM domain classifier: the oracle is
+        # string-token-side (a Spark xxhash64 fold collision would fail
+        # the value hash, the lm_score discipline); every weight is an
+        # exact HUGEINT IntegralDivide so the argmax is engine-stable
+        "domain_classifier": """
+WITH labeled AS (
+  SELECT doc_id, source,
+         CAST(list_sum(list_transform(range(1, 9), i ->
+           (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS STRING)), CAST(i AS INT), 1)) - 1)
+           * power(16, 8 - i))) AS BIGINT) % 10 < 8 AS is_train
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+           AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+ltf AS (
+  SELECT f.doc_id, f.token, f.tf, l.source, l.is_train
+  FROM tf f JOIN labeled l USING (doc_id)
+),
+cnt AS (
+  SELECT token, source AS cls, SUM(tf) AS cnt
+  FROM ltf WHERE is_train GROUP BY 1, 2
+),
+consts AS (
+  SELECT cls,
+         SUM(cnt) + (SELECT COUNT(DISTINCT token) FROM cnt) AS den
+  FROM cnt GROUP BY cls
+),
+k AS (
+  SELECT cls, den,
+         CAST(CAST(1099511627776 AS HUGEINT) // den AS BIGINT) AS w0
+  FROM consts
+),
+wd AS (
+  SELECT c.token, c.cls,
+         CAST((CAST(c.cnt + 1 AS HUGEINT) * 1099511627776) // k.den
+              AS BIGINT) - k.w0 AS wd
+  FROM cnt c JOIN k USING (cls)
+),
+testdocs AS (
+  SELECT l.doc_id, l.source,
+         COALESCE(SUM(f.tf), 0) AS n_tokens
+  FROM labeled l LEFT JOIN tf f USING (doc_id)
+  WHERE NOT l.is_train GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.doc_id, t.source, k.cls, t.n_tokens * k.w0 AS base
+  FROM testdocs t CROSS JOIN k
+),
+part AS (
+  SELECT f.doc_id, w.cls, SUM(f.tf * w.wd) AS part
+  FROM ltf f JOIN wd w USING (token)
+  WHERE NOT f.is_train GROUP BY 1, 2
+),
+pred AS (
+  SELECT g.doc_id, g.source, g.cls,
+         ROW_NUMBER() OVER (
+           PARTITION BY g.doc_id
+           ORDER BY g.base + COALESCE(p.part, 0) DESC, g.cls ASC) AS rn
+  FROM grid g LEFT JOIN part p ON g.doc_id = p.doc_id AND g.cls = p.cls
+)
+SELECT source, cls AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
 
     }

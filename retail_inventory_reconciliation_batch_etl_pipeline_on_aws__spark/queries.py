@@ -5157,3 +5157,41 @@ def q_price_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def q_domain_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based domain/provenance classifier, trained in-engine
+    (``operators/classify.class_lm_predictions``): per-class fixed-point
+    unigram LMs, argmax by exact-integer mean token probability -- the
+    CCNet/DSIR-style domain-affinity gate used to build training
+    mixtures. Train/test split is the engine's md5-bucket idiom
+    (bucket < 8 trains, 20% holds out -- split membership is a pure
+    function of the stable doc id, same contract as ``dataset_split``).
+    Output is the holdout confusion matrix (actual source x predicted),
+    the artifact a mixture builder reads.
+
+    The synthetic corpus's labels carry NO token signal (measured:
+    log-NB and this classifier both land at chance), so the driver
+    attestation here pins the exactness plumbing -- split determinism,
+    sparse scoring algebra, argmax tie-breaks -- while the planted-
+    signal fixture in ``tests/test_classify.py`` proves the model
+    actually learns when the labels are learnable. Scale posture and
+    the no-transcendentals rationale live on the operator docstring.
+    """
+    from .operators.classify import class_lm_predictions
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    pred = class_lm_predictions(
+        docs.withColumn("is_train", bucket < 8),
+        label_col="source",
+    )
+    return (
+        pred.groupBy("source", "predicted")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("source", "predicted")
+    )

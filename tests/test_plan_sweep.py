@@ -32,6 +32,7 @@ NESTED_LOOP_OK = {
     "epoch_shuffle",  # 2-row epoch-axis broadcast
     "brand_segment_chi2",  # 1-row grand-total broadcast gate (chi2 expected counts)
     "basket_rules",  # 1-row order-total broadcast gate (support/lift denominators)
+    "domain_classifier",  # 1-row vocab-size broadcast gate (Laplace denominators)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -304,3 +304,47 @@ def test_price_equidepth_hist_is_balanced_value_level(spark):
     for r in rows:
         assert cum * 10 < n_total * (r.bucket + 1)
         cum += r.n_rows
+
+
+def test_domain_classifier_covers_exactly_the_holdout(spark):
+    """Every holdout (bucket >= 8) doc is classified exactly once: the
+    confusion-matrix counts sum to the test-split size; every predicted
+    label is a class seen in training; the split is the md5-bucket
+    function of doc_id alone (recomputed independently here)."""
+    rows = Q.q_domain_classifier(spark, SF).collect()
+    docs = fixtures.load(spark, SF, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    split = docs.select("source", (bucket < 8).alias("is_train"))
+    n_test = split.where(~F.col("is_train")).count()
+    assert sum(r.n_docs for r in rows) == n_test
+    train_classes = {
+        r.source for r in split.where("is_train").select("source").distinct().collect()
+    }
+    assert {r.predicted for r in rows} <= train_classes
+    # actual-source marginals match the holdout's source distribution
+    want = {
+        r.source: r.n
+        for r in split.where(~F.col("is_train"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {}
+    for r in rows:
+        got[r.source] = got.get(r.source, 0) + r.n_docs
+    assert got == want
+
+
+def test_domain_classifier_is_deterministic(spark):
+    """The argmax is an exact integer contract (fixed-point weights,
+    lexicographic tie-break), so a rerun is row-identical. Learning
+    itself is proven on the planted-signal fixture in test_classify.py
+    -- the synthetic corpus's labels carry no token signal (measured:
+    log-NB also lands at chance), so accuracy here is not a contract."""
+    rows = Q.q_domain_classifier(spark, SF).collect()
+    again = Q.q_domain_classifier(spark, SF).collect()
+    assert rows == again
