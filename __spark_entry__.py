@@ -46,21 +46,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DECIMAL-output canonicalization artifact lm_score had in r04/r05;
     its melted amount is now a terminal DOUBLE on both sides (and the
     plan sweep bans DECIMAL output columns engine-wide);
-    (2) the 13 round-7 additions, never driver-attested: the SCD2
+    (2) the 14 round-7 additions, never driver-attested: the SCD2
     point-in-time join, the order-independent table checksum, the DQ
     audit, the chi-square residual screen, per-brand equi-depth
     quartiles, inter-order gaps, ship latency SLA, the two exact
     corpus-curation twins (directional containment, n-gram novelty),
     association rules, the exact-rational forecast backtest, the
-    banded global equi-depth histogram, and the fixed-point domain
-    classifier;
-    (3) 36 of the 40 entries whose freshest green row is
+    banded global equi-depth histogram, the fixed-point domain
+    classifier, and degree-oriented triangle counting;
+    (3) 35 of the 40 entries whose freshest green row is
     CORRECTNESS_r04 (stalest greens, in r04 attestation order) -- the
-    late additions displaced the last four (hybrid_rank,
-    local_supplier_revenue, returned_item_customers,
+    late additions displaced the last five (large_volume_customers,
+    hybrid_rank, local_supplier_revenue, returned_item_customers,
     promo_revenue_share) past the boundary;
     their r04 greens stand and they lead the stale queue next round.
-    That fills the window at exactly 50. Past the window: those four,
+    That fills the window at exactly 50. Past the window: those five,
     the 49 r05-green entries,
     the 49 r06-green entries (freshest), then the 14 rows-only
     (seeded/approximate/iterative) entries that close the tail by
@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_backtest": Q.q_forecast_backtest,
         "price_equidepth_hist": Q.q_price_equidepth_hist,
         "domain_classifier": Q.q_domain_classifier,
+        "copurchase_triangles": Q.q_copurchase_triangles,
         # --- (3) stalest greens: freshest row is CORRECTNESS_r04 -----
         "bigram_counts": Q.q_bigram_counts,
         "reconcile": Q.q_reconcile,
@@ -122,13 +123,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": Q.q_dataset_split,
         "bm25_search": Q.q_bm25_search,
         "small_qty_revenue": Q.q_small_qty_revenue,
-        "large_volume_customers": Q.q_large_volume_customers,
         # ---- end of the 50-entry attested window --------------------
-        # four r04-green entries displaced past the window by the late
+        # five r04-green entries displaced past the window by the late
         # round-7 additions (basket_rules, forecast_backtest,
-        # price_equidepth_hist, domain_classifier) -- their r04 green
-        # rows still stand; re-queue them first among the stalest next
-        # round
+        # price_equidepth_hist, domain_classifier,
+        # copurchase_triangles) -- their r04 green rows still stand;
+        # re-queue them first among the stalest next round
+        "large_volume_customers": Q.q_large_volume_customers,
         "hybrid_rank": Q.q_hybrid_rank,
         "local_supplier_revenue": Q.q_local_supplier_revenue,
         "returned_item_customers": Q.q_returned_item_customers,
@@ -3407,6 +3408,36 @@ pred AS (
 SELECT source, cls AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM pred WHERE rn = 1
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+
+        # triangle identity is orientation-independent: the engine runs
+        # the degree-oriented wedge join (the O(m^1.5) scale form), the
+        # oracle the naive id-oriented spelling -- same triangle set,
+        # so a planning shortcut can't silently change results
+        "copurchase_triangles": """
+WITH e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+),
+tri AS (
+  SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+  FROM e e1
+  JOIN e e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
+  JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+),
+nodes AS (
+  SELECT x AS part FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY part
+ORDER BY n_triangles DESC, part ASC
+LIMIT 15
 """,
 
     }

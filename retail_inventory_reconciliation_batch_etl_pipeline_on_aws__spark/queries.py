@@ -5195,3 +5195,97 @@ def q_domain_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy("source", "predicted")
     )
+
+
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation in the co-purchase graph: parts ranked by
+    how many co-purchase triangles they close -- the clustering/
+    community-density signal (recommender neighborhoods; swap parts for
+    documents and it's the co-citation density of a corpus graph).
+
+    Edges are part pairs co-purchased in >= 2 DISTINCT orders (the
+    threshold keeps the graph sparse as order volume grows -- singleton
+    co-occurrence is noise at any scale). Pair generation reuses the
+    ``copurchase_pairs`` group-then-expand (never a lineitem self-join).
+
+    Triangle counting is the DEGREE-ORIENTED wedge join: every edge is
+    directed from its lower-(degree, id) endpoint to the higher, so
+    each triangle materializes exactly one wedge at its lowest-rank
+    apex and wedge fan-out is bounded by sum(out_deg^2) = O(m^1.5) --
+    the bound that makes distributed triangle counting feasible; an
+    unoriented wedge join is O(sum deg^2), which a single hub node
+    melts. All joins are equi-joins (no cartesian); counts are exact
+    integers, so the top-15 with (n desc, part asc) tie-break is
+    engine-stable. The oracle spells the SAME triangle set via the
+    naive id-oriented join -- triangle identity is orientation-
+    independent, so a planning shortcut can't silently change results.
+    """
+    li = fixtures.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    grouped = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                "ps",
+                lambda a: F.transform(
+                    F.col("ps"),
+                    lambda b: F.when(
+                        a < b, F.struct(a.alias("pa"), b.alias("pb"))
+                    ),
+                ),
+            )
+        ),
+        lambda s: s.isNotNull(),
+    )
+    edges = (
+        grouped.select(F.explode(pair_arr).alias("pr"))
+        .select("pr.pa", "pr.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_ord"))
+        .where(F.col("n_ord") >= 2)
+        .select("pa", "pb")
+        .persist()  # shared by degree build + orientation
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        edges.join(deg.withColumnRenamed("node", "pa"), "pa")
+        .withColumnRenamed("deg", "da")
+        .join(
+            deg.withColumnRenamed("node", "pb").withColumnRenamed("deg", "db"),
+            "pb",
+        )
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    ).persist()
+    e1 = oriented.select("src", F.col("dst").alias("v"), F.col("ddst").alias("dv"))
+    e2 = oriented.select("src", F.col("dst").alias("w"), F.col("ddst").alias("dw"))
+    wedges = e1.join(e2, "src").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    )
+    return (
+        tri.select(
+            F.explode(F.array(F.col("src"), F.col("v"), F.col("w"))).alias("part")
+        )
+        .groupBy("part")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "part")
+        .limit(15)
+    )

@@ -348,3 +348,72 @@ def test_domain_classifier_is_deterministic(spark):
     rows = Q.q_domain_classifier(spark, SF).collect()
     again = Q.q_domain_classifier(spark, SF).collect()
     assert rows == again
+
+
+def test_copurchase_triangles_match_bruteforce(spark):
+    """The degree-oriented wedge join finds EXACTLY the brute-force
+    triangle set: recompute per-part triangle counts from the edge list
+    with an id-oriented python enumeration and compare the top-15."""
+    rows = Q.q_copurchase_triangles(spark, SF).collect()
+    li = fixtures.load(spark, SF, "lineitem")
+    pairs = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .alias("a")
+        .join(
+            li.select("l_orderkey", "l_partkey").distinct().alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("n"))
+        .where("n >= 2")
+        .collect()
+    )
+    adj = {}
+    for r in pairs:
+        adj.setdefault(r.pa, set()).add(r.pb)
+    per_node = {}
+    for x, ys in adj.items():
+        for y in sorted(ys):
+            for z in sorted(ys):
+                if y < z and z in adj.get(y, ()):  # noqa: SIM118
+                    for n in (x, y, z):
+                        per_node[n] = per_node.get(n, 0) + 1
+    want = sorted(per_node.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert [(r.part, r.n_triangles) for r in rows] == want
+
+
+def test_copurchase_triangles_orientation_has_no_hub_blowup(spark):
+    """On a star graph (one hub, no closing edges) the wedge stage
+    must not enumerate the hub's quadratic neighborhood: degree
+    orientation points every spoke INTO the hub, so the hub has
+    out-degree 0 and zero wedges materialize. Verified on a planted
+    edge list via the same oriented-join algebra."""
+    n_spokes = 40
+    edges = [(0, i) for i in range(1, n_spokes + 1)]
+    e = spark.createDataFrame(edges, "pa long, pb long")
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        e.join(deg.withColumnRenamed("node", "pa"), "pa")
+        .withColumnRenamed("deg", "da")
+        .join(deg.withColumnRenamed("node", "pb").withColumnRenamed("deg", "db"), "pb")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+    )
+    # hub (node 0, degree 40) must never be a wedge apex
+    out_deg = oriented.groupBy("src").agg(F.count("*").alias("d")).collect()
+    assert all(r.d == 1 for r in out_deg)  # every spoke points at the hub
+    assert {r.src for r in out_deg} == set(range(1, n_spokes + 1))
