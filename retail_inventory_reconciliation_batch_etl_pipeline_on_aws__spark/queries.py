@@ -5289,3 +5289,17 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "part")
         .limit(15)
     )
+
+
+def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``jaccard_pairs`` through the PPJoin prefix filter
+    (``operators/dedup.prefix_jaccard_pairs``): identical result set by
+    the prefix-filtering theorem (recall exactly 1.0 under any global
+    token order), candidates generated from only each doc's rarest
+    (1-t) shingle prefix instead of every shingle -- the scale path for
+    exact set-similarity self-joins. Shares ``jaccard_pairs``' oracle:
+    the optimization must be invisible in the output."""
+    from .operators.dedup import prefix_jaccard_pairs
+
+    docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
+    return prefix_jaccard_pairs(docs, n=3, threshold=0.5)

@@ -417,3 +417,98 @@ def test_copurchase_triangles_orientation_has_no_hub_blowup(spark):
     out_deg = oriented.groupBy("src").agg(F.count("*").alias("d")).collect()
     assert all(r.d == 1 for r in out_deg)  # every spoke points at the hub
     assert {r.src for r in out_deg} == set(range(1, n_spokes + 1))
+
+
+def test_prefix_jaccard_is_output_identical_to_full_join(spark):
+    """The prefix-filtering theorem says recall is exactly 1.0 --
+    verified directly: the prefix-filtered operator and the full
+    shared-shingle join return the same pair set on the corpus."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.dedup import (  # noqa: E501
+        prefix_jaccard_pairs,
+        shingle_jaccard_pairs,
+    )
+
+    docs = fixtures.load(spark, SF, "documents")
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in shingle_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in prefix_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert pref == full and full  # identical and non-empty
+
+
+def test_prefix_filter_actually_prunes(spark):
+    """The point of the prefix join: the candidate-pair set must be a
+    strict subset of the full shared-shingle candidate set (measured
+    here), not just equal output after verification."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.functions.text import (  # noqa: E501
+        tokens,
+        word_ngrams,
+    )
+
+    docs = fixtures.load(spark, SF, "documents")
+    n, t = 3, 0.5
+    shingled = docs.where(F.size(tokens("text")) >= n).select(
+        F.col("doc_id").alias("_id"), word_ngrams("text", n).alias("sh")
+    )
+    ex = shingled.select("_id", F.explode("sh").alias("shingle")).persist()
+    full_cand = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id"), F.col("b._id"))
+        .distinct()
+        .count()
+    )
+    sizes = ex.groupBy("_id").agg(F.count("*").cast("int").alias("ns"))
+    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("_df"))
+    from pyspark.sql import Window as W
+
+    pref = (
+        ex.join(dfreq, "shingle")
+        .withColumn("_rn", F.row_number().over(W.partitionBy("_id").orderBy("_df", "shingle")))
+        .join(sizes, "_id")
+        .where(F.col("_rn") <= F.col("ns") - F.ceil(F.lit(t) * F.col("ns")) + 1)
+        .select("_id", "shingle")
+    )
+    pref_cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id"), F.col("b._id"))
+        .distinct()
+        .count()
+    )
+    assert pref_cand < full_cand, (pref_cand, full_cand)
+
+
+def test_prefix_jaccard_boundary_pair(spark):
+    """A pair engineered at exactly j = 0.5 must survive the prefix
+    filter (the theorem's >= is inclusive) and one just below must be
+    dropped by the verify stage."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.dedup import (  # noqa: E501
+        prefix_jaccard_pairs,
+    )
+
+    # doc1: shingles {A B C D}, doc2 shares exactly 2 of 2+4-2=4 -> wait:
+    # craft |A|=3, |B|=3, shared=2 -> j = 2/(3+3-2) = 0.5 exactly
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # 3-shingles: abc bcd cde
+            (2, "a b c d x"),          # abc bcd cdx -> shares 2 -> j=0.5
+            (3, "p q r s t"),          # pqr qrs rst
+            (4, "p q r x y"),          # pqr qrx rxy -> shares 1 -> j=0.2
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in prefix_jaccard_pairs(docs).collect()}
+    assert got == {(1, 2): 0.5}
