@@ -159,10 +159,17 @@ PORTABLE = [
     # order_gap_stats + ship_latency (quantile_cont aggregate),
     # table_checksum (hex-string CAST, Spark spells it conv()),
     # dq_violations (FILTER ok but double-quoted identifier "check"),
-    # shingle_containment + ngram_novelty (list_* lambda family)
+    # shingle_containment + ngram_novelty + domain_classifier +
+    # jaccard_prefix_pairs (list_* lambda family; the classifier also
+    # needs HUGEINT), forecast_backtest (DATE - DATE is INTERVAL on
+    # Spark, INTEGER on DuckDB), price_equidepth_hist (// division)
     "scd2_point_in_time",
     "brand_segment_chi2",
     "brand_price_deciles",
+    "basket_rules",
+    # running the id-oriented triangle oracle verbatim on Spark pins
+    # the degree-oriented wedge join against a THIRD engine-path
+    "copurchase_triangles",
 ]
 
 
