@@ -46,22 +46,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DECIMAL-output canonicalization artifact lm_score had in r04/r05;
     its melted amount is now a terminal DOUBLE on both sides (and the
     plan sweep bans DECIMAL output columns engine-wide);
-    (2) the 15 round-7 additions, never driver-attested: the SCD2
+    (2) the 16 round-7 additions, never driver-attested: the SCD2
     point-in-time join, the order-independent table checksum, the DQ
     audit, the chi-square residual screen, per-brand equi-depth
     quartiles, inter-order gaps, ship latency SLA, the two exact
     corpus-curation twins (directional containment, n-gram novelty),
     association rules, the exact-rational forecast backtest, the
     banded global equi-depth histogram, the fixed-point domain
-    classifier, degree-oriented triangle counting, and the PPJoin
-    prefix-filtered jaccard twin;
-    (3) 34 of the 40 entries whose freshest green row is
+    classifier, degree-oriented triangle counting, the PPJoin
+    prefix-filtered jaccard twin, and the one-pass exact correlation
+    matrix;
+    (3) 33 of the 40 entries whose freshest green row is
     CORRECTNESS_r04 (stalest greens, in r04 attestation order) -- the
-    late additions displaced the last six (small_qty_revenue,
-    large_volume_customers, hybrid_rank, local_supplier_revenue,
-    returned_item_customers, promo_revenue_share) past the boundary;
+    late additions displaced the last seven (bm25_search,
+    small_qty_revenue, large_volume_customers, hybrid_rank,
+    local_supplier_revenue, returned_item_customers,
+    promo_revenue_share) past the boundary;
     their r04 greens stand and they lead the stale queue next round.
-    That fills the window at exactly 50. Past the window: those six,
+    That fills the window at exactly 50. Past the window: those seven,
     the 49 r05-green entries,
     the 49 r06-green entries (freshest), then the 14 rows-only
     (seeded/approximate/iterative) entries that close the tail by
@@ -89,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_classifier": Q.q_domain_classifier,
         "copurchase_triangles": Q.q_copurchase_triangles,
         "jaccard_prefix_pairs": Q.q_jaccard_prefix_pairs,
+        "measure_correlations": Q.q_measure_correlations,
         # --- (3) stalest greens: freshest row is CORRECTNESS_r04 -----
         "bigram_counts": Q.q_bigram_counts,
         "reconcile": Q.q_reconcile,
@@ -123,13 +126,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota_sample": Q.q_source_quota_sample,
         "corpus_pack": Q.q_corpus_pack,
         "dataset_split": Q.q_dataset_split,
-        "bm25_search": Q.q_bm25_search,
         # ---- end of the 50-entry attested window --------------------
-        # six r04-green entries displaced past the window by the late
+        # seven r04-green entries displaced past the window by the late
         # round-7 additions (basket_rules, forecast_backtest,
         # price_equidepth_hist, domain_classifier, copurchase_triangles,
-        # jaccard_prefix_pairs) -- their r04 green rows still stand;
-        # re-queue them first among the stalest next round
+        # jaccard_prefix_pairs, measure_correlations) -- their r04 green
+        # rows still stand; re-queue them first among the stalest next
+        # round
+        "bm25_search": Q.q_bm25_search,
         "small_qty_revenue": Q.q_small_qty_revenue,
         "large_volume_customers": Q.q_large_volume_customers,
         "hybrid_rank": Q.q_hybrid_rank,
@@ -3415,6 +3419,48 @@ pred AS (
 SELECT source, cls AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM pred WHERE rn = 1
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+
+        # every sufficient statistic is an exact integer (HUGEINT /
+        # DECIMAL(38,0)); sqrt is IEEE-correctly-rounded on both
+        # engines and ROUND(r, 6) absorbs the division's last ulp
+        "measure_correlations": """
+WITH m AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS p,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+         CAST(ROUND(l_tax * 100) AS BIGINT) AS t
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(q AS HUGEINT)) AS s_q, SUM(CAST(p AS HUGEINT)) AS s_p,
+         SUM(CAST(d AS HUGEINT)) AS s_d, SUM(CAST(t AS HUGEINT)) AS s_t,
+         SUM(CAST(q AS HUGEINT) * q) AS s_qq, SUM(CAST(p AS HUGEINT) * p) AS s_pp,
+         SUM(CAST(d AS HUGEINT) * d) AS s_dd, SUM(CAST(t AS HUGEINT) * t) AS s_tt,
+         SUM(CAST(q AS HUGEINT) * p) AS s_qp, SUM(CAST(q AS HUGEINT) * d) AS s_qd,
+         SUM(CAST(q AS HUGEINT) * t) AS s_qt, SUM(CAST(p AS HUGEINT) * d) AS s_pd,
+         SUM(CAST(p AS HUGEINT) * t) AS s_pt, SUM(CAST(d AS HUGEINT) * t) AS s_dt
+  FROM m
+)
+SELECT pair,
+       ROUND(CAST(num AS DOUBLE) / SQRT(CAST(vx AS DOUBLE))
+             / SQRT(CAST(vy AS DOUBLE)), 6) AS corr
+FROM (
+  SELECT 'quantity~price' AS pair, n*s_qp - s_q*s_p AS num,
+         n*s_qq - s_q*s_q AS vx, n*s_pp - s_p*s_p AS vy FROM s
+  UNION ALL SELECT 'quantity~discount', n*s_qd - s_q*s_d,
+         n*s_qq - s_q*s_q, n*s_dd - s_d*s_d FROM s
+  UNION ALL SELECT 'quantity~tax', n*s_qt - s_q*s_t,
+         n*s_qq - s_q*s_q, n*s_tt - s_t*s_t FROM s
+  UNION ALL SELECT 'price~discount', n*s_pd - s_p*s_d,
+         n*s_pp - s_p*s_p, n*s_dd - s_d*s_d FROM s
+  UNION ALL SELECT 'price~tax', n*s_pt - s_p*s_t,
+         n*s_pp - s_p*s_p, n*s_tt - s_t*s_t FROM s
+  UNION ALL SELECT 'discount~tax', n*s_dt - s_d*s_t,
+         n*s_dd - s_d*s_d, n*s_tt - s_t*s_t FROM s
+)
+ORDER BY pair
 """,
 
         # triangle identity is orientation-independent: the engine runs

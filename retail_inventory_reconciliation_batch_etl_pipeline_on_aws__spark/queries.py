@@ -5303,3 +5303,75 @@ def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
     return prefix_jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+def q_measure_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the four lineitem
+    measures (quantity, price, discount, tax) in ONE aggregate pass --
+    the numeric-profiling primitive behind feature selection and drift
+    dashboards, computed the way it survives 100 TB: every sufficient
+    statistic (n, sums, squares, cross-products) is an exact
+    DECIMAL(38,0) integer accumulated map-side-combined from integer-
+    scaled measures (cents / hundredths), so the single shuffled row is
+    engine-exact; the 6 correlations then come from one projection.
+
+    Cross-engine float discipline: r = cov_num / sqrt(varx) / sqrt
+    (vary) where each operand is an exact integer cast to double
+    (round-to-nearest on both engines), sqrt is IEEE correctly rounded,
+    and the terminal ROUND(r, 6) absorbs the division's last-ulp
+    freedom -- the same contract as bm25/brand_trend. No per-row
+    doubles, no variance-of-doubles accumulation (Welford in floats is
+    partitioning-dependent; this is not).
+    """
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    m = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("p"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("t"),
+    )
+
+    def s(expr):  # exact integer accumulation
+        return F.sum(expr.cast("decimal(38,0)"))
+
+    cols = {"q": F.col("q"), "p": F.col("p"), "d": F.col("d"), "t": F.col("t")}
+    names = sorted(cols)
+    aggs = [F.count("*").cast("decimal(38,0)").alias("n")]
+    for x in names:
+        aggs.append(s(cols[x]).alias(f"s_{x}"))
+        for y in names:
+            if x <= y:  # canonical sorted-pair name, incl. squares
+                aggs.append(s(cols[x] * cols[y]).alias(f"s_{x}{y}"))
+    stats = m.agg(*aggs)
+
+    def sxy(x, y):
+        return F.col("s_" + "".join(sorted(x + y)))
+
+    def r(x, y):
+        num = (F.col("n") * sxy(x, y) - F.col(f"s_{x}") * F.col(f"s_{y}")).cast(
+            "double"
+        )
+        vx = (F.col("n") * sxy(x, x) - F.col(f"s_{x}") * F.col(f"s_{x}")).cast(
+            "double"
+        )
+        vy = (F.col("n") * sxy(y, y) - F.col(f"s_{y}") * F.col(f"s_{y}")).cast(
+            "double"
+        )
+        return F.round(num / F.sqrt(vx) / F.sqrt(vy), 6)
+
+    pairs = [("q", "p"), ("q", "d"), ("q", "t"), ("p", "d"), ("p", "t"), ("d", "t")]
+    label = {"q": "quantity", "p": "price", "d": "discount", "t": "tax"}
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(f"{label[x]}~{label[y]}").alias("pair"),
+                r(x, y).alias("corr"),
+            )
+            for x, y in pairs
+        ]
+    )
+    return (
+        stats.select(F.explode(rows).alias("e"))
+        .select("e.pair", "e.corr")
+        .orderBy("pair")
+    )

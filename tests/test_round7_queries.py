@@ -512,3 +512,74 @@ def test_prefix_jaccard_boundary_pair(spark):
     )
     got = {(r.doc_a, r.doc_b): r.jaccard for r in prefix_jaccard_pairs(docs).collect()}
     assert got == {(1, 2): 0.5}
+
+
+def test_measure_correlations_match_float_recompute(spark):
+    """The exact-integer sufficient statistics must reproduce a naive
+    driver-side float Pearson within rounding, and every r lives in
+    [-1, 1]."""
+    import math
+
+    rows = {r.pair: r.corr for r in Q.q_measure_correlations(spark, SF).collect()}
+    assert len(rows) == 6
+    assert all(-1.0 <= v <= 1.0 for v in rows.values())
+    li = fixtures.load(spark, SF, "lineitem")
+    data = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("p"),
+    ).collect()
+    n = len(data)
+    sq = sum(r.q for r in data)
+    sp = sum(r.p for r in data)
+    sqq = sum(r.q * r.q for r in data)
+    spp = sum(r.p * r.p for r in data)
+    sqp = sum(r.q * r.p for r in data)
+    want = (n * sqp - sq * sp) / math.sqrt(n * sqq - sq * sq) / math.sqrt(
+        n * spp - sp * sp
+    )
+    assert abs(rows["quantity~price"] - want) < 1e-6
+
+
+def test_measure_correlations_is_partitioning_invariant(spark):
+    """Integer sufficient statistics are associative-commutative: the
+    same algebra over an adversarially repartitioned input (1
+    partition, then 64 random-keyed) is bit-identical (a float
+    accumulation would drift with partition order)."""
+    a = Q.q_measure_correlations(spark, SF).collect()
+    li = fixtures.load(spark, SF, "lineitem")
+    for parts in (li.repartition(1), li.repartition(64, "l_orderkey")):
+        m = parts.select(
+            F.col("l_quantity").cast("long").alias("q"),
+            F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("p"),
+        )
+        st = m.agg(
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            F.sum(F.col("q").cast("decimal(38,0)")).alias("s_q"),
+            F.sum(F.col("p").cast("decimal(38,0)")).alias("s_p"),
+            F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("s_qq"),
+            F.sum((F.col("p") * F.col("p")).cast("decimal(38,0)")).alias("s_pp"),
+            F.sum((F.col("p") * F.col("q")).cast("decimal(38,0)")).alias("s_pq"),
+        ).select(
+            F.round(
+                (F.col("n") * F.col("s_pq") - F.col("s_q") * F.col("s_p")).cast(
+                    "double"
+                )
+                / F.sqrt(
+                    (F.col("n") * F.col("s_qq") - F.col("s_q") * F.col("s_q")).cast(
+                        "double"
+                    )
+                )
+                / F.sqrt(
+                    (F.col("n") * F.col("s_pp") - F.col("s_p") * F.col("s_p")).cast(
+                        "double"
+                    )
+                ),
+                6,
+            ).alias("corr")
+        ).first()
+        got = {r.pair: r.corr for r in a}["quantity~price"]
+        assert st.corr == got  # bit-identical, not approximately
