@@ -89,6 +89,13 @@ BENCH_QUERIES = [
     "forecast_backtest",
     # banded global equi-depth histogram -- first floor this round
     "price_equidepth_hist",
+    # one-pass exact correlation matrix, fixed-point domain classifier,
+    # degree-oriented triangles -- first floors this round
+    # (jaccard_prefix_pairs stays out: on THIS generator it is the
+    # documented 2.4x-slower twin of jaccard_pairs, not a headline)
+    "measure_correlations",
+    "domain_classifier",
+    "copurchase_triangles",
 ]
 
 
