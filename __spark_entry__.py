@@ -46,7 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DECIMAL-output canonicalization artifact lm_score had in r04/r05;
     its melted amount is now a terminal DOUBLE on both sides (and the
     plan sweep bans DECIMAL output columns engine-wide);
-    (2) the 16 round-7 additions, never driver-attested: the SCD2
+    (2) the 17 round-7 additions, never driver-attested: the SCD2
     point-in-time join, the order-independent table checksum, the DQ
     audit, the chi-square residual screen, per-brand equi-depth
     quartiles, inter-order gaps, ship latency SLA, the two exact
@@ -54,16 +54,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     association rules, the exact-rational forecast backtest, the
     banded global equi-depth histogram, the fixed-point domain
     classifier, degree-oriented triangle counting, the PPJoin
-    prefix-filtered jaccard twin, and the one-pass exact correlation
-    matrix;
-    (3) 33 of the 40 entries whose freshest green row is
+    prefix-filtered jaccard twin, the one-pass exact correlation
+    matrix, and last-touch purchase attribution;
+    (3) 32 of the 40 entries whose freshest green row is
     CORRECTNESS_r04 (stalest greens, in r04 attestation order) -- the
-    late additions displaced the last seven (bm25_search,
-    small_qty_revenue, large_volume_customers, hybrid_rank,
-    local_supplier_revenue, returned_item_customers,
+    late additions displaced the last eight (dataset_split,
+    bm25_search, small_qty_revenue, large_volume_customers,
+    hybrid_rank, local_supplier_revenue, returned_item_customers,
     promo_revenue_share) past the boundary;
     their r04 greens stand and they lead the stale queue next round.
-    That fills the window at exactly 50. Past the window: those seven,
+    That fills the window at exactly 50. Past the window: those eight,
     the 49 r05-green entries,
     the 49 r06-green entries (freshest), then the 14 rows-only
     (seeded/approximate/iterative) entries that close the tail by
@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_triangles": Q.q_copurchase_triangles,
         "jaccard_prefix_pairs": Q.q_jaccard_prefix_pairs,
         "measure_correlations": Q.q_measure_correlations,
+        "purchase_attribution": Q.q_purchase_attribution,
         # --- (3) stalest greens: freshest row is CORRECTNESS_r04 -----
         "bigram_counts": Q.q_bigram_counts,
         "reconcile": Q.q_reconcile,
@@ -125,14 +126,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bulk_red_shippers": Q.q_bulk_red_shippers,
         "source_quota_sample": Q.q_source_quota_sample,
         "corpus_pack": Q.q_corpus_pack,
-        "dataset_split": Q.q_dataset_split,
         # ---- end of the 50-entry attested window --------------------
-        # seven r04-green entries displaced past the window by the late
+        # eight r04-green entries displaced past the window by the late
         # round-7 additions (basket_rules, forecast_backtest,
         # price_equidepth_hist, domain_classifier, copurchase_triangles,
-        # jaccard_prefix_pairs, measure_correlations) -- their r04 green
-        # rows still stand; re-queue them first among the stalest next
-        # round
+        # jaccard_prefix_pairs, measure_correlations,
+        # purchase_attribution) -- their r04 green rows still stand;
+        # re-queue them first among the stalest next round
+        "dataset_split": Q.q_dataset_split,
         "bm25_search": Q.q_bm25_search,
         "small_qty_revenue": Q.q_small_qty_revenue,
         "large_volume_customers": Q.q_large_volume_customers,
@@ -3419,6 +3420,40 @@ pred AS (
 SELECT source, cls AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM pred WHERE rn = 1
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+
+        # last-touch window: IGNORE NULLS over a strictly-preceding
+        # frame, ties broken by the unique event id; integer epoch
+        # lookback; integer-cents revenue (no double accumulation)
+        "purchase_attribution": """
+WITH base AS (
+  SELECT user_id, event_type,
+         CAST(epoch(ts) AS BIGINT) AS sec,
+         event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+touched AS (
+  SELECT user_id, event_type, sec, cents,
+         LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY sec, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch,
+         LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                         THEN sec END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY sec, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_sec
+  FROM base
+)
+SELECT CASE WHEN touch IS NOT NULL AND sec - touch_sec <= 7 * 86400
+            THEN touch ELSE 'organic' END AS touch,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
 """,
 
         # every sufficient statistic is an exact integer (HUGEINT /

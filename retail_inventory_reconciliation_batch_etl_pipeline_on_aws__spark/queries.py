@@ -5375,3 +5375,69 @@ def q_measure_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.pair", "e.corr")
         .orderBy("pair")
     )
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent click/view STRICTLY before it and within a
+    7-day lookback; purchases with no qualifying touch are 'organic'.
+    The funnel-economics counterpart of ``user_journey``/
+    ``signup_purchase_funnel`` -- who gets credit for the revenue.
+
+    Engine-stable by construction: the last-touch is
+    ``last(ignorenulls)`` over a (user, ts, event_id)-ordered frame
+    ending at 1 PRECEDING (ties broken by the unique event id, so the
+    'last' row is unambiguous on both engines); the lookback compares
+    epoch seconds as integers; revenue sums integer cents
+    (order-dependent double addition never crosses an aggregate).
+
+    Scale shape: ONE shuffle on user_id for the per-user ordered
+    window (the sessionize partitioning -- bounded per-user history,
+    no global window), then a tiny |touch types| aggregate. The window
+    carries two narrow columns (touch label, touch epoch) alongside
+    the event row; event `props` never leaves the scan.
+    """
+    ev = fixtures.events(spark, sf_dir)
+    is_touch = F.col("event_type").isin("click", "view")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = base.select(
+        "user_id",
+        "event_type",
+        "sec",
+        "cents",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch"),
+        F.last(F.when(is_touch, F.col("sec")), ignorenulls=True)
+        .over(w)
+        .alias("touch_sec"),
+    )
+    attributed = touched.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch").isNotNull()
+            & (F.col("sec") - F.col("touch_sec") <= 7 * 86400),
+            F.col("touch"),
+        )
+        .otherwise(F.lit("organic"))
+        .alias("touch"),
+        "cents",
+    )
+    return (
+        attributed.groupBy("touch")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            (F.sum("cents").cast("double") / 100.0).alias("revenue"),
+        )
+        .orderBy("touch")
+    )

@@ -583,3 +583,64 @@ def test_measure_correlations_is_partitioning_invariant(spark):
         ).first()
         got = {r.pair: r.corr for r in a}["quantity~price"]
         assert st.corr == got  # bit-identical, not approximately
+
+
+def test_purchase_attribution_totals_and_labels(spark):
+    """Every purchase is attributed exactly once; labels are only
+    click/view/organic; revenue equals the cents-exact purchase total."""
+    rows = Q.q_purchase_attribution(spark, SF).collect()
+    ev = fixtures.events(spark, SF)
+    purchases = ev.where(F.col("event_type") == "purchase")
+    assert sum(r.n_purchases for r in rows) == purchases.count()
+    assert {r.touch for r in rows} <= {"click", "view", "organic"}
+    want = (
+        purchases.agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
+        ).first().c
+    )
+    assert abs(sum(r.revenue for r in rows) - want / 100.0) < 1e-9
+
+
+def test_purchase_attribution_planted_semantics(spark):
+    """Planted sequences pin the contract: strictly-preceding frame
+    (same-second touch with LOWER event_id counts, higher does not),
+    7-day lookback inclusive at the boundary, organic fallback."""
+    import datetime as dtm
+
+    t0 = dtm.datetime(2024, 1, 10, 12, 0, 0)
+    day = dtm.timedelta(days=1)
+    sec = dtm.timedelta(seconds=1)
+    rows = [
+        # user 1: click then purchase 7 days later EXACTLY -> click
+        (10, t0, 1, "click", 0.0, None),
+        (11, t0 + 7 * day, 1, "purchase", 5.0, None),
+        # user 2: view 7 days + 1 s before purchase -> outside lookback
+        (20, t0, 2, "view", 0.0, None),
+        (21, t0 + 7 * day + sec, 2, "purchase", 7.0, None),
+        # user 3: same-second click with lower event_id -> attributed
+        (30, t0, 3, "click", 0.0, None),
+        (31, t0, 3, "purchase", 11.0, None),
+        # user 4: purchase BEFORE its only touch -> organic
+        (41, t0, 4, "purchase", 13.0, None),
+        (42, t0 + sec, 4, "view", 0.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    # run the same plan body against the planted frame
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark import (
+        queries as QQ,
+    )
+    from unittest import mock
+
+    with mock.patch.object(QQ.fixtures, "events", lambda s, d: ev):
+        got = {
+            r.touch: (r.n_purchases, r.revenue)
+            for r in QQ.q_purchase_attribution(spark, SF).collect()
+        }
+    assert got == {
+        "click": (2, 16.0),   # users 1 (boundary-inclusive) and 3
+        "organic": (2, 20.0),  # users 2 (outside lookback) and 4
+    }
