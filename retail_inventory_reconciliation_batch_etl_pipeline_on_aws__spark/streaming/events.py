@@ -859,3 +859,79 @@ def streaming_user_totals(spark: SparkSession, source_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+ATTRIBUTION_SCHEMA = (
+    "user_id bigint, event_id bigint, touch string, cents bigint"
+)
+_ATTR_STATE_SCHEMA = "touch string, touch_sec bigint"
+
+
+def streaming_attribution(
+    spark: SparkSession,
+    source_dir: str,
+    lookback_days: int = 7,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stateful streaming last-touch attribution: the incremental twin
+    of ``queries.q_purchase_attribution``. State per user is ONE tuple
+    (last touch label, its epoch second) -- O(live users), not
+    O(events); every purchase resolves IMMEDIATELY against that state,
+    so there are no timeouts, no pending output, and no drain
+    punctuation (unlike sessionize, nothing waits for a watermark).
+
+    Emits one row per purchase (user_id, event_id, touch, cents) in
+    append mode; `touch` is 'click'/'view'/'organic' under the same
+    contract as the batch query: strictly-preceding touch, ties broken
+    by event_id within a micro-batch's sort, inclusive
+    ``lookback_days`` boundary on integer epoch seconds, integer-cents
+    money (``quantize_cents`` -- HALF_UP, matching ``F.round``).
+    Exact parity with the batch window requires per-user event-time
+    order ACROSS micro-batches (time-ordered source files), the same
+    in-order delivery discipline the sessionize twin documents; within
+    a batch any order is fine (sorted here).
+    """
+    import pandas as pd  # noqa: F401  (executor-side dependency)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    lookback_s = lookback_days * 86400
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        touch, touch_sec = state.get if state.exists else (None, None)
+        ev = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out: list[tuple] = []
+        secs = ev["ts"].astype("int64") // 1_000_000_000
+        for sec, eid, etype, val in zip(
+            secs, ev["event_id"], ev["event_type"], ev["value"]
+        ):
+            sec, eid = int(sec), int(eid)
+            if etype in ("click", "view"):
+                touch, touch_sec = etype, sec
+            elif etype == "purchase":
+                label = (
+                    touch
+                    if touch is not None and sec - touch_sec <= lookback_s
+                    else "organic"
+                )
+                out.append((user_id, eid, label, quantize_cents(float(val))))
+        if touch is not None:
+            state.update((touch, touch_sec))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "touch", "cents"]
+            )
+
+    raw = read_event_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    return raw.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ATTRIBUTION_SCHEMA,
+        stateStructType=_ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -771,3 +771,94 @@ def test_append_mode_late_window_semantics_pinned(spark, tmp_path):
     # all 50 ancient rows are in the output; only still-open recent
     # windows may be absent
     assert total >= 50
+
+
+def test_streaming_attribution_matches_batch_exactly(spark, tmp_path):
+    """The stateful last-touch attributor over time-ordered micro-
+    batches must reproduce the batch window query's per-purchase labels
+    EXACTLY (no open tails: purchases resolve immediately), and its
+    aggregate must equal q_purchase_attribution."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.queries import (  # noqa: E501
+        q_purchase_attribution,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (  # noqa: E501
+        streaming_attribution,
+    )
+
+    ev = raw_nanos_events(spark)
+    qs = ev.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
+    src = tmp_path / "attr_src"
+    src.mkdir()
+    bounds = [None, *qs, None]
+    for i in range(4):
+        part = ev
+        if bounds[i] is not None:
+            part = part.where(F.col("ts") > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.where(F.col("ts") <= bounds[i + 1])
+        stage = tmp_path / f"attr_stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        (pf,) = glob.glob(str(stage / "part-*.parquet"))
+        shutil.move(pf, src / f"{i:02d}.parquet")
+        os.utime(src / f"{i:02d}.parquet", (i + 1, i + 1))
+
+    from pyspark.sql import Window
+
+    out = streaming_attribution(spark, str(src), max_files_per_trigger=1)
+    assert out.isStreaming
+    run_to_memory_sink(out, "attr_stream_test", output_mode="append")
+    streamed = {
+        r.event_id: (r.touch, r.cents)
+        for r in spark.sql("SELECT * FROM attr_stream_test").collect()
+    }
+    # per-purchase batch recompute with the same window contract
+    base = fixtures.events(spark, TESTDATA).select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    batch_rows = (
+        base.select(
+            "event_id",
+            "event_type",
+            "sec",
+            "cents",
+            F.last(
+                F.when(F.col("event_type").isin("click", "view"), F.col("event_type")),
+                ignorenulls=True,
+            ).over(w).alias("touch"),
+            F.last(
+                F.when(F.col("event_type").isin("click", "view"), F.col("sec")),
+                ignorenulls=True,
+            ).over(w).alias("touch_sec"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .collect()
+    )
+    batch = {
+        r.event_id: (
+            r.touch
+            if r.touch is not None and r.sec - r.touch_sec <= 7 * 86400
+            else "organic",
+            r.cents,
+        )
+        for r in batch_rows
+    }
+    assert streamed == batch and len(streamed) > 0
+    # and the aggregate equals the query-surface result
+    agg = {}
+    for touch, cents in streamed.values():
+        n, c = agg.get(touch, (0, 0))
+        agg[touch] = (n + 1, c + cents)
+    want = {
+        r.touch: (r.n_purchases, round(r.revenue * 100))
+        for r in q_purchase_attribution(spark, TESTDATA).collect()
+    }
+    assert {k: (n, c) for k, (n, c) in agg.items()} == want
