@@ -128,12 +128,17 @@ def word_ngrams(col: Column | str, n: int, distinct: bool = True) -> Column:
     array re-inlines the whole ``split`` expression at every position
     (O(tokens^2) per document -- measured 10x+ slower on the corpus).
     ``concat`` (not concat_ws) propagates nulls past the shorter slice,
-    which the final filter drops. Rows must have >= n tokens.
+    which the final filter drops. Rows with < n tokens yield an empty
+    array (the slice length is clamped at 0: callers guard with a
+    ``size(tokens) >= n`` filter, but whole-stage codegen's
+    subexpression elimination can evaluate the projection inside the
+    fused predicate stage BEFORE that filter -- an unclamped negative
+    slice length crashes there on empty docs).
     """
     toks = tokens(col)
     acc = toks
     for k in range(1, n):
-        shifted = F.slice(toks, k + 1, F.size(toks) - k)
+        shifted = F.slice(toks, k + 1, F.greatest(F.lit(0), F.size(toks) - k))
         acc = F.zip_with(
             acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y)
         )

@@ -272,3 +272,59 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return state.select("node", "rank")
+
+
+def triangle_participation(edges: DataFrame, a: str = "pa", b: str = "pb") -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph via the
+    DEGREE-ORIENTED wedge join (see ``queries.q_copurchase_triangles``
+    for the workload framing).
+
+    ``edges`` must hold each undirected edge ONCE with ``a < b`` and no
+    self-loops. Every edge is directed from its lower-(degree, id)
+    endpoint to the higher, so each triangle materializes exactly one
+    wedge at its lowest-rank apex; wedge fan-out is bounded by
+    sum(out_deg^2) = O(m^1.5) -- a hub node cannot melt the join (its
+    out-degree under this orientation is at most ~sqrt(2m)). All joins
+    are equi-joins; counts are exact integers. Returns
+    ``(node, n_triangles)`` for nodes in >=1 triangle.
+    """
+    e = edges.select(F.col(a).alias("pa"), F.col(b).alias("pb")).persist()
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        e.join(deg.withColumnRenamed("node", "pa"), "pa")
+        .withColumnRenamed("deg", "da")
+        .join(
+            deg.withColumnRenamed("node", "pb").withColumnRenamed("deg", "db"),
+            "pb",
+        )
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    ).persist()
+    e1 = oriented.select("src", F.col("dst").alias("v"), F.col("ddst").alias("dv"))
+    e2 = oriented.select("src", F.col("dst").alias("w"), F.col("ddst").alias("dw"))
+    wedges = e1.join(e2, "src").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    )
+    return (
+        tri.select(
+            F.explode(F.array(F.col("src"), F.col("v"), F.col("w"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )

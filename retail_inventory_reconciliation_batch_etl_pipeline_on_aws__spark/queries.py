@@ -5246,46 +5246,12 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_ord"))
         .where(F.col("n_ord") >= 2)
         .select("pa", "pb")
-        .persist()  # shared by degree build + orientation
     )
-    deg = (
-        edges.select(F.col("pa").alias("node"))
-        .unionAll(edges.select(F.col("pb").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
-    ranked = (
-        edges.join(deg.withColumnRenamed("node", "pa"), "pa")
-        .withColumnRenamed("deg", "da")
-        .join(
-            deg.withColumnRenamed("node", "pb").withColumnRenamed("deg", "db"),
-            "pb",
-        )
-    )
-    a_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
-    )
-    oriented = ranked.select(
-        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
-        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
-        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
-    ).persist()
-    e1 = oriented.select("src", F.col("dst").alias("v"), F.col("ddst").alias("dv"))
-    e2 = oriented.select("src", F.col("dst").alias("w"), F.col("ddst").alias("dw"))
-    wedges = e1.join(e2, "src").where(
-        (F.col("dv") < F.col("dw"))
-        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
-    )
-    tri = wedges.join(
-        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
-        ["v", "w"],
-    )
+    from .operators.graph import triangle_participation
+
     return (
-        tri.select(
-            F.explode(F.array(F.col("src"), F.col("v"), F.col("w"))).alias("part")
-        )
-        .groupBy("part")
-        .agg(F.count("*").cast("long").alias("n_triangles"))
+        triangle_participation(edges)
+        .select(F.col("node").alias("part"), "n_triangles")
         .orderBy(F.col("n_triangles").desc(), "part")
         .limit(15)
     )

@@ -370,3 +370,77 @@ def test_banded_cumsum_equals_global_window_with_nulls(spark, rows):
         (r.k, r.cum) for r in want.collect()
     )
     assert total == sum((v for _, _, v in data if v is not None), Decimal(0))
+
+
+@SLOW
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
+            lambda t: t[0] < t[1]
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_triangle_participation_matches_bruteforce(spark, edges):
+    """Degree-oriented wedge counting == O(n^3) python enumeration on
+    random graphs up to 15 nodes, including hubs, cliques, and the
+    empty graph."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (  # noqa: E501
+        triangle_participation,
+    )
+
+    adj = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    want = {}
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if y not in adj[x]:
+                continue
+            for z in nodes:
+                if z > y and z in adj[x] and z in adj[y]:
+                    for n in (x, y, z):
+                        want[n] = want.get(n, 0) + 1
+    if not edges:
+        got_rows = []
+    else:
+        e = spark.createDataFrame(sorted(edges), "pa long, pb long")
+        got_rows = triangle_participation(e).collect()
+    got = {r.node: r.n_triangles for r in got_rows}
+    assert got == want
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_prefix_jaccard_equals_full_join_on_random_corpora(spark, texts):
+    """The prefix-filtering theorem (recall exactly 1.0 under any
+    global order) holds on random corpora: duplicate docs, empty docs,
+    all-same-token docs, sub-shingle-length docs."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.dedup import (  # noqa: E501
+        prefix_jaccard_pairs,
+        shingle_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)) or [(0, "")], "doc_id long, text string"
+    )
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in shingle_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in prefix_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert pref == full
