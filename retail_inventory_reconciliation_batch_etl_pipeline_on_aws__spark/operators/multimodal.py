@@ -612,3 +612,160 @@ def sample_animation_frames(
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+def decode_gray_pixels(payload: bytes) -> list[list[int]]:
+    """REAL pixel decode to a grayscale matrix for the two image
+    containers this module writes: 8-bit grayscale PNG (zlib inflate +
+    filter-0 scanline strip) and 24-bit bottom-up BMP (BGR rows, 4-byte
+    padded, integer luma (r+g+b)//3 -- deterministic, no float). Raises
+    on other containers/filters: this is a decoder for the synthesized
+    corpus, not a general codec (the honest-stub rule)."""
+    meta = decode_image(payload)
+    w, h = meta["width"], meta["height"]
+    if meta["format"] == "png":
+        # locate IDAT, inflate, strip the per-row filter byte
+        p = 8
+        idat = b""
+        while p < len(payload):
+            (ln,) = struct.unpack(">I", payload[p : p + 4])
+            tag = payload[p + 4 : p + 8]
+            if tag == b"IDAT":
+                idat += payload[p + 8 : p + 8 + ln]
+            p += 12 + ln
+        raw = zlib.decompress(idat)
+        rows = []
+        for y in range(h):
+            off = y * (w + 1)
+            if raw[off] != 0:
+                raise ValueError(f"unsupported PNG filter {raw[off]}")
+            rows.append(list(raw[off + 1 : off + 1 + w]))
+        return rows
+    if meta["format"] == "bmp":
+        (data_off,) = struct.unpack("<I", payload[10:14])
+        row_bytes = (w * 3 + 3) // 4 * 4
+        rows = []
+        for y in range(h - 1, -1, -1):  # bottom-up storage
+            off = data_off + y * row_bytes
+            row = []
+            for x in range(w):
+                b3 = payload[off + 3 * x : off + 3 * x + 3]
+                row.append((b3[0] + b3[1] + b3[2]) // 3)
+            rows.append(row)
+        return rows
+    raise ValueError(f"no pixel decoder for {meta['format']}")
+
+
+def ahash64(pixels: list[list[int]]) -> int:
+    """64-bit average hash over an 8x8 block grid -- ALL-INTEGER
+    arithmetic so the signature is engine/platform-exact: block value =
+    floor-mean of its pixel block; bit i = 1 iff block_i * 64 > sum of
+    all 64 block values (strict, floor-free comparison). Invariant to
+    uniform brightness shifts that don't wrap -- the property that makes
+    it a PERCEPTUAL near-dup key rather than a byte fingerprint."""
+    h, w = len(pixels), len(pixels[0])
+    blocks = []
+    for i in range(8):
+        y0, y1 = i * h // 8, (i + 1) * h // 8
+        for j in range(8):
+            x0, x1 = j * w // 8, (j + 1) * w // 8
+            acc = 0
+            cnt = 0
+            for y in range(y0, y1):
+                row = pixels[y]
+                for x in range(x0, x1):
+                    acc += row[x]
+                    cnt += 1
+            blocks.append(acc // cnt if cnt else 0)
+    total = sum(blocks)
+    sig = 0
+    for i, v in enumerate(blocks):
+        if v * 64 > total:
+            sig |= 1 << (63 - i)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig  # int64 two's-complement
+
+
+AHASH_SCHEMA = "doc_id bigint, ahash bigint"
+
+
+def image_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched perceptual hashing: payload -> real pixel decode ->
+    64-bit integer aHash. Images need >= 8px on each side for a
+    meaningful 8x8 grid; smaller payloads are dropped (recorded choice:
+    a sub-8px image has no 64-block structure to hash). Downstream
+    pairing shuffles only (id, 8-byte signature) -- pixels never leave
+    the scan stage; the signature then feeds the SAME pigeonhole
+    banding as text SimHash (``dedup.hamming_neardup_pairs``)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_sigs = [], []
+            for i, p in zip(pdf[id_col].astype("int64"), pdf["payload"]):
+                px = decode_gray_pixels(p)
+                if len(px) >= 8 and len(px[0]) >= 8:
+                    out_ids.append(int(i))
+                    out_sigs.append(ahash64(px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "ahash": pd.Series(out_sigs, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, AHASH_SCHEMA)
+
+
+def with_test_images_textured(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a 2-D textured grayscale PNG per row, with PLANTED
+    perceptual families: ids sharing ``id // 10`` get the same texture
+    and dimensions; each member perturbs ONE 8x8 grid cell by +128
+    (mod 256), so same-family pairs sit within a small hamming distance
+    of each other's aHash while cross-family textures are quasi-random
+    (far apart). The 1-D gradient payloads of ``with_test_images`` are
+    DEGENERATE for perceptual hashing -- every row identical makes the
+    block grid collapse to 8 column values and most images hash alike
+    -- so the pHash path gets its own content while the header-decode
+    oracle keeps the original payloads untouched."""
+
+    def texture_png(doc_id: int) -> bytes:
+        fam, m = doc_id // 10, doc_id % 10
+        w, h = fam % 61 + 8, fam * 13 % 47 + 8
+        by, bx = m % 8, (m * 3) % 8
+        rows = []
+        for y in range(h):
+            row = bytearray()
+            for x in range(w):
+                v = (fam * 37 + y * y * 3 + x * x * 5 + (y * x) % 7 * 11) % 256
+                if y * 8 // h == by and x * 8 // w == bx:
+                    v = (v + 128) % 256
+                row.append(v)
+            rows.append(bytes(row))
+        import zlib as _z
+
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", _z.crc32(tag + data))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        raw = b"".join(b"\x00" + r for r in rows)
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(raw, 1))
+            + chunk(b"IEND", b"")
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [texture_png(int(i)) for i in ids]}
+            )
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, "doc_id bigint, payload binary"
+    )

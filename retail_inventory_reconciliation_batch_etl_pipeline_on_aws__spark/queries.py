@@ -5407,3 +5407,33 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch")
     )
+
+
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup detection for IMAGES -- the multimodal rung
+    of the dedup ladder: synthesized-but-really-decoded payloads
+    (``with_test_images``: PNG/BMP) -> Arrow-batched pixel decode ->
+    all-integer 64-bit aHash -> the SAME pigeonhole banding + exact
+    hamming verify as text SimHash (``hamming_neardup_pairs``, recall
+    exactly 1.0 for hamming <= 3). Pixels never leave the scan stage;
+    only (id, 8-byte signature) shuffles.
+
+    Rows-only by design: DuckDB cannot decode PNG, so there is no SQL
+    oracle -- determinism, brightness-shift invariance, pigeonhole
+    recall vs brute force, and the planted perceptual families are
+    pinned in ``tests/test_multimodal.py`` instead. The corpus is
+    ``with_test_images_textured``: 2-D textures with planted families
+    (ids sharing id//10), each member perturbing one grid cell --
+    within-family pairs land near each other's aHash, cross-family
+    textures sit >20 bits apart, and family size bounds pairs at O(n).
+    (The 1-D gradients of ``with_test_images`` are degenerate for
+    perceptual hashing -- documented on the synthesizer.)"""
+    from .operators.dedup import hamming_neardup_pairs
+    from .operators.multimodal import image_ahash, with_test_images_textured
+
+    docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
+    sigs = image_ahash(with_test_images_textured(docs))
+    return (
+        hamming_neardup_pairs(sigs, id_col="doc_id", sig_col="ahash")
+        .orderBy("doc_a", "doc_b")
+    )

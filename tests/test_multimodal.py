@@ -255,3 +255,84 @@ def test_extracted_gif_frames_are_standalone_valid_gifs(spark):
     for i in range(6):
         expect = (i % 7 + 1 + 1) // 2  # ceil(n_frames / 2)
         assert len(per_doc[i]) == expect, i
+
+
+def test_pixel_decode_roundtrips_both_containers():
+    """decode_gray_pixels inverts the module's own encoders exactly:
+    PNG grayscale byte-for-byte; BMP through the integer luma."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.multimodal import (  # noqa: E501
+        decode_gray_pixels,
+        encode_bmp_rgb,
+        encode_png_gray,
+    )
+
+    png = decode_gray_pixels(encode_png_gray(9, 5, seed=7))
+    assert len(png) == 5 and len(png[0]) == 9
+    assert png[0] == [(7 + x) % 256 for x in range(9)]
+    assert png[4] == png[0]  # encoder repeats the row
+    bmp = decode_gray_pixels(encode_bmp_rgb(6, 4, seed=3))
+    assert len(bmp) == 4 and len(bmp[0]) == 6
+    # encoder writes (seed + y + 3b)%256 per BYTE b, rows stored
+    # bottom-up -- the decoded TOP row is storage row y = h-1 = 3
+    want = [
+        sum((3 + 3 + 3 * (3 * x + k)) % 256 for k in range(3)) // 3
+        for x in range(6)
+    ]
+    assert bmp[0] == want
+
+
+def test_ahash_is_brightness_invariant_and_content_sensitive():
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.multimodal import (  # noqa: E501
+        ahash64,
+    )
+
+    base = [[(y * 11 + x * 7) % 200 for x in range(16)] for y in range(16)]
+    brighter = [[v + 55 for v in row] for row in base]  # no wrap (<256)
+    assert ahash64(base) == ahash64(brighter)
+    flipped = [row[:] for row in base]
+    for y in range(8):
+        for x in range(8):
+            flipped[y][x] = 255 - flipped[y][x]
+    assert ahash64(base) != ahash64(flipped)
+
+
+def test_image_phash_neardup_matches_bruteforce_and_families(spark):
+    """The banded pipeline over the textured corpus returns EXACTLY the
+    brute-force hamming<=3 pair set (pigeonhole recall 1.0, verify
+    precision 1.0); every returned pair is same-family (cross-family
+    textures are >20 bits apart by construction); reruns identical."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.dedup import (  # noqa: E501
+        hamming_neardup_pairs,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.multimodal import (  # noqa: E501
+        image_ahash,
+        with_test_images_textured,
+    )
+
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 80).select(F.col("id").alias("doc_id"))
+    sigs = image_ahash(with_test_images_textured(docs)).persist()
+    hashes = {r.doc_id: r.ahash for r in sigs.collect()}
+    want = set()
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want.add((a, b, d))
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hamming_neardup_pairs(
+            sigs, id_col="doc_id", sig_col="ahash"
+        ).collect()
+    }
+    assert got == want and got
+    assert all(a // 10 == b // 10 for a, b, _ in got)  # same family only
+    again = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hamming_neardup_pairs(
+            sigs, id_col="doc_id", sig_col="ahash"
+        ).collect()
+    }
+    assert again == got
