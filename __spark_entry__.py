@@ -46,7 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DECIMAL-output canonicalization artifact lm_score had in r04/r05;
     its melted amount is now a terminal DOUBLE on both sides (and the
     plan sweep bans DECIMAL output columns engine-wide);
-    (2) the 17 round-7 additions, never driver-attested: the SCD2
+    (2) the 18 round-7 additions, never driver-attested: the SCD2
     point-in-time join, the order-independent table checksum, the DQ
     audit, the chi-square residual screen, per-brand equi-depth
     quartiles, inter-order gaps, ship latency SLA, the two exact
@@ -55,15 +55,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     banded global equi-depth histogram, the fixed-point domain
     classifier, degree-oriented triangle counting, the PPJoin
     prefix-filtered jaccard twin, the one-pass exact correlation
-    matrix, and last-touch purchase attribution;
-    (3) 32 of the 40 entries whose freshest green row is
+    matrix, last-touch purchase attribution, and exact
+    largest-remainder rebate proration;
+    (3) 31 of the 40 entries whose freshest green row is
     CORRECTNESS_r04 (stalest greens, in r04 attestation order) -- the
-    late additions displaced the last eight (dataset_split,
+    late additions displaced the last nine (corpus_pack, dataset_split,
     bm25_search, small_qty_revenue, large_volume_customers,
     hybrid_rank, local_supplier_revenue, returned_item_customers,
     promo_revenue_share) past the boundary;
     their r04 greens stand and they lead the stale queue next round.
-    That fills the window at exactly 50. Past the window: those eight,
+    That fills the window at exactly 50. Past the window: those nine,
     the 49 r05-green entries,
     the 49 r06-green entries (freshest), then the 15 rows-only
     (seeded/approximate/iterative) entries that close the tail by
@@ -93,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix_pairs": Q.q_jaccard_prefix_pairs,
         "measure_correlations": Q.q_measure_correlations,
         "purchase_attribution": Q.q_purchase_attribution,
+        "rebate_proration": Q.q_rebate_proration,
         # --- (3) stalest greens: freshest row is CORRECTNESS_r04 -----
         "bigram_counts": Q.q_bigram_counts,
         "reconcile": Q.q_reconcile,
@@ -125,14 +127,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_supplier": Q.q_top_revenue_supplier,
         "bulk_red_shippers": Q.q_bulk_red_shippers,
         "source_quota_sample": Q.q_source_quota_sample,
-        "corpus_pack": Q.q_corpus_pack,
         # ---- end of the 50-entry attested window --------------------
-        # eight r04-green entries displaced past the window by the late
+        # nine r04-green entries displaced past the window by the late
         # round-7 additions (basket_rules, forecast_backtest,
         # price_equidepth_hist, domain_classifier, copurchase_triangles,
         # jaccard_prefix_pairs, measure_correlations,
-        # purchase_attribution) -- their r04 green rows still stand;
-        # re-queue them first among the stalest next round
+        # purchase_attribution, rebate_proration) -- their r04 green
+        # rows still stand; re-queue them first among the stalest next
+        # round
+        "corpus_pack": Q.q_corpus_pack,
         "dataset_split": Q.q_dataset_split,
         "bm25_search": Q.q_bm25_search,
         "small_qty_revenue": Q.q_small_qty_revenue,
@@ -3421,6 +3424,45 @@ pred AS (
 SELECT source, cls AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM pred WHERE rn = 1
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+
+        # exact largest-remainder allocation: floor shares via
+        # IntegralDivide, leftover cents by remainder rank with a line-
+        # number tie-break -- all integers, conservation to the cent
+        "rebate_proration": """
+WITH j AS (
+  SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+         CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS price_c,
+         CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(18,2))) AS BIGINT)
+           AS rebate_c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+t AS (
+  SELECT *, SUM(price_c) OVER (PARTITION BY l_orderkey) AS total_c FROM j
+),
+s AS (
+  SELECT *,
+         CAST((CAST(rebate_c AS HUGEINT) * price_c) // total_c AS BIGINT)
+           AS share,
+         CAST((CAST(rebate_c AS HUGEINT) * price_c)
+              - ((CAST(rebate_c AS HUGEINT) * price_c) // total_c) * total_c
+              AS BIGINT) AS rem
+  FROM t
+),
+a AS (
+  SELECT l_returnflag,
+         share + CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY l_orderkey
+                        ORDER BY rem DESC, l_linenumber ASC)
+                      <= rebate_c - SUM(share) OVER (PARTITION BY l_orderkey)
+                 THEN 1 ELSE 0 END AS alloc_c
+  FROM s
+)
+SELECT l_returnflag AS returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(alloc_c) AS BIGINT) AS alloc_cents
+FROM a GROUP BY 1 ORDER BY 1
 """,
 
         # last-touch window: IGNORE NULLS over a strictly-preceding

@@ -5437,3 +5437,64 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hamming_neardup_pairs(sigs, id_col="doc_id", sig_col="ahash")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def q_rebate_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT largest-remainder proration -- the finance-ETL allocation
+    primitive: a 1%% order-level rebate (in integer cents) is split
+    across the order's lines proportional to line price, with floor
+    shares first and the leftover cents going one each to the lines
+    with the largest fractional remainders (deterministic tie-break by
+    line number). Conservation is exact BY CONSTRUCTION: every order's
+    allocations sum to its rebate to the cent -- the property that
+    makes this the correct spelling, where a per-line
+    ``round(rebate * share)`` drifts by cents per order and a float
+    proration is partitioning-dependent.
+
+    All arithmetic is integer (cents, DECIMAL(38,0) cross-products);
+    windows partition by order (bounded per-order line counts, never
+    global); output aggregates per returnflag so conservation sums
+    stay auditable. One lineitem<->orders equi-join, two partitioned
+    windows, one tiny aggregate.
+    """
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    o = fixtures.load(spark, sf_dir, "orders")
+    # 1% of totalprice in cents == totalprice (dollars) rounded
+    j = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("price_c"),
+    ).join(
+        o.select(
+            "o_orderkey",
+            F.round(_dec("o_totalprice")).cast("long").alias("rebate_c"),
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    w_ord = Window.partitionBy("l_orderkey")
+    j = j.withColumn("total_c", F.sum("price_c").over(w_ord))
+    num = F.col("rebate_c").cast("decimal(38,0)") * F.col("price_c")
+    share = F.call_function("div", num, F.col("total_c").cast("decimal(38,0)"))
+    j = j.withColumn("share", share).withColumn(
+        "rem",
+        (num - F.col("share").cast("decimal(38,0)") * F.col("total_c")).cast(
+            "long"
+        ),
+    )
+    w_rank = Window.partitionBy("l_orderkey").orderBy(
+        F.col("rem").desc(), F.col("l_linenumber").asc()
+    )
+    leftover = F.col("rebate_c") - F.sum("share").over(w_ord)
+    alloc = F.col("share") + F.when(
+        F.row_number().over(w_rank) <= leftover, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        j.select("l_returnflag", alloc.alias("alloc_c"))
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("alloc_c").cast("long").alias("alloc_cents"),
+        )
+        .orderBy("returnflag")
+    )

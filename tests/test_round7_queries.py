@@ -644,3 +644,58 @@ def test_purchase_attribution_planted_semantics(spark):
         "click": (2, 16.0),   # users 1 (boundary-inclusive) and 3
         "organic": (2, 20.0),  # users 2 (outside lookback) and 4
     }
+
+
+def test_rebate_proration_conserves_to_the_cent(spark):
+    """The allocation's reason to exist: per-order allocations sum to
+    the order's rebate EXACTLY, so the global allocated total equals
+    the sum of per-order rebates -- to the cent, no drift."""
+    rows = Q.q_rebate_proration(spark, SF).collect()
+    o = fixtures.load(spark, SF, "orders")
+    li = fixtures.load(spark, SF, "lineitem")
+    # only orders that have lines allocate anything
+    with_lines = o.join(
+        li.select("l_orderkey").distinct(),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left_semi",
+    )
+    want = (
+        with_lines.agg(
+            F.sum(
+                F.round(F.col("o_totalprice").cast("decimal(18,2)")).cast("long")
+            ).alias("c")
+        ).first().c
+    )
+    assert sum(r.alloc_cents for r in rows) == want
+    assert sum(r.n_lines for r in rows) == li.count()
+
+
+def test_rebate_proration_largest_remainder_on_a_planted_order(spark):
+    """3 lines, prices 1.00/1.00/1.01, rebate 2 cents: floor shares are
+    0/0/0 (2*100//301 = 0, 2*101//301 = 0), remainders 200/200/202 --
+    the leftover 2 cents go to line 3 (largest rem) then line 1
+    (tie-break by line number)."""
+    from unittest import mock
+
+    li = spark.createDataFrame(
+        [(1, 1, "N", 1.00), (1, 2, "N", 1.00), (1, 3, "R", 1.01)],
+        "l_orderkey long, l_linenumber int, l_returnflag string,"
+        " l_extendedprice double",
+    )
+    # o_totalprice 2.00 -> rebate = round(2.00) = 2 cents to allocate
+    o = spark.createDataFrame([(1, 2.0)], "o_orderkey long, o_totalprice double")
+
+    def fake_load(s, d, name):
+        return {"lineitem": li, "orders": o}[name]
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark import (
+        queries as QQ,
+    )
+
+    with mock.patch.object(QQ.fixtures, "load", fake_load):
+        got = {
+            r.returnflag: r.alloc_cents
+            for r in QQ.q_rebate_proration(spark, SF).collect()
+        }
+    # rebate_c = 2; line3 (R) gets 1 (rem 202), line1 (N) gets 1 (tie)
+    assert got == {"N": 1, "R": 1}
