@@ -111,3 +111,55 @@ def banded_cumsum(
         .drop("_band", "_cum_in_band", "_off", "_seen")
     )
     return out, acc
+
+
+def banded_cummin(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[Column | str],
+    band: Column,
+    cum_col: str = "cum_min",
+) -> DataFrame:
+    """STRICT-prefix global running MINIMUM of ``value_col`` over
+    ``order_cols`` -- the prefix-min sibling of ``banded_cumsum`` (same
+    contract: ``band`` monotone non-decreasing in the global order,
+    NULL bands rejected). "Strict" means each row sees the min over
+    rows strictly BEFORE it; the first global row gets NULL. That is
+    the frame 2-D skyline/Pareto computation needs: a point survives
+    iff every earlier point's y exceeds its own.
+
+    Per-band strict windows run in parallel; the per-band inclusive
+    minima (bounded: one row per band) prefix-min driver-side and
+    broadcast back as each band's prior-bands floor.
+    """
+    banded = df.withColumn("_band", band).persist()
+    w = (
+        Window.partitionBy("_band")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = banded.withColumn("_min_in_band", F.min(value_col).over(w))
+    mins = sorted(
+        banded.groupBy("_band").agg(F.min(value_col).alias("m")).collect(),
+        key=lambda r: (r["_band"] is None, r["_band"]),
+    )
+    if mins and mins[-1]["_band"] is None:
+        raise ValueError(
+            "band expression evaluated to NULL for some rows; "
+            "the band function must be total over the input domain"
+        )
+    offsets, prior = [], None
+    for r in mins:
+        offsets.append((r["_band"], prior))
+        if r["m"] is not None and (prior is None or r["m"] < prior):
+            prior = r["m"]
+    spark = df.sparkSession
+    vtype = df.schema[value_col].dataType.simpleString()
+    off_df = spark.createDataFrame(offsets, f"_band int, _prior {vtype}")
+    return (
+        within.join(F.broadcast(off_df), "_band")
+        # least() skips NULLs, which is exactly the semantics: no
+        # earlier row at all -> NULL
+        .withColumn(cum_col, F.least(F.col("_prior"), F.col("_min_in_band")))
+        .drop("_band", "_min_in_band", "_prior")
+    )

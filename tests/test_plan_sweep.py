@@ -45,6 +45,7 @@ PYTHON_OK = {
     "ivf_topk",  # pyspark.ml array_to_vector conversion
     "audio_meta",  # sanctioned mapInPandas payload-synth + RIFF-decode boundary
     "frame_meta",  # sanctioned mapInPandas payload-synth + GIF-walk boundary
+    "image_phash_neardup",  # sanctioned mapInPandas payload-synth + pixel-decode + aHash boundary
 }
 
 QUERIES = sorted(entry.queries())
