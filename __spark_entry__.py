@@ -46,7 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DECIMAL-output canonicalization artifact lm_score had in r04/r05;
     its melted amount is now a terminal DOUBLE on both sides (and the
     plan sweep bans DECIMAL output columns engine-wide);
-    (2) the 18 round-7 additions, never driver-attested: the SCD2
+    (2) the 19 round-7 additions, never driver-attested: the SCD2
     point-in-time join, the order-independent table checksum, the DQ
     audit, the chi-square residual screen, per-brand equi-depth
     quartiles, inter-order gaps, ship latency SLA, the two exact
@@ -55,16 +55,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     banded global equi-depth histogram, the fixed-point domain
     classifier, degree-oriented triangle counting, the PPJoin
     prefix-filtered jaccard twin, the one-pass exact correlation
-    matrix, last-touch purchase attribution, and exact
-    largest-remainder rebate proration;
-    (3) 31 of the 40 entries whose freshest green row is
+    matrix, last-touch purchase attribution, exact largest-remainder
+    rebate proration, and the banded-prefix-min 2-D skyline;
+    (3) 30 of the 40 entries whose freshest green row is
     CORRECTNESS_r04 (stalest greens, in r04 attestation order) -- the
-    late additions displaced the last nine (corpus_pack, dataset_split,
-    bm25_search, small_qty_revenue, large_volume_customers,
-    hybrid_rank, local_supplier_revenue, returned_item_customers,
-    promo_revenue_share) past the boundary;
+    late additions displaced the last ten (source_quota_sample,
+    corpus_pack, dataset_split, bm25_search, small_qty_revenue,
+    large_volume_customers, hybrid_rank, local_supplier_revenue,
+    returned_item_customers, promo_revenue_share) past the boundary;
     their r04 greens stand and they lead the stale queue next round.
-    That fills the window at exactly 50. Past the window: those nine,
+    That fills the window at exactly 50. Past the window: those ten,
     the 49 r05-green entries,
     the 49 r06-green entries (freshest), then the 15 rows-only
     (seeded/approximate/iterative) entries that close the tail by
@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "measure_correlations": Q.q_measure_correlations,
         "purchase_attribution": Q.q_purchase_attribution,
         "rebate_proration": Q.q_rebate_proration,
+        "part_skyline": Q.q_part_skyline,
         # --- (3) stalest greens: freshest row is CORRECTNESS_r04 -----
         "bigram_counts": Q.q_bigram_counts,
         "reconcile": Q.q_reconcile,
@@ -126,15 +127,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_part_values": Q.q_important_part_values,
         "top_revenue_supplier": Q.q_top_revenue_supplier,
         "bulk_red_shippers": Q.q_bulk_red_shippers,
-        "source_quota_sample": Q.q_source_quota_sample,
         # ---- end of the 50-entry attested window --------------------
-        # nine r04-green entries displaced past the window by the late
+        # ten r04-green entries displaced past the window by the late
         # round-7 additions (basket_rules, forecast_backtest,
         # price_equidepth_hist, domain_classifier, copurchase_triangles,
         # jaccard_prefix_pairs, measure_correlations,
-        # purchase_attribution, rebate_proration) -- their r04 green
-        # rows still stand; re-queue them first among the stalest next
-        # round
+        # purchase_attribution, rebate_proration, part_skyline) --
+        # their r04 green rows still stand; re-queue them first among
+        # the stalest next round
+        "source_quota_sample": Q.q_source_quota_sample,
         "corpus_pack": Q.q_corpus_pack,
         "dataset_split": Q.q_dataset_split,
         "bm25_search": Q.q_bm25_search,
@@ -3424,6 +3425,26 @@ pred AS (
 SELECT source, cls AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM pred WHERE rn = 1
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+
+        # the oracle IS the skyline definition (quadratic NOT EXISTS
+        # dominance); the engine's sort-based prefix-min must agree
+        "part_skyline": """
+WITH pts AS (
+  SELECT CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS price_c,
+         CAST(p_size AS BIGINT) AS size,
+         CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY 1, 2
+)
+SELECT CAST(price_c AS DOUBLE) / 100.0 AS price, size, n_parts
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.price_c <= p.price_c AND q.size <= p.size
+    AND (q.price_c < p.price_c OR q.size < p.size)
+)
+ORDER BY price, size
 """,
 
         # exact largest-remainder allocation: floor shares via

@@ -5498,3 +5498,50 @@ def q_rebate_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag")
     )
+
+
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier): the distinct (price, size) points
+    no other part dominates (dominates = <= on both dims, < on at
+    least one) -- the multi-criteria shortlist query (cheapest-AND-
+    smallest here; swap dims for cost/latency, quality/toxicity...).
+
+    The oracle is the DEFINITION: a quadratic NOT-EXISTS dominance
+    anti-join. The engine runs the O(n log n) sort-based algorithm on
+    distinct points: under (price asc, size asc) order, a point is on
+    the skyline iff every STRICTLY-earlier point's size exceeds its
+    own -- i.e. iff the strict-prefix running MIN of size is NULL (no
+    earlier point) or > size. Ties need no special case because exact
+    duplicates collapse first (equal points never dominate each
+    other). The strict-prefix min is ``banded_cummin`` (price-cents
+    div 2^9 bands -> parallel per-band windows + a bounded per-band-
+    minima broadcast), never a partition-less global window -- the
+    sweep-banned shape the naive spelling would use.
+
+    All comparisons are exact integers (price in cents), so both
+    engines agree bit-for-bit.
+    """
+    from .operators.prefix import banded_cummin
+
+    part = fixtures.load(spark, sf_dir, "part")
+    pts = (
+        part.select(
+            F.round(_dec("p_retailprice") * 100).cast("long").alias("price_c"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .groupBy("price_c", "size")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+    )
+    band = F.floor(F.col("price_c") / F.lit(512)).cast("int")
+    cum = banded_cummin(
+        pts, "size", [F.col("price_c").asc(), F.col("size").asc()], band
+    )
+    return (
+        cum.where(F.col("cum_min").isNull() | (F.col("cum_min") > F.col("size")))
+        .select(
+            (F.col("price_c").cast("double") / 100.0).alias("price"),
+            "size",
+            "n_parts",
+        )
+        .orderBy("price", "size")
+    )

@@ -699,3 +699,62 @@ def test_rebate_proration_largest_remainder_on_a_planted_order(spark):
         }
     # rebate_c = 2; line3 (R) gets 1 (rem 202), line1 (N) gets 1 (tie)
     assert got == {"N": 1, "R": 1}
+
+
+def test_part_skyline_dominance_contract(spark):
+    """Every skyline point is undominated and every non-skyline
+    distinct point is dominated by some skyline point (the frontier is
+    COMPLETE, not just correct) -- recomputed in python from the
+    distinct point set."""
+    rows = Q.q_part_skyline(spark, SF).collect()
+    part = fixtures.load(spark, SF, "part")
+    pts = {
+        (r.price_c, r.size): r.n
+        for r in part.select(
+            F.round(F.col("p_retailprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("price_c"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .groupBy("price_c", "size")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    def dominated(p, others):
+        return any(
+            q[0] <= p[0] and q[1] <= p[1] and q != p for q in others
+        )
+
+    sky = {(int(round(r.price * 100)), r.size) for r in rows}
+    allp = set(pts)
+    assert sky == {p for p in allp if not dominated(p, allp)}
+    # completeness: every non-skyline point is dominated by a skyline pt
+    for p in allp - sky:
+        assert any(q[0] <= p[0] and q[1] <= p[1] for q in sky)
+    # counts carried through
+    for r in rows:
+        assert pts[(int(round(r.price * 100)), r.size)] == r.n_parts
+
+
+def test_banded_cummin_equals_global_window(spark):
+    """banded_cummin over arbitrary bands == the naive single-task
+    global strict-prefix MIN, including the NULL first row."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.prefix import (  # noqa: E501
+        banded_cummin,
+    )
+
+    data = [(i, (i * 37) % 101, (i * 53) % 19) for i in range(200)]
+    df = spark.createDataFrame(data, "id long, x long, y long")
+    got = {
+        r.id: r.cum_min
+        for r in banded_cummin(
+            df, "y", [F.col("x").asc(), F.col("y").asc(), F.col("id").asc()],
+            F.floor(F.col("x") / 8).cast("int"),
+        ).collect()
+    }
+    rows = sorted(data, key=lambda t: (t[1], t[2], t[0]))
+    run = None
+    for i, (rid, x, y) in enumerate(rows):
+        assert got[rid] == run, (rid, got[rid], run)
+        run = y if run is None or y < run else run

@@ -170,6 +170,11 @@ PORTABLE = [
     # running the id-oriented triangle oracle verbatim on Spark pins
     # the degree-oriented wedge join against a THIRD engine-path
     "copurchase_triangles",
+    # the NOT-EXISTS dominance definition verbatim on Spark pins the
+    # banded prefix-min skyline against a third engine-path
+    # (rebate_proration and measure_correlations stay DuckDB-side:
+    # HUGEINT casts + // division)
+    "part_skyline",
 ]
 
 
