@@ -45,6 +45,57 @@ def latest_version(path: str) -> int:
     return int(os.path.basename(cs[-1])[1:-5]) if cs else -1
 
 
+class CheckViolation(ValueError):
+    """A table CHECK constraint rejected a write. ``counts`` maps
+    constraint name -> number of violating rows in the attempted
+    write (SQL CHECK semantics: a row violates only when the
+    condition evaluates to FALSE; NULL/unknown passes)."""
+
+    def __init__(self, counts: dict[str, int]):
+        self.counts = dict(counts)
+        super().__init__(
+            "CHECK constraint violation: "
+            + ", ".join(f"{k}: {v} row(s)" for k, v in sorted(counts.items()))
+        )
+
+
+def table_checks(path: str) -> dict[str, str]:
+    """Active CHECK constraints of the latest version (name -> SQL
+    boolean expression). Constraints are commit metadata -- versioned,
+    inherited by every child commit, visible to time travel."""
+    v = latest_version(path)
+    if v < 0:
+        return {}
+    return _load_commit(
+        os.path.join(path, "commits", f"v{v:05d}.json")
+    ).get("checks", {})
+
+
+def _check_violations(df: DataFrame, checks: dict[str, str]) -> dict[str, int]:
+    """Per-constraint violating-row counts in ONE aggregate pass (all
+    constraints evaluated in the same scan -- the enforcement cost at
+    100 TB is one map-side-combined count, not one job per rule)."""
+    if not checks:
+        return {}
+    from pyspark.sql import functions as F
+
+    names = sorted(checks)
+    row = df.agg(
+        *[
+            F.sum(
+                F.when(F.expr(checks[n]).isNotNull() & ~F.expr(checks[n]), 1)
+                .otherwise(0)
+            ).alias(f"_c{i}")
+            for i, n in enumerate(names)
+        ]
+    ).first()
+    return {
+        n: int(row[f"_c{i}"] or 0)
+        for i, n in enumerate(names)
+        if (row[f"_c{i}"] or 0) > 0
+    }
+
+
 def write_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
     """Publish ``df`` as a new table version; returns the version.
 
@@ -61,6 +112,13 @@ def write_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
     commits_dir = os.path.join(path, "commits")
     os.makedirs(data_dir, exist_ok=True)
     os.makedirs(commits_dir, exist_ok=True)
+
+    # enforce the parent's CHECK constraints BEFORE staging -- a
+    # rejected write leaves no orphan files at all
+    checks = table_checks(path)
+    bad = _check_violations(df, checks)
+    if bad:
+        raise CheckViolation(bad)
 
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
@@ -83,8 +141,22 @@ def write_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
             else []
         )
         version = parent + 1
+        cur_checks = table_checks(path)
+        if cur_checks != checks:
+            # a concurrent commit changed the constraints while we
+            # staged; re-validate against the new rule set (rare CAS
+            # retry path) -- on violation, clean up our staged files
+            checks = cur_checks
+            bad = _check_violations(df, checks)
+            if bad:
+                for name in new_files:
+                    try:
+                        os.remove(os.path.join(data_dir, name))
+                    except FileNotFoundError:
+                        pass
+                raise CheckViolation(bad)
         commit = {"version": version, "parent": parent, "mode": mode,
-                  "files": base + new_files}
+                  "files": base + new_files, "checks": checks}
         try:
             fd = os.open(
                 os.path.join(commits_dir, f"v{version:05d}.json"),
@@ -171,6 +243,73 @@ def table_changes(
         "_change", F.lit("delete")
     )
     return inserts.unionByName(deletes)
+
+
+def add_check(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT ... CHECK: validates that the CURRENT
+    snapshot already satisfies ``expr`` (refusing otherwise, like
+    Delta), then publishes a METADATA-ONLY commit (same files) whose
+    ``checks`` map includes the new rule. Every subsequent write --
+    append, overwrite, DELETE/UPDATE/MERGE rewrite, streaming append,
+    compaction -- enforces it before publishing; a rejected write
+    raises ``CheckViolation`` and leaves no orphan files. Time travel
+    to pre-constraint versions is unaffected (constraints are commit
+    metadata, versioned like everything else)."""
+    commits_dir = os.path.join(path, "commits")
+    while True:
+        parent = latest_version(path)
+        if parent < 0:
+            raise ValueError("cannot add a CHECK to an empty table")
+        pc = _load_commit(os.path.join(commits_dir, f"v{parent:05d}.json"))
+        bad = _check_violations(
+            read_versioned(spark, path, version=parent), {name: expr}
+        )
+        if bad:
+            raise CheckViolation(bad)
+        checks = dict(pc.get("checks", {}))
+        checks[name] = expr
+        version = parent + 1
+        commit = {"version": version, "parent": parent, "mode": "set_check",
+                  "files": pc["files"], "checks": checks}
+        try:
+            fd = os.open(
+                os.path.join(commits_dir, f"v{version:05d}.json"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue  # lost the CAS race: re-read and re-validate
+        with os.fdopen(fd, "w") as f:
+            json.dump(commit, f)
+        return version
+
+
+def drop_check(path: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT: metadata-only commit without the
+    rule. Unknown names fail loudly (a silent no-op would let a typo
+    leave the table unguarded)."""
+    commits_dir = os.path.join(path, "commits")
+    while True:
+        parent = latest_version(path)
+        pc = _load_commit(os.path.join(commits_dir, f"v{parent:05d}.json"))
+        checks = dict(pc.get("checks", {}))
+        if name not in checks:
+            raise ValueError(f"no CHECK named {name!r} on this table")
+        del checks[name]
+        version = parent + 1
+        commit = {"version": version, "parent": parent, "mode": "set_check",
+                  "files": pc["files"], "checks": checks}
+        try:
+            fd = os.open(
+                os.path.join(commits_dir, f"v{version:05d}.json"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            json.dump(commit, f)
+        return version
 
 
 def compact(
@@ -283,6 +422,13 @@ def _stage_and_splice(
     checking alone is vacuous for a pure-insert merge (touched is
     empty)."""
     data_dir = os.path.join(path, "data")
+    # DML goes through the same CHECK gate as ingest: the rewritten
+    # rows (updated/merged values plus their co-located keepers) must
+    # satisfy the table's constraints before anything is staged
+    checks = table_checks(path)
+    bad = _check_violations(rewritten, checks)
+    if bad:
+        raise CheckViolation(bad)
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
     rewritten.repartition(max(1, len(touched))).write.mode(
         "overwrite"
@@ -328,11 +474,18 @@ def _stage_and_splice(
             )
         keep = [f for f in parent_files if f not in touched]
         version = parent + 1
+        cur_checks = table_checks(path)
+        if cur_checks != checks:
+            checks = cur_checks
+            bad = _check_violations(rewritten, checks)
+            if bad:
+                _refuse(str(CheckViolation(bad)))
         commit = {
             "version": version,
             "parent": parent,
             "mode": mode,
             "files": keep + new_files,
+            "checks": checks,
         }
         try:
             fd = os.open(

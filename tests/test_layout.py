@@ -516,3 +516,78 @@ def test_scale16_survives_huge_span(spark):
     for v in vals:
         assert got[v] == (v - lo) * 65535 // (hi - lo), v
     assert got[0] == 0 and got[10**15] == 65535
+
+
+def test_check_constraints_gate_every_write_path(spark, tmp_path):
+    """ALTER TABLE ADD CHECK: existing-data validation, enforcement on
+    append AND row-level UPDATE, NULL-passes semantics, clean refusal
+    (no new version, no orphan data files), drop re-opens the gate,
+    time travel unaffected."""
+    import glob as g
+    import os
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.versioned import (  # noqa: E501
+        CheckViolation,
+        add_check,
+        drop_check,
+        history,
+        latest_version,
+        read_versioned,
+        table_checks,
+        update_where,
+        write_versioned,
+    )
+    import pyspark.sql.functions as F
+    import pytest
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None)], "id long, qty int"
+    )
+    v0 = write_versioned(df, path)
+
+    # refuse a constraint the existing data violates
+    with pytest.raises(CheckViolation) as e:
+        add_check(spark, path, "qty_big", "qty > 15")
+    assert e.value.counts == {"qty_big": 1}  # only id=1; NULL passes
+
+    v1 = add_check(spark, path, "qty_pos", "qty > 0")
+    assert table_checks(path) == {"qty_pos": "qty > 0"}
+    assert history(path)[-1]["mode"] == "set_check"
+
+    # violating append: refused, version unchanged, no orphan files
+    files_before = set(g.glob(os.path.join(path, "data", "*.parquet")))
+    bad = spark.createDataFrame([(4, -5), (5, 7)], "id long, qty int")
+    with pytest.raises(CheckViolation) as e:
+        write_versioned(bad, path)
+    assert e.value.counts == {"qty_pos": 1}
+    assert latest_version(path) == v1
+    assert set(g.glob(os.path.join(path, "data", "*.parquet"))) == files_before
+
+    # NULL evaluates unknown -> passes (SQL CHECK semantics)
+    ok = spark.createDataFrame([(6, None)], "id long, qty int")
+    v2 = write_versioned(ok, path)
+    assert latest_version(path) == v2
+
+    # DML goes through the same gate: an UPDATE that would set qty <= 0
+    with pytest.raises(CheckViolation):
+        update_where(
+            spark, path, F.col("id") == 2, {"qty": F.lit(-1)}
+        )
+    assert latest_version(path) == v2
+    # files still consistent: snapshot readable, count intact
+    assert read_versioned(spark, path).count() == 4
+
+    # constraints are inherited by ordinary commits
+    assert table_checks(path) == {"qty_pos": "qty > 0"}
+
+    # drop re-opens the gate; unknown name fails loudly
+    with pytest.raises(ValueError):
+        drop_check(path, "nope")
+    drop_check(path, "qty_pos")
+    v3 = write_versioned(bad, path)
+    assert read_versioned(spark, path).count() == 6
+
+    # time travel to the pre-constraint version still works
+    assert read_versioned(spark, path, version=v0).count() == 3
+    assert latest_version(path) == v3
