@@ -917,7 +917,12 @@ def streaming_attribution(
                     if touch is not None and sec - touch_sec <= lookback_s
                     else "organic"
                 )
-                out.append((user_id, eid, label, quantize_cents(float(val))))
+                # NULL value stays NULL cents (the batch twin's
+                # F.round(NULL) semantics), not a float(None) crash
+                cents = (
+                    quantize_cents(float(val)) if pd.notna(val) else None
+                )
+                out.append((user_id, eid, label, cents))
         if touch is not None:
             state.update((touch, touch_sec))
         if out:
