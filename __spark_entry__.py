@@ -46,7 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DECIMAL-output canonicalization artifact lm_score had in r04/r05;
     its melted amount is now a terminal DOUBLE on both sides (and the
     plan sweep bans DECIMAL output columns engine-wide);
-    (2) the 19 round-7 additions, never driver-attested: the SCD2
+    (2) the 21 round-7 additions, never driver-attested: the SCD2
     point-in-time join, the order-independent table checksum, the DQ
     audit, the chi-square residual screen, per-brand equi-depth
     quartiles, inter-order gaps, ship latency SLA, the two exact
@@ -56,15 +56,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     classifier, degree-oriented triangle counting, the PPJoin
     prefix-filtered jaccard twin, the one-pass exact correlation
     matrix, last-touch purchase attribution, exact largest-remainder
-    rebate proration, and the banded-prefix-min 2-D skyline;
-    (3) 30 of the 40 entries whose freshest green row is
+    rebate proration, the banded-prefix-min 2-D skyline, the Benford
+    first-digit screen, and per-nation revenue Gini;
+    (3) 28 of the 40 entries whose freshest green row is
     CORRECTNESS_r04 (stalest greens, in r04 attestation order) -- the
-    late additions displaced the last ten (source_quota_sample,
-    corpus_pack, dataset_split, bm25_search, small_qty_revenue,
-    large_volume_customers, hybrid_rank, local_supplier_revenue,
-    returned_item_customers, promo_revenue_share) past the boundary;
+    late additions displaced the last twelve (top_revenue_supplier,
+    bulk_red_shippers, source_quota_sample, corpus_pack, dataset_split,
+    bm25_search, small_qty_revenue, large_volume_customers,
+    hybrid_rank, local_supplier_revenue, returned_item_customers,
+    promo_revenue_share) past the boundary;
     their r04 greens stand and they lead the stale queue next round.
-    That fills the window at exactly 50. Past the window: those ten,
+    That fills the window at exactly 50. Past the window: those twelve,
     the 49 r05-green entries,
     the 49 r06-green entries (freshest), then the 15 rows-only
     (seeded/approximate/iterative) entries that close the tail by
@@ -96,6 +98,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_attribution": Q.q_purchase_attribution,
         "rebate_proration": Q.q_rebate_proration,
         "part_skyline": Q.q_part_skyline,
+        "benford_screen": Q.q_benford_screen,
+        "nation_revenue_gini": Q.q_nation_revenue_gini,
         # --- (3) stalest greens: freshest row is CORRECTNESS_r04 -----
         "bigram_counts": Q.q_bigram_counts,
         "reconcile": Q.q_reconcile,
@@ -125,16 +129,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returnflag_pivot": Q.q_returnflag_pivot,
         "min_cost_supplier": Q.q_min_cost_supplier,
         "important_part_values": Q.q_important_part_values,
-        "top_revenue_supplier": Q.q_top_revenue_supplier,
-        "bulk_red_shippers": Q.q_bulk_red_shippers,
         # ---- end of the 50-entry attested window --------------------
-        # ten r04-green entries displaced past the window by the late
-        # round-7 additions (basket_rules, forecast_backtest,
+        # twelve r04-green entries displaced past the window by the
+        # late round-7 additions (basket_rules, forecast_backtest,
         # price_equidepth_hist, domain_classifier, copurchase_triangles,
         # jaccard_prefix_pairs, measure_correlations,
-        # purchase_attribution, rebate_proration, part_skyline) --
-        # their r04 green rows still stand; re-queue them first among
-        # the stalest next round
+        # purchase_attribution, rebate_proration, part_skyline,
+        # benford_screen, nation_revenue_gini) -- their r04 green rows
+        # still stand; re-queue them first among the stalest next round
+        "top_revenue_supplier": Q.q_top_revenue_supplier,
+        "bulk_red_shippers": Q.q_bulk_red_shippers,
         "source_quota_sample": Q.q_source_quota_sample,
         "corpus_pack": Q.q_corpus_pack,
         "dataset_split": Q.q_dataset_split,
@@ -3425,6 +3429,51 @@ pred AS (
 SELECT source, cls AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM pred WHERE rn = 1
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+
+        # expected Benford masses are 6-dp LITERALS on both engines --
+        # no transcendental is evaluated cross-engine
+        "benford_screen": """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                                     * 100) AS BIGINT) AS STRING), 1, 1)
+              AS INT) AS digit
+  FROM lineitem
+),
+c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+t AS (SELECT SUM(n) AS n_total FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE) / n_total, 6) AS share,
+       CAST(CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 WHEN 9 THEN 0.045757 END AS DOUBLE) AS benford_p,
+       ROUND(ABS(ROUND(CAST(n AS DOUBLE) / n_total, 6)
+                 - CAST(CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 WHEN 9 THEN 0.045757 END AS DOUBLE)), 6) AS abs_dev
+FROM c CROSS JOIN t
+ORDER BY digit
+""",
+
+        # exact rank-formula Gini: every term integer, ties broken by
+        # custkey (invariant: equal x makes rank swaps value-neutral)
+        "nation_revenue_gini": """
+WITH rev AS (
+  SELECT o.o_custkey,
+         SUM(CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS x
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+),
+r AS (
+  SELECT n.n_name AS nation, rev.o_custkey, CAST(rev.x AS HUGEINT) AS x,
+         ROW_NUMBER() OVER (PARTITION BY n.n_name
+                            ORDER BY rev.x ASC, rev.o_custkey ASC) AS i
+  FROM rev
+  JOIN customer c ON rev.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT nation,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(x) AS DOUBLE), 6) AS gini
+FROM r GROUP BY nation ORDER BY nation
 """,
 
         # the oracle IS the skyline definition (quadratic NOT EXISTS

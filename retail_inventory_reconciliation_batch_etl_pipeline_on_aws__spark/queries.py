@@ -5545,3 +5545,106 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price", "size")
     )
+
+
+def q_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screen over line amounts -- the
+    forensic data-quality test (fabricated or clipped monetary data
+    drifts from Benford's law long before totals look wrong).
+
+    Exactness contract: digit counts are exact integers (first char of
+    the cents integer's decimal string); the observed share is one
+    terminal double division rounded to 6 dp; the expected Benford mass
+    ``log10(1 + 1/d)`` enters as 6-dp LITERALS -- identical constants
+    on both engines, so no transcendental is ever EVALUATED cross-
+    engine (the token_dist_drift rule, satisfied by precomputation).
+    One scan, one 9-row aggregate.
+    """
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    benford = {d: round(__import__("math").log10(1 + 1 / d), 6) for d in range(1, 10)}
+    cents = F.round(_dec("l_extendedprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        li.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("n_total"))  # 1-row scalar gate
+    expected = F.element_at(
+        F.create_map(*[F.lit(x) for kv in benford.items() for x in kv]),
+        F.col("digit"),
+    )
+    share = F.round(F.col("n").cast("double") / F.col("n_total"), 6)
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            share.alias("share"),
+            expected.alias("benford_p"),
+            F.round(F.abs(share - expected), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+def q_nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer revenue -- the
+    concentration metric (swap nations for corpus sources and customers
+    for documents and it answers "how skewed is my training mixture").
+
+    Exact rank formula ``G = (2*sum(i*x_i) - (n+1)*sum(x)) /
+    (n*sum(x))`` with ranks ascending within each nation: every term is
+    an exact integer (cents revenue, DECIMAL(38,0) rank products), ONE
+    terminal double division rounded to 6 dp. Rank ties (equal revenue)
+    are broken by custkey -- sum(rank * x) is invariant under tie
+    permutations (equal x), so the tie-break affects nothing and both
+    engines agree bit-for-bit.
+
+    Scale shape: customer revenue is one map-side-combined groupBy; the
+    ranking window partitions by NATION (25-way parallel, never
+    global); at a scale where one nation's customer count breaks a
+    task, the documented move is the banded-prefix rank
+    (``operators/prefix``), same as the global histogram family.
+    """
+    c = fixtures.load(spark, sf_dir, "customer")
+    o = fixtures.load(spark, sf_dir, "orders")
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    n_ = fixtures.load(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(_dec("l_extendedprice") * 100).cast("long"))
+            .cast("decimal(38,0)")
+            .alias("x")
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n_, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "o_custkey", "x")
+    )
+    w = Window.partitionBy("nation").orderBy(F.col("x").asc(), F.col("o_custkey").asc())
+    ranked = rev.withColumn("i", F.row_number().over(w).cast("decimal(38,0)"))
+    return (
+        ranked.groupBy("nation")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum(F.col("i") * F.col("x")).alias("_ix"),
+            F.sum("x").alias("_sx"),
+        )
+        .select(
+            "nation",
+            "n_customers",
+            F.round(
+                (
+                    F.lit(2).cast("decimal(38,0)") * F.col("_ix")
+                    - (F.col("n_customers") + 1).cast("decimal(38,0)") * F.col("_sx")
+                ).cast("double")
+                / (
+                    F.col("n_customers").cast("decimal(38,0)") * F.col("_sx")
+                ).cast("double"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("nation")
+    )

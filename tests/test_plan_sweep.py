@@ -33,6 +33,7 @@ NESTED_LOOP_OK = {
     "brand_segment_chi2",  # 1-row grand-total broadcast gate (chi2 expected counts)
     "basket_rules",  # 1-row order-total broadcast gate (support/lift denominators)
     "domain_classifier",  # 1-row vocab-size broadcast gate (Laplace denominators)
+    "benford_screen",  # 1-row total-count broadcast gate (digit shares)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

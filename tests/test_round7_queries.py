@@ -758,3 +758,63 @@ def test_banded_cummin_equals_global_window(spark):
     for i, (rid, x, y) in enumerate(rows):
         assert got[rid] == run, (rid, got[rid], run)
         run = y if run is None or y < run else run
+
+
+def test_benford_screen_contract(spark):
+    """Digits partition all lines (counts sum to the table), shares sum
+    to ~1, expected masses are the Benford constants, and the uniform
+    synthetic prices provably DEVIATE on digit 1 (share far below
+    0.301) -- the screen fires where it should."""
+    import math
+
+    rows = Q.q_benford_screen(spark, SF).collect()
+    li = fixtures.load(spark, SF, "lineitem")
+    assert sum(r.n for r in rows) == li.count()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.benford_p == round(math.log10(1 + 1 / r.digit), 6)
+        assert abs(r.abs_dev - round(abs(r.share - r.benford_p), 6)) < 1e-9
+    d1 = next(r for r in rows if r.digit == 1)
+    assert d1.abs_dev > 0.05  # uniform prices are NOT Benford
+
+
+def test_nation_gini_bounds_and_known_cases(spark):
+    """Gini lives in [0, 1); a planted equal-revenue nation scores
+    exactly (n-1)/... 0-ish by the rank formula ((2*sum(i*x) -
+    (n+1)*sum(x)) = x*(2*(n(n+1)/2) - n(n+1)) = 0); a planted
+    one-has-everything nation scores (n-1)/n."""
+    rows = Q.q_nation_revenue_gini(spark, SF).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+    # planted cases through the same rank formula
+    from unittest import mock
+
+    li = spark.createDataFrame(
+        [(1, 100.0), (2, 100.0), (3, 100.0), (4, 0.01), (5, 0.01), (6, 300.0)],
+        "l_orderkey long, l_extendedprice double",
+    )
+    o = spark.createDataFrame(
+        [(k, k) for k in range(1, 7)], "o_orderkey long, o_custkey long"
+    )
+    c = spark.createDataFrame(
+        [(k, 0 if k <= 3 else 1) for k in range(1, 7)],
+        "c_custkey long, c_nationkey long",
+    )
+    n = spark.createDataFrame(
+        [(0, "EQUAL"), (1, "SKEWED")], "n_nationkey long, n_name string"
+    )
+
+    def fake_load(s, d, name):
+        return {"lineitem": li, "orders": o, "customer": c, "nation": n}[name]
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark import (
+        queries as QQ,
+    )
+
+    with mock.patch.object(QQ.fixtures, "load", fake_load):
+        got = {r.nation: r.gini for r in QQ.q_nation_revenue_gini(spark, SF).collect()}
+    assert got["EQUAL"] == 0.0
+    # x = (1, 1, 30000) cents: G = (2*(1*1+2*1+3*30000) - 4*30002)
+    #     / (3*30002) = (180006 - 120008)/90006
+    assert got["SKEWED"] == round((2 * (1 + 2 + 3 * 30000) - 4 * 30002) / (3 * 30002), 6)

@@ -172,9 +172,10 @@ PORTABLE = [
     "copurchase_triangles",
     # the NOT-EXISTS dominance definition verbatim on Spark pins the
     # banded prefix-min skyline against a third engine-path
-    # (rebate_proration and measure_correlations stay DuckDB-side:
-    # HUGEINT casts + // division)
+    # (rebate_proration, measure_correlations, nation_revenue_gini
+    # stay DuckDB-side: HUGEINT casts + // division)
     "part_skyline",
+    "benford_screen",  # 6-dp literal Benford masses, pure ANSI
 ]
 
 
