@@ -46,7 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DECIMAL-output canonicalization artifact lm_score had in r04/r05;
     its melted amount is now a terminal DOUBLE on both sides (and the
     plan sweep bans DECIMAL output columns engine-wide);
-    (2) the 21 round-7 additions, never driver-attested: the SCD2
+    (2) the 22 round-7 additions, never driver-attested: the SCD2
     point-in-time join, the order-independent table checksum, the DQ
     audit, the chi-square residual screen, per-brand equi-depth
     quartiles, inter-order gaps, ship latency SLA, the two exact
@@ -57,17 +57,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     prefix-filtered jaccard twin, the one-pass exact correlation
     matrix, last-touch purchase attribution, exact largest-remainder
     rebate proration, the banded-prefix-min 2-D skyline, the Benford
-    first-digit screen, and per-nation revenue Gini;
-    (3) 28 of the 40 entries whose freshest green row is
+    first-digit screen, per-nation revenue Gini, and event-path
+    trigram mining;
+    (3) 27 of the 40 entries whose freshest green row is
     CORRECTNESS_r04 (stalest greens, in r04 attestation order) -- the
-    late additions displaced the last twelve (top_revenue_supplier,
-    bulk_red_shippers, source_quota_sample, corpus_pack, dataset_split,
-    bm25_search, small_qty_revenue, large_volume_customers,
-    hybrid_rank, local_supplier_revenue, returned_item_customers,
-    promo_revenue_share) past the boundary;
+    late additions displaced the last thirteen (important_part_values,
+    top_revenue_supplier, bulk_red_shippers, source_quota_sample,
+    corpus_pack, dataset_split, bm25_search, small_qty_revenue,
+    large_volume_customers, hybrid_rank, local_supplier_revenue,
+    returned_item_customers, promo_revenue_share) past the boundary;
     their r04 greens stand and they lead the stale queue next round.
-    That fills the window at exactly 50. Past the window: those twelve,
-    the 49 r05-green entries,
+    That fills the window at exactly 50. Past the window: those
+    thirteen, the 49 r05-green entries,
     the 49 r06-green entries (freshest), then the 15 rows-only
     (seeded/approximate/iterative) entries that close the tail by
     design -- attesting those would waste a slot on a weaker
@@ -100,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_skyline": Q.q_part_skyline,
         "benford_screen": Q.q_benford_screen,
         "nation_revenue_gini": Q.q_nation_revenue_gini,
+        "event_path_trigrams": Q.q_event_path_trigrams,
         # --- (3) stalest greens: freshest row is CORRECTNESS_r04 -----
         "bigram_counts": Q.q_bigram_counts,
         "reconcile": Q.q_reconcile,
@@ -128,15 +130,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_setops": Q.q_customer_setops,
         "returnflag_pivot": Q.q_returnflag_pivot,
         "min_cost_supplier": Q.q_min_cost_supplier,
-        "important_part_values": Q.q_important_part_values,
         # ---- end of the 50-entry attested window --------------------
-        # twelve r04-green entries displaced past the window by the
+        # thirteen r04-green entries displaced past the window by the
         # late round-7 additions (basket_rules, forecast_backtest,
         # price_equidepth_hist, domain_classifier, copurchase_triangles,
         # jaccard_prefix_pairs, measure_correlations,
         # purchase_attribution, rebate_proration, part_skyline,
-        # benford_screen, nation_revenue_gini) -- their r04 green rows
-        # still stand; re-queue them first among the stalest next round
+        # benford_screen, nation_revenue_gini, event_path_trigrams) --
+        # their r04 green rows still stand; re-queue them first among
+        # the stalest next round
+        "important_part_values": Q.q_important_part_values,
         "top_revenue_supplier": Q.q_top_revenue_supplier,
         "bulk_red_shippers": Q.q_bulk_red_shippers,
         "source_quota_sample": Q.q_source_quota_sample,
@@ -3429,6 +3432,25 @@ pred AS (
 SELECT source, cls AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM pred WHERE rn = 1
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+
+        # timeline order pinned by the unique event id; trigram
+        # expansion mirrors the engine's zip_with fold
+        "event_path_trigrams": """
+WITH seq AS (
+  SELECT user_id,
+         list(event_type ORDER BY ts, event_id) AS tl
+  FROM events GROUP BY user_id
+),
+tri AS (
+  SELECT unnest(list_transform(range(1, len(tl) - 1), i ->
+           concat(tl[i], '>', tl[i+1], '>', tl[i+2]))) AS path
+  FROM seq WHERE len(tl) >= 3
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+FROM tri GROUP BY path
+ORDER BY n DESC, path ASC
+LIMIT 15
 """,
 
         # expected Benford masses are 6-dp LITERALS on both engines --

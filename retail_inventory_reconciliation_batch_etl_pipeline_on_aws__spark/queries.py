@@ -5648,3 +5648,50 @@ def q_nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining (lite): the top event-type TRIGRAM
+    paths across user timelines -- "what do users do in threes" (view >
+    click > purchase vs error > error > error), the path-analysis
+    primitive behind funnel design and anomaly triage.
+
+    Determinism: each user's timeline is ``sort_array`` over
+    (ts, event_id, type) structs -- the unique event id breaks
+    timestamp ties identically on both engines. Trigram expansion is
+    the ``word_ngrams`` zip_with fold on the in-row type array (linear,
+    no per-position re-inlining); per-user arrays are bounded by user
+    activity (a pathological hot user gets the same salting move as
+    every hot key in this engine). The shuffle carries (user_id, short
+    type strings) and the final count is map-side combined; top-15 is
+    TakeOrderedAndProject.
+    """
+    ev = fixtures.events(spark, sf_dir)
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.col("event_type").alias("t")).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .select(F.transform("ss", lambda s: s["t"]).alias("types"))
+    )
+    acc = F.col("types")
+    for k in range(1, 3):
+        shifted = F.slice(
+            F.col("types"), k + 1, F.greatest(F.lit(0), F.size("types") - k)
+        )
+        acc = F.zip_with(
+            acc,
+            shifted,
+            lambda x, y: F.when(
+                x.isNull() | y.isNull(), F.lit(None).cast("string")
+            ).otherwise(F.concat(x, F.lit(">"), y)),
+        )
+    return (
+        seq.select(F.explode(F.filter(acc, lambda x: x.isNotNull())).alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(15)
+    )

@@ -818,3 +818,56 @@ def test_nation_gini_bounds_and_known_cases(spark):
     # x = (1, 1, 30000) cents: G = (2*(1*1+2*1+3*30000) - 4*30002)
     #     / (3*30002) = (180006 - 120008)/90006
     assert got["SKEWED"] == round((2 * (1 + 2 + 3 * 30000) - 4 * 30002) / (3 * 30002), 6)
+
+
+def test_event_path_trigrams_planted_timeline(spark):
+    """A planted 2-user timeline pins ordering (event_id breaks the
+    same-second tie), windowing (n-2 trigrams per user), and counting
+    across users."""
+    import datetime as dtm
+    from unittest import mock
+
+    t0 = dtm.datetime(2024, 3, 1, 9, 0, 0)
+    s = dtm.timedelta(seconds=1)
+    rows = [
+        # user 1: view click view click purchase (click/view same-second
+        # pairs ordered by event_id)
+        (1, t0, 1, "view", 0.0, None),
+        (2, t0, 1, "click", 0.0, None),
+        (3, t0 + s, 1, "view", 0.0, None),
+        (4, t0 + s, 1, "click", 0.0, None),
+        (5, t0 + 2 * s, 1, "purchase", 1.0, None),
+        # user 2: view click view  (one trigram)
+        (6, t0, 2, "view", 0.0, None),
+        (7, t0 + s, 2, "click", 0.0, None),
+        (8, t0 + 2 * s, 2, "view", 0.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark import (
+        queries as QQ,
+    )
+
+    with mock.patch.object(QQ.fixtures, "events", lambda s_, d: ev):
+        got = {r.path: r.n for r in QQ.q_event_path_trigrams(spark, SF).collect()}
+    assert got == {
+        "view>click>view": 2,   # user 1 (positions 1-3) + user 2
+        "click>view>click": 1,
+        "view>click>purchase": 1,
+    }
+
+
+def test_event_path_trigrams_totals(spark):
+    """Total trigram instances = sum over users of max(0, n_events-2)."""
+    rows = Q.q_event_path_trigrams(spark, SF).collect()
+    ev = fixtures.events(spark, SF)
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    want_total = sum(max(0, r.n - 2) for r in per_user)
+    # top-15 is a subset of at most 125 possible paths (5-type
+    # alphabet); counts positive, bounded by the instance total
+    assert all(r.n > 0 for r in rows)
+    assert len(rows) == 15
+    assert sum(r.n for r in rows) <= want_total
