@@ -78,9 +78,22 @@ def class_lm_predictions(
         .persist()  # sparse (token, class) training counts
     )
     vocab = cnt.agg(F.countDistinct("_h").alias("_v"))  # 1 row, tree-reduced
+    # the class universe is every label seen in TRAINING -- a class
+    # whose docs happen to be token-empty still exists (its Laplace-
+    # smoothed LM is uniform), it must not vanish just because the
+    # sparse count table has no rows for it
+    train_labels = (
+        labeled.where(F.col("_train"))
+        .select(F.col(label_col).alias("_cls"))
+        .distinct()
+    )
     consts = (
-        cnt.groupBy("_cls")
-        .agg(F.sum("_cnt").alias("_tot"))
+        train_labels.join(
+            cnt.groupBy("_cls").agg(F.sum("_cnt").alias("_tot")),
+            "_cls",
+            "left",
+        )
+        .na.fill({"_tot": 0})
         .crossJoin(F.broadcast(vocab))  # sanctioned 1-row scalar gate
         .select(
             "_cls",
@@ -88,9 +101,15 @@ def class_lm_predictions(
         )
         .withColumn(
             "_w0",
-            F.call_function(
-                "div", F.lit(scale).cast("decimal(38,0)"), F.col("_den")
-            ),
+            # den = 0 only when NO training doc anywhere has a token
+            # (V = 0): every LM is vacuous, score 0, lexicographic
+            # first class wins -- defined rather than a divide-by-null
+            F.when(
+                F.col("_den") > 0,
+                F.call_function(
+                    "div", F.lit(scale).cast("decimal(38,0)"), F.col("_den")
+                ),
+            ).otherwise(F.lit(0)),
         )
         .persist()  # |classes| rows
     )

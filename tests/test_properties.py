@@ -444,3 +444,129 @@ def test_prefix_jaccard_equals_full_join_on_random_corpora(spark, texts):
         for r in prefix_jaccard_pairs(docs, n=3, threshold=0.5).collect()
     }
     assert pref == full
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C"]),  # label
+            st.lists(st.sampled_from("pqrs"), min_size=0, max_size=6).map(
+                " ".join
+            ),
+        ),
+        min_size=4,
+        max_size=16,
+    )
+)
+def test_class_lm_predictions_match_exact_python_model(spark, docs):
+    """The fixed-point class-LM classifier is EXACTLY recomputable in
+    python integers (w = (cnt+1)*2^40 // (tot+V), score = sum tf*w,
+    argmax with lexicographic ties) -- verified on random corpora with
+    empty docs, unseen tokens, and single-class training sets."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.classify import (  # noqa: E501
+        class_lm_predictions,
+    )
+
+    rows = [
+        (i, text, label, i % 2 == 0) for i, (label, text) in enumerate(docs)
+    ]
+    # at least one training doc (the den=0 all-empty case is defined)
+    if not any(tr for _, _, _, tr in rows):
+        rows.append((len(rows), "", "A", True))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, is_train boolean"
+    )
+    got = {
+        r.doc_id: r.predicted
+        for r in class_lm_predictions(df, label_col="source").collect()
+    }
+    # exact python recompute
+    from collections import Counter, defaultdict
+
+    K = 1 << 40
+    cnt = defaultdict(Counter)
+    tot = Counter()
+    classes = set()
+    for _id, text, label, is_train in rows:
+        if is_train:
+            classes.add(label)  # token-empty training classes exist too
+            toks = [t for t in text.split() if t]
+            cnt[label].update(toks)
+            tot[label] += len(toks)
+    classes = sorted(classes)
+    vocab = {t for c in classes for t in cnt[c]}
+    V = len(vocab)
+    want = {}
+    for _id, text, label, is_train in rows:
+        if is_train:
+            continue
+        toks = [t for t in text.split() if t]
+        best, best_s = None, None
+        for c in classes:
+            den = tot[c] + V
+            s = (
+                sum((cnt[c][t] + 1) * K // den for t in toks) if den else 0
+            )
+            if best_s is None or s > best_s:
+                best, best_s = c, s
+        want[_id] = best
+    assert got == want
+
+
+@SLOW
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(1, 5000),  # rebate dollars -> cents directly
+            st.lists(st.integers(1, 99999), min_size=1, max_size=6),  # line cents
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_rebate_proration_matches_python_largest_remainder(spark, orders):
+    """Largest-remainder allocation recomputed exactly in python ints:
+    per-order conservation AND identical per-line cents."""
+    import pyspark.sql.functions as F
+    from unittest import mock
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark import (
+        queries as QQ,
+    )
+
+    li_rows, o_rows, want = [], [], {}
+    ln = 0
+    for ok, (rebate_c, lines) in enumerate(orders, start=1):
+        o_rows.append((ok, rebate_c / 1.0))  # o_totalprice dollars == cents rebate
+        total = sum(lines)
+        shares = [rebate_c * x // total for x in lines]
+        rems = [rebate_c * x - s * total for x, s in zip(lines, shares)]
+        left = rebate_c - sum(shares)
+        order = sorted(
+            range(len(lines)), key=lambda i: (-rems[i], i)
+        )  # remainder desc, line number asc
+        for j in order[:left]:
+            shares[j] += 1
+        assert sum(shares) == rebate_c  # conservation in the model itself
+        for i, (x, s) in enumerate(zip(lines, shares), start=1):
+            li_rows.append((ok, i, "F" if (ok + i) % 2 else "N", x / 100.0))
+            want[(ok, i)] = s
+    li = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_linenumber int, l_returnflag string,"
+        " l_extendedprice double",
+    )
+    o = spark.createDataFrame(o_rows, "o_orderkey long, o_totalprice double")
+
+    def fake_load(s, d, name):
+        return {"lineitem": li, "orders": o}[name]
+
+    with mock.patch.object(QQ.fixtures, "load", fake_load):
+        got_rows = QQ.q_rebate_proration(spark, "unused").collect()
+    got_by_flag = {r.returnflag: r.alloc_cents for r in got_rows}
+    want_by_flag = {}
+    for (ok, i), s in want.items():
+        flag = "F" if (ok + i) % 2 else "N"
+        want_by_flag[flag] = want_by_flag.get(flag, 0) + s
+    assert got_by_flag == want_by_flag
