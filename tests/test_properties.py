@@ -570,3 +570,75 @@ def test_rebate_proration_matches_python_largest_remainder(spark, orders):
         flag = "F" if (ok + i) % 2 else "N"
         want_by_flag[flag] = want_by_flag.get(flag, 0) + s
     assert got_by_flag == want_by_flag
+
+
+@SLOW
+@given(
+    sigs=st.lists(
+        st.integers(-(2**63), 2**63 - 1), min_size=0, max_size=24, unique=True
+    )
+)
+def test_hamming_neardup_pairs_match_bruteforce(spark, sigs):
+    """Pigeonhole banding over arbitrary 64-bit signatures returns
+    EXACTLY the brute-force hamming<=3 pair set (recall by theorem,
+    precision by the verify stage) -- including adversarial cases like
+    all-equal and sign-bit-differing signatures."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.dedup import (  # noqa: E501
+        hamming_neardup_pairs,
+    )
+
+    rows = list(enumerate(sigs))
+    want = set()
+    for i, (ia, a) in enumerate(rows):
+        for ib, b in rows[i + 1:]:
+            d = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want.add((ia, ib, d))
+    if not rows:
+        got = set()
+    else:
+        df = spark.createDataFrame(rows, "_id long, sig long")
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in hamming_neardup_pairs(df).collect()
+        }
+    assert got == want
+
+
+@SLOW
+@given(
+    pts=st.sets(
+        st.tuples(st.integers(0, 50), st.integers(0, 50)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_skyline_algebra_matches_dominance_definition(spark, pts):
+    """The sort-based strict-prefix-min skyline == the quadratic
+    dominance definition on random integer point sets (duplicates
+    collapse upstream by construction of the set strategy)."""
+    import pyspark.sql.functions as F
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.prefix import (  # noqa: E501
+        banded_cummin,
+    )
+
+    df = spark.createDataFrame(sorted(pts), "x long, y long")
+    cum = banded_cummin(
+        df, "y", [F.col("x").asc(), F.col("y").asc()],
+        F.floor(F.col("x") / 8).cast("int"),
+    )
+    got = {
+        (r.x, r.y)
+        for r in cum.where(
+            F.col("cum_min").isNull() | (F.col("cum_min") > F.col("y"))
+        ).collect()
+    }
+    want = {
+        p
+        for p in pts
+        if not any(
+            q[0] <= p[0] and q[1] <= p[1] and q != p for q in pts
+        )
+    }
+    assert got == want
