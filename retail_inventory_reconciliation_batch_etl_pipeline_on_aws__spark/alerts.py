@@ -82,3 +82,40 @@ def build_alert(reconciled: DataFrame, k: int = 5) -> Alert | None:
         return None
     examples = [r.asDict() for r in top_discrepancies(reconciled, k).collect()]
     return Alert(count=n, examples=examples)
+
+
+def throttle_alerts(
+    alerts: DataFrame,
+    key_col: str = "user_id",
+    sec_col: str = "sec",
+    order_col: str = "event_id",
+    cooldown_s: int = 600,
+) -> DataFrame:
+    """Alert-storm suppression (batch twin of
+    ``streaming.events.streaming_alert_throttle``): per key, keep an
+    alert iff it fires at least ``cooldown_s`` AFTER the last KEPT
+    alert -- the greedy selection that turns a 10k-row error burst into
+    one page per cooldown.
+
+    This is genuinely NOT window-expressible: the decision chains off
+    the last *kept* row, not the previous row (``lag`` spells the
+    wrong thing -- a burst's rows are all within cooldown of their
+    predecessor yet one per cooldown must survive). It is an ordered
+    per-key scan, i.e. exactly the shape ``applyInPandas`` exists for:
+    Arrow-batched, one pass per key group, state bounded by one
+    timestamp. Deterministic: groups sort by (sec, order_col) with the
+    unique order column breaking timestamp ties.
+    """
+    import pandas as pd
+
+    def keep(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([sec_col, order_col])
+        kept = []
+        last = None
+        for sec, oid in zip(pdf[sec_col], pdf[order_col]):
+            if last is None or int(sec) - last >= cooldown_s:
+                kept.append(int(oid))
+                last = int(sec)
+        return pdf[pdf[order_col].isin(kept)]
+
+    return alerts.groupBy(key_col).applyInPandas(keep, alerts.schema)

@@ -940,3 +940,63 @@ def streaming_attribution(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+THROTTLE_SCHEMA = "user_id bigint, event_id bigint, sec bigint"
+_THROTTLE_STATE_SCHEMA = "last_sec bigint"
+
+
+def streaming_alert_throttle(
+    spark: SparkSession,
+    source_dir: str,
+    alert_type: str = "error",
+    cooldown_minutes: int = 10,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stateful alert-storm suppression: at most one emitted alert per
+    key per ``cooldown_minutes``, chained off the last EMITTED alert
+    (the greedy rule a window cannot spell -- see
+    ``alerts.throttle_alerts``, the exact batch twin). State per key is
+    ONE epoch second; alerts resolve immediately (no timeouts, no
+    drain punctuation). Exact batch parity requires per-key event-time
+    order across micro-batches (time-ordered source files), the same
+    delivery discipline as the sessionize and attribution twins.
+    """
+    import pandas as pd  # noqa: F401  (executor-side dependency)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cooldown_s = cooldown_minutes * 60
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        (last,) = state.get if state.exists else (None,)
+        ev = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out: list[tuple] = []
+        secs = ev["ts"].astype("int64") // 1_000_000_000
+        for sec, eid in zip(secs, ev["event_id"]):
+            sec, eid = int(sec), int(eid)
+            if last is None or sec - last >= cooldown_s:
+                out.append((user_id, eid, sec))
+                last = sec
+        if last is not None:
+            state.update((last,))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "event_id", "sec"])
+
+    raw = read_event_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        raw.where(F.col("event_type") == alert_type)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=THROTTLE_SCHEMA,
+            stateStructType=_THROTTLE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -862,3 +862,73 @@ def test_streaming_attribution_matches_batch_exactly(spark, tmp_path):
         for r in q_purchase_attribution(spark, TESTDATA).collect()
     }
     assert {k: (n, c) for k, (n, c) in agg.items()} == want
+
+
+def test_alert_throttle_stream_equals_batch_and_greedy_rule(spark, tmp_path):
+    """The stateful throttle over time-ordered micro-batches equals the
+    batch twin exactly; a planted burst pins the greedy rule (chained
+    off the last KEPT alert -- the thing lag() cannot spell)."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.alerts import (  # noqa: E501
+        throttle_alerts,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (  # noqa: E501
+        streaming_alert_throttle,
+    )
+
+    ev = raw_nanos_events(spark)
+    qs = ev.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
+    src = tmp_path / "thr_src"
+    src.mkdir()
+    bounds = [None, *qs, None]
+    for i in range(4):
+        part = ev
+        if bounds[i] is not None:
+            part = part.where(F.col("ts") > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.where(F.col("ts") <= bounds[i + 1])
+        stage = tmp_path / f"thr_stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        (pf,) = glob.glob(str(stage / "part-*.parquet"))
+        shutil.move(pf, src / f"{i:02d}.parquet")
+        os.utime(src / f"{i:02d}.parquet", (i + 1, i + 1))
+
+    out = streaming_alert_throttle(
+        spark, str(src), cooldown_minutes=1440, max_files_per_trigger=1
+    )
+    assert out.isStreaming
+    run_to_memory_sink(out, "throttle_stream_test", output_mode="append")
+    streamed = {
+        r.event_id
+        for r in spark.sql("SELECT * FROM throttle_stream_test").collect()
+    }
+    batch_alerts = (
+        fixtures.events(spark, TESTDATA)
+        .where(F.col("event_type") == "error")
+        .select("user_id", "event_id", F.unix_timestamp("ts").alias("sec"))
+    )
+    batch = {
+        r.event_id
+        for r in throttle_alerts(batch_alerts, cooldown_s=86400).collect()
+    }
+    assert streamed == batch and streamed
+    # fewer survive than fired (the storm is actually suppressed)
+    assert len(streamed) < batch_alerts.count()
+
+    # planted burst: alerts at t=0s,1s,2s,600s,1199s,1200s -> greedy
+    # keeps 0, 600, 1200 (lag-based logic would keep only 0 and 600)
+    import datetime as dtm
+
+    t0 = dtm.datetime(2024, 5, 1)
+    rows = [
+        (i, t0 + dtm.timedelta(seconds=s), 9, "error", 0.0, None)
+        for i, s in enumerate([0, 1, 2, 600, 1199, 1200])
+    ]
+    planted = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).select("user_id", "event_id", F.unix_timestamp("ts").alias("sec"))
+    kept = sorted(
+        r.event_id for r in throttle_alerts(planted, cooldown_s=600).collect()
+    )
+    assert kept == [0, 3, 5]
