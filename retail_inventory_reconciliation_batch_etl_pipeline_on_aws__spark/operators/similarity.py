@@ -397,3 +397,191 @@ def ivf_index_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def _pq_subframe(e: DataFrame, m: int, sub: int) -> DataFrame:
+    """Explode each vector into its ``m`` subvectors: (id, j, _v)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.slice("_v", j * sub + 1, sub).alias("sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    return (
+        e.select("_id", F.explode(pairs).alias("p"))
+        .select("_id", F.col("p.j").alias("j"), F.col("p.sv").alias("_v"))
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ADC top-k -- the vector-index COMPRESSION
+    rung of the ANN ladder (brute force -> LSH -> IVF -> int8 -> PQ):
+    each vector is encoded as ``m`` sub-codebook codes (here 8 bytes
+    for a 64-dim vector, 32x smaller than float32), and search scores
+    candidates by Asymmetric Distance Computation -- the query's
+    distance to each sub-centroid is precomputed once into an
+    ``m x ksub`` table and a vector's approximate distance is just
+    ``sum_j table[j][code_j]``, no float vector ever touched.
+
+    Training is one deterministic Lloyd loop over ALL subspaces at once
+    (the subspace id rides the cluster key), so the per-iteration cost
+    is ONE assign job + ONE means job regardless of ``m`` -- and only
+    the ``m x ksub x (dim/m)`` codebook (= dim * ksub floats, 1k
+    doubles here) ever reaches the driver; seeded by lowest-id vectors,
+    argmin ties to the lowest code, means order-independent -- fully
+    deterministic, like IVF. ADC candidates are exact-cosine re-ranked
+    (top ``rerank``), so quantization affects recall only, never the
+    reported scores (the engine-wide LSH discipline).
+    """
+    dim = len(query_vec)
+    sub = dim // m
+    e = embeddings.select(
+        F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
+    ).persist()
+    # codebooks/ADC run on L2-NORMALIZED vectors: squared euclidean on
+    # the unit sphere is monotone in cosine (||a-b||^2 = 2 - 2cos), so
+    # ADC candidate order tracks the cosine objective the re-rank
+    # scores; the exact re-rank itself uses the RAW vectors
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    en = e.select(
+        "_id",
+        F.transform(
+            "_v", lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0))
+        ).alias("_v"),
+    )
+    sf = _pq_subframe(en, m, sub).persist()
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    query_vec = [x / qn for x in query_vec]
+
+    # init: subspace j's codebook seeds from the ksub lowest-id subvecs
+    seeds = (
+        sf.orderBy("j", "_id")
+        .groupBy("j")
+        .agg(F.slice(F.array_sort(F.collect_list(F.struct("_id", "_v"))), 1, ksub).alias("s"))
+        .select("j", F.transform("s", lambda p: p.getField("_v")).alias("cs"))
+        .collect()
+    )
+    books = {int(r.j): [list(c) for c in r.cs] for r in seeds}
+
+    def book_lit():
+        # m x ksub x sub literal
+        return F.array(
+            *[
+                F.array(
+                    *[
+                        F.array(*[F.lit(float(x)) for x in c])
+                        for c in books[j]
+                    ]
+                )
+                for j in range(m)
+            ]
+        )
+
+    def assign(frame):
+        mine = F.element_at(book_lit(), F.col("j") + 1)
+        dists = F.transform(
+            mine,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("_v"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return (
+            frame.withColumn("_dists", dists)
+            .withColumn(
+                "code",
+                F.array_position(F.col("_dists"), F.array_min("_dists")) - 1,
+            )
+            .drop("_dists")
+        )
+
+    for _ in range(iters):
+        assigned = assign(sf)
+        means = (
+            assigned.select("j", "code", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("j", "code", "pos")
+            .agg(F.avg("x").alias("mn"))
+            .groupBy("j", "code")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("ps")
+            )
+            .select(
+                "j",
+                "code",
+                F.transform("ps", lambda p: p.getField("mn")).alias("c"),
+            )
+            .collect()  # bounded: m x ksub x sub codebook only
+        )
+        got = {(int(r.j), int(r.code)): list(r.c) for r in means}
+        books = {
+            j: [got.get((j, i), books[j][i]) for i in range(ksub)]
+            for j in range(m)
+        }
+
+    # encode: (id, array<code>) -- the 8-byte representation
+    codes = (
+        assign(sf)
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "code"))).alias("jc"))
+        .select(
+            "_id",
+            F.transform("jc", lambda p: p.getField("code")).alias("codes"),
+        )
+    )
+    # ADC table: driver-side math on the tiny codebook
+    table = [
+        [
+            sum(
+                (query_vec[j * sub + t] - books[j][i][t]) ** 2
+                for t in range(sub)
+            )
+            for i in range(ksub)
+        ]
+        for j in range(m)
+    ]
+    tlit = F.array(
+        *[F.array(*[F.lit(float(d)) for d in row]) for row in table]
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            tlit,
+            lambda c, row: F.element_at(row, c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        codes.withColumn("_adc", adc)
+        .orderBy(F.col("_adc").asc(), F.col("_id").asc())
+        .limit(rerank)
+        .select("_id")
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.join(e, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            F.round(cosine(F.col("_v"), q), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

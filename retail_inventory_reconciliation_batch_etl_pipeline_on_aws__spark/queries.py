@@ -5695,3 +5695,15 @@ def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(15)
     )
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 (deterministic codebooks;
+    approximate by design, so rows-only -- recall vs brute force and
+    the 8-byte-code compression contract are asserted in tests). The
+    compression rung of the ANN ladder: see
+    ``operators/similarity.pq_topk``."""
+    from .operators.similarity import pq_topk
+
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    return pq_topk(emb, _query_vector(spark, sf_dir), k=10)

