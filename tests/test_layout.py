@@ -591,3 +591,34 @@ def test_check_constraints_gate_every_write_path(spark, tmp_path):
     # time travel to the pre-constraint version still works
     assert read_versioned(spark, path, version=v0).count() == 3
     assert latest_version(path) == v3
+
+
+def test_check_constraints_gate_merge_into(spark, tmp_path):
+    """MERGE goes through the same CHECK gate: an upsert whose inserts
+    violate the constraint is refused with no new version; a clean
+    merge passes and inherits the constraint."""
+    import pytest
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.versioned import (  # noqa: E501
+        CheckViolation,
+        add_check,
+        latest_version,
+        merge_into,
+        table_checks,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "m")
+    base = spark.createDataFrame([(1, 10), (2, 20)], "id long, qty int")
+    write_versioned(base, path)
+    add_check(spark, path, "qty_pos", "qty > 0")
+    v = latest_version(path)
+
+    bad = spark.createDataFrame([(3, -1)], "id long, qty int")
+    with pytest.raises((CheckViolation, RuntimeError)):
+        merge_into(spark, path, bad, keys=["id"])
+    assert latest_version(path) == v
+
+    ok = spark.createDataFrame([(2, 25), (3, 30)], "id long, qty int")
+    merge_into(spark, path, ok, keys=["id"])
+    assert latest_version(path) > v
+    assert table_checks(path) == {"qty_pos": "qty > 0"}

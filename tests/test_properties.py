@@ -642,3 +642,36 @@ def test_skyline_algebra_matches_dominance_definition(spark, pts):
         )
     }
     assert got == want
+
+
+@SLOW
+@given(
+    gaps=st.lists(st.integers(0, 40), min_size=0, max_size=25),
+    cooldown=st.integers(1, 60),
+)
+def test_throttle_matches_python_greedy(spark, gaps, cooldown):
+    """The batch throttle == the obvious python greedy scan on random
+    alert sequences (bursts, exact-boundary gaps, empty input)."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.alerts import (  # noqa: E501
+        throttle_alerts,
+    )
+
+    secs, acc = [], 0
+    for g in gaps:
+        acc += g
+        secs.append(acc)
+    rows = [(7, i, s) for i, s in enumerate(secs)]
+    want, last = [], None
+    for i, s in enumerate(secs):
+        if last is None or s - last >= cooldown:
+            want.append(i)
+            last = s
+    if not rows:
+        got = []
+    else:
+        df = spark.createDataFrame(rows, "user_id long, event_id long, sec long")
+        got = sorted(
+            r.event_id
+            for r in throttle_alerts(df, cooldown_s=cooldown).collect()
+        )
+    assert got == want
