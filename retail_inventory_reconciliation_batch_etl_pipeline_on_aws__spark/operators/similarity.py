@@ -531,8 +531,10 @@ def pq_topk(
             .collect()  # bounded: m x ksub x sub codebook only
         )
         got = {(int(r.j), int(r.code)): list(r.c) for r in means}
+        # len(books[j]) may be < ksub on a tiny corpus (seeded by the
+        # lowest-id subvectors): iterate what exists, not the nominal k
         books = {
-            j: [got.get((j, i), books[j][i]) for i in range(ksub)]
+            j: [got.get((j, i), books[j][i]) for i in range(len(books[j]))]
             for j in range(m)
         }
 
@@ -553,7 +555,7 @@ def pq_topk(
                 (query_vec[j * sub + t] - books[j][i][t]) ** 2
                 for t in range(sub)
             )
-            for i in range(ksub)
+            for i in range(len(books[j]))
         ]
         for j in range(m)
     ]

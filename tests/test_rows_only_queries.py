@@ -295,3 +295,24 @@ def test_pq_topk_recall_rerank_and_compression(spark):
             assert r.score == brute[r.vec_id]
     again = qs["pq_topk"](spark, ORACLE_SF).collect()
     assert [r.vec_id for r in pq] == [r.vec_id for r in again]
+
+
+def test_pq_topk_survives_tiny_corpus(spark):
+    """A corpus smaller than ksub must still train (codebooks seeded by
+    whatever exists) and return every vector ranked."""
+    import pyspark.sql.functions as F
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.similarity import (  # noqa: E501
+        pq_topk,
+    )
+
+    emb = spark.range(5).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (F.col("id") * 7 + i).cast("double") / 100.0,
+        ).alias("embedding"),
+    )
+    q = [float(i) / 100.0 for i in range(64)]  # == vec 0
+    rows = pq_topk(emb, q, k=5, ksub=16).collect()
+    assert len(rows) == 5 and rows[0].vec_id == 0
