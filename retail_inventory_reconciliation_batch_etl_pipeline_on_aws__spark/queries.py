@@ -5707,3 +5707,22 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = fixtures.load(spark, sf_dir, "embeddings")
     return pq_topk(emb, _query_vector(spark, sf_dir), k=10)
+
+
+def q_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-storm suppression over the error stream (24h cooldown per
+    user): the batch twin of ``streaming_alert_throttle``. Greedy
+    selection chained off the last KEPT alert -- provably not
+    window-expressible (see ``alerts.throttle_alerts``), hence the
+    sanctioned ordered-per-key ``applyInPandas`` scan and a rows-only
+    correctness check (the greedy recurrence has no SQL spelling; the
+    exact stream==batch parity and a hypothesis python-greedy recompute
+    pin the semantics in tests)."""
+    from .alerts import throttle_alerts
+
+    alerts = (
+        fixtures.events(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select("user_id", "event_id", F.unix_timestamp("ts").alias("sec"))
+    )
+    return throttle_alerts(alerts, cooldown_s=86400).orderBy("user_id", "sec")

@@ -47,6 +47,7 @@ PYTHON_OK = {
     "audio_meta",  # sanctioned mapInPandas payload-synth + RIFF-decode boundary
     "frame_meta",  # sanctioned mapInPandas payload-synth + GIF-walk boundary
     "image_phash_neardup",  # sanctioned mapInPandas payload-synth + pixel-decode + aHash boundary
+    "alert_throttle",  # sanctioned applyInPandas ordered-per-key greedy scan (not window-expressible)
 }
 
 QUERIES = sorted(entry.queries())
