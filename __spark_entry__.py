@@ -69,7 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     their r04 greens stand and they lead the stale queue next round.
     That fills the window at exactly 50. Past the window: those
     thirteen, the 49 r05-green entries,
-    the 49 r06-green entries (freshest), then the 17 rows-only
+    the 49 r06-green entries (freshest), then the 18 rows-only
     (seeded/approximate/iterative) entries that close the tail by
     design -- attesting those would waste a slot on a weaker
     rows-only check. All post-window entries stay pinned value-level
@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_neardup": Q.q_image_phash_neardup,
         "pq_topk": Q.q_pq_topk,
         "alert_throttle": Q.q_alert_throttle,
+        "semantic_dedup": Q.q_semantic_dedup,
         # --- rows-only tail (seeded hash families / approximate /
         # iterative) -- outside the window by design ------------------
         "minhash_pairs": Q.q_minhash_pairs,

@@ -587,3 +587,73 @@ def pq_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    recipe): cluster the embedding space with the deterministic IVF
+    Lloyd quantizer, then WITHIN each cluster greedily keep the
+    lowest-id vector of every cosine-``threshold`` neighborhood and
+    drop the rest -- near-duplicate *meanings* collapse even when the
+    surface text differs (the gap exact/minhash/simhash dedup cannot
+    close).
+
+    Returns one row per vector: ``(id_col, cluster, kept)``.
+
+    Scale shape: candidate comparisons never leave a cluster --
+    clustering bounds the quadratic greedy scan by the largest cluster,
+    exactly like blocking in entity resolution (a degenerate cluster is
+    re-split by raising ``nlist``, the salting move). The per-cluster
+    scan is one Arrow-batched ``applyInPandas`` pass ordered by id
+    (deterministic; greedy keep-set semantics are the throttle's, in
+    vector space). Only the nlist x dim centroid table reaches the
+    driver; vectors shuffle ONCE, on cluster id.
+    """
+    import numpy as np  # noqa: F401  (executor-side dependency)
+    import pandas as pd  # noqa: F401
+
+    e = embeddings.select(
+        F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
+    ).persist()
+    cents = [list(r._v) for r in e.orderBy("_id").limit(nlist).collect()]
+    for _ in range(iters):
+        assigned = _ivf_assign(e, cents)
+        by = _ivf_means(assigned)
+        cents = [by.get(i, cents[i]) for i in range(len(cents))]
+    assigned = _ivf_assign(e, cents)
+
+    def prune(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("_id")
+        vs = np.array([list(v) for v in pdf["_v"]], dtype="float64")
+        norms = np.linalg.norm(vs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = vs / norms[:, None]
+        kept_idx: list[int] = []
+        kept_flags = []
+        for i in range(len(pdf)):
+            if kept_idx and (unit[kept_idx] @ unit[i]).max() > threshold:
+                kept_flags.append(False)
+            else:
+                kept_flags.append(True)
+                kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["_id"].astype("int64"),
+                "cluster": pdf["cluster"].astype("int64"),
+                "kept": kept_flags,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        prune, "vec_id bigint, cluster bigint, kept boolean"
+    )

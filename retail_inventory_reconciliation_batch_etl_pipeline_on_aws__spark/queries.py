@@ -5726,3 +5726,25 @@ def q_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", F.unix_timestamp("ts").alias("sec"))
     )
     return throttle_alerts(alerts, cooldown_s=86400).orderBy("user_id", "sec")
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table (cosine > 0.95 within Lloyd
+    clusters): per-cluster disposition summary -- the semantic rung of
+    the dedup ladder (exact -> simhash -> jaccard -> minhash ->
+    embedding pairs -> SEMANTIC clusters). Rows-only by design (Lloyd
+    float means + a greedy recurrence have no SQL spelling); the keep
+    semantics, planted-duplicate behavior, and cluster-blocking
+    contract are pinned in ``tests/test_rows_only_queries.py``."""
+    from .operators.similarity import semantic_dedup
+
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    return (
+        semantic_dedup(emb, threshold=0.95)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )

@@ -48,6 +48,7 @@ PYTHON_OK = {
     "frame_meta",  # sanctioned mapInPandas payload-synth + GIF-walk boundary
     "image_phash_neardup",  # sanctioned mapInPandas payload-synth + pixel-decode + aHash boundary
     "alert_throttle",  # sanctioned applyInPandas ordered-per-key greedy scan (not window-expressible)
+    "semantic_dedup",  # sanctioned applyInPandas per-cluster greedy prune (SemDeDup recipe)
 }
 
 QUERIES = sorted(entry.queries())

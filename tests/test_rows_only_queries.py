@@ -316,3 +316,37 @@ def test_pq_topk_survives_tiny_corpus(spark):
     q = [float(i) / 100.0 for i in range(64)]  # == vec 0
     rows = pq_topk(emb, q, k=5, ksub=16).collect()
     assert len(rows) == 5 and rows[0].vec_id == 0
+
+
+def test_semantic_dedup_contract_and_planted_duplicates(spark):
+    """sf data: every vector dispositioned exactly once, deterministic
+    rerun (the random corpus has no cosine>0.95 pairs, so all keep --
+    asserted, since silent over-dropping would be the failure mode).
+    Planted: exact and near duplicates drop (lowest id kept),
+    orthogonal vectors survive, even across a duplicate chain."""
+    qs = entry.queries()
+    rows = qs["semantic_dedup"](spark, ORACLE_SF).collect()
+    emb_n = 500
+    assert sum(r.n_vectors for r in rows) == emb_n
+    assert sum(r.n_kept for r in rows) == emb_n  # no 0.95-neighbors here
+    assert rows == qs["semantic_dedup"](spark, ORACLE_SF).collect()
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.similarity import (  # noqa: E501
+        semantic_dedup,
+    )
+
+    base = [1.0] + [0.0] * 63
+    near = [1.0, 0.05] + [0.0] * 62  # cos ~0.9988 > 0.95
+    orth = [0.0, 1.0] + [0.0] * 62
+    far = [0.6, 0.8] + [0.0] * 62  # cos 0.6 to base, 0.8 to orth
+    planted = spark.createDataFrame(
+        [(0, base), (1, near), (2, base), (3, orth), (4, far)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.kept
+        for r in semantic_dedup(planted, threshold=0.95, nlist=1, iters=1).collect()
+    }
+    assert got == {0: True, 1: False, 2: False, 3: True, 4: True}
