@@ -871,3 +871,29 @@ def test_event_path_trigrams_totals(spark):
     assert all(r.n > 0 for r in rows)
     assert len(rows) == 15
     assert sum(r.n for r in rows) <= want_total
+
+
+def test_scd2_pit_exact_recompute(spark):
+    """EXACT expected counts (not lower bounds): recompute every
+    lineitem's as-was category directly from the cutover rule --
+    pre-1998 ships price under p_type, post-cutover ships of %5==0
+    parts under p_brand -- and match the PIT join's category counts."""
+    li = fixtures.load(spark, SF, "lineitem")
+    part = fixtures.load(spark, SF, "part")
+    cut = F.lit("1998-01-01").cast("date")
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    expected_cat = F.when(
+        (F.col("l_shipdate").cast("date") >= cut) & (F.col("p_partkey") % 5 == 0),
+        F.trim("p_brand"),
+    ).otherwise(F.trim("p_type"))
+    want = {
+        r.category: r.n
+        for r in joined.groupBy(expected_cat.alias("category"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        r.category: r.n_lines
+        for r in Q.q_scd2_point_in_time(spark, SF).collect()
+    }
+    assert got == want
