@@ -41,104 +41,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the LEAST-RECENTLY driver-attested entries come FIRST.
 
     The driver's CORRECTNESS artifact records only the first 50
-    entries, so ordering is part of the contract. Round-7 rotation:
-    (1) returnflag_unpivot at position 1 -- red hash in r06, the same
-    DECIMAL-output canonicalization artifact lm_score had in r04/r05;
-    its melted amount is now a terminal DOUBLE on both sides (and the
-    plan sweep bans DECIMAL output columns engine-wide);
-    (2) the 22 round-7 additions, never driver-attested: the SCD2
-    point-in-time join, the order-independent table checksum, the DQ
-    audit, the chi-square residual screen, per-brand equi-depth
-    quartiles, inter-order gaps, ship latency SLA, the two exact
-    corpus-curation twins (directional containment, n-gram novelty),
-    association rules, the exact-rational forecast backtest, the
-    banded global equi-depth histogram, the fixed-point domain
-    classifier, degree-oriented triangle counting, the PPJoin
-    prefix-filtered jaccard twin, the one-pass exact correlation
-    matrix, last-touch purchase attribution, exact largest-remainder
-    rebate proration, the banded-prefix-min 2-D skyline, the Benford
-    first-digit screen, per-nation revenue Gini, and event-path
-    trigram mining;
-    (3) 27 of the 40 entries whose freshest green row is
-    CORRECTNESS_r04 (stalest greens, in r04 attestation order) -- the
-    late additions displaced the last thirteen (important_part_values,
-    top_revenue_supplier, bulk_red_shippers, source_quota_sample,
-    corpus_pack, dataset_split, bm25_search, small_qty_revenue,
-    large_volume_customers, hybrid_rank, local_supplier_revenue,
-    returned_item_customers, promo_revenue_share) past the boundary;
-    their r04 greens stand and they lead the stale queue next round.
-    That fills the window at exactly 50. Past the window: those
-    thirteen, the 49 r05-green entries,
-    the 49 r06-green entries (freshest), then the 18 rows-only
-    (seeded/approximate/iterative) entries that close the tail by
-    design -- attesting those would waste a slot on a weaker
-    rows-only check. All post-window entries stay pinned value-level
-    by tests/test_oracle_parity.py and bit-exactly by
+    entries, so ordering is part of the contract. Round-8 rotation:
+    (1) price_equidepth_hist at position 1 -- red hash in r07: the
+    oracle's un-cast ``LEAST(9, ...)`` bucket was DuckDB HUGEINT
+    (SUM(BIGINT) widens to int128), the same cell-canonicalization
+    artifact as the r04/r05/r06 DECIMAL reds; it now carries CAST(...
+    AS BIGINT) and tests/test_oracle_lint.py bans un-cast wide
+    oracle outputs engine-wide;
+    (2) the 13 entries whose freshest green is CORRECTNESS_r04 (they
+    were displaced past the boundary by the late round-7 additions);
+    (3) 36 stalest r05 greens, in r05 attestation order.
+    New round-8 oracle-paired additions slot in after (1) as
+    never-attested entries, displacing the window tail. Past the
+    window: the 13 remaining r05 greens, the 49 r06 greens, the 49
+    r07 greens (freshest), then the 18 rows-only (seeded/approximate/
+    iterative) entries that close the tail by design -- attesting
+    those would waste a slot on a weaker rows-only check. All
+    post-window entries stay pinned value-level by
+    tests/test_oracle_parity.py and bit-exactly by
     tools/strict_parity.py.
     """
     return {
-        # --- (1) red in r06 (DECIMAL output; now terminal DOUBLE) ----
-        "returnflag_unpivot": Q.q_returnflag_unpivot,
-        # --- (2) round-7 additions, never driver-attested ------------
-        "scd2_point_in_time": Q.q_scd2_point_in_time,
-        "table_checksum": Q.q_table_checksum,
-        "dq_violations": Q.q_dq_violations,
-        "brand_segment_chi2": Q.q_brand_segment_chi2,
-        "brand_price_deciles": Q.q_brand_price_deciles,
-        "order_gap_stats": Q.q_order_gap_stats,
-        "ship_latency": Q.q_ship_latency,
-        "shingle_containment": Q.q_shingle_containment,
-        "ngram_novelty": Q.q_ngram_novelty,
-        "basket_rules": Q.q_basket_rules,
-        "forecast_backtest": Q.q_forecast_backtest,
+        # --- (1) red in r07 (HUGEINT oracle bucket; now CAST AS
+        # BIGINT and the oracle dtype lint bans the family) --------
         "price_equidepth_hist": Q.q_price_equidepth_hist,
-        "domain_classifier": Q.q_domain_classifier,
-        "copurchase_triangles": Q.q_copurchase_triangles,
-        "jaccard_prefix_pairs": Q.q_jaccard_prefix_pairs,
-        "measure_correlations": Q.q_measure_correlations,
-        "purchase_attribution": Q.q_purchase_attribution,
-        "rebate_proration": Q.q_rebate_proration,
-        "part_skyline": Q.q_part_skyline,
-        "benford_screen": Q.q_benford_screen,
-        "nation_revenue_gini": Q.q_nation_revenue_gini,
-        "event_path_trigrams": Q.q_event_path_trigrams,
-        # --- (3) stalest greens: freshest row is CORRECTNESS_r04 -----
-        "bigram_counts": Q.q_bigram_counts,
-        "reconcile": Q.q_reconcile,
-        "reconcile_snapshots": Q.q_reconcile_snapshots,
-        "discrepancy_count": Q.q_discrepancy_count,
-        "discrepancy_topk": Q.q_discrepancy_topk,
-        "partition_prune": Q.q_partition_prune,
-        "normalize_clean": Q.q_normalize_clean,
-        "stock_timeseries": Q.q_stock_timeseries,
-        "pricing_summary": Q.q_pricing_summary,
-        "top_customers": Q.q_top_customers,
-        "region_revenue": Q.q_region_revenue,
-        "dedup_applied": Q.q_dedup_applied,
-        "revenue_forecast": Q.q_revenue_forecast,
-        "nation_trade_volume": Q.q_nation_trade_volume,
-        "events_hour_of_day": Q.q_events_hour_of_day,
-        "sku_rolling_range": Q.q_sku_rolling_range,
-        "order_count_distribution": Q.q_order_count_distribution,
-        "idle_rich_customers": Q.q_idle_rich_customers,
-        "sole_late_supplier": Q.q_sole_late_supplier,
-        "dim_scd2": Q.q_dim_scd2,
-        "sales_rollup": Q.q_sales_rollup,
-        "sales_cube": Q.q_sales_cube,
-        "cust_no_orders": Q.q_cust_no_orders,
-        "parts_ordered_semi": Q.q_parts_ordered_semi,
-        "customer_setops": Q.q_customer_setops,
-        "returnflag_pivot": Q.q_returnflag_pivot,
-        "min_cost_supplier": Q.q_min_cost_supplier,
-        # ---- end of the 50-entry attested window --------------------
-        # thirteen r04-green entries displaced past the window by the
-        # late round-7 additions (basket_rules, forecast_backtest,
-        # price_equidepth_hist, domain_classifier, copurchase_triangles,
-        # jaccard_prefix_pairs, measure_correlations,
-        # purchase_attribution, rebate_proration, part_skyline,
-        # benford_screen, nation_revenue_gini, event_path_trigrams) --
-        # their r04 green rows still stand; re-queue them first among
-        # the stalest next round
+        # --- (2) stalest greens: the 13 r04-green entries displaced
+        # past the boundary by the late round-7 additions ------------
         "important_part_values": Q.q_important_part_values,
         "top_revenue_supplier": Q.q_top_revenue_supplier,
         "bulk_red_shippers": Q.q_bulk_red_shippers,
@@ -152,7 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_revenue": Q.q_local_supplier_revenue,
         "returned_item_customers": Q.q_returned_item_customers,
         "promo_revenue_share": Q.q_promo_revenue_share,
-        # r05-green remainder (freshest row CORRECTNESS_r05.json)
+        # --- (3) stalest r05 greens, in r05 attestation order -------
         "dedup_keep_best": Q.q_dedup_keep_best,
         "dedup_canonical": Q.q_dedup_canonical,
         "source_quality_drift": Q.q_source_quality_drift,
@@ -189,6 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_percentiles": Q.q_event_value_percentiles,
         "signup_purchase_funnel": Q.q_signup_purchase_funnel,
         "sku_sales_salted": Q.q_sku_sales_salted,
+        # ---- end of the 50-entry attested window --------------------
+        # r05-green remainder (freshest row CORRECTNESS_r05.json)
         "stock_asof": Q.q_stock_asof,
         "orders_in_promos": Q.q_orders_in_promos,
         "top_part_per_brand": Q.q_top_part_per_brand,
@@ -252,12 +182,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_flags": Q.q_quality_flags,
         "user_journey": Q.q_user_journey,
         "sku_sales_anomaly": Q.q_sku_sales_anomaly,
+        # r07-green remainder (freshest row CORRECTNESS_r07.json)
+        "returnflag_unpivot": Q.q_returnflag_unpivot,
+        "scd2_point_in_time": Q.q_scd2_point_in_time,
+        "table_checksum": Q.q_table_checksum,
+        "dq_violations": Q.q_dq_violations,
+        "brand_segment_chi2": Q.q_brand_segment_chi2,
+        "brand_price_deciles": Q.q_brand_price_deciles,
+        "order_gap_stats": Q.q_order_gap_stats,
+        "ship_latency": Q.q_ship_latency,
+        "shingle_containment": Q.q_shingle_containment,
+        "ngram_novelty": Q.q_ngram_novelty,
+        "basket_rules": Q.q_basket_rules,
+        "forecast_backtest": Q.q_forecast_backtest,
+        "domain_classifier": Q.q_domain_classifier,
+        "copurchase_triangles": Q.q_copurchase_triangles,
+        "jaccard_prefix_pairs": Q.q_jaccard_prefix_pairs,
+        "measure_correlations": Q.q_measure_correlations,
+        "purchase_attribution": Q.q_purchase_attribution,
+        "rebate_proration": Q.q_rebate_proration,
+        "part_skyline": Q.q_part_skyline,
+        "benford_screen": Q.q_benford_screen,
+        "nation_revenue_gini": Q.q_nation_revenue_gini,
+        "event_path_trigrams": Q.q_event_path_trigrams,
+        "bigram_counts": Q.q_bigram_counts,
+        "reconcile": Q.q_reconcile,
+        "reconcile_snapshots": Q.q_reconcile_snapshots,
+        "discrepancy_count": Q.q_discrepancy_count,
+        "discrepancy_topk": Q.q_discrepancy_topk,
+        "partition_prune": Q.q_partition_prune,
+        "normalize_clean": Q.q_normalize_clean,
+        "stock_timeseries": Q.q_stock_timeseries,
+        "pricing_summary": Q.q_pricing_summary,
+        "top_customers": Q.q_top_customers,
+        "region_revenue": Q.q_region_revenue,
+        "dedup_applied": Q.q_dedup_applied,
+        "revenue_forecast": Q.q_revenue_forecast,
+        "nation_trade_volume": Q.q_nation_trade_volume,
+        "events_hour_of_day": Q.q_events_hour_of_day,
+        "sku_rolling_range": Q.q_sku_rolling_range,
+        "order_count_distribution": Q.q_order_count_distribution,
+        "idle_rich_customers": Q.q_idle_rich_customers,
+        "sole_late_supplier": Q.q_sole_late_supplier,
+        "dim_scd2": Q.q_dim_scd2,
+        "sales_rollup": Q.q_sales_rollup,
+        "sales_cube": Q.q_sales_cube,
+        "cust_no_orders": Q.q_cust_no_orders,
+        "parts_ordered_semi": Q.q_parts_ordered_semi,
+        "customer_setops": Q.q_customer_setops,
+        "returnflag_pivot": Q.q_returnflag_pivot,
+        "min_cost_supplier": Q.q_min_cost_supplier,
+        # --- rows-only tail (seeded hash families / approximate /
+        # iterative) -- outside the window by design ------------------
         "image_phash_neardup": Q.q_image_phash_neardup,
         "pq_topk": Q.q_pq_topk,
         "alert_throttle": Q.q_alert_throttle,
         "semantic_dedup": Q.q_semantic_dedup,
-        # --- rows-only tail (seeded hash families / approximate /
-        # iterative) -- outside the window by design ------------------
         "minhash_pairs": Q.q_minhash_pairs,
         "minhash_ml_pairs": Q.q_minhash_ml_pairs,
         "ann_topk": Q.q_ann_topk,
@@ -3342,7 +3322,11 @@ FROM sc GROUP BY brand ORDER BY brand
         # global equi-depth histogram: value-level bucket rule over the
         # cents histogram's running count -- exact integer division,
         # never a float rank; the oracle's global window is the naive
-        # spelling the engine's banded prefix replaces at scale
+        # spelling the engine's banded prefix replaces at scale.
+        # bucket MUST be cast: DuckDB SUM(BIGINT) is HUGEINT and the
+        # driver hasher canonicalizes int128 cells differently (the
+        # r07 red; same family as the r04/r05/r06 DECIMAL reds) --
+        # tests/test_oracle_lint.py now bans un-cast wide outputs.
         "price_equidepth_hist": """
 WITH h AS (
   SELECT CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
@@ -3357,7 +3341,7 @@ cum AS (
   FROM h
 ),
 tot AS (SELECT SUM(n) AS n_total FROM h)
-SELECT LEAST(9, (cum - n) * 10 // n_total) AS bucket,
+SELECT CAST(LEAST(9, (cum - n) * 10 // n_total) AS BIGINT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_values,
        CAST(SUM(n) AS BIGINT) AS n_rows,
        CAST(MIN(c) AS DOUBLE) / 100.0 AS lo,
