@@ -3378,14 +3378,25 @@ cnt AS (
   SELECT token, source AS cls, SUM(tf) AS cnt
   FROM ltf WHERE is_train GROUP BY 1, 2
 ),
+clsuniv AS (
+  -- the class universe is every label seen in TRAINING, like the
+  -- engine's train_labels: a class whose docs are all token-empty
+  -- still exists (uniform smoothed LM), it must not vanish just
+  -- because the sparse count table has no rows for it
+  SELECT DISTINCT source AS cls FROM labeled WHERE is_train
+),
 consts AS (
-  SELECT cls,
-         SUM(cnt) + (SELECT COUNT(DISTINCT token) FROM cnt) AS den
-  FROM cnt GROUP BY cls
+  SELECT u.cls,
+         COALESCE(SUM(c.cnt), 0)
+           + (SELECT COUNT(DISTINCT token) FROM cnt) AS den
+  FROM clsuniv u LEFT JOIN cnt c ON c.cls = u.cls
+  GROUP BY u.cls
 ),
 k AS (
   SELECT cls, den,
-         CAST(CAST(1099511627776 AS HUGEINT) // den AS BIGINT) AS w0
+         CAST(CASE WHEN den > 0
+                   THEN CAST(1099511627776 AS HUGEINT) // den
+                   ELSE 0 END AS BIGINT) AS w0
   FROM consts
 ),
 wd AS (

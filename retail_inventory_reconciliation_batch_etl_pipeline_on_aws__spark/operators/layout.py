@@ -51,7 +51,19 @@ def scale16(col: Column, lo, hi) -> Column:
     subtraction, and span literal are ALL decimal: bounds like
     (-2^62, 2^62) are each valid int64 yet their span 2^63 exceeds
     Long.MAX, so a long literal or long subtraction anywhere would
-    overflow before the decimal cast could save it."""
+    overflow before the decimal cast could save it.
+
+    Raises ``ValueError`` when ``hi <= lo``: a degenerate domain would
+    make the span divisor zero (decimal ``div`` by zero is non-ANSI
+    NULL, silently nulling the z-key for every row) or negative;
+    collapsed min==max stats mean the dimension carries no information
+    and the caller should drop it rather than z-order on it."""
+    if int(hi) <= int(lo):
+        raise ValueError(
+            f"scale16: degenerate domain [lo={lo}, hi={hi}] -- hi must "
+            "exceed lo (a zero span would NULL the key via non-ANSI "
+            "decimal div-by-zero; drop the constant dimension instead)"
+        )
     dec = "decimal(38,0)"
 
     def dlit(v) -> Column:

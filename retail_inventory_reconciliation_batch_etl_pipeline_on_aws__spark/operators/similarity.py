@@ -619,6 +619,12 @@ def semantic_dedup(
     import numpy as np  # noqa: F401  (executor-side dependency)
     import pandas as pd  # noqa: F401
 
+    # output id column keeps the CALLER's name and Spark type -- a
+    # hardcoded "vec_id bigint" would silently mislabel (or Arrow-cast)
+    # string/other id columns
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, cluster bigint, kept boolean"
+
     e = embeddings.select(
         F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
     ).persist()
@@ -648,12 +654,12 @@ def semantic_dedup(
                 kept_idx.append(i)
         return pd.DataFrame(
             {
-                "vec_id": pdf["_id"].astype("int64"),
+                # passthrough, no astype: Arrow maps the pandas values
+                # onto the declared (input-derived) Spark type
+                id_col: pdf["_id"],
                 "cluster": pdf["cluster"].astype("int64"),
                 "kept": kept_flags,
             }
         )
 
-    return assigned.groupBy("cluster").applyInPandas(
-        prune, "vec_id bigint, cluster bigint, kept boolean"
-    )
+    return assigned.groupBy("cluster").applyInPandas(prune, out_schema)

@@ -96,6 +96,21 @@ def _check_violations(df: DataFrame, checks: dict[str, str]) -> dict[str, int]:
     }
 
 
+def _staged_violations(
+    spark: SparkSession, paths: list[str], checks: dict[str, str]
+) -> dict[str, int]:
+    """CHECK evaluation over STAGED PARQUET -- the exact bytes a commit
+    would reference -- not over the writer's logical plan. Validating
+    the plan would (a) pay a full extra computation of ``df`` and
+    (b) let a non-deterministic plan pass validation yet stage
+    violating rows; reading the staged files back validates what is
+    actually published, for one cheap columnar re-scan of only the
+    constraint columns."""
+    if not checks or not paths:
+        return {}
+    return _check_violations(spark.read.parquet(*paths), checks)
+
+
 def write_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
     """Publish ``df`` as a new table version; returns the version.
 
@@ -113,17 +128,21 @@ def write_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
     os.makedirs(data_dir, exist_ok=True)
     os.makedirs(commits_dir, exist_ok=True)
 
-    # enforce the parent's CHECK constraints BEFORE staging -- a
-    # rejected write leaves no orphan files at all
+    # stage first, then enforce the parent's CHECK constraints on the
+    # STAGED parquet (the exact bytes the commit would reference) --
+    # a rejected write just drops the staging dir, leaving no orphans,
+    # and a non-deterministic input plan cannot pass validation on one
+    # evaluation yet publish different rows from another
     checks = table_checks(path)
-    bad = _check_violations(df, checks)
-    if bad:
-        raise CheckViolation(bad)
-
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
+    staged = sorted(_glob.glob(os.path.join(staging, "part-*.parquet")))
+    bad = _staged_violations(df.sparkSession, staged, checks)
+    if bad:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise CheckViolation(bad)
     new_files = []
-    for pf in sorted(_glob.glob(os.path.join(staging, "part-*.parquet"))):
+    for pf in staged:
         name = f"{uuid.uuid4().hex}.parquet"
         os.replace(pf, os.path.join(data_dir, name))
         new_files.append(name)
@@ -144,10 +163,14 @@ def write_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
         cur_checks = table_checks(path)
         if cur_checks != checks:
             # a concurrent commit changed the constraints while we
-            # staged; re-validate against the new rule set (rare CAS
-            # retry path) -- on violation, clean up our staged files
+            # staged; re-validate OUR STAGED FILES against the new rule
+            # set (rare CAS retry path) -- on violation, clean them up
             checks = cur_checks
-            bad = _check_violations(df, checks)
+            bad = _staged_violations(
+                df.sparkSession,
+                [os.path.join(data_dir, n) for n in new_files],
+                checks,
+            )
             if bad:
                 for name in new_files:
                     try:
@@ -292,6 +315,10 @@ def drop_check(path: str, name: str) -> int:
     commits_dir = os.path.join(path, "commits")
     while True:
         parent = latest_version(path)
+        if parent < 0:
+            raise ValueError(
+                "cannot drop a CHECK from an empty table (no commits yet)"
+            )
         pc = _load_commit(os.path.join(commits_dir, f"v{parent:05d}.json"))
         checks = dict(pc.get("checks", {}))
         if name not in checks:
@@ -424,17 +451,23 @@ def _stage_and_splice(
     data_dir = os.path.join(path, "data")
     # DML goes through the same CHECK gate as ingest: the rewritten
     # rows (updated/merged values plus their co-located keepers) must
-    # satisfy the table's constraints before anything is staged
+    # satisfy the table's constraints. Validation runs on the STAGED
+    # parquet -- the bytes a commit would reference -- so the check is
+    # one cheap extra scan instead of a full recomputation of the
+    # rewrite plan, and non-deterministic plans cannot sneak
+    # violating rows past a pre-staging evaluation.
     checks = table_checks(path)
-    bad = _check_violations(rewritten, checks)
-    if bad:
-        raise CheckViolation(bad)
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
     rewritten.repartition(max(1, len(touched))).write.mode(
         "overwrite"
     ).parquet(staging)
+    staged = sorted(_glob.glob(os.path.join(staging, "part-*.parquet")))
+    bad = _staged_violations(rewritten.sparkSession, staged, checks)
+    if bad:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise CheckViolation(bad)
     new_files = []
-    for pf in sorted(_glob.glob(os.path.join(staging, "part-*.parquet"))):
+    for pf in staged:
         name = f"{uuid.uuid4().hex}.parquet"
         os.replace(pf, os.path.join(data_dir, name))
         new_files.append(name)
@@ -477,7 +510,11 @@ def _stage_and_splice(
         cur_checks = table_checks(path)
         if cur_checks != checks:
             checks = cur_checks
-            bad = _check_violations(rewritten, checks)
+            bad = _staged_violations(
+                rewritten.sparkSession,
+                [os.path.join(data_dir, n) for n in new_files],
+                checks,
+            )
             if bad:
                 _refuse(str(CheckViolation(bad)))
         commit = {

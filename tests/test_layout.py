@@ -622,3 +622,82 @@ def test_check_constraints_gate_merge_into(spark, tmp_path):
     merge_into(spark, path, ok, keys=["id"])
     assert latest_version(path) > v
     assert table_checks(path) == {"qty_pos": "qty > 0"}
+
+
+def test_scale16_degenerate_domain_raises(spark):
+    """hi <= lo would make the span divisor zero: decimal ``div`` by
+    zero is non-ANSI NULL, which would silently NULL the z-key for
+    every row -- the operator refuses the domain instead."""
+    import pytest
+
+    for lo, hi in [(5, 5), (7, 3)]:
+        with pytest.raises(ValueError, match="degenerate domain"):
+            scale16(F.col("q"), lo, hi)
+
+
+def test_drop_check_on_empty_table_raises_cleanly(tmp_path):
+    """DROP CONSTRAINT on a table with no commits must be a descriptive
+    ValueError, not a FileNotFoundError for 'v-0001.json' (the same
+    guard add_check has)."""
+    import os
+
+    import pytest
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.versioned import (  # noqa: E501
+        drop_check,
+    )
+
+    path = str(tmp_path / "empty")
+    os.makedirs(os.path.join(path, "commits"))
+    with pytest.raises(ValueError, match="empty table"):
+        drop_check(path, "anything")
+
+
+def test_rejected_write_validates_staged_bytes_and_cleans_staging(
+    spark, tmp_path
+):
+    """The CHECK gate runs on the STAGED parquet (the bytes a commit
+    would reference), not on a pre-staging evaluation of the writer's
+    plan -- and a refusal removes the staging directory entirely."""
+    import glob as g
+    import os
+
+    import pytest
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.versioned import (  # noqa: E501
+        CheckViolation,
+        add_check,
+        latest_version,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "t")
+    write_versioned(
+        spark.createDataFrame([(1, 10)], "id long, qty int"), path
+    )
+    add_check(spark, path, "qty_pos", "qty > 0")
+    v = latest_version(path)
+    files_before = set(g.glob(os.path.join(path, "data", "*.parquet")))
+
+    bad = spark.createDataFrame([(2, -1)], "id long, qty int")
+    with pytest.raises(CheckViolation) as e:
+        write_versioned(bad, path)
+    assert e.value.counts == {"qty_pos": 1}
+    assert latest_version(path) == v
+    # no staging leftovers and no unreferenced data files
+    assert g.glob(os.path.join(path, "_staging-*")) == []
+    assert set(g.glob(os.path.join(path, "data", "*.parquet"))) == files_before
+
+    # a plan Spark marks non-deterministic still publishes correct
+    # bytes: validation sees what was staged, not a re-evaluation
+    import pyspark.sql.functions as F
+
+    nd = (
+        spark.range(3)
+        .select(
+            F.col("id"),
+            (F.floor(F.rand(seed=7) * 5) + 1).cast("int").alias("qty"),
+        )
+    )
+    write_versioned(nd, path)
+    assert latest_version(path) == v + 1

@@ -350,3 +350,28 @@ def test_semantic_dedup_contract_and_planted_duplicates(spark):
         for r in semantic_dedup(planted, threshold=0.95, nlist=1, iters=1).collect()
     }
     assert got == {0: True, 1: False, 2: False, 3: True, 4: True}
+
+
+def test_semantic_dedup_output_schema_follows_id_col(spark):
+    """The output id column carries the CALLER's name and Spark type
+    (a hardcoded 'vec_id bigint' schema would mislabel or Arrow-cast
+    string ids)."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.similarity import (  # noqa: E501
+        semantic_dedup,
+    )
+
+    base = [1.0] + [0.0] * 7
+    near = [1.0, 0.05] + [0.0] * 6
+    orth = [0.0, 1.0] + [0.0] * 6
+    planted = spark.createDataFrame(
+        [("doc-a", base), ("doc-b", near), ("doc-c", orth)],
+        "doc_key string, emb array<double>",
+    )
+    out = semantic_dedup(
+        planted, threshold=0.95, nlist=1, iters=1,
+        id_col="doc_key", vec_col="emb",
+    )
+    assert out.columns == ["doc_key", "cluster", "kept"]
+    assert dict(out.dtypes)["doc_key"] == "string"
+    got = {r.doc_key: r.kept for r in out.collect()}
+    assert got == {"doc-a": True, "doc-b": False, "doc-c": True}
