@@ -4816,64 +4816,27 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional containment near-dup pairs: |A n B| / |A| >= 0.8
     finds documents SUBSUMED by another (quotes, excerpts, supersets)
     that symmetric Jaccard misses when sizes differ -- the curation
-    filter that catches a snippet of a long doc. Same candidate
-    discipline as ``jaccard_pairs``: pairs meet only through a shared
-    full shingle (equi-join), counts-not-sets arithmetic, one terminal
-    rounded division. Output is directional (doc_a contained in
-    doc_b), both orientations examined, self-pairs excluded.
+    filter that catches a snippet of a long doc. Output is directional
+    (doc_a contained in doc_b), both orientations examined, self-pairs
+    excluded.
 
-    n_shared is SYMMETRIC, so the candidate join runs once with the
-    a < b ordering (half the join output and aggregation state of the
-    naive a != b spelling) and the swapped orientation is a
-    zero-shuffle projection union before the per-direction |A|
-    normalization. The exploded shingle frame is PERSISTED: it feeds
-    both sides of the self-join AND the per-doc size aggregate, and
-    the shingling itself (tokenize + n-1 zip_with folds) is the
-    dominant scan cost -- profiled at sf0.1, the un-persisted plan
-    re-shingles the corpus three times (4.4s -> 2.5s persisted).
+    Routed through ``operators.dedup.prefix_containment_pairs`` (r8):
+    candidates now form through the PPJoin+ overlap prefix filter
+    (contained side's rarest ``|A| - ceil(0.8|A|) + 1`` shingles
+    joined against the container's full set) instead of the raw
+    shared-shingle self-join, so one hot boilerplate shingle shared by
+    k docs no longer contributes k^2/2 candidate rows -- under the
+    rarest-first global order a hot shingle is in almost nobody's
+    prefix. The filter is lossless by theorem, so the ORACLE IS THE
+    RAW JOIN, verbatim: any recall loss fails the value hash.
     """
-    from .functions.text import tokens, word_ngrams
+    from .operators.dedup import prefix_containment_pairs
 
     docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
-    n = 3
-    shingled = docs.where(F.size(tokens("text")) >= n).select(
-        F.col("doc_id").alias("_id"),
-        word_ngrams("text", n).alias("shingles"),
-    )
-    exploded = shingled.select(
-        "_id", F.explode("shingles").alias("shingle")
-    ).persist()
-    # shingles are already distinct per doc, so the per-doc size is a
-    # count over the persisted exploded frame -- no fourth shingling
-    sizes = exploded.groupBy("_id").agg(
-        F.count("*").cast("int").alias("n_shingles")
-    )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    shared_lt = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
-        .agg(F.count("*").alias("n_shared"))
-    )
-    shared = shared_lt.unionByName(
-        shared_lt.select(
-            F.col("doc_b").alias("doc_a"),
-            F.col("doc_a").alias("doc_b"),
-            "n_shared",
-        )
-    )
-    sa = sizes.select(F.col("_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
     return (
-        shared.join(sa, "doc_a")
-        .withColumn(
-            "containment",
-            F.round(F.col("n_shared").cast("double") / F.col("size_a"), 4),
+        prefix_containment_pairs(
+            docs, n=3, threshold_num=4, threshold_den=5
         )
-        .where(F.col("containment") >= 0.8)
-        .select("doc_a", "doc_b", "containment")
         .orderBy("doc_a", "doc_b")
     )
 
