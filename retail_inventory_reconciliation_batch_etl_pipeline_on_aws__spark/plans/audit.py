@@ -110,6 +110,77 @@ def audit_plan(df: DataFrame) -> PlanAudit:
     )
 
 
+def hinted_keyed_agg_broadcasts(df: DataFrame) -> list[list[str]]:
+    """Grouping-key lists of KEYED aggregates that sit under an
+    EXPLICIT broadcast hint -- the "forced broadcast of an unbounded
+    per-key aggregate" shape (cardinality = |key domain|, which a 100x
+    data scale-up grows right past executor memory; a mandatory
+    ``F.broadcast`` hint overrides Spark's size check, so the OOM is
+    guaranteed rather than avoided). A GLOBAL aggregate under a hint
+    (``Aggregate [], ...``: the 1-row scalar-gate idiom) is NOT
+    flagged, and neither is a broadcast Spark CHOSE by size estimate
+    (AQE re-checks those at runtime; the rule is about hints that
+    bypass the check) -- which is why this parses the OPTIMIZED
+    LOGICAL plan, where ``leftHint=/rightHint=(strategy=broadcast)``
+    is explicit, not the physical plan, where hinted and
+    size-estimated BroadcastExchanges are indistinguishable.
+    """
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    nodes: list[tuple[int, str]] = []  # (depth, text)
+    for line in plan.splitlines():
+        m = re.match(r"^((?::  |:- |\+- |   )*)(.*)$", line)
+        if not m or not m.group(2).strip():
+            continue
+        nodes.append((len(m.group(1)) // 3, m.group(2)))
+
+    def child_spans(i: int) -> list[tuple[int, int]]:
+        """[start, end) index ranges of node i's direct children."""
+        d = nodes[i][0]
+        spans, start = [], None
+        for j in range(i + 1, len(nodes)):
+            dj = nodes[j][0]
+            if dj <= d:
+                break
+            if dj == d + 1:
+                if start is not None:
+                    spans.append((start, j))
+                start = j
+        if start is not None:
+            end = next(
+                (j for j in range(start + 1, len(nodes)) if nodes[j][0] <= d),
+                len(nodes),
+            )
+            spans.append((start, end))
+        return spans
+
+    out: list[list[str]] = []
+    for i, (_d, text) in enumerate(nodes):
+        if not text.startswith("Join "):
+            continue
+        hinted = [
+            side
+            for side in ("left", "right")
+            if re.search(rf"{side}Hint=\([^)]*strategy=broadcast", text)
+        ]
+        if not hinted:
+            continue
+        spans = child_spans(i)
+        if len(spans) != 2:
+            continue
+        for side in hinted:
+            lo, hi = spans[0 if side == "left" else 1]
+            for _dd, sub in nodes[lo:hi]:
+                # keyed render: "Aggregate [keys], [exprs]"; a GLOBAL
+                # aggregate prints ONE bracket ("Aggregate [exprs]")
+                # and must not match
+                m = re.match(r"Aggregate \[([^\]]*)\], \[", sub)
+                if m and m.group(1).strip():
+                    out.append(
+                        [k.split("#")[0].strip() for k in m.group(1).split(",")]
+                    )
+    return out
+
+
 class PlanLintError(AssertionError):
     """A plan violated a lint rule; message lists every violation."""
 
@@ -122,6 +193,8 @@ def lint_plan(
     allow_arrow_python: bool = True,
     max_exchanges: int | None = None,
     low_cardinality_keys: set[str] | None = None,
+    forbid_keyed_agg_broadcast: bool = False,
+    bounded_broadcast_keys: set[str] | None = None,
 ) -> PlanAudit:
     """Raise ``PlanLintError`` when the plan carries a known
     scale-killer; return the audit when clean.
@@ -172,6 +245,24 @@ def lint_plan(
                     f"running window partitioned only by low-cardinality "
                     f"{w['partition_by']} ordered by {w['order_by']} -- "
                     f"|key|-task funnel"
+                )
+    if forbid_keyed_agg_broadcast:
+        # broadcast HINTS belong on provably bounded frames: 1-row
+        # scalar gates, band offsets, nlist centroid tables, fixed
+        # dims. A hinted broadcast whose subtree aggregates BY KEY
+        # ships |key domain| rows to every executor -- fine at test
+        # SF, guaranteed OOM after a 100x catalog growth because the
+        # hint bypasses Spark's size check. ``bounded_broadcast_keys``
+        # is the caller's allow-list of key columns whose domain is a
+        # CONSTANT (region, nation, band id), not data-scaled.
+        allowed = bounded_broadcast_keys or set()
+        for keys in hinted_keyed_agg_broadcasts(df):
+            if not set(keys) <= allowed:
+                problems.append(
+                    f"broadcast HINT over a per-key aggregate keyed by "
+                    f"{keys} -- unbounded cardinality; drop the hint (AQE "
+                    f"still broadcasts small sides) or allow-list the keys "
+                    f"as domain constants"
                 )
     if problems:
         raise PlanLintError("; ".join(problems))

@@ -4885,8 +4885,16 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts: how much more likely is part_b given part_a than its base
     rate. Pair counts come from the same group-then-expand shape (sorted
     distinct parts per order, nested-transform pair expansion -- never
-    an order-lines self-join whose broadcast side melts at scale); the
-    per-part order counts and the 1-row order total are broadcast.
+    an order-lines self-join whose broadcast side melts at scale).
+
+    Broadcast discipline (r8): only the 1-row order total carries a
+    ``F.broadcast`` hint -- a provably-bounded scalar gate. The
+    per-part order-count joins carry NO hint: their cardinality is
+    |parts| (unbounded at a 100x catalog), and a mandatory hint
+    overrides Spark's size check and OOMs where AQE's runtime
+    size-based broadcast would simply fall back to a shuffle join.
+    ``plans.audit.lint_plan(forbid_keyed_agg_broadcast=True)`` now
+    flags the anti-pattern engine-wide.
 
     Exactness: every metric is ONE division of exact int64 products
     (pair*N and n_a*n_b both bounded far inside int64 at any test SF;
@@ -4939,8 +4947,8 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.where(F.col("n_pair") >= 2)
-        .join(F.broadcast(na), "part_a")
-        .join(F.broadcast(nb), "part_b")
+        .join(na, "part_a")
+        .join(nb, "part_b")
         .crossJoin(F.broadcast(total))
         .select(
             "part_a",

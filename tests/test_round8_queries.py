@@ -165,3 +165,46 @@ def test_prefix_containment_defuses_hot_shingle(spark):
     # the shared boilerplate; prefix: none (hot shingles rank last)
     assert raw_cand == 780
     assert pref_cand == 0
+
+
+def test_lint_flags_keyed_agg_broadcast_and_allows_scalar_gate(spark):
+    """Red case: a forced broadcast of a per-key aggregate (unbounded
+    cardinality -- the old basket_rules shape) is flagged. Green cases:
+    the 1-row scalar gate idiom passes, and an allow-listed
+    domain-constant key passes."""
+    import pytest
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans.audit import (  # noqa: E501
+        PlanLintError,
+        lint_plan,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    per_key = df.groupBy("k").agg(F.count("*").alias("n"))
+
+    bad = df.join(F.broadcast(per_key), "k")
+    with pytest.raises(PlanLintError, match="per-key aggregate"):
+        lint_plan(bad, forbid_keyed_agg_broadcast=True)
+    # allow-listed as a domain constant -> passes
+    lint_plan(
+        bad,
+        forbid_keyed_agg_broadcast=True,
+        bounded_broadcast_keys={"k"},
+    )
+
+    total = df.agg(F.count("*").alias("n_total"))  # global agg: 1 row
+    good = df.crossJoin(F.broadcast(total))
+    lint_plan(good, forbid_keyed_agg_broadcast=True)
+
+
+def test_basket_rules_has_no_forced_per_key_broadcast(spark):
+    """basket_rules' only remaining broadcast hint is the 1-row order
+    total; the per-part count joins are left to AQE's size check."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans.audit import (  # noqa: E501
+        lint_plan,
+    )
+
+    df = Q.q_basket_rules(spark, SF)
+    lint_plan(df, forbid_keyed_agg_broadcast=True)
