@@ -5,10 +5,13 @@ with typed metadata; per-item decode/feature-extraction runs as
 Arrow-batched ``mapInPandas`` so payload bytes never cross a row-at-a-time
 Python boundary. ``decode_image`` is a REAL pure-Python header decoder
 for PNG and BMP, and ``decode_audio`` a REAL RIFF/WAVE chunk-walker
-(no media libs needed), and ``extract_gif_frames`` does REAL
+(no media libs needed), ``extract_gif_frames`` does REAL
 container-level keyframe sampling (each sampled frame re-wrapped as a
-standalone valid GIF); only pixel/sample-level work (resampling, model
-inference) remains a deterministic fake pending PIL/ffmpeg.
+standalone valid GIF), ``decode_gray_pixels``/``resize_gray_pixels``/
+``encode_png_gray_pixels`` do REAL pixel-level decode -> integer box
+resample -> re-encode for the module's PNG/BMP containers; only model
+inference (``extract_binary_features``'s byte-level stand-ins) remains
+a deterministic fake pending a real model runtime.
 """
 
 from __future__ import annotations
@@ -60,29 +63,37 @@ def decode_image(payload: bytes) -> dict:
     raise ValueError("unsupported image format (expect PNG or BMP)")
 
 
-def encode_png_gray(width: int, height: int, seed: int = 0) -> bytes:
-    """Build a VALID tiny 8-bit grayscale PNG (signature, IHDR, one
-    zlib-compressed IDAT of filter-0 scanlines, IEND -- each chunk
-    CRC'd). Deterministic in (width, height, seed); used to synthesize
-    image payloads for the decode path and its oracle."""
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data))
+    )
 
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + tag
-            + data
-            + struct.pack(">I", zlib.crc32(tag + data))
-        )
 
+def encode_png_gray_pixels(pixels: list[list[int]]) -> bytes:
+    """Encode a grayscale pixel matrix as a VALID 8-bit grayscale PNG
+    (signature, IHDR, one zlib-compressed IDAT of filter-0 scanlines,
+    IEND -- each chunk CRC'd). Deterministic in the pixel values; the
+    re-encode half of the REAL resize path."""
+    height, width = len(pixels), len(pixels[0])
+    raw = b"".join(b"\x00" + bytes(row) for row in pixels)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    row = bytes((seed + x) % 256 for x in range(width))
-    raw = b"".join(b"\x00" + row for _ in range(height))
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 1))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 1))
+        + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_png_gray(width: int, height: int, seed: int = 0) -> bytes:
+    """Build a VALID tiny 8-bit grayscale PNG. Deterministic in
+    (width, height, seed); used to synthesize image payloads for the
+    decode path and its oracle."""
+    row = [(seed + x) % 256 for x in range(width)]
+    return encode_png_gray_pixels([row for _ in range(height)])
 
 
 def encode_bmp_rgb(width: int, height: int, seed: int = 0) -> bytes:
@@ -143,6 +154,33 @@ RESIZED_SCHEMA = (
     "doc_id bigint, resized binary, width int, height int, channels int"
 )
 
+
+def resize_gray_pixels(
+    pixels: list[list[int]], out_w: int, out_h: int
+) -> list[list[int]]:
+    """REAL integer box resample of a grayscale matrix: output pixel
+    (x, y) is the floor-mean of its source box
+    ``[y*h//out_h, max(+1, (y+1)*h//out_h)) x [x*w//out_w, ...)`` --
+    box mean when downscaling, nearest-neighbor when upscaling (the
+    box degenerates to one pixel), ALL-INTEGER so the result is
+    platform/engine-exact. The same partition-of-the-source-grid rule
+    ``ahash64`` uses for its 8x8 blocks."""
+    h, w = len(pixels), len(pixels[0])
+    out = []
+    for y in range(out_h):
+        y0, y1 = y * h // out_h, max(y * h // out_h + 1, (y + 1) * h // out_h)
+        row_out = []
+        for x in range(out_w):
+            x0, x1 = x * w // out_w, max(x * w // out_w + 1, (x + 1) * w // out_w)
+            acc = 0
+            for yy in range(y0, y1):
+                src = pixels[yy]
+                for xx in range(x0, x1):
+                    acc += src[xx]
+            row_out.append(acc // ((y1 - y0) * (x1 - x0)))
+        out.append(row_out)
+    return out
+
 #: frame sampling output: one row per sampled frame, ordered by index
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary, frame_bytes bigint"
 
@@ -150,30 +188,37 @@ FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary, frame_bytes bigint"
 def resize_images(
     df: DataFrame, width: int, height: int, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Arrow-batched image resize over binary payloads (decode STUBBED).
+    """Arrow-batched REAL image resize over binary payloads: pixel
+    decode (``decode_gray_pixels``: zlib/filter-0 PNG inflate or
+    bottom-up BMP walk with integer luma) -> integer box resample
+    (``resize_gray_pixels``) -> re-encode as a VALID 8-bit grayscale
+    PNG (``encode_png_gray_pixels``). No media libs: the whole path is
+    the module's own pure-Python codecs, deterministic to the byte.
 
-    The real body is decode -> resample -> re-encode via PIL; this
-    container has no media libs, so the stub emits a deterministic
-    fake -- payload truncated/cycled to exactly width*height*3 bytes --
-    preserving everything the plan cares about: binary-in/binary-out
-    through Arrow batches, typed metadata columns, per-batch (not
-    per-row) Python dispatch.
+    Plan shape unchanged from the pre-r8 stub: binary-in/binary-out
+    through Arrow batches, typed metadata columns, per-batch (never
+    per-row) Python dispatch; pixels exist only inside the scan-side
+    stage -- downstream sees payloads and typed dims. Output channels
+    is 1 (grayscale): BMP color inputs pass through the same integer
+    luma the aHash path uses, so resized payloads feed ``image_ahash``
+    directly.
     """
-    target = width * height * 3
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = pdf["payload"]
-            fake = payloads.map(
-                lambda b: bytes((b * (target // max(len(b), 1) + 1))[:target])
-            )
+            resized = [
+                encode_png_gray_pixels(
+                    resize_gray_pixels(decode_gray_pixels(p), width, height)
+                )
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "resized": fake,
+                    "resized": resized,
                     "width": width,
                     "height": height,
-                    "channels": 3,
+                    "channels": 1,
                 }
             )
 

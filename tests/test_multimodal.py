@@ -101,14 +101,93 @@ def test_image_dimensions_spark_path(spark):
 
 
 def test_resize_schema_and_determinism(spark):
-    out = resize_images(_docs(spark), width=8, height=6)
+    """REAL resize: every output payload is a VALID 8-bit grayscale
+    PNG with the target dims (decode_image roundtrip proves it),
+    byte-deterministic across runs, for both source containers."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.multimodal import (  # noqa: E501
+        decode_image,
+        with_test_images,
+    )
+
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet").limit(20)
+    imgs = with_test_images(docs)
+    out = resize_images(imgs, width=8, height=6)
     rows = {r.doc_id: r for r in out.collect()}
-    again = {r.doc_id: r for r in resize_images(_docs(spark), 8, 6).collect()}
+    again = {r.doc_id: r for r in resize_images(imgs, 8, 6).collect()}
     assert len(rows) == 20
     for doc_id, r in rows.items():
-        assert (r.width, r.height, r.channels) == (8, 6, 3)
-        assert len(r.resized) == 8 * 6 * 3
+        assert (r.width, r.height, r.channels) == (8, 6, 1)
+        assert decode_image(bytes(r.resized)) == {
+            "format": "png", "width": 8, "height": 6, "bit_depth": 8,
+        }
         assert bytes(r.resized) == bytes(again[doc_id].resized)
+
+
+def test_resize_pixels_match_python_box_model():
+    """The Spark-side resample is the pure-Python integer box model:
+    decode(resize(encode(px))) == box_mean(px) exactly, downscale and
+    upscale, PNG and BMP sources."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.multimodal import (  # noqa: E501
+        decode_gray_pixels,
+        encode_bmp_rgb,
+        encode_png_gray,
+        encode_png_gray_pixels,
+        resize_gray_pixels,
+    )
+
+    def box_model(px, ow, oh):
+        h, w = len(px), len(px[0])
+        out = []
+        for y in range(oh):
+            y0, y1 = y * h // oh, max(y * h // oh + 1, (y + 1) * h // oh)
+            row = []
+            for x in range(ow):
+                x0 = x * w // ow
+                x1 = max(x0 + 1, (x + 1) * w // ow)
+                vals = [px[yy][xx] for yy in range(y0, y1) for xx in range(x0, x1)]
+                row.append(sum(vals) // len(vals))
+            out.append(row)
+        return out
+
+    for payload in [
+        encode_png_gray(13, 9, seed=3),
+        encode_bmp_rgb(13, 9, seed=3),
+        encode_png_gray(4, 4, seed=11),
+    ]:
+        src = decode_gray_pixels(payload)
+        for ow, oh in [(5, 3), (8, 8), (17, 11)]:  # down, mixed, up
+            got = resize_gray_pixels(src, ow, oh)
+            assert got == box_model(src, ow, oh)
+            # encode->decode roundtrip is lossless (filter-0 PNG)
+            assert decode_gray_pixels(encode_png_gray_pixels(got)) == got
+
+
+def test_resized_near_dups_still_band_together(spark):
+    """The point of a PERCEPTUAL pipeline: an image and its resized
+    copy keep nearly identical aHashes, so the same 16-bit pigeonhole
+    banding that pairs text SimHash near-dups still buckets them
+    (hamming <= 3 guarantees a shared band among 4)."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.multimodal import (  # noqa: E501
+        ahash64,
+        decode_gray_pixels,
+        resize_gray_pixels,
+        with_test_images_textured,
+    )
+
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet").limit(8)
+    payloads = {
+        r.doc_id: bytes(r.payload)
+        for r in with_test_images_textured(docs).collect()
+    }
+    assert len(payloads) == 8
+    for doc_id, p in payloads.items():
+        px = decode_gray_pixels(p)
+        orig = ahash64(px) & (2**64 - 1)
+        half = ahash64(
+            resize_gray_pixels(px, max(8, len(px[0]) // 2), max(8, len(px) // 2))
+        ) & (2**64 - 1)
+        dist = bin(orig ^ half).count("1")
+        assert dist <= 3, (doc_id, dist)
 
 
 def test_sample_frames_explodes_with_stable_order(spark):

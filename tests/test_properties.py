@@ -675,3 +675,37 @@ def test_throttle_matches_python_greedy(spark, gaps, cooldown):
             for r in throttle_alerts(df, cooldown_s=cooldown).collect()
         )
     assert got == want
+
+
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    ow=st.integers(1, 24),
+    oh=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_resize_box_resample_matches_python_model(w, h, ow, oh, seed):
+    """resize_gray_pixels == an independently written integer box-mean
+    model on random matrices at ANY (source, target) dims -- downscale,
+    upscale, degenerate 1-px, and the PNG re-encode is lossless."""
+    import random
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.multimodal import (  # noqa: E501
+        decode_gray_pixels,
+        encode_png_gray_pixels,
+        resize_gray_pixels,
+    )
+
+    rng = random.Random(seed)
+    px = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+    got = resize_gray_pixels(px, ow, oh)
+    assert len(got) == oh and all(len(r) == ow for r in got)
+    for y in range(oh):
+        y0, y1 = y * h // oh, max(y * h // oh + 1, (y + 1) * h // oh)
+        for x in range(ow):
+            x0 = x * w // ow
+            x1 = max(x0 + 1, (x + 1) * w // ow)
+            vals = [px[yy][xx] for yy in range(y0, y1) for xx in range(x0, x1)]
+            assert got[y][x] == sum(vals) // len(vals)
+    assert decode_gray_pixels(encode_png_gray_pixels(got)) == got
