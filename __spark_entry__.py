@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": Q.q_weighted_sample,
         "quantized_topk": Q.q_quantized_topk,
         "ann_recall": Q.q_ann_recall,
+        "pq_index_topk": Q.q_pq_index_topk,
     }
 
 

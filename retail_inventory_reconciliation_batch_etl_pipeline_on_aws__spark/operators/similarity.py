@@ -416,6 +416,141 @@ def _pq_subframe(e: DataFrame, m: int, sub: int) -> DataFrame:
     )
 
 
+def _l2_normalized(e: DataFrame) -> DataFrame:
+    """(_id, _v) with _v L2-normalized (zero vectors stay zero).
+    Squared euclidean on the unit sphere is monotone in cosine
+    (||a-b||^2 = 2 - 2cos), so quantizer training/ADC on normalized
+    vectors tracks the cosine objective exact re-ranking scores."""
+    norm = F.sqrt(
+        F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return e.select(
+        "_id",
+        F.transform(
+            "_v", lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0))
+        ).alias("_v"),
+    )
+
+
+def _pq_book_lit(books: dict, m: int):
+    """The m x ksub x sub codebook as a nested array literal."""
+    return F.array(
+        *[
+            F.array(
+                *[F.array(*[F.lit(float(x)) for x in c]) for c in books[j]]
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def _pq_assign(frame: DataFrame, books: dict, m: int) -> DataFrame:
+    """Nearest-sub-centroid code per (id, j) row; argmin ties resolve
+    to the lowest code (array_position takes the first minimum)."""
+    mine = F.element_at(_pq_book_lit(books, m), F.col("j") + 1)
+    dists = F.transform(
+        mine,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("_v"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (
+        frame.withColumn("_dists", dists)
+        .withColumn(
+            "code",
+            F.array_position(F.col("_dists"), F.array_min("_dists")) - 1,
+        )
+        .drop("_dists")
+    )
+
+
+def _pq_train(sf: DataFrame, m: int, ksub: int, iters: int) -> dict:
+    """Deterministic Lloyd over ALL subspaces at once (the subspace id
+    rides the cluster key): one assign job + one means job per
+    iteration regardless of m; only the m x ksub x sub codebook ever
+    reaches the driver. Seeded by the ksub lowest-id subvectors."""
+    seeds = (
+        sf.orderBy("j", "_id")
+        .groupBy("j")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("_id", "_v"))), 1, ksub
+            ).alias("s")
+        )
+        .select("j", F.transform("s", lambda p: p.getField("_v")).alias("cs"))
+        .collect()
+    )
+    books = {int(r.j): [list(c) for c in r.cs] for r in seeds}
+    for _ in range(iters):
+        assigned = _pq_assign(sf, books, m)
+        means = (
+            assigned.select("j", "code", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("j", "code", "pos")
+            .agg(F.avg("x").alias("mn"))
+            .groupBy("j", "code")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("ps")
+            )
+            .select(
+                "j",
+                "code",
+                F.transform("ps", lambda p: p.getField("mn")).alias("c"),
+            )
+            .collect()  # bounded: m x ksub x sub codebook only
+        )
+        got = {(int(r.j), int(r.code)): list(r.c) for r in means}
+        # len(books[j]) may be < ksub on a tiny corpus (seeded by the
+        # lowest-id subvectors): iterate what exists, not the nominal k
+        books = {
+            j: [got.get((j, i), books[j][i]) for i in range(len(books[j]))]
+            for j in range(m)
+        }
+    return books
+
+
+def _pq_encode(sf: DataFrame, books: dict, m: int) -> DataFrame:
+    """(_id, codes array<int>) -- the compressed representation."""
+    return (
+        _pq_assign(sf, books, m)
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "code"))).alias("jc"))
+        .select(
+            "_id",
+            F.transform("jc", lambda p: p.getField("code")).alias("codes"),
+        )
+    )
+
+
+def _pq_adc_expr(books: dict, query_vec: list, m: int, sub: int):
+    """ADC score column over a ``codes`` column: the query's distance
+    to every sub-centroid folds into an m x ksub literal table; a
+    vector's approximate distance is sum_j table[j][code_j]."""
+    table = [
+        [
+            sum(
+                (query_vec[j * sub + t] - books[j][i][t]) ** 2
+                for t in range(sub)
+            )
+            for i in range(len(books[j]))
+        ]
+        for j in range(m)
+    ]
+    tlit = F.array(
+        *[F.array(*[F.lit(float(d)) for d in row]) for row in table]
+    )
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            tlit,
+            lambda c, row: F.element_at(row, c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -451,126 +586,17 @@ def pq_topk(
     e = embeddings.select(
         F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
     ).persist()
-    # codebooks/ADC run on L2-NORMALIZED vectors: squared euclidean on
-    # the unit sphere is monotone in cosine (||a-b||^2 = 2 - 2cos), so
-    # ADC candidate order tracks the cosine objective the re-rank
-    # scores; the exact re-rank itself uses the RAW vectors
-    norm = F.sqrt(
-        F.aggregate(
-            F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x
-        )
-    )
-    en = e.select(
-        "_id",
-        F.transform(
-            "_v", lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0))
-        ).alias("_v"),
-    )
-    sf = _pq_subframe(en, m, sub).persist()
+    # codebooks/ADC run on L2-NORMALIZED vectors (see _l2_normalized);
+    # the exact re-rank itself uses the RAW vectors
+    sf = _pq_subframe(_l2_normalized(e), m, sub).persist()
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
     query_vec = [x / qn for x in query_vec]
 
-    # init: subspace j's codebook seeds from the ksub lowest-id subvecs
-    seeds = (
-        sf.orderBy("j", "_id")
-        .groupBy("j")
-        .agg(F.slice(F.array_sort(F.collect_list(F.struct("_id", "_v"))), 1, ksub).alias("s"))
-        .select("j", F.transform("s", lambda p: p.getField("_v")).alias("cs"))
-        .collect()
-    )
-    books = {int(r.j): [list(c) for c in r.cs] for r in seeds}
-
-    def book_lit():
-        # m x ksub x sub literal
-        return F.array(
-            *[
-                F.array(
-                    *[
-                        F.array(*[F.lit(float(x)) for x in c])
-                        for c in books[j]
-                    ]
-                )
-                for j in range(m)
-            ]
-        )
-
-    def assign(frame):
-        mine = F.element_at(book_lit(), F.col("j") + 1)
-        dists = F.transform(
-            mine,
-            lambda c: F.aggregate(
-                F.zip_with(F.col("_v"), c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        return (
-            frame.withColumn("_dists", dists)
-            .withColumn(
-                "code",
-                F.array_position(F.col("_dists"), F.array_min("_dists")) - 1,
-            )
-            .drop("_dists")
-        )
-
-    for _ in range(iters):
-        assigned = assign(sf)
-        means = (
-            assigned.select("j", "code", F.posexplode("_v").alias("pos", "x"))
-            .groupBy("j", "code", "pos")
-            .agg(F.avg("x").alias("mn"))
-            .groupBy("j", "code")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("ps")
-            )
-            .select(
-                "j",
-                "code",
-                F.transform("ps", lambda p: p.getField("mn")).alias("c"),
-            )
-            .collect()  # bounded: m x ksub x sub codebook only
-        )
-        got = {(int(r.j), int(r.code)): list(r.c) for r in means}
-        # len(books[j]) may be < ksub on a tiny corpus (seeded by the
-        # lowest-id subvectors): iterate what exists, not the nominal k
-        books = {
-            j: [got.get((j, i), books[j][i]) for i in range(len(books[j]))]
-            for j in range(m)
-        }
-
+    books = _pq_train(sf, m, ksub, iters)
     # encode: (id, array<code>) -- the 8-byte representation
-    codes = (
-        assign(sf)
-        .groupBy("_id")
-        .agg(F.array_sort(F.collect_list(F.struct("j", "code"))).alias("jc"))
-        .select(
-            "_id",
-            F.transform("jc", lambda p: p.getField("code")).alias("codes"),
-        )
-    )
+    codes = _pq_encode(sf, books, m)
     # ADC table: driver-side math on the tiny codebook
-    table = [
-        [
-            sum(
-                (query_vec[j * sub + t] - books[j][i][t]) ** 2
-                for t in range(sub)
-            )
-            for i in range(len(books[j]))
-        ]
-        for j in range(m)
-    ]
-    tlit = F.array(
-        *[F.array(*[F.lit(float(d)) for d in row]) for row in table]
-    )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            tlit,
-            lambda c, row: F.element_at(row, c.cast("int") + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    adc = _pq_adc_expr(books, query_vec, m, sub)
     cand = (
         codes.withColumn("_adc", adc)
         .orderBy(F.col("_adc").asc(), F.col("_id").asc())
@@ -578,6 +604,135 @@ def pq_topk(
         .select("_id")
     )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.join(e, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            F.round(cosine(F.col("_v"), q), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def build_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    nlist: int = 8,
+    ivf_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF-PQ index (the standard public composition,
+    non-residual variant): a coarse IVF quantizer partitions the CODES
+    table by cluster (partition pruning IS the inverted-file lookup,
+    exactly like ``build_ivf_index``) and the PQ codebook compresses
+    each vector to ``m`` sub-codes -- at 100 TB the persisted artifact
+    is codes + codebook (~32x smaller than the float vectors), not the
+    vectors. ``pq_topk`` trains this per call; production trains ONCE
+    here and serves every query from the artifact. Layout:
+
+        {path}/codes/cluster=N/...  (_id, codes array<int>)
+        {path}/codebooks/           (j, code, centroid array<double>)
+        {path}/centroids/           (cluster, centroid) -- coarse IVF
+
+    Fully deterministic (lowest-id seeding, first-min argmin,
+    order-independent means): rebuilding from the same data yields a
+    bit-identical index, and serving equals in-memory training with the
+    same hyperparameters (both pinned by tests).
+    """
+    spark = embeddings.sparkSession
+    e = embeddings.select(
+        F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
+    )
+    en = _l2_normalized(e).persist()
+    dim = en.select(F.size("_v").alias("d")).first().d
+    sub = dim // m
+    # coarse IVF on the normalized vectors (same trainer as ivf_topk)
+    cents = [list(r._v) for r in en.orderBy("_id").limit(nlist).collect()]
+    for _ in range(ivf_iters):
+        by_cluster = _ivf_means(_ivf_assign(en, cents))
+        cents = [by_cluster.get(i, cents[i]) for i in range(nlist)]
+    assigned = _ivf_assign(en, cents).select("_id", "cluster")
+    # PQ codebook + codes over the full corpus (one global codebook --
+    # the non-residual IVFPQ variant: codes are comparable across
+    # clusters, so one ADC table serves any probe set)
+    sf = _pq_subframe(en, m, sub).persist()
+    books = _pq_train(sf, m, ksub, iters)
+    (
+        _pq_encode(sf, books, m)
+        .join(assigned, "_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/codes")
+    )
+    spark.createDataFrame(
+        [(j, i, books[j][i]) for j in books for i in range(len(books[j]))],
+        "j int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def pq_index_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 50,
+    embeddings: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve a top-k from a persisted IVF-PQ index: probe selection is
+    driver-side math on the tiny coarse-centroid table, the codes scan
+    partition-prunes to ``cluster IN probes``, and scoring is pure ADC
+    over the m x ksub codebook -- NO float vector is read at all unless
+    ``embeddings`` is passed, in which case the top-``rerank`` ADC
+    candidates are exact-cosine re-ranked against the source vectors
+    (the engine-wide approximate-candidates/exact-scores discipline).
+    Without re-rank the score is the ADC cosine estimate
+    ``1 - adc/2`` (squared euclidean on the unit sphere), rounded to
+    4dp like every similarity score."""
+    books_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    books: dict[int, list] = {}
+    for r in sorted(books_rows, key=lambda r: (r.j, r.code)):
+        books.setdefault(int(r.j), []).append(list(r.centroid))
+    m = len(books)
+    dim = len(query_vec)
+    sub = dim // m
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    qv = [x / qn for x in query_vec]
+    cents = {
+        int(r.cluster): list(r.centroid)
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    probes = sorted(
+        cents, key=lambda i: (sum((x - y) ** 2 for x, y in zip(cents[i], qv)), i)
+    )[:nprobe]
+    codes = spark.read.parquet(f"{path}/codes").where(
+        F.col("cluster").isin(probes)
+    )
+    adc = _pq_adc_expr(books, qv, m, sub)
+    ranked = codes.withColumn("_adc", adc).orderBy(
+        F.col("_adc").asc(), F.col("_id").asc()
+    )
+    if embeddings is None:
+        return ranked.select(
+            F.col("_id").alias(id_col),
+            F.round(1 - F.col("_adc") / 2, 4).alias("score"),
+        ).limit(k)
+    cand = ranked.limit(rerank).select("_id")
+    e = embeddings.select(
+        F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
+    )
+    q = F.array(*[F.lit(float(x)) for x in qv])
     return (
         cand.join(e, "_id")
         .select(

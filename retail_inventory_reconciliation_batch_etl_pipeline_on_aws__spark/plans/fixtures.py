@@ -256,11 +256,14 @@ def dim_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 import os as _os
 
-EVOLVING_FIXTURE_DIR = _os.path.join(
+#: gitignored root for repo-local derived artifacts (fixtures, lazily
+#: built serving indexes)
+FIXTURE_ROOT = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
     ".fixtures",
-    "evolving_sales",
 )
+
+EVOLVING_FIXTURE_DIR = _os.path.join(FIXTURE_ROOT, "evolving_sales")
 
 
 def ensure_evolving_fixture() -> str:

@@ -5680,6 +5680,31 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, _query_vector(spark, sf_dir), k=10)
 
 
+def q_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 served from a PERSISTED IVF-PQ index (train-once/
+    serve-many: codes partitioned by coarse cluster so the probe scan
+    partition-prunes, one global m x ksub codebook, exact-cosine
+    re-rank against the source vectors). The index is built lazily
+    into the gitignored fixture root on first use and reused after --
+    the artifact lifecycle ``build_ivf_index`` has, at the PQ
+    compression rung. Approximate by design -> rows-only; serve==train
+    identity and determinism are pinned by tests."""
+    import os as _os
+
+    from .operators.similarity import build_pq_index, pq_index_topk
+    from .plans.fixtures import FIXTURE_ROOT
+
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    idx = _os.path.join(
+        FIXTURE_ROOT, f"pq_index_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not _os.path.exists(_os.path.join(idx, "codes", "_SUCCESS")):
+        build_pq_index(emb, idx)
+    return pq_index_topk(
+        spark, idx, _query_vector(spark, sf_dir), k=10, embeddings=emb
+    )
+
+
 def q_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alert-storm suppression over the error stream (24h cooldown per
     user): the batch twin of ``streaming_alert_throttle``. Greedy

@@ -375,3 +375,19 @@ def test_semantic_dedup_output_schema_follows_id_col(spark):
     assert dict(out.dtypes)["doc_key"] == "string"
     got = {r.doc_key: r.kept for r in out.collect()}
     assert got == {"doc-a": True, "doc-b": False, "doc-c": True}
+
+
+def test_pq_index_topk_contract(spark):
+    """Driver-surface entry: lazily builds the persisted IVF-PQ index
+    under .fixtures and serves deterministic exact-re-ranked top-10
+    with the query vector itself ranked first."""
+    qs = entry.queries()
+    rows = qs["pq_index_topk"](spark, ORACLE_SF).collect()
+    assert len(rows) == 10
+    assert rows[0].vec_id == 0 and rows[0].score == 1.0
+    assert rows == qs["pq_index_topk"](spark, ORACLE_SF).collect()
+    # serve-many vs train-per-query: same corpus, same codebook params
+    # -> the persisted path must agree with pq_topk's candidates
+    direct = {r.vec_id for r in qs["pq_topk"](spark, ORACLE_SF).collect()}
+    served = {r.vec_id for r in rows}
+    assert len(served & direct) >= 8  # nprobe=4 of 8 clusters may trim

@@ -1267,3 +1267,73 @@ def test_runtime_bloom_filter_fires_at_scale(spark):
             "spark.sql.optimizer.runtime.bloomFilter."
             "applicationSideScanSizeThreshold"
         )
+
+
+def test_persisted_pq_index_serves_identical_results_and_prunes(
+    spark, tmp_path
+):
+    """IVF-PQ artifact lifecycle: (a) rebuilding from the same data is
+    BIT-IDENTICAL (codes, codebooks, coarse centroids), (b) serving
+    with exact re-rank returns the brute-force top-1 (the query vector
+    itself) and is deterministic across calls, (c) the codes scan
+    partition-prunes to the probed clusters, (d) ADC-only serving
+    never touches the embeddings table."""
+    import contextlib
+    import io
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.similarity import (  # noqa: E501
+        build_pq_index,
+        pq_index_topk,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans import (
+        fixtures,
+    )
+
+    emb = fixtures.load(spark, TESTDATA, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0].embedding
+    ]
+    idx1, idx2 = str(tmp_path / "pq1"), str(tmp_path / "pq2")
+    build_pq_index(emb, idx1)
+    build_pq_index(emb, idx2)
+
+    def snap(idx):
+        codes = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{idx}/codes")
+            .select("_id", "codes", "cluster")
+            .collect()
+        )
+        books = sorted(
+            (r.j, r.code, tuple(r.centroid))
+            for r in spark.read.parquet(f"{idx}/codebooks").collect()
+        )
+        cents = sorted(
+            (r.cluster, tuple(r.centroid))
+            for r in spark.read.parquet(f"{idx}/centroids").collect()
+        )
+        return codes, books, cents
+
+    assert snap(idx1) == snap(idx2)  # train-once determinism, bit-level
+
+    served = pq_index_topk(spark, idx1, qv, k=10, embeddings=emb)
+    rows = served.collect()
+    assert rows == pq_index_topk(spark, idx1, qv, k=10, embeddings=emb).collect()
+    assert rows[0].vec_id == 0 and rows[0].score == 1.0  # self is top-1
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters:" in p
+    assert "cluster" in p.split("PartitionFilters:")[1].split("]")[0]
+
+    # ADC-only serving: no embeddings scan anywhere in the plan
+    adc_only = pq_index_topk(spark, idx1, qv, k=10)
+    got = adc_only.collect()
+    assert len(got) == 10 and got == adc_only.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        adc_only.explain("formatted")
+    assert "embeddings" not in buf.getvalue()
