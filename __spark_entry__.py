@@ -48,24 +48,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     artifact as the r04/r05/r06 DECIMAL reds; it now carries CAST(...
     AS BIGINT) and tests/test_oracle_lint.py bans un-cast wide
     oracle outputs engine-wide;
-    (2) the 13 entries whose freshest green is CORRECTNESS_r04 (they
+    (2) the 10 round-8 additions, never driver-attested (FIFO layer
+    allocation, FastSS edit-distance-1 neighbors, sweep-line backlog
+    peak, order-day streaks, weighted median price, cohort matrix,
+    price endings, collocation lift, hapax stats, modal priority);
+    (3) the 13 entries whose freshest green is CORRECTNESS_r04 (they
     were displaced past the boundary by the late round-7 additions);
-    (3) 36 stalest r05 greens, in r05 attestation order.
-    New round-8 oracle-paired additions slot in after (1) as
-    never-attested entries, displacing the window tail. Past the
-    window: the 13 remaining r05 greens, the 49 r06 greens, the 49
-    r07 greens (freshest), then the 18 rows-only (seeded/approximate/
-    iterative) entries that close the tail by design -- attesting
-    those would waste a slot on a weaker rows-only check. All
-    post-window entries stay pinned value-level by
-    tests/test_oracle_parity.py and bit-exactly by
-    tools/strict_parity.py.
+    (4) 26 stalest r05 greens, in r05 attestation order -- the next
+    ten r05 greens were displaced past the boundary by (2) and lead
+    the stale queue next round. Past the window: those ten, the 13
+    remaining r05 greens, the 49 r06 greens, the 49 r07 greens
+    (freshest), then the 19 rows-only (seeded/approximate/iterative)
+    entries that close the tail by design -- attesting those would
+    waste a slot on a weaker rows-only check. All post-window entries
+    stay pinned value-level by tests/test_oracle_parity.py and
+    bit-exactly by tools/strict_parity.py.
     """
     return {
         # --- (1) red in r07 (HUGEINT oracle bucket; now CAST AS
         # BIGINT and the oracle dtype lint bans the family) --------
         "price_equidepth_hist": Q.q_price_equidepth_hist,
-        # --- (2) stalest greens: the 13 r04-green entries displaced
+        # --- (2) round-8 additions, never driver-attested: FIFO layer
+        # allocation, FastSS edit-distance-1 blocking, the sweep-line
+        # backlog peak, gaps-and-islands streaks, exact weighted
+        # median, the cohort triangle, cent-ending forensics,
+        # PMI-equivalent collocation lift, vocabulary-shape stats,
+        # per-nation modal priority ----------------------------------
+        "fifo_allocation": Q.q_fifo_allocation,
+        "name_edit1_pairs": Q.q_name_edit1_pairs,
+        "supplier_backlog_peak": Q.q_supplier_backlog_peak,
+        "order_streaks": Q.q_order_streaks,
+        "weighted_median_price": Q.q_weighted_median_price,
+        "cohort_matrix": Q.q_cohort_matrix,
+        "price_endings": Q.q_price_endings,
+        "collocation_lift": Q.q_collocation_lift,
+        "hapax_stats": Q.q_hapax_stats,
+        "dominant_priority": Q.q_dominant_priority,
+        # --- (3) stalest greens: the 13 r04-green entries displaced
         # past the boundary by the late round-7 additions ------------
         "important_part_values": Q.q_important_part_values,
         "top_revenue_supplier": Q.q_top_revenue_supplier,
@@ -107,6 +126,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_above_brand_avg": Q.q_parts_above_brand_avg,
         "sales_grouping_sets": Q.q_sales_grouping_sets,
         "shipping_priority": Q.q_shipping_priority,
+        # ---- end of the 50-entry attested window --------------------
+        # r05-green remainder (freshest row CORRECTNESS_r05.json);
+        # the first ten were displaced from the window by the round-8
+        # additions and lead the stale queue next round
         "customer_spend_quartiles": Q.q_customer_spend_quartiles,
         "events_hourly": Q.q_events_hourly,
         "events_sessionize": Q.q_events_sessionize,
@@ -117,8 +140,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_percentiles": Q.q_event_value_percentiles,
         "signup_purchase_funnel": Q.q_signup_purchase_funnel,
         "sku_sales_salted": Q.q_sku_sales_salted,
-        # ---- end of the 50-entry attested window --------------------
-        # r05-green remainder (freshest row CORRECTNESS_r05.json)
         "stock_asof": Q.q_stock_asof,
         "orders_in_promos": Q.q_orders_in_promos,
         "top_part_per_brand": Q.q_top_part_per_brand,
@@ -3664,6 +3685,275 @@ SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM nodes GROUP BY part
 ORDER BY n_triangles DESC, part ASC
 LIMIT 15
+""",
+
+        # ---------------- round-8 additions ---------------------------
+
+        # FIFO layer allocation: the oracle spells the same exact
+        # running-sum interval-overlap rule (windows are per-sku);
+        # every output cell CAST to BIGINT (DuckDB window-SUM widens
+        # to HUGEINT -- the r07 red family)
+        "fifo_allocation": """
+WITH flow AS (
+  SELECT l_partkey AS sku,
+         CAST(l_quantity AS INT) AS qty,
+         CAST(l_shipdate AS DATE) AS d,
+         l_orderkey AS ord, l_linenumber AS line,
+         l_orderkey % 2 = 0 AS is_receipt
+  FROM lineitem
+),
+r AS (
+  SELECT sku, qty, d, ord, line,
+         SUM(qty) OVER (PARTITION BY sku ORDER BY d, ord, line
+                        ROWS UNBOUNDED PRECEDING) AS hi
+  FROM flow WHERE is_receipt
+),
+i AS (
+  SELECT sku, qty, d, ord, line,
+         SUM(qty) OVER (PARTITION BY sku ORDER BY d, ord, line
+                        ROWS UNBOUNDED PRECEDING) AS hi
+  FROM flow WHERE NOT is_receipt
+),
+m AS (
+  SELECT r.sku,
+         LEAST(r.hi, i.hi) - GREATEST(r.hi - r.qty, i.hi - i.qty) AS mq,
+         i.d - r.d AS days
+  FROM r JOIN i ON r.sku = i.sku
+   AND r.hi - r.qty < i.hi AND i.hi - i.qty < r.hi
+),
+tot AS (
+  SELECT sku,
+         CAST(SUM(CASE WHEN is_receipt THEN qty ELSE 0 END) AS BIGINT)
+           AS receipt_qty,
+         CAST(SUM(CASE WHEN is_receipt THEN 0 ELSE qty END) AS BIGINT)
+           AS issue_qty
+  FROM flow GROUP BY sku
+),
+agg AS (
+  SELECT sku,
+         CAST(SUM(mq) AS BIGINT) AS matched_qty,
+         CAST(COUNT(*) AS BIGINT) AS n_matches,
+         CAST(SUM(mq * days) AS BIGINT) AS holding_days
+  FROM m GROUP BY sku
+)
+SELECT t.sku, t.receipt_qty, t.issue_qty,
+       COALESCE(a.matched_qty, 0) AS matched_qty,
+       COALESCE(a.n_matches, 0) AS n_matches,
+       COALESCE(a.holding_days, 0) AS holding_days
+FROM tot t LEFT JOIN agg a ON t.sku = a.sku
+ORDER BY t.sku
+""",
+
+        # FastSS blocking is engine-side only; the oracle is the naive
+        # all-pairs levenshtein, so blocking recall loss fails the hash
+        "name_edit1_pairs": """
+WITH names AS (SELECT DISTINCT c_name AS s FROM customer WHERE c_name IS NOT NULL),
+pairs AS (
+  SELECT a.s AS name_a, b.s AS name_b
+  FROM names a JOIN names b ON a.s < b.s
+  WHERE levenshtein(a.s, b.s) <= 1
+),
+sides AS (
+  SELECT name_a AS name FROM pairs
+  UNION ALL SELECT name_b FROM pairs
+)
+SELECT name, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+FROM sides GROUP BY name ORDER BY name
+""",
+
+        # sweep-line concurrency: running window-SUM is HUGEINT in
+        # DuckDB -- output cells cast to BIGINT
+        "supplier_backlog_peak": """
+WITH lines AS (
+  SELECT l.l_suppkey AS supp,
+         CAST(o.o_orderdate AS DATE) AS order_d,
+         CAST(l.l_shipdate AS DATE) AS ship_d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+),
+deltas AS (
+  SELECT supp, order_d AS d, 1 AS delta FROM lines
+  UNION ALL
+  SELECT supp, ship_d + 1 AS d, -1 AS delta FROM lines
+),
+daily AS (
+  SELECT supp, d, SUM(delta) AS dd FROM deltas GROUP BY supp, d
+),
+curve AS (
+  SELECT supp, d,
+         SUM(dd) OVER (PARTITION BY supp ORDER BY d
+                       ROWS UNBOUNDED PRECEDING) AS open_lines
+  FROM daily
+),
+peak AS (SELECT supp, MAX(open_lines) AS mx FROM curve GROUP BY supp)
+SELECT c.supp AS suppkey,
+       CAST(MAX(c.open_lines) AS BIGINT) AS peak_open_lines,
+       MIN(c.d) AS peak_date
+FROM curve c JOIN peak p ON c.supp = p.supp AND c.open_lines = p.mx
+GROUP BY c.supp
+ORDER BY suppkey
+""",
+
+        # gaps-and-islands; DATE - INTEGER is a DATE on both engines
+        "order_streaks": """
+WITH days AS (
+  SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+),
+islands AS (
+  SELECT o_custkey, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY d)
+                  AS INT) AS island
+  FROM days
+),
+runs AS (
+  SELECT o_custkey, island, COUNT(*) AS run_len
+  FROM islands GROUP BY o_custkey, island
+)
+SELECT o_custkey AS custkey,
+       CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_order_days_runs
+FROM runs GROUP BY o_custkey
+HAVING MAX(run_len) >= 2
+ORDER BY custkey
+""",
+
+        # lower weighted median: smallest cents value whose cumulative
+        # weight doubles past the total -- exact integer rule, no
+        # interpolation; cents/100.0 is one IEEE divide
+        "weighted_median_price": """
+WITH priced AS (
+  SELECT p.p_brand,
+         CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents,
+         CAST(l.l_quantity AS BIGINT) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+pts AS (
+  SELECT p_brand, cents, SUM(qty) AS w FROM priced GROUP BY p_brand, cents
+),
+cum AS (
+  SELECT p_brand, cents, w,
+         SUM(w) OVER (PARTITION BY p_brand ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY p_brand) AS tw
+  FROM pts
+)
+SELECT p_brand AS brand,
+       CAST(MIN(cents) AS DOUBLE) / 100.0 AS median_price,
+       CAST(MAX(tw) AS BIGINT) AS total_qty
+FROM cum WHERE cw * 2 >= tw
+GROUP BY p_brand ORDER BY brand
+""",
+
+        # all-integer cohort triangle (months fold to year*12+month)
+        "cohort_matrix": """
+WITH om AS (
+  SELECT DISTINCT o_custkey,
+         CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS BIGINT)
+           AS mkey
+  FROM orders
+),
+first AS (SELECT o_custkey, MIN(mkey) AS m0 FROM om GROUP BY o_custkey)
+SELECT printf('%04d-%02d', CAST(f.m0 // 12 AS INT),
+              CAST(f.m0 % 12 + 1 AS INT)) AS cohort,
+       CAST(o.mkey - f.m0 AS BIGINT) AS month_offset,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+FROM om o JOIN first f ON o.o_custkey = f.o_custkey
+GROUP BY 1, 2 ORDER BY cohort, month_offset
+""",
+
+        # cent-ending distribution; single terminal divide round 6
+        "price_endings": """
+WITH e AS (
+  SELECT CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           % 100 AS ending
+  FROM lineitem
+),
+c AS (SELECT ending, COUNT(*) AS n FROM e GROUP BY ending),
+t AS (SELECT SUM(n) AS n_total FROM c)
+SELECT CAST(ending AS BIGINT) AS ending,
+       CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share
+FROM c CROSS JOIN t ORDER BY ending
+""",
+
+        # PMI-rank-equivalent lift from exact int64 counts; bigrams are
+        # consecutive (non-distinct) token pairs, same tokenizer as the
+        # engine (split on whitespace, drop empties)
+        "collocation_lift": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+),
+uni AS (
+  SELECT unnest(toks) AS tok, doc_id FROM tok
+),
+ucnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok FROM uni GROUP BY tok),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(toks)), i ->
+           concat(toks[i], ' ', toks[i+1]))) AS bigram
+  FROM tok WHERE len(toks) >= 2
+),
+bcnt AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM bi GROUP BY bigram HAVING COUNT(*) >= 5
+),
+tots AS (
+  SELECT CAST((SELECT SUM(n_tok) FROM ucnt) AS BIGINT) AS n_uni,
+         CAST((SELECT COUNT(*) FROM bi) AS BIGINT) AS n_bi
+)
+SELECT b.bigram, b.n_ab,
+       ROUND(CAST(b.n_ab * t.n_uni * t.n_uni AS DOUBLE)
+             / CAST(t.n_bi * a.n_tok * c.n_tok AS DOUBLE), 6) AS lift
+FROM bcnt b
+JOIN ucnt a ON a.tok = split_part(b.bigram, ' ', 1)
+JOIN ucnt c ON c.tok = split_part(b.bigram, ' ', 2)
+CROSS JOIN tots t
+ORDER BY lift DESC, bigram ASC
+LIMIT 20
+""",
+
+        # vocabulary-shape stats; one (source, token) aggregate
+        "hapax_stats": """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+tf AS (SELECT source, tok, COUNT(*) AS n FROM tok GROUP BY source, tok)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+         AS type_token_ratio,
+       ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share
+FROM tf GROUP BY source ORDER BY source
+""",
+
+        # per-nation modal priority, deterministic tie-break
+        "dominant_priority": """
+WITH cnt AS (
+  SELECT n.n_name, o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT n_name, o_orderpriority, n,
+         ROW_NUMBER() OVER (PARTITION BY n_name
+                            ORDER BY n DESC, o_orderpriority ASC) AS rn,
+         SUM(n) OVER (PARTITION BY n_name) AS n_nation
+  FROM cnt
+)
+SELECT n_name AS nation, o_orderpriority AS priority, n,
+       ROUND(CAST(n AS DOUBLE) / CAST(n_nation AS DOUBLE), 6) AS share
+FROM ranked WHERE rn = 1 ORDER BY nation
 """,
 
     }

@@ -5744,3 +5744,390 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO inventory allocation per sku (``operators/allocate.py``):
+    even order keys are receipts, odd are issues; issues consume
+    receipt layers in (ship date, order, line) order, matched through
+    exact running-sum interval overlap. Per sku: total in/out, the
+    FIFO-matched quantity (provably min(in, out) -- property-tested),
+    match-pair count, and signed holding days (sum of matched_qty x
+    (issue day - receipt day); negative = backordered units issued
+    before their covering receipt). All-int64 arithmetic end to end;
+    the reference's stock reconciliation says HOW MUCH moved, this says
+    FROM WHICH LAYER -- the unit-level question FIFO costing and aging
+    need."""
+    from .operators.allocate import fifo_match
+
+    flows = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("sku"),
+        F.col("l_quantity").cast("int").alias("qty"),
+        F.col("l_shipdate").cast("date").alias("d"),
+        F.col("l_orderkey").alias("ord"),
+        F.col("l_linenumber").alias("line"),
+        (F.col("l_orderkey") % 2 == 0).alias("is_receipt"),
+    )
+    totals = flows.groupBy("sku").agg(
+        F.sum(F.when(F.col("is_receipt"), F.col("qty")).otherwise(0))
+        .cast("long")
+        .alias("receipt_qty"),
+        F.sum(F.when(~F.col("is_receipt"), F.col("qty")).otherwise(0))
+        .cast("long")
+        .alias("issue_qty"),
+    )
+    matched = (
+        fifo_match(flows)
+        .groupBy("sku")
+        .agg(
+            F.sum("matched_qty").cast("long").alias("matched_qty"),
+            F.count("*").cast("long").alias("n_matches"),
+            F.sum(
+                F.col("matched_qty") * F.datediff("out_d", "in_d")
+            )
+            .cast("long")
+            .alias("holding_days"),
+        )
+    )
+    return (
+        totals.join(matched, "sku", "left")
+        .na.fill({"matched_qty": 0, "n_matches": 0, "holding_days": 0})
+        .orderBy("sku")
+    )
+
+
+def q_name_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level entity resolution: for every customer name, how many
+    OTHER names sit within Levenshtein distance 1 (serial ids differ in
+    one digit, the classic near-collision). Candidates come from the
+    FastSS deletion-neighborhood equi-join
+    (``operators/dedup.edit1_neighbor_pairs``) -- provably complete for
+    distance <= 1 and block-bounded -- then exact ``levenshtein``
+    verifies; the ORACLE is the naive all-pairs spelling, so any recall
+    loss in the blocking fails the value hash (the PPJoin discipline).
+    Output: names with >= 1 neighbor and their neighbor counts."""
+    from .operators.dedup import edit1_neighbor_pairs
+
+    cust = fixtures.load(spark, sf_dir, "customer")
+    pairs = edit1_neighbor_pairs(cust, str_col="c_name")
+    both = pairs.select(F.col("name_a").alias("name")).unionAll(
+        pairs.select(F.col("name_b").alias("name"))
+    )
+    return (
+        both.groupBy("name")
+        .agg(F.count("*").cast("long").alias("n_neighbors"))
+        .orderBy("name")
+    )
+
+
+def q_supplier_backlog_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent open order-lines per supplier (sweep line): a
+    line is open from its order date through its ship date inclusive;
+    +1/-1 deltas collapse to one row per (supplier, date), a
+    PER-SUPPLIER running sum gives the concurrency curve, and the
+    output is each supplier's maximum with the FIRST date it was hit
+    (deterministic tie-break). The sweep is the scale-honest spelling:
+    materializing one row per open day would explode by average
+    latency; deltas stay at two rows per line pre-aggregation and the
+    windows are partitioned by supplier -- parallel by key. Lines
+    'shipped' before their order date (synthetic-data anomalies; the
+    dq_violations family) are excluded: an inverted interval would
+    feed the sweep its -1 before its +1 and silently depress the
+    curve."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("order_d")
+    )
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).where(
+        F.col("ship_d") >= F.col("order_d")
+    )
+    deltas = lines.select(
+        F.col("l_suppkey").alias("supp"),
+        F.col("order_d").alias("d"),
+        F.lit(1).alias("delta"),
+    ).unionAll(
+        lines.select(
+            F.col("l_suppkey").alias("supp"),
+            F.date_add("ship_d", 1).alias("d"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    daily = deltas.groupBy("supp", "d").agg(F.sum("delta").alias("dd"))
+    w = (
+        Window.partitionBy("supp")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = daily.withColumn("open_lines", F.sum("dd").over(w))
+    peak = curve.groupBy("supp").agg(F.max("open_lines").alias("mx"))
+    return (
+        curve.join(peak, "supp")
+        .where(F.col("open_lines") == F.col("mx"))
+        .groupBy("supp")
+        .agg(
+            F.max("open_lines").cast("long").alias("peak_open_lines"),
+            F.min("d").alias("peak_date"),
+        )
+        .select(
+            F.col("supp").alias("suppkey"), "peak_open_lines", "peak_date"
+        )
+        .orderBy("suppkey")
+    )
+
+
+def q_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each customer's LONGEST run of consecutive
+    order days, via the classic date-minus-row_number island key (two
+    per-customer window passes, zero joins). Exact integer arithmetic;
+    only customers with a streak >= 2 survive (a 1-day 'streak' is
+    every customer). The island trick is the scale-honest spelling:
+    the naive self-join on day+1 re-shuffles the fact table per probe
+    while this is one partitioned window."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    islands = orders.withColumn(
+        "island", F.date_sub("d", F.row_number().over(w))
+    )
+    runs = islands.groupBy("o_custkey", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        runs.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("run_len").cast("long").alias("longest_streak"),
+            F.count("*").cast("long").alias("n_order_days_runs"),
+        )
+        .where(F.col("longest_streak") >= 2)
+        .orderBy("custkey")
+    )
+
+
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per brand: exact integer rule
+    (the smallest cents value whose cumulative weight doubles past the
+    brand total -- lower weighted median, no interpolation, no float
+    rank). Prices collapse to (brand, cents) BEFORE the window, so the
+    per-brand cumulative scan runs over distinct price points, not raw
+    lines; windows are partitioned by brand."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    part = fixtures.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    priced = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    pts = priced.groupBy("p_brand", "cents").agg(F.sum("qty").alias("w"))
+    wcum = (
+        Window.partitionBy("p_brand")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = pts.groupBy("p_brand").agg(F.sum("w").alias("tw"))
+    cum = pts.withColumn("cw", F.sum("w").over(wcum)).join(tot, "p_brand")
+    return (
+        cum.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            (F.min("cents").cast("double") / 100.0).alias("median_price"),
+            F.max("tw").cast("long").alias("total_qty"),
+        )
+        .orderBy("brand")
+    )
+
+
+def q_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by FIRST-order month,
+    counted in every later month they ordered, keyed by month offset --
+    the classic cohort triangle, all-integer (months fold to
+    year*12+month ints; no date interval arithmetic crosses engines).
+    Two shuffles: per-customer first-month aggregate, then the
+    (cohort, offset) count."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("mkey"),
+    ).distinct()
+    first = orders.groupBy("o_custkey").agg(F.min("mkey").alias("m0"))
+    return (
+        orders.join(first, "o_custkey")
+        .groupBy("m0", (F.col("mkey") - F.col("m0")).alias("month_offset"))
+        .agg(F.countDistinct("o_custkey").cast("long").alias("n_customers"))
+        .select(
+            F.format_string(
+                "%04d-%02d",
+                (F.col("m0") / 12).cast("int"),
+                F.col("m0") % 12 + 1,
+            ).alias("cohort"),
+            F.col("month_offset").cast("long").alias("month_offset"),
+            "n_customers",
+        )
+        .orderBy("cohort", "month_offset")
+    )
+
+
+def q_price_endings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Psychological-pricing screen: distribution of price CENT endings
+    (00-99) across all line items -- the retail forensics twin of the
+    Benford screen (uniform endings say generated data; real catalogs
+    spike at .99/.95). One groupBy on an exact integer ending plus the
+    sanctioned 1-row total gate; share is one terminal divide of exact
+    int64, rounded to 6dp on both engines."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        (
+            F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            % 100
+        ).alias("ending")
+    )
+    counts = li.groupBy("ending").agg(F.count("*").cast("long").alias("n"))
+    total = counts.agg(F.sum("n").cast("long").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "ending",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_total"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("ending")
+    )
+
+
+def q_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by LIFT -- PMI's rank-equivalent exact core:
+    lift(a,b) = P(ab) / (P(a)P(b)) = (n_ab * N_uni^2) / (N_bi * n_a *
+    n_b), every operand an exact int64 count, ONE terminal divide
+    rounded to 6dp (the log-free spelling of pointwise mutual
+    information -- log is monotone, so lift order IS PMI order). The
+    unigram-count joins are plain equi-joins (per-token aggregates are
+    unbounded -- no broadcast hint, the basket_rules lesson)."""
+    from .functions.text import tokens, word_ngrams
+
+    docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
+    uni = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n_tok"))
+    )
+    bi = (
+        docs.where(F.size(tokens("text")) >= 2)
+        .select(F.explode(word_ngrams("text", 2, distinct=False)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    totals = uni.agg(
+        F.sum("n_tok").cast("long").alias("n_uni")
+    ).crossJoin(
+        docs.where(F.size(tokens("text")) >= 2)
+        .select(
+            (F.size(tokens("text")) - 1).alias("nb")
+        )
+        .agg(F.sum("nb").cast("long").alias("n_bi"))
+    )
+    na = uni.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))
+    nb = uni.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))
+    return (
+        bi.withColumn("tok_a", F.split("bigram", " ").getItem(0))
+        .withColumn("tok_b", F.split("bigram", " ").getItem(1))
+        .join(na, "tok_a")
+        .join(nb, "tok_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bigram",
+            "n_ab",
+            F.round(
+                (F.col("n_ab") * F.col("n_uni") * F.col("n_uni")).cast("double")
+                / (F.col("n_bi") * F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+def q_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-shape diagnostics per source: token count, vocabulary
+    size, hapax count (tokens seen once -- the Zipf tail a corpus
+    curator watches for OCR noise or near-duplication), type-token
+    ratio and hapax share as terminal exact-int divides. One
+    (source, token) aggregate feeds everything."""
+    from .functions.text import tokens
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("vocab"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            "hapax",
+            F.round(F.col("vocab").cast("double") / F.col("n_tokens"), 6).alias(
+                "type_token_ratio"
+            ),
+            F.round(F.col("hapax").cast("double") / F.col("vocab"), 6).alias(
+                "hapax_share"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def q_dominant_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation MODAL order priority with its share -- statistical
+    mode with a deterministic tie-break (highest count, then lowest
+    priority string). Counts aggregate per (nation, priority) BEFORE
+    the per-nation argmax window, so the window scans |nations x
+    priorities| rows, never raw orders."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = fixtures.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    counts = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    tot = Window.partitionBy("n_name")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_nation", F.sum("n").over(tot))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderpriority").alias("priority"),
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("n_nation").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("nation")
+    )

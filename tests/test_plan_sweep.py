@@ -34,6 +34,9 @@ NESTED_LOOP_OK = {
     "basket_rules",  # 1-row order-total broadcast gate (support/lift denominators)
     "domain_classifier",  # 1-row vocab-size broadcast gate (Laplace denominators)
     "benford_screen",  # 1-row total-count broadcast gate (digit shares)
+    "price_endings",  # 1-row total-count broadcast gate (ending shares)
+    "collocation_lift",  # 1-row (N_uni, N_bi) corpus-total broadcast gate
+    "pq_index_topk",  # 1-row ADC codebook-literal gate over pruned codes
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

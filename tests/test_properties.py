@@ -709,3 +709,92 @@ def test_resize_box_resample_matches_python_model(w, h, ow, oh, seed):
             vals = [px[yy][xx] for yy in range(y0, y1) for xx in range(x0, x1)]
             assert got[y][x] == sum(vals) // len(vals)
     assert decode_gray_pixels(encode_png_gray_pixels(got)) == got
+
+
+@given(
+    flows=st.lists(
+        st.tuples(st.booleans(), st.integers(1, 20)), min_size=1, max_size=14
+    )
+)
+@SLOW
+def test_fifo_match_equals_two_pointer_model(spark, flows):
+    """fifo_match == a pure-Python two-pointer FIFO simulation on one
+    key: same (receipt_seq, issue_seq, qty) triples, any interleaving
+    of receipts and issues."""
+    import datetime as dt
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.allocate import (  # noqa: E501
+        fifo_match,
+    )
+
+    rows = [
+        (1, qty, dt.date(2024, 1, 1) + dt.timedelta(days=i), i, 1, is_in)
+        for i, (is_in, qty) in enumerate(flows)
+    ]
+    df = spark.createDataFrame(
+        rows, "sku long, qty int, d date, ord long, line int, is_receipt boolean"
+    )
+    got = sorted(
+        (r.in_ord, r.out_ord, r.matched_qty) for r in fifo_match(df).collect()
+    )
+
+    receipts = [(i, q) for i, (is_in, q) in enumerate(flows) if is_in]
+    issues = [(i, q) for i, (is_in, q) in enumerate(flows) if not is_in]
+    want = []
+    ri = ii = 0
+    r_left = receipts[0][1] if receipts else 0
+    i_left = issues[0][1] if issues else 0
+    while ri < len(receipts) and ii < len(issues):
+        take = min(r_left, i_left)
+        want.append((receipts[ri][0], issues[ii][0], take))
+        r_left -= take
+        i_left -= take
+        if r_left == 0:
+            ri += 1
+            r_left = receipts[ri][1] if ri < len(receipts) else 0
+        if i_left == 0:
+            ii += 1
+            i_left = issues[ii][1] if ii < len(issues) else 0
+    assert got == sorted(want)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(1, 50), st.integers(1, 9)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SLOW
+def test_weighted_median_rule_matches_python(spark, pts):
+    """The lower-weighted-median rule (smallest value whose cumulative
+    weight doubles past the total) recomputed in python against the
+    same window spelling the query uses."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [(v, w) for v, w in pts], "cents long, qty long"
+    )
+    agg = df.groupBy("cents").agg(F.sum("qty").alias("w"))
+    win = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = agg.agg(F.sum("w").alias("tw"))
+    got = (
+        agg.withColumn("cw", F.sum("w").over(win))
+        .crossJoin(tot)
+        .where(F.col("cw") * 2 >= F.col("tw"))
+        .agg(F.min("cents"))
+        .first()[0]
+    )
+    import collections
+
+    c = collections.Counter()
+    for v, w in pts:
+        c[v] += w
+    total = sum(c.values())
+    cum = 0
+    for v in sorted(c):
+        cum += c[v]
+        if 2 * cum >= total:
+            assert got == v
+            break

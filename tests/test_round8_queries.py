@@ -208,3 +208,207 @@ def test_basket_rules_has_no_forced_per_key_broadcast(spark):
 
     df = Q.q_basket_rules(spark, SF)
     lint_plan(df, forbid_keyed_agg_broadcast=True)
+
+
+def test_fifo_matched_equals_min_of_sides_and_hand_case(spark):
+    """Conservation law: per sku, FIFO-matched qty == min(receipts,
+    issues) -- the allocation neither invents nor drops units. Plus a
+    hand-computed layer case: receipts [5, 3], issues [2, 4, 2] ->
+    matches (r1,i1)=2, (r1,i2)=3, (r2,i2)=1, (r2,i3)=2."""
+    rows = Q.q_fifo_allocation(spark, SF).collect()
+    assert rows and all(
+        r.matched_qty == min(r.receipt_qty, r.issue_qty) for r in rows
+    )
+    import datetime as dt
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.allocate import (  # noqa: E501
+        fifo_match,
+    )
+
+    d = dt.date(2024, 1, 1)
+    flows = spark.createDataFrame(
+        [
+            (1, 5, d, 0, 1, True),
+            (1, 3, dt.date(2024, 1, 3), 2, 1, True),
+            (1, 2, dt.date(2024, 1, 2), 1, 1, False),
+            (1, 4, dt.date(2024, 1, 4), 3, 1, False),
+            (1, 2, dt.date(2024, 1, 5), 5, 1, False),
+        ],
+        "sku long, qty int, d date, ord long, line int, is_receipt boolean",
+    )
+    got = sorted(
+        (r.in_ord, r.out_ord, r.matched_qty)
+        for r in fifo_match(flows).collect()
+    )
+    assert got == [(0, 1, 2), (0, 3, 3), (2, 3, 1), (2, 5, 2)]
+
+
+def test_edit1_pairs_plants_all_three_edit_kinds(spark):
+    """FastSS completeness by construction: substitution, insertion,
+    and deletion pairs are all found; a distance-2 pair sharing a
+    deletion variant ('ab'/'ba') is generated as a candidate but
+    killed by the exact verify."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.dedup import (  # noqa: E501
+        edit1_neighbor_pairs,
+    )
+
+    names = ["kitten", "mitten", "kittten", "kiten", "ab", "ba", "zzz"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {(r.name_a, r.name_b) for r in edit1_neighbor_pairs(df, "name").collect()}
+    assert ("kitten", "mitten") in got  # substitution
+    assert ("kitten", "kittten") in got  # insertion
+    assert ("kiten", "kitten") in got  # deletion
+    assert ("ab", "ba") not in got  # distance 2, verify kills it
+    assert not any("zzz" in p for p in got)
+
+
+def test_backlog_peak_matches_bruteforce_recount(spark):
+    """For five suppliers, the reported peak equals a brute-force count
+    of lines open on the reported peak date (order_d <= d <= ship_d),
+    and no other day beats it (spot: the day before the peak date is
+    not higher -- first-date tie-break)."""
+    rows = {r.suppkey: r for r in Q.q_supplier_backlog_peak(spark, SF).collect()}
+    li = fixtures.load(spark, SF, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    orders = fixtures.load(spark, SF, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("order_d")
+    )
+    lines = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("ship_d") >= F.col("order_d"))
+        .collect()
+    )
+    import collections
+
+    by_supp = collections.defaultdict(list)
+    for r in lines:
+        by_supp[r.l_suppkey].append((r.order_d, r.ship_d))
+    for supp in list(rows)[:5]:
+        want = rows[supp]
+        spans = by_supp[supp]
+        def open_on(d):
+            return sum(1 for o, s in spans if o <= d <= s)
+        assert open_on(want.peak_date) == want.peak_open_lines
+        days = sorted({o for o, _ in spans} | {s for _, s in spans})
+        assert max(open_on(d) for d in days) == want.peak_open_lines
+        earlier = [d for d in days if d < want.peak_date]
+        assert all(open_on(d) < want.peak_open_lines for d in earlier)
+
+
+def test_order_streaks_bruteforce(spark):
+    """Python recompute of every customer's longest consecutive-day
+    run from the raw order dates."""
+    got = {
+        r.custkey: (r.longest_streak, r.n_order_days_runs)
+        for r in Q.q_order_streaks(spark, SF).collect()
+    }
+    orders = fixtures.load(spark, SF, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    ).distinct().collect()
+    import collections
+    import datetime as dt
+
+    days = collections.defaultdict(set)
+    for r in orders:
+        days[r.o_custkey].add(r.d)
+    for cust, ds in days.items():
+        ds = sorted(ds)
+        runs, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if (b - a) == dt.timedelta(days=1):
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        if max(runs) >= 2:
+            assert got[cust] == (max(runs), len(runs)), cust
+        else:
+            assert cust not in got
+
+
+def test_cohort_matrix_partitions_activity(spark):
+    """Offset-0 count IS the cohort size, every (customer, month)
+    activity cell lands in exactly one matrix cell, and offsets are
+    non-negative."""
+    rows = Q.q_cohort_matrix(spark, SF).collect()
+    assert all(r.month_offset >= 0 for r in rows)
+    om = (
+        fixtures.load(spark, SF, "orders")
+        .select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("mkey"),
+        )
+        .distinct()
+    )
+    assert sum(r.n_customers for r in rows) == om.count()
+    n_cust = om.select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in rows if r.month_offset == 0) == n_cust
+
+
+def test_price_endings_and_hapax_recounts(spark):
+    """Endings cover all lines and shares telescope to ~1; hapax stats
+    recomputed exactly in python at test SF."""
+    rows = Q.q_price_endings(spark, SF).collect()
+    li_n = fixtures.load(spark, SF, "lineitem").count()
+    assert sum(r.n for r in rows) == li_n
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+
+    import collections
+
+    docs = fixtures.load(spark, SF, "documents").select("source", "text").collect()
+    cnt: dict = collections.defaultdict(collections.Counter)
+    for r in docs:
+        cnt[r.source].update(t for t in r.text.split() if t)
+    got = {r.source: r for r in Q.q_hapax_stats(spark, SF).collect()}
+    for src, c in cnt.items():
+        n_tokens = sum(c.values())
+        vocab = len(c)
+        hapax = sum(1 for v in c.values() if v == 1)
+        g = got[src]
+        assert (g.n_tokens, g.vocab, g.hapax) == (n_tokens, vocab, hapax)
+        assert g.type_token_ratio == round(vocab / n_tokens, 6)
+        assert g.hapax_share == round(hapax / vocab, 6)
+
+
+def test_collocation_and_mode_python_recompute(spark):
+    """Lift of every reported collocation recomputed from raw counts;
+    dominant priority equals the python mode with the lowest-string
+    tie-break."""
+    import collections
+
+    docs = fixtures.load(spark, SF, "documents").select("text").collect()
+    uni: collections.Counter = collections.Counter()
+    bi: collections.Counter = collections.Counter()
+    for r in docs:
+        toks = [t for t in r.text.split() if t]
+        uni.update(toks)
+        bi.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    n_uni, n_bi = sum(uni.values()), sum(bi.values())
+    got = Q.q_collocation_lift(spark, SF).collect()
+    assert got  # non-empty at test SF
+    for r in got:
+        a, b = r.bigram.split(" ")
+        assert r.n_ab == bi[r.bigram] and r.n_ab >= 5
+        want = round((r.n_ab * n_uni * n_uni) / (n_bi * uni[a] * uni[b]), 6)
+        assert r.lift == want, r.bigram
+
+    rows = {r.nation: r for r in Q.q_dominant_priority(spark, SF).collect()}
+    orders = fixtures.load(spark, SF, "orders").select("o_custkey", "o_orderpriority")
+    cust = fixtures.load(spark, SF, "customer").select("c_custkey", "c_nationkey")
+    nation = fixtures.load(spark, SF, "nation").select("n_nationkey", "n_name")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_orderpriority")
+        .collect()
+    )
+    per: dict = collections.defaultdict(collections.Counter)
+    for r in joined:
+        per[r.n_name][r.o_orderpriority] += 1
+    for nat, c in per.items():
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        g = rows[nat]
+        assert (g.priority, g.n) == best
+        assert g.share == round(best[1] / sum(c.values()), 6)
