@@ -1166,11 +1166,13 @@ SELECT user_id,
 FROM sess
 GROUP BY user_id, session_seq
 """,
+        # ANSI percentile_cont (same interpolated quantile as DuckDB
+        # quantile_cont) -- parses verbatim on Spark too (r8 rewrite)
         "event_value_percentiles": """
 SELECT event_type,
-       ROUND(quantile_cont(value, 0.5), 4) AS p50,
-       ROUND(quantile_cont(value, 0.95), 4) AS p95,
-       ROUND(quantile_cont(value, 0.99), 4) AS p99
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS p50,
+       ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 4) AS p95,
+       ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 4) AS p99
 FROM events
 GROUP BY event_type
 """,
@@ -3189,35 +3191,46 @@ FROM p GROUP BY 1, 2 ORDER BY brand, quartile
         # inter-purchase gaps per segment; exact integer day gaps, one
         # terminal division, interpolated median (quantile_cont ==
         # Spark percentile)
+        # rewritten portable in r8: epoch-based whole-day numbers
+        # (DATE - DATE is INTEGER on DuckDB but INTERVAL on Spark) and
+        # ANSI percentile_cont WITHIN GROUP (same interpolated quantile
+        # as DuckDB quantile_cont; parses on both engines)
         "order_gap_stats": """
-WITH g AS (
-  SELECT o_custkey,
-         CAST(o_orderdate AS DATE)
-           - LAG(CAST(o_orderdate AS DATE)) OVER (
-               PARTITION BY o_custkey
-               ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS gap
+WITH dn AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400) AS BIGINT)
+           AS d
   FROM orders
+),
+g AS (
+  SELECT o_custkey,
+         d - LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+           AS gap
+  FROM dn
 )
 SELECT c_mktsegment AS segment,
        CAST(COUNT(*) AS BIGINT) AS n_gaps,
        CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS mean_gap,
-       quantile_cont(gap, 0.5) AS median_gap,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY gap) AS median_gap,
        CAST(MAX(gap) AS BIGINT) AS max_gap
 FROM g JOIN customer ON o_custkey = c_custkey
 WHERE gap IS NOT NULL
 GROUP BY 1 ORDER BY 1
 """,
-        # order-to-ship latency SLA per priority
+        # order-to-ship latency SLA per priority (same portable
+        # epoch-day + percentile_cont rewrite)
         "ship_latency": """
 WITH lat AS (
   SELECT o_orderpriority AS priority,
-         CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS latency
+         CAST(FLOOR(epoch(CAST(l_shipdate AS TIMESTAMP)) / 86400) AS BIGINT)
+           - CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400)
+                  AS BIGINT) AS latency
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 )
 SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(latency) AS DOUBLE) / COUNT(*) AS mean_days,
-       quantile_cont(latency, 0.5) AS p50_days,
-       quantile_cont(latency, 0.95) AS p95_days,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY latency) AS p50_days,
+       percentile_cont(0.95) WITHIN GROUP (ORDER BY latency) AS p95_days,
        CAST(MAX(latency) AS BIGINT) AS max_days
 FROM lat GROUP BY 1 ORDER BY 1
 """,
@@ -3854,7 +3867,7 @@ WITH om AS (
   FROM orders
 ),
 first AS (SELECT o_custkey, MIN(mkey) AS m0 FROM om GROUP BY o_custkey)
-SELECT printf('%04d-%02d', CAST(f.m0 // 12 AS INT),
+SELECT printf('%04d-%02d', CAST(FLOOR(f.m0 / 12.0) AS INT),
               CAST(f.m0 % 12 + 1 AS INT)) AS cohort,
        CAST(o.mkey - f.m0 AS BIGINT) AS month_offset,
        CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers

@@ -176,6 +176,29 @@ PORTABLE = [
     # stay DuckDB-side: HUGEINT casts + // division)
     "part_skyline",
     "benford_screen",  # 6-dp literal Benford masses, pure ANSI
+    # round-8 additions born portable (pure ANSI windows/joins; the
+    # levenshtein name and semantics are shared; printf exists on both)
+    "order_streaks",
+    "weighted_median_price",
+    "cohort_matrix",
+    "price_endings",
+    "dominant_priority",
+    "supplier_backlog_peak",
+    "name_edit1_pairs",
+    # round-8 oracle rewrites that unlocked prior exclusions: the
+    # quantile family now uses ANSI percentile_cont WITHIN GROUP
+    # (identical interpolated quantile on both engines) and epoch-day
+    # integers replace DATE - DATE (INTEGER on DuckDB, INTERVAL on
+    # Spark). Still excluded with reasons: fifo_allocation (its
+    # holding-day gap is DATE - DATE in the SELECT path and the
+    # rewrite would obscure the published rule -- the API/DuckDB pair
+    # stays the contract), collocation_lift + hapax_stats (list_*
+    # lambda family), purchase_attribution (ASOF-style correlated
+    # MAX), table_checksum (hex-string CAST), dq_violations (quoted
+    # "check" identifier)
+    "order_gap_stats",
+    "ship_latency",
+    "event_value_percentiles",
 ]
 
 
