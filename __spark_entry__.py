@@ -48,15 +48,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     artifact as the r04/r05/r06 DECIMAL reds; it now carries CAST(...
     AS BIGINT) and tests/test_oracle_lint.py bans un-cast wide
     oracle outputs engine-wide;
-    (2) the 10 round-8 additions, never driver-attested (FIFO layer
+    (2) the 17 round-8 additions, never driver-attested (FIFO layer
     allocation, FastSS edit-distance-1 neighbors, sweep-line backlog
     peak, order-day streaks, weighted median price, cohort matrix,
-    price endings, collocation lift, hapax stats, modal priority);
+    price endings, collocation lift, hapax stats, modal priority,
+    supplier HHI, Simpson token diversity, source vocabulary overlap,
+    basket-size histogram, brand repeat rate, new-vs-repeat revenue,
+    order-value magnitude histogram);
     (3) the 13 entries whose freshest green is CORRECTNESS_r04 (they
     were displaced past the boundary by the late round-7 additions);
-    (4) 26 stalest r05 greens, in r05 attestation order -- the next
-    ten r05 greens were displaced past the boundary by (2) and lead
-    the stale queue next round. Past the window: those ten, the 13
+    (4) 19 stalest r05 greens, in r05 attestation order -- the next
+    seventeen r05 greens were displaced past the boundary by (2) and
+    lead the stale queue next round. Past the window: those, the 13
     remaining r05 greens, the 49 r06 greens, the 49 r07 greens
     (freshest), then the 19 rows-only (seeded/approximate/iterative)
     entries that close the tail by design -- attesting those would
@@ -84,6 +87,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocation_lift": Q.q_collocation_lift,
         "hapax_stats": Q.q_hapax_stats,
         "dominant_priority": Q.q_dominant_priority,
+        "nation_supplier_hhi": Q.q_nation_supplier_hhi,
+        "token_simpson_diversity": Q.q_token_simpson_diversity,
+        "source_vocab_overlap": Q.q_source_vocab_overlap,
+        "basket_size_histogram": Q.q_basket_size_histogram,
+        "repeat_purchase_rate": Q.q_repeat_purchase_rate,
+        "new_vs_repeat_revenue": Q.q_new_vs_repeat_revenue,
+        "magnitude_histogram": Q.q_magnitude_histogram,
         # --- (3) stalest greens: the 13 r04-green entries displaced
         # past the boundary by the late round-7 additions ------------
         "important_part_values": Q.q_important_part_values,
@@ -119,6 +129,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": Q.q_doc_repetition,
         "priority_class_lines": Q.q_priority_class_lines,
         "weekly_retention": Q.q_weekly_retention,
+        # ---- end of the 50-entry attested window --------------------
+        # r05-green remainder (freshest row CORRECTNESS_r05.json);
+        # the first seventeen were displaced from the window by the
+        # round-8 additions and lead the stale queue next round
         "segment_top_percentile": Q.q_segment_top_percentile,
         "table_profile": Q.q_table_profile,
         "sku_sale_gaps": Q.q_sku_sale_gaps,
@@ -126,10 +140,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_above_brand_avg": Q.q_parts_above_brand_avg,
         "sales_grouping_sets": Q.q_sales_grouping_sets,
         "shipping_priority": Q.q_shipping_priority,
-        # ---- end of the 50-entry attested window --------------------
-        # r05-green remainder (freshest row CORRECTNESS_r05.json);
-        # the first ten were displaced from the window by the round-8
-        # additions and lead the stale queue next round
         "customer_spend_quartiles": Q.q_customer_spend_quartiles,
         "events_hourly": Q.q_events_hourly,
         "events_sessionize": Q.q_events_sessionize,
@@ -3967,6 +3977,158 @@ ranked AS (
 SELECT n_name AS nation, o_orderpriority AS priority, n,
        ROUND(CAST(n AS DOUBLE) / CAST(n_nation AS DOUBLE), 6) AS share
 FROM ranked WHERE rn = 1 ORDER BY nation
+""",
+
+        # HHI from exact integer cents: squares sum in HUGEINT (the
+        # engine uses DECIMAL(38,0)); int128->double and decimal->
+        # double both round-to-nearest of the same integer, then ONE
+        # IEEE divide -- cross-engine exact (the r7 float discipline)
+        "nation_supplier_hhi": """
+WITH rev AS (
+  SELECT l.l_suppkey,
+         CAST(SUM(CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS HUGEINT) AS r
+  FROM lineitem l GROUP BY l.l_suppkey
+),
+tagged AS (
+  SELECT n.n_name, rev.r
+  FROM rev
+  JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+SELECT n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(CAST(SUM(r * r) AS DOUBLE)
+             / (CAST(SUM(r) AS DOUBLE) * CAST(SUM(r) AS DOUBLE)), 6) AS hhi
+FROM tagged GROUP BY n_name ORDER BY nation
+""",
+
+        # Simpson diversity: same exact-squares machinery over token
+        # counts
+        "token_simpson_diversity": """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT source, tok, CAST(COUNT(*) AS HUGEINT) AS n
+  FROM tok GROUP BY source, tok
+)
+SELECT source,
+       ROUND(1 - CAST(SUM(n * n) AS DOUBLE)
+                 / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)), 6)
+         AS simpson_diversity
+FROM tf GROUP BY source ORDER BY source
+""",
+
+        # pairwise vocabulary jaccard between sources
+        "source_vocab_overlap": """
+WITH st AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6)
+         AS vocab_jaccard
+FROM shared
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+ORDER BY source_a, source_b
+""",
+
+        # joint basket-size histogram + sanctioned 1-row total gate
+        "basket_size_histogram": """
+WITH per_order AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+  FROM lineitem GROUP BY l_orderkey
+),
+cells AS (
+  SELECT n_lines, n_parts, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM per_order GROUP BY n_lines, n_parts
+),
+t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS t FROM cells)
+SELECT n_lines, n_parts, n_orders,
+       ROUND(CAST(n_orders AS DOUBLE) / t, 6) AS share
+FROM cells CROSS JOIN t
+ORDER BY n_lines, n_parts
+""",
+
+        # brand loyalty: distinct-month repeat share
+        "repeat_purchase_rate": """
+WITH bc AS (
+  SELECT p.p_brand, o.o_custkey,
+         COUNT(DISTINCT CAST(YEAR(o.o_orderdate) * 12
+                             + MONTH(o.o_orderdate) - 1 AS BIGINT))
+           AS n_months
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, o.o_custkey
+)
+SELECT p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN n_months >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       ROUND(CAST(SUM(CASE WHEN n_months >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS repeat_rate
+FROM bc GROUP BY p_brand ORDER BY brand
+""",
+
+        # monthly new-vs-repeat revenue decomposition, integer months
+        # and integer cents until the /100 display divide
+        "new_vs_repeat_revenue": """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS BIGINT)
+           AS mkey,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+),
+first AS (SELECT o_custkey, MIN(mkey) AS m0 FROM o GROUP BY o_custkey)
+SELECT printf('%04d-%02d', CAST(FLOOR(o.mkey / 12.0) AS INT),
+              CAST(o.mkey % 12 + 1 AS INT)) AS month,
+       CAST(SUM(CASE WHEN o.mkey = f.m0 THEN o.cents ELSE 0 END) AS DOUBLE)
+         / 100.0 AS new_revenue,
+       CAST(SUM(CASE WHEN o.mkey <> f.m0 THEN o.cents ELSE 0 END) AS DOUBLE)
+         / 100.0 AS repeat_revenue,
+       CAST(COUNT(DISTINCT CASE WHEN o.mkey = f.m0 THEN o.o_custkey END)
+            AS BIGINT) AS n_new_customers
+FROM o JOIN first f ON o.o_custkey = f.o_custkey
+GROUP BY o.mkey ORDER BY month
+""",
+
+        # doubling-scale value histogram: length(bin(cents)) is the
+        # exact integer log2 bucket on both engines
+        "magnitude_histogram": """
+WITH o AS (
+  SELECT o_orderpriority AS priority,
+         CAST(LENGTH(bin(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                                    * 100) AS BIGINT))) AS BIGINT)
+           AS magnitude
+  FROM orders
+),
+cells AS (
+  SELECT priority, magnitude, CAST(COUNT(*) AS BIGINT) AS n
+  FROM o GROUP BY priority, magnitude
+)
+SELECT priority, magnitude, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY priority) AS DOUBLE), 6)
+         AS share
+FROM cells ORDER BY priority, magnitude
 """,
 
     }

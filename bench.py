@@ -96,6 +96,17 @@ BENCH_QUERIES = [
     "measure_correlations",
     "domain_classifier",
     "copurchase_triangles",
+    # round-8: FIFO layer matching (per-sku windows + interval join),
+    # FastSS variant-explode blocking join, the sweep-line concurrency
+    # curve, the corpus unigram/bigram lift joins, the all-integer
+    # cohort triangle, and the per-brand weighted-median window --
+    # first floors this round
+    "fifo_allocation",
+    "name_edit1_pairs",
+    "supplier_backlog_peak",
+    "collocation_lift",
+    "cohort_matrix",
+    "weighted_median_price",
 ]
 
 

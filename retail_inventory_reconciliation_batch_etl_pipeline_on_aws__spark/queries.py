@@ -6131,3 +6131,287 @@ def q_dominant_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+def q_nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration Herfindahl index per nation: HHI =
+    sum_i(share_i^2) computed as (sum r_i^2) / (sum r_i)^2 over exact
+    integer revenue cents -- the squares accumulate in DECIMAL(38,0)
+    (cents^2 sums overflow int64), and the ONLY float operation is the
+    terminal divide of two exactly-represented integers, rounded to
+    6dp (the gini discipline, squared). Concentration is the
+    complement diagnostic to nation_revenue_gini: gini ranks
+    inequality, HHI flags single-supplier capture."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    supp = fixtures.load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = fixtures.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = (
+        li.select(
+            "l_suppkey",
+            F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("cents").cast("decimal(38,0)").alias("r"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return (
+        rev.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.sum(F.col("r") * F.col("r")).alias("sq"),
+            F.sum("r").alias("t"),
+        )
+        .select(
+            "nation",
+            "n_suppliers",
+            F.round(
+                F.col("sq").cast("double")
+                / (F.col("t").cast("double") * F.col("t").cast("double")),
+                6,
+            ).alias("hhi"),
+        )
+        .orderBy("nation")
+    )
+
+
+def q_token_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source via the SIMPSON index (1 - sum
+    p_i^2): the entropy-free diversity measure -- exact integer count
+    squares in DECIMAL(38,0), one terminal divide (log-based
+    Shannon entropy is order-dependent float summation; Simpson ranks
+    the same corpora exactly). Low diversity = template/boilerplate
+    sources a curation pipeline down-weights."""
+    from .functions.text import tokens
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("decimal(38,0)").alias("n"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum(F.col("n") * F.col("n")).alias("sq"),
+            F.sum("n").alias("t"),
+        )
+        .select(
+            "source",
+            F.round(
+                1
+                - F.col("sq").cast("double")
+                / (F.col("t").cast("double") * F.col("t").cast("double")),
+                6,
+            ).alias("simpson_diversity"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise VOCABULARY Jaccard between sources -- the corpus-mixture
+    redundancy screen (two sources sharing most of their vocabulary are
+    near-duplicate feeds; down-weight one). Token sets reduce to
+    (source, token) pairs; the pair join runs on the token (each token
+    contributes |sources-holding-it|^2 candidate rows -- bounded by the
+    SOURCE count squared, a mixture constant, never corpus size);
+    counts-not-sets arithmetic like every jaccard in the engine."""
+    from .functions.text import tokens
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = st.alias("a"), st.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def q_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size distribution: baskets bucketed by line count and
+    distinct-part count -- two exact aggregates (per-order, then
+    per-(n_lines, n_parts) cell) plus a share against the sanctioned
+    1-row order total. The joint histogram is what basket-analysis
+    sampling and co-purchase cost models calibrate against."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+    )
+    cells = per_order.groupBy("n_lines", "n_parts").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    total = cells.agg(F.sum("n_orders").cast("long").alias("t"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "n_lines",
+            "n_parts",
+            "n_orders",
+            F.round(F.col("n_orders").cast("double") / F.col("t"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("n_lines", "n_parts")
+    )
+
+
+def q_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand loyalty: per brand, the share of its customers who bought
+    it in MORE THAN ONE distinct month -- two exact aggregates ((brand,
+    customer) distinct-month counts, then the per-brand repeat share as
+    one terminal divide). The join routes lineitem -> orders (customer)
+    -> part (brand); part is the broadcastable dim."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("mkey"),
+    )
+    part = fixtures.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bc = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "o_custkey")
+        .agg(F.countDistinct("mkey").alias("n_months"))
+    )
+    return (
+        bc.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum(F.when(F.col("n_months") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_repeat"),
+        )
+        .select(
+            "brand",
+            "n_customers",
+            "n_repeat",
+            F.round(
+                F.col("n_repeat").cast("double") / F.col("n_customers"), 6
+            ).alias("repeat_rate"),
+        )
+        .orderBy("brand")
+    )
+
+
+def q_new_vs_repeat_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split into NEW-customer vs REPEAT-customer
+    dollars (the growth-quality decomposition every retail dashboard
+    leads with): a customer's first month comes from one per-customer
+    aggregate (the cohort_matrix machinery); revenue stays exact
+    integer cents until the terminal /100 display divide."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("mkey"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("mkey").alias("m0"))
+    return (
+        orders.join(first, "o_custkey")
+        .groupBy("mkey")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("mkey") == F.col("m0"), F.col("cents")).otherwise(0)
+                ).cast("double")
+                / 100.0
+            ).alias("new_revenue"),
+            (
+                F.sum(
+                    F.when(F.col("mkey") != F.col("m0"), F.col("cents")).otherwise(0)
+                ).cast("double")
+                / 100.0
+            ).alias("repeat_revenue"),
+            F.countDistinct(
+                F.when(F.col("mkey") == F.col("m0"), F.col("o_custkey"))
+            )
+            .cast("long")
+            .alias("n_new_customers"),
+        )
+        .select(
+            F.format_string(
+                "%04d-%02d",
+                F.floor(F.col("mkey") / 12).cast("int"),
+                F.col("mkey") % 12 + 1,
+            ).alias("month"),
+            "new_revenue",
+            "repeat_revenue",
+            "n_new_customers",
+        )
+        .orderBy("month")
+    )
+
+
+def q_magnitude_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value magnitude distribution per priority: orders bucket
+    by the BIT LENGTH of their total cents (the exact-integer
+    log2 bucket -- floor(log2(cents))+1 without a float log), giving
+    the doubling-scale histogram risk teams read. All-integer until
+    the terminal share divide."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    # length(bin(cents)) = position of the highest set bit: exact
+    # log2 bucket, and bin() exists name- and value-identically on
+    # both engines (no zero padding)
+    bucket = F.length(F.bin("cents")).alias("magnitude")
+    cells = orders.select("o_orderpriority", bucket).groupBy(
+        F.col("o_orderpriority").alias("priority"), "magnitude"
+    ).agg(F.count("*").cast("long").alias("n"))
+    wtot = Window.partitionBy("priority")
+    return (
+        cells.withColumn("t", F.sum("n").over(wtot))
+        .select(
+            "priority",
+            F.col("magnitude").cast("long").alias("magnitude"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy("priority", "magnitude")
+    )

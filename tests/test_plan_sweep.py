@@ -36,6 +36,7 @@ NESTED_LOOP_OK = {
     "benford_screen",  # 1-row total-count broadcast gate (digit shares)
     "price_endings",  # 1-row total-count broadcast gate (ending shares)
     "collocation_lift",  # 1-row (N_uni, N_bi) corpus-total broadcast gate
+    "basket_size_histogram",  # 1-row order-total broadcast gate (cell shares)
     "pq_index_topk",  # 1-row ADC codebook-literal gate over pruned codes
 }
 

@@ -412,3 +412,98 @@ def test_collocation_and_mode_python_recompute(spark):
         g = rows[nat]
         assert (g.priority, g.n) == best
         assert g.share == round(best[1] / sum(c.values()), 6)
+
+
+def test_hhi_and_simpson_bounds_and_recompute(spark):
+    """HHI in [1/n, 1] per nation (equality at perfect equality /
+    monopoly); Simpson diversity recomputed exactly in python; a
+    planted one-supplier nation would hit hhi=1 (checked via bound:
+    n_suppliers=1 implies hhi=1)."""
+    rows = Q.q_nation_supplier_hhi(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 / r.n_suppliers - 1e-6 <= r.hhi <= 1.0 + 1e-9
+        if r.n_suppliers == 1:
+            assert r.hhi == 1.0
+
+    import collections
+
+    docs = fixtures.load(spark, SF, "documents").select("source", "text").collect()
+    cnt: dict = collections.defaultdict(collections.Counter)
+    for r in docs:
+        cnt[r.source].update(t for t in r.text.split() if t)
+    got = {r.source: r.simpson_diversity
+           for r in Q.q_token_simpson_diversity(spark, SF).collect()}
+    for src, c in cnt.items():
+        t = sum(c.values())
+        want = round(1 - sum(v * v for v in c.values()) / (t * t), 6)
+        assert got[src] == want, src
+
+
+def test_vocab_overlap_pairs_and_recompute(spark):
+    """All source pairs present (k*(k-1)/2), jaccard recomputed from
+    python sets."""
+    rows = Q.q_source_vocab_overlap(spark, SF).collect()
+    import collections
+
+    docs = fixtures.load(spark, SF, "documents").select("source", "text").collect()
+    vocab: dict = collections.defaultdict(set)
+    for r in docs:
+        vocab[r.source].update(t for t in r.text.split() if t)
+    k = len(vocab)
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        a, b = vocab[r.source_a], vocab[r.source_b]
+        assert r.vocab_jaccard == round(len(a & b) / len(a | b), 6)
+
+
+def test_basket_histogram_and_magnitude_conservation(spark):
+    """Histogram cells partition the order population (both queries);
+    magnitude really is the bit length of total cents."""
+    cells = Q.q_basket_size_histogram(spark, SF).collect()
+    # the basket histogram covers orders WITH lines (an empty basket
+    # has no lineitem rows); magnitude covers every order
+    n_baskets = (
+        fixtures.load(spark, SF, "lineitem").select("l_orderkey").distinct().count()
+    )
+    assert sum(c.n_orders for c in cells) == n_baskets
+    assert all(c.n_parts <= c.n_lines for c in cells)
+
+    mag = Q.q_magnitude_histogram(spark, SF).collect()
+    n_orders = fixtures.load(spark, SF, "orders").count()
+    assert sum(m.n for m in mag) == n_orders
+    sample = (
+        fixtures.load(spark, SF, "orders")
+        .select("o_totalprice")
+        .limit(50)
+        .collect()
+    )
+    mags = {m.magnitude for m in mag}
+    for r in sample:
+        cents = round(float(r.o_totalprice) * 100)
+        assert cents.bit_length() in mags
+
+
+def test_repeat_rate_and_new_vs_repeat_recompute(spark):
+    """repeat_rate bounds + revenue decomposition telescopes to total
+    order revenue and new-customer counts sum to the customer
+    population (each customer is new exactly once)."""
+    rr = Q.q_repeat_purchase_rate(spark, SF).collect()
+    for r in rr:
+        assert 0 <= r.n_repeat <= r.n_customers
+        assert r.repeat_rate == round(r.n_repeat / r.n_customers, 6)
+
+    nv = Q.q_new_vs_repeat_revenue(spark, SF).collect()
+    orders = fixtures.load(spark, SF, "orders")
+    total_cents = (
+        orders.select(
+            F.sum(
+                F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+            ).alias("t")
+        ).first().t
+    )
+    got_total = round(sum(r.new_revenue + r.repeat_revenue for r in nv), 2)
+    assert got_total == round(total_cents / 100.0, 2)
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_new_customers for r in nv) == n_cust

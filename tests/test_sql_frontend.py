@@ -199,6 +199,15 @@ PORTABLE = [
     "order_gap_stats",
     "ship_latency",
     "event_value_percentiles",
+    # round-8 batch 2, born portable (bin() exists name- and
+    # value-identically on both engines; the rest is ANSI + printf).
+    # nation_supplier_hhi / token_simpson_diversity /
+    # source_vocab_overlap stay DuckDB-side (HUGEINT cast; list_*
+    # lambda family)
+    "basket_size_histogram",
+    "repeat_purchase_rate",
+    "new_vs_repeat_revenue",
+    "magnitude_histogram",
 ]
 
 
