@@ -222,6 +222,48 @@ def history(path: str) -> list[dict]:
     return out
 
 
+def restore_version(path: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF: publish a NEW commit whose
+    file list (and CHECK-constraint set) is exactly ``version``'s --
+    the Delta-style rollback. Metadata-only: no data file moves or
+    copies, the restored snapshot shares the old version's immutable
+    files; history is preserved (the bad commits stay readable by time
+    travel -- a rollback that rewrote history would break every reader
+    pinned to an intermediate version). ``vacuum`` still reclaims
+    unreferenced files later; a restore REVIVES the restored files'
+    liveness because the new head references them.
+
+    CAS-published like every other commit: concurrent writers race on
+    the version file, never on data. Returns the NEW version number."""
+    commits_dir = os.path.join(path, "commits")
+    src = os.path.join(commits_dir, f"v{version:05d}.json")
+    if version < 0 or not os.path.exists(src):
+        raise ValueError(f"no version {version} to restore")
+    target = _load_commit(src)
+    while True:
+        parent = latest_version(path)
+        if parent == version:
+            return parent  # restoring the head is a no-op
+        commit = {
+            "version": parent + 1,
+            "parent": parent,
+            "mode": "restore",
+            "restored_from": version,
+            "files": target["files"],
+            "checks": target.get("checks", {}),
+        }
+        try:
+            fd = os.open(
+                os.path.join(commits_dir, f"v{parent + 1:05d}.json"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue  # lost the CAS race: re-read the new head
+        with os.fdopen(fd, "w") as f:
+            json.dump(commit, f)
+        return parent + 1
+
+
 def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     """Delete data files referenced by NO retained commit (the newest
     ``keep_versions`` commits are retained; older commit files are

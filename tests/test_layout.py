@@ -701,3 +701,65 @@ def test_rejected_write_validates_staged_bytes_and_cleans_staging(
     )
     write_versioned(nd, path)
     assert latest_version(path) == v + 1
+
+
+def test_restore_version_rolls_back_metadata_only(spark, tmp_path):
+    """RESTORE publishes a NEW commit with the old version's files and
+    checks: content equals the restored snapshot, history is preserved
+    (intermediate versions stay time-travel readable), no data files
+    are moved or copied, restoring the head is a no-op, and vacuum
+    after restore keeps the revived files."""
+    import glob as g
+    import os
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.versioned import (  # noqa: E501
+        add_check,
+        history,
+        latest_version,
+        read_versioned,
+        restore_version,
+        table_checks,
+        vacuum,
+        write_versioned,
+    )
+    import pytest
+
+    path = str(tmp_path / "t")
+    v0 = write_versioned(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, qty int"), path
+    )
+    v1 = add_check(spark, path, "qty_pos", "qty > 0")
+    v2 = write_versioned(
+        spark.createDataFrame([(9, 90)], "id long, qty int"),
+        path,
+        mode="overwrite",
+    )
+    files_before = set(g.glob(os.path.join(path, "data", "*.parquet")))
+
+    v3 = restore_version(path, v0)
+    assert v3 == v2 + 1
+    # content == v0, history intact, no file churn
+    assert sorted(
+        (r.id, r.qty) for r in read_versioned(spark, path).collect()
+    ) == [(1, 10), (2, 20)]
+    assert read_versioned(spark, path, version=v2).count() == 1
+    assert set(g.glob(os.path.join(path, "data", "*.parquet"))) == files_before
+    h = history(path)
+    assert h[-1]["mode"] == "restore" and len(h) == 4
+    # v0 predates the constraint -> the restored head carries v0's
+    # (empty) check set
+    assert table_checks(path) == {}
+
+    # restoring to v1 brings the constraint back
+    v4 = restore_version(path, v1)
+    assert table_checks(path) == {"qty_pos": "qty > 0"}
+    assert restore_version(path, v4) == v4  # head restore is a no-op
+
+    with pytest.raises(ValueError, match="no version"):
+        restore_version(path, 99)
+
+    # vacuum keeps the revived (head-referenced) files
+    vacuum(path, keep_versions=1)
+    assert sorted(
+        (r.id, r.qty) for r in read_versioned(spark, path).collect()
+    ) == [(1, 10), (2, 20)]
