@@ -6010,10 +6010,13 @@ def q_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import tokens, word_ngrams
 
     docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
+    # persisted: uni feeds the two per-token count joins AND the
+    # corpus-total gate -- one tokenize+shuffle instead of three
     uni = (
         docs.select(F.explode(tokens("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").cast("long").alias("n_tok"))
+        .persist()
     )
     bi = (
         docs.where(F.size(tokens("text")) >= 2)
@@ -6226,9 +6229,13 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import tokens
 
     docs = fixtures.load(spark, sf_dir, "documents")
+    # persisted: st feeds BOTH self-join sides and the size aggregate;
+    # unpersisted, the corpus is tokenized and distinct-shuffled three
+    # times (the shingle-family lesson, measured there at ~1.8x)
     st = (
         docs.select("source", F.explode(tokens("text")).alias("tok"))
         .distinct()
+        .persist()
     )
     sizes = st.groupBy("source").agg(F.count("*").alias("n"))
     a, b = st.alias("a"), st.alias("b")
