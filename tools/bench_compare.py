@@ -33,7 +33,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: isolates each query (clearCache between blocks + an untimed JVM
 #: warm phase); with that, all three run AT or BELOW their r1 floors
 #: (sim_topk 1.00x, events_sessionize 0.88x, stock_asof 0.95x).
-FLOOR_NOTES = {}
+FLOOR_NOTES = {
+    "shingle_containment": (
+        "r8 routed this query through the PPJoin+ containment prefix "
+        "filter (VERDICT r7 item 2; oracle unchanged, strict-green). On "
+        "THIS generator shingle DF ~ 1, so the df-join + prefix window "
+        "stages are pure overhead vs the r7 raw-join floor (~1.6x) -- "
+        "the same documented trade as jaccard_prefix_pairs (2.4x). The "
+        "filter is the 100 TB posture: the planted boilerplate corpus "
+        "test shows 780 raw candidate pairs collapse to 0."
+    ),
+}
 
 
 def _unwrap(d: dict) -> dict:
