@@ -48,17 +48,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     artifact as the r04/r05/r06 DECIMAL reds; it now carries CAST(...
     AS BIGINT) and tests/test_oracle_lint.py bans un-cast wide
     oracle outputs engine-wide;
-    (2) the 17 round-8 additions, never driver-attested (FIFO layer
+    (2) the 22 round-8 additions, never driver-attested (FIFO layer
     allocation, FastSS edit-distance-1 neighbors, sweep-line backlog
     peak, order-day streaks, weighted median price, cohort matrix,
     price endings, collocation lift, hapax stats, modal priority,
     supplier HHI, Simpson token diversity, source vocabulary overlap,
     basket-size histogram, brand repeat rate, new-vs-repeat revenue,
-    order-value magnitude histogram);
+    order-value magnitude histogram, periodic-LIFO allocation, price
+    dispersion, monthly seasonality, duplicate-invoice screen, ABC
+    migration matrix -- 22 in all);
     (3) the 13 entries whose freshest green is CORRECTNESS_r04 (they
     were displaced past the boundary by the late round-7 additions);
-    (4) 19 stalest r05 greens, in r05 attestation order -- the next
-    seventeen r05 greens were displaced past the boundary by (2) and
+    (4) 14 stalest r05 greens, in r05 attestation order -- the next
+    twenty-two r05 greens were displaced past the boundary by (2) and
     lead the stale queue next round. Past the window: those, the 13
     remaining r05 greens, the 49 r06 greens, the 49 r07 greens
     (freshest), then the 19 rows-only (seeded/approximate/iterative)
@@ -94,6 +96,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_purchase_rate": Q.q_repeat_purchase_rate,
         "new_vs_repeat_revenue": Q.q_new_vs_repeat_revenue,
         "magnitude_histogram": Q.q_magnitude_histogram,
+        "lifo_allocation": Q.q_lifo_allocation,
+        "price_dispersion": Q.q_price_dispersion,
+        "monthly_seasonality": Q.q_monthly_seasonality,
+        "duplicate_invoice_screen": Q.q_duplicate_invoice_screen,
+        "abc_migration": Q.q_abc_migration,
         # --- (3) stalest greens: the 13 r04-green entries displaced
         # past the boundary by the late round-7 additions ------------
         "important_part_values": Q.q_important_part_values,
@@ -124,12 +131,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dims": Q.q_image_dims,
         "order_priority_check": Q.q_order_priority_check,
         "disjunctive_revenue": Q.q_disjunctive_revenue,
+        # ---- end of the 50-entry attested window --------------------
         "supplier_variety": Q.q_supplier_variety,
         "contamination_check": Q.q_contamination_check,
         "doc_repetition": Q.q_doc_repetition,
         "priority_class_lines": Q.q_priority_class_lines,
         "weekly_retention": Q.q_weekly_retention,
-        # ---- end of the 50-entry attested window --------------------
         # r05-green remainder (freshest row CORRECTNESS_r05.json);
         # the first seventeen were displaced from the window by the
         # round-8 additions and lead the stale queue next round
@@ -4129,6 +4136,167 @@ SELECT priority, magnitude, n,
              / CAST(SUM(n) OVER (PARTITION BY priority) AS DOUBLE), 6)
          AS share
 FROM cells ORDER BY priority, magnitude
+""",
+
+        # periodic LIFO: the receipt side's unit intervals reflect
+        # through the per-sku inflow total; same overlap rule as FIFO
+        "lifo_allocation": """
+WITH flow AS (
+  SELECT l_partkey AS sku,
+         CAST(l_quantity AS INT) AS qty,
+         CAST(l_shipdate AS DATE) AS d,
+         l_orderkey AS ord, l_linenumber AS line,
+         l_orderkey % 2 = 0 AS is_receipt
+  FROM lineitem
+),
+r0 AS (
+  SELECT sku, qty, d, ord, line,
+         SUM(qty) OVER (PARTITION BY sku ORDER BY d, ord, line
+                        ROWS UNBOUNDED PRECEDING) AS hi
+  FROM flow WHERE is_receipt
+),
+rtot AS (SELECT sku, MAX(hi) AS rt FROM r0 GROUP BY sku),
+r AS (
+  SELECT r0.sku, r0.d, r0.ord, r0.line,
+         rt - r0.hi AS lo,
+         rt - (r0.hi - r0.qty) AS hi
+  FROM r0 JOIN rtot ON r0.sku = rtot.sku
+),
+i AS (
+  SELECT sku, qty, d, ord, line,
+         SUM(qty) OVER (PARTITION BY sku ORDER BY d, ord, line
+                        ROWS UNBOUNDED PRECEDING) AS hi
+  FROM flow WHERE NOT is_receipt
+),
+m AS (
+  SELECT r.sku,
+         LEAST(r.hi, i.hi) - GREATEST(r.lo, i.hi - i.qty) AS mq,
+         i.d - r.d AS days
+  FROM r JOIN i ON r.sku = i.sku
+   AND r.lo < i.hi AND i.hi - i.qty < r.hi
+),
+tot AS (
+  SELECT sku,
+         CAST(SUM(CASE WHEN is_receipt THEN qty ELSE 0 END) AS BIGINT)
+           AS receipt_qty,
+         CAST(SUM(CASE WHEN is_receipt THEN 0 ELSE qty END) AS BIGINT)
+           AS issue_qty
+  FROM flow GROUP BY sku
+),
+agg AS (
+  SELECT sku,
+         CAST(SUM(mq) AS BIGINT) AS matched_qty,
+         CAST(COUNT(*) AS BIGINT) AS n_matches,
+         CAST(SUM(mq * days) AS BIGINT) AS holding_days
+  FROM m GROUP BY sku
+)
+SELECT t.sku, t.receipt_qty, t.issue_qty,
+       COALESCE(a.matched_qty, 0) AS matched_qty,
+       COALESCE(a.n_matches, 0) AS n_matches,
+       COALESCE(a.holding_days, 0) AS holding_days
+FROM tot t LEFT JOIN agg a ON t.sku = a.sku
+ORDER BY t.sku
+""",
+
+        # pricing-integrity dispersion screen; exact cents
+        "price_dispersion": """
+WITH p AS (
+  SELECT l_partkey AS partkey,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem
+)
+SELECT partkey,
+       CAST(COUNT(DISTINCT cents) AS BIGINT) AS n_prices,
+       CAST(MIN(cents) AS DOUBLE) / 100.0 AS min_price,
+       CAST(MAX(cents) AS DOUBLE) / 100.0 AS max_price,
+       ROUND(CAST(MAX(cents) - MIN(cents) AS DOUBLE)
+             / CAST(MIN(cents) AS DOUBLE), 6) AS rel_spread
+FROM p GROUP BY partkey
+HAVING COUNT(DISTINCT cents) >= 2
+ORDER BY partkey
+""",
+
+        # exact-rational seasonality index (qty_m * 12 / total)
+        "monthly_seasonality": """
+WITH m AS (
+  SELECT CAST(MONTH(l_shipdate) AS BIGINT) AS month,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1
+),
+t AS (SELECT CAST(SUM(qty) AS BIGINT) AS t FROM m)
+SELECT month, qty,
+       ROUND(CAST(qty * 12 AS DOUBLE) / CAST(t AS DOUBLE), 6)
+         AS seasonality_index
+FROM m CROSS JOIN t ORDER BY month
+""",
+
+        # AP duplicate-payment screen (whole-dollar blocking stage);
+        # the group IS the candidate set
+        "duplicate_invoice_screen": """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(FLOOR(o_totalprice) AS BIGINT) AS dollars,
+         CAST(o_orderdate AS DATE) AS d
+  FROM orders
+)
+SELECT dollars,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(MAX(d) - MIN(d) AS BIGINT) AS span_days
+FROM o GROUP BY dollars
+HAVING COUNT(*) >= 2
+ORDER BY dollars
+""",
+
+        # ABC drift matrix: the same global running share per half,
+        # full-outer joined; '-' = absent from that half
+        "abc_migration": """
+WITH li AS (
+  SELECT CAST(l_partkey AS STRING) AS sku,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS rev,
+         CAST(l_shipdate AS DATE) AS d
+  FROM lineitem
+),
+h1s AS (SELECT sku, SUM(rev) AS revenue FROM li
+        WHERE d < DATE '1996-01-01' GROUP BY sku),
+h1t AS (SELECT SUM(revenue) AS total FROM h1s),
+h1c AS (
+  SELECT sku, SUM(revenue) OVER (ORDER BY revenue DESC, sku
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM h1s
+),
+h1 AS (
+  SELECT sku,
+         CASE WHEN CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE) <= 0.80
+                THEN 'A'
+              WHEN CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE) <= 0.95
+                THEN 'B'
+              ELSE 'C' END AS class_h1
+  FROM h1c CROSS JOIN h1t t
+),
+h2s AS (SELECT sku, SUM(rev) AS revenue FROM li
+        WHERE d >= DATE '1996-01-01' GROUP BY sku),
+h2t AS (SELECT SUM(revenue) AS total FROM h2s),
+h2c AS (
+  SELECT sku, SUM(revenue) OVER (ORDER BY revenue DESC, sku
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM h2s
+),
+h2 AS (
+  SELECT sku,
+         CASE WHEN CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE) <= 0.80
+                THEN 'A'
+              WHEN CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE) <= 0.95
+                THEN 'B'
+              ELSE 'C' END AS class_h2
+  FROM h2c CROSS JOIN h2t t
+)
+SELECT COALESCE(h1.class_h1, '-') AS class_h1,
+       COALESCE(h2.class_h2, '-') AS class_h2,
+       CAST(COUNT(*) AS BIGINT) AS n_skus
+FROM h1 FULL OUTER JOIN h2 ON h1.sku = h2.sku
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
 
     }

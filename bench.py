@@ -107,6 +107,10 @@ BENCH_QUERIES = [
     "collocation_lift",
     "cohort_matrix",
     "weighted_median_price",
+    # round-8 batch 3: periodic LIFO (interval matcher + reflection
+    # join) and the two-half ABC drift matrix (banded prefix twice)
+    "lifo_allocation",
+    "abc_migration",
 ]
 
 

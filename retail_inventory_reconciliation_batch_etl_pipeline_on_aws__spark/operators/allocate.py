@@ -39,6 +39,7 @@ def fifo_match(
     qty_col: str = "qty",
     is_in_col: str = "is_receipt",
     order_cols: tuple = ("d", "ord", "line"),
+    lifo: bool = False,
 ) -> DataFrame:
     """Match issues to receipt layers FIFO; one row per (receipt,
     issue) overlap: ``(key, matched_qty, in_<order_cols...>,
@@ -48,6 +49,15 @@ def fifo_match(
     a boolean ``is_in_col`` (receipt vs issue) and a total ordering of
     movements per key given by ``order_cols`` (ties must be broken --
     a nondeterministic order would scramble the layer boundaries).
+
+    ``lifo=True`` switches to PERIODIC LIFO (the other textbook
+    costing method): issue unit n consumes inbound unit R_total-n+1 --
+    i.e. the receipt side is renumbered from the END of the period's
+    total inflow, which is just a reflection of each receipt's unit
+    interval through R_total (one extra per-key total join; the
+    overlap rule is unchanged). This is LIFO as an end-of-period
+    allocation; a perpetual (transaction-time) LIFO is a stack
+    recurrence and deliberately not spelled here.
     """
 
     def side(is_in: bool, prefix: str) -> DataFrame:
@@ -69,6 +79,18 @@ def fifo_match(
         )
 
     r, i = side(True, "in"), side(False, "out")
+    if lifo:
+        r_tot = r.groupBy(key_col).agg(F.max("in_hi").alias("_rt"))
+        r = (
+            r.join(r_tot, key_col)
+            .select(
+                key_col,
+                *[f"in_{c}" for c in order_cols],
+                (F.col("_rt") - F.col("in_hi")).alias("in_lo"),
+                (F.col("_rt") - F.col("in_lo")).alias("_new_hi"),
+            )
+            .withColumnRenamed("_new_hi", "in_hi")
+        )
     overlap: Column = F.least("in_hi", "out_hi") - F.greatest(
         "in_lo", "out_lo"
     )

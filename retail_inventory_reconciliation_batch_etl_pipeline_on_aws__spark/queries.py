@@ -6422,3 +6422,190 @@ def q_magnitude_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "magnitude")
     )
+
+
+def q_lifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIODIC LIFO twin of ``fifo_allocation`` (the other textbook
+    costing method): issue unit n consumes inbound unit R_total-n+1,
+    i.e. the same exact interval-overlap matcher with the receipt side
+    renumbered from the end of the period's inflow
+    (``operators/allocate.fifo_match(lifo=True)``). Same conservation
+    law (matched == min(in, out) per sku -- the reflection is a
+    bijection on unit numbers); holding_days now measures against the
+    NEWEST covering layers, the number a LIFO cost basis reports."""
+    from .operators.allocate import fifo_match
+
+    flows = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("sku"),
+        F.col("l_quantity").cast("int").alias("qty"),
+        F.col("l_shipdate").cast("date").alias("d"),
+        F.col("l_orderkey").alias("ord"),
+        F.col("l_linenumber").alias("line"),
+        (F.col("l_orderkey") % 2 == 0).alias("is_receipt"),
+    )
+    totals = flows.groupBy("sku").agg(
+        F.sum(F.when(F.col("is_receipt"), F.col("qty")).otherwise(0))
+        .cast("long")
+        .alias("receipt_qty"),
+        F.sum(F.when(~F.col("is_receipt"), F.col("qty")).otherwise(0))
+        .cast("long")
+        .alias("issue_qty"),
+    )
+    matched = (
+        fifo_match(flows, lifo=True)
+        .groupBy("sku")
+        .agg(
+            F.sum("matched_qty").cast("long").alias("matched_qty"),
+            F.count("*").cast("long").alias("n_matches"),
+            F.sum(F.col("matched_qty") * F.datediff("out_d", "in_d"))
+            .cast("long")
+            .alias("holding_days"),
+        )
+    )
+    return (
+        totals.join(matched, "sku", "left")
+        .na.fill({"matched_qty": 0, "n_matches": 0, "holding_days": 0})
+        .orderBy("sku")
+    )
+
+
+def q_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part price-point dispersion: how many DISTINCT transacted
+    unit-price cents each part saw, with the relative spread
+    ((max-min)/min) as one terminal divide of exact integers -- the
+    pricing-integrity screen (a part transacting at many price points
+    signals discount leakage or data faults). Only multi-point parts
+    survive (n_prices >= 2); extended price folds to cents exactly."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        li.groupBy("partkey")
+        .agg(
+            F.countDistinct("cents").cast("long").alias("n_prices"),
+            F.min("cents").alias("lo_c"),
+            F.max("cents").alias("hi_c"),
+        )
+        .where(F.col("n_prices") >= 2)
+        .select(
+            "partkey",
+            "n_prices",
+            (F.col("lo_c").cast("double") / 100.0).alias("min_price"),
+            (F.col("hi_c").cast("double") / 100.0).alias("max_price"),
+            F.round(
+                (F.col("hi_c") - F.col("lo_c")).cast("double")
+                / F.col("lo_c").cast("double"),
+                6,
+            ).alias("rel_spread"),
+        )
+        .orderBy("partkey")
+    )
+
+
+def q_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonality index of sold quantity: index_m =
+    qty_m * 12 / qty_total (1.0 = flat), the exact-rational spelling
+    of 'month vs annual mean' -- one terminal divide of exact int64
+    products, rounded to 6dp. One groupBy plus the sanctioned 1-row
+    total gate; the index is what demand planners deseasonalize
+    with."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.month("l_shipdate").cast("long").alias("month"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    monthly = li.groupBy("month").agg(F.sum("qty").cast("long").alias("qty"))
+    total = monthly.agg(F.sum("qty").cast("long").alias("t"))
+    return (
+        monthly.crossJoin(F.broadcast(total))
+        .select(
+            "month",
+            "qty",
+            F.round(
+                (F.col("qty") * 12).cast("double") / F.col("t").cast("double"),
+                6,
+            ).alias("seasonality_index"),
+        )
+        .orderBy("month")
+    )
+
+
+def q_duplicate_invoice_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment audit screen, blocking stage: orders whose
+    totals collide at WHOLE-DOLLAR granularity -- the classic AP
+    forensic's candidate generator (double-billing / replayed
+    invoices); the verify stage then inspects each group (exact-cents
+    equality, same-vendor, date proximity -- n_customers and span_days
+    here are those signals pre-aggregated: a low-span single-customer
+    group is the hottest lead). One exact-integer groupBy keeping
+    groups >= 2; no self-join -- the group IS the candidate set, the
+    same block-then-verify shape as the dedup ladder."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor("o_totalprice").cast("long").alias("dollars"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    return (
+        orders.groupBy("dollars")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.datediff(F.max("d"), F.min("d")).cast("long").alias("span_days"),
+        )
+        .where(F.col("n_orders") >= 2)
+        .select("dollars", "n_orders", "n_customers", "span_days")
+        .orderBy("dollars")
+    )
+
+
+def q_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC class MIGRATION matrix between the first and second half of
+    the timeline (split at 1996-01-01): how many skus moved A->C,
+    C->A, entered, or left -- the drift report that tells a planner
+    yesterday's cycle-count policy is stale. Each half runs the same
+    banded-prefix global running share as ``abc_classification``
+    (never a partition-less window); absent halves class as '-'. The
+    matrix is |classes+1|^2 rows."""
+    from .operators.prefix import banded_cumsum
+
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("sku"),
+        _dec("l_extendedprice").alias("rev"),
+        F.col("l_shipdate").cast("date").alias("d"),
+    )
+
+    def classes(frame):
+        per_sku = frame.groupBy("sku").agg(F.sum("rev").alias("revenue"))
+        rev_d = F.col("revenue").cast("double")
+        band = (
+            F.when(rev_d > 0, -F.floor(F.log10(rev_d)))
+            .when(rev_d == 0, F.lit(100000))
+            .otherwise(F.lit(200000) + F.floor(F.log10(-rev_d)))
+        ).cast("int")
+        cum, total = banded_cumsum(
+            per_sku,
+            "revenue",
+            [F.col("revenue").desc(), F.col("sku").asc()],
+            band,
+        )
+        share = F.col("cum").cast("double") / F.lit(total).cast("double")
+        return cum.select(
+            "sku",
+            F.when(share <= 0.80, F.lit("A"))
+            .when(share <= 0.95, F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("cls"),
+        )
+
+    cut = F.lit("1996-01-01").cast("date")
+    h1 = classes(li.where(F.col("d") < cut)).withColumnRenamed("cls", "class_h1")
+    h2 = classes(li.where(F.col("d") >= cut)).withColumnRenamed("cls", "class_h2")
+    return (
+        h1.join(h2, "sku", "full_outer")
+        .na.fill({"class_h1": "-", "class_h2": "-"})
+        .groupBy("class_h1", "class_h2")
+        .agg(F.count("*").cast("long").alias("n_skus"))
+        .orderBy("class_h1", "class_h2")
+    )

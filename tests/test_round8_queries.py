@@ -507,3 +507,100 @@ def test_repeat_rate_and_new_vs_repeat_recompute(spark):
     assert got_total == round(total_cents / 100.0, 2)
     n_cust = orders.select("o_custkey").distinct().count()
     assert sum(r.n_new_customers for r in nv) == n_cust
+
+
+def test_lifo_mirrors_fifo_conservation_and_differs_in_days(spark):
+    """Periodic LIFO keeps the conservation law (matched == min(in,
+    out) -- the end-reflection is a bijection on unit numbers) and its
+    per-sku totals equal FIFO's; the HOLDING-DAYS profile differs
+    because issues match the newest covering layers. Plus the 2-layer
+    hand case: receipts [5, 3], issues [2, 4, 2] under LIFO -> issue
+    units 1..8 consume reflected receipt units: (r2,i1)=2, (r2,i2)=1,
+    (r1,i2)=3, (r1,i3)=2."""
+    import datetime as dt
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.allocate import (  # noqa: E501
+        fifo_match,
+    )
+
+    fifo = {r.sku: r for r in Q.q_fifo_allocation(spark, SF).collect()}
+    lifo = {r.sku: r for r in Q.q_lifo_allocation(spark, SF).collect()}
+    assert set(fifo) == set(lifo)
+    diff_days = 0
+    for sku, f in fifo.items():
+        l = lifo[sku]
+        assert (l.receipt_qty, l.issue_qty, l.matched_qty) == (
+            f.receipt_qty, f.issue_qty, f.matched_qty,
+        )
+        assert l.matched_qty == min(l.receipt_qty, l.issue_qty)
+        diff_days += int(l.holding_days != f.holding_days)
+    assert diff_days > 0  # the methods genuinely differ
+
+    flows = spark.createDataFrame(
+        [
+            (1, 5, dt.date(2024, 1, 1), 0, 1, True),
+            (1, 3, dt.date(2024, 1, 3), 2, 1, True),
+            (1, 2, dt.date(2024, 1, 2), 1, 1, False),
+            (1, 4, dt.date(2024, 1, 4), 3, 1, False),
+            (1, 2, dt.date(2024, 1, 5), 5, 1, False),
+        ],
+        "sku long, qty int, d date, ord long, line int, is_receipt boolean",
+    )
+    got = sorted(
+        (r.in_ord, r.out_ord, r.matched_qty)
+        for r in fifo_match(flows, lifo=True).collect()
+    )
+    assert got == [(0, 3, 3), (0, 5, 2), (2, 1, 2), (2, 3, 1)]
+
+
+def test_price_dispersion_and_seasonality_recompute(spark):
+    """Dispersion spot-checked against raw cents sets; seasonality
+    indexes average EXACTLY to 1 over the 12 months (telescoping
+    identity of the exact rational) and recompute from raw sums."""
+    import collections
+
+    rows = {r.partkey: r for r in Q.q_price_dispersion(spark, SF).collect()}
+    li = fixtures.load(spark, SF, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    ).collect()
+    cents: dict = collections.defaultdict(set)
+    for r in li:
+        cents[r.l_partkey].add(round(float(r.l_extendedprice) * 100))
+    for pk, cs in cents.items():
+        if len(cs) >= 2:
+            g = rows[pk]
+            assert g.n_prices == len(cs)
+            assert g.min_price == min(cs) / 100.0
+            assert g.rel_spread == round((max(cs) - min(cs)) / min(cs), 6)
+        else:
+            assert pk not in rows
+
+    seas = Q.q_monthly_seasonality(spark, SF).collect()
+    assert len(seas) == 12
+    total = sum(r.qty for r in seas)
+    for r in seas:
+        assert r.seasonality_index == round(r.qty * 12 / total, 6)
+
+
+def test_duplicate_screen_and_abc_migration_contracts(spark):
+    """Every screen group really collides at dollar granularity (>= 2
+    orders) and counts distinct customers; the migration matrix
+    partitions the union of both halves' skus and its '-' rows equal
+    the set differences."""
+    dup = Q.q_duplicate_invoice_screen(spark, SF).collect()
+    assert dup and all(r.n_orders >= 2 for r in dup)
+    assert all(1 <= r.n_customers <= r.n_orders for r in dup)
+
+    mig = Q.q_abc_migration(spark, SF).collect()
+    li = fixtures.load(spark, SF, "lineitem").select(
+        "l_partkey", F.col("l_shipdate").cast("date").alias("d")
+    )
+    import datetime as dt
+
+    cut = dt.date(1996, 1, 1)
+    h1 = {r.l_partkey for r in li.where(F.col("d") < cut).distinct().collect()}
+    h2 = {r.l_partkey for r in li.where(F.col("d") >= cut).distinct().collect()}
+    assert sum(r.n_skus for r in mig) == len(h1 | h2)
+    assert sum(r.n_skus for r in mig if r.class_h2 == "-") == len(h1 - h2)
+    assert sum(r.n_skus for r in mig if r.class_h1 == "-") == len(h2 - h1)
+    assert not any(r.class_h1 == "-" and r.class_h2 == "-" for r in mig)

@@ -208,6 +208,17 @@ PORTABLE = [
     "repeat_purchase_rate",
     "new_vs_repeat_revenue",
     "magnitude_histogram",
+    # round-8 batch 3 (running abc_migration's oracle verbatim on
+    # Spark also pins BOTH halves' banded prefix shares against
+    # Spark's own single-partition global window, like
+    # abc_classification; the CAST(MAX(d)-MIN(d) AS BIGINT) span in
+    # duplicate_invoice_screen resolves identically on both engines).
+    # lifo_allocation stays DuckDB-side like fifo_allocation: its
+    # per-match day gap is DATE - DATE in a multiplying position
+    "price_dispersion",
+    "monthly_seasonality",
+    "abc_migration",
+    "duplicate_invoice_screen",
 ]
 
 
