@@ -798,3 +798,52 @@ def test_weighted_median_rule_matches_python(spark, pts):
         if 2 * cum >= total:
             assert got == v
             break
+
+
+@given(
+    flows=st.lists(
+        st.tuples(st.booleans(), st.integers(1, 20)), min_size=1, max_size=14
+    )
+)
+@SLOW
+def test_lifo_match_equals_reflected_two_pointer_model(spark, flows):
+    """fifo_match(lifo=True) == the python periodic-LIFO model: issue
+    units consume receipt units numbered from the END of the period's
+    inflow (reflection), any interleaving."""
+    import datetime as dt
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.allocate import (  # noqa: E501
+        fifo_match,
+    )
+
+    rows = [
+        (1, qty, dt.date(2024, 1, 1) + dt.timedelta(days=i), i, 1, is_in)
+        for i, (is_in, qty) in enumerate(flows)
+    ]
+    df = spark.createDataFrame(
+        rows, "sku long, qty int, d date, ord long, line int, is_receipt boolean"
+    )
+    got = sorted(
+        (r.in_ord, r.out_ord, r.matched_qty)
+        for r in fifo_match(df, lifo=True).collect()
+    )
+
+    receipts = [(i, q) for i, (is_in, q) in enumerate(flows) if is_in]
+    issues = [(i, q) for i, (is_in, q) in enumerate(flows) if not is_in]
+    r_tot = sum(q for _, q in receipts)
+    # reflected receipt intervals in consumption numbering
+    refl = []
+    hi = 0
+    for i, q in receipts:
+        hi += q
+        refl.append((i, r_tot - hi, r_tot - (hi - q)))  # (ord, lo, hi)
+    want = []
+    lo_i = 0
+    for i, q in issues:
+        hi_i = lo_i + q
+        for ro, rlo, rhi in refl:
+            ov = min(rhi, hi_i) - max(rlo, lo_i)
+            if ov > 0:
+                want.append((ro, i, ov))
+        lo_i = hi_i
+    assert got == sorted(want)
