@@ -48,7 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     artifact as the r04/r05/r06 DECIMAL reds; it now carries CAST(...
     AS BIGINT) and tests/test_oracle_lint.py bans un-cast wide
     oracle outputs engine-wide;
-    (2) the 22 round-8 additions, never driver-attested (FIFO layer
+    (2) the 25 round-8 additions, never driver-attested (FIFO layer
     allocation, FastSS edit-distance-1 neighbors, sweep-line backlog
     peak, order-day streaks, weighted median price, cohort matrix,
     price endings, collocation lift, hapax stats, modal priority,
@@ -56,11 +56,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     basket-size histogram, brand repeat rate, new-vs-repeat revenue,
     order-value magnitude histogram, periodic-LIFO allocation, price
     dispersion, monthly seasonality, duplicate-invoice screen, ABC
-    migration matrix -- 22 in all);
+    migration matrix, Heaps-law vocabulary growth, discount-depth
+    profile, per-brand return rates -- 25 in all);
     (3) the 13 entries whose freshest green is CORRECTNESS_r04 (they
     were displaced past the boundary by the late round-7 additions);
-    (4) 14 stalest r05 greens, in r05 attestation order -- the next
-    twenty-two r05 greens were displaced past the boundary by (2) and
+    (4) 11 stalest r05 greens, in r05 attestation order -- the next
+    twenty-five r05 greens were displaced past the boundary by (2) and
     lead the stale queue next round. Past the window: those, the 13
     remaining r05 greens, the 49 r06 greens, the 49 r07 greens
     (freshest), then the 19 rows-only (seeded/approximate/iterative)
@@ -101,6 +102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_seasonality": Q.q_monthly_seasonality,
         "duplicate_invoice_screen": Q.q_duplicate_invoice_screen,
         "abc_migration": Q.q_abc_migration,
+        "vocab_growth": Q.q_vocab_growth,
+        "discount_depth_profile": Q.q_discount_depth_profile,
+        "returns_rate_by_brand": Q.q_returns_rate_by_brand,
         # --- (3) stalest greens: the 13 r04-green entries displaced
         # past the boundary by the late round-7 additions ------------
         "important_part_values": Q.q_important_part_values,
@@ -4297,6 +4301,80 @@ SELECT COALESCE(h1.class_h1, '-') AS class_h1,
        CAST(COUNT(*) AS BIGINT) AS n_skus
 FROM h1 FULL OUTER JOIN h2 ON h1.sku = h2.sku
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+
+        # Heaps-law vocabulary growth: each token contributes only its
+        # FIRST-seen decile; the running total densifies via the
+        # sequence-explode idiom on both sides. FLOOR, never a bare
+        # double->int cast (DuckDB rounds, Spark truncates)
+        "vocab_growth": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+step AS (
+  SELECT GREATEST(1, CAST(FLOOR(COUNT(DISTINCT doc_id) / 10.0) AS BIGINT))
+    AS s
+  FROM documents
+),
+fs AS (
+  SELECT LEAST(CAST(FLOOR(MIN(doc_id) / (SELECT s FROM step)) AS INT), 9)
+    AS decile
+  FROM tok GROUP BY tok
+),
+pd AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_tokens
+       FROM fs GROUP BY decile),
+dens AS (
+  SELECT unnest(range(pd.decile, 10)) AS decile, new_tokens FROM pd
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(SUM(new_tokens) AS BIGINT) AS vocab
+FROM dens GROUP BY decile ORDER BY decile
+""",
+
+        # margin-leakage profile: exact integer discount points/cents
+        "discount_depth_profile": """
+WITH li AS (
+  SELECT CAST(ROUND(CAST(l_discount AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS discount_pct,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem
+),
+per AS (
+  SELECT discount_pct, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         SUM(cents) AS rev_cents
+  FROM li GROUP BY discount_pct
+),
+t AS (SELECT SUM(n_lines) AS tl, SUM(rev_cents) AS tr FROM per)
+SELECT discount_pct, n_lines,
+       ROUND(CAST(n_lines AS DOUBLE) / CAST(tl AS DOUBLE), 6) AS line_share,
+       ROUND(CAST(rev_cents AS DOUBLE) / CAST(tr AS DOUBLE), 6)
+         AS revenue_share
+FROM per CROSS JOIN t ORDER BY discount_pct
+""",
+
+        # merchandising quality screen: return-flag shares per brand
+        "returns_rate_by_brand": """
+SELECT p.p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       ROUND(CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS line_return_rate,
+       ROUND(CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                           THEN CAST(l.l_quantity AS BIGINT)
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS DOUBLE), 6)
+         AS qty_return_rate,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty_total,
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                     THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS qty_returned
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand ORDER BY brand
 """,
 
     }

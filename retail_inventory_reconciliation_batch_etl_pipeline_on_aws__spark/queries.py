@@ -6609,3 +6609,130 @@ def q_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_skus"))
         .orderBy("class_h1", "class_h2")
     )
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the Heaps-law diagnostic a corpus
+    curator reads before scaling ingestion: a flattening curve says new
+    data is re-treading old vocabulary): cumulative distinct tokens
+    after each decile of the corpus in doc_id order. Exact and
+    shuffle-light: each token contributes ONLY its FIRST-seen doc
+    decile (one min-aggregate over (token) -- never a cumulative
+    distinct over growing prefixes), and the per-decile first-seen
+    counts densify to a running total by the explode(sequence(...))
+    idiom -- each decile row lands in every decile >= it, so the 'sum
+    over prefix' is a 10-row-bounded groupBy, not a partition-less
+    window."""
+    from .functions.text import tokens
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # bounded scalar: corpus row count
+    step = max(1, n_docs // 10)
+    first_seen = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .select(
+            # FLOOR, never a bare double->int cast: Spark truncates but
+            # DuckDB ROUNDS on that cast -- floor is the cross-engine
+            # spelling (exact here: ints < 2^53 through one divide)
+            F.least(F.floor(F.col("first_doc") / step), F.lit(9))
+            .cast("int")
+            .alias("decile")
+        )
+    )
+    per_decile = first_seen.groupBy("decile").agg(
+        F.count("*").cast("long").alias("new_tokens")
+    )
+    return (
+        per_decile.select(
+            "new_tokens",
+            F.explode(F.sequence(F.col("decile"), F.lit(9))).alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(F.sum("new_tokens").cast("long").alias("vocab"))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "vocab",
+        )
+        .orderBy("decile")
+    )
+
+
+def q_discount_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-depth distribution: line share and revenue share at
+    each discount percentage point (exact: discounts fold to integer
+    points, revenue to cents) -- the margin-leakage profile pricing
+    teams audit. One groupBy plus the sanctioned 1-row totals gate;
+    two terminal divides."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("discount_pct"),
+        F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    per = li.groupBy("discount_pct").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    totals = per.agg(
+        F.sum("n_lines").cast("long").alias("tl"),
+        F.sum("rev_cents").cast("decimal(38,0)").alias("tr"),
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "discount_pct",
+            "n_lines",
+            F.round(F.col("n_lines").cast("double") / F.col("tl"), 6).alias(
+                "line_share"
+            ),
+            F.round(
+                F.col("rev_cents").cast("double") / F.col("tr").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("discount_pct")
+    )
+
+
+def q_returns_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate per brand (share of lines and of quantity flagged
+    'R') -- the merchandising quality screen; all-integer counts, two
+    terminal divides, part is the broadcastable dim."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_returnflag") == "R").alias("ret"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    part = fixtures.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("ret"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_returned"),
+            F.sum("qty").cast("long").alias("qty_total"),
+            F.sum(F.when(F.col("ret"), F.col("qty")).otherwise(0))
+            .cast("long")
+            .alias("qty_returned"),
+        )
+        .select(
+            "brand",
+            "n_lines",
+            "n_returned",
+            "qty_total",
+            "qty_returned",
+            F.round(
+                F.col("n_returned").cast("double") / F.col("n_lines"), 6
+            ).alias("line_return_rate"),
+            F.round(
+                F.col("qty_returned").cast("double") / F.col("qty_total"), 6
+            ).alias("qty_return_rate"),
+        )
+        .orderBy("brand")
+    )

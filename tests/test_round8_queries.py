@@ -604,3 +604,70 @@ def test_duplicate_screen_and_abc_migration_contracts(spark):
     assert sum(r.n_skus for r in mig if r.class_h2 == "-") == len(h1 - h2)
     assert sum(r.n_skus for r in mig if r.class_h1 == "-") == len(h2 - h1)
     assert not any(r.class_h1 == "-" and r.class_h2 == "-" for r in mig)
+
+
+def test_vocab_growth_monotone_and_endpoint(spark):
+    """The Heaps curve is non-decreasing, ends at the full vocabulary,
+    and each decile's value recomputes from python first-seen sets."""
+    rows = Q.q_vocab_growth(spark, SF).collect()
+    vocab = [r.vocab for r in sorted(rows, key=lambda r: r.decile)]
+    assert vocab == sorted(vocab)
+    docs = sorted(
+        fixtures.load(spark, SF, "documents").select("doc_id", "text").collect(),
+        key=lambda r: r.doc_id,
+    )
+    n_docs = len(docs)
+    step = max(1, n_docs // 10)
+    first_seen = {}
+    for r in docs:
+        for t in r.text.split():
+            if t and t not in first_seen:
+                first_seen[t] = min(r.doc_id // step, 9)
+    want = []
+    acc = 0
+    import collections
+
+    per = collections.Counter(first_seen.values())
+    for d in range(10):
+        acc += per.get(d, 0)
+        want.append(acc)
+    assert vocab == want
+    assert vocab[-1] == len(first_seen)
+
+
+def test_discount_profile_and_returns_rate_recompute(spark):
+    """Discount shares telescope to 1 on both measures; return rates
+    recompute exactly from raw flags."""
+    prof = Q.q_discount_depth_profile(spark, SF).collect()
+    assert abs(sum(r.line_share for r in prof) - 1.0) < 1e-3
+    assert abs(sum(r.revenue_share for r in prof) - 1.0) < 1e-3
+    li_n = fixtures.load(spark, SF, "lineitem").count()
+    assert sum(r.n_lines for r in prof) == li_n
+
+    import collections
+
+    rows = {r.brand: r for r in Q.q_returns_rate_by_brand(spark, SF).collect()}
+    li = (
+        fixtures.load(spark, SF, "lineitem")
+        .join(
+            fixtures.load(spark, SF, "part").select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("p_brand", "l_returnflag", F.col("l_quantity").cast("long").alias("q"))
+        .collect()
+    )
+    agg: dict = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for r in li:
+        a = agg[r.p_brand]
+        a[0] += 1
+        a[2] += r.q
+        if r.l_returnflag == "R":
+            a[1] += 1
+            a[3] += r.q
+    for brand, (n, nr, qt, qr) in agg.items():
+        g = rows[brand]
+        assert (g.n_lines, g.n_returned, g.qty_total, g.qty_returned) == (
+            n, nr, qt, qr,
+        )
+        assert g.line_return_rate == round(nr / n, 6)
+        assert g.qty_return_rate == round(qr / qt, 6)

@@ -219,6 +219,10 @@ PORTABLE = [
     "monthly_seasonality",
     "abc_migration",
     "duplicate_invoice_screen",
+    # round-8 batch 4 (pure ANSI; vocab_growth stays DuckDB-side:
+    # list_* lambda tokenizer + range() table function)
+    "discount_depth_profile",
+    "returns_rate_by_brand",
 ]
 
 
