@@ -48,7 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     artifact as the r04/r05/r06 DECIMAL reds; it now carries CAST(...
     AS BIGINT) and tests/test_oracle_lint.py bans un-cast wide
     oracle outputs engine-wide;
-    (2) the 25 round-8 additions, never driver-attested (FIFO layer
+    (2) the 28 round-8 additions, never driver-attested (FIFO layer
     allocation, FastSS edit-distance-1 neighbors, sweep-line backlog
     peak, order-day streaks, weighted median price, cohort matrix,
     price endings, collocation lift, hapax stats, modal priority,
@@ -57,12 +57,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order-value magnitude histogram, periodic-LIFO allocation, price
     dispersion, monthly seasonality, duplicate-invoice screen, ABC
     migration matrix, Heaps-law vocabulary growth, discount-depth
-    profile, per-brand return rates -- 25 in all);
+    profile, per-brand return rates, the Zipf frequency spectrum, the
+    ISO-weekday revenue profile, the lead-time week-bucket matrix --
+    28 in all);
     (3) the 13 entries whose freshest green is CORRECTNESS_r04 (they
     were displaced past the boundary by the late round-7 additions);
-    (4) 11 stalest r05 greens, in r05 attestation order -- the next
-    twenty-five r05 greens were displaced past the boundary by (2) and
-    lead the stale queue next round. Past the window: those, the 13
+    (4) 8 stalest r05 greens, in r05 attestation order -- the next
+    twenty-eight r05 greens were displaced past the boundary by (2)
+    and lead the stale queue next round. Past the window: those, the
+    13
     remaining r05 greens, the 49 r06 greens, the 49 r07 greens
     (freshest), then the 19 rows-only (seeded/approximate/iterative)
     entries that close the tail by design -- attesting those would
@@ -105,6 +108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": Q.q_vocab_growth,
         "discount_depth_profile": Q.q_discount_depth_profile,
         "returns_rate_by_brand": Q.q_returns_rate_by_brand,
+        "token_frequency_spectrum": Q.q_token_frequency_spectrum,
+        "weekday_revenue_profile": Q.q_weekday_revenue_profile,
+        "lead_time_bucket_matrix": Q.q_lead_time_bucket_matrix,
         # --- (3) stalest greens: the 13 r04-green entries displaced
         # past the boundary by the late round-7 additions ------------
         "important_part_values": Q.q_important_part_values,
@@ -4375,6 +4381,74 @@ SELECT p.p_brand AS brand,
          AS qty_returned
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand ORDER BY brand
+""",
+
+        # Zipf spectrum: length(bin(count)) = exact log2 bucket
+        "token_frequency_spectrum": """
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+tf AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+sp AS (
+  SELECT CAST(LENGTH(bin(CAST(n AS BIGINT))) AS BIGINT) AS freq_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(n) AS BIGINT) AS mass
+  FROM tf GROUP BY 1
+),
+t AS (SELECT CAST(SUM(mass) AS BIGINT) AS t FROM sp)
+SELECT freq_bucket, n_tokens, mass,
+       ROUND(CAST(mass AS DOUBLE) / CAST(t AS DOUBLE), 6) AS mass_share
+FROM sp CROSS JOIN t ORDER BY freq_bucket
+""",
+
+        # ISO-weekday ops calendar; cents-exact
+        "weekday_revenue_profile": """
+WITH o AS (
+  SELECT CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS isodow,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+),
+per AS (
+  SELECT isodow, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(cents) AS rev_cents
+  FROM o GROUP BY isodow
+),
+t AS (SELECT SUM(n_orders) AS tn, SUM(rev_cents) AS tr FROM per)
+SELECT isodow, n_orders,
+       CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+       ROUND(CAST(n_orders AS DOUBLE) / CAST(tn AS DOUBLE), 6)
+         AS order_share,
+       ROUND(CAST(rev_cents AS DOUBLE) / CAST(tr AS DOUBLE), 6)
+         AS revenue_share
+FROM per CROSS JOIN t ORDER BY isodow
+""",
+
+        # SLA heat map: exact integer week buckets (FLOOR toward -inf
+        # on both engines; negative buckets are the inverted
+        # anomalies). Epoch-day integers, not DATE - DATE (INTEGER on
+        # DuckDB, INTERVAL on Spark) -- keeps the string 3-way portable
+        "lead_time_bucket_matrix": """
+WITH lat AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(FLOOR((CAST(FLOOR(epoch(CAST(l.l_shipdate AS TIMESTAMP))
+                                / 86400) AS BIGINT)
+                     - CAST(FLOOR(epoch(CAST(o.o_orderdate AS TIMESTAMP))
+                                  / 86400) AS BIGINT)) / 7.0) AS BIGINT)
+           AS week_bucket
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+cells AS (
+  SELECT priority, week_bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lat GROUP BY priority, week_bucket
+)
+SELECT priority, week_bucket, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY priority) AS DOUBLE), 6)
+         AS share
+FROM cells ORDER BY priority, week_bucket
 """,
 
     }

@@ -6736,3 +6736,113 @@ def q_returns_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+def q_token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf frequency SPECTRUM of the corpus: distinct-token count and
+    corpus-mass share per power-of-two frequency bucket
+    (length(bin(count)) -- the exact log2 bucket, no float log). The
+    spectrum is the tokenizer-health diagnostic (a fat singleton
+    bucket = OCR noise / unsegmented text; a missing tail = template
+    data) and the exact backdrop the hapax and diversity screens
+    sample. Two aggregates plus the sanctioned 1-row mass gate."""
+    from .functions.text import tokens
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    spectrum = tf.groupBy(
+        F.length(F.bin("n")).cast("long").alias("freq_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("n").cast("long").alias("mass"),
+    )
+    total = spectrum.agg(F.sum("mass").cast("long").alias("t"))
+    return (
+        spectrum.crossJoin(F.broadcast(total))
+        .select(
+            "freq_bucket",
+            "n_tokens",
+            "mass",
+            F.round(F.col("mass").cast("double") / F.col("t"), 6).alias(
+                "mass_share"
+            ),
+        )
+        .orderBy("freq_bucket")
+    )
+
+
+def q_weekday_revenue_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue and order-count profile by ISO weekday (1=Mon..7=Sun):
+    the staffing/ops calendar view; cents-exact sums, two terminal
+    divides against the 1-row totals gate."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        (((F.dayofweek("o_orderdate") + 5) % 7) + 1).cast("long").alias("isodow"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    per = orders.groupBy("isodow").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    totals = per.agg(
+        F.sum("n_orders").cast("long").alias("tn"),
+        F.sum("rev_cents").cast("decimal(38,0)").alias("tr"),
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "isodow",
+            "n_orders",
+            (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
+            F.round(F.col("n_orders").cast("double") / F.col("tn"), 6).alias(
+                "order_share"
+            ),
+            F.round(
+                F.col("rev_cents").cast("double") / F.col("tr").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("isodow")
+    )
+
+
+def q_lead_time_bucket_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead-time WEEK-BUCKET matrix per priority: line
+    counts per (priority, floor(latency/7)) cell with the within-
+    priority share -- the SLA heat-map behind ship_latency's
+    percentiles (percentiles say where the median sits; the matrix
+    shows the whole mass, including the negative-bucket anomalies the
+    backlog sweep excludes). Exact integer day latencies; the share
+    window partitions by priority."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("order_d"),
+        "o_orderpriority",
+    )
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.datediff("ship_d", "order_d") / 7).cast("long").alias(
+            "week_bucket"
+        ),
+    )
+    cells = lat.groupBy("priority", "week_bucket").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("priority")
+    return (
+        cells.withColumn("t", F.sum("n").over(w))
+        .select(
+            "priority",
+            "week_bucket",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy("priority", "week_bucket")
+    )

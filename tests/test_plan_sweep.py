@@ -39,6 +39,8 @@ NESTED_LOOP_OK = {
     "basket_size_histogram",  # 1-row order-total broadcast gate (cell shares)
     "monthly_seasonality",  # 1-row quantity-total broadcast gate (index denominator)
     "discount_depth_profile",  # 1-row (line, revenue) totals broadcast gate
+    "token_frequency_spectrum",  # 1-row corpus-mass broadcast gate
+    "weekday_revenue_profile",  # 1-row (orders, revenue) totals broadcast gate
     "abc_migration",  # per-half 1-row revenue-total gates (the abc_classification shape, twice)
     "pq_index_topk",  # 1-row ADC codebook-literal gate over pruned codes
 }

@@ -671,3 +671,34 @@ def test_discount_profile_and_returns_rate_recompute(spark):
         )
         assert g.line_return_rate == round(nr / n, 6)
         assert g.qty_return_rate == round(qr / qt, 6)
+
+
+def test_spectrum_weekday_leadtime_contracts(spark):
+    """Spectrum mass conserves the corpus token count and buckets
+    really are bit lengths; weekday shares telescope and isodow is
+    1..7; the lead-time matrix partitions the line population and its
+    shares telescope within each priority."""
+    import collections
+
+    spec = Q.q_token_frequency_spectrum(spark, SF).collect()
+    docs = fixtures.load(spark, SF, "documents").select("text").collect()
+    cnt = collections.Counter()
+    for r in docs:
+        cnt.update(t for t in r.text.split() if t)
+    assert sum(r.mass for r in spec) == sum(cnt.values())
+    assert sum(r.n_tokens for r in spec) == len(cnt)
+    want = collections.Counter(v.bit_length() for v in cnt.values())
+    assert {r.freq_bucket: r.n_tokens for r in spec} == dict(want)
+
+    wd = Q.q_weekday_revenue_profile(spark, SF).collect()
+    assert {r.isodow for r in wd} <= set(range(1, 8))
+    assert abs(sum(r.order_share for r in wd) - 1.0) < 1e-3
+    assert abs(sum(r.revenue_share for r in wd) - 1.0) < 1e-3
+
+    lt = Q.q_lead_time_bucket_matrix(spark, SF).collect()
+    li_n = fixtures.load(spark, SF, "lineitem").count()
+    assert sum(r.n for r in lt) == li_n
+    per = collections.defaultdict(float)
+    for r in lt:
+        per[r.priority] += r.share
+    assert all(abs(s - 1.0) < 1e-3 for s in per.values())

@@ -223,6 +223,11 @@ PORTABLE = [
     # list_* lambda tokenizer + range() table function)
     "discount_depth_profile",
     "returns_rate_by_brand",
+    # round-8 batch 5 (isodow via the compat shim; epoch-day week
+    # buckets; token_frequency_spectrum stays DuckDB-side: list_*
+    # lambda tokenizer)
+    "weekday_revenue_profile",
+    "lead_time_bucket_matrix",
 ]
 
 
