@@ -41,115 +41,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the LEAST-RECENTLY driver-attested entries come FIRST.
 
     The driver's CORRECTNESS artifact records only the first 50
-    entries, so ordering is part of the contract. Round-8 rotation:
-    (1) price_equidepth_hist at position 1 -- red hash in r07: the
-    oracle's un-cast ``LEAST(9, ...)`` bucket was DuckDB HUGEINT
-    (SUM(BIGINT) widens to int128), the same cell-canonicalization
-    artifact as the r04/r05/r06 DECIMAL reds; it now carries CAST(...
-    AS BIGINT) and tests/test_oracle_lint.py bans un-cast wide
-    oracle outputs engine-wide;
-    (2) the 28 round-8 additions, never driver-attested (FIFO layer
-    allocation, FastSS edit-distance-1 neighbors, sweep-line backlog
-    peak, order-day streaks, weighted median price, cohort matrix,
-    price endings, collocation lift, hapax stats, modal priority,
-    supplier HHI, Simpson token diversity, source vocabulary overlap,
-    basket-size histogram, brand repeat rate, new-vs-repeat revenue,
-    order-value magnitude histogram, periodic-LIFO allocation, price
-    dispersion, monthly seasonality, duplicate-invoice screen, ABC
-    migration matrix, Heaps-law vocabulary growth, discount-depth
-    profile, per-brand return rates, the Zipf frequency spectrum, the
-    ISO-weekday revenue profile, the lead-time week-bucket matrix --
-    28 in all);
-    (3) the 13 entries whose freshest green is CORRECTNESS_r04 (they
-    were displaced past the boundary by the late round-7 additions);
-    (4) 8 stalest r05 greens, in r05 attestation order -- the next
-    twenty-eight r05 greens were displaced past the boundary by (2)
-    and lead the stale queue next round. Past the window: those, the
-    13
-    remaining r05 greens, the 49 r06 greens, the 49 r07 greens
-    (freshest), then the 19 rows-only (seeded/approximate/iterative)
-    entries that close the tail by design -- attesting those would
-    waste a slot on a weaker rows-only check. All post-window entries
-    stay pinned value-level by tests/test_oracle_parity.py and
-    bit-exactly by tools/strict_parity.py.
+    entries, so ordering is part of the contract. Round-9 rotation:
+    CORRECTNESS_r08 came back 50/50 green, so there are no reds to
+    front-pin; new round-9 additions (never driver-attested) are
+    inserted at the head of the window as they land, displacing the
+    stalest windowed r06 greens back past the boundary. Behind any
+    such additions the window holds the stalest greens: the 41
+    entries whose freshest green is CORRECTNESS_r05 (in r05
+    attestation order -- the r04 cohort was fully re-attested in r8),
+    then stalest r06 greens filling to 50. Past the window: the r06
+    remainder, the 49 r07 greens, the 50 r08 greens (the full
+    round-8 window, freshest), then the 19 rows-only (seeded/
+    approximate/iterative) entries that close the tail by design --
+    attesting those would waste a slot on a weaker rows-only check.
+    All post-window entries stay pinned value-level by
+    tests/test_oracle_parity.py and bit-exactly by
+    tools/strict_parity.py.
     """
     return {
-        # --- (1) red in r07 (HUGEINT oracle bucket; now CAST AS
-        # BIGINT and the oracle dtype lint bans the family) --------
-        "price_equidepth_hist": Q.q_price_equidepth_hist,
-        # --- (2) round-8 additions, never driver-attested: FIFO layer
-        # allocation, FastSS edit-distance-1 blocking, the sweep-line
-        # backlog peak, gaps-and-islands streaks, exact weighted
-        # median, the cohort triangle, cent-ending forensics,
-        # PMI-equivalent collocation lift, vocabulary-shape stats,
-        # per-nation modal priority ----------------------------------
-        "fifo_allocation": Q.q_fifo_allocation,
-        "name_edit1_pairs": Q.q_name_edit1_pairs,
-        "supplier_backlog_peak": Q.q_supplier_backlog_peak,
-        "order_streaks": Q.q_order_streaks,
-        "weighted_median_price": Q.q_weighted_median_price,
-        "cohort_matrix": Q.q_cohort_matrix,
-        "price_endings": Q.q_price_endings,
-        "collocation_lift": Q.q_collocation_lift,
-        "hapax_stats": Q.q_hapax_stats,
-        "dominant_priority": Q.q_dominant_priority,
-        "nation_supplier_hhi": Q.q_nation_supplier_hhi,
-        "token_simpson_diversity": Q.q_token_simpson_diversity,
-        "source_vocab_overlap": Q.q_source_vocab_overlap,
-        "basket_size_histogram": Q.q_basket_size_histogram,
-        "repeat_purchase_rate": Q.q_repeat_purchase_rate,
-        "new_vs_repeat_revenue": Q.q_new_vs_repeat_revenue,
-        "magnitude_histogram": Q.q_magnitude_histogram,
-        "lifo_allocation": Q.q_lifo_allocation,
-        "price_dispersion": Q.q_price_dispersion,
-        "monthly_seasonality": Q.q_monthly_seasonality,
-        "duplicate_invoice_screen": Q.q_duplicate_invoice_screen,
-        "abc_migration": Q.q_abc_migration,
-        "vocab_growth": Q.q_vocab_growth,
-        "discount_depth_profile": Q.q_discount_depth_profile,
-        "returns_rate_by_brand": Q.q_returns_rate_by_brand,
-        "token_frequency_spectrum": Q.q_token_frequency_spectrum,
-        "weekday_revenue_profile": Q.q_weekday_revenue_profile,
-        "lead_time_bucket_matrix": Q.q_lead_time_bucket_matrix,
-        # --- (3) stalest greens: the 13 r04-green entries displaced
-        # past the boundary by the late round-7 additions ------------
-        "important_part_values": Q.q_important_part_values,
-        "top_revenue_supplier": Q.q_top_revenue_supplier,
-        "bulk_red_shippers": Q.q_bulk_red_shippers,
-        "source_quota_sample": Q.q_source_quota_sample,
-        "corpus_pack": Q.q_corpus_pack,
-        "dataset_split": Q.q_dataset_split,
-        "bm25_search": Q.q_bm25_search,
-        "small_qty_revenue": Q.q_small_qty_revenue,
-        "large_volume_customers": Q.q_large_volume_customers,
-        "hybrid_rank": Q.q_hybrid_rank,
-        "local_supplier_revenue": Q.q_local_supplier_revenue,
-        "returned_item_customers": Q.q_returned_item_customers,
-        "promo_revenue_share": Q.q_promo_revenue_share,
-        # --- (3) stalest r05 greens, in r05 attestation order -------
-        "dedup_keep_best": Q.q_dedup_keep_best,
-        "dedup_canonical": Q.q_dedup_canonical,
-        "source_quality_drift": Q.q_source_quality_drift,
-        "stock_asof_tolerant": Q.q_stock_asof_tolerant,
-        "value_anomalies": Q.q_value_anomalies,
-        "evolving_schema": Q.q_evolving_schema,
-        "stock_asof_forward": Q.q_stock_asof_forward,
-        "stage_sales": Q.q_stage_sales,
+        # --- round-9 window: no reds and no never-attested entries
+        # remain, so the 50 stalest greens rotate in -- the 41
+        # entries whose freshest green is CORRECTNESS_r05 (in r05
+        # attestation order), then the 9 stalest r06 greens ----
         "dim_products": Q.q_dim_products,
         "market_share": Q.q_market_share,
         "nation_profit": Q.q_nation_profit,
         "image_dims": Q.q_image_dims,
         "order_priority_check": Q.q_order_priority_check,
         "disjunctive_revenue": Q.q_disjunctive_revenue,
-        # ---- end of the 50-entry attested window --------------------
         "supplier_variety": Q.q_supplier_variety,
         "contamination_check": Q.q_contamination_check,
         "doc_repetition": Q.q_doc_repetition,
         "priority_class_lines": Q.q_priority_class_lines,
         "weekly_retention": Q.q_weekly_retention,
-        # r05-green remainder (freshest row CORRECTNESS_r05.json);
-        # the first seventeen were displaced from the window by the
-        # round-8 additions and lead the stale queue next round
         "segment_top_percentile": Q.q_segment_top_percentile,
         "table_profile": Q.q_table_profile,
         "sku_sale_gaps": Q.q_sku_sale_gaps,
@@ -180,7 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": Q.q_jaccard_pairs,
         "dedup_groups": Q.q_dedup_groups,
         "multimodal_features": Q.q_multimodal_features,
-        # r06-green remainder (freshest row CORRECTNESS_r06.json)
+        # --- stalest r06 greens fill the window to 50 -------------
         "lm_score": Q.q_lm_score,
         "top_tokens": Q.q_top_tokens,
         "corpus_filter": Q.q_corpus_filter,
@@ -190,6 +114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": Q.q_embed_neardup,
         "rolling_fingerprint": Q.q_rolling_fingerprint,
         "sku_moving_avg": Q.q_sku_moving_avg,
+        # ---- end of the 50-entry attested window --------------------
+        # r06-green remainder (freshest row CORRECTNESS_r06.json)
         "token_budget": Q.q_token_budget,
         "copurchase_pairs": Q.q_copurchase_pairs,
         "name_match_candidates": Q.q_name_match_candidates,
@@ -280,6 +206,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_setops": Q.q_customer_setops,
         "returnflag_pivot": Q.q_returnflag_pivot,
         "min_cost_supplier": Q.q_min_cost_supplier,
+        # r08-green remainder (freshest row CORRECTNESS_r08.json;
+        # the full round-8 window attested 50/50)
+        "price_equidepth_hist": Q.q_price_equidepth_hist,
+        "fifo_allocation": Q.q_fifo_allocation,
+        "name_edit1_pairs": Q.q_name_edit1_pairs,
+        "supplier_backlog_peak": Q.q_supplier_backlog_peak,
+        "order_streaks": Q.q_order_streaks,
+        "weighted_median_price": Q.q_weighted_median_price,
+        "cohort_matrix": Q.q_cohort_matrix,
+        "price_endings": Q.q_price_endings,
+        "collocation_lift": Q.q_collocation_lift,
+        "hapax_stats": Q.q_hapax_stats,
+        "dominant_priority": Q.q_dominant_priority,
+        "nation_supplier_hhi": Q.q_nation_supplier_hhi,
+        "token_simpson_diversity": Q.q_token_simpson_diversity,
+        "source_vocab_overlap": Q.q_source_vocab_overlap,
+        "basket_size_histogram": Q.q_basket_size_histogram,
+        "repeat_purchase_rate": Q.q_repeat_purchase_rate,
+        "new_vs_repeat_revenue": Q.q_new_vs_repeat_revenue,
+        "magnitude_histogram": Q.q_magnitude_histogram,
+        "lifo_allocation": Q.q_lifo_allocation,
+        "price_dispersion": Q.q_price_dispersion,
+        "monthly_seasonality": Q.q_monthly_seasonality,
+        "duplicate_invoice_screen": Q.q_duplicate_invoice_screen,
+        "abc_migration": Q.q_abc_migration,
+        "vocab_growth": Q.q_vocab_growth,
+        "discount_depth_profile": Q.q_discount_depth_profile,
+        "returns_rate_by_brand": Q.q_returns_rate_by_brand,
+        "token_frequency_spectrum": Q.q_token_frequency_spectrum,
+        "weekday_revenue_profile": Q.q_weekday_revenue_profile,
+        "lead_time_bucket_matrix": Q.q_lead_time_bucket_matrix,
+        "important_part_values": Q.q_important_part_values,
+        "top_revenue_supplier": Q.q_top_revenue_supplier,
+        "bulk_red_shippers": Q.q_bulk_red_shippers,
+        "source_quota_sample": Q.q_source_quota_sample,
+        "corpus_pack": Q.q_corpus_pack,
+        "dataset_split": Q.q_dataset_split,
+        "bm25_search": Q.q_bm25_search,
+        "small_qty_revenue": Q.q_small_qty_revenue,
+        "large_volume_customers": Q.q_large_volume_customers,
+        "hybrid_rank": Q.q_hybrid_rank,
+        "local_supplier_revenue": Q.q_local_supplier_revenue,
+        "returned_item_customers": Q.q_returned_item_customers,
+        "promo_revenue_share": Q.q_promo_revenue_share,
+        "dedup_keep_best": Q.q_dedup_keep_best,
+        "dedup_canonical": Q.q_dedup_canonical,
+        "source_quality_drift": Q.q_source_quality_drift,
+        "stock_asof_tolerant": Q.q_stock_asof_tolerant,
+        "value_anomalies": Q.q_value_anomalies,
+        "evolving_schema": Q.q_evolving_schema,
+        "stock_asof_forward": Q.q_stock_asof_forward,
+        "stage_sales": Q.q_stage_sales,
         # --- rows-only tail (seeded hash families / approximate /
         # iterative) -- outside the window by design ------------------
         "image_phash_neardup": Q.q_image_phash_neardup,
