@@ -847,3 +847,69 @@ def test_lifo_match_equals_reflected_two_pointer_model(spark, flows):
                 want.append((ro, i, ov))
         lo_i = hi_i
     assert got == sorted(want)
+
+
+# --- rounded-acceptance prefix alpha (r8 ADVICE: the accept filter is
+# round(ratio,4) >= t, which admits overlaps one below ceil(t*m) on
+# large docs; alpha must derive from the ROUNDED rule) ----------------
+
+
+def _brute_min_accepted_overlap(m, num, den):
+    """Exact-rational model of the accept filter: smallest k whose
+    HALF_UP 4-digit rounding of k/m meets the double threshold."""
+    from fractions import Fraction
+
+    t_dbl = Fraction(num / den)  # the exact double the engine compares to
+    for k in range(1, m + 1):
+        rounded = Fraction((20000 * k + m) // (2 * m), 10_000)
+        if Fraction(float(rounded)) >= t_dbl:
+            return k
+    return m + 1
+
+
+@given(
+    m=st.integers(min_value=3, max_value=200_000),
+    frac=st.sampled_from(
+        [(1, 2), (7, 10), (4, 5), (1, 4), (3, 4), (9, 10), (2, 3), (17, 20)]
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_rounded_prefix_alpha_is_complete_and_tight(m, frac):
+    """alpha never exceeds the true minimum ROUNDED-accepted overlap
+    (completeness: the prefix filter cannot prune an acceptable pair)
+    and sits within the documented 1-shingle IEEE cushion of it
+    (tightness: pruning power is not given away)."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.dedup import (
+        rounded_prefix_alpha,
+    )
+
+    num, den = frac
+    alpha = rounded_prefix_alpha(m, num / den)
+    # brute-force scan is O(m); confine it to a window around alpha
+    lo = max(1, alpha - 3)
+    from fractions import Fraction
+
+    t_dbl = Fraction(num / den)
+    k_min = None
+    for k in range(lo, min(m, alpha + max(8, m // 1000 + 4)) + 1):
+        rounded = Fraction((20000 * k + m) // (2 * m), 10_000)
+        if Fraction(float(rounded)) >= t_dbl:
+            k_min = k
+            break
+    assert k_min is not None, "no accepted overlap near alpha"
+    assert alpha <= k_min, f"alpha {alpha} would prune accepted overlap {k_min}"
+    assert alpha >= k_min - 1, f"alpha {alpha} gives away >1 below {k_min}"
+
+
+def test_rounded_prefix_alpha_r8_advice_scenario():
+    """The exact scenario from the r8 advice: t=0.7, m=20000 -- the
+    pair with overlap 13999 (ratio 0.69995, rounds to 0.7000) is
+    ACCEPTED by the filter but ceil(t*m)=14000 would prune it."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.dedup import (
+        rounded_prefix_alpha,
+    )
+
+    assert _brute_min_accepted_overlap(20_000, 7, 10) == 13_999
+    assert rounded_prefix_alpha(20_000, 0.7) <= 13_999
+    # and the old exact-threshold alpha really was wrong
+    assert -(-7 * 20_000 // 10) == 14_000
