@@ -677,6 +677,14 @@ def build_pq_index(
         [(i, c) for i, c in enumerate(cents)],
         "cluster int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # top-level completion marker, written strictly AFTER the last
+    # artifact: codes land first, so codes/_SUCCESS alone cannot tell
+    # a finished index from one whose build crashed mid-way -- a
+    # rebuild-skip keyed on it would serve a half-built index forever
+    import os as _os
+
+    with open(_os.path.join(path, "_INDEX_COMPLETE"), "w") as fh:
+        fh.write("ivfpq-v1\n")
 
 
 def pq_index_topk(

@@ -5695,10 +5695,19 @@ def q_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.fixtures import FIXTURE_ROOT
 
     emb = fixtures.load(spark, sf_dir, "embeddings")
+    # cache key = sf basename + a fingerprint of the embeddings file,
+    # so a regenerated fixture gets a fresh index; completion is judged
+    # by the _INDEX_COMPLETE marker build_pq_index writes AFTER its
+    # last artifact (codes/_SUCCESS lands first and would mistake a
+    # crashed half-built index for a finished one)
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    st = _os.stat(src)
+    fp = f"{st.st_size:x}-{st.st_mtime_ns:x}"
     idx = _os.path.join(
-        FIXTURE_ROOT, f"pq_index_{_os.path.basename(sf_dir.rstrip('/'))}"
+        FIXTURE_ROOT,
+        f"pq_index_{_os.path.basename(sf_dir.rstrip('/'))}_{fp}",
     )
-    if not _os.path.exists(_os.path.join(idx, "codes", "_SUCCESS")):
+    if not _os.path.exists(_os.path.join(idx, "_INDEX_COMPLETE")):
         build_pq_index(emb, idx)
     return pq_index_topk(
         spark, idx, _query_vector(spark, sf_dir), k=10, embeddings=emb

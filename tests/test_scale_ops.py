@@ -1317,6 +1317,14 @@ def test_persisted_pq_index_serves_identical_results_and_prunes(
 
     assert snap(idx1) == snap(idx2)  # train-once determinism, bit-level
 
+    # completion marker is the rebuild-skip signal (r8 advice): it must
+    # exist after a finished build, and it is written after the LAST
+    # artifact so codes/_SUCCESS alone never masks a crashed build
+    import os
+
+    assert os.path.exists(os.path.join(idx1, "_INDEX_COMPLETE"))
+    assert os.path.exists(os.path.join(idx1, "centroids", "_SUCCESS"))
+
     served = pq_index_topk(spark, idx1, qv, k=10, embeddings=emb)
     rows = served.collect()
     assert rows == pq_index_topk(spark, idx1, qv, k=10, embeddings=emb).collect()
