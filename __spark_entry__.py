@@ -59,10 +59,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/strict_parity.py.
     """
     return {
-        # --- round-9 window: no reds and no never-attested entries
-        # remain, so the 50 stalest greens rotate in -- the 41
-        # entries whose freshest green is CORRECTNESS_r05 (in r05
-        # attestation order), then the 9 stalest r06 greens ----
+        # --- round-9 additions, never driver-attested (rotation rule
+        # 1: never-attested first) -----------------------------------
+        "price_change_events": Q.q_price_change_events,
+        "single_source_risk": Q.q_single_source_risk,
+        "seasonal_naive_backtest": Q.q_seasonal_naive_backtest,
+        "langid_confusion": Q.q_langid_confusion,
+        "dedup_group_sizes": Q.q_dedup_group_sizes,
+        # --- round-9 window fill: the 41 entries whose freshest green
+        # is CORRECTNESS_r05 (in r05 attestation order), then the
+        # stalest r06 greens to 50 -----------------------------------
         "dim_products": Q.q_dim_products,
         "market_share": Q.q_market_share,
         "nation_profit": Q.q_nation_profit,
@@ -109,13 +115,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": Q.q_top_tokens,
         "corpus_filter": Q.q_corpus_filter,
         "doclen_histogram": Q.q_doclen_histogram,
+        # ---- end of the 50-entry attested window --------------------
+        # r06-green remainder (freshest row CORRECTNESS_r06.json;
+        # the head entries were displaced from the window by the
+        # round-9 additions and lead the stale queue next round)
         "sim_topk": Q.q_sim_topk,
         "label_centroid_sim": Q.q_label_centroid_sim,
         "embed_neardup": Q.q_embed_neardup,
         "rolling_fingerprint": Q.q_rolling_fingerprint,
         "sku_moving_avg": Q.q_sku_moving_avg,
-        # ---- end of the 50-entry attested window --------------------
-        # r06-green remainder (freshest row CORRECTNESS_r06.json)
         "token_budget": Q.q_token_budget,
         "copurchase_pairs": Q.q_copurchase_pairs,
         "name_match_candidates": Q.q_name_match_candidates,
@@ -394,6 +402,160 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # exact cross-multiplied unit-price comparison (cents/qty is
+        # rational; the generator's extendedprice is NOT divisible by
+        # quantity, so no engine ever divides)
+        "price_change_events": """
+WITH seq AS (
+  SELECT l_partkey AS part,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents,
+         CAST(l_quantity AS BIGINT) AS qty,
+         LAG(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+             AS BIGINT)) OVER w AS pc,
+         LAG(CAST(l_quantity AS BIGINT)) OVER w AS pq
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_partkey
+               ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber)
+)
+SELECT CAST(part AS BIGINT) AS partkey,
+       CAST(SUM(CASE WHEN cents * pq <> pc * qty THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changes,
+       CAST(SUM(CASE WHEN cents * pq > pc * qty THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_up,
+       CAST(SUM(CASE WHEN cents * pq < pc * qty THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_down
+FROM seq WHERE pc IS NOT NULL
+GROUP BY part
+ORDER BY n_changes DESC, partkey
+LIMIT 25
+""",
+        "single_source_risk": """
+WITH ps AS (
+  SELECT l_partkey AS part, l_suppkey AS supp,
+         CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1, 2
+),
+top AS (
+  SELECT part, supp AS top_supplier, rev AS top_rev,
+         ROW_NUMBER() OVER (PARTITION BY part ORDER BY rev DESC, supp) AS rn
+  FROM ps
+),
+agg AS (
+  SELECT part, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(rev) AS BIGINT) AS tot
+  FROM ps GROUP BY 1
+)
+SELECT CAST(a.part AS BIGINT) AS partkey,
+       a.n_suppliers,
+       CAST(t.top_supplier AS BIGINT) AS top_supplier,
+       ROUND(CAST(t.top_rev AS DOUBLE) / CAST(a.tot AS DOUBLE), 6)
+         AS top_share
+FROM agg a JOIN top t ON a.part = t.part AND t.rn = 1
+WHERE a.n_suppliers >= 2
+ORDER BY top_share DESC, partkey
+LIMIT 50
+""",
+        "seasonal_naive_backtest": """
+WITH monthly AS (
+  SELECT p.p_brand AS brand,
+         CAST(YEAR(l.l_shipdate) * 12 + MONTH(l.l_shipdate) - 1 AS BIGINT)
+           AS mkey,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+)
+SELECT a.brand,
+       CAST(COUNT(*) AS BIGINT) AS n_months,
+       ROUND(CAST(SUM(ABS(a.qty - n.qty)) AS DOUBLE) / COUNT(*), 6) AS mae,
+       ROUND(CAST(SUM(a.qty - n.qty) AS DOUBLE) / COUNT(*), 6) AS mean_bias
+FROM monthly a
+JOIN monthly n ON a.brand = n.brand AND a.mkey = n.mkey + 12
+WHERE a.mkey >= 1996 * 12
+GROUP BY a.brand ORDER BY a.brand
+""",
+        "langid_confusion": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sc AS (
+  SELECT doc_id,
+         len(list_filter(toks, t -> t IN ('the','and','is','of','a'))) AS s_en,
+         len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS s_de,
+         len(list_filter(toks, t -> t IN ('le','la','et','les','est'))) AS s_fr,
+         len(list_filter(toks, t -> t IN ('el','la','los','es','que'))) AS s_es
+  FROM tok
+),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+              WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+              WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+              ELSE 'es' END AS lang_pred
+  FROM sc
+),
+cells AS (
+  SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+  GROUP BY 1, 2
+)
+SELECT lang, lang_pred, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE), 6)
+         AS row_share
+FROM cells ORDER BY lang, lang_pred
+""",
+        # the dedup_groups recursive closure, histogrammed by size
+        "dedup_group_sizes": """
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 3 + 2), i ->
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+  FROM tok WHERE len(toks) >= 3
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM shared
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id
+  FROM reach GROUP BY a
+),
+sizes AS (SELECT canonical_id, COUNT(*) AS group_size FROM comp GROUP BY 1)
+SELECT CAST(group_size AS BIGINT) AS group_size,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(group_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1 ORDER BY group_size
+""",
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
        CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'

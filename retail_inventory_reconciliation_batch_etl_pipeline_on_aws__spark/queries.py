@@ -6855,3 +6855,194 @@ def q_lead_time_bucket_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "week_bucket")
     )
+
+
+def q_price_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part price CHANGE ledger: consecutive transacted unit prices
+    compared EXACTLY via cross-multiplication (unit price is the
+    rational cents/qty and the generator's extendedprice is not evenly
+    divisible by quantity, so ``c_i * q_{i-1} <=> c_{i-1} * q_i``
+    replaces any float division), counting changes and their direction
+    per part -- the pricing-ops audit behind ``price_dispersion``'s
+    static spread: HOW OFTEN a part's realized price moves, and which
+    way. One partitioned window (part key), top-25 movers
+    deterministic by (n_changes desc, partkey)."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_shipdate").cast("date").alias("d"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("part").orderBy("d", "l_orderkey", "l_linenumber")
+    seq = li.select(
+        "part",
+        "cents",
+        "qty",
+        F.lag("cents").over(w).alias("pc"),
+        F.lag("qty").over(w).alias("pq"),
+    )
+    cur, prev = F.col("cents") * F.col("pq"), F.col("pc") * F.col("qty")
+    return (
+        seq.where(F.col("pc").isNotNull())
+        .groupBy("part")
+        .agg(
+            F.sum((cur != prev).cast("int")).cast("long").alias("n_changes"),
+            F.sum((cur > prev).cast("int")).cast("long").alias("n_up"),
+            F.sum((cur < prev).cast("int")).cast("long").alias("n_down"),
+        )
+        .orderBy(F.desc("n_changes"), "part")
+        .limit(25)
+        .select(
+            F.col("part").cast("long").alias("partkey"),
+            "n_changes",
+            "n_up",
+            "n_down",
+        )
+    )
+
+
+def q_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-dependency screen per part: among multi-supplier parts,
+    how concentrated is revenue on the TOP supplier (share of exact
+    revenue cents; share ~1.0 = nominally dual-sourced but effectively
+    single-sourced -- the procurement risk the ``nation_supplier_hhi``
+    concentration index aggregates away). Exact int64 cents
+    everywhere; the only float is the one terminal divide, rounded to
+    6dp; top supplier picked by (revenue desc, suppkey) -- a
+    deterministic integer ordering."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"),
+        F.col("l_suppkey").alias("supp"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    ps = li.groupBy("part", "supp").agg(F.sum("cents").alias("rev"))
+    w = Window.partitionBy("part").orderBy(F.desc("rev"), "supp")
+    top = (
+        ps.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "part",
+            F.col("supp").alias("top_supplier"),
+            F.col("rev").alias("top_rev"),
+        )
+    )
+    agg = ps.groupBy("part").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum("rev").alias("tot"),
+    )
+    return (
+        agg.where(F.col("n_suppliers") >= 2)
+        .join(top, "part")
+        .select(
+            F.col("part").cast("long").alias("partkey"),
+            "n_suppliers",
+            F.col("top_supplier").cast("long").alias("top_supplier"),
+            F.round(
+                F.col("top_rev").cast("double") / F.col("tot").cast("double"),
+                6,
+            ).alias("top_share"),
+        )
+        .orderBy(F.desc("top_share"), "partkey")
+        .limit(50)
+    )
+
+
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per brand: predict each 1996+
+    month's quantity as the SAME month one year earlier and report MAE
+    and mean bias on the holdout -- the zero-parameter baseline every
+    demand forecast must beat before its own backtest
+    (``forecast_backtest``'s OLS) earns trust. Months fold to integer
+    keys (year*12+month-1) so the lag-12 pairing is an exact int
+    equi-join; errors are exact int64 quantities with two terminal
+    divides rounded to 6dp."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    part = fixtures.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    monthly = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (
+                F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1
+            ).alias("mkey"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    actual = monthly.where(F.col("mkey") >= 1996 * 12)
+    naive = monthly.select(
+        "brand",
+        (F.col("mkey") + 12).alias("mkey"),
+        F.col("qty").alias("naive_qty"),
+    )
+    scored = actual.join(naive, ["brand", "mkey"])
+    return (
+        scored.groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_months"),
+            F.round(
+                F.sum(F.abs(F.col("qty") - F.col("naive_qty"))).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mae"),
+            F.round(
+                F.sum(F.col("qty") - F.col("naive_qty")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_bias"),
+        )
+        .orderBy("brand")
+    )
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX: predicted vs labeled language with
+    each cell's share of its labeled row -- the classifier-evaluation
+    view of ``langid`` (which emits per-doc predictions and leaves
+    aggregation to the reader). Counts are exact; the row share is one
+    terminal divide against the labeled-language total, rounded 6dp."""
+    from .functions import text as TX
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    cells = (
+        docs.select("lang", TX.langid("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return (
+        cells.withColumn("row_total", F.sum("n").over(w))
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("row_total"), 6
+            ).alias("row_share"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def q_dedup_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster SIZE DISTRIBUTION: the resolved dedup groups
+    (connected components over the exact-Jaccard pair graph, as in
+    ``dedup_groups``) histogrammed by group size -- the shape a
+    curation run reports (many pairs and a few large clusters behave
+    very differently downstream: a size-k cluster removes k-1 docs).
+    Composition of the attested CC operator with one exact aggregate;
+    singletons (docs in no pair) are excluded by construction."""
+    from .operators.dedup import shingle_jaccard_pairs
+    from .operators.graph import dedup_groups
+
+    docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
+    groups = dedup_groups(shingle_jaccard_pairs(docs, n=3, threshold=0.5))
+    return (
+        groups.groupBy(F.col("group_size").cast("long").alias("group_size"))
+        .agg(
+            F.countDistinct("canonical_id").cast("long").alias("n_groups"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .orderBy("group_size")
+    )

@@ -1,0 +1,157 @@
+"""Round-9 queries and operators: semantic contracts beyond generic
+oracle parity -- exact cross-multiplied price-change detection,
+supplier-concentration invariants, seasonal-naive backtest pairing,
+confusion-matrix accounting, and dedup group-size conservation."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark import (
+    queries as Q,
+)
+from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans import (
+    fixtures,
+)
+
+from conftest import TESTDATA as SF
+
+
+def test_price_change_events_matches_python_model(spark):
+    """Planted per-part price sequences (rational unit prices compared
+    via cross-multiplication, never division) reproduce an exact
+    Python model's change/up/down counts."""
+    rows = [
+        # (part, cents, qty, day, orderkey, linenumber)
+        # part 1: 100/1 -> 300/2 (up) -> 150/1 (=300/2, no change)
+        #         -> 100/1 (down)  => 2 changes, 1 up, 1 down
+        (1, 100, 1, 1, 10, 1),
+        (1, 300, 2, 2, 11, 1),
+        (1, 150, 1, 3, 12, 1),
+        (1, 100, 1, 4, 13, 1),
+        # part 2: constant rational price 250/1, 500/2 => 0 changes
+        (2, 250, 1, 1, 20, 1),
+        (2, 500, 2, 2, 21, 1),
+    ]
+    df = spark.createDataFrame(
+        [
+            (
+                p,
+                float(c) / 100.0,
+                q,
+                dt.date(1995, 1, d),
+                ok,
+                ln,
+            )
+            for p, c, q, d, ok, ln in rows
+        ],
+        "l_partkey long, l_extendedprice double, l_quantity long, "
+        "l_shipdate date, l_orderkey long, l_linenumber long",
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "lineitem.parquet"))
+        for aux in ["part", "orders"]:
+            fixtures.load(spark, SF, aux).limit(0).write.parquet(
+                os.path.join(td, f"{aux}.parquet")
+            )
+        got = {
+            r.partkey: (r.n_changes, r.n_up, r.n_down)
+            for r in Q.q_price_change_events(spark, td).collect()
+        }
+    assert got[1] == (2, 1, 1)
+    assert got[2] == (0, 0, 0)
+
+
+@given(
+    seqs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=500),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_cross_multiply_change_model(seqs):
+    """The cross-multiplication rule equals exact Fraction comparison
+    for any (cents, qty) sequence -- the invariant the in-plan
+    expression relies on."""
+    from fractions import Fraction
+
+    for (c0, q0), (c1, q1) in zip(seqs, seqs[1:]):
+        assert (c1 * q0 != c0 * q1) == (
+            Fraction(c1, q1) != Fraction(c0, q0)
+        )
+        assert (c1 * q0 > c0 * q1) == (Fraction(c1, q1) > Fraction(c0, q0))
+
+
+def test_single_source_risk_invariants(spark):
+    """Every reported part has >= 2 suppliers, the share is in
+    (0, 1], and the top supplier really holds the max per-supplier
+    revenue (re-derived independently)."""
+    out = Q.q_single_source_risk(spark, SF).collect()
+    assert 0 < len(out) <= 50
+    li = fixtures.load(spark, SF, "lineitem").select(
+        F.col("l_partkey").alias("part"),
+        F.col("l_suppkey").alias("supp"),
+        F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    ps = {
+        (r.part, r.supp): r.rev
+        for r in li.groupBy("part", "supp")
+        .agg(F.sum("cents").alias("rev"))
+        .collect()
+    }
+    for r in out:
+        supps = {s: v for (p, s), v in ps.items() if p == r.partkey}
+        assert r.n_suppliers == len(supps) >= 2
+        assert 0.0 < r.top_share <= 1.0
+        assert supps[r.top_supplier] == max(supps.values())
+
+
+def test_seasonal_naive_backtest_only_scores_paired_months(spark):
+    """Holdout months without a year-earlier observation are excluded;
+    MAE is non-negative and |bias| <= MAE for every brand."""
+    out = Q.q_seasonal_naive_backtest(spark, SF).collect()
+    assert out
+    for r in out:
+        assert r.n_months >= 1
+        assert r.mae >= 0.0
+        assert abs(r.mean_bias) <= r.mae + 1e-9
+
+
+def test_langid_confusion_row_shares_sum_to_one(spark):
+    """Each labeled language's cell shares sum to ~1 and cell counts
+    total the corpus size."""
+    out = Q.q_langid_confusion(spark, SF).collect()
+    n_docs = fixtures.load(spark, SF, "documents").count()
+    assert sum(r.n for r in out) == n_docs
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, 0.0)
+        by_lang[r.lang] += r.row_share
+    for lang, s in by_lang.items():
+        assert abs(s - 1.0) < 1e-4, (lang, s)
+
+
+def test_dedup_group_sizes_conserves_docs_and_groups(spark):
+    """The histogram's doc and group totals equal the resolved groups
+    frame it summarizes; every group has >= 2 members (pairs build
+    it)."""
+    hist = Q.q_dedup_group_sizes(spark, SF).collect()
+    groups = Q.q_dedup_groups(spark, SF).collect()
+    assert sum(r.n_docs for r in hist) == len(groups)
+    assert sum(r.n_groups for r in hist) == len(
+        {g.canonical_id for g in groups}
+    )
+    assert all(r.group_size >= 2 for r in hist)
+    for r in hist:
+        assert r.n_docs == r.group_size * r.n_groups
