@@ -66,6 +66,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_backtest": Q.q_seasonal_naive_backtest,
         "langid_confusion": Q.q_langid_confusion,
         "dedup_group_sizes": Q.q_dedup_group_sizes,
+        "rfm_segments": Q.q_rfm_segments,
+        "lorenz_curve": Q.q_lorenz_curve,
+        "price_volume_bridge": Q.q_price_volume_bridge,
+        "revenue_recognition": Q.q_revenue_recognition,
+        "demand_intermittency": Q.q_demand_intermittency,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -402,6 +407,145 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rfm_segments": """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT CAST(NTILE(5) OVER (ORDER BY last_d DESC, o_custkey) AS BIGINT)
+           AS r_score,
+         CAST(NTILE(5) OVER (ORDER BY n_orders DESC, o_custkey) AS BIGINT)
+           AS f_score,
+         CAST(NTILE(5) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT)
+           AS m_score,
+         cents
+  FROM per_cust
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS segment_revenue
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+        "lorenz_curve": """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+),
+dec AS (
+  SELECT NTILE(10) OVER (ORDER BY cents, o_orderkey) AS decile, cents FROM o
+),
+per_dec AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS rev
+  FROM dec GROUP BY 1
+),
+cum AS (
+  SELECT d2.decile, CAST(SUM(p.rev) AS BIGINT) AS cum_rev
+  FROM per_dec p JOIN per_dec d2 ON p.decile <= d2.decile
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS tot FROM per_dec)
+SELECT CAST(p.decile AS BIGINT) AS decile, p.n_orders,
+       ROUND(CAST(p.rev AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+         AS decile_share,
+       ROUND(CAST(c.cum_rev AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+         AS cum_share
+FROM per_dec p JOIN cum c ON p.decile = c.decile CROSS JOIN tot t
+ORDER BY decile
+""",
+        "price_volume_bridge": """
+WITH yearly AS (
+  SELECT p.p_brand AS brand, CAST(YEAR(l.l_shipdate) AS INT) AS yr,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q,
+         CAST(SUM(CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS BIGINT) AS r
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE YEAR(l.l_shipdate) IN (1995, 1996)
+  GROUP BY 1, 2
+)
+SELECT y1.brand,
+       ROUND(CAST(y1.r AS DOUBLE) / 100.0, 2) AS rev_1995,
+       ROUND(CAST(y2.r AS DOUBLE) / 100.0, 2) AS rev_1996,
+       ROUND(CAST(y2.r - y1.r AS DOUBLE) / 100.0, 2) AS delta,
+       ROUND(CAST((y2.q - y1.q) * y1.r AS DOUBLE)
+             / CAST(y1.q * 100 AS DOUBLE), 4) AS volume_effect,
+       ROUND(CAST(y2.r * y1.q - y2.q * y1.r AS DOUBLE)
+             / CAST(y1.q * 100 AS DOUBLE), 4) AS price_effect
+FROM yearly y1
+JOIN yearly y2 ON y1.brand = y2.brand AND y1.yr = 1995 AND y2.yr = 1996
+ORDER BY y1.brand
+""",
+        "revenue_recognition": """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS BIGINT)
+           AS om,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+),
+ls AS (
+  SELECT l_orderkey,
+         CAST(MAX(YEAR(l_shipdate) * 12 + MONTH(l_shipdate) - 1) AS BIGINT)
+           AS sm
+  FROM lineitem GROUP BY 1
+),
+sched AS (
+  SELECT o.o_orderkey, o.cents, o.om,
+         GREATEST(1, ls.sm - o.om + 1) AS n,
+         unnest(range(0, CAST(GREATEST(1, ls.sm - o.om + 1) AS BIGINT))) AS i
+  FROM o JOIN ls ON o.o_orderkey = ls.l_orderkey
+),
+shares AS (
+  SELECT o_orderkey, om + i AS mkey,
+         CAST(FLOOR(CAST(cents AS DOUBLE) / n) AS BIGINT)
+           + CASE WHEN i < cents % n THEN 1 ELSE 0 END AS share
+  FROM sched
+)
+SELECT printf('%04d-%02d', CAST(FLOOR(mkey / 12.0) AS INT),
+              CAST(mkey % 12 + 1 AS INT)) AS month,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(share) AS DOUBLE) / 100.0, 2) AS recognized
+FROM shares GROUP BY 1 ORDER BY month
+""",
+        "demand_intermittency": """
+WITH li AS (
+  SELECT l_partkey AS part,
+         CAST(FLOOR(epoch(CAST(l_shipdate AS TIMESTAMP)) / 604800)
+              AS BIGINT) AS week,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+wk AS (SELECT part, week, CAST(SUM(qty) AS BIGINT) AS q
+       FROM li GROUP BY 1, 2),
+pp AS (
+  SELECT part, CAST(COUNT(*) AS BIGINT) AS n, MIN(week) AS w0,
+         MAX(week) AS w1, CAST(SUM(q) AS BIGINT) AS sq,
+         CAST(SUM(q * q) AS BIGINT) AS sq2
+  FROM wk GROUP BY 1
+),
+classed AS (
+  SELECT CASE
+           WHEN n = 1 THEN 'single'
+           WHEN (w1 - w0) * 100 >= 132 * (n - 1)
+                AND (n * sq2 - sq * sq) * 100 >= 49 * sq * sq THEN 'lumpy'
+           WHEN (w1 - w0) * 100 >= 132 * (n - 1) THEN 'intermittent'
+           WHEN (n * sq2 - sq * sq) * 100 >= 49 * sq * sq THEN 'erratic'
+           ELSE 'smooth' END AS category,
+         sq
+  FROM pp
+)
+SELECT category, CAST(COUNT(*) AS BIGINT) AS n_skus,
+       CAST(SUM(sq) AS BIGINT) AS total_qty
+FROM classed GROUP BY 1 ORDER BY category
+""",
         # exact cross-multiplied unit-price comparison (cents/qty is
         # rational; the generator's extendedprice is NOT divisible by
         # quantity, so no engine ever divides)

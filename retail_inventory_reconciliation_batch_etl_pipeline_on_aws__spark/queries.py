@@ -7046,3 +7046,266 @@ def q_dedup_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_size")
     )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1-5 on Recency (last
+    order date), Frequency (order count) and Monetary (lifetime cents)
+    by exact global NTILE over the per-customer AGGREGATE -- the
+    ``customer_spend_quartiles`` posture: a deliberate single sorted
+    pass over |customers| rows (never raw orders), three times, with
+    (metric desc, custkey) deterministic ordering; score 1 = best. The
+    output is the segment cube: customers and revenue per (r, f, m)
+    cell -- the targeting table CRM campaigns key off. At 100TB the
+    scale path swaps NTILE for approx cut points + range bucketing
+    exactly as ``customer_spend_quartiles_approx`` does."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("d").alias("last_d"),
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )
+    w_r = Window.orderBy(F.desc("last_d"), "o_custkey")
+    w_f = Window.orderBy(F.desc("n_orders"), "o_custkey")
+    w_m = Window.orderBy(F.desc("cents"), "o_custkey")
+    scored = per_cust.select(
+        F.ntile(5).over(w_r).cast("long").alias("r_score"),
+        F.ntile(5).over(w_f).cast("long").alias("f_score"),
+        F.ntile(5).over(w_m).cast("long").alias("m_score"),
+        "cents",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.sum("cents").cast("double") / 100.0, 2).alias(
+                "segment_revenue"
+            ),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of order-value inequality at decile resolution:
+    orders ranked ASCENDING by total (exact cents, orderkey tiebreak)
+    into global NTILE(10) deciles over the per-order frame, each
+    decile's revenue share and the CUMULATIVE share from the bottom --
+    the curve behind ``nation_revenue_gini``'s single number (the Gini
+    is twice the area between this curve and the diagonal). The
+    10-row prefix sum uses the explode(sequence(...)) densify idiom
+    (never a partition-less window); the grand total is the sanctioned
+    1-row broadcast gate."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.orderBy("cents", "o_orderkey")
+    per_dec = (
+        orders.select((F.ntile(10).over(w)).alias("decile"), "cents")
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").alias("rev"),
+        )
+    )
+    cum = (
+        per_dec.select(
+            "rev", F.explode(F.sequence("decile", F.lit(10))).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.sum("rev").alias("cum_rev"))
+    )
+    total = per_dec.groupBy().agg(F.sum("rev").alias("tot"))
+    return (
+        per_dec.join(cum, "decile")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_orders",
+            F.round(F.col("rev").cast("double") / F.col("tot"), 6).alias(
+                "decile_share"
+            ),
+            F.round(F.col("cum_rev").cast("double") / F.col("tot"), 6).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+def q_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue BRIDGE per brand (1995 -> 1996): the
+    change decomposed into a VOLUME effect (quantity change at the
+    old average unit price) and a PRICE effect (the remainder) -- the
+    Laspeyres decomposition every finance review opens with. All
+    operands stay exact int64 (quantity sums x revenue cents products
+    peak ~1e15, well under 2^63; at a 100x scale the accumulators move
+    to DECIMAL) and each effect is ONE terminal divide of exact
+    integer products, so volume + price == delta exactly."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    part = fixtures.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    yearly = (
+        li.where(F.year("l_shipdate").isin(1995, 1996))
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").alias("yr"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("q"),
+            F.sum(
+                F.round(_dec("l_extendedprice") * 100).cast("long")
+            ).alias("r"),
+        )
+    )
+    y1 = yearly.where(F.col("yr") == 1995).select(
+        "brand", F.col("q").alias("q1"), F.col("r").alias("r1")
+    )
+    y2 = yearly.where(F.col("yr") == 1996).select(
+        "brand", F.col("q").alias("q2"), F.col("r").alias("r2")
+    )
+    j = y1.join(y2, "brand")
+    return j.select(
+        "brand",
+        F.round(F.col("r1").cast("double") / 100.0, 2).alias("rev_1995"),
+        F.round(F.col("r2").cast("double") / 100.0, 2).alias("rev_1996"),
+        F.round((F.col("r2") - F.col("r1")).cast("double") / 100.0, 2).alias(
+            "delta"
+        ),
+        F.round(
+            ((F.col("q2") - F.col("q1")) * F.col("r1")).cast("double")
+            / (F.col("q1") * 100).cast("double"),
+            4,
+        ).alias("volume_effect"),
+        F.round(
+            (F.col("r2") * F.col("q1") - F.col("q2") * F.col("r1")).cast(
+                "double"
+            )
+            / (F.col("q1") * 100).cast("double"),
+            4,
+        ).alias("price_effect"),
+    ).orderBy("brand")
+
+
+def q_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deferred-revenue RECOGNITION SCHEDULE: each order's total (exact
+    cents) spreads evenly across the calendar months from its order
+    month through its LAST ship month, pennies assigned by largest
+    remainder (the first ``cents mod n`` months get one extra -- the
+    ``rebate_proration`` discipline applied across TIME instead of
+    lines, so every order's schedule sums to its total exactly).
+    Months fold to integer keys; the per-order month axis densifies by
+    explode(sequence(...)); inverted spans (the generator ships some
+    lines before the order date -- the r8 sweep-line gotcha) clamp to
+    a single-month schedule."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("om"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    last_ship = (
+        fixtures.load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1
+            ).alias("sm")
+        )
+    )
+    sched = (
+        orders.join(last_ship, orders.o_orderkey == last_ship.l_orderkey)
+        .select(
+            "o_orderkey",
+            "om",
+            "cents",
+            F.greatest(F.lit(1), F.col("sm") - F.col("om") + 1).alias("n"),
+        )
+        .select(
+            "o_orderkey",
+            "cents",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("i"),
+            "om",
+        )
+        .select(
+            "o_orderkey",
+            (F.col("om") + F.col("i")).alias("mkey"),
+            (
+                F.floor(F.col("cents") / F.col("n"))
+                + (F.col("i") < F.col("cents") % F.col("n")).cast("long")
+            ).alias("share"),
+        )
+    )
+    return (
+        sched.groupBy("mkey")
+        .agg(
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.round(F.sum("share").cast("double") / 100.0, 2).alias(
+                "recognized"
+            ),
+        )
+        .select(
+            F.format_string(
+                "%04d-%02d",
+                F.floor(F.col("mkey") / 12).cast("int"),
+                (F.col("mkey") % 12 + 1).cast("int"),
+            ).alias("month"),
+            "n_orders",
+            "recognized",
+        )
+        .orderBy("month")
+    )
+
+
+def q_demand_intermittency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos-Boylan demand-pattern classification per sku: weekly
+    demand buckets give each part an ADI (mean inter-demand interval,
+    weeks) and a CV-squared of demand size, and the standard 1.32 /
+    0.49 cut-offs split the catalog into smooth / intermittent /
+    erratic / lumpy (plus 'single' for one-demand-week parts) -- the
+    segmentation that decides which forecasting model
+    (``forecast_backtest`` vs Croston-family) a sku gets. Both
+    threshold tests are EXACT integer cross-multiplications
+    (span*100 >= 132*(n-1); (n*Sq2 - Sq^2)*100 >= 49*Sq^2), so no
+    float ever decides a class."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"),
+        F.floor(F.unix_date(F.col("l_shipdate").cast("date")) / 7).alias(
+            "week"
+        ),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    wk = li.groupBy("part", "week").agg(F.sum("qty").alias("q"))
+    per_part = wk.groupBy("part").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("week").alias("w0"),
+        F.max("week").alias("w1"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sq2"),
+    )
+    adi_high = (F.col("w1") - F.col("w0")) * 100 >= 132 * (F.col("n") - 1)
+    cv2_high = (
+        F.col("n") * F.col("sq2") - F.col("sq") * F.col("sq")
+    ) * 100 >= 49 * F.col("sq") * F.col("sq")
+    classed = per_part.select(
+        F.when(F.col("n") == 1, F.lit("single"))
+        .when(adi_high & cv2_high, F.lit("lumpy"))
+        .when(adi_high, F.lit("intermittent"))
+        .when(cv2_high, F.lit("erratic"))
+        .otherwise(F.lit("smooth"))
+        .alias("category"),
+        "sq",
+    )
+    return (
+        classed.groupBy("category")
+        .agg(
+            F.count("*").cast("long").alias("n_skus"),
+            F.sum("sq").cast("long").alias("total_qty"),
+        )
+        .orderBy("category")
+    )

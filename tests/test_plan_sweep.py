@@ -43,6 +43,7 @@ NESTED_LOOP_OK = {
     "weekday_revenue_profile",  # 1-row (orders, revenue) totals broadcast gate
     "abc_migration",  # per-half 1-row revenue-total gates (the abc_classification shape, twice)
     "pq_index_topk",  # 1-row ADC codebook-literal gate over pruned codes
+    "lorenz_curve",  # 1-row revenue-total broadcast gate (share denominators)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -155,3 +155,162 @@ def test_dedup_group_sizes_conserves_docs_and_groups(spark):
     assert all(r.group_size >= 2 for r in hist)
     for r in hist:
         assert r.n_docs == r.group_size * r.n_groups
+
+
+def test_rfm_segments_accounting(spark):
+    """Cell counts conserve the customer universe and each score
+    dimension's marginal is a valid NTILE partition (sizes differ by
+    at most 1 across the five buckets)."""
+    out = Q.q_rfm_segments(spark, SF).collect()
+    n_cust = (
+        fixtures.load(spark, SF, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in out) == n_cust
+    for dim in ("r_score", "f_score", "m_score"):
+        marg = {}
+        for r in out:
+            marg[r[dim]] = marg.get(r[dim], 0) + r.n_customers
+        assert set(marg) == {1, 2, 3, 4, 5}
+        assert max(marg.values()) - min(marg.values()) <= 1
+
+
+def test_lorenz_curve_is_monotone_and_complete(spark):
+    """Deciles 1..10 all present; cumulative share is nondecreasing,
+    ends at 1.0, and each decile's share is <= any later decile's
+    (orders were ranked ascending)."""
+    out = sorted(Q.q_lorenz_curve(spark, SF).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in out] == list(range(1, 11))
+    assert abs(out[-1].cum_share - 1.0) < 1e-6
+    for a, b in zip(out, out[1:]):
+        assert b.cum_share >= a.cum_share - 1e-9
+        assert b.decile_share >= a.decile_share - 1e-6
+
+
+def test_price_volume_bridge_effects_sum_to_delta(spark):
+    """The Laspeyres identity: volume_effect + price_effect == delta
+    (exact by construction up to the two 4dp roundings)."""
+    out = Q.q_price_volume_bridge(spark, SF).collect()
+    assert out
+    for r in out:
+        assert abs((r.volume_effect + r.price_effect) - r.delta) < 2e-4
+        assert abs((r.rev_1996 - r.rev_1995) - r.delta) < 1e-6
+
+
+def test_revenue_recognition_conserves_order_totals(spark):
+    """Largest-remainder spreading is conservative: the schedule's
+    grand total equals the exact sum of order totals (orders with at
+    least one line), to the cent."""
+    out = Q.q_revenue_recognition(spark, SF).collect()
+    got_cents = round(sum(r.recognized for r in out) * 100)
+    li = fixtures.load(spark, SF, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    ).distinct()
+    want = (
+        fixtures.load(spark, SF, "orders")
+        .join(li, "o_orderkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+            ).alias("c")
+        )
+        .collect()[0]
+        .c
+    )
+    assert got_cents == want
+
+
+@given(
+    weeks=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),
+            st.integers(min_value=1, max_value=100),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_intermittency_rule_matches_fraction_model(weeks):
+    """The exact integer cross-multiplications equal the Fraction-exact
+    Syntetos-Boylan rule (ADI >= 1.32, CV^2 >= 0.49)."""
+    from fractions import Fraction
+
+    n = len(weeks)
+    ws = sorted(w for w, _ in weeks)
+    qs = [q for _, q in weeks]
+    sq, sq2 = sum(qs), sum(q * q for q in qs)
+    span = ws[-1] - ws[0]
+    if n == 1:
+        want = "single"
+    else:
+        adi = Fraction(span, n - 1) >= Fraction(132, 100)
+        cv2 = Fraction(n * sq2 - sq * sq, sq * sq) >= Fraction(49, 100)
+        want = (
+            "lumpy"
+            if adi and cv2
+            else "intermittent"
+            if adi
+            else "erratic"
+            if cv2
+            else "smooth"
+        )
+    # integer rule, as in the plan and the oracle
+    if n == 1:
+        got = "single"
+    else:
+        adi_i = span * 100 >= 132 * (n - 1)
+        cv2_i = (n * sq2 - sq * sq) * 100 >= 49 * sq * sq
+        got = (
+            "lumpy"
+            if adi_i and cv2_i
+            else "intermittent"
+            if adi_i
+            else "erratic"
+            if cv2_i
+            else "smooth"
+        )
+    assert got == want
+
+
+def test_intermittency_planted_all_classes(spark):
+    """A planted frame hits every category: single, smooth (steady
+    weekly equal demand), intermittent (sparse equal), erratic (dense
+    variable), lumpy (sparse variable)."""
+    rows = []
+
+    def add(part, week, qty):
+        rows.append((part, dt.date(1995, 1, 1) + dt.timedelta(weeks=week), qty))
+
+    add(1, 0, 5)  # single
+    for w in range(10):  # smooth: every week, constant size
+        add(2, w, 7)
+    for w in range(0, 40, 4):  # intermittent: every 4 weeks, constant
+        add(3, w, 7)
+    for w, q in zip(range(10), [1, 50, 1, 60, 1, 70, 1, 80, 1, 90]):
+        add(4, w, q)  # erratic: dense, wildly variable
+    for w, q in zip(range(0, 40, 4), [1, 50, 1, 60, 1, 70, 1, 80, 1, 90]):
+        add(5, w, q)  # lumpy: sparse AND variable
+    df = spark.createDataFrame(
+        rows, "l_partkey long, l_shipdate date, l_quantity long"
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "lineitem.parquet"))
+        got = {
+            r.category: r.n_skus
+            for r in Q.q_demand_intermittency(spark, td).collect()
+        }
+    assert got == {
+        "single": 1,
+        "smooth": 1,
+        "intermittent": 1,
+        "erratic": 1,
+        "lumpy": 1,
+    }
