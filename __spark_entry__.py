@@ -71,6 +71,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_volume_bridge": Q.q_price_volume_bridge,
         "revenue_recognition": Q.q_revenue_recognition,
         "demand_intermittency": Q.q_demand_intermittency,
+        "token_burstiness": Q.q_token_burstiness,
+        "brand_spearman": Q.q_brand_spearman,
+        "kwic_concordance": Q.q_kwic_concordance,
+        "brand_transitions": Q.q_brand_transitions,
+        "snapshot_diff": Q.q_snapshot_diff,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -407,6 +412,151 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "token_burstiness": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, t AS tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+  GROUP BY 1, 2
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+per_tok AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(c) AS BIGINT) AS t,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM per_doc GROUP BY 1
+)
+SELECT tok AS token, df, t AS total,
+       ROUND(CAST(n_docs * s2 - t * t AS DOUBLE)
+             / CAST(n_docs * t AS DOUBLE), 6) AS vmr
+FROM per_tok CROSS JOIN nd
+WHERE df >= 5
+ORDER BY vmr DESC, token
+LIMIT 20
+""",
+        "brand_spearman": """
+WITH base AS (
+  SELECT p.p_brand AS brand, CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+qc AS (SELECT brand, qty, COUNT(*) AS c FROM base GROUP BY 1, 2),
+qr AS (
+  SELECT brand, qty,
+         2 * (SUM(c) OVER (PARTITION BY brand ORDER BY qty
+                           ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS rx2
+  FROM qc
+),
+cc AS (SELECT brand, cents, COUNT(*) AS c FROM base GROUP BY 1, 2),
+cr AS (
+  SELECT brand, cents,
+         2 * (SUM(c) OVER (PARTITION BY brand ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS ry2
+  FROM cc
+),
+lines AS (
+  SELECT b.brand, q.rx2, r.ry2
+  FROM base b
+  JOIN qr q ON b.brand = q.brand AND b.qty = q.qty
+  JOIN cr r ON b.brand = r.brand AND b.cents = r.cents
+),
+stats AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         SUM(rx2) AS sx, SUM(ry2) AS sy,
+         SUM(rx2 * rx2) AS sxx, SUM(ry2 * ry2) AS syy,
+         SUM(rx2 * ry2) AS sxy
+  FROM lines GROUP BY brand
+)
+SELECT brand, n_lines,
+       ROUND(CAST(n_lines * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n_lines * sxx - sx * sx AS DOUBLE)
+                    * CAST(n_lines * syy - sy * sy AS DOUBLE)), 6) AS rho
+FROM stats ORDER BY brand
+""",
+        "kwic_concordance": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tok
+),
+occ AS (SELECT doc_id, toks, i FROM pos WHERE toks[i] = 'the')
+SELECT doc_id, CAST(i AS BIGINT) AS position,
+       COALESCE(array_to_string(toks[GREATEST(1, i - 3):i - 1], ' '), '')
+         AS left_ctx,
+       COALESCE(array_to_string(toks[i + 1:i + 3], ' '), '') AS right_ctx
+FROM occ
+ORDER BY doc_id, position
+LIMIT 200
+""",
+        "brand_transitions": """
+WITH lines AS (
+  SELECT l.l_orderkey, p.p_brand,
+         CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+              AS BIGINT) AS cents,
+         l.l_partkey, l.l_linenumber
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+rep AS (
+  SELECT l_orderkey, p_brand AS brand
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+          ORDER BY cents DESC, l_partkey, l_linenumber) AS rn FROM lines)
+  WHERE rn = 1
+),
+seq AS (
+  SELECT o.o_custkey, CAST(o.o_orderdate AS DATE) AS d, o.o_orderkey, r.brand
+  FROM orders o JOIN rep r ON o.o_orderkey = r.l_orderkey
+),
+paired AS (
+  SELECT brand AS from_brand,
+         LEAD(brand) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+           AS to_brand
+  FROM seq
+),
+cells AS (
+  SELECT from_brand, to_brand, CAST(COUNT(*) AS BIGINT) AS n
+  FROM paired WHERE to_brand IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_brand, to_brand, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_brand) AS DOUBLE), 6)
+         AS row_share
+FROM cells ORDER BY from_brand, to_brand
+""",
+        "snapshot_diff": """
+WITH v1 AS (
+  SELECT sku, CAST(SUM(qty) AS BIGINT) AS q1, CAST(COUNT(*) AS BIGINT) AS r1
+  FROM read_parquet(['/root/repo/.fixtures/versioned_stock/data/d0.parquet',
+                     '/root/repo/.fixtures/versioned_stock/data/d1.parquet'])
+  GROUP BY sku
+),
+v2 AS (
+  SELECT sku, CAST(SUM(qty) AS BIGINT) AS q2, CAST(COUNT(*) AS BIGINT) AS r2
+  FROM read_parquet(['/root/repo/.fixtures/versioned_stock/data/d2.parquet'])
+  GROUP BY sku
+),
+j AS (
+  SELECT COALESCE(v1.sku, v2.sku) AS sku, q1, r1, q2, r2
+  FROM v1 FULL OUTER JOIN v2 ON v1.sku = v2.sku
+),
+classed AS (
+  SELECT CASE WHEN q1 IS NULL THEN 'added'
+              WHEN q2 IS NULL THEN 'removed'
+              WHEN q1 <> q2 OR r1 <> r2 THEN 'changed'
+              ELSE 'unchanged' END AS change_type,
+         COALESCE(q2, 0) - COALESCE(q1, 0) AS qd
+  FROM j
+)
+SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_skus,
+       CAST(SUM(qd) AS BIGINT) AS qty_delta
+FROM classed GROUP BY 1 ORDER BY change_type
+""",
         "rfm_segments": """
 WITH per_cust AS (
   SELECT o_custkey,
@@ -559,8 +709,15 @@ WITH seq AS (
              AS BIGINT)) OVER w AS pc,
          LAG(CAST(l_quantity AS BIGINT)) OVER w AS pq
   FROM lineitem
+  -- cents/qty close the sort: the generator emits duplicate
+  -- (orderkey, linenumber) rows, so (date, okey, ln) alone leaves
+  -- cross-engine-ambiguous ties; with the values appended, remaining
+  -- ties are fully identical rows and LAG is order-invariant
   WINDOW w AS (PARTITION BY l_partkey
-               ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber)
+               ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber,
+                        CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * 100) AS BIGINT),
+                        CAST(l_quantity AS BIGINT))
 )
 SELECT CAST(part AS BIGINT) AS partkey,
        CAST(SUM(CASE WHEN cents * pq <> pc * qty THEN 1 ELSE 0 END)

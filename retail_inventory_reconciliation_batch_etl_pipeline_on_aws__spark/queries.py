@@ -6875,7 +6875,13 @@ def q_price_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    w = Window.partitionBy("part").orderBy("d", "l_orderkey", "l_linenumber")
+    # cents/qty close the sort: the generator emits duplicate
+    # (orderkey, linenumber) rows, so (date, okey, ln) alone leaves
+    # cross-engine-ambiguous ties; with the values appended, remaining
+    # ties are fully identical rows and LAG is order-invariant
+    w = Window.partitionBy("part").orderBy(
+        "d", "l_orderkey", "l_linenumber", "cents", "qty"
+    )
     seq = li.select(
         "part",
         "cents",
@@ -7308,4 +7314,270 @@ def q_demand_intermittency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sq").cast("long").alias("total_qty"),
         )
         .orderBy("category")
+    )
+
+
+def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token BURSTINESS (Katz/Church 'burstiness' screen): the
+    variance-to-mean ratio of a token's per-document counts across the
+    WHOLE corpus (zeros included) -- ~1 means Poisson-scattered
+    function words, >> 1 means topically bursty content words; a
+    corpus whose 'function words' turn bursty is template spam. VMR =
+    (N*S2 - T^2) / (N*T) with every operand an exact int64 count (N =
+    corpus docs, the sanctioned 1-row gate; T = total occurrences;
+    S2 = sum of squared per-doc counts -- absent docs contribute 0 to
+    both), ONE terminal divide rounded 6dp. Top-20 by VMR among
+    tokens in >= 5 docs, token tiebreak."""
+    from .functions.text import tokens
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    n_docs = docs.groupBy().agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    per_tok = per_doc.groupBy("tok").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("c").cast("long").alias("t"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    return (
+        per_tok.where(F.col("df") >= 5)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("tok").alias("token"),
+            "df",
+            F.col("t").alias("total"),
+            F.round(
+                (F.col("n_docs") * F.col("s2") - F.col("t") * F.col("t"))
+                .cast("double")
+                / (F.col("n_docs") * F.col("t")).cast("double"),
+                6,
+            ).alias("vmr"),
+        )
+        .orderBy(F.desc("vmr"), "token")
+        .limit(20)
+    )
+
+
+def q_brand_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per brand between line quantity and
+    extended price -- the distribution-free dependence screen
+    (``measure_correlations``'s Pearson answers 'linear'; Spearman
+    answers 'monotone'). TIE-CORRECT by construction: the generator
+    has duplicate (orderkey, linenumber) rows, so NO row identity is
+    deterministic enough to break row_number ties cross-engine --
+    instead every line gets its value's AVERAGE rank (doubled to stay
+    integer: rx2 = 2*below + ties + 1, from a per-(brand, value)
+    aggregate and a partitioned running count), and rho is the
+    Pearson correlation of those integer double-ranks: (n*Sxy -
+    Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2)) -- exact integer
+    operands (DECIMAL(38,0) here, HUGEINT in the oracle; int64 would
+    overflow n*Sxx past sf~0.5) into one sqrt/divide, rounded 6dp
+    (the r7-proven cross-engine float recipe)."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    part = fixtures.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+
+    def avg2_ranks(col: str, out: str) -> DataFrame:
+        cnt = base.groupBy("brand", col).agg(F.count("*").alias("c"))
+        w = (
+            Window.partitionBy("brand")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return cnt.withColumn("cum", F.sum("c").over(w)).select(
+            "brand",
+            col,
+            (2 * (F.col("cum") - F.col("c")) + F.col("c") + 1).alias(out),
+        )
+
+    lines = base.join(avg2_ranks("qty", "rx2"), ["brand", "qty"]).join(
+        avg2_ranks("cents", "ry2"), ["brand", "cents"]
+    )
+    stats = lines.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+    )
+    d38 = "DECIMAL(38,0)"
+    scaled = stats.selectExpr(
+        "brand",
+        "n_lines",
+        f"CAST(n_lines AS {d38}) * CAST(sxy AS {d38})"
+        f" - CAST(sx AS {d38}) * CAST(sy AS {d38}) AS num",
+        f"CAST(n_lines AS {d38}) * CAST(sxx AS {d38})"
+        f" - CAST(sx AS {d38}) * CAST(sx AS {d38}) AS dx",
+        f"CAST(n_lines AS {d38}) * CAST(syy AS {d38})"
+        f" - CAST(sy AS {d38}) * CAST(sy AS {d38}) AS dy",
+    )
+    return scaled.select(
+        "brand",
+        "n_lines",
+        F.round(
+            F.col("num").cast("double")
+            / F.sqrt(F.col("dx").cast("double") * F.col("dy").cast("double")),
+            6,
+        ).alias("rho"),
+    ).orderBy("brand")
+
+
+def q_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance for the token 'the': every
+    occurrence with its 3-token left and right windows -- the
+    corpus-linguistics primitive behind collocation review and
+    data-audit spot checks. Slice bounds are CLAMPED with greatest()
+    even though the filter guards them (the r7 codegen lesson:
+    whole-stage subexpression elimination can evaluate a projection
+    under the fused predicate BEFORE the filter). Deterministic first
+    200 by (doc_id, position)."""
+    from .functions.text import tokens
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", tokens("text").alias("toks")
+    ).select(
+        "doc_id", "toks", F.posexplode("toks").alias("pos", "tok")
+    ).where(F.col("tok") == "the")
+    left = F.concat_ws(
+        " ",
+        F.slice(
+            F.col("toks"),
+            F.greatest(F.lit(1), F.col("pos") - 2),
+            F.greatest(F.lit(0), F.least(F.lit(3), F.col("pos"))),
+        ),
+    )
+    right = F.concat_ws(
+        " ",
+        F.slice(
+            F.col("toks"),
+            F.col("pos") + 2,
+            F.greatest(
+                F.lit(0),
+                F.least(F.lit(3), F.size("toks") - F.col("pos") - 1),
+            ),
+        ),
+    )
+    return (
+        occ.select(
+            "doc_id",
+            (F.col("pos") + 1).cast("long").alias("position"),
+            left.alias("left_ctx"),
+            right.alias("right_ctx"),
+        )
+        .orderBy("doc_id", "position")
+        .limit(200)
+    )
+
+
+def q_brand_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-purchase brand TRANSITION MATRIX (first-order Markov view
+    of loyalty/switching): each order is represented by the brand of
+    its highest-value line (exact cents, (partkey, linenumber)
+    tiebreak), consecutive orders pair per customer via LEAD over the
+    (date, orderkey) sequence, and each (from, to) cell reports its
+    count and row-share -- the churn-between-brands table behind
+    ``repeat_purchase_rate``'s single loyalty number. All windows
+    partition by order or customer keys."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    part = fixtures.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lines = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_orderkey",
+        "p_brand",
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_partkey",
+        "l_linenumber",
+    )
+    w_rep = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("cents"), "l_partkey", "l_linenumber"
+    )
+    rep = (
+        lines.withColumn("rn", F.row_number().over(w_rep))
+        .where(F.col("rn") == 1)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    seq = orders.join(rep, orders.o_orderkey == rep.l_orderkey)
+    w_seq = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    paired = seq.select(
+        F.col("brand").alias("from_brand"),
+        F.lead("brand").over(w_seq).alias("to_brand"),
+    ).where(F.col("to_brand").isNotNull())
+    cells = paired.groupBy("from_brand", "to_brand").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w_row = Window.partitionBy("from_brand")
+    return (
+        cells.withColumn("row_total", F.sum("n").over(w_row))
+        .select(
+            "from_brand",
+            "to_brand",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("row_total"), 6
+            ).alias("row_share"),
+        )
+        .orderBy("from_brand", "to_brand")
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed SNAPSHOT DIFF between two pinned versions of the
+    versioned table (v1 vs v2, where v2 is a full overwrite): per-sku
+    aggregates full-outer-join and classify as added / removed /
+    changed / unchanged, reporting sku counts and the net quantity
+    delta per class -- the anti-entropy RECONCILIATION view between
+    ``table_cdf``'s row-level feed (every row as insert/delete) and
+    ``table_checksum``'s single fingerprint. Both snapshots resolve
+    to fixed file lists through the commit log; the diff is one
+    hash full-outer join on the key."""
+    from .sources.versioned import read_versioned
+
+    path = fixtures.ensure_versioned_fixture()
+
+    def snap(version):
+        return (
+            read_versioned(spark, path, version=version)
+            .groupBy("sku")
+            .agg(F.sum("qty").cast("long").alias("qty"),
+                 F.count("*").cast("long").alias("n_rows"))
+        )
+
+    v1 = snap(1).select(
+        "sku", F.col("qty").alias("q1"), F.col("n_rows").alias("r1")
+    )
+    v2 = snap(2).select(
+        "sku", F.col("qty").alias("q2"), F.col("n_rows").alias("r2")
+    )
+    j = v1.join(v2, "sku", "full_outer")
+    classed = j.select(
+        F.when(F.col("q1").isNull(), F.lit("added"))
+        .when(F.col("q2").isNull(), F.lit("removed"))
+        .when(
+            (F.col("q1") != F.col("q2")) | (F.col("r1") != F.col("r2")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+        (F.coalesce("q2", F.lit(0)) - F.coalesce("q1", F.lit(0))).alias(
+            "qd"
+        ),
+    )
+    return (
+        classed.groupBy("change_type")
+        .agg(
+            F.count("*").cast("long").alias("n_skus"),
+            F.sum("qd").cast("long").alias("qty_delta"),
+        )
+        .orderBy("change_type")
     )

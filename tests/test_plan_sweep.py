@@ -44,6 +44,7 @@ NESTED_LOOP_OK = {
     "abc_migration",  # per-half 1-row revenue-total gates (the abc_classification shape, twice)
     "pq_index_topk",  # 1-row ADC codebook-literal gate over pruned codes
     "lorenz_curve",  # 1-row revenue-total broadcast gate (share denominators)
+    "token_burstiness",  # 1-row corpus-doc-count (N) broadcast gate
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -314,3 +314,155 @@ def test_intermittency_planted_all_classes(spark):
         "erratic": 1,
         "lumpy": 1,
     }
+
+
+def test_brand_spearman_planted_monotone_and_ties(spark):
+    """Perfectly monotone pairs give rho=1, perfectly inverse give
+    rho=-1, and a tied case matches the exact Fraction model of
+    average-rank Spearman."""
+    import os
+    import tempfile
+    from fractions import Fraction
+
+    # brand A: price strictly increasing with qty (rho=1)
+    # brand B: price strictly decreasing with qty (rho=-1)
+    # brand C: ties in qty (two lines share qty=2)
+    rows, pk = [], []
+    data = {
+        1: [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)],
+        2: [(1, 40.0), (2, 30.0), (3, 20.0), (4, 10.0)],
+        3: [(1, 10.0), (2, 30.0), (2, 20.0), (5, 40.0)],
+    }
+    for part, lines in data.items():
+        pk.append((part, f"Brand#{part}"))
+        for i, (q, p) in enumerate(lines):
+            rows.append((100 * part + i, i + 1, part, q, p))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_partkey long, "
+        "l_quantity long, l_extendedprice double",
+    )
+    pt = spark.createDataFrame(pk, "p_partkey long, p_brand string")
+    with tempfile.TemporaryDirectory() as td:
+        li.write.parquet(os.path.join(td, "lineitem.parquet"))
+        pt.write.parquet(os.path.join(td, "part.parquet"))
+        got = {r.brand: r.rho for r in Q.q_brand_spearman(spark, td).collect()}
+    assert got["Brand#1"] == 1.0
+    assert got["Brand#2"] == -1.0
+
+    # python model for brand C with average ranks
+    def avg_ranks(vals):
+        out = []
+        for v in vals:
+            below = sum(1 for x in vals if x < v)
+            ties = sum(1 for x in vals if x == v)
+            out.append(Fraction(2 * below + ties + 1, 2))
+        return out
+
+    qs = [1, 2, 2, 5]
+    ps = [1000, 3000, 2000, 4000]
+    rx, ry = avg_ranks(qs), avg_ranks(ps)
+    n = len(qs)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(r * r for r in rx)
+    syy = sum(r * r for r in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    num = n * sxy - sx * sy
+    import math
+
+    want = float(num) / math.sqrt(
+        float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+    )
+    assert abs(got["Brand#3"] - round(want, 6)) < 2e-6
+
+
+def test_token_burstiness_planted_signal(spark):
+    """A token concentrated in one doc is burstier than one spread
+    evenly at the same total count."""
+    import os
+    import tempfile
+
+    docs = []
+    # 10 docs; 'bursty' appears 10 times in doc 0 only; 'flat' once per doc
+    for i in range(10):
+        text = "flat " + ("bursty " * 10 if i == 0 else "pad ")
+        docs.append((i, text.strip(), "en", "s", len(text)))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r.token: r.vmr
+            for r in Q.q_token_burstiness(spark, td).collect()
+        }
+    # 'bursty' has df=1 < 5 so it is filtered; 'flat' df=10 qualifies
+    assert "flat" in out and out["flat"] == 0.0  # perfectly even => VMR 0
+    assert "bursty" not in out  # df floor keeps rare-but-concentrated out
+    assert "pad" in out and out["pad"] > 0.0  # absent from doc 0 => bursty
+
+
+def test_kwic_windows_at_document_edges(spark):
+    """Occurrences at position 1 and at the last token get correctly
+    truncated (possibly empty) context windows."""
+    import os
+    import tempfile
+
+    df = spark.createDataFrame(
+        [(0, "the a b c the", "en", "s", 13)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = sorted(
+            Q.q_kwic_concordance(spark, td).collect(),
+            key=lambda r: r.position,
+        )
+    assert [(r.position, r.left_ctx, r.right_ctx) for r in out] == [
+        (1, "", "a b c"),
+        (5, "a b c", ""),
+    ]
+
+
+def test_brand_transitions_shares_and_conservation(spark):
+    """Row shares sum to 1 per from_brand, and total transitions equal
+    (orders - customers-with-orders) on the representative sequence."""
+    out = Q.q_brand_transitions(spark, SF).collect()
+    by_from = {}
+    for r in out:
+        by_from.setdefault(r.from_brand, [0, 0.0])
+        by_from[r.from_brand][0] += r.n
+        by_from[r.from_brand][1] += r.row_share
+    for fb, (n, s) in by_from.items():
+        assert abs(s - 1.0) < 1e-3, (fb, s)
+    orders = fixtures.load(spark, SF, "orders")
+    li = fixtures.load(spark, SF, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    ).distinct()
+    with_lines = orders.join(li, "o_orderkey")
+    n_orders = with_lines.count()
+    n_cust = with_lines.select("o_custkey").distinct().count()
+    assert sum(r.n for r in out) == n_orders - n_cust
+
+
+def test_snapshot_diff_classes_are_consistent(spark):
+    """Class counts reconcile with the two snapshots' key sets: |v1
+    keys| = removed + changed + unchanged, |v2 keys| = added +
+    changed + unchanged."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans.fixtures import (  # noqa: E501
+        ensure_versioned_fixture,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.sources.versioned import (  # noqa: E501
+        read_versioned,
+    )
+
+    path = ensure_versioned_fixture()
+    k1 = read_versioned(spark, path, version=1).select("sku").distinct().count()
+    k2 = read_versioned(spark, path, version=2).select("sku").distinct().count()
+    got = {r.change_type: r.n_skus for r in Q.q_snapshot_diff(spark, SF).collect()}
+    assert k1 == got.get("removed", 0) + got.get("changed", 0) + got.get(
+        "unchanged", 0
+    )
+    assert k2 == got.get("added", 0) + got.get("changed", 0) + got.get(
+        "unchanged", 0
+    )
