@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic_concordance": Q.q_kwic_concordance,
         "brand_transitions": Q.q_brand_transitions,
         "snapshot_diff": Q.q_snapshot_diff,
+        "heavy_hitter_tokens": Q.q_heavy_hitter_tokens,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -297,6 +298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": Q.q_quantized_topk,
         "ann_recall": Q.q_ann_recall,
         "pq_index_topk": Q.q_pq_index_topk,
+        "mmr_diverse_topk": Q.q_mmr_diverse_topk,
     }
 
 
@@ -695,6 +697,22 @@ classed AS (
 SELECT category, CAST(COUNT(*) AS BIGINT) AS n_skus,
        CAST(SUM(sq) AS BIGINT) AS total_qty
 FROM classed GROUP BY 1 ORDER BY category
+""",
+        # the MG sketch only prunes candidates; completeness is the
+        # Misra-Gries theorem, so the plain GROUP BY twin must agree
+        "heavy_hitter_tokens": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+ex AS (SELECT unnest(toks) AS t FROM tok),
+tot AS (SELECT COUNT(*) AS n FROM ex),
+cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM ex GROUP BY t)
+SELECT t AS token, c AS n_occurrences
+FROM cnt CROSS JOIN tot
+WHERE c * 200 > n
+ORDER BY n_occurrences DESC, token
 """,
         # exact cross-multiplied unit-price comparison (cents/qty is
         # rational; the generator's extendedprice is NOT divisible by

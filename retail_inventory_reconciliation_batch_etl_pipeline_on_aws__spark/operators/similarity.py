@@ -826,3 +826,83 @@ def semantic_dedup(
         )
 
     return assigned.groupBy("cluster").applyInPandas(prune, out_schema)
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell/Goldstein 1998) diverse
+    top-k: greedily pick the candidate maximizing ``lam * rel -
+    (1 - lam) * max_sim_to_selected`` -- the diversity-aware retrieval
+    RAG pipelines run so the k results aren't k paraphrases of the
+    same document.
+
+    Scale shape: relevance scoring + top-``pool`` candidate selection
+    are fully distributed (TakeOrderedAndProject, same plan as
+    ``brute_force_topk``; at 100 TB the pool comes from the IVF/PQ
+    index paths instead); ONLY the bounded pool (pool x dim doubles,
+    like the nlist centroid collects) reaches the driver, where the
+    O(k * pool) greedy runs with deterministic lowest-id tie-breaks.
+    Approximate-by-objective (no SQL twin for the greedy), so the
+    queries() entry is rows-only; determinism and the
+    diversity-beats-redundancy contract are pinned by tests.
+    """
+    from math import sqrt
+
+    cand = brute_force_topk(
+        embeddings, query_vec, k=pool, id_col=id_col, vec_col=vec_col
+    )
+    pooled = (
+        embeddings.select(F.col(id_col), as_double_array(vec_col).alias("_v"))
+        .join(cand, id_col)
+        .select(id_col, "score", "_v")
+        .collect()
+    )
+    rows = sorted(
+        ((r[id_col], float(r["score"]), list(r["_v"])) for r in pooled),
+        key=lambda t: (-t[1], t[0]),
+    )
+
+    def unit(v):
+        n = sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else v
+
+    vecs = {i: unit(v) for i, _, v in rows}
+    selected: list[tuple[int, float, float]] = []
+    chosen: set = set()
+    while rows and len(selected) < k:
+        best = None
+        for i, rel, _ in rows:
+            if i in chosen:
+                continue
+            max_sim = max(
+                (
+                    sum(a * b for a, b in zip(vecs[i], vecs[j]))
+                    for j, _, _ in selected
+                ),
+                default=0.0,
+            )
+            mmr = lam * rel - (1.0 - lam) * max_sim
+            # deterministic: strictly-better score wins, then lowest id
+            if best is None or mmr > best[1] + 1e-12 or (
+                abs(mmr - best[1]) <= 1e-12 and i < best[0]
+            ):
+                best = (i, mmr, rel)
+        if best is None:
+            break
+        chosen.add(best[0])
+        selected.append(best)
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [
+            (rank + 1, i, round(rel, 4), round(mmr, 4))
+            for rank, (i, mmr, rel) in enumerate(selected)
+        ],
+        f"rank long, {id_col} long, score double, mmr_score double",
+    )

@@ -7581,3 +7581,36 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters through the Misra-Gries two-pass
+    (``operators/sketch.heavy_hitters``): tokens with frequency
+    > N/200, exact counts. The sketch only generates candidates
+    (<= 199 per partition, Arrow-batched, raw tokens never shuffle);
+    the MG completeness theorem plus the exact re-count make the
+    output oracle-mirrorable -- the plain GROUP BY / HAVING twin must
+    agree bit-for-bit, which is precisely what distinguishes this
+    from ``top_tokens``' fixed top-k (here the THRESHOLD picks the
+    result size)."""
+    from .functions.text import tokens
+    from .operators.sketch import heavy_hitters
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    ex = docs.select(F.explode(tokens("text")).alias("token"))
+    return heavy_hitters(ex, "token", k=200).select(
+        F.col("key").alias("token"), "n_occurrences"
+    )
+
+
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: MMR top-10 (lambda=0.7) from the
+    exact top-50 pool against the standard probe vector
+    (``operators/similarity.mmr_topk``) -- the de-redundancy rerank a
+    RAG stack applies so near-duplicate passages don't crowd the
+    context window. Greedy objective => rows-only; determinism and
+    the redundancy-suppression contract are pinned by tests."""
+    from .operators.similarity import mmr_topk
+
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    return mmr_topk(emb, _query_vector(spark, sf_dir), k=10, pool=50)

@@ -60,6 +60,7 @@ PYTHON_OK = {
     "image_phash_neardup",  # sanctioned mapInPandas payload-synth + pixel-decode + aHash boundary
     "alert_throttle",  # sanctioned applyInPandas ordered-per-key greedy scan (not window-expressible)
     "semantic_dedup",  # sanctioned applyInPandas per-cluster greedy prune (SemDeDup recipe)
+    "heavy_hitter_tokens",  # sanctioned mapInPandas Misra-Gries candidate summaries
 }
 
 QUERIES = sorted(entry.queries())

@@ -466,3 +466,110 @@ def test_snapshot_diff_classes_are_consistent(spark):
     assert k2 == got.get("added", 0) + got.get("changed", 0) + got.get(
         "unchanged", 0
     )
+
+
+@given(
+    stream=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=400
+    ),
+    k=st.integers(min_value=2, max_value=10),
+)
+@settings(max_examples=40, deadline=None)
+def test_misra_gries_merge_rule_is_complete(stream, k):
+    """The mergeable MG rule (combine counts, subtract the k-th
+    largest, keep positives) never evicts an item whose true count
+    exceeds N/k -- the completeness theorem the two-pass heavy-hitter
+    operator rests on, checked per merge batch size."""
+    from collections import Counter
+
+    for batch_size in (7, len(stream)):
+        counters = {}
+        for start in range(0, len(stream), batch_size):
+            batch = Counter(stream[start : start + batch_size])
+            for key, c in batch.items():
+                counters[key] = counters.get(key, 0) + c
+            if len(counters) > k - 1:
+                cut = sorted(counters.values(), reverse=True)[k - 1]
+                counters = {
+                    key: c - cut for key, c in counters.items() if c > cut
+                }
+        true = Counter(stream)
+        n = len(stream)
+        for key, c in true.items():
+            if c * k > n:
+                assert key in counters, (key, c, n, k, counters)
+
+
+def test_heavy_hitters_equals_exact_group_by(spark):
+    """The sketch-pruned operator returns exactly the plain
+    GROUP BY / HAVING answer on the corpus (completeness by theorem,
+    precision by the exact re-count)."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.functions.text import (  # noqa: E501
+        tokens,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.sketch import (  # noqa: E501
+        heavy_hitters,
+    )
+
+    docs = fixtures.load(spark, SF, "documents")
+    ex = docs.select(F.explode(tokens("text")).alias("token"))
+    n = ex.count()
+    k = 200
+    want = {
+        (r.token, r.c)
+        for r in ex.groupBy("token")
+        .agg(F.count("*").cast("long").alias("c"))
+        .where(F.col("c") * k > n)
+        .collect()
+    }
+    got = {
+        (r.key, r.n_occurrences)
+        for r in heavy_hitters(ex, "token", k=k).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_mmr_is_deterministic_and_suppresses_redundancy(spark):
+    """Two runs agree row-for-row; on a planted pool where the two
+    most relevant vectors are near-identical, plain top-k keeps both
+    but MMR keeps one and promotes a diverse vector."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.similarity import (  # noqa: E501
+        brute_force_topk,
+        mmr_topk,
+    )
+
+    # query deliberately differs from every vector so relevance and
+    # inter-candidate similarity are distinct quantities (with q ==
+    # vec0, every unit vector x has rel(x) == sim(x, vec0) and all
+    # MMR scores tie at 0)
+    q = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (0, [0.95, 0.3122, 0.0, 0.0]),    # most relevant
+        (1, [0.949, 0.3152, 0.0, 0.0]),   # near-duplicate of 0
+        (2, [0.9, -0.4359, 0.0, 0.0]),    # relevant, diverse from 0
+        (3, [0.5, 0.0, 0.866, 0.0]),      # less relevant, diverse
+        (4, [0.0, 1.0, 0.0, 0.0]),        # orthogonal to the query
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plain = [r.vec_id for r in brute_force_topk(emb, q, k=3).collect()]
+    assert plain[:2] == [0, 1]  # redundancy in the relevance-only list
+    out1 = mmr_topk(emb, q, k=3, pool=5, lam=0.5).collect()
+    out2 = mmr_topk(emb, q, k=3, pool=5, lam=0.5).collect()
+    assert out1 == out2
+    picked = [r.vec_id for r in out1]
+    assert picked[0] == 0  # first pick is pure relevance
+    assert 1 not in picked  # the near-duplicate is suppressed
+    assert len(picked) == 3
+    # ranks are 1..k and mmr_score never exceeds lam * score
+    for r in out1:
+        assert r.mmr_score <= 0.5 * r.score + 1e-9
+    assert [r.rank for r in out1] == [1, 2, 3]
+
+
+def test_mmr_rows_only_contract(spark):
+    """The queries() entry returns k deterministic rows on the
+    fixture."""
+    rows = Q.q_mmr_diverse_topk(spark, SF).collect()
+    assert len(rows) == 10
+    assert rows == Q.q_mmr_diverse_topk(spark, SF).collect()
+    assert rows[0].vec_id == 0 and rows[0].score == 1.0
