@@ -77,6 +77,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_transitions": Q.q_brand_transitions,
         "snapshot_diff": Q.q_snapshot_diff,
         "heavy_hitter_tokens": Q.q_heavy_hitter_tokens,
+        "template_prefix_groups": Q.q_template_prefix_groups,
+        "supplier_on_time_rate": Q.q_supplier_on_time_rate,
+        "post_return_activity": Q.q_post_return_activity,
+        "inventory_aging": Q.q_inventory_aging,
+        "brand_price_mad": Q.q_brand_price_mad,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -697,6 +702,131 @@ classed AS (
 SELECT category, CAST(COUNT(*) AS BIGINT) AS n_skus,
        CAST(SUM(sq) AS BIGINT) AS total_qty
 FROM classed GROUP BY 1 ORDER BY category
+""",
+        "template_prefix_groups": """
+WITH tok AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+pre AS (
+  SELECT doc_id, source, array_to_string(toks[1:5], ' ') AS prefix
+  FROM tok WHERE len(toks) >= 5
+)
+SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(MIN(doc_id) AS BIGINT) AS example_doc
+FROM pre GROUP BY prefix HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, prefix LIMIT 50
+""",
+        "supplier_on_time_rate": """
+WITH lat AS (
+  SELECT l.l_suppkey AS supplier,
+         CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT CAST(supplier AS BIGINT) AS supplier,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(CASE WHEN days BETWEEN 0 AND 30 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS on_time_share,
+       ROUND(CAST(SUM(CASE WHEN days < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS inverted_share
+FROM lat GROUP BY supplier ORDER BY supplier
+""",
+        "post_return_activity": """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_d
+  FROM orders
+),
+fr AS (
+  SELECT o.o_custkey, MIN(CAST(l.l_shipdate AS DATE)) AS first_return_d
+  FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY 1
+),
+counts AS (
+  SELECT o.o_custkey,
+         CAST(SUM(CASE WHEN o.order_d < fr.first_return_d THEN 1 ELSE 0 END)
+              AS BIGINT) AS before_n,
+         CAST(SUM(CASE WHEN o.order_d >= fr.first_return_d THEN 1 ELSE 0 END)
+              AS BIGINT) AS after_n
+  FROM o JOIN fr ON o.o_custkey = fr.o_custkey
+  GROUP BY 1
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(before_n) AS DOUBLE) / COUNT(*), 6)
+         AS avg_orders_before,
+       ROUND(CAST(SUM(after_n) AS DOUBLE) / COUNT(*), 6)
+         AS avg_orders_after
+FROM counts j JOIN customer c ON j.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY segment
+""",
+        "inventory_aging": """
+WITH flows AS (
+  SELECT l_partkey AS sku, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(l_shipdate AS DATE) AS d, l_orderkey AS ord,
+         l_linenumber AS line, l_orderkey % 2 = 0 AS is_receipt
+  FROM lineitem
+),
+issued AS (
+  SELECT sku, CAST(SUM(qty) AS BIGINT) AS issued
+  FROM flows WHERE NOT is_receipt GROUP BY 1
+),
+layers AS (
+  SELECT f.sku, f.d,
+         GREATEST(0, LEAST(f.qty,
+           SUM(f.qty) OVER (PARTITION BY f.sku
+                            ORDER BY f.d, f.ord, f.line, f.qty
+                            ROWS UNBOUNDED PRECEDING)
+           - COALESCE(i.issued, 0))) AS remaining
+  FROM flows f LEFT JOIN issued i ON f.sku = i.sku
+  WHERE f.is_receipt
+),
+maxd AS (SELECT MAX(d) AS maxd FROM flows)
+SELECT CAST(FLOOR((m.maxd - l.d) / 28.0) AS BIGINT) AS age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_layers,
+       CAST(SUM(l.remaining) AS BIGINT) AS remaining_qty
+FROM layers l CROSS JOIN maxd m
+WHERE l.remaining > 0
+GROUP BY 1 ORDER BY age_bucket
+""",
+        "brand_price_mad": """
+WITH priced AS (
+  SELECT p.p_brand AS brand,
+         CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+pts AS (SELECT brand, cents, COUNT(*) AS c FROM priced GROUP BY 1, 2),
+cum AS (
+  SELECT brand, cents, c,
+         SUM(c) OVER (PARTITION BY brand ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(c) OVER (PARTITION BY brand) AS t
+  FROM pts
+),
+med AS (SELECT brand, MIN(cents) AS m FROM cum WHERE cw * 2 >= t
+        GROUP BY brand),
+devs AS (
+  SELECT p.brand, ABS(p.cents - m.m) AS dev
+  FROM priced p JOIN med m ON p.brand = m.brand
+),
+dpts AS (SELECT brand, dev, COUNT(*) AS c FROM devs GROUP BY 1, 2),
+dcum AS (
+  SELECT brand, dev, c,
+         SUM(c) OVER (PARTITION BY brand ORDER BY dev
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(c) OVER (PARTITION BY brand) AS t
+  FROM dpts
+),
+mad AS (SELECT brand, MIN(dev) AS mad_cents FROM dcum WHERE cw * 2 >= t
+        GROUP BY brand)
+SELECT med.brand,
+       CAST(med.m AS DOUBLE) / 100.0 AS median_price,
+       CAST(mad.mad_cents AS DOUBLE) / 100.0 AS mad
+FROM med JOIN mad ON med.brand = mad.brand
+ORDER BY med.brand
 """,
         # the MG sketch only prunes candidates; completeness is the
         # Misra-Gries theorem, so the plain GROUP BY twin must agree

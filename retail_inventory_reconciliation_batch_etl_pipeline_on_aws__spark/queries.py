@@ -7614,3 +7614,243 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = fixtures.load(spark, sf_dir, "embeddings")
     return mmr_topk(emb, _query_vector(spark, sf_dir), k=10, pool=50)
+
+
+def q_template_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate TEMPLATE detection: documents sharing their first
+    five tokens verbatim group into template families -- the cheap
+    prefix-fingerprint screen that catches mail-merge/scraper
+    boilerplate BEFORE the expensive shingle machinery runs (a
+    template family is one shuffle on a short string, not a pair
+    join). Families of >= 2 docs, with distinct-source counts (a
+    template spanning sources is a syndication signal); top-50 by
+    size, prefix tiebreak."""
+    from .functions.text import tokens
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return (
+        docs.where(F.size(toks) >= 5)
+        .select(
+            F.concat_ws(" ", F.slice(toks, 1, 5)).alias("prefix"),
+            "doc_id",
+            "source",
+        )
+        .groupBy("prefix")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("example_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "prefix")
+        .limit(50)
+    )
+
+
+def q_supplier_on_time_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier on-time shipping scorecard: per supplier, the share of
+    lines shipped within 30 days of the order date (and the share
+    shipped BEFORE the order date -- the generator's inverted
+    intervals, surfaced here as the data-quality column instead of
+    silently filtered). Exact integer day latencies and counts; two
+    terminal divides; one co-partitioned fact-fact join."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_suppkey").alias("supplier"),
+        F.col("l_shipdate").cast("date").alias("ship_d"),
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("order_d")
+    )
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "supplier", F.datediff("ship_d", "order_d").alias("days")
+    )
+    return (
+        lat.groupBy("supplier")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(
+                F.sum(
+                    ((F.col("days") >= 0) & (F.col("days") <= 30)).cast("int")
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("on_time_share"),
+            F.round(
+                F.sum((F.col("days") < 0).cast("int")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("inverted_share"),
+        )
+        .select(
+            F.col("supplier").cast("long").alias("supplier"),
+            "n_lines",
+            "on_time_share",
+            "inverted_share",
+        )
+        .orderBy("supplier")
+    )
+
+
+def q_post_return_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-return purchasing behavior: for customers who ever had a
+    returned line, orders placed strictly BEFORE vs on-or-after their
+    first return date, averaged per market segment -- the
+    churn-after-bad-experience screen merchandising pairs with
+    ``returns_rate_by_brand``. First-return dates come from one
+    min-aggregate; per-customer before/after counts are exact ints;
+    the two averages are terminal divides rounded 6dp."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("order_d"),
+    )
+    first_ret = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", F.col("l_shipdate").cast("date").alias("rd"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.min("rd").alias("first_return_d"))
+    )
+    counts = (
+        orders.join(first_ret, "o_custkey")
+        .groupBy("o_custkey", "first_return_d")
+        .agg(
+            F.sum(
+                (F.col("order_d") < F.col("first_return_d")).cast("int")
+            ).cast("long").alias("before"),
+            F.sum(
+                (F.col("order_d") >= F.col("first_return_d")).cast("int")
+            ).cast("long").alias("after"),
+        )
+    )
+    cust = fixtures.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        counts.join(cust, "o_custkey")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(
+                F.sum("before").cast("double") / F.count("*"), 6
+            ).alias("avg_orders_before"),
+            F.round(
+                F.sum("after").cast("double") / F.count("*"), 6
+            ).alias("avg_orders_after"),
+        )
+        .orderBy("segment")
+    )
+
+
+def q_inventory_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO inventory AGING report: under ``fifo_allocation``'s flow
+    convention (even orderkeys are receipts, odd are issues), the
+    UNCONSUMED remainder of each receipt layer is
+    ``clamp(hi - I, 0, qty)`` -- hi the layer's per-sku running-sum
+    upper bound, I the sku's total issued quantity (FIFO consumes
+    oldest first, so no per-layer matching is needed for the
+    remainder) -- bucketed by receipt age in 4-week bands against the
+    global latest ship date (the sanctioned 1-row gate). The
+    balance-sheet view FIFO costing needs: HOW OLD is what's still on
+    the shelf. Tied layers share a date, hence a bucket, so bucket
+    totals are order-invariant; all arithmetic exact int64."""
+    flows = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("sku"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_shipdate").cast("date").alias("d"),
+        F.col("l_orderkey").alias("ord"),
+        F.col("l_linenumber").alias("line"),
+        (F.col("l_orderkey") % 2 == 0).alias("is_receipt"),
+    )
+    issued = flows.where(~F.col("is_receipt")).groupBy("sku").agg(
+        F.sum("qty").alias("issued")
+    )
+    w = (
+        Window.partitionBy("sku")
+        .orderBy("d", "ord", "line", "qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    layers = (
+        flows.where(F.col("is_receipt"))
+        .withColumn("hi", F.sum("qty").over(w))
+        .join(issued, "sku", "left")
+        .select(
+            "sku",
+            "d",
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.col("qty"),
+                    F.col("hi") - F.coalesce("issued", F.lit(0)),
+                ),
+            ).alias("remaining"),
+        )
+        .where(F.col("remaining") > 0)
+    )
+    maxd = flows.groupBy().agg(F.max("d").alias("maxd"))
+    return (
+        layers.crossJoin(F.broadcast(maxd))
+        .select(
+            F.floor(F.datediff("maxd", "d") / 28).cast("long").alias(
+                "age_bucket"
+            ),
+            "remaining",
+        )
+        .groupBy("age_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_layers"),
+            F.sum("remaining").cast("long").alias("remaining_qty"),
+        )
+        .orderBy("age_bucket")
+    )
+
+
+def q_brand_price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust price profile per brand: the exact lower MEDIAN of line
+    price cents and the MEDIAN ABSOLUTE DEVIATION around it -- two
+    chained exact order statistics (the ``weighted_median_price``
+    integer rule, applied twice: once to prices, once to |price -
+    median|), never a mean/stddev a single luxury outlier can drag.
+    Both cumulative scans run over per-(brand, value) aggregates with
+    brand-partitioned windows."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    part = fixtures.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    priced = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+
+    def lower_median(vals: DataFrame, col: str) -> DataFrame:
+        pts = vals.groupBy("brand", col).agg(F.count("*").alias("c"))
+        w = (
+            Window.partitionBy("brand")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        tot = pts.groupBy("brand").agg(F.sum("c").alias("t"))
+        cum = pts.withColumn("cw", F.sum("c").over(w)).join(tot, "brand")
+        return (
+            cum.where(F.col("cw") * 2 >= F.col("t"))
+            .groupBy("brand")
+            .agg(F.min(col).alias("m"))
+        )
+
+    med = lower_median(priced, "cents")
+    devs = priced.join(med, "brand").select(
+        "brand", F.abs(F.col("cents") - F.col("m")).alias("dev")
+    )
+    mad = lower_median(devs, "dev").select(
+        "brand", F.col("m").alias("mad_cents")
+    )
+    return (
+        med.join(mad, "brand")
+        .select(
+            "brand",
+            (F.col("m").cast("double") / 100.0).alias("median_price"),
+            (F.col("mad_cents").cast("double") / 100.0).alias("mad"),
+        )
+        .orderBy("brand")
+    )

@@ -45,6 +45,7 @@ NESTED_LOOP_OK = {
     "pq_index_topk",  # 1-row ADC codebook-literal gate over pruned codes
     "lorenz_curve",  # 1-row revenue-total broadcast gate (share denominators)
     "token_burstiness",  # 1-row corpus-doc-count (N) broadcast gate
+    "inventory_aging",  # 1-row latest-ship-date broadcast gate (age origin)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

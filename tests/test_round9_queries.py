@@ -573,3 +573,145 @@ def test_mmr_rows_only_contract(spark):
     assert len(rows) == 10
     assert rows == Q.q_mmr_diverse_topk(spark, SF).collect()
     assert rows[0].vec_id == 0 and rows[0].score == 1.0
+
+
+def test_inventory_aging_conserves_unconsumed_stock(spark):
+    """Sum of remaining across buckets equals sum over skus of
+    max(0, receipts - issues), re-derived independently."""
+    out = Q.q_inventory_aging(spark, SF).collect()
+    li = fixtures.load(spark, SF, "lineitem").select(
+        F.col("l_partkey").alias("sku"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        (F.col("l_orderkey") % 2 == 0).alias("is_r"),
+    )
+    per_sku = li.groupBy("sku").agg(
+        F.sum(F.when(F.col("is_r"), F.col("qty")).otherwise(0)).alias("r"),
+        F.sum(F.when(~F.col("is_r"), F.col("qty")).otherwise(0)).alias("i"),
+    )
+    want = (
+        per_sku.select(
+            F.greatest(F.lit(0), F.col("r") - F.col("i")).alias("rem")
+        )
+        .agg(F.sum("rem"))
+        .collect()[0][0]
+    )
+    assert sum(r.remaining_qty for r in out) == want
+    assert all(r.age_bucket >= 0 for r in out)
+
+
+def test_inventory_aging_planted_fifo_semantics(spark):
+    """Oldest layers are consumed first: with receipts of 10 (old) and
+    10 (new) against 12 issued, the old layer holds 0 and the new one
+    8 -- and the 8 sits in the NEW layer's age bucket."""
+    import os
+    import tempfile
+
+    rows = [
+        # sku 1: receipts okey=2 (old, day 1), okey=4 (new, day 200)
+        (1, 10, dt.date(1995, 1, 1), 2, 1),
+        (1, 10, dt.date(1995, 7, 20), 4, 1),
+        # issues okey=3: 12 units
+        (1, 12, dt.date(1995, 8, 1), 3, 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_partkey long, l_quantity long, l_shipdate date, "
+        "l_orderkey long, l_linenumber long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "lineitem.parquet"))
+        out = Q.q_inventory_aging(spark, td).collect()
+    # max date = 1995-08-01; new layer (07-20) age 12 days -> bucket 0
+    assert [(r.age_bucket, r.n_layers, r.remaining_qty) for r in out] == [
+        (0, 1, 8)
+    ]
+
+
+def test_brand_price_mad_is_robust_to_one_outlier(spark):
+    """Planted prices: median and MAD hit the hand-computed values and
+    moving one point to an extreme leaves both unchanged."""
+    import os
+    import tempfile
+
+    def run(prices):
+        rows = [
+            (i, 1, 1, q, p)
+            for i, (q, p) in enumerate((1, p) for p in prices)
+        ]
+        li = spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_linenumber long, l_partkey long, "
+            "l_quantity long, l_extendedprice double",
+        )
+        pt = spark.createDataFrame(
+            [(1, "Brand#1")], "p_partkey long, p_brand string"
+        )
+        with tempfile.TemporaryDirectory() as td:
+            li.write.parquet(os.path.join(td, "lineitem.parquet"))
+            pt.write.parquet(os.path.join(td, "part.parquet"))
+            r = Q.q_brand_price_mad(spark, td).collect()[0]
+        return r.median_price, r.mad
+
+    # prices 10,20,30,40,50: lower median 30; |dev| = 20,10,0,10,20 -> MAD 10
+    assert run([10.0, 20.0, 30.0, 40.0, 50.0]) == (30.0, 10.0)
+    # replace 50 with 5000: median and MAD unchanged (robustness)
+    assert run([10.0, 20.0, 30.0, 40.0, 5000.0]) == (30.0, 10.0)
+
+
+def test_post_return_activity_conserves_orders(spark):
+    """before + after totals equal the full order count of
+    ever-returned customers."""
+    out = Q.q_post_return_activity(spark, SF).collect()
+    li = fixtures.load(spark, SF, "lineitem")
+    orders = fixtures.load(spark, SF, "orders")
+    ret_cust = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey")
+        .distinct()
+    )
+    want = orders.join(ret_cust, "o_custkey").count()
+    got = sum(
+        round((r.avg_orders_before + r.avg_orders_after) * r.n_customers)
+        for r in out
+    )
+    assert got == want
+
+
+def test_supplier_on_time_rate_shares_are_probabilities(spark):
+    """Shares live in [0,1]; per-supplier line counts total the join
+    cardinality; the inverted share is nonzero somewhere (the known
+    generator quirk is VISIBLE, not filtered)."""
+    out = Q.q_supplier_on_time_rate(spark, SF).collect()
+    li = fixtures.load(spark, SF, "lineitem")
+    orders = fixtures.load(spark, SF, "orders")
+    want = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert sum(r.n_lines for r in out) == want
+    for r in out:
+        assert 0.0 <= r.on_time_share <= 1.0
+        assert 0.0 <= r.inverted_share <= 1.0
+    assert any(r.inverted_share > 0 for r in out)
+
+
+def test_template_prefix_groups_planted_template(spark):
+    """Docs sharing their first five tokens group together across
+    sources; unique prefixes are excluded."""
+    import os
+    import tempfile
+
+    docs = [
+        (0, "dear valued customer your order a b", "en", "s1", 30),
+        (1, "dear valued customer your order c d", "en", "s2", 30),
+        (2, "dear valued customer your order e", "en", "s1", 28),
+        (3, "completely different text in this one", "en", "s1", 30),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = Q.q_template_prefix_groups(spark, td).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.prefix == "dear valued customer your order"
+    assert (r.n_docs, r.n_sources, r.example_doc) == (3, 2, 0)
