@@ -228,6 +228,18 @@ PORTABLE = [
     # lambda tokenizer)
     "weekday_revenue_profile",
     "lead_time_bucket_matrix",
+    # round 9 expansion: the r9 oracles that parse on Spark verbatim
+    "price_change_events",
+    "single_source_risk",
+    "seasonal_naive_backtest",
+    "rfm_segments",
+    "lorenz_curve",
+    "price_volume_bridge",
+    "demand_intermittency",
+    "brand_spearman",
+    "brand_transitions",
+    "post_return_activity",
+    "brand_price_mad",
 ]
 
 
