@@ -111,6 +111,20 @@ BENCH_QUERIES = [
     # join) and the two-half ABC drift matrix (banded prefix twice)
     "lifo_allocation",
     "abc_migration",
+    # round-9: the per-part price-change window over the full fact, the
+    # explode-expanded recognition schedule, three global NTILE sorts
+    # over the customer aggregate, the tie-correct Spearman (two
+    # aggregate-grain rank maps joined back to lines), the per-order
+    # representative + per-customer LEAD transition matrix, the corpus
+    # (doc, token) burstiness aggregate, and the Misra-Gries two-pass
+    # heavy hitters -- first floors this round
+    "price_change_events",
+    "revenue_recognition",
+    "rfm_segments",
+    "brand_spearman",
+    "brand_transitions",
+    "token_burstiness",
+    "heavy_hitter_tokens",
 ]
 
 
