@@ -82,6 +82,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "post_return_activity": Q.q_post_return_activity,
         "inventory_aging": Q.q_inventory_aging,
         "brand_price_mad": Q.q_brand_price_mad,
+        "order_fill_status": Q.q_order_fill_status,
+        "ship_hazard": Q.q_ship_hazard,
+        "brand_price_slope": Q.q_brand_price_slope,
+        "readability_scores": Q.q_readability_scores,
+        "eoq_recommendation": Q.q_eoq_recommendation,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -1004,6 +1009,124 @@ SELECT CAST(group_size AS BIGINT) AS group_size,
        CAST(COUNT(*) AS BIGINT) AS n_groups,
        CAST(SUM(group_size) AS BIGINT) AS n_docs
 FROM sizes GROUP BY 1 ORDER BY group_size
+""",
+        "order_fill_status": """
+WITH lines AS (
+  SELECT l.l_orderkey AS ord, o.o_orderpriority AS priority,
+         CASE WHEN CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+                   BETWEEN 0 AND 30 THEN 1 ELSE 0 END AS on_time,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+per_order AS (
+  SELECT ord, priority, COUNT(*) AS nl, SUM(on_time) AS nt, SUM(rev) AS rev
+  FROM lines GROUP BY 1, 2
+),
+tagged AS (
+  SELECT priority,
+         CASE WHEN nt = nl THEN 'all_on_time'
+              WHEN nt = 0 THEN 'all_late'
+              ELSE 'mixed' END AS status,
+         nl, rev
+  FROM per_order
+)
+SELECT priority, status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(nl) AS BIGINT) AS n_lines,
+       CAST(SUM(rev) AS DOUBLE) AS revenue
+FROM tagged GROUP BY 1, 2 ORDER BY priority, status
+""",
+        "ship_hazard": """
+WITH lat AS (
+  SELECT CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+),
+ev AS (SELECT d, COUNT(*) AS e FROM lat GROUP BY d),
+tot AS (SELECT SUM(e) AS n FROM ev),
+cum AS (
+  SELECT d, e, SUM(e) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS c
+  FROM ev
+)
+SELECT cum.d AS latency_days,
+       CAST(cum.e AS BIGINT) AS n_events,
+       CAST(t.n - cum.c + cum.e AS BIGINT) AS n_at_risk,
+       ROUND(CAST(cum.e AS DOUBLE)
+             / CAST(t.n - cum.c + cum.e AS DOUBLE), 6) AS hazard
+FROM cum CROSS JOIN tot t
+ORDER BY latency_days
+""",
+        "brand_price_slope": """
+WITH base AS (
+  SELECT p.p_brand AS brand,
+         CAST(l.l_shipdate AS DATE) - DATE '1992-01-01' AS x,
+         CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+              AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+stats AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+  FROM base GROUP BY brand
+)
+SELECT brand, n AS n_lines,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         AS slope_cents_per_day,
+       ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_cents
+FROM stats ORDER BY brand
+""",
+        "readability_scores": """
+WITH counted AS (
+  SELECT source,
+         CAST(LENGTH(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+              AS BIGINT) AS chars,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS words,
+         GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+                          AS BIGINT)) AS sentences
+  FROM documents
+),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(chars) AS BIGINT) AS n_chars,
+         CAST(SUM(words) AS BIGINT) AS n_words,
+         CAST(SUM(sentences) AS BIGINT) AS n_sentences
+  FROM counted GROUP BY source
+)
+SELECT source, n_docs, n_chars, n_words, n_sentences,
+       ROUND(4.71 * (CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE))
+             + 0.5 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 21.43, 6) AS ari
+FROM agg ORDER BY source
+""",
+        # CAST(l_quantity AS BIGINT) on the integral-valued double is
+        # the inventory_aging precedent (round == truncate there)
+        "eoq_recommendation": """
+WITH d AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS demand,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+  FROM lineitem GROUP BY 1
+),
+top AS (SELECT * FROM d ORDER BY demand DESC, l_partkey LIMIT 50),
+pp AS (
+  SELECT p_partkey,
+         CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)) * 20) AS BIGINT)
+           AS h_cents
+  FROM part
+)
+SELECT t.l_partkey AS part, t.demand, t.n_orders,
+       ROUND(SQRT(CAST(2 * t.demand * 10000 AS DOUBLE)
+                  / CAST(pp.h_cents AS DOUBLE)), 6) AS eoq,
+       ROUND(CAST(t.demand AS DOUBLE)
+             / SQRT(CAST(2 * t.demand * 10000 AS DOUBLE)
+                    / CAST(pp.h_cents AS DOUBLE)), 6) AS implied_orders
+FROM top t JOIN pp ON t.l_partkey = pp.p_partkey
+ORDER BY demand DESC, part
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

@@ -7854,3 +7854,223 @@ def q_brand_price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+def q_order_fill_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order fulfilment scorecard: every ORDER classified by the
+    punctuality of ALL its lines (on-time line = shipped within the
+    30-day SLA of the order date, the ``supplier_on_time_rate``
+    convention; inverted generator intervals count as not-on-time, not
+    silently dropped), then order counts / line counts / exact-DECIMAL
+    revenue rolled up per (priority, status). One co-partitioned
+    fact-fact join; the order-grain aggregate is map-side combined;
+    the terminal (priority x status) grid is ~15 rows."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_shipdate").cast("date").alias("ship_d"),
+        (_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("rev"),
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_d"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    days = F.datediff("ship_d", "order_d")
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "priority",
+            ((days >= 0) & (days <= 30)).cast("int").alias("on_time"),
+            "rev",
+        )
+        .groupBy("l_orderkey", "priority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("on_time").alias("n_on_time"),
+            F.sum("rev").alias("rev"),
+        )
+    )
+    status = (
+        F.when(F.col("n_on_time") == F.col("n_lines"), "all_on_time")
+        .when(F.col("n_on_time") == 0, "all_late")
+        .otherwise("mixed")
+    )
+    return (
+        per_order.withColumn("status", status)
+        .groupBy("priority", "status")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        .orderBy("priority", "status")
+    )
+
+
+def q_ship_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time SURVIVAL table of order-to-ship latency: for each
+    latency day d, how many lines were still unshipped entering day d
+    (n_at_risk), how many shipped ON day d (n_events), and the
+    empirical hazard events/at_risk -- the life-table primitive behind
+    time-to-fulfilment SLAs (Kaplan-Meier's per-interval factor,
+    emitted as exact counts + ONE rounded divide so the product never
+    accumulates float error). Inverted generator intervals (ship
+    before order) are filtered explicitly. Scale shape: the only
+    full-data pass is the map-side-combined latency histogram
+    (|distinct days| rows); at_risk comes from the banded global
+    cumulative (``banded_cumsum``) as N - cum_before(d), never a
+    partition-less window or a triangle self-join."""
+    from .operators.prefix import banded_cumsum
+
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("ship_d"), "l_orderkey"
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("order_d")
+    )
+    lat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.datediff("ship_d", "order_d").alias("d"))
+        .where(F.col("d") >= 0)
+    )
+    hist = lat.groupBy("d").agg(F.count("*").cast("decimal(38,0)").alias("e"))
+    band = F.floor(F.col("d") / F.lit(16)).cast("int")
+    cum, total = banded_cumsum(hist, "e", [F.col("d").asc()], band, cum_col="cum")
+    n_total = int(total)
+    at_risk = (F.lit(n_total) - F.col("cum") + F.col("e")).cast("long")
+    return cum.select(
+        F.col("d").alias("latency_days"),
+        F.col("e").cast("long").alias("n_events"),
+        at_risk.alias("n_at_risk"),
+        F.round(
+            F.col("e").cast("double") / at_risk.cast("double"), 6
+        ).alias("hazard"),
+    ).orderBy("latency_days")
+
+
+def q_brand_price_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand PRICE TREND as an exact OLS regression of line price
+    (cents) on ship-day index: slope = (n*Sxy - Sx*Sy) / (n*Sxx -
+    Sx^2), every sufficient statistic an exact DECIMAL(38,0) integer
+    accumulated map-side-combined (the ``measure_correlations``
+    contract), the closed form evaluated on exact-int operands cast to
+    double with ONE terminal ROUND(6). No per-row doubles, no
+    float-accumulation partitioning dependence; the shuffle carries
+    five integers per brand."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    part = fixtures.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit(dt.date(1992, 1, 1)))
+        .cast("long")
+        .alias("x"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+
+    def s(expr):
+        return F.sum(expr.cast("decimal(38,0)"))
+
+    stats = base.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n"),
+        s(F.col("x")).alias("sx"),
+        s(F.col("y")).alias("sy"),
+        s(F.col("x") * F.col("y")).alias("sxy"),
+        s(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    return stats.select(
+        "brand",
+        F.col("n").alias("n_lines"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias(
+            "slope_cents_per_day"
+        ),
+        F.round(sy / n, 6).alias("avg_cents"),
+    ).orderBy("brand")
+
+
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus READABILITY profile per source: aggregate Automated
+    Readability Index over exact integer counts -- alnum characters,
+    whitespace tokens, sentence-terminator runs ([.!?]+) -- summed per
+    source, ARI = 4.71*(chars/words) + 0.5*(words/sentences) - 21.43
+    evaluated once per source on exact-int operands (fixed scalar
+    expression tree: every step IEEE-correctly-rounded identically on
+    both engines, terminal ROUND(6) regardless). The whole corpus
+    reduces map-side to 4 integers per source; no regex leaves the
+    scan stage."""
+    from .functions.text import token_count
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    counted = docs.select(
+        "source",
+        F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9]", "")).alias(
+            "chars"
+        ),
+        token_count("text").alias("words"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+        ).alias("sentences"),
+    )
+    agg = counted.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("n_chars"),
+        F.sum("words").cast("long").alias("n_words"),
+        F.sum("sentences").cast("long").alias("n_sentences"),
+    )
+    c = F.col("n_chars").cast("double")
+    w = F.col("n_words").cast("double")
+    sen = F.col("n_sentences").cast("double")
+    ari = F.lit(4.71) * (c / w) + F.lit(0.5) * (w / sen) - F.lit(21.43)
+    return agg.select(
+        "source", "n_docs", "n_chars", "n_words", "n_sentences",
+        F.round(ari, 6).alias("ari"),
+    ).orderBy("source")
+
+
+def q_eoq_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic order quantity (the classic sqrt(2DS/H) Wilson
+    formula) for the 50 highest-demand parts: D = observed total
+    quantity, S = a $100 fixed ordering cost, H = 20% of the part's
+    retail price (exact cents: ROUND(retail*20)). The ranking happens
+    BEFORE the dim join -- TakeOrderedAndProject over the per-part
+    aggregate picks 50 rows (demand desc, partkey tiebreak), and only
+    those 50 touch the part table -- so the dim join's input is
+    bounded by k, not by the catalog. sqrt and the divides are IEEE
+    correctly rounded on exact-int operands; terminal ROUND(6)."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    demand = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("demand"),
+            F.count_distinct(F.col("l_orderkey")).cast("long").alias("n_orders"),
+        )
+        .orderBy(F.desc("demand"), F.asc("l_partkey"))
+        .limit(50)
+    )
+    part = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(_dec("p_retailprice") * 20).cast("long").alias("h_cents"),
+    )
+    eoq = F.sqrt(
+        (F.lit(2) * F.col("demand") * F.lit(10000)).cast("double")
+        / F.col("h_cents").cast("double")
+    )
+    return (
+        demand.join(part, demand.l_partkey == part.p_partkey)
+        .select(
+            F.col("l_partkey").alias("part"),
+            "demand",
+            "n_orders",
+            F.round(eoq, 6).alias("eoq"),
+            F.round(F.col("demand").cast("double") / eoq, 6).alias(
+                "implied_orders"
+            ),
+        )
+        .orderBy(F.desc("demand"), F.asc("part"))
+    )
