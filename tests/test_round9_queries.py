@@ -715,3 +715,139 @@ def test_template_prefix_groups_planted_template(spark):
     r = out[0]
     assert r.prefix == "dear valued customer your order"
     assert (r.n_docs, r.n_sources, r.example_doc) == (3, 2, 0)
+
+
+def test_order_fill_status_conserves_orders_and_lines(spark):
+    """The (priority, status) grid partitions the ordered population:
+    order counts sum to the distinct orders with lines, line counts to
+    the lineitem row count, and 1-line orders can never be 'mixed'."""
+    out = Q.q_order_fill_status(spark, SF).collect()
+    assert out
+    li = fixtures.load(spark, SF, "lineitem")
+    n_lines = li.count()
+    n_orders = li.select("l_orderkey").distinct().count()
+    assert sum(r.n_orders for r in out) == n_orders
+    assert sum(r.n_lines for r in out) == n_lines
+    assert {r.status for r in out} <= {"all_on_time", "all_late", "mixed"}
+    for r in out:
+        if r.status == "mixed":
+            assert r.n_lines >= 2 * r.n_orders  # mixed needs >= 2 lines
+
+
+def test_ship_hazard_lifetable_telescopes(spark):
+    """Life-table identities: the first at-risk count equals the total
+    event mass, at_risk(next) = at_risk(d) - events(d) across gaps,
+    every hazard lies in (0, 1], and the last interval's hazard is
+    exactly 1 (everyone still at risk ships)."""
+    rows = Q.q_ship_hazard(spark, SF).collect()
+    assert rows == sorted(rows, key=lambda r: r.latency_days)
+    total = sum(r.n_events for r in rows)
+    assert rows[0].n_at_risk == total
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_at_risk == prev.n_at_risk - prev.n_events
+    for r in rows:
+        assert 0.0 < r.hazard <= 1.0
+        # not python round(): Spark ROUND is half-up, python half-even
+        # (1/128 = .0078125 really does hit the half case here)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        want = float(
+            Decimal(r.n_events / r.n_at_risk).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert r.hazard == want
+    assert rows[-1].n_at_risk == rows[-1].n_events
+
+
+def test_brand_price_slope_matches_python_ols(spark):
+    """The closed-form OLS slope over exact integer sufficient stats
+    reproduces a pure-Python recompute from the same rows."""
+    import datetime as _dt
+
+    out = {r.brand: r for r in Q.q_brand_price_slope(spark, SF).collect()}
+    li = fixtures.load(spark, SF, "lineitem").select(
+        "l_partkey",
+        F.col("l_shipdate").cast("date").alias("d"),
+        F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    part = fixtures.load(spark, SF, "part").select("p_partkey", "p_brand")
+    rows = li.join(part, li.l_partkey == part.p_partkey).collect()
+    epoch = _dt.date(1992, 1, 1)
+    stats: dict[str, list[int]] = {}
+    for r in rows:
+        x = (r.d - epoch).days
+        n, sx, sy, sxy, sxx = stats.setdefault(r.p_brand, [0, 0, 0, 0, 0])
+        stats[r.p_brand] = [n + 1, sx + x, sy + r.y, sxy + x * r.y, sxx + x * x]
+    assert set(stats) == set(out)
+    for b, (n, sx, sy, sxy, sxx) in stats.items():
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert out[b].n_lines == n
+        assert abs(out[b].slope_cents_per_day - slope) < 1e-6
+        assert abs(out[b].avg_cents - sy / n) < 1e-6
+
+
+def test_readability_planted_counts(spark):
+    """Planted documents with hand-counted characters, words, and
+    sentence runs reproduce exact counts and the ARI formula."""
+    import os
+    import tempfile
+
+    docs = [
+        # "Hi there. Bye!" -> chars(alnum)=10, words=3, sentences=2
+        (1, "Hi there. Bye!", "en", "src_a", 14),
+        # no terminator -> sentences clamps to 1; chars=7, words=2
+        (2, "no stops", "en", "src_a", 8),
+        # "One!? Two.." -> runs '!?' and '..' -> 2 sentences, words=2,
+        # chars=6
+        (3, "One!? Two..", "en", "src_b", 11),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r.source: r for r in Q.q_readability_scores(spark, td).collect()}
+    a, b = out["src_a"], out["src_b"]
+    assert (a.n_docs, a.n_chars, a.n_words, a.n_sentences) == (2, 17, 5, 3)
+    assert (b.n_docs, b.n_chars, b.n_words, b.n_sentences) == (1, 6, 2, 2)
+    for r in (a, b):
+        ari = (
+            4.71 * (r.n_chars / r.n_words)
+            + 0.5 * (r.n_words / r.n_sentences)
+            - 21.43
+        )
+        assert abs(r.ari - ari) < 1e-6
+
+
+def test_eoq_formula_and_topk_selection(spark):
+    """The 50 reported parts are exactly the python top-50 by (demand
+    desc, partkey), eoq matches the Wilson formula, and implied_orders
+    * eoq reconstructs demand."""
+    out = Q.q_eoq_recommendation(spark, SF).collect()
+    li = fixtures.load(spark, SF, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("long").alias("q"), "l_orderkey"
+    )
+    demand: dict[int, int] = {}
+    orders: dict[int, set] = {}
+    for r in li.collect():
+        demand[r.l_partkey] = demand.get(r.l_partkey, 0) + r.q
+        orders.setdefault(r.l_partkey, set()).add(r.l_orderkey)
+    want = sorted(demand, key=lambda p: (-demand[p], p))[:50]
+    assert [r.part for r in out] == want
+    h = {
+        r.p_partkey: round(r.p_retailprice * 20)
+        for r in fixtures.load(spark, SF, "part")
+        .select("p_partkey", "p_retailprice")
+        .collect()
+    }
+    import math
+
+    for r in out:
+        assert r.demand == demand[r.part]
+        assert r.n_orders == len(orders[r.part])
+        eoq = math.sqrt(2 * r.demand * 10000 / h[r.part])
+        assert abs(r.eoq - eoq) < 1e-6
+        assert abs(r.implied_orders * r.eoq - r.demand) < 0.02 * r.demand
