@@ -1013,7 +1013,10 @@ FROM sizes GROUP BY 1 ORDER BY group_size
         "order_fill_status": """
 WITH lines AS (
   SELECT l.l_orderkey AS ord, o.o_orderpriority AS priority,
-         CASE WHEN CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+         CASE WHEN CAST(FLOOR(epoch(CAST(l.l_shipdate AS TIMESTAMP))
+                              / 86400) AS BIGINT)
+                   - CAST(FLOOR(epoch(CAST(o.o_orderdate AS TIMESTAMP))
+                                / 86400) AS BIGINT)
                    BETWEEN 0 AND 30 THEN 1 ELSE 0 END AS on_time,
          CAST(l.l_extendedprice AS DECIMAL(18,2))
            * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS rev
@@ -1039,11 +1042,14 @@ FROM tagged GROUP BY 1, 2 ORDER BY priority, status
 """,
         "ship_hazard": """
 WITH lat AS (
-  SELECT CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS d
+  SELECT CAST(FLOOR(epoch(CAST(l.l_shipdate AS TIMESTAMP)) / 86400)
+              AS BIGINT)
+         - CAST(FLOOR(epoch(CAST(o.o_orderdate AS TIMESTAMP)) / 86400)
+                AS BIGINT) AS d
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
 ),
-ev AS (SELECT d, COUNT(*) AS e FROM lat GROUP BY d),
+pos AS (SELECT d FROM lat WHERE d >= 0),
+ev AS (SELECT d, COUNT(*) AS e FROM pos GROUP BY d),
 tot AS (SELECT SUM(e) AS n FROM ev),
 cum AS (
   SELECT d, e, SUM(e) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS c
@@ -1060,7 +1066,9 @@ ORDER BY latency_days
         "brand_price_slope": """
 WITH base AS (
   SELECT p.p_brand AS brand,
-         CAST(l.l_shipdate AS DATE) - DATE '1992-01-01' AS x,
+         -- 8035 = epoch day of DATE '1992-01-01'
+         CAST(FLOOR(epoch(CAST(l.l_shipdate AS TIMESTAMP)) / 86400)
+              AS BIGINT) - 8035 AS x,
          CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
               AS BIGINT) AS y
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey

@@ -240,6 +240,13 @@ PORTABLE = [
     "brand_transitions",
     "post_return_activity",
     "brand_price_mad",
+    # round-9 batch 5 (epoch-day ints via the epoch shim replace
+    # DATE - DATE, the r8 recipe; readability_scores stays DuckDB-side:
+    # list_* lambda tokenizer + regexp_replace 'g' flag)
+    "order_fill_status",
+    "ship_hazard",
+    "brand_price_slope",
+    "eoq_recommendation",
 ]
 
 
