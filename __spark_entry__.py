@@ -87,6 +87,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_price_slope": Q.q_brand_price_slope,
         "readability_scores": Q.q_readability_scores,
         "eoq_recommendation": Q.q_eoq_recommendation,
+        "order_batching": Q.q_order_batching,
+        "brand_price_ladder": Q.q_brand_price_ladder,
+        "monthly_return_rate": Q.q_monthly_return_rate,
+        "order_ship_span": Q.q_order_ship_span,
+        "char_trigram_profile": Q.q_char_trigram_profile,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -1135,6 +1140,113 @@ SELECT t.l_partkey AS part, t.demand, t.n_orders,
                     / CAST(pp.h_cents AS DOUBLE)), 6) AS implied_orders
 FROM top t JOIN pp ON t.l_partkey = pp.p_partkey
 ORDER BY demand DESC, part
+""",
+        "order_batching": """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(FLOOR(CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP))
+                               / 86400) AS BIGINT) / 7.0) AS BIGINT) AS wk,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+),
+cw AS (
+  SELECT o_custkey, wk, COUNT(*) AS k, SUM(cents) AS cents
+  FROM o GROUP BY 1, 2
+)
+SELECT CAST(k AS BIGINT) AS orders_per_week,
+       CAST(COUNT(*) AS BIGINT) AS n_customer_weeks,
+       CAST(SUM(k) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS revenue
+FROM cw GROUP BY k ORDER BY orders_per_week
+""",
+        "brand_price_ladder": """
+WITH pts AS (
+  SELECT DISTINCT p.p_brand AS brand,
+         CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+gaps AS (
+  SELECT brand, cents,
+         LEAD(cents) OVER (PARTITION BY brand ORDER BY cents) - cents AS gap
+  FROM pts
+)
+SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(cents) AS DOUBLE) / 100.0 AS lo,
+       CAST(MAX(cents) AS DOUBLE) / 100.0 AS hi,
+       CAST(MAX(gap) AS DOUBLE) / 100.0 AS max_gap
+FROM gaps GROUP BY brand ORDER BY brand
+""",
+        "monthly_return_rate": """
+WITH li AS (
+  SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT)
+           AS mkey,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_r,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+agg AS (
+  SELECT mkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(is_r) AS BIGINT) AS n_returned,
+         CAST(SUM(qty) AS BIGINT) AS total_qty,
+         CAST(SUM(is_r * qty) AS BIGINT) AS returned_qty
+  FROM li GROUP BY mkey
+)
+SELECT printf('%04d-%02d', CAST(FLOOR(mkey / 12.0) AS INT),
+              CAST(mkey % 12 + 1 AS INT)) AS month,
+       n_lines, n_returned,
+       ROUND(CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+         AS line_return_rate,
+       ROUND(CAST(returned_qty AS DOUBLE) / CAST(total_qty AS DOUBLE), 6)
+         AS qty_return_rate
+FROM agg ORDER BY month
+""",
+        "order_ship_span": """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(FLOOR(epoch(CAST(l_shipdate AS TIMESTAMP)) / 86400)
+              AS BIGINT) AS ep
+  FROM lineitem
+),
+spans AS (
+  SELECT l_orderkey, MAX(ep) - MIN(ep) AS span
+  FROM li GROUP BY l_orderkey
+)
+SELECT o.o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(s.span) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_span_days,
+       CAST(SUM(CASE WHEN s.span > 60 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_60,
+       ROUND(CAST(SUM(CASE WHEN s.span > 60 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS share_over_60
+FROM spans s JOIN orders o ON s.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY priority
+""",
+        "char_trigram_profile": """
+WITH low AS (
+  SELECT lang, lower(text) AS t FROM documents WHERE length(text) >= 3
+),
+tri AS (
+  SELECT lang, substr(t, CAST(i AS INT), 3) AS tri
+  FROM low, unnest(range(1, length(t) - 1)) AS u(i)
+),
+filt AS (SELECT lang, tri FROM tri WHERE regexp_matches(tri, '^[a-z]{3}$')),
+cnt AS (
+  SELECT lang, tri, CAST(COUNT(*) AS BIGINT) AS n FROM filt GROUP BY 1, 2
+),
+tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t FROM cnt GROUP BY lang),
+rk AS (
+  SELECT c.lang, c.tri, c.n, t.t,
+         ROW_NUMBER() OVER (PARTITION BY c.lang
+                            ORDER BY c.n DESC, c.tri) AS r
+  FROM cnt c JOIN tot t ON c.lang = t.lang
+)
+SELECT lang, tri AS trigram, n,
+       ROUND(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+FROM rk WHERE r <= 10
+ORDER BY lang, n DESC, trigram
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

@@ -8074,3 +8074,195 @@ def q_eoq_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("demand"), F.asc("part"))
     )
+
+
+def q_order_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order BATCHING histogram: how many orders a customer places in
+    the same epoch-week (the consolidation-opportunity view behind
+    shipping-cost control: a week with 3 orders is 2 avoidable
+    shipments). Weeks fold to exact integer keys (epoch-day div 7);
+    the (customer, week) aggregate is map-side combined; the terminal
+    histogram is ~10 rows. Exact cents until the display divide."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit(dt.date(1970, 1, 1))
+            )
+            / 7
+        ).alias("wk"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per_cw = orders.groupBy("o_custkey", "wk").agg(
+        F.count("*").alias("k"), F.sum("cents").alias("cents")
+    )
+    return (
+        per_cw.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_customer_weeks"),
+            F.sum("k").cast("long").alias("n_orders"),
+            F.round(F.sum("cents").cast("double") / 100.0, 2).alias("revenue"),
+        )
+        .select(
+            F.col("k").cast("long").alias("orders_per_week"),
+            "n_customer_weeks",
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("orders_per_week")
+    )
+
+
+def q_brand_price_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price ARCHITECTURE audit per brand: the ladder of distinct
+    transacted price points -- how many rungs, the span, and the
+    largest adjacent GAP (a wide gap is an un-served price band).
+    The fact collapses to distinct (brand, cents) BEFORE the
+    brand-partitioned LEAD window walks the ladder (distinct points,
+    never raw lines -- the weighted_median_price posture); everything
+    is exact integer cents until the /100 display divides."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    part = fixtures.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("brand").orderBy("cents")
+    gaps = pts.withColumn(
+        "gap", F.lead("cents").over(w) - F.col("cents")
+    )
+    return (
+        gaps.groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            (F.min("cents").cast("double") / 100.0).alias("lo"),
+            (F.max("cents").cast("double") / 100.0).alias("hi"),
+            (F.max("gap").cast("double") / 100.0).alias("max_gap"),
+        )
+        .orderBy("brand")
+    )
+
+
+def q_monthly_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate TIME SERIES: per ship month, the share of lines
+    flagged 'R' and the share of quantity they carry -- the
+    seasonality view of ``returns_rate_by_brand``'s brand axis. One
+    map-side-combined month aggregate over exact integer counts; two
+    terminal divides, rounded 6dp."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("mkey"),
+        (F.col("l_returnflag") == "R").cast("long").alias("is_r"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    agg = li.groupBy("mkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("is_r").cast("long").alias("n_returned"),
+        F.sum("qty").cast("long").alias("total_qty"),
+        F.sum(F.col("is_r") * F.col("qty")).cast("long").alias("returned_qty"),
+    )
+    return agg.select(
+        F.format_string(
+            "%04d-%02d",
+            F.floor(F.col("mkey") / 12).cast("int"),
+            (F.col("mkey") % 12 + 1).cast("int"),
+        ).alias("month"),
+        "n_lines",
+        "n_returned",
+        F.round(
+            F.col("n_returned").cast("double") / F.col("n_lines").cast("double"),
+            6,
+        ).alias("line_return_rate"),
+        F.round(
+            F.col("returned_qty").cast("double")
+            / F.col("total_qty").cast("double"),
+            6,
+        ).alias("qty_return_rate"),
+    ).orderBy("month")
+
+
+def q_order_ship_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order fulfilment WINDOW per priority: each order's ship SPAN
+    (last line's epoch-day minus first line's), averaged per priority
+    with the share of long-tail orders (span > 60 days) -- the
+    split-shipment cost view next to ``order_fill_status``'s
+    punctuality view. Exact integer day spans from one order-grain
+    min/max aggregate; the priority rollup is 5 rows."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit(dt.date(1970, 1, 1))
+        ).alias("ep"),
+    )
+    spans = li.groupBy("l_orderkey").agg(
+        (F.max("ep") - F.min("ep")).alias("span")
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority")
+    )
+    return (
+        spans.join(orders, spans.l_orderkey == orders.o_orderkey)
+        .groupBy("priority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(
+                F.sum("span").cast("double") / F.count("*").cast("double"), 6
+            ).alias("avg_span_days"),
+            F.sum((F.col("span") > 60).cast("int")).cast("long").alias(
+                "n_over_60"
+            ),
+            F.round(
+                F.sum((F.col("span") > 60).cast("int")).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("share_over_60"),
+        )
+        .orderBy("priority")
+    )
+
+
+def q_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character TRIGRAM profile per language: the 10 most frequent
+    all-letter trigrams of the lowercased text with their share of the
+    language's trigram mass -- the feature view under ``langid``'s
+    n-gram heuristic (audit WHICH signals the classifier leans on).
+    Trigrams densify via explode(sequence(1, len-2)) (docs shorter
+    than 3 chars filtered first -- Spark's sequence would run
+    DESCENDING on a negative span), filter to [a-z]{3}, one
+    map-side-combined (lang, trigram) count, a lang-partitioned top-10
+    window over the count table, and a co-partitioned totals join."""
+    docs = fixtures.load(spark, sf_dir, "documents").select(
+        "lang", F.lower(F.col("text")).alias("t")
+    )
+    tri = (
+        docs.where(F.length("t") >= 3)
+        .select(
+            "lang",
+            F.explode(
+                F.sequence(F.lit(1), F.length("t") - 2)
+            ).alias("i"),
+            "t",
+        )
+        .select("lang", F.expr("substring(t, i, 3)").alias("tri"))
+        .where(F.col("tri").rlike("^[a-z]{3}$"))
+        .select("lang", "tri")
+    )
+    cnt = tri.groupBy("lang", "tri").agg(F.count("*").cast("long").alias("n"))
+    tot = cnt.groupBy("lang").agg(F.sum("n").cast("long").alias("t"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "tri")
+    return (
+        cnt.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 10)
+        .join(tot, "lang")
+        .select(
+            "lang",
+            F.col("tri").alias("trigram"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t").cast("double"), 6)
+            .alias("share"),
+        )
+        .orderBy("lang", F.desc("n"), "trigram")
+    )

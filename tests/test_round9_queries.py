@@ -851,3 +851,107 @@ def test_eoq_formula_and_topk_selection(spark):
         eoq = math.sqrt(2 * r.demand * 10000 / h[r.part])
         assert abs(r.eoq - eoq) < 1e-6
         assert abs(r.implied_orders * r.eoq - r.demand) < 0.02 * r.demand
+
+
+def test_order_batching_partitions_all_orders(spark):
+    """Histogram buckets partition the order population; the k=1
+    bucket has exactly one order per customer-week."""
+    out = Q.q_order_batching(spark, SF).collect()
+    n_orders = fixtures.load(spark, SF, "orders").count()
+    assert sum(r.n_orders for r in out) == n_orders
+    for r in out:
+        assert r.n_orders == r.orders_per_week * r.n_customer_weeks
+
+
+def test_brand_price_ladder_matches_python_model(spark):
+    """Ladder stats reproduce a python recompute over the distinct
+    (brand, cents) points."""
+    out = {r.brand: r for r in Q.q_brand_price_ladder(spark, SF).collect()}
+    li = fixtures.load(spark, SF, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    part = fixtures.load(spark, SF, "part").select("p_partkey", "p_brand")
+    pts: dict[str, set] = {}
+    for r in li.join(part, li.l_partkey == part.p_partkey).collect():
+        pts.setdefault(r.p_brand, set()).add(r.cents)
+    assert set(pts) == set(out)
+    for b, cents in pts.items():
+        s = sorted(cents)
+        assert out[b].n_points == len(s)
+        assert out[b].lo == s[0] / 100.0
+        assert out[b].hi == s[-1] / 100.0
+        want_gap = max(b2 - a2 for a2, b2 in zip(s, s[1:])) / 100.0
+        assert out[b].max_gap == want_gap
+
+
+def test_monthly_return_rate_bounds_and_mass(spark):
+    """Rates are probabilities and the monthly line counts sum to the
+    fact row count."""
+    out = Q.q_monthly_return_rate(spark, SF).collect()
+    assert sum(r.n_lines for r in out) == fixtures.load(
+        spark, SF, "lineitem"
+    ).count()
+    for r in out:
+        assert 0.0 <= r.line_return_rate <= 1.0
+        assert 0.0 <= r.qty_return_rate <= 1.0
+        assert r.n_returned <= r.n_lines
+
+
+def test_order_ship_span_accounting(spark):
+    """Every ordered order lands in exactly one priority row; the
+    over-60 share is consistent with its count."""
+    out = Q.q_order_ship_span(spark, SF).collect()
+    li = fixtures.load(spark, SF, "lineitem")
+    assert sum(r.n_orders for r in out) == li.select(
+        "l_orderkey"
+    ).distinct().count()
+    for r in out:
+        assert 0 <= r.n_over_60 <= r.n_orders
+        assert abs(r.share_over_60 - r.n_over_60 / r.n_orders) <= 5e-7
+        assert r.avg_span_days >= 0.0
+
+
+def test_char_trigram_profile_planted_text(spark):
+    """A planted corpus with hand-counted trigrams reproduces exact
+    counts, shares, and the top-10 per-language cut."""
+    import os
+    import tempfile
+
+    docs = [
+        # 'aaab': trigrams aaa, aab; 'xy' too short; 'a b!' has no
+        # all-letter trigram ('a b' and ' b!' fail [a-z]{3})
+        (1, "aaab", "xx", "s", 4),
+        (2, "xy", "xx", "s", 2),
+        (3, "a b!", "xx", "s", 4),
+        (4, "AAAB", "yy", "s", 4),  # lowercased -> aaa, aab
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        rows = Q.q_char_trigram_profile(spark, td).collect()
+    got = {(r.lang, r.trigram): (r.n, r.share) for r in rows}
+    assert got == {
+        ("xx", "aaa"): (1, 0.5),
+        ("xx", "aab"): (1, 0.5),
+        ("yy", "aaa"): (1, 0.5),
+        ("yy", "aab"): (1, 0.5),
+    }
+
+
+def test_char_trigram_profile_topk_is_ranked(spark):
+    """At the fixture SF: <= 10 rows per language, counts descending,
+    shares bounded."""
+    rows = Q.q_char_trigram_profile(spark, SF).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        assert len(rs) <= 10
+        ns = [r.n for r in rs]
+        assert ns == sorted(ns, reverse=True)
+        assert abs(sum(r.share for r in rs)) <= 1.0 + 1e-9

@@ -247,6 +247,12 @@ PORTABLE = [
     "ship_hazard",
     "brand_price_slope",
     "eoq_recommendation",
+    # round-9 batch 6 (epoch-day/printf spellings; char_trigram_profile
+    # stays DuckDB-side: unnest(range()) table function)
+    "order_batching",
+    "brand_price_ladder",
+    "monthly_return_rate",
+    "order_ship_span",
 ]
 
 
