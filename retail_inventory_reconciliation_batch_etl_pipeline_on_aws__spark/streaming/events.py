@@ -1000,3 +1000,113 @@ def streaming_alert_throttle(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+MG_CANDIDATE_SCHEMA = "bucket int, key string, residual bigint"
+_MG_STATE_SCHEMA = "keys array<string>, counts array<bigint>"
+
+
+def streaming_mg_candidates(
+    spark: SparkSession,
+    source_dir: str,
+    key_col: str = "user_id",
+    k: int = 200,
+    n_buckets: int = 8,
+    watermark: str = "1 minute",
+    drain_user_id: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming Misra-Gries candidate generation: the incremental twin
+    of ``operators/sketch.mg_candidate_keys`` (pass 1 of the exact
+    two-pass ``heavy_hitters``). Keys hash to ``n_buckets`` state
+    groups; each group's state is ONE bounded MG summary (<= k-1
+    counters, arrays in the state store), merged batch-by-batch with
+    the same mergeable rule as the batch sketch. Because every
+    occurrence of a key lands in the same bucket, a key with global
+    count > N/k >= N_bucket/k survives its bucket's summary -- the
+    candidate union stays COMPLETE, so an exact recount over the
+    emitted candidates reproduces the batch ``heavy_hitters`` output
+    EXACTLY (tested).
+
+    Summaries flush through the sessionize drain discipline: each
+    update arms an event-time timeout just past the bucket's last
+    event; the ``write_drain_sentinel`` heartbeat advances the
+    watermark past every deadline and the no-data micro-batch emits
+    all summaries (the sentinel itself is filtered INSIDE the stateful
+    function -- a where() above it would push past the watermark node
+    and kill the drain, the documented sessionize_native trap). State
+    is O(n_buckets * k) counters TOTAL, independent of the key
+    universe -- the property that keeps this runnable on an unbounded
+    stream."""
+    import pandas as pd  # noqa: F401  (executor-side dependency)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (bucket,) = key
+        if state.hasTimedOut:
+            keys, counts = state.get
+            state.remove()
+            if len(keys):
+                yield pd.DataFrame(
+                    {
+                        "bucket": [int(bucket)] * len(keys),
+                        "key": list(keys),
+                        "residual": [int(c) for c in counts],
+                    }
+                )
+            return
+        counters: dict = {}
+        if state.exists:
+            keys, counts = state.get
+            counters = dict(zip(keys, (int(c) for c in counts)))
+        last_ms = None
+        for pdf in pdfs:
+            if drain_user_id is not None:
+                pdf = pdf[pdf["user_id"] != drain_user_id]
+            if not len(pdf):
+                continue
+            ms = int(pdf["ts"].astype("int64").max() // 1_000_000)
+            last_ms = ms if last_ms is None else max(last_ms, ms)
+            vc = pdf["_key"].value_counts()
+            for kk, c in vc.items():
+                counters[kk] = counters.get(kk, 0) + int(c)
+            if len(counters) > k - 1:
+                cut = sorted(counters.values(), reverse=True)[k - 1]
+                counters = {
+                    kk: c - cut for kk, c in counters.items() if c > cut
+                }
+        state.update((list(counters), [counters[kk] for kk in counters]))
+        # re-arm EVERY invocation: GroupState clears the timeout each
+        # time the function runs for a key, so a batch whose rows were
+        # all filtered (the sentinel's own bucket) would otherwise
+        # never flush. The deadline must also exceed the current
+        # watermark, hence the floor.
+        wm = state.getCurrentWatermarkMs()
+        deadline = wm + 1000 if last_ms is None else max(last_ms, wm) + 1000
+        state.setTimeoutTimestamp(deadline)
+
+    raw = read_event_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    keyed = raw.select(
+        "ts",
+        "user_id",
+        F.col(key_col).cast("string").alias("_key"),
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+    )
+    return (
+        keyed.withWatermark("ts", watermark)
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            update,
+            outputStructType=MG_CANDIDATE_SCHEMA,
+            stateStructType=_MG_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

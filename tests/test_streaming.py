@@ -932,3 +932,87 @@ def test_alert_throttle_stream_equals_batch_and_greedy_rule(spark, tmp_path):
         r.event_id for r in throttle_alerts(planted, cooldown_s=600).collect()
     )
     assert kept == [0, 3, 5]
+
+
+def test_streaming_mg_candidates_recount_equals_batch_heavy_hitters(
+    spark, tmp_path
+):
+    """Streaming Misra-Gries over time-split micro-batches: the drained
+    candidate union must be complete (the MG theorem per bucket), so an
+    exact recount over it reproduces the batch two-pass heavy_hitters
+    output EXACTLY; state drains empty and per-bucket summaries respect
+    the k-1 bound."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.sketch import (  # noqa: E501
+        heavy_hitters,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (  # noqa: E501
+        streaming_mg_candidates,
+        write_drain_sentinel,
+    )
+
+    K = 20  # small k so the prune rule actually fires on this fixture
+    ev = raw_nanos_events(spark)
+    qs = ev.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
+    src = tmp_path / "mg_src"
+    src.mkdir()
+    bounds = [None, *qs, None]
+    for i in range(4):
+        part = ev
+        if bounds[i] is not None:
+            part = part.where(F.col("ts") > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.where(F.col("ts") <= bounds[i + 1])
+        stage = tmp_path / f"mg_stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        (pf,) = glob.glob(str(stage / "part-*.parquet"))
+        shutil.move(pf, src / f"{i:02d}.parquet")
+        os.utime(src / f"{i:02d}.parquet", (i + 1, i + 1))
+    max_ns = ev.agg(F.max("ts")).collect()[0][0]
+    write_drain_sentinel(
+        spark, str(src), int(max_ns) + 10 * 60 * 1_000_000_000, user_id=-1
+    )
+
+    out = streaming_mg_candidates(
+        spark,
+        str(src),
+        key_col="user_id",
+        k=K,
+        n_buckets=4,
+        drain_user_id=-1,
+        max_files_per_trigger=1,
+    )
+    assert out.isStreaming
+    q = run_to_memory_sink(out, "mg_stream_test", output_mode="append")
+    cand_rows = spark.sql("SELECT * FROM mg_stream_test").collect()
+    # summaries respect the MG bound per bucket
+    per_bucket: dict[int, int] = {}
+    for r in cand_rows:
+        per_bucket[r.bucket] = per_bucket.get(r.bucket, 0) + 1
+        assert r.residual >= 1
+    assert per_bucket and all(n <= K - 1 for n in per_bucket.values())
+    cands = {r.key for r in cand_rows}
+
+    batch_keyed = fixtures.events(spark, TESTDATA).select(
+        F.col("user_id").cast("string").alias("_key")
+    )
+    n_total = batch_keyed.count()
+    want = {
+        (r.key, r.n_occurrences)
+        for r in heavy_hitters(
+            fixtures.events(spark, TESTDATA), "user_id", k=K
+        ).collect()
+    }
+    assert want, "fixture has no heavy hitters at this k; pick smaller k"
+    # completeness: every true heavy key is among the streamed candidates
+    assert {k_ for k_, _ in want} <= cands
+    # exact recount over the streamed candidates == batch two-pass output
+    cand_df = spark.createDataFrame([(c,) for c in cands], "_key string")
+    got = {
+        (r._key, r.n)
+        for r in batch_keyed.join(F.broadcast(cand_df), "_key")
+        .groupBy("_key")
+        .agg(F.count("*").cast("long").alias("n"))
+        .where(F.col("n") * K > F.lit(n_total))
+        .collect()
+    }
+    assert got == want
