@@ -92,6 +92,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_return_rate": Q.q_monthly_return_rate,
         "order_ship_span": Q.q_order_ship_span,
         "char_trigram_profile": Q.q_char_trigram_profile,
+        "latency_by_year": Q.q_latency_by_year,
+        "customer_quartile_migration": Q.q_customer_quartile_migration,
+        "dormancy_by_segment": Q.q_dormancy_by_segment,
+        "sentence_length_profile": Q.q_sentence_length_profile,
+        "customer_value_cv": Q.q_customer_value_cv,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -1247,6 +1252,145 @@ SELECT lang, tri AS trigram, n,
        ROUND(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
 FROM rk WHERE r <= 10
 ORDER BY lang, n DESC, trigram
+""",
+        "latency_by_year": """
+WITH lat AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         CAST(FLOOR(epoch(CAST(l.l_shipdate AS TIMESTAMP)) / 86400)
+              AS BIGINT)
+         - CAST(FLOOR(epoch(CAST(o.o_orderdate AS TIMESTAMP)) / 86400)
+                AS BIGINT) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+py AS (
+  SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(d) AS BIGINT) AS sum_d
+  FROM lat WHERE d >= 0 GROUP BY yr
+)
+SELECT a.yr AS order_year, a.n_lines,
+       ROUND(CAST(a.sum_d AS DOUBLE) / CAST(a.n_lines AS DOUBLE), 6)
+         AS avg_latency_days,
+       ROUND(CAST(a.sum_d AS DOUBLE) / CAST(a.n_lines AS DOUBLE)
+             - CAST(p.sum_d AS DOUBLE) / CAST(p.n_lines AS DOUBLE), 6)
+         AS delta_vs_prev
+FROM py a LEFT JOIN py p ON a.yr = p.yr + 1
+ORDER BY order_year
+""",
+        "customer_quartile_migration": """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400)
+              AS BIGINT) AS ep,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+),
+mid AS (
+  SELECT CAST(FLOOR((MIN(ep) + MAX(ep)) / 2.0) AS BIGINT) AS mid FROM o
+),
+tagged AS (
+  SELECT o_custkey, CASE WHEN ep > m.mid THEN 1 ELSE 0 END AS half, cents
+  FROM o CROSS JOIN mid m
+),
+per AS (
+  SELECT o_custkey, half, SUM(cents) AS cents FROM tagged GROUP BY 1, 2
+),
+q0 AS (
+  SELECT o_custkey,
+         CAST(NTILE(4) OVER (ORDER BY cents DESC, o_custkey) AS STRING)
+           AS from_q
+  FROM per WHERE half = 0
+),
+q1 AS (
+  SELECT o_custkey,
+         CAST(NTILE(4) OVER (ORDER BY cents DESC, o_custkey) AS STRING)
+           AS to_q
+  FROM per WHERE half = 1
+),
+j AS (
+  SELECT COALESCE(q0.from_q, '-') AS from_q, COALESCE(q1.to_q, '-') AS to_q
+  FROM q0 FULL OUTER JOIN q1 ON q0.o_custkey = q1.o_custkey
+)
+SELECT from_q, to_q, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM j GROUP BY 1, 2 ORDER BY from_q, to_q
+""",
+        "dormancy_by_segment": """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400)
+              AS BIGINT) AS ep,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+),
+pc AS (
+  SELECT o_custkey, MAX(ep) AS last_ep, SUM(cents) AS cents
+  FROM o GROUP BY 1
+),
+hz AS (SELECT MAX(ep) AS hz FROM o),
+t AS (
+  SELECT p.o_custkey, p.cents,
+         CASE WHEN p.last_ep < h.hz - 365 THEN 1 ELSE 0 END AS dormant
+  FROM pc p CROSS JOIN hz h
+),
+j AS (
+  SELECT c.c_mktsegment AS segment, t.dormant, t.cents
+  FROM t JOIN customer c ON t.o_custkey = c.c_custkey
+)
+SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(dormant) AS BIGINT) AS n_dormant,
+       ROUND(CAST(SUM(dormant) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS dormant_share,
+       CASE WHEN SUM(dormant) > 0 THEN
+         ROUND(CAST(SUM(dormant * cents) AS DOUBLE)
+               / (CAST(SUM(dormant) AS DOUBLE) * 100.0), 2)
+       END AS avg_dormant_ltv,
+       CASE WHEN COUNT(*) - SUM(dormant) > 0 THEN
+         ROUND(CAST(SUM((1 - dormant) * cents) AS DOUBLE)
+               / (CAST(COUNT(*) - SUM(dormant) AS DOUBLE) * 100.0), 2)
+       END AS avg_active_ltv
+FROM j GROUP BY segment ORDER BY segment
+""",
+        "sentence_length_profile": """
+WITH sent AS (
+  SELECT unnest(regexp_split_to_array(text, '[.!?]+')) AS s FROM documents
+),
+tok AS (
+  SELECT len(list_filter(regexp_split_to_array(s, '\\s+'),
+                         t -> t <> '')) AS n_tokens
+  FROM sent
+),
+hist AS (
+  SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_sentences
+  FROM tok WHERE n_tokens > 0 GROUP BY 1
+),
+tot AS (SELECT SUM(n_sentences) AS t FROM hist)
+SELECT n_tokens, n_sentences,
+       ROUND(CAST(n_sentences AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+FROM hist CROSS JOIN tot ORDER BY n_tokens
+""",
+        "customer_value_cv": """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+),
+st AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(cents) AS s, SUM(cents * cents) AS s2
+  FROM o GROUP BY 1
+)
+SELECT CAST(o_custkey AS BIGINT) AS custkey, n_orders,
+       ROUND(CAST(s AS DOUBLE) / (CAST(n_orders AS DOUBLE) * 100.0), 2)
+         AS avg_order_value,
+       ROUND(SQRT(GREATEST(CAST(0 AS DOUBLE),
+                  CAST(n_orders AS DOUBLE) * CAST(s2 AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
+             / CAST(s AS DOUBLE), 6) AS cv
+FROM st WHERE n_orders >= 5
+ORDER BY n_orders DESC, custkey LIMIT 25
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

@@ -8266,3 +8266,230 @@ def q_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", F.desc("n"), "trigram")
     )
+
+
+def q_latency_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency TREND by order year: per year the line
+    count, exact-integer mean latency, and the delta against the
+    PREVIOUS year -- 'is fulfilment getting slower?'. The prior-year
+    lookup is an equi-self-join on (year-1) over the ~7-row aggregate
+    (never a partition-less window); inverted generator intervals are
+    excluded the way every latency query here does."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_d"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+    )
+    lat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("yr", F.datediff("ship_d", "order_d").alias("d"))
+        .where(F.col("d") >= 0)
+    )
+    per_year = lat.groupBy("yr").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("d").cast("long").alias("sum_d"),
+    )
+    prev = per_year.select(
+        (F.col("yr") + 1).alias("yr"),
+        F.col("n_lines").alias("pn"),
+        F.col("sum_d").alias("ps"),
+    )
+    mean = F.col("sum_d").cast("double") / F.col("n_lines").cast("double")
+    pmean = F.col("ps").cast("double") / F.col("pn").cast("double")
+    return (
+        per_year.join(prev, "yr", "left")
+        .select(
+            F.col("yr").alias("order_year"),
+            "n_lines",
+            F.round(mean, 6).alias("avg_latency_days"),
+            F.round(mean - pmean, 6).alias("delta_vs_prev"),
+        )
+        .orderBy("order_year")
+    )
+
+
+def q_customer_quartile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-QUARTILE migration between the two halves of the
+    order timeline: each half ranks its active customers into exact
+    NTILE(4) quartiles of half-revenue (cents desc, custkey tiebreak --
+    the rfm_segments posture: the sort runs over the per-customer
+    AGGREGATE, never raw orders), absent halves surface as quartile
+    '-' (the abc_migration convention), and the matrix counts
+    customers per (from, to) cell -- the churn/upsell ledger between
+    periods. The midpoint is the exact integer median epoch-day of the
+    distinct order dates, computed from a 1-row bounded aggregate."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit(dt.date(1970, 1, 1))
+        ).alias("ep"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    # FLOOR, not a bare cast: DuckDB ROUNDS double->int casts while
+    # Spark truncates (the r8 cross-engine trap)
+    mid = orders.groupBy().agg(
+        F.floor((F.min("ep") + F.max("ep")) / 2).cast("long").alias("mid")
+    )
+    tagged = orders.crossJoin(F.broadcast(mid)).withColumn(
+        "half", (F.col("ep") > F.col("mid")).cast("int")
+    )
+    per = tagged.groupBy("o_custkey", "half").agg(
+        F.sum("cents").alias("cents")
+    )
+
+    def quartiles(h: int, out: str) -> DataFrame:
+        w = Window.orderBy(F.desc("cents"), "o_custkey")
+        return (
+            per.where(F.col("half") == h)
+            .select(
+                "o_custkey", F.ntile(4).over(w).cast("string").alias(out)
+            )
+        )
+
+    q1, q2 = quartiles(0, "from_q"), quartiles(1, "to_q")
+    joined = q1.join(q2, "o_custkey", "full_outer").select(
+        F.coalesce("from_q", F.lit("-")).alias("from_q"),
+        F.coalesce("to_q", F.lit("-")).alias("to_q"),
+    )
+    return (
+        joined.groupBy("from_q", "to_q")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("from_q", "to_q")
+    )
+
+
+def q_dormancy_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer DORMANCY screen per market segment: customers whose
+    last order predates the corpus horizon by more than a year are
+    dormant; the segment rollup reports the dormant share and the
+    average lifetime value of dormant vs active customers (exact cents
+    until the terminal divides). The horizon is a 1-row max-date
+    broadcast gate; everything else is two key aggregates."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit(dt.date(1970, 1, 1))
+        ).alias("ep"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("ep").alias("last_ep"), F.sum("cents").alias("cents")
+    )
+    horizon = orders.groupBy().agg(F.max("ep").alias("hz"))
+    cust = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    tagged = (
+        per_cust.crossJoin(F.broadcast(horizon))
+        .withColumn(
+            "dormant", (F.col("last_ep") < F.col("hz") - 365).cast("int")
+        )
+        .join(cust, per_cust.o_custkey == cust.c_custkey)
+    )
+    div = lambda a, b: F.round(a.cast("double") / b.cast("double"), 6)  # noqa: E731
+    return (
+        tagged.groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("dormant").cast("long").alias("n_dormant"),
+            div(F.sum("dormant"), F.count("*")).alias("dormant_share"),
+            # NULL (not 0/0 NaN) when a segment has no members of a
+            # class -- NaN cells are not cross-engine hash-stable
+            F.when(
+                F.sum("dormant") > 0,
+                F.round(
+                    F.sum(F.col("dormant") * F.col("cents")).cast("double")
+                    / (F.sum("dormant").cast("double") * 100.0),
+                    2,
+                ),
+            ).alias("avg_dormant_ltv"),
+            F.when(
+                F.count("*") - F.sum("dormant") > 0,
+                F.round(
+                    F.sum((1 - F.col("dormant")) * F.col("cents")).cast(
+                        "double"
+                    )
+                    / ((F.count("*") - F.sum("dormant")).cast("double") * 100.0),
+                    2,
+                ),
+            ).alias("avg_active_ltv"),
+        )
+        .orderBy("segment")
+    )
+
+
+def q_sentence_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus SENTENCE-LENGTH distribution: sentences split on
+    [.!?]+ runs, measured in whitespace tokens, histogrammed by length
+    with corpus share -- the style profile next to
+    ``readability_scores``' single ARI number (same split rule, so the
+    two agree on what a sentence is). One explode + one
+    map-side-combined histogram; the share denominator rides the
+    sanctioned 1-row gate."""
+    from .functions.text import token_count
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    sent = docs.select(
+        F.explode(F.split(F.col("text"), r"[.!?]+")).alias("s")
+    ).select(token_count(F.col("s")).alias("n_tokens"))
+    hist = (
+        sent.where(F.col("n_tokens") > 0)
+        .groupBy("n_tokens")
+        .agg(F.count("*").cast("long").alias("n_sentences"))
+    )
+    tot = hist.groupBy().agg(F.sum("n_sentences").alias("t"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "n_tokens",
+            "n_sentences",
+            F.round(
+                F.col("n_sentences").cast("double") / F.col("t").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("n_tokens")
+    )
+
+
+def q_customer_value_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value VOLATILITY per customer: the coefficient of
+    variation of a customer's order totals -- cv = sqrt(n*S2 - S^2)/S,
+    every operand an exact integer cents statistic (the
+    measure_correlations contract), one sqrt/divide, rounded 6dp. The
+    25 most-ordering customers (n desc, custkey tiebreak, >= 5 orders)
+    via TakeOrderedAndProject -- erratic big-ticket buyers rank next
+    to steady replenishers."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    stats = orders.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            (F.col("cents").cast("decimal(38,0)"))
+            * F.col("cents").cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    n = F.col("n_orders").cast("double")
+    s = F.col("s").cast("double")
+    s2 = F.col("s2").cast("double")
+    return (
+        stats.where(F.col("n_orders") >= 5)
+        .select(
+            F.col("o_custkey").cast("long").alias("custkey"),
+            "n_orders",
+            F.round(s / (n * F.lit(100.0)), 2).alias("avg_order_value"),
+            # greatest(0,.): a zero-variance customer's n*S2 == S^2 in
+            # exact ints can round to a hair negative in doubles -> NaN
+            F.round(
+                F.sqrt(F.greatest(F.lit(0.0), n * s2 - s * s)) / s, 6
+            ).alias("cv"),
+        )
+        .orderBy(F.desc("n_orders"), "custkey")
+        .limit(25)
+    )

@@ -46,6 +46,9 @@ NESTED_LOOP_OK = {
     "lorenz_curve",  # 1-row revenue-total broadcast gate (share denominators)
     "token_burstiness",  # 1-row corpus-doc-count (N) broadcast gate
     "inventory_aging",  # 1-row latest-ship-date broadcast gate (age origin)
+    "customer_quartile_migration",  # 1-row timeline-midpoint broadcast gate
+    "dormancy_by_segment",  # 1-row horizon (max order date) broadcast gate
+    "sentence_length_profile",  # 1-row sentence-total broadcast gate (shares)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

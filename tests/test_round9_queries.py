@@ -955,3 +955,125 @@ def test_char_trigram_profile_topk_is_ranked(spark):
         ns = [r.n for r in rs]
         assert ns == sorted(ns, reverse=True)
         assert abs(sum(r.share for r in rs)) <= 1.0 + 1e-9
+
+
+def test_latency_by_year_delta_telescopes(spark):
+    """First year's delta is NULL; every later delta equals the
+    difference of adjacent yearly means; line counts conserve the
+    non-inverted join population."""
+    out = sorted(
+        Q.q_latency_by_year(spark, SF).collect(), key=lambda r: r.order_year
+    )
+    assert out[0].delta_vs_prev is None
+    for prev, cur in zip(out, out[1:]):
+        if cur.order_year == prev.order_year + 1:
+            assert cur.delta_vs_prev is not None
+            assert (
+                abs(
+                    cur.delta_vs_prev
+                    - (cur.avg_latency_days - prev.avg_latency_days)
+                )
+                < 2e-6
+            )
+    li = fixtures.load(spark, SF, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = fixtures.load(spark, SF, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    n = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            >= 0
+        )
+        .count()
+    )
+    assert sum(r.n_lines for r in out) == n
+
+
+def test_customer_quartile_migration_accounting(spark):
+    """Cells partition the customer universe; labels are quartiles or
+    '-'; nobody is absent from BOTH halves; present-half marginals are
+    balanced NTILE partitions."""
+    out = Q.q_customer_quartile_migration(spark, SF).collect()
+    n_cust = (
+        fixtures.load(spark, SF, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in out) == n_cust
+    labels = {"1", "2", "3", "4", "-"}
+    for r in out:
+        assert r.from_q in labels and r.to_q in labels
+        assert not (r.from_q == "-" and r.to_q == "-")
+    for dim in ("from_q", "to_q"):
+        marg: dict[str, int] = {}
+        for r in out:
+            lab = r[dim]
+            if lab != "-":
+                marg[lab] = marg.get(lab, 0) + r.n_customers
+        assert set(marg) == {"1", "2", "3", "4"}
+        assert max(marg.values()) - min(marg.values()) <= 1
+
+
+def test_dormancy_by_segment_consistency(spark):
+    """Shares agree with counts; LTV columns are present exactly when
+    their class is populated; totals conserve the ordered-customer
+    population."""
+    out = Q.q_dormancy_by_segment(spark, SF).collect()
+    n_cust = (
+        fixtures.load(spark, SF, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in out) == n_cust
+    for r in out:
+        assert 0 <= r.n_dormant <= r.n_customers
+        assert abs(r.dormant_share - r.n_dormant / r.n_customers) <= 5e-7
+        assert (r.avg_dormant_ltv is not None) == (r.n_dormant > 0)
+        assert (r.avg_active_ltv is not None) == (
+            r.n_customers - r.n_dormant > 0
+        )
+
+
+def test_sentence_length_profile_shares(spark):
+    """Shares sum to 1 over the histogram and every bucket is a
+    positive token length."""
+    out = Q.q_sentence_length_profile(spark, SF).collect()
+    assert out
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-4
+    tot = sum(r.n_sentences for r in out)
+    for r in out:
+        assert r.n_tokens >= 1
+        assert abs(r.share - r.n_sentences / tot) <= 5e-7
+
+
+def test_customer_value_cv_matches_python(spark):
+    """Top-25 selection and the closed-form CV reproduce a pure-python
+    recompute."""
+    import math
+
+    out = Q.q_customer_value_cv(spark, SF).collect()
+    orders = fixtures.load(spark, SF, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    vals: dict[int, list[int]] = {}
+    for r in orders.collect():
+        vals.setdefault(r.o_custkey, []).append(r.cents)
+    eligible = {c: v for c, v in vals.items() if len(v) >= 5}
+    want = sorted(eligible, key=lambda c: (-len(eligible[c]), c))[:25]
+    assert [r.custkey for r in out] == want
+    for r in out:
+        v = eligible[r.custkey]
+        n, s, s2 = len(v), sum(v), sum(x * x for x in v)
+        assert r.n_orders == n
+        cv = math.sqrt(max(0.0, float(n) * float(s2) - float(s) * float(s))) / float(s)
+        assert abs(r.cv - cv) < 1e-6
+        assert abs(r.avg_order_value - s / (n * 100.0)) < 0.01

@@ -253,6 +253,13 @@ PORTABLE = [
     "brand_price_ladder",
     "monthly_return_rate",
     "order_ship_span",
+    # round-9 batch 7 (epoch shim; NTILE/FULL OUTER are ANSI; STRING is
+    # the cast spelling both engines parse. sentence_length_profile
+    # stays DuckDB-side: unnest + list_* lambda tokenizer)
+    "latency_by_year",
+    "customer_quartile_migration",
+    "dormancy_by_segment",
+    "customer_value_cv",
 ]
 
 
