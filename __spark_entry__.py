@@ -97,6 +97,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dormancy_by_segment": Q.q_dormancy_by_segment,
         "sentence_length_profile": Q.q_sentence_length_profile,
         "customer_value_cv": Q.q_customer_value_cv,
+        "chunk_dedup_stats": Q.q_chunk_dedup_stats,
+        "neardup_source_matrix": Q.q_neardup_source_matrix,
+        "part_size_mix": Q.q_part_size_mix,
+        "event_dow_hour_matrix": Q.q_event_dow_hour_matrix,
+        "line_position_profile": Q.q_line_position_profile,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -1391,6 +1396,112 @@ SELECT CAST(o_custkey AS BIGINT) AS custkey, n_orders,
              / CAST(s AS DOUBLE), 6) AS cv
 FROM st WHERE n_orders >= 5
 ORDER BY n_orders DESC, custkey LIMIT 25
+""",
+        # same 64/64 chunk rule as the doc_chunks oracle, stride==size
+        "chunk_dedup_stats": """
+WITH tok AS (
+  SELECT source, doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+ch AS (
+  SELECT source, doc_id,
+         sha256(array_to_string(
+           list_slice(toks, CAST(s + 1 AS BIGINT), CAST(s + 64 AS BIGINT)),
+           ' ')) AS h
+  FROM tok, unnest(range(0, len(toks), 64)) AS u(s)
+  WHERE len(toks) > 0
+),
+corpus AS (SELECT h, COUNT(*) AS n FROM ch GROUP BY h)
+SELECT ch.source,
+       CAST(COUNT(DISTINCT ch.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       ROUND(CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_share
+FROM ch JOIN corpus c ON ch.h = c.h
+GROUP BY ch.source ORDER BY ch.source
+""",
+        # the jaccard_pairs CTE rolled up by canonical source pair
+        "neardup_source_matrix": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 3 + 2), i ->
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+  FROM tok WHERE len(toks) >= 3
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+pairs AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4)
+           AS jaccard
+  FROM shared
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
+),
+tagged AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         p.jaccard
+  FROM pairs p
+  JOIN documents da ON p.doc_a = da.doc_id
+  JOIN documents db ON p.doc_b = db.doc_id
+)
+SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MAX(jaccard) AS max_jaccard
+FROM tagged GROUP BY 1, 2 ORDER BY source_a, source_b
+""",
+        "part_size_mix": """
+WITH per AS (
+  SELECT CAST(p.p_size AS BIGINT) AS size,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         SUM(CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+),
+tot AS (SELECT SUM(qty) AS tq, SUM(cents) AS tc FROM per)
+SELECT size, n_lines, qty,
+       ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+       ROUND(CAST(qty AS DOUBLE) / CAST(tq AS DOUBLE), 6) AS qty_share,
+       ROUND(CAST(cents AS DOUBLE) / CAST(tc AS DOUBLE), 6) AS revenue_share
+FROM per CROSS JOIN tot ORDER BY size
+""",
+        "event_dow_hour_matrix": """
+WITH cells AS (
+  SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT SUM(n_events) AS t FROM cells)
+SELECT dow, hour, n_events,
+       ROUND(CAST(n_events AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+FROM cells CROSS JOIN tot ORDER BY dow, hour
+""",
+        "line_position_profile": """
+SELECT CAST(l_linenumber AS BIGINT) AS position,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * 100) AS BIGINT)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 100.0), 2) AS avg_value
+FROM lineitem GROUP BY 1 ORDER BY position
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

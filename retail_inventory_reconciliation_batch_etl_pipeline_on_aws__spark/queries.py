@@ -8493,3 +8493,176 @@ def q_customer_value_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "custkey")
         .limit(25)
     )
+
+
+def q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-level duplication profile per source: documents split into
+    NON-overlapping 64-token windows (``token_chunks(64, 64)`` -- the
+    ``doc_chunks`` rule at stride == size), each chunk fingerprinted
+    with sha256, and every source scored by the share of its chunk
+    instances whose fingerprint occurs more than once CORPUS-wide --
+    partial-overlap contamination that document-level ``dedup_exact``
+    cannot see (two distinct docs sharing one boilerplate paragraph).
+    Only (source, doc_id, 32-byte hash) rows shuffle -- text never
+    leaves the scan stage (the dedup-ladder discipline)."""
+    from .functions.text import token_chunks, tokens
+
+    docs = fixtures.load(spark, sf_dir, "documents").where(
+        F.size(tokens("text")) > 0
+    )
+    chunks = docs.select(
+        "source",
+        "doc_id",
+        F.explode(token_chunks("text", 64, 64)).alias("c"),
+    ).select("source", "doc_id", F.sha2(F.col("c.text"), 256).alias("h"))
+    corpus = chunks.groupBy("h").agg(F.count("*").alias("n"))
+    joined = chunks.join(corpus, "h")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum((F.col("n") > 1).cast("int")).cast("long").alias(
+                "n_dup_chunks"
+            ),
+            F.round(
+                F.sum((F.col("n") > 1).cast("int")).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("dup_share"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE the near-duplicates live: the exact shingle-Jaccard pairs
+    (``jaccard_pairs``' 0.5-threshold ground truth) rolled up by the
+    SOURCE pair they straddle (unordered, least/greatest canonical) --
+    within-source templating reads very differently from cross-source
+    scraping in a curation report. Pair counts and the max observed
+    jaccard per cell (max of identical doubles is order-invariant;
+    averaging them would not be)."""
+    from .operators.dedup import shingle_jaccard_pairs
+
+    docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
+    pairs = shingle_jaccard_pairs(docs, n=3, threshold=0.5)
+    src = fixtures.load(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    tagged = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    return (
+        tagged.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def q_part_size_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue/volume MIX by part size (the one physical dimension the
+    part table carries): exact cents and quantities per p_size with
+    corpus shares off the sanctioned 1-row totals gate -- the
+    assortment-planning cut."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    part = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_size").cast("long").alias("size")
+    )
+    per = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("size")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("qty").cast("long").alias("qty"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    tot = per.groupBy().agg(
+        F.sum("qty").alias("tq"), F.sum("cents").alias("tc")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "size",
+            "n_lines",
+            "qty",
+            F.round(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
+            F.round(
+                F.col("qty").cast("double") / F.col("tq").cast("double"), 6
+            ).alias("qty_share"),
+            F.round(
+                F.col("cents").cast("double") / F.col("tc").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("size")
+    )
+
+
+def q_event_dow_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity HEATMAP over the week: events per (ISO weekday, hour)
+    cell with share of the total -- the staffing/capacity view behind
+    ``events_hour_of_day``'s single axis. ISO weekday spelled
+    (dayofweek+5)%7+1 on the DataFrame side (UTC session pinned by
+    build_session), isodow() via the compat shim on the SQL path; the
+    share denominator rides the 1-row gate; the matrix is <= 168
+    rows."""
+    ev = fixtures.events(spark, sf_dir).select(
+        F.expr("(dayofweek(ts) + 5) % 7 + 1").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    )
+    cells = ev.groupBy("dow", "hour").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    tot = cells.groupBy().agg(F.sum("n_events").alias("t"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            F.round(
+                F.col("n_events").cast("double") / F.col("t").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+def q_line_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do FIRST order lines carry the big items? Per line-number
+    position: line count, exact mean quantity and mean line value --
+    the order-composition curve (positions are bounded by the
+    generator's max lines per order, so the output is a handful of
+    rows off one map-side-combined aggregate)."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_linenumber").cast("long").alias("position"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        li.groupBy("position")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(
+                F.sum("qty").cast("double") / F.count("*").cast("double"), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum("cents").cast("double")
+                / (F.count("*").cast("double") * 100.0),
+                2,
+            ).alias("avg_value"),
+        )
+        .orderBy("position")
+    )

@@ -49,6 +49,8 @@ NESTED_LOOP_OK = {
     "customer_quartile_migration",  # 1-row timeline-midpoint broadcast gate
     "dormancy_by_segment",  # 1-row horizon (max order date) broadcast gate
     "sentence_length_profile",  # 1-row sentence-total broadcast gate (shares)
+    "part_size_mix",  # 1-row (qty, cents) totals broadcast gate (shares)
+    "event_dow_hour_matrix",  # 1-row event-total broadcast gate (shares)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

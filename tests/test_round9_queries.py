@@ -1077,3 +1077,103 @@ def test_customer_value_cv_matches_python(spark):
         cv = math.sqrt(max(0.0, float(n) * float(s2) - float(s) * float(s))) / float(s)
         assert abs(r.cv - cv) < 1e-6
         assert abs(r.avg_order_value - s / (n * 100.0)) < 0.01
+
+
+def test_chunk_dedup_stats_planted_boilerplate(spark):
+    """Two docs sharing an identical 64-token paragraph (and otherwise
+    unique text) must both show duplicated chunks; a fully unique doc
+    must show none."""
+    import os
+    import tempfile
+
+    boiler = " ".join(f"b{i}" for i in range(64))
+    uniq_a = " ".join(f"a{i}" for i in range(64))
+    uniq_b = " ".join(f"c{i}" for i in range(64))
+    uniq_c = " ".join(f"d{i}" for i in range(64))
+    docs = [
+        (1, boiler + " " + uniq_a, "en", "src_x", 0),
+        (2, boiler + " " + uniq_b, "en", "src_y", 0),
+        (3, uniq_c, "en", "src_z", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r.source: r for r in Q.q_chunk_dedup_stats(spark, td).collect()}
+    # chunk 0 of src_x and src_y is the shared boilerplate paragraph
+    assert out["src_x"].n_chunks == 2 and out["src_x"].n_dup_chunks == 1
+    assert out["src_y"].n_chunks == 2 and out["src_y"].n_dup_chunks == 1
+    assert out["src_z"].n_dup_chunks == 0
+    assert out["src_x"].dup_share == 0.5
+
+
+def test_chunk_dedup_stats_fixture_consistency(spark):
+    """At the fixture SF: per-source chunk counts conserve the corpus
+    chunk population and dup shares are probabilities."""
+    out = Q.q_chunk_dedup_stats(spark, SF).collect()
+    assert out
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.functions.text import (  # noqa: E501
+        token_count,
+    )
+
+    docs = fixtures.load(spark, SF, "documents")
+    want_chunks = (
+        docs.select(
+            F.ceil(token_count("text") / 64.0).cast("long").alias("k")
+        )
+        .agg(F.sum("k"))
+        .collect()[0][0]
+    )
+    assert sum(r.n_chunks for r in out) == want_chunks
+    for r in out:
+        assert 0.0 <= r.dup_share <= 1.0
+        assert r.n_dup_chunks <= r.n_chunks
+
+
+def test_neardup_source_matrix_conserves_pairs(spark):
+    """Cell counts sum to the exact jaccard pair count; every cell is
+    canonically ordered with max_jaccard >= the 0.5 threshold."""
+    out = Q.q_neardup_source_matrix(spark, SF).collect()
+    n_pairs = Q.q_jaccard_pairs(spark, SF).count()
+    assert sum(r.n_pairs for r in out) == n_pairs > 0
+    for r in out:
+        assert r.source_a <= r.source_b
+        assert r.max_jaccard >= 0.5
+
+
+def test_part_size_mix_shares_telescope(spark):
+    """Size shares each sum to 1 and line counts conserve the joined
+    fact."""
+    out = Q.q_part_size_mix(spark, SF).collect()
+    assert abs(sum(r.qty_share for r in out) - 1.0) < 1e-4
+    assert abs(sum(r.revenue_share for r in out) - 1.0) < 1e-4
+    n = fixtures.load(spark, SF, "lineitem").count()
+    assert sum(r.n_lines for r in out) == n
+
+
+def test_event_dow_hour_matrix_bounds(spark):
+    """Cells stay on the ISO grid, shares sum to 1, and the event mass
+    is conserved."""
+    out = Q.q_event_dow_hour_matrix(spark, SF).collect()
+    n = fixtures.events(spark, SF).count()
+    assert sum(r.n_events for r in out) == n
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-4
+    for r in out:
+        assert 1 <= r.dow <= 7 and 0 <= r.hour <= 23
+
+
+def test_line_position_profile_structure(spark):
+    """Positions are the dense 1..k prefix (the generator numbers lines
+    consecutively) with monotonically shrinking populations."""
+    out = sorted(
+        Q.q_line_position_profile(spark, SF).collect(),
+        key=lambda r: r.position,
+    )
+    assert [r.position for r in out] == list(range(1, len(out) + 1))
+    # NOT monotone: the generator emits duplicate (orderkey, linenumber)
+    # rows, so later positions can outnumber earlier ones -- only the
+    # dense prefix and mass conservation are contracts
+    assert sum(r.n_lines for r in out) == fixtures.load(
+        spark, SF, "lineitem"
+    ).count()

@@ -260,6 +260,11 @@ PORTABLE = [
     "customer_quartile_migration",
     "dormancy_by_segment",
     "customer_value_cv",
+    # round-9 batch 8 (isodow shim; pure ANSI. chunk_dedup_stats and
+    # neardup_source_matrix stay DuckDB-side: list_* lambda tokenizer)
+    "part_size_mix",
+    "event_dow_hour_matrix",
+    "line_position_profile",
 ]
 
 
