@@ -102,6 +102,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_size_mix": Q.q_part_size_mix,
         "event_dow_hour_matrix": Q.q_event_dow_hour_matrix,
         "line_position_profile": Q.q_line_position_profile,
+        "embedding_dim_stats": Q.q_embedding_dim_stats,
+        "label_balance": Q.q_label_balance,
+        "nearest_centroid_confusion": Q.q_nearest_centroid_confusion,
+        "segment_priority_mix": Q.q_segment_priority_mix,
+        "brand_seasonal_peak": Q.q_brand_seasonal_peak,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -1502,6 +1507,123 @@ SELECT CAST(l_linenumber AS BIGINT) AS position,
                                  * 100) AS BIGINT)) AS DOUBLE)
              / (CAST(COUNT(*) AS DOUBLE) * 100.0), 2) AS avg_value
 FROM lineitem GROUP BY 1 ORDER BY position
+""",
+        "embedding_dim_stats": """
+WITH ex AS (
+  SELECT CAST(i AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+st AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, SUM(q) AS s, SUM(q*q) AS s2
+  FROM ex GROUP BY dim
+)
+SELECT dim, n,
+       ROUND(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0), 6) AS mean,
+       ROUND((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 100000000.0), 6)
+         AS variance
+FROM st ORDER BY dim
+""",
+        "label_balance": """
+WITH ex AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+pv AS (SELECT vec_id, label, SUM(q*q) AS sq FROM ex GROUP BY 1, 2),
+pd AS (SELECT label, dim, SUM(q) AS s FROM ex GROUP BY 1, 2),
+geom AS (SELECT label, SUM(s*s) AS css FROM pd GROUP BY 1),
+base AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors, SUM(sq) AS vss
+  FROM pv GROUP BY 1
+),
+tot AS (SELECT SUM(n_vectors) AS t FROM base)
+SELECT b.label, b.n_vectors,
+       ROUND(CAST(b.n_vectors AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS share,
+       ROUND(CAST(b.vss AS DOUBLE)
+             / (CAST(b.n_vectors AS DOUBLE) * 100000000.0), 6)
+         AS mean_sq_norm,
+       ROUND(CAST(g.css AS DOUBLE)
+             / (CAST(b.n_vectors AS DOUBLE) * CAST(b.n_vectors AS DOUBLE)
+                * 100000000.0), 6) AS centroid_sq_norm
+FROM base b JOIN geom g ON b.label = g.label CROSS JOIN tot t
+ORDER BY b.label
+""",
+        # identical exact-int-to-double score expression on both
+        # engines, so the argmin is cross-engine deterministic
+        "nearest_centroid_confusion": """
+WITH ex AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+sz AS (
+  SELECT CAST(label AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS nk
+  FROM embeddings GROUP BY 1
+),
+cent AS (SELECT label AS k, dim, SUM(q) AS s FROM ex GROUP BY 1, 2),
+bk AS (SELECT k, SUM(s*s) AS b FROM cent GROUP BY 1),
+dots AS (
+  SELECT e.vec_id, e.label, c.k, SUM(e.q * c.s) AS a
+  FROM ex e JOIN cent c ON e.dim = c.dim
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT d.vec_id, d.label, d.k,
+         CAST(b.b - 2 * s.nk * d.a AS DOUBLE)
+         / CAST(s.nk * s.nk AS DOUBLE) AS f
+  FROM dots d JOIN bk b ON d.k = b.k JOIN sz s ON d.k = s.k
+),
+asg AS (
+  SELECT vec_id, label, k AS assigned,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY f, k) AS rn
+  FROM scored
+),
+cells AS (
+  SELECT label, assigned, CAST(COUNT(*) AS BIGINT) AS n
+  FROM asg WHERE rn = 1 GROUP BY 1, 2
+)
+SELECT label, assigned, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY label) AS DOUBLE), 6)
+         AS row_share
+FROM cells ORDER BY label, assigned
+""",
+        "segment_priority_mix": """
+WITH cells AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT segment, priority, n_orders,
+       ROUND(CAST(n_orders AS DOUBLE)
+             / CAST(SUM(n_orders) OVER (PARTITION BY segment) AS DOUBLE), 6)
+         AS share
+FROM cells ORDER BY segment, priority
+""",
+        "brand_seasonal_peak": """
+WITH cells AS (
+  SELECT p.p_brand AS brand, CAST(month(l.l_shipdate) AS BIGINT) AS month,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT brand, month, qty,
+         SUM(qty) OVER (PARTITION BY brand) AS t,
+         ROW_NUMBER() OVER (PARTITION BY brand ORDER BY qty DESC, month)
+           AS rn
+  FROM cells
+)
+SELECT brand, month AS peak_month, qty AS peak_qty,
+       ROUND(CAST(qty AS DOUBLE) / CAST(t AS DOUBLE), 6) AS peak_share
+FROM rk WHERE rn = 1 ORDER BY brand
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

@@ -8666,3 +8666,229 @@ def q_line_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("position")
     )
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION health profile of the embedding table: mean and
+    population variance of each coordinate -- the dead-dimension /
+    scale-drift screen an ANN index build should run first. Floats
+    quantize to exact 1e-4 integers at the scan (ROUND(x*10000) --
+    float sums are partitioning-dependent, quantized int sums are
+    exact), then one map-side-combined aggregate per dimension and two
+    closed-form divides."""
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        (F.col("dim") + 1).cast("long").alias("dim"),
+        F.round(F.col("v").cast("double") * 10000).cast("long").alias("q"),
+    )
+    stats = ex.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("q").cast("decimal(38,0)") * F.col("q").cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    s2 = F.col("s2").cast("double")
+    return stats.select(
+        "dim",
+        "n",
+        F.round(s / (n * F.lit(10000.0)), 6).alias("mean"),
+        F.round(
+            (n * s2 - s * s) / (n * n * F.lit(100000000.0)), 6
+        ).alias("variance"),
+    ).orderBy("dim")
+
+
+def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label DISTRIBUTION and geometry of the embedding table: per
+    label the vector count, corpus share, mean squared vector norm and
+    the squared CENTROID norm (tight clusters far from the origin vs
+    diffuse ones near it -- the class-separability smoke test).
+    Everything runs on the exact 1e-4 quantized integers; the two
+    geometry columns are single divides off exact sums."""
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        "dim",
+        F.round(F.col("v").cast("double") * 10000).cast("long").alias("q"),
+    )
+    per_vec = ex.groupBy("vec_id", "label").agg(
+        F.sum(
+            F.col("q").cast("decimal(38,0)") * F.col("q").cast("decimal(38,0)")
+        ).alias("sq")
+    )
+    per_dim = ex.groupBy("label", "dim").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s")
+    )
+    geom = per_dim.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("css")
+    )
+    base = per_vec.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum("sq").alias("vss"),
+    )
+    tot = base.groupBy().agg(F.sum("n_vectors").alias("t"))
+    n = F.col("n_vectors").cast("double")
+    return (
+        base.join(geom, "label")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "n_vectors",
+            F.round(n / F.col("t").cast("double"), 6).alias("share"),
+            F.round(
+                F.col("vss").cast("double") / (n * F.lit(100000000.0)), 6
+            ).alias("mean_sq_norm"),
+            F.round(
+                F.col("css").cast("double") / (n * n * F.lit(100000000.0)), 6
+            ).alias("centroid_sq_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+def q_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-CENTROID classifier evaluation over the embedding table:
+    every vector is assigned to the label whose (leave-in) centroid
+    minimizes squared distance, and the (label, assigned) confusion
+    matrix reports counts and row shares -- ``langid_confusion``'s
+    shape for the vector modality. EXACT integer geometry: coordinates
+    quantize at 1e-4, and the per-candidate score drops the shared
+    ||x||^2 term to f_k = (B_k - 2*n_k*A_k)/n_k^2 (A = x . s_k dot of
+    exact ints, B = s_k . s_k, n_k the class size) -- both engines
+    evaluate the identical exact-int-to-double expression, so the
+    argmin (label-asc tiebreak) is cross-engine deterministic. Scale
+    shape: the (vec, dim) x (label, dim) join is the sparse scoring
+    pattern of ``domain_classifier`` -- n*d*k work, the true cost of
+    nearest-centroid -- and centroids are |labels|*d rows, never
+    collected."""
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("v").cast("double") * 10000).cast("long").alias("q"),
+    )
+    sizes = emb.groupBy(F.col("label").cast("long").alias("k")).agg(
+        F.count("*").cast("long").alias("nk")
+    )
+    cent = ex.groupBy(F.col("label").alias("k"), "dim").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s")
+    )
+    bk = cent.groupBy("k").agg(F.sum(F.col("s") * F.col("s")).alias("b"))
+    dots = (
+        ex.join(cent, "dim")
+        .groupBy("vec_id", "label", "k")
+        .agg(F.sum(F.col("q").cast("decimal(38,0)") * F.col("s")).alias("a"))
+    )
+    scored = dots.join(bk, "k").join(sizes, "k").select(
+        "vec_id",
+        "label",
+        "k",
+        (
+            (F.col("b") - F.lit(2) * F.col("nk") * F.col("a")).cast("double")
+            / (F.col("nk") * F.col("nk")).cast("double")
+        ).alias("f"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("f", "k")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("k").alias("assigned"))
+    )
+    cells = assigned.groupBy("label", "assigned").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w_row = Window.partitionBy("label")
+    return (
+        cells.withColumn("rt", F.sum("n").over(w_row))
+        .select(
+            "label",
+            "assigned",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("rt").cast("double"), 6)
+            .alias("row_share"),
+        )
+        .orderBy("label", "assigned")
+    )
+
+
+def q_segment_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority MIX per market segment (row-share cross-tab):
+    does the BUILDING segment file more URGENT orders? One
+    co-partitioned dim join, one map-side-combined cell aggregate, a
+    25-cell row-share window."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderpriority").alias("priority")
+    )
+    cust = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("segment", "priority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+    w = Window.partitionBy("segment")
+    return (
+        cells.withColumn("t", F.sum("n_orders").over(w))
+        .select(
+            "segment",
+            "priority",
+            "n_orders",
+            F.round(
+                F.col("n_orders").cast("double") / F.col("t").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("segment", "priority")
+    )
+
+
+def q_brand_seasonal_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each brand's PEAK calendar month by shipped quantity (exact
+    integer argmax, month-asc tiebreak) with the peak's share of the
+    brand's annual-cycle mass -- the merchandising-calendar view that
+    ``monthly_seasonality`` gives the whole catalog, sharpened to one
+    row per brand."""
+    li = fixtures.load(spark, sf_dir, "lineitem")
+    part = fixtures.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.month("l_shipdate").cast("long").alias("month"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .groupBy("brand", "month")
+        .agg(F.sum("qty").cast("long").alias("qty"))
+    )
+    w = Window.partitionBy("brand").orderBy(F.desc("qty"), "month")
+    w_tot = Window.partitionBy("brand")
+    return (
+        cells.withColumn("t", F.sum("qty").over(w_tot))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "brand",
+            F.col("month").alias("peak_month"),
+            F.col("qty").alias("peak_qty"),
+            F.round(
+                F.col("qty").cast("double") / F.col("t").cast("double"), 6
+            ).alias("peak_share"),
+        )
+        .orderBy("brand")
+    )

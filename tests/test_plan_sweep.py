@@ -51,6 +51,7 @@ NESTED_LOOP_OK = {
     "sentence_length_profile",  # 1-row sentence-total broadcast gate (shares)
     "part_size_mix",  # 1-row (qty, cents) totals broadcast gate (shares)
     "event_dow_hour_matrix",  # 1-row event-total broadcast gate (shares)
+    "label_balance",  # 1-row vector-total broadcast gate (shares)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -1177,3 +1177,83 @@ def test_line_position_profile_structure(spark):
     assert sum(r.n_lines for r in out) == fixtures.load(
         spark, SF, "lineitem"
     ).count()
+
+
+def test_embedding_dim_stats_matches_python(spark):
+    """Quantized per-dimension mean/variance reproduce a numpy-free
+    python recompute."""
+    out = {r.dim: r for r in Q.q_embedding_dim_stats(spark, SF).collect()}
+    rows = fixtures.load(spark, SF, "embeddings").collect()
+    d = len(rows[0].embedding)
+    assert set(out) == set(range(1, d + 1))
+    for dim in (1, d // 2, d):
+        qs = [round(float(r.embedding[dim - 1]) * 10000) for r in rows]
+        n, s, s2 = len(qs), sum(qs), sum(q * q for q in qs)
+        assert out[dim].n == n
+        assert abs(out[dim].mean - s / (n * 10000.0)) < 1e-6
+        var = (n * s2 - s * s) / (n * n * 1e8)
+        assert abs(out[dim].variance - var) < 1e-6
+
+
+def test_label_balance_accounting(spark):
+    """Shares sum to 1 over labels; centroid norm never exceeds the
+    mean vector norm (Jensen); counts conserve the table."""
+    out = Q.q_label_balance(spark, SF).collect()
+    emb = fixtures.load(spark, SF, "embeddings")
+    assert sum(r.n_vectors for r in out) == emb.count()
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-4
+    for r in out:
+        assert r.centroid_sq_norm <= r.mean_sq_norm + 1e-9
+
+
+def test_nearest_centroid_confusion_is_a_partition(spark):
+    """Every vector lands in exactly one cell; row shares sum to 1 per
+    labeled class; the classifier beats chance on the clustered
+    fixture (diagonal mass > 1/n_labels)."""
+    out = Q.q_nearest_centroid_confusion(spark, SF).collect()
+    emb = fixtures.load(spark, SF, "embeddings")
+    assert sum(r.n for r in out) == emb.count()
+    by_label: dict[int, float] = {}
+    diag = 0
+    for r in out:
+        by_label[r.label] = by_label.get(r.label, 0.0) + r.row_share
+        if r.label == r.assigned:
+            diag += r.n
+    for lab, s in by_label.items():
+        assert abs(s - 1.0) < 1e-4, (lab, s)
+    n_labels = len(by_label)
+    assert diag / emb.count() > 1.0 / n_labels
+
+
+def test_segment_priority_mix_rows_partition(spark):
+    """Cell counts conserve the joined orders; per-segment shares sum
+    to 1."""
+    out = Q.q_segment_priority_mix(spark, SF).collect()
+    n = fixtures.load(spark, SF, "orders").count()
+    assert sum(r.n_orders for r in out) == n
+    by_seg: dict[str, float] = {}
+    for r in out:
+        by_seg[r.segment] = by_seg.get(r.segment, 0.0) + r.share
+    for seg, s in by_seg.items():
+        assert abs(s - 1.0) < 1e-4, (seg, s)
+
+
+def test_brand_seasonal_peak_is_argmax(spark):
+    """The reported peak month really is each brand's max-quantity
+    month (python recompute, month-asc tiebreak)."""
+    out = {r.brand: r for r in Q.q_brand_seasonal_peak(spark, SF).collect()}
+    li = fixtures.load(spark, SF, "lineitem").select(
+        "l_partkey",
+        F.month("l_shipdate").alias("m"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    part = fixtures.load(spark, SF, "part").select("p_partkey", "p_brand")
+    cells: dict[tuple, int] = {}
+    for r in li.join(part, li.l_partkey == part.p_partkey).collect():
+        cells[(r.p_brand, r.m)] = cells.get((r.p_brand, r.m), 0) + r.q
+    for b, rec in out.items():
+        months = {m: v for (bb, m), v in cells.items() if bb == b}
+        best = sorted(months, key=lambda m: (-months[m], m))[0]
+        assert rec.peak_month == best
+        assert rec.peak_qty == months[best]
+        assert abs(rec.peak_share - months[best] / sum(months.values())) <= 5e-7

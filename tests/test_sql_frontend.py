@@ -265,6 +265,10 @@ PORTABLE = [
     "part_size_mix",
     "event_dow_hour_matrix",
     "line_position_profile",
+    # round-9 batch 9 (pure ANSI; the embedding trio stays DuckDB-side:
+    # [] 1-based list indexing + unnest(range) table function)
+    "segment_priority_mix",
+    "brand_seasonal_peak",
 ]
 
 
