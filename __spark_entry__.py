@@ -107,6 +107,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_centroid_confusion": Q.q_nearest_centroid_confusion,
         "segment_priority_mix": Q.q_segment_priority_mix,
         "brand_seasonal_peak": Q.q_brand_seasonal_peak,
+        "order_total_consistency": Q.q_order_total_consistency,
+        "weekly_zchart": Q.q_weekly_zchart,
+        "nation_segment_grid": Q.q_nation_segment_grid,
+        "type_discount_profile": Q.q_type_discount_profile,
+        "token_length_histogram": Q.q_token_length_histogram,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -1624,6 +1629,116 @@ rk AS (
 SELECT brand, month AS peak_month, qty AS peak_qty,
        ROUND(CAST(qty AS DOUBLE) / CAST(t AS DOUBLE), 6) AS peak_share
 FROM rk WHERE rn = 1 ORDER BY brand
+""",
+        "order_total_consistency": """
+WITH term AS (
+  SELECT l_orderkey,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+         * (1 + CAST(l_tax AS DECIMAL(18,2))) AS term
+  FROM lineitem
+),
+derived AS (
+  SELECT l_orderkey, CAST(ROUND(SUM(term) * 100) AS BIGINT) AS derived_cents
+  FROM term GROUP BY 1
+),
+j AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         ABS(CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) - d.derived_cents) AS diff
+  FROM orders o JOIN derived d ON o.o_orderkey = d.l_orderkey
+)
+SELECT yr AS order_year, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mismatched,
+       ROUND(CAST(MAX(diff) AS DOUBLE) / 100.0, 2) AS max_abs_diff
+FROM j GROUP BY 1 ORDER BY order_year
+""",
+        # RANGE 51 PRECEDING over integer weeks == the engine's
+        # explode-densified 52-week fan (gaps contribute nothing)
+        "weekly_zchart": """
+WITH o AS (
+  SELECT CAST(FLOOR(CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP))
+                               / 86400) AS BIGINT) / 7.0) AS BIGINT) AS wk,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+),
+weekly AS (SELECT wk, SUM(cents) AS rev FROM o GROUP BY 1),
+cum AS (
+  SELECT wk, rev,
+         SUM(rev) OVER (ORDER BY wk ROWS UNBOUNDED PRECEDING) AS cum
+  FROM weekly
+),
+mat AS (
+  SELECT wk,
+         SUM(rev) OVER (ORDER BY wk
+                        RANGE BETWEEN 51 PRECEDING AND CURRENT ROW) AS mat
+  FROM weekly
+)
+SELECT c.wk AS week,
+       ROUND(CAST(c.rev AS DOUBLE) / 100.0, 2) AS revenue,
+       ROUND(CAST(c.cum AS DOUBLE) / 100.0, 2) AS cum_revenue,
+       ROUND(CAST(m.mat AS DOUBLE) / 100.0, 2) AS mat_revenue
+FROM cum c JOIN mat m ON c.wk = m.wk ORDER BY week
+""",
+        "nation_segment_grid": """
+WITH pc AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+base AS (
+  SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+         COALESCE(p.cents, 0) AS cents, COALESCE(p.n_orders, 0) AS n_orders
+  FROM customer c
+  LEFT JOIN pc p ON c.c_custkey = p.o_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+cells AS (
+  SELECT nation, segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(n_orders) AS BIGINT) AS n_orders, SUM(cents) AS cents
+  FROM base GROUP BY 1, 2
+)
+SELECT nation, segment, n_customers, n_orders,
+       ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+       ROUND(CAST(n_customers AS DOUBLE)
+             / CAST(SUM(n_customers) OVER (PARTITION BY nation) AS DOUBLE),
+             6) AS segment_share
+FROM cells ORDER BY nation, segment
+""",
+        "type_discount_profile": """
+SELECT p.p_type AS ptype, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(l.l_discount AS DECIMAL(18,2)) * 100)
+                           AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_discount_pts,
+       ROUND(CAST(SUM(CASE WHEN CAST(ROUND(CAST(l.l_discount
+                                             AS DECIMAL(18,2)) * 100)
+                                AS BIGINT) = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS zero_discount_share,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(l.l_extendedprice
+                                      AS DECIMAL(18,2)) * 100)
+                           AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1 ORDER BY ptype
+""",
+        "token_length_histogram": """
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+hist AS (
+  SELECT CAST(LENGTH(tok) AS BIGINT) AS len,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY 1
+),
+tot AS (SELECT SUM(n_tokens) AS t FROM hist)
+SELECT len, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+FROM hist CROSS JOIN tot ORDER BY len
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

@@ -8892,3 +8892,233 @@ def q_brand_seasonal_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+def q_order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-lines RECONCILIATION screen -- the repo's founding
+    shape applied to the order header: per order year, how many orders'
+    stored o_totalprice agrees (to the cent) with the total derived
+    from their lines as sum(extendedprice * (1 - discount) * (1 +
+    tax)), plus the worst absolute discrepancy. All money is exact
+    DECIMAL until the terminal display casts; the verdict is an exact
+    integer-cents comparison, never a float epsilon. One co-partitioned
+    header-lines join; whatever the generator actually wrote, both
+    engines must agree on it -- that is the point of the screen."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            _dec("l_extendedprice")
+            * (1 - _dec("l_discount"))
+            * (1 + _dec("l_tax"))
+        ).alias("term"),
+    )
+    derived = li.groupBy("l_orderkey").agg(
+        F.round(F.sum("term") * 100).cast("long").alias("derived_cents")
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("stated_cents"),
+    )
+    j = orders.join(derived, orders.o_orderkey == derived.l_orderkey).select(
+        "yr",
+        F.abs(F.col("stated_cents") - F.col("derived_cents")).alias("diff"),
+    )
+    return (
+        j.groupBy("yr")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum((F.col("diff") == 0).cast("int")).cast("long").alias(
+                "n_exact"
+            ),
+            F.sum((F.col("diff") > 0).cast("int")).cast("long").alias(
+                "n_mismatched"
+            ),
+            F.round(F.max("diff").cast("double") / 100.0, 2).alias(
+                "max_abs_diff"
+            ),
+        )
+        .select(
+            F.col("yr").alias("order_year"),
+            "n_orders",
+            "n_exact",
+            "n_mismatched",
+            "max_abs_diff",
+        )
+        .orderBy("order_year")
+    )
+
+
+def q_weekly_zchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic Z-CHART: weekly revenue, running cumulative, and the
+    52-week MOVING ANNUAL TOTAL, all exact cents. The cumulative runs
+    through ``banded_cumsum`` (never a partition-less window); the MAT
+    densifies each week's contribution to its next 52 target weeks via
+    explode(sequence(...)) and re-aggregates -- a bounded fan-out
+    instead of a range self-join (no nested-loop stage) -- then drops
+    target weeks beyond the observed horizon."""
+    from .operators.prefix import banded_cumsum
+
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        F.floor(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit(dt.date(1970, 1, 1))
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("wk"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    # persisted: feeds the banded cumulative, the MAT fan-out, AND the
+    # horizon bound -- without it the orders scan+shuffle runs thrice
+    weekly = (
+        orders.groupBy("wk")
+        .agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("rev"))
+        .persist()
+    )
+    band = F.floor(F.col("wk") / F.lit(64)).cast("int")
+    cum, _total = banded_cumsum(weekly, "rev", [F.col("wk").asc()], band, cum_col="cum")
+    bounds = weekly.groupBy().agg(F.max("wk").alias("max_wk"))
+    fan = (
+        weekly.select(
+            "wk",
+            "rev",
+            F.explode(F.sequence(F.col("wk"), F.col("wk") + 51)).alias("tw"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("tw") <= F.col("max_wk"))
+        .groupBy("tw")
+        .agg(F.sum("rev").alias("mat"))
+    )
+    return (
+        cum.join(fan, cum.wk == fan.tw)
+        .select(
+            F.col("wk").alias("week"),
+            F.round(F.col("rev").cast("double") / 100.0, 2).alias("revenue"),
+            F.round(F.col("cum").cast("double") / 100.0, 2).alias(
+                "cum_revenue"
+            ),
+            F.round(F.col("mat").cast("double") / 100.0, 2).alias(
+                "mat_revenue"
+            ),
+        )
+        .orderBy("week")
+    )
+
+
+def q_nation_segment_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-base composition GRID: customers and exact lifetime
+    revenue per (nation, segment) cell with each nation's segment
+    row-share -- the geography x go-to-market planning table. Two
+    broadcast-eligible dim joins; the cell aggregate is map-side
+    combined; the row-share window runs over <= |nations x segments|
+    cells."""
+    cust = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", F.col("c_mktsegment").alias("segment")
+    )
+    nation = fixtures.load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("cents").alias("cents"), F.count("*").alias("n_orders")
+    )
+    base = (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "nation",
+            "segment",
+            F.coalesce("cents", F.lit(0)).alias("cents"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+    cells = base.groupBy("nation", "segment").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )
+    w = Window.partitionBy("nation")
+    return (
+        cells.withColumn("t", F.sum("n_customers").over(w))
+        .select(
+            "nation",
+            "segment",
+            "n_customers",
+            "n_orders",
+            F.round(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
+            F.round(
+                F.col("n_customers").cast("double") / F.col("t").cast("double"),
+                6,
+            ).alias("segment_share"),
+        )
+        .orderBy("nation", "segment")
+    )
+
+
+def q_type_discount_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount POLICY audit per part type: line volume, exact mean
+    discount (integer points), share of lines at zero discount, and
+    revenue -- which product families actually get discounted. One
+    broadcast-eligible dim join and a map-side-combined aggregate over
+    the |types| grid."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(_dec("l_discount") * 100).cast("long").alias("pts"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    part = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").alias("ptype")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("ptype")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(
+                F.sum("pts").cast("double") / F.count("*").cast("double"), 6
+            ).alias("avg_discount_pts"),
+            F.round(
+                F.sum((F.col("pts") == 0).cast("int")).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("zero_discount_share"),
+            F.round(F.sum("cents").cast("double") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("ptype")
+    )
+
+
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-LENGTH distribution over the whole corpus (characters per
+    whitespace token, instance-weighted) with share -- the
+    tokenizer-budget shape: mean bytes-per-token and the long-token
+    tail fall straight out of it. One explode feeding one
+    map-side-combined histogram; the share denominator rides the
+    sanctioned 1-row gate."""
+    from .functions.text import tokens
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    hist = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .select(F.length("tok").cast("long").alias("len"))
+        .groupBy("len")
+        .agg(F.count("*").cast("long").alias("n_tokens"))
+    )
+    tot = hist.groupBy().agg(F.sum("n_tokens").alias("t"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "len",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("t").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("len")
+    )

@@ -52,6 +52,8 @@ NESTED_LOOP_OK = {
     "part_size_mix",  # 1-row (qty, cents) totals broadcast gate (shares)
     "event_dow_hour_matrix",  # 1-row event-total broadcast gate (shares)
     "label_balance",  # 1-row vector-total broadcast gate (shares)
+    "weekly_zchart",  # 1-row horizon (max week) broadcast gate
+    "token_length_histogram",  # 1-row token-total broadcast gate (shares)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -1257,3 +1257,95 @@ def test_brand_seasonal_peak_is_argmax(spark):
         assert rec.peak_month == best
         assert rec.peak_qty == months[best]
         assert abs(rec.peak_share - months[best] / sum(months.values())) <= 5e-7
+
+
+def test_order_total_consistency_accounting(spark):
+    """exact + mismatched partition every joined order; a planted
+    mismatch shows up with its exact cent diff."""
+    out = Q.q_order_total_consistency(spark, SF).collect()
+    assert out
+    for r in out:
+        assert r.n_exact + r.n_mismatched == r.n_orders
+        assert r.max_abs_diff >= 0.0
+    import os
+    import tempfile
+
+    li = [(1, 100.0, 0.0, 0.0), (2, 100.0, 0.10, 0.05)]
+    lidf = spark.createDataFrame(
+        li,
+        "l_orderkey long, l_extendedprice double, l_discount double, "
+        "l_tax double",
+    )
+    od = [(1, dt.date(1995, 3, 1), 100.00), (2, dt.date(1995, 3, 1), 100.00)]
+    odf = spark.createDataFrame(
+        od, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        lidf.write.parquet(os.path.join(td, "lineitem.parquet"))
+        odf.write.parquet(os.path.join(td, "orders.parquet"))
+        got = Q.q_order_total_consistency(spark, td).collect()
+    (r,) = got
+    # order 1 matches exactly; order 2 derived = 100*0.9*1.05 = 94.50
+    assert (r.n_orders, r.n_exact, r.n_mismatched) == (2, 1, 1)
+    assert r.max_abs_diff == 5.50
+
+
+def test_weekly_zchart_identities(spark):
+    """Cumulative telescopes exactly; the MAT equals the python
+    52-week trailing sum at every observed week."""
+    out = sorted(Q.q_weekly_zchart(spark, SF).collect(), key=lambda r: r.week)
+    run = 0.0
+    weekly = {r.week: r.revenue for r in out}
+    for r in out:
+        run = round(run + r.revenue, 2)
+        assert abs(r.cum_revenue - run) < 0.02
+        mat = round(
+            sum(v for w, v in weekly.items() if r.week - 51 <= w <= r.week), 2
+        )
+        assert abs(r.mat_revenue - mat) < 0.02
+
+
+def test_nation_segment_grid_partitions(spark):
+    """Cells conserve the customer table (including order-less
+    customers) and per-nation shares sum to 1."""
+    out = Q.q_nation_segment_grid(spark, SF).collect()
+    n_cust = fixtures.load(spark, SF, "customer").count()
+    assert sum(r.n_customers for r in out) == n_cust
+    n_orders = fixtures.load(spark, SF, "orders").count()
+    assert sum(r.n_orders for r in out) == n_orders
+    by_nation: dict[str, float] = {}
+    for r in out:
+        by_nation[r.nation] = by_nation.get(r.nation, 0.0) + r.segment_share
+    for nat, s in by_nation.items():
+        assert abs(s - 1.0) < 1e-4, (nat, s)
+
+
+def test_type_discount_profile_bounds(spark):
+    """Average discount points live on the generator's grid and the
+    zero-share is a probability; line counts conserve the join."""
+    out = Q.q_type_discount_profile(spark, SF).collect()
+    assert sum(r.n_lines for r in out) == fixtures.load(
+        spark, SF, "lineitem"
+    ).count()
+    for r in out:
+        assert 0.0 <= r.avg_discount_pts <= 10.0
+        assert 0.0 <= r.zero_discount_share <= 1.0
+
+
+def test_token_length_histogram_mass(spark):
+    """Token instances are conserved against an independent count and
+    shares sum to 1."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.functions.text import (  # noqa: E501
+        token_count,
+    )
+
+    out = Q.q_token_length_histogram(spark, SF).collect()
+    want = (
+        fixtures.load(spark, SF, "documents")
+        .select(token_count("text").alias("k"))
+        .agg(F.sum("k"))
+        .collect()[0][0]
+    )
+    assert sum(r.n_tokens for r in out) == want
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-4
+    assert all(r.len >= 1 for r in out)

@@ -269,6 +269,12 @@ PORTABLE = [
     # [] 1-based list indexing + unnest(range) table function)
     "segment_priority_mix",
     "brand_seasonal_peak",
+    # round-9 batch 10 (ANSI windows incl. RANGE over integer weeks;
+    # epoch shim; token_length_histogram stays DuckDB-side: list_*)
+    "order_total_consistency",
+    "weekly_zchart",
+    "nation_segment_grid",
+    "type_discount_profile",
 ]
 
 

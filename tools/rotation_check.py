@@ -9,6 +9,9 @@ actually on disk, when each entry was last green, and checks:
 
 1. every oracle-paired entry with NO green row anywhere sits inside
    the window (never-attested first -- the whole point of rotating);
+   when a round adds MORE never-attested entries than the window
+   holds, the whole window must be spent on them and the excess waits
+   just past the boundary, leading the next round's queue;
 2. no entry in the window is FRESHER than an oracle-paired entry
    outside it (stalest-first, with the explicit exception of red rows:
    a red entry is pinned at the front regardless);
@@ -66,11 +69,27 @@ def check(queries: list[str], oracle_paired: set[str], repo: str = REPO) -> list
     problems: list[str] = []
 
     paired_outside = [q for q in queries[WINDOW:] if q in oracle_paired]
-    for q in paired_outside:
-        if q not in green:
-            problems.append(
-                f"{q}: oracle-paired and never driver-green, but outside the window"
-            )
+    never_attested = [
+        q for q in queries if q in oracle_paired and q not in green
+    ]
+    if len(never_attested) > WINDOW:
+        # more fresh entries than slots (a round can add > WINDOW
+        # paired queries): the best any ordering can do is fill the
+        # whole window with never-attested entries; the excess waits
+        # just past the boundary and leads the next round's queue.
+        for q in window:
+            if q in green or q not in oracle_paired:
+                problems.append(
+                    f"{q}: window slot not spent on one of the "
+                    f"{len(never_attested)} never-attested entries"
+                )
+    else:
+        for q in paired_outside:
+            if q not in green:
+                problems.append(
+                    f"{q}: oracle-paired and never driver-green, but "
+                    "outside the window"
+                )
 
     # staleness inversion: something outside is staler than the
     # freshest windowed entry that has ever been green -- EXCEPT an
