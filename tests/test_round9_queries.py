@@ -1349,3 +1349,47 @@ def test_token_length_histogram_mass(spark):
     assert sum(r.n_tokens for r in out) == want
     assert abs(sum(r.share for r in out) - 1.0) < 1e-4
     assert all(r.len >= 1 for r in out)
+
+
+def test_edit1_positional_filter_equals_naive_levenshtein(spark):
+    """The r9 position-aware FastSS refinement (same-position deletion
+    join + identity-vs-deletion join) finds EXACTLY the naive
+    all-pairs distance<=1 set on a serial-number dictionary -- the
+    hot-bucket shape the position split exists for."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.dedup import (  # noqa: E501
+        edit1_neighbor_pairs,
+    )
+
+    names = [f"Customer#{i:06d}" for i in range(0, 300, 7)]
+    names += ["Customer#00007", "Customer#0000777", "Xustomer#000077"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r.name_a, r.name_b)
+        for r in edit1_neighbor_pairs(df, "name").collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        if len(a) > len(b):
+            a, b = b, a
+        prev = list(range(len(a) + 1))
+        for j, cb in enumerate(b, 1):
+            cur = [j]
+            for i, ca in enumerate(a, 1):
+                cur.append(
+                    min(
+                        prev[i] + 1,
+                        cur[i - 1] + 1,
+                        prev[i - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b)
+        for i, a in enumerate(sorted(set(names)))
+        for b in sorted(set(names))[i + 1 :]
+        if lev(a, b) <= 1
+    }
+    assert want, "fixture must contain true edit-1 pairs"
+    assert got == want
