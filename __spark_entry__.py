@@ -112,6 +112,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_segment_grid": Q.q_nation_segment_grid,
         "type_discount_profile": Q.q_type_discount_profile,
         "token_length_histogram": Q.q_token_length_histogram,
+        "discount_cost_by_year": Q.q_discount_cost_by_year,
+        "partname_word_prices": Q.q_partname_word_prices,
+        "first_order_cohort": Q.q_first_order_cohort,
+        "qty_discount_curve": Q.q_qty_discount_curve,
+        "returns_vs_latency": Q.q_returns_vs_latency,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -1739,6 +1744,94 @@ tot AS (SELECT SUM(n_tokens) AS t FROM hist)
 SELECT len, n_tokens,
        ROUND(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
 FROM hist CROSS JOIN tot ORDER BY len
+""",
+        "discount_cost_by_year": """
+WITH li AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(18,2)) AS given,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS kept
+  FROM lineitem
+)
+SELECT yr AS ship_year, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(given) AS DOUBLE), 2) AS discount_cost,
+       ROUND(CAST(SUM(kept) AS DOUBLE), 2) AS net_revenue,
+       ROUND(CAST(SUM(given) * 100 AS DOUBLE)
+             / CAST(SUM(given) + SUM(kept) AS DOUBLE), 6) AS giveback_pct
+FROM li GROUP BY 1 ORDER BY ship_year
+""",
+        "partname_word_prices": """
+WITH ex AS (
+  SELECT p_partkey,
+         CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents,
+         unnest(string_split(p_name, ' ')) AS word
+  FROM part
+)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(CAST(SUM(cents) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 100.0), 2) AS avg_retail
+FROM ex WHERE word <> ''
+GROUP BY word ORDER BY n_parts DESC, word LIMIT 25
+""",
+        "first_order_cohort": """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+         o_orderpriority AS priority,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+),
+first AS (
+  SELECT o_custkey, priority AS first_priority
+  FROM (
+    SELECT o_custkey, priority,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY d, o_orderkey) AS rn
+    FROM o
+  ) WHERE rn = 1
+),
+life AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(cents) AS cents
+  FROM o GROUP BY 1
+)
+SELECT f.first_priority, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(l.n_orders) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_orders,
+       ROUND(CAST(SUM(l.cents) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 100.0), 2)
+         AS avg_lifetime_value
+FROM first f JOIN life l ON f.o_custkey = l.o_custkey
+GROUP BY 1 ORDER BY first_priority
+""",
+        "qty_discount_curve": """
+SELECT CAST(l_quantity AS BIGINT) AS qty,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(l_discount AS DECIMAL(18,2)) * 100)
+                           AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_discount_pts
+FROM lineitem GROUP BY 1 ORDER BY qty
+""",
+        "returns_vs_latency": """
+WITH lat AS (
+  SELECT CAST(FLOOR(epoch(CAST(l.l_shipdate AS TIMESTAMP)) / 86400)
+              AS BIGINT)
+         - CAST(FLOOR(epoch(CAST(o.o_orderdate AS TIMESTAMP)) / 86400)
+                AS BIGINT) AS d,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS is_r
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+b AS (
+  SELECT CAST(FLOOR(d / 7.0) AS BIGINT) AS week_bucket, is_r
+  FROM lat WHERE d >= 0
+)
+SELECT week_bucket, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(is_r) AS BIGINT) AS n_returned,
+       ROUND(CAST(SUM(is_r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS return_rate
+FROM b GROUP BY 1 ORDER BY week_bucket
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

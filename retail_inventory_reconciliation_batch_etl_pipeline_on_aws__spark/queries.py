@@ -9122,3 +9122,166 @@ def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("len")
     )
+
+
+def q_discount_cost_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin LEAKAGE ledger: revenue forgone to discounts per ship
+    year -- sum(extendedprice * discount) in exact DECIMAL next to
+    realized revenue, with the give-back share as one terminal
+    divide. One map-side-combined year aggregate."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("long").alias("yr"),
+        (_dec("l_extendedprice") * _dec("l_discount")).alias("given"),
+        (_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("kept"),
+    )
+    return (
+        li.groupBy("yr")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(F.sum("given").cast("double"), 2).alias("discount_cost"),
+            F.round(F.sum("kept").cast("double"), 2).alias("net_revenue"),
+            # operands leave DECIMAL before the divide: decimal/decimal
+            # division scale rules differ across engines
+            F.round(
+                (F.sum("given") * 100).cast("double")
+                / (F.sum("given") + F.sum("kept")).cast("double"),
+                6,
+            ).alias("giveback_pct"),
+        )
+        .select(
+            F.col("yr").alias("ship_year"),
+            "n_lines",
+            "discount_cost",
+            "net_revenue",
+            "giveback_pct",
+        )
+        .orderBy("ship_year")
+    )
+
+
+def q_partname_word_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which catalog WORDS carry price? Part names explode to words;
+    per word the part count and exact mean retail cents -- the
+    text-on-dims pricing signal (a 'goldenrod' part vs a 'blush' one).
+    Top-25 words by part count (word tiebreak) via
+    TakeOrderedAndProject; exact integer cents until the terminal
+    divide."""
+    part = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(_dec("p_retailprice") * 100).cast("long").alias("cents"),
+        F.split(F.col("p_name"), " ").alias("words"),
+    )
+    ex = part.select(
+        "p_partkey", "cents", F.explode("words").alias("word")
+    ).where(F.col("word") != "")
+    return (
+        ex.groupBy("word")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.round(
+                F.sum("cents").cast("double")
+                / (F.count("*").cast("double") * 100.0),
+                2,
+            ).alias("avg_retail"),
+        )
+        .orderBy(F.desc("n_parts"), "word")
+        .limit(25)
+    )
+
+
+def q_first_order_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the FIRST order's priority predict lifetime value? Each
+    customer's chronologically first order (date, orderkey tiebreak --
+    a key-partitioned row_number) labels the cohort; the rollup
+    reports customers, exact mean lifetime cents, and mean order
+    count per first-priority cohort."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    tagged = orders.withColumn("rn", F.row_number().over(w))
+    first = tagged.where(F.col("rn") == 1).select(
+        "o_custkey", F.col("priority").alias("first_priority")
+    )
+    life = orders.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )
+    j = first.join(life, "o_custkey")
+    return (
+        j.groupBy("first_priority")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(
+                F.sum("n_orders").cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("avg_orders"),
+            F.round(
+                F.sum("cents").cast("double")
+                / (F.count("*").cast("double") * 100.0),
+                2,
+            ).alias("avg_lifetime_value"),
+        )
+        .orderBy("first_priority")
+    )
+
+
+def q_qty_discount_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-discount CURVE: per order quantity, the line count and
+    exact mean discount points -- does buying more actually get a
+    deeper cut? One map-side-combined aggregate over the bounded
+    quantity domain."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(_dec("l_discount") * 100).cast("long").alias("pts"),
+    )
+    return (
+        li.groupBy("qty")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(
+                F.sum("pts").cast("double") / F.count("*").cast("double"), 6
+            ).alias("avg_discount_pts"),
+        )
+        .orderBy("qty")
+    )
+
+
+def q_returns_vs_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do LATE shipments come back? Return rate per order-to-ship
+    latency week bucket (epoch-day integers, FLOOR toward -inf like
+    ``lead_time_bucket_matrix``; inverted intervals excluded) -- the
+    operations-to-returns causal screen. Exact integer counts; one
+    terminal divide per bucket."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_shipdate").cast("date").alias("ship_d"),
+        (F.col("l_returnflag") == "R").cast("long").alias("is_r"),
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("order_d")
+    )
+    lat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.datediff("ship_d", "order_d").alias("d"), "is_r")
+        .where(F.col("d") >= 0)
+    )
+    return (
+        lat.select(
+            F.floor(F.col("d") / 7).cast("long").alias("week_bucket"), "is_r"
+        )
+        .groupBy("week_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("is_r").cast("long").alias("n_returned"),
+            F.round(
+                F.sum("is_r").cast("double") / F.count("*").cast("double"), 6
+            ).alias("return_rate"),
+        )
+        .orderBy("week_bucket")
+    )

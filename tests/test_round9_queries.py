@@ -1393,3 +1393,96 @@ def test_edit1_positional_filter_equals_naive_levenshtein(spark):
     }
     assert want, "fixture must contain true edit-1 pairs"
     assert got == want
+
+
+def test_discount_cost_identity(spark):
+    """given + kept telescopes to gross revenue and the giveback share
+    is consistent with the two sums."""
+    out = Q.q_discount_cost_by_year(spark, SF).collect()
+    assert out
+    for r in out:
+        total = r.discount_cost + r.net_revenue
+        assert total > 0
+        want_pct = r.discount_cost * 100 / total
+        assert abs(r.giveback_pct - want_pct) < 1e-3
+
+
+def test_partname_word_prices_recompute(spark):
+    """Top-25 selection and exact mean retail reproduce a python
+    recompute over the exploded part names."""
+    out = Q.q_partname_word_prices(spark, SF).collect()
+    parts = fixtures.load(spark, SF, "part").select(
+        "p_name",
+        F.round(F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    ).collect()
+    agg: dict[str, list[int]] = {}
+    for r in parts:
+        for w in r.p_name.split(" "):
+            if w:
+                n, s = agg.get(w, (0, 0))
+                agg[w] = (n + 1, s + r.cents)
+    want = sorted(agg, key=lambda w: (-agg[w][0], w))[:25]
+    assert len(out) == min(25, len(agg))
+    assert [r.word for r in out] == want
+    for r in out:
+        n, s = agg[r.word]
+        assert r.n_parts == n
+        assert abs(r.avg_retail - s / (n * 100.0)) < 0.01
+
+
+def test_first_order_cohort_partitions_customers(spark):
+    """Every ordering customer lands in exactly one first-priority
+    cohort; cohort averages are consistent with totals."""
+    out = Q.q_first_order_cohort(spark, SF).collect()
+    n_cust = (
+        fixtures.load(spark, SF, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in out) == n_cust
+    n_orders = fixtures.load(spark, SF, "orders").count()
+    assert (
+        abs(sum(r.avg_orders * r.n_customers for r in out) - n_orders) < 1.0
+    )
+
+
+def test_qty_discount_curve_domain(spark):
+    """The quantity domain is dense-ish and bounded; averages live on
+    the generator's discount grid."""
+    out = Q.q_qty_discount_curve(spark, SF).collect()
+    assert sum(r.n_lines for r in out) == fixtures.load(
+        spark, SF, "lineitem"
+    ).count()
+    for r in out:
+        assert 1 <= r.qty <= 50
+        assert 0.0 <= r.avg_discount_pts <= 10.0
+
+
+def test_returns_vs_latency_mass(spark):
+    """Bucket populations conserve the non-inverted join and rates are
+    probabilities."""
+    out = Q.q_returns_vs_latency(spark, SF).collect()
+    li = fixtures.load(spark, SF, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = fixtures.load(spark, SF, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    n = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            >= 0
+        )
+        .count()
+    )
+    assert sum(r.n_lines for r in out) == n
+    for r in out:
+        assert 0.0 <= r.return_rate <= 1.0
+        assert r.week_bucket >= 0

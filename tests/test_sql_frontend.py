@@ -275,6 +275,12 @@ PORTABLE = [
     "weekly_zchart",
     "nation_segment_grid",
     "type_discount_profile",
+    # round-9 batch 11 (pure ANSI + epoch shim; partname_word_prices
+    # stays DuckDB-side: unnest/string_split)
+    "discount_cost_by_year",
+    "first_order_cohort",
+    "qty_discount_curve",
+    "returns_vs_latency",
 ]
 
 
