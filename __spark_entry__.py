@@ -117,6 +117,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_order_cohort": Q.q_first_order_cohort,
         "qty_discount_curve": Q.q_qty_discount_curve,
         "returns_vs_latency": Q.q_returns_vs_latency,
+        "acctbal_activity_bands": Q.q_acctbal_activity_bands,
+        "negative_balance_profile": Q.q_negative_balance_profile,
+        "supplier_nation_load": Q.q_supplier_nation_load,
+        "month_end_push": Q.q_month_end_push,
+        "event_value_moments": Q.q_event_value_moments,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -1832,6 +1837,115 @@ SELECT week_bucket, CAST(COUNT(*) AS BIGINT) AS n_lines,
        ROUND(CAST(SUM(is_r) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
          AS return_rate
 FROM b GROUP BY 1 ORDER BY week_bucket
+""",
+        "acctbal_activity_bands": """
+WITH cust AS (
+  SELECT c_custkey,
+         CAST(FLOOR(CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)) * 100)
+                         AS BIGINT) / 100000.0) AS BIGINT) AS band
+  FROM customer
+),
+per AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+base AS (
+  SELECT c.band, COALESCE(p.n_orders, 0) AS n_orders,
+         COALESCE(p.cents, 0) AS cents
+  FROM cust c LEFT JOIN per p ON c.c_custkey = p.o_custkey
+)
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(n_orders) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_orders,
+       ROUND(CAST(SUM(cents) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 100.0), 2)
+         AS avg_lifetime_value
+FROM base GROUP BY band ORDER BY band
+""",
+        "negative_balance_profile": """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         CASE WHEN CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)) * 100)
+                   AS BIGINT) < 0 THEN 1 ELSE 0 END AS neg
+  FROM customer
+),
+per AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+base AS (
+  SELECT c.segment, c.neg, COALESCE(p.cents, 0) AS cents
+  FROM cust c LEFT JOIN per p ON c.c_custkey = p.o_custkey
+)
+SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(neg) AS BIGINT) AS n_negative,
+       ROUND(CAST(SUM(neg) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS negative_share,
+       ROUND(CAST(SUM(neg * cents) AS DOUBLE) / CAST(SUM(cents) AS DOUBLE),
+             6) AS negative_revenue_share
+FROM base GROUP BY segment ORDER BY segment
+""",
+        "supplier_nation_load": """
+WITH per AS (
+  SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         SUM(CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1
+),
+tot AS (SELECT SUM(cents) AS tc FROM per)
+SELECT nation, n_lines, qty,
+       ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+       ROUND(CAST(cents AS DOUBLE) / CAST(tc AS DOUBLE), 6)
+         AS revenue_share
+FROM per CROSS JOIN tot ORDER BY nation
+""",
+        "month_end_push": """
+WITH o AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CASE WHEN CAST(FLOOR(epoch(CAST(last_day(CAST(o_orderdate AS DATE))
+                                         AS TIMESTAMP)) / 86400) AS BIGINT)
+                   - CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP))
+                                / 86400) AS BIGINT) <= 2
+              THEN 1 ELSE 0 END AS me,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+)
+SELECT yr AS order_year, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(me) AS BIGINT) AS n_month_end,
+       ROUND(CAST(SUM(me) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS month_end_share,
+       ROUND(CAST(SUM(me * cents) AS DOUBLE) / CAST(SUM(cents) AS DOUBLE),
+             6) AS month_end_revenue_share
+FROM o GROUP BY 1 ORDER BY order_year
+""",
+        "event_value_moments": """
+WITH ev AS (
+  SELECT event_type,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM events
+),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(cents) AS s, SUM(cents * cents) AS s2
+  FROM ev WHERE cents IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n,
+       ROUND(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6)
+         AS mean_value,
+       ROUND((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 10000.0), 6)
+         AS variance
+FROM st ORDER BY event_type
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

@@ -9285,3 +9285,205 @@ def q_returns_vs_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_bucket")
     )
+
+
+def q_acctbal_activity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does a customer's ACCOUNT BALANCE predict purchasing? Customers
+    band by fixed-width balance bands (floor(cents/100000), i.e.
+    $1000 steps -- fixed-width, so no global sort is ever needed,
+    unlike a quantile banding) and each band reports customer count,
+    exact mean order count and mean lifetime value. Order-less
+    customers count with zero activity (left join + coalesce)."""
+    cust = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(
+            F.round(_dec("c_acctbal") * 100).cast("long") / F.lit(100000)
+        )
+        .cast("long")
+        .alias("band"),
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), F.sum("cents").alias("cents")
+    )
+    base = cust.join(per, cust.c_custkey == per.o_custkey, "left").select(
+        "band",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("cents", F.lit(0)).alias("cents"),
+    )
+    return (
+        base.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(
+                F.sum("n_orders").cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("avg_orders"),
+            F.round(
+                F.sum("cents").cast("double")
+                / (F.count("*").cast("double") * 100.0),
+                2,
+            ).alias("avg_lifetime_value"),
+        )
+        .orderBy("band")
+    )
+
+
+def q_negative_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit-risk cut per segment: the share of customers in NEGATIVE
+    account balance and the revenue share they nonetheless carry --
+    who is selling to debtors. Exact cents; two key aggregates; the
+    class flag is an exact integer comparison at the scan."""
+    cust = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        (F.round(_dec("c_acctbal") * 100).cast("long") < 0)
+        .cast("int")
+        .alias("neg"),
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = orders.groupBy("o_custkey").agg(F.sum("cents").alias("cents"))
+    base = cust.join(per, cust.c_custkey == per.o_custkey, "left").select(
+        "segment", "neg", F.coalesce("cents", F.lit(0)).alias("cents")
+    )
+    return (
+        base.groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("neg").cast("long").alias("n_negative"),
+            F.round(
+                F.sum("neg").cast("double") / F.count("*").cast("double"), 6
+            ).alias("negative_share"),
+            F.round(
+                F.sum(F.col("neg") * F.col("cents")).cast("double")
+                / F.sum("cents").cast("double"),
+                6,
+            ).alias("negative_revenue_share"),
+        )
+        .orderBy("segment")
+    )
+
+
+def q_supplier_nation_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment LOAD by supplier nation: line count, exact quantity
+    and revenue per supplying country with corpus shares -- the
+    sourcing-concentration view one level above
+    ``nation_supplier_hhi``. Broadcast dims; 1-row totals gate."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    supp = fixtures.load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = fixtures.load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    per = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("nation")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("qty").cast("long").alias("qty"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    tot = per.groupBy().agg(F.sum("cents").alias("tc"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            "n_lines",
+            "qty",
+            F.round(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
+            F.round(
+                F.col("cents").cast("double") / F.col("tc").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("nation")
+    )
+
+
+def q_month_end_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fiscal-PUSH screen: the share of each year's orders (and
+    revenue) landing in the LAST THREE days of a calendar month --
+    quota-chasing leaves a month-end sawtooth. last_day() is
+    value-identical on both engines; the flag is an exact integer
+    date comparison at the scan."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        (
+            F.datediff(
+                F.last_day("o_orderdate"), F.col("o_orderdate").cast("date")
+            )
+            <= 2
+        )
+        .cast("int")
+        .alias("me"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        orders.groupBy("yr")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("me").cast("long").alias("n_month_end"),
+            F.round(
+                F.sum("me").cast("double") / F.count("*").cast("double"), 6
+            ).alias("month_end_share"),
+            F.round(
+                F.sum(F.col("me") * F.col("cents")).cast("double")
+                / F.sum("cents").cast("double"),
+                6,
+            ).alias("month_end_revenue_share"),
+        )
+        .select(
+            F.col("yr").alias("order_year"),
+            "n_orders",
+            "n_month_end",
+            "month_end_share",
+            "month_end_revenue_share",
+        )
+        .orderBy("order_year")
+    )
+
+
+def q_event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact value MOMENTS per event type: mean and population variance
+    of the event value, accumulated as exact integer-cents sufficient
+    statistics (``quantize_cents``' HALF_UP rule at the scan, the
+    ``measure_correlations`` contract) -- NULL values drop out of both
+    n and the sums, matching the SQL aggregate convention."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    ).where(F.col("cents").isNotNull())
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    s2 = F.col("s2").cast("double")
+    return stats.select(
+        "event_type",
+        "n",
+        F.round(s / (n * F.lit(100.0)), 6).alias("mean_value"),
+        F.round((n * s2 - s * s) / (n * n * F.lit(10000.0)), 6).alias(
+            "variance"
+        ),
+    ).orderBy("event_type")

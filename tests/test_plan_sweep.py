@@ -54,6 +54,7 @@ NESTED_LOOP_OK = {
     "label_balance",  # 1-row vector-total broadcast gate (shares)
     "weekly_zchart",  # 1-row horizon (max week) broadcast gate
     "token_length_histogram",  # 1-row token-total broadcast gate (shares)
+    "supplier_nation_load",  # 1-row revenue-total broadcast gate (shares)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -1486,3 +1486,85 @@ def test_returns_vs_latency_mass(spark):
     for r in out:
         assert 0.0 <= r.return_rate <= 1.0
         assert r.week_bucket >= 0
+
+
+def test_acctbal_activity_bands_conserve(spark):
+    """Bands partition the customer table and band keys floor toward
+    -inf for negative balances."""
+    out = Q.q_acctbal_activity_bands(spark, SF).collect()
+    assert sum(r.n_customers for r in out) == fixtures.load(
+        spark, SF, "customer"
+    ).count()
+    assert any(r.band < 0 for r in out)  # the generator plants debtors
+    n_orders = fixtures.load(spark, SF, "orders").count()
+    assert (
+        abs(sum(r.avg_orders * r.n_customers for r in out) - n_orders) < 1.0
+    )
+
+
+def test_negative_balance_profile_bounds(spark):
+    """Shares are probabilities and counts conserve the customer
+    population."""
+    out = Q.q_negative_balance_profile(spark, SF).collect()
+    assert sum(r.n_customers for r in out) == fixtures.load(
+        spark, SF, "customer"
+    ).count()
+    for r in out:
+        assert 0 <= r.n_negative <= r.n_customers
+        assert 0.0 <= r.negative_share <= 1.0
+        assert 0.0 <= r.negative_revenue_share <= 1.0
+
+
+def test_supplier_nation_load_shares(spark):
+    """Revenue shares sum to 1 and line counts conserve the fact."""
+    out = Q.q_supplier_nation_load(spark, SF).collect()
+    assert abs(sum(r.revenue_share for r in out) - 1.0) < 1e-4
+    assert sum(r.n_lines for r in out) == fixtures.load(
+        spark, SF, "lineitem"
+    ).count()
+
+
+def test_month_end_push_recompute(spark):
+    """The month-end flag reproduces a python calendar recompute."""
+    import calendar
+
+    out = {r.order_year: r for r in Q.q_month_end_push(spark, SF).collect()}
+    orders = fixtures.load(spark, SF, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).collect()
+    per: dict[int, list[int]] = {}
+    for r in orders:
+        last = calendar.monthrange(r.d.year, r.d.month)[1]
+        me = 1 if (last - r.d.day) <= 2 else 0
+        n, m = per.get(r.d.year, (0, 0))
+        per[r.d.year] = (n + 1, m + me)
+    assert set(per) == set(out)
+    for yr, (n, m) in per.items():
+        assert out[yr].n_orders == n
+        assert out[yr].n_month_end == m
+
+
+def test_event_value_moments_matches_python(spark):
+    """Quantized moments reproduce a python recompute with the same
+    HALF_UP cents rule; NULL values are excluded from n."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    out = {r.event_type: r for r in Q.q_event_value_moments(spark, SF).collect()}
+    ev = fixtures.events(spark, SF).select("event_type", "value").collect()
+    agg: dict[str, list[int]] = {}
+    for r in ev:
+        if r.value is None:
+            continue
+        cents = int(
+            Decimal(str(r.value))
+            .quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+            .scaleb(2)
+        )
+        n, s, s2 = agg.get(r.event_type, (0, 0, 0))
+        agg[r.event_type] = (n + 1, s + cents, s2 + cents * cents)
+    assert set(agg) == set(out)
+    for t, (n, s, s2) in agg.items():
+        assert out[t].n == n
+        assert abs(out[t].mean_value - s / (n * 100.0)) < 1e-6
+        var = (n * s2 - s * s) / (n * n * 1e4)
+        assert abs(out[t].variance - var) < 1e-6

@@ -281,6 +281,13 @@ PORTABLE = [
     "first_order_cohort",
     "qty_discount_curve",
     "returns_vs_latency",
+    # round-9 batch 12 (pure ANSI; last_day + epoch shim; the events
+    # view's value column casts identically on both engines)
+    "acctbal_activity_bands",
+    "negative_balance_profile",
+    "supplier_nation_load",
+    "month_end_push",
+    "event_value_moments",
 ]
 
 
