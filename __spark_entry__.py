@@ -122,6 +122,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_nation_load": Q.q_supplier_nation_load,
         "month_end_push": Q.q_month_end_push,
         "event_value_moments": Q.q_event_value_moments,
+        "split_order_screen": Q.q_split_order_screen,
+        "supplier_leadtime_cv": Q.q_supplier_leadtime_cv,
+        "tax_burden_profile": Q.q_tax_burden_profile,
+        "retailprice_premium": Q.q_retailprice_premium,
+        "dau_wau_stickiness": Q.q_dau_wau_stickiness,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -1946,6 +1951,125 @@ SELECT event_type, n,
              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 10000.0), 6)
          AS variance
 FROM st ORDER BY event_type
+""",
+        "split_order_screen": """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+),
+grp AS (
+  SELECT yr, o_custkey, d, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(cents) AS cents
+  FROM o GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT yr,
+         CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_multi_groups,
+         CAST(SUM(n) AS BIGINT) AS n_orders,
+         CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+           AS n_multi_orders,
+         SUM(cents) AS tc,
+         SUM(CASE WHEN n >= 2 THEN cents ELSE 0 END) AS mc
+  FROM grp GROUP BY 1
+)
+SELECT yr AS order_year, n_multi_groups, n_multi_orders,
+       ROUND(CAST(n_multi_orders AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)
+         AS multi_order_share,
+       ROUND(CAST(mc AS DOUBLE) / CAST(tc AS DOUBLE), 6)
+         AS multi_revenue_share
+FROM per ORDER BY order_year
+""",
+        "supplier_leadtime_cv": """
+WITH lat AS (
+  SELECT l.l_suppkey,
+         CAST(FLOOR(epoch(CAST(l.l_shipdate AS TIMESTAMP)) / 86400) AS BIGINT)
+         - CAST(FLOOR(epoch(CAST(o.o_orderdate AS TIMESTAMP)) / 86400)
+                AS BIGINT) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+st AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         SUM(d) AS s, SUM(d * d) AS s2
+  FROM lat WHERE d >= 0 GROUP BY 1
+)
+SELECT st.l_suppkey AS suppkey, s.s_name AS supplier, n_lines,
+       ROUND(CAST(st.s AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+         AS mean_latency,
+       ROUND(SQRT(GREATEST(0.0,
+                           CAST(n_lines AS DOUBLE) * CAST(s2 AS DOUBLE)
+                           - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)))
+             / CAST(st.s AS DOUBLE), 6) AS cv_latency
+FROM st JOIN supplier s ON st.l_suppkey = s.s_suppkey
+ORDER BY suppkey
+""",
+        "tax_burden_profile": """
+WITH li AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         l_returnflag AS returnflag,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS p,
+         CAST(ROUND(l_tax * 100) AS BIGINT) AS t
+  FROM lineitem
+),
+st AS (
+  SELECT ship_year, returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         SUM(p) AS sp, SUM(p * t) AS spt
+  FROM li GROUP BY 1, 2
+)
+SELECT ship_year, returnflag, n_lines,
+       ROUND(CAST(sp AS DOUBLE) / 100.0, 2) AS net_revenue,
+       ROUND((CAST(sp AS DOUBLE) * 100.0 + CAST(spt AS DOUBLE)) / 10000.0, 2)
+         AS gross_revenue,
+       ROUND(CAST(spt AS DOUBLE) / (CAST(sp AS DOUBLE) * 100.0), 6)
+         AS effective_tax_rate
+FROM st ORDER BY ship_year, returnflag
+""",
+        "retailprice_premium": """
+WITH li AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS p
+  FROM lineitem
+),
+pt AS (
+  SELECT p_partkey, p_brand AS brand,
+         CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS rc
+  FROM part
+),
+st AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         SUM(p) AS realized, SUM(rc * qty) AS list
+  FROM li JOIN pt ON li.l_partkey = pt.p_partkey GROUP BY 1
+)
+SELECT brand, n_lines,
+       ROUND(CAST(realized AS DOUBLE) / 100.0, 2) AS realized_revenue,
+       ROUND(CAST(list AS DOUBLE) / 100.0, 2) AS list_value,
+       ROUND(CAST(realized AS DOUBLE) / CAST(list AS DOUBLE), 6)
+         AS realized_to_list
+FROM st ORDER BY brand
+""",
+        "dau_wau_stickiness": """
+WITH pairs AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM pairs GROUP BY 1),
+wau AS (
+  SELECT d2 AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM (
+    SELECT p.d + CAST(u.o AS INT) AS d2, p.user_id
+    FROM pairs p, unnest(range(0, 7)) AS u(o)
+  ) GROUP BY 1
+)
+SELECT dau.d AS day, dau.dau AS dau, wau.wau AS wau,
+       ROUND(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+         AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+ORDER BY day
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

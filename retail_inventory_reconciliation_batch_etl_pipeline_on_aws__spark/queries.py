@@ -9487,3 +9487,207 @@ def q_event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "variance"
         ),
     ).orderBy("event_type")
+
+
+def q_split_order_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURING screen: per order year, how many (customer, day)
+    pairs placed TWO OR MORE orders on the same calendar day, how many
+    orders those groups absorb, and the share of the year's order
+    count and revenue they carry -- split-purchase behavior (threshold
+    dodging, quota gaming) surfaces as a same-day multi-order sawtooth.
+    Two map-side-combined aggregates; every share is one terminal
+    divide off exact cents."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    grp = orders.groupBy("yr", "o_custkey", "d").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").alias("cents"),
+    )
+    per = grp.groupBy("yr").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum((F.col("n") >= 2).cast("long")).cast("long").alias("n_multi_groups"),
+        F.sum("n").cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_multi_orders"),
+        F.sum("cents").alias("tc"),
+        F.sum(F.when(F.col("n") >= 2, F.col("cents")).otherwise(F.lit(0))).alias(
+            "mc"
+        ),
+    )
+    return per.select(
+        F.col("yr").alias("order_year"),
+        "n_multi_groups",
+        "n_multi_orders",
+        F.round(
+            F.col("n_multi_orders").cast("double")
+            / F.col("n_orders").cast("double"),
+            6,
+        ).alias("multi_order_share"),
+        F.round(F.col("mc").cast("double") / F.col("tc").cast("double"), 6).alias(
+            "multi_revenue_share"
+        ),
+    ).orderBy("order_year")
+
+
+def q_supplier_leadtime_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier lead-time DISPERSION scorecard: per supplier the line
+    count, exact mean order-to-ship latency and its coefficient of
+    variation -- ``supplier_on_time_rate`` asks 'how often late', this
+    asks 'how PREDICTABLE' (a supplier can pass the SLA on average and
+    still be unplannable). CV = sqrt(n*S2 - S^2)/S off exact integer
+    sufficient statistics (the ``customer_value_cv`` contract: IEEE
+    sqrt over exact-int operands is cross-engine bit-stable, the
+    terminal ROUND(6) absorbs the last-ulp divide freedom); inverted
+    generator intervals are excluded as in every latency query."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("order_d")
+    )
+    lat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_suppkey", F.datediff("ship_d", "order_d").alias("d"))
+        .where(F.col("d") >= 0)
+    )
+    stats = lat.groupBy("l_suppkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("d").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("d").cast("decimal(38,0)") * F.col("d").cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    supp = fixtures.load(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_name").alias("supplier")
+    )
+    n = F.col("n_lines").cast("double")
+    s = F.col("s").cast("double")
+    s2 = F.col("s2").cast("double")
+    return (
+        stats.join(supp, stats.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            "supplier",
+            "n_lines",
+            F.round(s / n, 6).alias("mean_latency"),
+            F.round(
+                F.sqrt(F.greatest(F.lit(0.0), n * s2 - s * s)) / s, 6
+            ).alias("cv_latency"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+def q_tax_burden_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective TAX-RATE profile per ship year and return flag: net
+    revenue, gross (tax-inclusive) revenue and the revenue-weighted
+    effective tax rate sum(p*t)/(sum(p)*100) -- the line tax column's
+    first dedicated rollup (``pricing_summary`` folds it into the
+    charge chain; this isolates it). Tax quantizes to exact integer
+    basis points at the scan; every output is a terminal divide off
+    exact DECIMAL(38,0) sums."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        F.col("l_returnflag").alias("returnflag"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("p"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("t"),
+    )
+    stats = li.groupBy("ship_year", "returnflag").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("sp"),
+        F.sum(
+            F.col("p").cast("decimal(38,0)") * F.col("t").cast("decimal(38,0)")
+        ).alias("spt"),
+    )
+    sp = F.col("sp").cast("double")
+    spt = F.col("spt").cast("double")
+    return stats.select(
+        "ship_year",
+        "returnflag",
+        "n_lines",
+        F.round(sp / 100.0, 2).alias("net_revenue"),
+        F.round((sp * 100.0 + spt) / 10000.0, 2).alias("gross_revenue"),
+        F.round(spt / (sp * 100.0), 6).alias("effective_tax_rate"),
+    ).orderBy("ship_year", "returnflag")
+
+
+def q_retailprice_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REALIZED-vs-LIST pricing per brand: transacted line revenue
+    against the catalog value of the same units (p_retailprice *
+    quantity), with the realized-to-list ratio -- 'how far below list
+    does this brand actually sell'. Both sides accumulate as exact
+    integer cents; the part dim joins on the fact's partkey (AQE
+    broadcasts it when small -- no forced hint, the
+    ``basket_rules`` lesson)."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("p"),
+    )
+    part = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_brand").alias("brand"),
+        F.round(_dec("p_retailprice") * 100).cast("long").alias("rc"),
+    )
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    stats = j.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("realized"),
+        F.sum(
+            F.col("rc").cast("decimal(38,0)") * F.col("qty").cast("decimal(38,0)")
+        ).alias("list"),
+    )
+    return stats.select(
+        "brand",
+        "n_lines",
+        F.round(F.col("realized").cast("double") / 100.0, 2).alias(
+            "realized_revenue"
+        ),
+        F.round(F.col("list").cast("double") / 100.0, 2).alias("list_value"),
+        F.round(
+            F.col("realized").cast("double") / F.col("list").cast("double"), 6
+        ).alias("realized_to_list"),
+    ).orderBy("brand")
+
+
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU STICKINESS: per event day, the distinct active users,
+    the trailing-7-day weekly actives, and their ratio -- the standard
+    product-health pulse. The WAU side never runs a sliding
+    count-distinct window: each distinct (day, user) pair explodes to
+    the <=7 future days it keeps warm (explode(sequence(0,6)) -- linear
+    fan-out, shuffle on exact keys), the same densify-then-group shape
+    as ``weekly_zchart``. Days outside the event range drop by joining
+    back to the DAU frame."""
+    pairs = (
+        fixtures.events(spark, sf_dir)
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+    )
+    dau = pairs.groupBy("d").agg(F.count("*").cast("long").alias("dau"))
+    wau = (
+        pairs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"), "d", "user_id"
+        )
+        .select(F.date_add(F.col("d"), F.col("o")).alias("d"), "user_id")
+        .distinct()
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

@@ -1568,3 +1568,112 @@ def test_event_value_moments_matches_python(spark):
         assert abs(out[t].mean_value - s / (n * 100.0)) < 1e-6
         var = (n * s2 - s * s) / (n * n * 1e4)
         assert abs(out[t].variance - var) < 1e-6
+
+
+def test_split_order_screen_accounting(spark):
+    """Multi-group orders never exceed the year's orders; a python
+    recount of same-day multi-order groups matches exactly."""
+    out = {r.order_year: r for r in Q.q_split_order_screen(spark, SF).collect()}
+    orders = fixtures.load(spark, SF, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    ).collect()
+    per: dict[tuple, int] = {}
+    for r in orders:
+        k = (r.d.year, r.o_custkey, r.d)
+        per[k] = per.get(k, 0) + 1
+    multi_groups: dict[int, int] = {}
+    multi_orders: dict[int, int] = {}
+    for (yr, _c, _d), n in per.items():
+        if n >= 2:
+            multi_groups[yr] = multi_groups.get(yr, 0) + 1
+            multi_orders[yr] = multi_orders.get(yr, 0) + n
+    for yr, row in out.items():
+        assert row.n_multi_groups == multi_groups.get(yr, 0)
+        assert row.n_multi_orders == multi_orders.get(yr, 0)
+        assert 0.0 <= row.multi_order_share <= 1.0
+        assert 0.0 <= row.multi_revenue_share <= 1.0
+
+
+def test_supplier_leadtime_cv_python_model(spark):
+    """Mean and CV per supplier reproduce an exact python recompute
+    over the non-inverted latencies."""
+    import math
+
+    out = {r.suppkey: r for r in Q.q_supplier_leadtime_cv(spark, SF).collect()}
+    li = fixtures.load(spark, SF, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    od = fixtures.load(spark, SF, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    rows = li.join(od, li.l_orderkey == od.o_orderkey).collect()
+    agg: dict[int, list[int]] = {}
+    for r in rows:
+        d = (r.sd - r.od).days
+        if d < 0:
+            continue
+        n, s, s2 = agg.get(r.l_suppkey, (0, 0, 0))
+        agg[r.l_suppkey] = (n + 1, s + d, s2 + d * d)
+    assert set(agg) == set(out)
+    for k, (n, s, s2) in agg.items():
+        assert out[k].n_lines == n
+        assert abs(out[k].mean_latency - s / n) < 1e-6
+        cv = math.sqrt(max(0.0, n * s2 - s * s)) / s
+        assert abs(out[k].cv_latency - cv) < 1e-6
+
+
+def test_tax_burden_rate_bounds_and_gross(spark):
+    """Effective tax rate stays inside the generator's [0, 0.08] tax
+    band and gross >= net everywhere; revenue telescopes to the
+    corpus total."""
+    out = Q.q_tax_burden_profile(spark, SF).collect()
+    for r in out:
+        assert 0.0 <= r.effective_tax_rate <= 0.08 + 1e-9
+        assert r.gross_revenue >= r.net_revenue - 1e-9
+    total = sum(r.net_revenue for r in out)
+    li = fixtures.load(spark, SF, "lineitem").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                "long"
+            )
+        ).alias("c")
+    ).collect()[0]
+    assert abs(total - li.c / 100.0) < 1.0
+
+
+def test_retailprice_premium_identity_on_planted_rows(spark):
+    """realized_to_list is exactly sum(price)/sum(retail*qty); a brand
+    whose every line transacts at list * qty has ratio 1."""
+    out = Q.q_retailprice_premium(spark, SF).collect()
+    for r in out:
+        assert r.n_lines > 0
+        assert r.list_value > 0
+        assert (
+            abs(
+                r.realized_to_list
+                - round(r.realized_revenue / r.list_value, 6)
+            )
+            < 1e-4
+        )
+
+
+def test_dau_wau_stickiness_bounds_and_recount(spark):
+    """DAU <= WAU (the trailing week contains the day), stickiness in
+    (0, 1], and a python recount of one mid-range day's WAU matches."""
+    out = Q.q_dau_wau_stickiness(spark, SF).collect()
+    assert out, "no event days"
+    for r in out:
+        assert r.dau <= r.wau
+        assert 0.0 < r.stickiness <= 1.0
+    mid = out[len(out) // 2].day
+    pairs = (
+        fixtures.events(spark, SF)
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .collect()
+    )
+    want = len(
+        {p.user_id for p in pairs if 0 <= (mid - p.d).days <= 6}
+    )
+    got = next(r.wau for r in out if r.day == mid)
+    assert got == want

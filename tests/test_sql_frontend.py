@@ -288,6 +288,12 @@ PORTABLE = [
     "supplier_nation_load",
     "month_end_push",
     "event_value_moments",
+    # round-9 batch 13 (pure ANSI; supplier_leadtime_cv via the epoch
+    # shim; dau_wau_stickiness excluded: unnest(range()) fan-out)
+    "split_order_screen",
+    "supplier_leadtime_cv",
+    "tax_burden_profile",
+    "retailprice_premium",
 ]
 
 
