@@ -127,6 +127,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tax_burden_profile": Q.q_tax_burden_profile,
         "retailprice_premium": Q.q_retailprice_premium,
         "dau_wau_stickiness": Q.q_dau_wau_stickiness,
+        "kmeans_iteration": Q.q_kmeans_iteration,
+        "copurchase_degree_dist": Q.q_copurchase_degree_dist,
+        "embedding_outliers": Q.q_embedding_outliers,
+        "event_interarrival_profile": Q.q_event_interarrival_profile,
+        "user_type_diversity": Q.q_user_type_diversity,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -2070,6 +2075,139 @@ SELECT dau.d AS day, dau.dau AS dau, wau.wau AS wau,
          AS stickiness
 FROM dau JOIN wau ON dau.d = wau.d
 ORDER BY day
+""",
+        "kmeans_iteration": """
+WITH ex AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+seeds AS (
+  SELECT CAST(vec_id AS BIGINT) AS k, dim, q AS c FROM ex WHERE vec_id < 8
+),
+d2 AS (
+  SELECT e.vec_id, s.k, SUM((e.q - s.c) * (e.q - s.c)) AS d2
+  FROM ex e JOIN seeds s ON e.dim = s.dim
+  GROUP BY 1, 2
+),
+assigned AS (
+  SELECT vec_id, k, d2 AS dist FROM (
+    SELECT vec_id, k, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+new_sums AS (
+  SELECT a.k, e.dim, SUM(e.q) AS s
+  FROM ex e JOIN assigned a ON e.vec_id = a.vec_id
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_vectors, SUM(dist) AS sd
+  FROM assigned GROUP BY 1
+),
+shift AS (
+  SELECT n.k,
+         SUM((b.n_vectors * sd.c - n.s) * (b.n_vectors * sd.c - n.s)) AS sh
+  FROM new_sums n
+  JOIN seeds sd ON n.k = sd.k AND n.dim = sd.dim
+  JOIN base b ON n.k = b.k
+  GROUP BY 1
+)
+SELECT b.k AS cluster, b.n_vectors,
+       ROUND(CAST(b.sd AS DOUBLE)
+             / (CAST(b.n_vectors AS DOUBLE) * 100000000.0), 6)
+         AS mean_sq_dist,
+       ROUND(CAST(s.sh AS DOUBLE)
+             / (CAST(b.n_vectors AS DOUBLE) * CAST(b.n_vectors AS DOUBLE)
+                * 100000000.0), 6) AS centroid_shift_sq
+FROM base b JOIN shift s ON b.k = s.k
+ORDER BY cluster
+""",
+        "copurchase_degree_dist": """
+WITH lp AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+pairs AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+),
+deg AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT pa AS p FROM pairs UNION ALL SELECT pb AS p FROM pairs
+  ) GROUP BY p
+),
+parts AS (SELECT DISTINCT l_partkey AS p FROM lineitem)
+SELECT COALESCE(d.degree, CAST(0 AS BIGINT)) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM parts LEFT JOIN deg d ON parts.p = d.p
+GROUP BY 1 ORDER BY degree
+""",
+        "embedding_outliers": """
+WITH ex AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+sums AS (SELECT dim, SUM(q) AS s FROM ex GROUP BY 1),
+gate AS (SELECT SUM(s * s) AS ssq FROM sums),
+cnt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nn FROM embeddings),
+pv AS (
+  SELECT e.vec_id, e.label, SUM(e.q * e.q) AS xx, SUM(e.q * s.s) AS xs
+  FROM ex e JOIN sums s ON e.dim = s.dim
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT vec_id, label,
+         nn * nn * xx - 2 * nn * xs + ssq AS num, nn * nn AS n2
+  FROM pv CROSS JOIN gate CROSS JOIN cnt
+)
+SELECT vec_id, label,
+       ROUND(CAST(num AS DOUBLE)
+             / (CAST(n2 AS DOUBLE) * 100000000.0), 6) AS sq_dist
+FROM scored ORDER BY num DESC, vec_id LIMIT 25
+""",
+        "event_interarrival_profile": """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         event_id
+  FROM events
+),
+gaps AS (
+  SELECT event_type, gap FROM (
+    SELECT event_type,
+           us - LAG(us) OVER (PARTITION BY user_id, event_type
+                              ORDER BY us, event_id) AS gap
+    FROM ev
+  ) WHERE gap IS NOT NULL
+),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         SUM(CAST(gap AS HUGEINT)) AS s,
+         SUM(CAST(gap AS HUGEINT) * gap) AS s2
+  FROM gaps GROUP BY 1
+)
+SELECT event_type, n_gaps,
+       ROUND(CAST(s AS DOUBLE) / (CAST(n_gaps AS DOUBLE) * 1000000.0), 6)
+         AS mean_gap_seconds,
+       ROUND(SQRT(GREATEST(0.0,
+                           CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
+             / CAST(s AS DOUBLE), 6) AS cv_gap
+FROM st ORDER BY event_type
+""",
+        "user_type_diversity": """
+WITH breadth AS (
+  SELECT user_id,
+         CAST(FLOOR(CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 86400)
+                         AS BIGINT) / 7.0) AS BIGINT) AS week,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM events GROUP BY 1, 2
+)
+SELECT n_types, CAST(COUNT(*) AS BIGINT) AS n_user_weeks
+FROM breadth GROUP BY 1 ORDER BY n_types
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

@@ -9691,3 +9691,264 @@ def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def q_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE exact Lloyd (k-means) step over the embedding table from
+    deterministic seeds (the k=8 lowest vec_ids): every vector assigns
+    to the seed minimizing EXACT integer squared distance (coordinates
+    quantize at 1e-4, so d2 = sum (q-c)^2 is an exact DECIMAL -- the
+    argmin needs no float at all, seed-id tiebreak), then each cluster
+    reports its size, mean squared distance, and how far the recomputed
+    centroid moved (||n*c - s||^2 / n^2 -- the update kept rational,
+    never materialized as floats). The scoring join is the same
+    n*d*k sparse shape as ``nearest_centroid_confusion``; at 100 TB the
+    seeds frame is |k|*d rows, never collected, and further sweeps are
+    the same plan re-run -- this is the building block SemDeDup's IVF
+    clustering trains with."""
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("v").cast("double") * 10000).cast("long").alias("q"),
+    )
+    seeds = ex.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("long").alias("k"), "dim", F.col("q").alias("c")
+    )
+    diff = (F.col("q") - F.col("c")).cast("decimal(38,0)")
+    d2 = (
+        ex.join(seeds, "dim")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "k")
+    assigned = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "k", F.col("d2").alias("dist"))
+    )
+    new_sums = (
+        ex.join(assigned.select("vec_id", "k"), "vec_id")
+        .groupBy("k", "dim")
+        .agg(F.sum(F.col("q").cast("decimal(38,0)")).alias("s"))
+    )
+    base = assigned.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum("dist").alias("sd"),
+    )
+    move = (F.col("n_vectors").cast("decimal(38,0)") * F.col("c") - F.col("s"))
+    shift = (
+        new_sums.join(seeds, ["k", "dim"])
+        .join(base.select("k", "n_vectors"), "k")
+        .groupBy("k")
+        .agg(F.sum(move * move).alias("sh"))
+    )
+    n = F.col("n_vectors").cast("double")
+    return (
+        base.join(shift, "k")
+        .select(
+            F.col("k").alias("cluster"),
+            "n_vectors",
+            F.round(
+                F.col("sd").cast("double") / (n * F.lit(100000000.0)), 6
+            ).alias("mean_sq_dist"),
+            F.round(
+                F.col("sh").cast("double") / (n * n * F.lit(100000000.0)), 6
+            ).alias("centroid_shift_sq"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def q_copurchase_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE DISTRIBUTION of the co-purchase graph: how many distinct
+    partner parts each part co-occurs with across all orders,
+    histogrammed -- the hub/skew audit that decides whether the pair
+    mining of ``copurchase_pairs`` (and any wedge/triangle pass above
+    it) needs a hot-node defense. Group-then-expand pair generation
+    (never a fact self-join), distinct pairs once, degrees from both
+    orientations, and parts that never co-occur (only singleton
+    orders) enter at degree 0 via a left join on the distinct part
+    list."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    grouped = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                "ps",
+                lambda a: F.transform(
+                    F.col("ps"),
+                    lambda b: F.when(
+                        a < b, F.struct(a.alias("pa"), b.alias("pb"))
+                    ),
+                ),
+            )
+        ),
+        lambda s: s.isNotNull(),
+    )
+    pairs = (
+        grouped.select(F.explode(pair_arr).alias("pr"))
+        .select("pr.pa", "pr.pb")
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("pa").alias("p"))
+        .unionAll(pairs.select(F.col("pb").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    parts = li.select(F.col("l_partkey").alias("p")).distinct()
+    per_part = parts.join(deg, "p", "left").select(
+        F.coalesce("degree", F.lit(0)).cast("long").alias("degree")
+    )
+    return (
+        per_part.groupBy("degree")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+        .orderBy("degree")
+    )
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding OUTLIER screen: the 25 vectors farthest from the
+    global centroid -- the truncation/corruption/off-distribution
+    check an embedding pipeline runs before indexing. The ranking key
+    is the EXACT integer numerator N^2*||x||^2 - 2N(x.s) + ||s||^2
+    (centroid kept rational as sums s over count N -- shared
+    denominator N^2 drops out of the ORDER), so the top-k is
+    cross-engine deterministic with a vec_id tiebreak; the reported
+    distance is the one terminal divide. Per-dim sums are d rows and
+    the (N, ||s||^2) gate is 1-row broadcast."""
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("v").cast("double") * 10000).cast("long").alias("q"),
+    )
+    sums = ex.groupBy("dim").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s")
+    )
+    gate = sums.groupBy().agg(
+        F.sum(F.col("s") * F.col("s")).alias("ssq"),
+    ).crossJoin(
+        F.broadcast(
+            emb.groupBy().agg(F.count("*").cast("decimal(38,0)").alias("nn"))
+        )
+    )
+    per_vec = (
+        ex.join(sums, "dim")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.col("q").cast("decimal(38,0)")
+                * F.col("q").cast("decimal(38,0)")
+            ).alias("xx"),
+            F.sum(F.col("q").cast("decimal(38,0)") * F.col("s")).alias("xs"),
+        )
+    )
+    num = (
+        F.col("nn") * F.col("nn") * F.col("xx")
+        - F.lit(2) * F.col("nn") * F.col("xs")
+        + F.col("ssq")
+    )
+    return (
+        per_vec.crossJoin(F.broadcast(gate))
+        .select(
+            "vec_id",
+            "label",
+            num.alias("num"),
+            (F.col("nn") * F.col("nn")).alias("n2"),
+        )
+        .orderBy(F.col("num").desc(), "vec_id")
+        .limit(25)
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                F.col("num").cast("double")
+                / (F.col("n2").cast("double") * F.lit(100000000.0)),
+                6,
+            ).alias("sq_dist"),
+        )
+    )
+
+
+def q_event_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-ARRIVAL cadence per event type: gaps between a user's
+    consecutive events OF THE SAME TYPE (partitioned LAG -- parallel
+    by (user, type), never a global window), profiled per type as
+    n / exact mean seconds / CV. Timestamps difference as EXACT
+    integer microseconds (unix_micros == epoch_us), so the sufficient
+    statistics are exact and the CV follows the ``customer_value_cv``
+    sqrt contract. The session-cut twin of this cadence view is
+    ``events_sessionize``."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    gaps = (
+        ev.withColumn("gap", F.col("us") - F.lag("us").over(w))
+        .where(F.col("gap").isNotNull())
+        .select("event_type", "gap")
+    )
+    stats = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum(F.col("gap").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("gap").cast("decimal(38,0)") * F.col("gap").cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    s = F.col("s").cast("double")
+    s2 = F.col("s2").cast("double")
+    return stats.select(
+        "event_type",
+        "n_gaps",
+        F.round(s / (n * F.lit(1000000.0)), 6).alias("mean_gap_seconds"),
+        F.round(F.sqrt(F.greatest(F.lit(0.0), n * s2 - s * s)) / s, 6).alias(
+            "cv_gap"
+        ),
+    ).orderBy("event_type")
+
+
+def q_user_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral BREADTH histogram at user-week grain: each (user,
+    epoch-week) bucketed by how many DISTINCT event types it emitted
+    -- single-trackers vs full-funnel engagement at the cadence
+    product teams actually review (lifetime breadth saturates: every
+    long-lived user eventually touches every type). Epoch-day // 7
+    weeks, the cross-engine-stable week key of ``weekly_retention``.
+    Two map-side-combined aggregates; exact."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "user_id",
+        F.floor(
+            F.floor(
+                F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400)
+            ).cast("long")
+            / F.lit(7.0)
+        )
+        .cast("long")
+        .alias("week"),
+        "event_type",
+    )
+    breadth = ev.groupBy("user_id", "week").agg(
+        F.countDistinct("event_type").cast("long").alias("n_types")
+    )
+    return (
+        breadth.groupBy("n_types")
+        .agg(F.count("*").cast("long").alias("n_user_weeks"))
+        .orderBy("n_types")
+    )

@@ -1677,3 +1677,146 @@ def test_dau_wau_stickiness_bounds_and_recount(spark):
     )
     got = next(r.wau for r in out if r.day == mid)
     assert got == want
+
+
+def _quantized_embeddings(spark):
+    rows = fixtures.load(spark, SF, "embeddings").collect()
+    return {
+        r.vec_id: (
+            int(r.label),
+            [int(round(float(v) * 10000)) for v in r.embedding],
+        )
+        for r in rows
+    }
+
+
+def test_kmeans_iteration_python_model(spark):
+    """One Lloyd step reproduces an exact python recompute: identical
+    assignment counts, mean squared distance and centroid shift; the
+    cluster sizes conserve N and every seed lands in its own cluster
+    (d2 = 0 beats any rival)."""
+    vecs = _quantized_embeddings(spark)
+    seeds = {k: vecs[k][1] for k in range(8)}
+    agg = {k: [0, 0] for k in seeds}  # n, sum d2
+    sums = {k: [0] * 64 for k in seeds}
+    assign = {}
+    for vid, (_lbl, q) in vecs.items():
+        best = min(
+            (sum((a - b) ** 2 for a, b in zip(q, c)), k)
+            for k, c in seeds.items()
+        )
+        d2, k = best
+        assign[vid] = k
+        agg[k][0] += 1
+        agg[k][1] += d2
+        for i, a in enumerate(q):
+            sums[k][i] += a
+    out = {r.cluster: r for r in Q.q_kmeans_iteration(spark, SF).collect()}
+    assert sum(r.n_vectors for r in out.values()) == len(vecs)
+    for k in seeds:
+        assert assign[k] == k
+        n, sd = agg[k]
+        assert out[k].n_vectors == n
+        assert abs(out[k].mean_sq_dist - sd / (n * 1e8)) < 1e-6
+        sh = sum((n * c - s) ** 2 for c, s in zip(seeds[k], sums[k]))
+        assert abs(out[k].centroid_shift_sq - sh / (n * n * 1e8)) < 1e-6
+
+
+def test_copurchase_degree_dist_recount(spark):
+    """Degree histogram matches a python recount over distinct pairs,
+    including degree-0 parts, and conserves the distinct part count."""
+    lines = {
+        (r.l_orderkey, r.l_partkey)
+        for r in fixtures.load(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    }
+    by_order: dict[int, set] = {}
+    for o, p in lines:
+        by_order.setdefault(o, set()).add(p)
+    partners: dict[int, set] = {}
+    all_parts = {p for _o, p in lines}
+    for ps in by_order.values():
+        for a in ps:
+            for b in ps:
+                if a != b:
+                    partners.setdefault(a, set()).add(b)
+    hist: dict[int, int] = {}
+    for p in all_parts:
+        d = len(partners.get(p, ()))
+        hist[d] = hist.get(d, 0) + 1
+    out = {r.degree: r.n_parts for r in Q.q_copurchase_degree_dist(spark, SF).collect()}
+    assert out == hist
+    assert sum(out.values()) == len(all_parts)
+
+
+def test_embedding_outliers_exact_ranking(spark):
+    """The top-25 matches a python recompute of the exact integer
+    numerator ordering (desc, vec_id tiebreak) and the reported
+    distance equals the rational value."""
+    vecs = _quantized_embeddings(spark)
+    nn = len(vecs)
+    sums = [0] * 64
+    for _lbl, q in vecs.values():
+        for i, a in enumerate(q):
+            sums[i] += a
+    ssq = sum(s * s for s in sums)
+    scored = []
+    for vid, (lbl, q) in vecs.items():
+        xx = sum(a * a for a in q)
+        xs = sum(a * s for a, s in zip(q, sums))
+        scored.append((-(nn * nn * xx - 2 * nn * xs + ssq), vid, lbl))
+    scored.sort()
+    want = scored[:25]
+    out = Q.q_embedding_outliers(spark, SF).collect()
+    assert [r.vec_id for r in out] == [v for _n, v, _l in want]
+    for r, (negnum, _v, lbl) in zip(out, want):
+        assert r.label == lbl
+        assert abs(r.sq_dist - (-negnum) / (nn * nn * 1e8)) < 1e-6
+
+
+def test_event_interarrival_python_model(spark):
+    """Per-type gap stats reproduce an exact python recompute over
+    microsecond timestamps with (ts, event_id) ordering."""
+    import math
+
+    ev = fixtures.events(spark, SF).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    ).collect()
+    per: dict[tuple, list] = {}
+    for r in ev:
+        per.setdefault((r.user_id, r.event_type), []).append((r.us, r.event_id))
+    agg: dict[str, list[int]] = {}
+    for (_u, t), xs in per.items():
+        xs.sort()
+        for (a, _), (b, _) in zip(xs, xs[1:]):
+            g = b - a
+            n, s, s2 = agg.get(t, (0, 0, 0))
+            agg[t] = (n + 1, s + g, s2 + g * g)
+    out = {r.event_type: r for r in Q.q_event_interarrival_profile(spark, SF).collect()}
+    assert set(out) == set(agg)
+    for t, (n, s, s2) in agg.items():
+        assert out[t].n_gaps == n
+        assert abs(out[t].mean_gap_seconds - s / (n * 1e6)) < 1e-6
+        assert abs(out[t].cv_gap - math.sqrt(max(0, n * s2 - s * s)) / s) < 1e-6
+
+
+def test_user_type_diversity_recount(spark):
+    """User-week breadth histogram matches a python recount on the
+    epoch-week key and conserves the user-week population."""
+    ev = fixtures.events(spark, SF).select(
+        "user_id",
+        F.floor(F.floor(F.unix_timestamp("ts") / 86400).cast("long") / 7.0)
+        .cast("long")
+        .alias("week"),
+        "event_type",
+    ).collect()
+    types: dict[tuple, set] = {}
+    for r in ev:
+        types.setdefault((r.user_id, r.week), set()).add(r.event_type)
+    hist: dict[int, int] = {}
+    for s in types.values():
+        hist[len(s)] = hist.get(len(s), 0) + 1
+    out = {r.n_types: r.n_user_weeks for r in Q.q_user_type_diversity(spark, SF).collect()}
+    assert out == hist
+    assert sum(out.values()) == len(types)

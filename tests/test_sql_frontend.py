@@ -294,6 +294,12 @@ PORTABLE = [
     "supplier_leadtime_cv",
     "tax_burden_profile",
     "retailprice_premium",
+    # round-9 batch 14 (self-join oracle form of the degree histogram
+    # is plain ANSI; user-week breadth via the epoch shim; kmeans/
+    # outliers excluded: unnest(range())-indexed arrays + HUGEINT;
+    # interarrival excluded: HUGEINT gap squares)
+    "copurchase_degree_dist",
+    "user_type_diversity",
 ]
 
 
