@@ -132,6 +132,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": Q.q_embedding_outliers,
         "event_interarrival_profile": Q.q_event_interarrival_profile,
         "user_type_diversity": Q.q_user_type_diversity,
+        "supplier_balance_bands": Q.q_supplier_balance_bands,
+        "customer_tenure_value": Q.q_customer_tenure_value,
+        "order_line_hhi": Q.q_order_line_hhi,
+        "stock_cover_days": Q.q_stock_cover_days,
+        "shingle_df_profile": Q.q_shingle_df_profile,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -2208,6 +2213,134 @@ WITH breadth AS (
 )
 SELECT n_types, CAST(COUNT(*) AS BIGINT) AS n_user_weeks
 FROM breadth GROUP BY 1 ORDER BY n_types
+""",
+        "supplier_balance_bands": """
+WITH supp AS (
+  SELECT s_suppkey,
+         CAST(FLOOR(CAST(ROUND(CAST(s_acctbal AS DECIMAL(18,2)) * 100)
+                         AS BIGINT) / 100000.0) AS BIGINT) AS band
+  FROM supplier
+),
+lat AS (
+  SELECT l.l_suppkey,
+         CAST(FLOOR(epoch(CAST(l.l_shipdate AS TIMESTAMP)) / 86400) AS BIGINT)
+         - CAST(FLOOR(epoch(CAST(o.o_orderdate AS TIMESTAMP)) / 86400)
+                AS BIGINT) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+per AS (
+  SELECT s.band,
+         CAST(COUNT(DISTINCT lat.l_suppkey) AS BIGINT) AS n_suppliers,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         SUM(lat.d) AS s,
+         CAST(SUM(CASE WHEN lat.d > 30 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late
+  FROM lat JOIN supp s ON lat.l_suppkey = s.s_suppkey
+  WHERE lat.d >= 0
+  GROUP BY 1
+)
+SELECT band, n_suppliers, n_lines,
+       ROUND(CAST(s AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS mean_latency,
+       ROUND(CAST(n_late AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+         AS late_share
+FROM per ORDER BY band
+""",
+        "customer_tenure_value": """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+),
+per AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(cents) AS cents,
+         date_diff('day', MIN(d), MAX(d)) AS span
+  FROM o GROUP BY 1
+),
+b AS (
+  SELECT CAST(FLOOR(span / 365.0) AS BIGINT) AS tenure_years,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(n_orders) AS BIGINT) AS n_orders, SUM(cents) AS cents
+  FROM per GROUP BY 1
+)
+SELECT tenure_years, n_customers,
+       ROUND(CAST(n_orders AS DOUBLE) / CAST(n_customers AS DOUBLE), 6)
+         AS avg_orders,
+       ROUND(CAST(cents AS DOUBLE)
+             / (CAST(n_customers AS DOUBLE) * 100.0), 2)
+         AS avg_lifetime_value
+FROM b ORDER BY tenure_years
+""",
+        "order_line_hhi": """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS c
+  FROM lineitem
+),
+per AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         SUM(c * c) AS ssq, SUM(c) AS s
+  FROM li GROUP BY 1
+),
+q AS (
+  SELECT n_lines,
+         CAST(ROUND(CAST(ssq AS DOUBLE) * 1000000.0
+                    / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) AS BIGINT)
+           AS hhi_ppm
+  FROM per
+)
+SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(hhi_ppm) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 6) AS mean_hhi
+FROM q GROUP BY 1 ORDER BY n_lines
+""",
+        "stock_cover_days": """
+WITH flows AS (
+  SELECT l_partkey AS sku, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(l_shipdate AS DATE) AS d,
+         (l_orderkey % 2 = 0) AS is_receipt
+  FROM lineitem
+),
+horizon AS (
+  SELECT CAST(date_diff('day', MIN(d), MAX(d)) + 1 AS BIGINT) AS h
+  FROM flows
+),
+per AS (
+  SELECT sku,
+         CAST(SUM(CASE WHEN is_receipt THEN qty ELSE 0 END) AS BIGINT)
+           AS receipt_qty,
+         CAST(SUM(CASE WHEN NOT is_receipt THEN qty ELSE 0 END) AS BIGINT)
+           AS issue_qty
+  FROM flows GROUP BY 1
+)
+SELECT sku, receipt_qty, issue_qty,
+       receipt_qty - issue_qty AS ending_stock,
+       ROUND(CAST(receipt_qty - issue_qty AS DOUBLE) * CAST(h AS DOUBLE)
+             / CAST(issue_qty AS DOUBLE), 6) AS cover_days
+FROM per CROSS JOIN horizon
+WHERE issue_qty > 0
+ORDER BY sku
+""",
+        "shingle_df_profile": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 3 + 2), i ->
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+  FROM tok WHERE len(toks) >= 3
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+dfp AS (
+  SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY 1
+)
+SELECT df, CAST(COUNT(*) AS BIGINT) AS n_shingles
+FROM dfp GROUP BY 1 ORDER BY df
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

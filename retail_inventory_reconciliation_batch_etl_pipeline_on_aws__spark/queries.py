@@ -9952,3 +9952,196 @@ def q_user_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_user_weeks"))
         .orderBy("n_types")
     )
+
+
+def q_supplier_balance_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do financially stressed suppliers ship WORSE? Suppliers band by
+    fixed-width account-balance bands ($1000 steps, floor toward -inf
+    -- the ``acctbal_activity_bands`` rule on the supply side) and each
+    band reports supplier count, shipped line count, exact mean
+    order-to-ship latency and the late share (>30 days, the
+    ``supplier_on_time_rate`` SLA). Inverted generator intervals
+    excluded; the supplier dim joins on the fact's suppkey."""
+    supp = fixtures.load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.floor(
+            F.round(_dec("s_acctbal") * 100).cast("long") / F.lit(100000)
+        )
+        .cast("long")
+        .alias("band"),
+    )
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("order_d")
+    )
+    lat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_suppkey", F.datediff("ship_d", "order_d").alias("d"))
+        .where(F.col("d") >= 0)
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    per = lat.groupBy("band").agg(
+        F.countDistinct("s_suppkey").cast("long").alias("n_suppliers"),
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("d").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("d") > 30).cast("long")).cast("long").alias("n_late"),
+    )
+    return per.select(
+        "band",
+        "n_suppliers",
+        "n_lines",
+        F.round(
+            F.col("s").cast("double") / F.col("n_lines").cast("double"), 6
+        ).alias("mean_latency"),
+        F.round(
+            F.col("n_late").cast("double") / F.col("n_lines").cast("double"), 6
+        ).alias("late_share"),
+    ).orderBy("band")
+
+
+def q_customer_tenure_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer TENURE vs VALUE: customers bucketed by whole years
+    between their first and last order (floor(days/365)); each bucket
+    reports customer count, exact mean order count and mean lifetime
+    value -- 'does longevity buy loyalty revenue'. Tenure is an exact
+    integer day span off one per-customer aggregate; single-order
+    customers land in bucket 0."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = orders.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").alias("cents"),
+        F.datediff(F.max("d"), F.min("d")).alias("span"),
+    )
+    bucket = F.floor(F.col("span") / F.lit(365)).cast("long")
+    per_b = per.groupBy(bucket.alias("tenure_years")).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )
+    n = F.col("n_customers").cast("double")
+    return per_b.select(
+        "tenure_years",
+        "n_customers",
+        F.round(F.col("n_orders").cast("double") / n, 6).alias("avg_orders"),
+        F.round(F.col("cents").cast("double") / (n * 100.0), 2).alias(
+            "avg_lifetime_value"
+        ),
+    ).orderBy("tenure_years")
+
+
+def q_order_line_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-ORDER value concentration: each order's line-value
+    Herfindahl index (sum of squared line shares, as exact parts-per-
+    million -- both engines evaluate the identical exact-int-to-double
+    divide, so the ppm quantization is cross-engine stable), averaged
+    per lines-per-order bucket. A 1-line order is HHI 1.0 by identity;
+    the interesting signal is how fast concentration decays with
+    basket width -- the within-group twin of ``nation_supplier_hhi``'s
+    across-group view."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("c"),
+    )
+    per = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)"))
+        .alias("ssq"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+    )
+    hhi_ppm = F.round(
+        F.col("ssq").cast("double")
+        * F.lit(1000000.0)
+        / (F.col("s").cast("double") * F.col("s").cast("double"))
+    ).cast("long")
+    per_b = per.select("n_lines", hhi_ppm.alias("hhi_ppm")).groupBy(
+        "n_lines"
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("hhi_ppm").cast("decimal(38,0)").alias("sh"),
+    )
+    return per_b.select(
+        "n_lines",
+        "n_orders",
+        F.round(
+            F.col("sh").cast("double")
+            / (F.col("n_orders").cast("double") * F.lit(1000000.0)),
+            6,
+        ).alias("mean_hhi"),
+    ).orderBy("n_lines")
+
+
+def q_stock_cover_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAYS-OF-COVER screen under the flow convention of
+    ``fifo_allocation`` (even order keys are receipts, odd are
+    issues): per sku the ending stock (receipts - issues) divided by
+    the mean daily issue rate over the corpus horizon -- the
+    slow-mover / stock-out forecast every replenishment planner reads.
+    Horizon = (max ship date - min ship date + 1) corpus-wide, a
+    1-row broadcast gate; cover = stock * horizon / issues is one
+    divide off exact integers (negative = already backordered). Skus
+    that never issued are excluded (their cover is undefined -- a
+    NULL/NaN cell is not hash-stable)."""
+    flows = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("sku"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_shipdate").cast("date").alias("d"),
+        (F.col("l_orderkey") % 2 == 0).alias("is_receipt"),
+    )
+    horizon = flows.groupBy().agg(
+        (F.datediff(F.max("d"), F.min("d")) + 1).cast("long").alias("h")
+    )
+    per = flows.groupBy("sku").agg(
+        F.sum(F.when(F.col("is_receipt"), F.col("qty")).otherwise(0))
+        .cast("long")
+        .alias("receipt_qty"),
+        F.sum(F.when(~F.col("is_receipt"), F.col("qty")).otherwise(0))
+        .cast("long")
+        .alias("issue_qty"),
+    )
+    return (
+        per.where(F.col("issue_qty") > 0)
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "sku",
+            "receipt_qty",
+            "issue_qty",
+            (F.col("receipt_qty") - F.col("issue_qty")).alias("ending_stock"),
+            F.round(
+                (F.col("receipt_qty") - F.col("issue_qty")).cast("double")
+                * F.col("h").cast("double")
+                / F.col("issue_qty").cast("double"),
+                6,
+            ).alias("cover_days"),
+        )
+        .orderBy("sku")
+    )
+
+
+def q_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle DOCUMENT-FREQUENCY histogram: how many distinct 3-gram
+    shingles appear in exactly df documents -- the audit that sizes
+    every hot-shingle defense in the dedup family (``max_shingle_df``
+    cut-offs, PPJoin prefix budgets): a heavy tail here is the k^2
+    candidate blow-up warning. Same tokenizer and distinct-shingle
+    rule as ``jaccard_pairs`` (fan_out + persist-free: one explode,
+    two map-side-combined aggregates)."""
+    from .functions.text import word_ngrams, tokens
+
+    docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
+    sh = docs.where(F.size(tokens("text")) >= 3).select(
+        "doc_id", F.explode(word_ngrams("text", 3)).alias("shingle")
+    )
+    df_per = sh.groupBy("shingle").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    return (
+        df_per.groupBy("df")
+        .agg(F.count("*").cast("long").alias("n_shingles"))
+        .orderBy("df")
+    )

@@ -56,6 +56,7 @@ NESTED_LOOP_OK = {
     "token_length_histogram",  # 1-row token-total broadcast gate (shares)
     "supplier_nation_load",  # 1-row revenue-total broadcast gate (shares)
     "embedding_outliers",  # 1-row (N, ||s||^2) centroid-stats broadcast gate
+    "stock_cover_days",  # 1-row corpus-horizon broadcast gate
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -1820,3 +1820,106 @@ def test_user_type_diversity_recount(spark):
     out = {r.n_types: r.n_user_weeks for r in Q.q_user_type_diversity(spark, SF).collect()}
     assert out == hist
     assert sum(out.values()) == len(types)
+
+
+def test_supplier_balance_bands_conservation(spark):
+    """Bands partition the shipped-supplier population; negative bands
+    exist (the generator plants indebted suppliers); late share is a
+    proper fraction."""
+    out = Q.q_supplier_balance_bands(spark, SF).collect()
+    # banding rule: every shipped supplier's floor(cents/100000) band
+    # is present (negative balances floor toward -inf when they occur)
+    bals = fixtures.load(spark, SF, "supplier").select("s_suppkey", "s_acctbal").collect()
+    import math
+
+    shipped = {
+        r.l_suppkey
+        for r in fixtures.load(spark, SF, "lineitem").select("l_suppkey").collect()
+    }
+    want_bands = {
+        math.floor(round(float(r.s_acctbal) * 100) / 100000)
+        for r in bals
+        if r.s_suppkey in shipped
+    }
+    assert {r.band for r in out} == want_bands
+    n_shipping = (
+        fixtures.load(spark, SF, "lineitem").select("l_suppkey").distinct().count()
+    )
+    assert sum(r.n_suppliers for r in out) == n_shipping
+    for r in out:
+        assert 0.0 <= r.late_share <= 1.0
+        assert r.mean_latency >= 0.0
+
+
+def test_customer_tenure_value_recount(spark):
+    """Tenure buckets match a python recount and conserve the ordering
+    customer population."""
+    orders = fixtures.load(spark, SF, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    ).collect()
+    per: dict[int, list] = {}
+    for r in orders:
+        lo, hi, n = per.get(r.o_custkey, (r.d, r.d, 0))
+        per[r.o_custkey] = (min(lo, r.d), max(hi, r.d), n + 1)
+    hist: dict[int, int] = {}
+    for lo, hi, _n in per.values():
+        b = (hi - lo).days // 365
+        hist[b] = hist.get(b, 0) + 1
+    out = {r.tenure_years: r for r in Q.q_customer_tenure_value(spark, SF).collect()}
+    assert {k: v.n_customers for k, v in out.items()} == hist
+
+
+def test_order_line_hhi_identity_and_bounds(spark):
+    """1-line orders have HHI exactly 1.0; HHI >= 1/n everywhere."""
+    out = Q.q_order_line_hhi(spark, SF).collect()
+    by_n = {r.n_lines: r for r in out}
+    assert abs(by_n[1].mean_hhi - 1.0) < 1e-9
+    for r in out:
+        assert r.mean_hhi >= 1.0 / r.n_lines - 1e-6
+        assert r.mean_hhi <= 1.0 + 1e-9
+    n_orders = fixtures.load(spark, SF, "lineitem").select("l_orderkey").distinct().count()
+    assert sum(r.n_orders for r in out) == n_orders
+
+
+def test_stock_cover_days_flow_identity(spark):
+    """cover_days is exactly ending_stock * horizon / issue_qty and the
+    fifo_allocation totals agree per sku."""
+    out = Q.q_stock_cover_days(spark, SF).collect()
+    li = fixtures.load(spark, SF, "lineitem").select(
+        "l_partkey", "l_quantity", "l_orderkey", F.col("l_shipdate").cast("date").alias("d")
+    ).collect()
+    lo = min(r.d for r in li)
+    hi = max(r.d for r in li)
+    h = (hi - lo).days + 1
+    per: dict[int, list[int]] = {}
+    for r in li:
+        rq, iq = per.get(r.l_partkey, (0, 0))
+        if r.l_orderkey % 2 == 0:
+            rq += int(r.l_quantity)
+        else:
+            iq += int(r.l_quantity)
+        per[r.l_partkey] = (rq, iq)
+    want = {k: v for k, v in per.items() if v[1] > 0}
+    assert len(out) == len(want)
+    for r in out[:50]:
+        rq, iq = want[r.sku]
+        assert (r.receipt_qty, r.issue_qty) == (rq, iq)
+        assert abs(r.cover_days - round((rq - iq) * h / iq, 6)) < 1e-6
+
+
+def test_shingle_df_profile_recount(spark):
+    """DF histogram matches a python recount with the jaccard_pairs
+    tokenizer contract (whitespace split, distinct 3-grams)."""
+    docs = fixtures.load(spark, SF, "documents").select("doc_id", "text").collect()
+    df: dict[str, int] = {}
+    for r in docs:
+        toks = [t for t in r.text.split() if t]
+        if len(toks) < 3:
+            continue
+        for s in {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}:
+            df[s] = df.get(s, 0) + 1
+    hist: dict[int, int] = {}
+    for v in df.values():
+        hist[v] = hist.get(v, 0) + 1
+    out = {r.df: r.n_shingles for r in Q.q_shingle_df_profile(spark, SF).collect()}
+    assert out == hist

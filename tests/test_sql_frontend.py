@@ -300,6 +300,11 @@ PORTABLE = [
     # interarrival excluded: HUGEINT gap squares)
     "copurchase_degree_dist",
     "user_type_diversity",
+    # round-9 batch 15 (balance bands via the epoch shim; HHI is pure
+    # ANSI; tenure/cover excluded: DuckDB 3-arg date_diff; shingle DF
+    # excluded: list_* lambda family)
+    "supplier_balance_bands",
+    "order_line_hhi",
 ]
 
 
