@@ -137,6 +137,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_line_hhi": Q.q_order_line_hhi,
         "stock_cover_days": Q.q_stock_cover_days,
         "shingle_df_profile": Q.q_shingle_df_profile,
+        "nation_balance_flow": Q.q_nation_balance_flow,
+        "top_customer_per_nation": Q.q_top_customer_per_nation,
+        "event_type_transitions": Q.q_event_type_transitions,
+        "part_supplier_breadth": Q.q_part_supplier_breadth,
+        "source_length_percentiles": Q.q_source_length_percentiles,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -2341,6 +2346,109 @@ dfp AS (
 )
 SELECT df, CAST(COUNT(*) AS BIGINT) AS n_shingles
 FROM dfp GROUP BY 1 ORDER BY df
+""",
+        "nation_balance_flow": """
+WITH c AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         SUM(CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT))
+           AS cc
+  FROM customer GROUP BY 1
+),
+s AS (
+  SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         SUM(CAST(ROUND(CAST(s_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT))
+           AS sc
+  FROM supplier GROUP BY 1
+)
+SELECT n.n_name AS nation,
+       CAST(COALESCE(c.n_customers, 0) AS BIGINT) AS n_customers,
+       ROUND(CAST(COALESCE(c.cc, 0) AS DOUBLE) / 100.0, 2)
+         AS customer_balance,
+       CAST(COALESCE(s.n_suppliers, 0) AS BIGINT) AS n_suppliers,
+       ROUND(CAST(COALESCE(s.sc, 0) AS DOUBLE) / 100.0, 2)
+         AS supplier_balance
+FROM nation n
+LEFT JOIN c ON n.n_nationkey = c.c_nationkey
+LEFT JOIN s ON n.n_nationkey = s.s_nationkey
+ORDER BY nation
+""",
+        "top_customer_per_nation": """
+WITH per AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT n.n_name AS nation, c.c_custkey AS custkey, c.c_name AS customer,
+         p.n_orders, p.cents,
+         ROW_NUMBER() OVER (PARTITION BY n.n_name
+                            ORDER BY p.cents DESC, c.c_custkey ASC) AS rk
+  FROM per p
+  JOIN customer c ON p.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT nation, custkey, customer, n_orders,
+       ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue
+FROM ranked WHERE rk = 1 ORDER BY nation
+""",
+        "event_type_transitions": """
+WITH ev AS (
+  SELECT user_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+  FROM events
+),
+pairs AS (
+  SELECT prev AS from_type, event_type AS to_type FROM (
+    SELECT event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) AS prev
+    FROM ev
+  ) WHERE prev IS NOT NULL
+),
+cells AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+         AS row_share
+FROM cells ORDER BY from_type, to_type
+""",
+        "part_supplier_breadth": """
+WITH li AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem
+),
+per AS (
+  SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+         SUM(cents) AS cents
+  FROM li GROUP BY 1
+),
+hist AS (
+  SELECT n_suppliers, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         SUM(cents) AS cents
+  FROM per GROUP BY 1
+),
+tot AS (SELECT SUM(cents) AS tc FROM hist)
+SELECT n_suppliers, n_parts,
+       ROUND(CAST(cents AS DOUBLE) / CAST(tc AS DOUBLE), 6) AS revenue_share
+FROM hist CROSS JOIN tot ORDER BY n_suppliers
+""",
+        "source_length_percentiles": """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_chars,
+       percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(n_chars AS BIGINT))
+         AS p25,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(n_chars AS BIGINT))
+         AS p50,
+       percentile_cont(0.9) WITHIN GROUP (ORDER BY CAST(n_chars AS BIGINT))
+         AS p90
+FROM documents GROUP BY source ORDER BY source
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

@@ -10145,3 +10145,179 @@ def q_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_shingles"))
         .orderBy("df")
     )
+
+
+def q_nation_balance_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation FINANCIAL POSTURE: customer count and exact summed
+    account balance vs supplier count and balance -- the two-sided
+    credit-exposure view a trade desk reads (who owes us, who do we
+    owe, by country). Two dim-side aggregates joined on the nation
+    key; nations missing a side report zeros (full outer + coalesce,
+    the ``reconcile`` convention)."""
+    nation = fixtures.load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    cust = (
+        fixtures.load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum(F.round(_dec("c_acctbal") * 100).cast("long")).alias("cc"),
+        )
+    )
+    supp = (
+        fixtures.load(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.sum(F.round(_dec("s_acctbal") * 100).cast("long")).alias("sc"),
+        )
+    )
+    return (
+        nation.join(cust, nation.n_nationkey == cust.c_nationkey, "left")
+        .join(supp, nation.n_nationkey == supp.s_nationkey, "left")
+        .select(
+            "nation",
+            F.coalesce("n_customers", F.lit(0)).cast("long").alias("n_customers"),
+            F.round(
+                F.coalesce("cc", F.lit(0)).cast("double") / 100.0, 2
+            ).alias("customer_balance"),
+            F.coalesce("n_suppliers", F.lit(0)).cast("long").alias("n_suppliers"),
+            F.round(
+                F.coalesce("sc", F.lit(0)).cast("double") / 100.0, 2
+            ).alias("supplier_balance"),
+        )
+        .orderBy("nation")
+    )
+
+
+def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top revenue CUSTOMER per nation: the rank-within-group pattern
+    of ``top_part_per_brand`` on the customer dimension -- exact cents
+    ranking, custkey tiebreak, one shuffle on the window key (never a
+    global sort)."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = orders.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders"), F.sum("cents").alias("cents")
+    )
+    cust = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = fixtures.load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    j = per.join(cust, per.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("cents").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "nation",
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("customer"),
+            "n_orders",
+            F.round(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("nation")
+    )
+
+
+def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type TRANSITION MATRIX: each user's consecutive events
+    pair (LAG over the per-user window, (ts, event_id) order) and the
+    (prev, next) cells report counts and row shares -- the first-order
+    Markov view of in-product flow, ``brand_transitions``' shape on
+    the event stream."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("from_type"), F.col("event_type").alias("to_type"))
+    )
+    cells = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w_row = Window.partitionBy("from_type")
+    return (
+        cells.withColumn("rt", F.sum("n").over(w_row))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("rt").cast("double"), 6)
+            .alias("row_share"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def q_part_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCING BREADTH histogram: parts bucketed by how many DISTINCT
+    suppliers ever shipped them, with each bucket's exact revenue
+    share -- the population view over ``single_source_risk``'s
+    per-part concentration screen (how much of the business rides on
+    effectively sole-sourced parts). Two aggregates and a 1-row
+    revenue-total gate."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    per = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("cents"),
+    )
+    hist = per.groupBy("n_suppliers").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("cents").alias("cents"),
+    )
+    tot = hist.groupBy().agg(F.sum("cents").alias("tc"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "n_suppliers",
+            "n_parts",
+            F.round(
+                F.col("cents").cast("double") / F.col("tc").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("n_suppliers")
+    )
+
+
+def q_source_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document LENGTH percentiles per source: p25 / p50 / p90 of
+    n_chars plus the exact mean -- the per-feed length-drift screen a
+    crawler-side curation pipeline alarms on (a feed whose p90
+    collapses started truncating). Exact interpolated percentiles over
+    integer lengths (Spark ``percentile`` == quantile_cont, the
+    ``ship_latency`` contract), one shuffle on the source key."""
+    docs = fixtures.load(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count("*").cast("double"), 6
+            ).alias("mean_chars"),
+            F.percentile("n_chars", F.lit(0.25)).alias("p25"),
+            F.percentile("n_chars", F.lit(0.5)).alias("p50"),
+            F.percentile("n_chars", F.lit(0.9)).alias("p90"),
+        )
+        .orderBy("source")
+    )

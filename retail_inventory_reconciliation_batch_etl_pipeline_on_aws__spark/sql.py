@@ -55,6 +55,9 @@ _COMPAT_FUNCTIONS = (
     # field DOW_ISO inside EXTRACT; no common EXTRACT spelling exists)
     "CREATE OR REPLACE TEMPORARY FUNCTION isodow(t TIMESTAMP) "
     "RETURNS BIGINT RETURN EXTRACT(DOW_ISO FROM t)",
+    # DuckDB epoch_us(ts): exact integer microseconds since epoch
+    "CREATE OR REPLACE TEMPORARY FUNCTION epoch_us(t TIMESTAMP) "
+    "RETURNS BIGINT RETURN unix_micros(t)",
 )
 
 

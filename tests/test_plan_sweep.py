@@ -57,6 +57,7 @@ NESTED_LOOP_OK = {
     "supplier_nation_load",  # 1-row revenue-total broadcast gate (shares)
     "embedding_outliers",  # 1-row (N, ||s||^2) centroid-stats broadcast gate
     "stock_cover_days",  # 1-row corpus-horizon broadcast gate
+    "part_supplier_breadth",  # 1-row revenue-total broadcast gate (shares)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -1923,3 +1923,86 @@ def test_shingle_df_profile_recount(spark):
         hist[v] = hist.get(v, 0) + 1
     out = {r.df: r.n_shingles for r in Q.q_shingle_df_profile(spark, SF).collect()}
     assert out == hist
+
+
+def test_nation_balance_flow_conservation(spark):
+    """Nation rows cover every nation; customer/supplier counts and
+    balances telescope to the dim totals."""
+    out = Q.q_nation_balance_flow(spark, SF).collect()
+    assert len(out) == fixtures.load(spark, SF, "nation").count()
+    cust = fixtures.load(spark, SF, "customer").count()
+    supp = fixtures.load(spark, SF, "supplier").count()
+    assert sum(r.n_customers for r in out) == cust
+    assert sum(r.n_suppliers for r in out) == supp
+
+
+def test_top_customer_per_nation_is_argmax(spark):
+    """Each nation's winner has the maximal lifetime cents among that
+    nation's ordering customers (custkey tiebreak), verified in
+    python."""
+    out = {r.nation: r for r in Q.q_top_customer_per_nation(spark, SF).collect()}
+    orders = fixtures.load(spark, SF, "orders").select("o_custkey", "o_totalprice").collect()
+    spend: dict[int, int] = {}
+    cnt: dict[int, int] = {}
+    for r in orders:
+        c = round(float(r.o_totalprice) * 100)
+        spend[r.o_custkey] = spend.get(r.o_custkey, 0) + int(c)
+        cnt[r.o_custkey] = cnt.get(r.o_custkey, 0) + 1
+    cust = fixtures.load(spark, SF, "customer").select("c_custkey", "c_nationkey").collect()
+    nat = {r.n_nationkey: r.n_name for r in fixtures.load(spark, SF, "nation").collect()}
+    best: dict[str, tuple] = {}
+    for r in cust:
+        if r.c_custkey not in spend:
+            continue
+        key = nat[r.c_nationkey]
+        cand = (-spend[r.c_custkey], r.c_custkey)
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    assert set(out) == set(best)
+    for nation, (neg, ck) in best.items():
+        assert out[nation].custkey == ck
+        assert out[nation].n_orders == cnt[ck]
+        assert abs(out[nation].revenue - (-neg) / 100.0) < 1e-6
+
+
+def test_event_type_transitions_row_shares(spark):
+    """Row shares sum to 1 per from_type and the total pair count is
+    n_events - n_users (one fewer transition than events per user)."""
+    out = Q.q_event_type_transitions(spark, SF).collect()
+    shares: dict[str, float] = {}
+    total = 0
+    for r in out:
+        shares[r.from_type] = shares.get(r.from_type, 0.0) + r.row_share
+        total += r.n
+    for s in shares.values():
+        assert abs(s - 1.0) < 1e-4
+    n_events = fixtures.events(spark, SF).count()
+    n_users = fixtures.events(spark, SF).select("user_id").distinct().count()
+    assert total == n_events - n_users
+
+
+def test_part_supplier_breadth_conservation(spark):
+    """Buckets partition the shipped-part population and revenue
+    shares telescope to 1."""
+    out = Q.q_part_supplier_breadth(spark, SF).collect()
+    n_parts = fixtures.load(spark, SF, "lineitem").select("l_partkey").distinct().count()
+    assert sum(r.n_parts for r in out) == n_parts
+    assert abs(sum(r.revenue_share for r in out) - 1.0) < 1e-4
+
+
+def test_source_length_percentiles_python_model(spark):
+    """Interpolated percentiles match numpy's linear rule and the mean
+    is exact."""
+    import numpy as np
+
+    docs = fixtures.load(spark, SF, "documents").select("source", "n_chars").collect()
+    per: dict[str, list[int]] = {}
+    for r in docs:
+        per.setdefault(r.source, []).append(int(r.n_chars))
+    out = {r.source: r for r in Q.q_source_length_percentiles(spark, SF).collect()}
+    assert set(out) == set(per)
+    for s, xs in per.items():
+        assert out[s].n_docs == len(xs)
+        assert abs(out[s].mean_chars - round(sum(xs) / len(xs), 6)) < 1e-6
+        for col, p in (("p25", 25), ("p50", 50), ("p90", 90)):
+            assert abs(getattr(out[s], col) - np.percentile(xs, p)) < 1e-6

@@ -305,6 +305,13 @@ PORTABLE = [
     # excluded: list_* lambda family)
     "supplier_balance_bands",
     "order_line_hhi",
+    # round-9 batch 16 (pure ANSI; percentile_cont WITHIN GROUP parses
+    # on Spark 4; transitions via the epoch_us shim)
+    "nation_balance_flow",
+    "top_customer_per_nation",
+    "event_type_transitions",
+    "part_supplier_breadth",
+    "source_length_percentiles",
 ]
 
 
