@@ -1110,3 +1110,67 @@ def streaming_mg_candidates(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_wau(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "8 days",
+    drain_user_id: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Trailing-7-day WEEKLY ACTIVE USERS as a stream: the streaming
+    twin of the WAU side of ``queries.q_dau_wau_stickiness``, built
+    from THREE CHAINED stateful operators in append mode (supported
+    since multiple-stateful-operator chaining landed; each stage
+    re-windows on ``window_time`` of the previous):
+
+      1. distinct (day, user): groupBy(window(ts, 1d), user)  -- the
+         stream-side dedup that makes COUNT(*) a distinct-user count,
+      2. distinct (7d sliding window, user): a user active 3 times in
+         a week still counts once,
+      3. count per window -> WAU.
+
+    The emitted ``day`` is the window END day (start + 6): a window
+    [s, s+7) is the trailing week OF day s+6 -- exactly the batch
+    query's explode(sequence(0,6)) fan-out, evaluated lazily by the
+    window Expand instead of eagerly by the explode. Watermark must
+    cover the 7-day window plus lateness or stage 2 never finalizes.
+    State is bounded: stage 1 holds <= one row per (day, user) inside
+    the horizon, stages 2-3 one row per (window, user) / window.
+
+    A ``drain_user_id`` row (the ``write_drain_sentinel`` protocol)
+    is filtered out BEFORE stage 1 so the flush heartbeat never
+    becomes a fake active user. The sentinel must land in a LATER
+    trigger than the data (``max_files_per_trigger=1`` in the bounded
+    replay): the watermark only advances BETWEEN micro-batches, so a
+    same-batch sentinel flushes nothing."""
+    raw = read_event_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    ).withWatermark("ts", watermark)
+    # The drain filter must sit AFTER the watermark collector: sentinel
+    # rows advance the watermark, they just never become state. A plain
+    # user_id predicate gets PUSHED THROUGH EventTimeWatermark by
+    # Catalyst (it does not reference the event-time column) and kills
+    # the sentinels at the scan -- referencing ``ts`` in the predicate
+    # pins it above the collector (PushPredicateThroughNonJoin only
+    # pushes watermark-safe predicates).
+    if drain_user_id is not None:
+        raw = raw.where(
+            (F.col("user_id") != F.lit(drain_user_id)) | F.col("ts").isNull()
+        )
+    day_user = raw.groupBy(
+        F.window("ts", "1 day").alias("w1"), "user_id"
+    ).agg(F.count("*").alias("n"))
+    week_user = day_user.groupBy(
+        F.window(F.window_time("w1"), "7 days", "1 day").alias("w7"),
+        "user_id",
+    ).agg(F.count("*").alias("days_active"))
+    return (
+        week_user.groupBy(F.col("w7"))
+        .agg(F.count("*").cast("long").alias("wau"))
+        .select(
+            F.date_add(F.to_date(F.col("w7").start), 6).alias("day"),
+            "wau",
+        )
+    )

@@ -1016,3 +1016,47 @@ def test_streaming_mg_candidates_recount_equals_batch_heavy_hitters(
         .collect()
     }
     assert got == want
+
+
+def test_streaming_wau_matches_batch_trailing_week(spark, tmp_path):
+    """Three chained stateful operators (day-user dedup -> 7d-window
+    user dedup -> count) reproduce the batch explode(sequence(0,6))
+    trailing-week WAU EXACTLY on every event day once a drain sentinel
+    flushes the final windows; the sentinel user itself never counts."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.queries import (
+        q_dau_wau_stickiness,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (
+        streaming_wau,
+        write_drain_sentinel,
+    )
+
+    src = tmp_path / "wau_src"
+    src.mkdir()
+    (src / "events.parquet").symlink_to(f"{TESTDATA}/events.parquet")
+    max_ts = fixtures.events(spark, TESTDATA).agg(F.max("ts")).collect()[0][0]
+    import calendar
+
+    max_ns = int(calendar.timegm(max_ts.timetuple())) * 1_000_000_000
+    # chained stateful operators need the watermark to advance in steps
+    # no larger than the downstream lateness allowance: one same-batch
+    # mega-jump makes stage-1 evictions arrive at stage 2 as too-late
+    # rows and silently drops the final week. Daily heartbeats (the
+    # production cadence) step it cleanly.
+    # need watermark >= last window end (max_day + 1): daily heartbeats
+    # to max_ts + 10d cover the 8-day delay with a day to spare
+    for k in range(1, 11):
+        write_drain_sentinel(
+            spark, str(src), ts_ns=max_ns + k * 86400 * 1_000_000_000, user_id=-1
+        )
+
+    agg = streaming_wau(spark, str(src), drain_user_id=-1, max_files_per_trigger=1)
+    assert agg.isStreaming
+    run_to_memory_sink(agg, "wau_stream_test", output_mode="append")
+    streamed = {
+        r.day: r.wau for r in spark.sql("SELECT * FROM wau_stream_test").collect()
+    }
+    batch = {r.day: r.wau for r in q_dau_wau_stickiness(spark, TESTDATA).collect()}
+    assert set(batch) <= set(streamed), "event days missing from the stream"
+    for day, wau in batch.items():
+        assert streamed[day] == wau
