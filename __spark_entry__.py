@@ -142,6 +142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_transitions": Q.q_event_type_transitions,
         "part_supplier_breadth": Q.q_part_supplier_breadth,
         "source_length_percentiles": Q.q_source_length_percentiles,
+        "second_purchase_latency": Q.q_second_purchase_latency,
+        "returns_by_discount_band": Q.q_returns_by_discount_band,
+        "embedding_label_margin": Q.q_embedding_label_margin,
+        "supplier_cosupply_pairs": Q.q_supplier_cosupply_pairs,
+        "brand_quantity_mode": Q.q_brand_quantity_mode,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -2449,6 +2454,125 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        percentile_cont(0.9) WITHIN GROUP (ORDER BY CAST(n_chars AS BIGINT))
          AS p90
 FROM documents GROUP BY source ORDER BY source
+""",
+        "second_purchase_latency": """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+           AS rn
+  FROM orders
+),
+firsts AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         MIN(CASE WHEN rn = 1 THEN d END) AS d1,
+         MIN(CASE WHEN rn = 2 THEN d END) AS d2
+  FROM o WHERE rn <= 2 GROUP BY 1
+),
+lat AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN f.n_orders >= 2 THEN 1 ELSE 0 END AS returned,
+         CASE WHEN f.n_orders >= 2 THEN
+           CAST(FLOOR(epoch(CAST(f.d2 AS TIMESTAMP)) / 86400) AS BIGINT)
+           - CAST(FLOOR(epoch(CAST(f.d1 AS TIMESTAMP)) / 86400) AS BIGINT)
+         END AS gap
+  FROM firsts f JOIN customer c ON f.o_custkey = c.c_custkey
+)
+SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_buyers,
+       CAST(SUM(returned) AS BIGINT) AS n_repeat,
+       ROUND(CAST(SUM(returned) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS repeat_share,
+       ROUND(CAST(SUM(gap) AS DOUBLE) / CAST(SUM(returned) AS DOUBLE), 6)
+         AS mean_days_to_second,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY gap)
+         AS median_days_to_second
+FROM lat GROUP BY segment ORDER BY segment
+""",
+        "returns_by_discount_band": """
+WITH li AS (
+  SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS band,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem
+)
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(ret) AS BIGINT) AS n_returned,
+       ROUND(CAST(SUM(ret) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS return_share,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS revenue
+FROM li GROUP BY band ORDER BY band
+""",
+        "embedding_label_margin": """
+WITH ex AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+sizes AS (
+  SELECT CAST(label AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS nk
+  FROM embeddings GROUP BY 1
+),
+cent AS (
+  SELECT label AS k, dim, SUM(q) AS s FROM ex GROUP BY 1, 2
+),
+bk AS (SELECT k, SUM(s * s) AS b FROM cent GROUP BY 1),
+dots AS (
+  SELECT e.vec_id, e.label, c.k, SUM(e.q * c.s) AS a
+  FROM ex e JOIN cent c ON e.dim = c.dim
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT d.vec_id, d.label, d.k,
+         CAST(bk.b - 2 * sz.nk * d.a AS DOUBLE)
+         / CAST(sz.nk * sz.nk AS DOUBLE) AS f
+  FROM dots d JOIN bk ON d.k = bk.k JOIN sizes sz ON d.k = sz.k
+),
+ranked AS (
+  SELECT vec_id, label, k, f,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY f, k) AS rn
+  FROM scored
+),
+per AS (
+  SELECT vec_id, label,
+         CAST(MIN(CASE WHEN rn = 1 THEN k END) AS BIGINT) AS assigned,
+         MIN(CASE WHEN rn = 1 THEN f END) AS f1,
+         MIN(CASE WHEN rn = 2 THEN f END) AS f2
+  FROM ranked WHERE rn <= 2 GROUP BY 1, 2
+)
+SELECT vec_id, label, assigned,
+       ROUND((f2 - f1) / 100000000.0, 6) AS margin
+FROM per ORDER BY f2 - f1, vec_id LIMIT 25
+""",
+        "supplier_cosupply_pairs": """
+WITH sp AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+)
+SELECT a.s AS supp_a, b.s AS supp_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_parts
+FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+GROUP BY 1, 2
+ORDER BY n_shared_parts DESC, supp_a, supp_b
+LIMIT 25
+""",
+        "brand_quantity_mode": """
+WITH cells AS (
+  SELECT p.p_brand AS brand, CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT brand, qty, n,
+         ROW_NUMBER() OVER (PARTITION BY brand
+                            ORDER BY n DESC, qty ASC) AS rn,
+         SUM(n) OVER (PARTITION BY brand) AS tot
+  FROM cells
+)
+SELECT brand, qty AS mode_qty, n AS n_lines_at_mode,
+       ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS mode_share
+FROM ranked WHERE rn = 1 ORDER BY brand
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

@@ -10321,3 +10321,204 @@ def q_source_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def q_second_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-SECOND-PURCHASE per market segment: days between each
+    customer's first and second order (rank 2 over the per-customer
+    window, (date, orderkey) order), profiled as n / conversion share
+    / exact mean / exact interpolated median -- THE growth metric
+    behind 'do buyers come back, and how fast'. One partitioned
+    window, one broadcast dim join."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    firsts = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+            F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+        )
+    )
+    cust = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    j = firsts.join(F.broadcast(cust), firsts.o_custkey == cust.c_custkey)
+    lat = j.select(
+        "segment",
+        (F.col("n_orders") >= 2).cast("int").alias("returned"),
+        F.when(F.col("n_orders") >= 2, F.datediff("d2", "d1")).alias("gap"),
+    )
+    return (
+        lat.groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_buyers"),
+            F.sum("returned").cast("long").alias("n_repeat"),
+            F.round(
+                F.sum("returned").cast("double") / F.count("*").cast("double"),
+                6,
+            ).alias("repeat_share"),
+            F.round(
+                F.sum("gap").cast("double") / F.sum("returned").cast("double"),
+                6,
+            ).alias("mean_days_to_second"),
+            F.percentile("gap", F.lit(0.5)).alias("median_days_to_second"),
+        )
+        .orderBy("segment")
+    )
+
+
+def q_returns_by_discount_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are DISCOUNTED lines returned MORE? Lines band by exact discount
+    percentage points (0..10) and each band reports line count, return
+    share and exact revenue -- the markdown-quality screen merchants
+    run before blaming carriers (``returns_vs_latency`` asks the same
+    question of shipping speed). Flag and band are integer comparisons
+    at the scan."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("long").alias("band"),
+        (F.col("l_returnflag") == "R").cast("int").alias("ret"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        li.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("ret").cast("long").alias("n_returned"),
+            F.round(
+                F.sum("ret").cast("double") / F.count("*").cast("double"), 6
+            ).alias("return_share"),
+            F.round(F.sum("cents").cast("double") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("band")
+    )
+
+
+def q_embedding_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAST-CONFIDENT vectors: the 25 smallest margins between the
+    best and second-best label centroid under the exact leave-in
+    nearest-centroid scoring of ``nearest_centroid_confusion`` -- the
+    active-learning pick list (small margin = the label boundary runs
+    through this point). Both engines evaluate the identical
+    exact-int-to-double score f_k, so margin ordering (vec_id
+    tiebreak) is cross-engine deterministic."""
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("v").cast("double") * 10000).cast("long").alias("q"),
+    )
+    sizes = emb.groupBy(F.col("label").cast("long").alias("k")).agg(
+        F.count("*").cast("long").alias("nk")
+    )
+    cent = ex.groupBy(F.col("label").alias("k"), "dim").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s")
+    )
+    bk = cent.groupBy("k").agg(F.sum(F.col("s") * F.col("s")).alias("b"))
+    dots = (
+        ex.join(cent, "dim")
+        .groupBy("vec_id", "label", "k")
+        .agg(F.sum(F.col("q").cast("decimal(38,0)") * F.col("s")).alias("a"))
+    )
+    scored = dots.join(bk, "k").join(sizes, "k").select(
+        "vec_id",
+        "label",
+        "k",
+        (
+            (F.col("b") - F.lit(2) * F.col("nk") * F.col("a")).cast("double")
+            / (F.col("nk") * F.col("nk")).cast("double")
+        ).alias("f"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("f", "k")
+    ranked = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 2
+    )
+    per = ranked.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("k"))).cast("long").alias("assigned"),
+        F.min(F.when(F.col("rn") == 1, F.col("f"))).alias("f1"),
+        F.min(F.when(F.col("rn") == 2, F.col("f"))).alias("f2"),
+    )
+    return (
+        per.select(
+            "vec_id",
+            "label",
+            "assigned",
+            (F.col("f2") - F.col("f1")).alias("margin_raw"),
+        )
+        .orderBy("margin_raw", "vec_id")
+        .limit(25)
+        .select(
+            "vec_id",
+            "label",
+            "assigned",
+            F.round(F.col("margin_raw") / F.lit(100000000.0), 6).alias("margin"),
+        )
+    )
+
+
+def q_supplier_cosupply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier CO-SUPPLY graph: the 25 supplier pairs sharing the most
+    parts (distinct (supplier, part) edges self-joined on the part key
+    -- candidate fan-out bounded by suppliers-per-part, never
+    all-pairs over the supplier roster) -- the redundancy/collusion
+    screen over the sourcing network, ``copurchase_pairs``' shape on
+    the supply side."""
+    sp = (
+        fixtures.load(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = sp.select(F.col("s").alias("supp_a"), "p")
+    b = sp.select(F.col("s").alias("supp_b"), "p")
+    return (
+        a.join(b, "p")
+        .where(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count("*").cast("long").alias("n_shared_parts"))
+        .orderBy(F.col("n_shared_parts").desc(), "supp_a", "supp_b")
+        .limit(25)
+    )
+
+
+def q_brand_quantity_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE order quantity per brand (the most frequent line quantity,
+    smallest-quantity tiebreak) with its frequency share -- the
+    pack-size signal a replenishment planner reads off transaction
+    data (a mode at 12 says 'case of twelve'). Rank-within-group over
+    the (brand, quantity) counts; never a global sort."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    part = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    cells = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("brand", "qty")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("brand").orderBy(F.col("n").desc(), F.col("qty").asc())
+    w_tot = Window.partitionBy("brand")
+    return (
+        cells.withColumn("rn", F.row_number().over(w))
+        .withColumn("tot", F.sum("n").over(w_tot))
+        .where(F.col("rn") == 1)
+        .select(
+            "brand",
+            F.col("qty").alias("mode_qty"),
+            F.col("n").alias("n_lines_at_mode"),
+            F.round(
+                F.col("n").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("mode_share"),
+        )
+        .orderBy("brand")
+    )

@@ -2006,3 +2006,130 @@ def test_source_length_percentiles_python_model(spark):
         assert abs(out[s].mean_chars - round(sum(xs) / len(xs), 6)) < 1e-6
         for col, p in (("p25", 25), ("p50", 50), ("p90", 90)):
             assert abs(getattr(out[s], col) - np.percentile(xs, p)) < 1e-6
+
+
+def test_second_purchase_latency_python_model(spark):
+    """Repeat share, mean and median days-to-second reproduce a python
+    recompute; buyers conserve to the ordering-customer count."""
+    import numpy as np
+
+    orders = fixtures.load(spark, SF, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d"), "o_orderkey"
+    ).collect()
+    per: dict[int, list] = {}
+    for r in orders:
+        per.setdefault(r.o_custkey, []).append((r.d, r.o_orderkey))
+    seg = {
+        r.c_custkey: r.c_mktsegment
+        for r in fixtures.load(spark, SF, "customer").collect()
+    }
+    stats: dict[str, list] = {}
+    for ck, xs in per.items():
+        xs.sort()
+        gaps = stats.setdefault(seg[ck], [0, 0, []])
+        gaps[0] += 1
+        if len(xs) >= 2:
+            gaps[1] += 1
+            gaps[2].append((xs[1][0] - xs[0][0]).days)
+    out = {r.segment: r for r in Q.q_second_purchase_latency(spark, SF).collect()}
+    assert set(out) == set(stats)
+    for s, (n, rep, gaps) in stats.items():
+        assert out[s].n_buyers == n
+        assert out[s].n_repeat == rep
+        assert abs(out[s].mean_days_to_second - sum(gaps) / rep) < 1e-6
+        assert abs(out[s].median_days_to_second - np.percentile(gaps, 50)) < 1e-6
+
+
+def test_returns_by_discount_band_conservation(spark):
+    """Bands cover all lines; return shares are proper fractions."""
+    out = Q.q_returns_by_discount_band(spark, SF).collect()
+    assert sum(r.n_lines for r in out) == fixtures.load(spark, SF, "lineitem").count()
+    assert {r.band for r in out} <= set(range(0, 11))
+    for r in out:
+        assert 0.0 <= r.return_share <= 1.0
+
+
+def test_embedding_label_margin_python_model(spark):
+    """The 25 least-confident vectors match a python recompute of the
+    exact nearest-centroid margins (f2 - f1, vec_id tiebreak); margins
+    are non-negative and the assigned label is the python argmin."""
+    vecs = _quantized_embeddings(spark)
+    by_label: dict[int, list] = {}
+    for vid, (lbl, q) in vecs.items():
+        by_label.setdefault(lbl, []).append(q)
+    sums = {
+        k: [sum(col) for col in zip(*qs)] for k, qs in by_label.items()
+    }
+    bk = {k: sum(x * x for x in s) for k, s in sums.items()}
+    nk = {k: len(v) for k, v in by_label.items()}
+    rows = []
+    for vid, (lbl, q) in vecs.items():
+        fs = sorted(
+            (
+                (bk[k] - 2 * nk[k] * sum(a * b for a, b in zip(q, sums[k])))
+                / (nk[k] * nk[k]),
+                k,
+            )
+            for k in sums
+        )
+        rows.append((fs[1][0] - fs[0][0], vid, lbl, fs[0][1]))
+    rows.sort()
+    want = rows[:25]
+    out = Q.q_embedding_label_margin(spark, SF).collect()
+    assert [r.vec_id for r in out] == [v for _m, v, _l, _a in want]
+    for r, (m, _v, lbl, a) in zip(out, want):
+        assert r.label == lbl and r.assigned == a
+        assert r.margin >= 0.0
+        assert abs(r.margin - round(m / 1e8, 6)) < 1e-5
+
+
+def test_supplier_cosupply_pairs_recount(spark):
+    """Top pair counts match a python recount over distinct
+    (supplier, part) edges."""
+    sp = {
+        (r.l_suppkey, r.l_partkey)
+        for r in fixtures.load(spark, SF, "lineitem")
+        .select("l_suppkey", "l_partkey")
+        .collect()
+    }
+    by_part: dict[int, list] = {}
+    for s, p in sp:
+        by_part.setdefault(p, []).append(s)
+    counts: dict[tuple, int] = {}
+    for ss in by_part.values():
+        ss.sort()
+        for i, a in enumerate(ss):
+            for b in ss[i + 1 :]:
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    out = Q.q_supplier_cosupply_pairs(spark, SF).collect()
+    assert [(r.supp_a, r.supp_b, r.n_shared_parts) for r in out] == [
+        (a, b, n) for (a, b), n in want
+    ]
+
+
+def test_brand_quantity_mode_is_argmax(spark):
+    """Each brand's mode is the max-count quantity (smallest-qty
+    tiebreak) in a python recount; share is count/total."""
+    li = fixtures.load(spark, SF, "lineitem").select("l_partkey", "l_quantity").collect()
+    brand = {
+        r.p_partkey: r.p_brand for r in fixtures.load(spark, SF, "part").collect()
+    }
+    cells: dict[tuple, int] = {}
+    tot: dict[str, int] = {}
+    for r in li:
+        b = brand[r.l_partkey]
+        q = int(r.l_quantity)
+        cells[(b, q)] = cells.get((b, q), 0) + 1
+        tot[b] = tot.get(b, 0) + 1
+    best: dict[str, tuple] = {}
+    for (b, q), n in cells.items():
+        cand = (-n, q)
+        if b not in best or cand < best[b]:
+            best[b] = cand
+    out = {r.brand: r for r in Q.q_brand_quantity_mode(spark, SF).collect()}
+    assert set(out) == set(best)
+    for b, (negn, q) in best.items():
+        assert out[b].mode_qty == q
+        assert out[b].n_lines_at_mode == -negn
+        assert abs(out[b].mode_share - round(-negn / tot[b], 6)) < 1e-6

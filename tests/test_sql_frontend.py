@@ -312,6 +312,12 @@ PORTABLE = [
     "event_type_transitions",
     "part_supplier_breadth",
     "source_length_percentiles",
+    # round-9 batch 17 (pure ANSI; latency via epoch shim +
+    # percentile_cont; label margin excluded: unnest-indexed arrays)
+    "second_purchase_latency",
+    "returns_by_discount_band",
+    "supplier_cosupply_pairs",
+    "brand_quantity_mode",
 ]
 
 
