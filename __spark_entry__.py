@@ -147,6 +147,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_margin": Q.q_embedding_label_margin,
         "supplier_cosupply_pairs": Q.q_supplier_cosupply_pairs,
         "brand_quantity_mode": Q.q_brand_quantity_mode,
+        "sku_seasonality_strength": Q.q_sku_seasonality_strength,
+        "customer_dow_habit": Q.q_customer_dow_habit,
+        "session_size_histogram": Q.q_session_size_histogram,
+        "event_type_peak_hour": Q.q_event_type_peak_hour,
+        "source_genericness": Q.q_source_genericness,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -2573,6 +2578,122 @@ ranked AS (
 SELECT brand, qty AS mode_qty, n AS n_lines_at_mode,
        ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS mode_share
 FROM ranked WHERE rn = 1 ORDER BY brand
+""",
+        "sku_seasonality_strength": """
+WITH cells AS (
+  SELECT l_partkey AS sku, CAST(month(l_shipdate) AS BIGINT) AS mon,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT sku, mon, q,
+         ROW_NUMBER() OVER (PARTITION BY sku ORDER BY q DESC, mon ASC) AS rn,
+         CAST(SUM(q) OVER (PARTITION BY sku) AS BIGINT) AS tot
+  FROM cells
+)
+SELECT sku, mon AS peak_month, tot AS total_qty,
+       ROUND(12.0 * CAST(q AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS strength
+FROM ranked WHERE rn = 1 ORDER BY sku
+""",
+        "customer_dow_habit": """
+WITH o AS (
+  SELECT o_custkey,
+         (CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400)
+               AS BIGINT) + 3) % 7 + 1 AS dow
+  FROM orders
+),
+cells AS (
+  SELECT o_custkey, dow, CAST(COUNT(*) AS BIGINT) AS n
+  FROM o GROUP BY 1, 2
+),
+modes AS (
+  SELECT dow FROM (
+    SELECT o_custkey, dow,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY n DESC, dow ASC) AS rn
+    FROM cells
+  ) WHERE rn = 1
+),
+hist AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_customers FROM modes GROUP BY 1
+),
+tot AS (SELECT SUM(n_customers) AS t FROM hist)
+SELECT dow AS iso_dow, n_customers,
+       ROUND(CAST(n_customers AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+FROM hist CROSS JOIN tot ORDER BY iso_dow
+""",
+        "session_size_histogram": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT), 1, 0)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 30*60
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT *, SUM(new_session) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+),
+rolled AS (
+  SELECT user_id, session_seq,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
+         - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS dur_s
+  FROM sess GROUP BY 1, 2
+),
+hist AS (
+  SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         SUM(dur_s) AS sd
+  FROM rolled GROUP BY 1
+),
+tot AS (SELECT SUM(n_sessions) AS t FROM hist)
+SELECT n_events, n_sessions,
+       ROUND(CAST(n_sessions AS DOUBLE) / CAST(t AS DOUBLE), 6)
+         AS session_share,
+       ROUND(CAST(sd AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6)
+         AS mean_duration_s
+FROM hist CROSS JOIN tot ORDER BY n_events
+""",
+        "event_type_peak_hour": """
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, hr, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, hr ASC) AS rn,
+         CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+  FROM cells
+)
+SELECT event_type, hr AS peak_hour, n AS n_at_peak,
+       ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS peak_share
+FROM ranked WHERE rn = 1 ORDER BY event_type
+""",
+        "source_genericness": """
+WITH tok AS (
+  SELECT source, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    t -> t <> '')) AS token
+  FROM documents
+),
+gc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+top AS (
+  SELECT token, 1 AS is_top FROM gc ORDER BY n DESC, token ASC LIMIT 100
+),
+per AS (
+  SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(COALESCE(tp.is_top, 0)) AS BIGINT) AS n_top
+  FROM tok t LEFT JOIN top tp ON t.token = tp.token
+  GROUP BY 1
+)
+SELECT source, n_tokens,
+       ROUND(CAST(n_top AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS top100_mass_share
+FROM per ORDER BY source
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

@@ -10522,3 +10522,201 @@ def q_brand_quantity_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+def q_sku_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sku SEASONALITY STRENGTH: the peak calendar month's share of
+    annualized demand, strength = 12 * peak_month_qty / total_qty (1.0
+    = perfectly flat, 12.0 = all demand in one month) with the peak
+    month itself (argmax, month tiebreak) -- the signal that routes a
+    sku to seasonal vs continuous replenishment, the per-sku view
+    under ``monthly_seasonality``'s corpus index and
+    ``brand_seasonal_peak``'s brand grain. Rank-within-group over
+    (sku, month) sums; one terminal divide."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("sku"),
+        F.month("l_shipdate").cast("long").alias("mon"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    cells = li.groupBy("sku", "mon").agg(F.sum("qty").cast("long").alias("q"))
+    w = Window.partitionBy("sku").orderBy(F.col("q").desc(), F.col("mon").asc())
+    w_tot = Window.partitionBy("sku")
+    return (
+        cells.withColumn("rn", F.row_number().over(w))
+        .withColumn("tot", F.sum("q").over(w_tot))
+        .where(F.col("rn") == 1)
+        .select(
+            "sku",
+            F.col("mon").alias("peak_month"),
+            F.col("tot").alias("total_qty"),
+            F.round(
+                F.lit(12.0)
+                * F.col("q").cast("double")
+                / F.col("tot").cast("double"),
+                6,
+            ).alias("strength"),
+        )
+        .orderBy("sku")
+    )
+
+
+def q_customer_dow_habit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERING-DAY HABIT: each customer's modal ISO weekday (epoch-day
+    arithmetic -- ((days + 3) % 7) + 1, the only dow spelling both
+    engines compute identically -- smallest-dow tiebreak), histogrammed
+    with the share of customers whose habit lands on that day. Two
+    rank/aggregate levels, the ``brand_quantity_mode`` pattern on the
+    customer axis."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            (
+                F.floor(
+                    F.unix_timestamp(
+                        F.col("o_orderdate").cast("timestamp")
+                    )
+                    / F.lit(86400)
+                ).cast("long")
+                + 3
+            )
+            % 7
+            + 1
+        ).alias("dow"),
+    )
+    cells = orders.groupBy("o_custkey", "dow").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("n").desc(), F.col("dow").asc()
+    )
+    modes = (
+        cells.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("dow")
+    )
+    hist = modes.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+    tot = hist.groupBy().agg(F.sum("n_customers").alias("t"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow").alias("iso_dow"),
+            "n_customers",
+            F.round(
+                F.col("n_customers").cast("double") / F.col("t").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("iso_dow")
+    )
+
+
+def q_session_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION DEPTH histogram: gap-based sessions (the
+    ``events_sessionize`` operator, 30-min gap) bucketed by event
+    count, with each bucket's share of sessions and mean session
+    duration in exact seconds -- the engagement-depth curve product
+    analytics reads first. The histogram is a second aggregate over
+    the sessionizer's output; everything stays on the one user_id
+    exchange."""
+    from .operators.sessionize import sessionize
+
+    sess = sessionize(fixtures.events(spark, sf_dir), gap_minutes=30).select(
+        F.col("n_events").cast("long").alias("n_events"),
+        (
+            F.col("session_end").cast("long")
+            - F.col("session_start").cast("long")
+        ).alias("dur_s"),
+    )
+    hist = sess.groupBy("n_events").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(F.col("dur_s").cast("decimal(38,0)")).alias("sd"),
+    )
+    tot = hist.groupBy().agg(F.sum("n_sessions").alias("t"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "n_events",
+            "n_sessions",
+            F.round(
+                F.col("n_sessions").cast("double") / F.col("t").cast("double"),
+                6,
+            ).alias("session_share"),
+            F.round(
+                F.col("sd").cast("double") / F.col("n_sessions").cast("double"),
+                6,
+            ).alias("mean_duration_s"),
+        )
+        .orderBy("n_events")
+    )
+
+
+def q_event_type_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK HOUR per event type: the modal UTC hour-of-day (argmax,
+    hour tiebreak) with its share of the type's events -- load-shaping
+    input for capacity planning, ``events_hour_of_day``'s profile
+    collapsed to its argmax per type."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    )
+    cells = ev.groupBy("event_type", "hr").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("hr").asc()
+    )
+    w_tot = Window.partitionBy("event_type")
+    return (
+        cells.withColumn("rn", F.row_number().over(w))
+        .withColumn("tot", F.sum("n").over(w_tot))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hr").alias("peak_hour"),
+            F.col("n").alias("n_at_peak"),
+            F.round(
+                F.col("n").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("peak_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_source_genericness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source GENERICNESS: the share of each source's token MASS
+    covered by the corpus's global top-100 tokens (count-desc, token
+    tiebreak) -- a feed that scores near 1.0 emits boilerplate-like
+    text, near 0.0 a specialized vocabulary; the cheap screen that
+    ranks sources for dedup/quality attention. The top-100 list is a
+    TakeOrderedAndProject (never a global sort) and joins back as a
+    tiny equi-join side."""
+    from .functions.text import tokens
+
+    docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(tokens("text")).alias("token")
+    )
+    global_counts = tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    top = (
+        global_counts.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(100)
+        .select("token", F.lit(1).alias("is_top"))
+    )
+    per = (
+        tok.join(top, "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.coalesce("is_top", F.lit(0))).cast("long").alias("n_top"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        F.round(
+            F.col("n_top").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("top100_mass_share"),
+    ).orderBy("source")

@@ -58,6 +58,8 @@ NESTED_LOOP_OK = {
     "embedding_outliers",  # 1-row (N, ||s||^2) centroid-stats broadcast gate
     "stock_cover_days",  # 1-row corpus-horizon broadcast gate
     "part_supplier_breadth",  # 1-row revenue-total broadcast gate (shares)
+    "customer_dow_habit",  # 1-row customer-total broadcast gate (shares)
+    "session_size_histogram",  # 1-row session-total broadcast gate (shares)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

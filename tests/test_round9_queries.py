@@ -2133,3 +2133,103 @@ def test_brand_quantity_mode_is_argmax(spark):
         assert out[b].mode_qty == q
         assert out[b].n_lines_at_mode == -negn
         assert abs(out[b].mode_share - round(-negn / tot[b], 6)) < 1e-6
+
+
+def test_sku_seasonality_strength_bounds_and_model(spark):
+    """Strength lies in [1, 12]; a python recount verifies the argmax
+    month and the exact ratio on a sample of skus."""
+    out = Q.q_sku_seasonality_strength(spark, SF).collect()
+    for r in out:
+        assert 1.0 - 1e-9 <= r.strength <= 12.0 + 1e-9
+    li = fixtures.load(spark, SF, "lineitem").select(
+        "l_partkey", F.month("l_shipdate").alias("m"), "l_quantity"
+    ).collect()
+    cells: dict[tuple, int] = {}
+    for r in li:
+        cells[(r.l_partkey, r.m)] = cells.get((r.l_partkey, r.m), 0) + int(
+            r.l_quantity
+        )
+    per: dict[int, dict] = {}
+    for (s, m), q in cells.items():
+        per.setdefault(s, {})[m] = q
+    for r in out[:100]:
+        months = per[r.sku]
+        tot = sum(months.values())
+        peak = min(((-q, m) for m, q in months.items()))
+        assert r.peak_month == peak[1]
+        assert r.total_qty == tot
+        assert abs(r.strength - round(12.0 * (-peak[0]) / tot, 6)) < 1e-6
+
+
+def test_customer_dow_habit_partition(spark):
+    """ISO dows are 1..7 and the histogram conserves the ordering
+    customer count; shares telescope to 1."""
+    out = Q.q_customer_dow_habit(spark, SF).collect()
+    assert {r.iso_dow for r in out} <= set(range(1, 8))
+    n_cust = fixtures.load(spark, SF, "orders").select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in out) == n_cust
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-4
+
+
+def test_session_size_histogram_matches_sessionizer(spark):
+    """Histogram totals match the sessionize operator's output exactly
+    (count per depth and mean duration)."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.sessionize import (
+        sessionize,
+    )
+
+    sess = sessionize(fixtures.events(spark, SF), gap_minutes=30).collect()
+    hist: dict[int, list[int]] = {}
+    for s in sess:
+        n, d = hist.get(s.n_events, (0, 0))
+        dur = int(s.session_end.timestamp()) - int(s.session_start.timestamp())
+        hist[s.n_events] = (n + 1, d + dur)
+    out = {r.n_events: r for r in Q.q_session_size_histogram(spark, SF).collect()}
+    assert set(out) == set(hist)
+    for k, (n, d) in hist.items():
+        assert out[k].n_sessions == n
+        assert abs(out[k].mean_duration_s - round(d / n, 6)) < 1e-6
+
+
+def test_event_type_peak_hour_argmax(spark):
+    """Peak hour is the modal hour per type in a python recount."""
+    ev = fixtures.events(spark, SF).select("event_type", F.hour("ts").alias("h")).collect()
+    cells: dict[tuple, int] = {}
+    tot: dict[str, int] = {}
+    for r in ev:
+        cells[(r.event_type, r.h)] = cells.get((r.event_type, r.h), 0) + 1
+        tot[r.event_type] = tot.get(r.event_type, 0) + 1
+    best: dict[str, tuple] = {}
+    for (t, h), n in cells.items():
+        cand = (-n, h)
+        if t not in best or cand < best[t]:
+            best[t] = cand
+    out = {r.event_type: r for r in Q.q_event_type_peak_hour(spark, SF).collect()}
+    assert set(out) == set(best)
+    for t, (negn, h) in best.items():
+        assert out[t].peak_hour == h
+        assert out[t].n_at_peak == -negn
+        assert abs(out[t].peak_share - round(-negn / tot[t], 6)) < 1e-6
+
+
+def test_source_genericness_bounds_and_recount(spark):
+    """Top-100 mass share is a proper fraction and matches a python
+    recount with the deterministic (count desc, token asc) cut."""
+    docs = fixtures.load(spark, SF, "documents").select("source", "text").collect()
+    from collections import Counter
+
+    gc: Counter = Counter()
+    per_src: dict[str, list] = {}
+    for r in docs:
+        toks = [t for t in r.text.split() if t]
+        gc.update(toks)
+        per_src.setdefault(r.source, []).extend(toks)
+    top = {
+        t for t, _n in sorted(gc.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    }
+    out = {r.source: r for r in Q.q_source_genericness(spark, SF).collect()}
+    assert set(out) == set(per_src)
+    for s, toks in per_src.items():
+        n_top = sum(1 for t in toks if t in top)
+        assert out[s].n_tokens == len(toks)
+        assert abs(out[s].top100_mass_share - round(n_top / len(toks), 6)) < 1e-6

@@ -318,6 +318,12 @@ PORTABLE = [
     "returns_by_discount_band",
     "supplier_cosupply_pairs",
     "brand_quantity_mode",
+    # round-9 batch 18 (pure ANSI; dow habit + session histogram via
+    # the epoch shim; genericness excluded: list_* lambda family)
+    "sku_seasonality_strength",
+    "customer_dow_habit",
+    "session_size_histogram",
+    "event_type_peak_hour",
 ]
 
 
