@@ -125,6 +125,12 @@ BENCH_QUERIES = [
     "brand_transitions",
     "token_burstiness",
     "heavy_hitter_tokens",
+    # round-9 session 2: the n*d*k exact Lloyd scoring join over the
+    # embedding table, the explode(sequence)-densified trailing-week
+    # WAU, and the corpus shingle DF aggregate -- first floors
+    "kmeans_iteration",
+    "dau_wau_stickiness",
+    "shingle_df_profile",
 ]
 
 
