@@ -152,6 +152,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_size_histogram": Q.q_session_size_histogram,
         "event_type_peak_hour": Q.q_event_type_peak_hour,
         "source_genericness": Q.q_source_genericness,
+        "embedding_dim_correlations": Q.q_embedding_dim_correlations,
+        "brand_nation_price_spread": Q.q_brand_nation_price_spread,
+        "monthly_aov_trend": Q.q_monthly_aov_trend,
+        "brand_top_supplier_share": Q.q_brand_top_supplier_share,
+        "user_activity_deciles": Q.q_user_activity_deciles,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -2694,6 +2699,136 @@ SELECT source, n_tokens,
        ROUND(CAST(n_top AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
          AS top100_mass_share
 FROM per ORDER BY source
+""",
+        "embedding_dim_correlations": """
+WITH ex AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+st AS (
+  SELECT a.dim AS dim_a, b.dim AS dim_b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(a.q) AS sa, SUM(b.q) AS sb,
+         SUM(a.q * a.q) AS saa, SUM(b.q * b.q) AS sbb,
+         SUM(a.q * b.q) AS sab
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim < b.dim
+  GROUP BY 1, 2
+),
+sc AS (
+  SELECT dim_a, dim_b,
+         CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+         - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) AS c,
+         CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS vx,
+         CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+         - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS vy
+  FROM st
+)
+SELECT dim_a, dim_b,
+       ROUND(c / (SQRT(vx) * SQRT(vy)), 6) AS r
+FROM sc ORDER BY c * c / (vx * vy) DESC, dim_a, dim_b LIMIT 25
+""",
+        "brand_nation_price_spread": """
+WITH cells AS (
+  SELECT p.p_brand AS brand, n.n_name AS nation,
+         SUM(CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS c,
+         SUM(CAST(l.l_quantity AS BIGINT)) AS q
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+up AS (
+  SELECT brand,
+         ROUND(CAST(c AS DOUBLE) / (CAST(q AS DOUBLE) * 100.0), 6)
+           AS unit_price
+  FROM cells
+)
+SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_nations,
+       MIN(unit_price) AS min_unit_price,
+       MAX(unit_price) AS max_unit_price,
+       ROUND(MAX(unit_price) / MIN(unit_price), 6) AS spread_ratio
+FROM up GROUP BY brand ORDER BY brand
+""",
+        "monthly_aov_trend": """
+WITH o AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) * 12
+         + CAST(month(o_orderdate) AS BIGINT) - 1 AS mi,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+),
+per AS (
+  SELECT mi, CAST(COUNT(*) AS BIGINT) AS n_orders, SUM(cents) AS cents
+  FROM o GROUP BY 1
+)
+SELECT CAST(FLOOR(c.mi / 12.0) AS BIGINT) AS year,
+       CAST(c.mi % 12 + 1 AS BIGINT) AS month,
+       c.n_orders,
+       ROUND(CAST(c.cents AS DOUBLE)
+             / (CAST(c.n_orders AS DOUBLE) * 100.0), 2) AS aov,
+       ROUND(CAST(c.cents AS DOUBLE)
+             / (CAST(c.n_orders AS DOUBLE) * 100.0)
+             - CAST(p.cents AS DOUBLE)
+               / (CAST(p.n_orders AS DOUBLE) * 100.0), 2)
+         AS delta_vs_prev
+FROM per c LEFT JOIN per p ON c.mi = p.mi + 1
+ORDER BY year, month
+""",
+        "brand_top_supplier_share": """
+WITH cells AS (
+  SELECT p.p_brand AS brand, l.l_suppkey,
+         SUM(CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT brand, l_suppkey, c,
+         ROW_NUMBER() OVER (PARTITION BY brand
+                            ORDER BY c DESC, l_suppkey ASC) AS rn,
+         SUM(c) OVER (PARTITION BY brand) AS tot
+  FROM cells
+)
+SELECT brand, l_suppkey AS top_suppkey,
+       ROUND(CAST(c AS DOUBLE) / 100.0, 2) AS top_supplier_revenue,
+       ROUND(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+         AS top_supplier_share
+FROM ranked WHERE rn = 1 ORDER BY brand
+""",
+        "user_activity_deciles": """
+WITH ev AS (
+  SELECT user_id,
+         COALESCE(CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100)
+                       AS BIGINT), 0) AS cents
+  FROM events
+),
+per AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(cents) AS cents
+  FROM ev GROUP BY 1
+),
+dec AS (
+  SELECT CAST(NTILE(10) OVER (ORDER BY n_events DESC, user_id ASC)
+              AS BIGINT) AS decile,
+         n_events, cents
+  FROM per
+),
+hist AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(cents) AS cents
+  FROM dec GROUP BY 1
+),
+tot AS (SELECT SUM(n_events) AS te, SUM(cents) AS tc FROM hist)
+SELECT decile, n_users,
+       ROUND(CAST(n_events AS DOUBLE) / CAST(te AS DOUBLE), 6)
+         AS event_share,
+       ROUND(CAST(cents AS DOUBLE) / CAST(tc AS DOUBLE), 6) AS value_share
+FROM hist CROSS JOIN tot ORDER BY decile
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

@@ -10720,3 +10720,255 @@ def q_source_genericness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_top").cast("double") / F.col("n_tokens").cast("double"), 6
         ).alias("top100_mass_share"),
     ).orderBy("source")
+
+
+def q_embedding_dim_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 CORRELATED DIMENSION PAIRS of the embedding table: exact
+    Pearson r between coordinate pairs (r^2 desc, (dim_a, dim_b)
+    tiebreak) -- the redundancy screen that says whether PCA/PQ will
+    compress well. The (vec, dim) frame self-joins ON THE VECTOR KEY
+    (fan-out d per row, d=64 -- bounded by the schema, never by the
+    corpus), cross-products accumulate as exact DECIMAL(38,0)
+    map-side, and each pair ends in the ``measure_correlations``
+    sqrt/divide contract. The ordering key r^2 = cov^2/(varx*vary) is
+    a ratio of exact integers -- cross-engine deterministic without
+    touching a rounded double."""
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    n_vec = F.lit(None)  # documented below: N rides the aggregate
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("v").cast("double") * 10000).cast("long").alias("q"),
+    )
+    a = ex.select("vec_id", F.col("dim").alias("da"), F.col("q").alias("qa"))
+    b = ex.select("vec_id", F.col("dim").alias("db"), F.col("q").alias("qb"))
+    d = F.col("qa").cast("decimal(38,0)")
+    e = F.col("qb").cast("decimal(38,0)")
+    stats = (
+        a.join(b, "vec_id")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(d).alias("sa"),
+            F.sum(e).alias("sb"),
+            F.sum(d * d).alias("saa"),
+            F.sum(e * e).alias("sbb"),
+            F.sum(d * e).alias("sab"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    saa = F.col("saa").cast("double")
+    sbb = F.col("sbb").cast("double")
+    sab = F.col("sab").cast("double")
+    cov = n * sab - sa * sb
+    varx = n * saa - sa * sa
+    vary = n * sbb - sb * sb
+    return (
+        stats.select(
+            F.col("da").alias("dim_a"),
+            F.col("db").alias("dim_b"),
+            cov.alias("c"),
+            varx.alias("vx"),
+            vary.alias("vy"),
+        )
+        .orderBy(
+            (
+                F.col("c") * F.col("c") / (F.col("vx") * F.col("vy"))
+            ).desc(),
+            "dim_a",
+            "dim_b",
+        )
+        .limit(25)
+        .select(
+            "dim_a",
+            "dim_b",
+            F.round(
+                F.col("c") / (F.sqrt(F.col("vx")) * F.sqrt(F.col("vy"))), 6
+            ).alias("r"),
+        )
+    )
+
+
+def q_brand_nation_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOGRAPHIC PRICE DISPERSION per brand: the same brand's mean
+    unit line price across supplier nations -- min, max and the
+    max/min ratio ('does this brand sell at different prices depending
+    on where it ships from'). Nation means are exact-cents rationals
+    terminally rounded; the min/max over nations uses the identical
+    rounded doubles on both engines. Two aggregate levels over one
+    fact scan with two dim joins."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    part = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    supp = fixtures.load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = fixtures.load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    cells = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("brand", "nation")
+        .agg(
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("c"),
+            F.sum(F.col("qty").cast("decimal(38,0)")).alias("q"),
+        )
+        .select(
+            "brand",
+            F.round(
+                F.col("c").cast("double") / (F.col("q").cast("double") * 100.0),
+                6,
+            ).alias("unit_price"),
+        )
+    )
+    return (
+        cells.groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_nations"),
+            F.min("unit_price").alias("min_unit_price"),
+            F.max("unit_price").alias("max_unit_price"),
+            F.round(F.max("unit_price") / F.min("unit_price"), 6).alias(
+                "spread_ratio"
+            ),
+        )
+        .orderBy("brand")
+    )
+
+
+def q_monthly_aov_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGE ORDER VALUE by calendar month with the month-over-month
+    delta: the pricing/mix pulse finance reads next to
+    ``monthly_seasonality``'s quantity index. The prior month is an
+    equi-self-join on the month index (never a partition-less LAG over
+    the whole timeline); AOV is one divide off exact cents."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        (
+            F.year("o_orderdate").cast("long") * 12
+            + F.month("o_orderdate").cast("long")
+            - 1
+        ).alias("mi"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = orders.groupBy("mi").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )
+    aov = F.col("cents").cast("double") / (
+        F.col("n_orders").cast("double") * 100.0
+    )
+    cur = per.select("mi", "n_orders", "cents")
+    prev = per.select(
+        (F.col("mi") + 1).alias("mi"),
+        F.col("n_orders").alias("pn"),
+        F.col("cents").alias("pc"),
+    )
+    paov = F.col("pc").cast("double") / (F.col("pn").cast("double") * 100.0)
+    return (
+        cur.join(prev, "mi", "left")
+        .select(
+            (F.floor(F.col("mi") / 12)).cast("long").alias("year"),
+            (F.col("mi") % 12 + 1).cast("long").alias("month"),
+            "n_orders",
+            F.round(aov, 2).alias("aov"),
+            F.round(aov - paov, 2).alias("delta_vs_prev"),
+        )
+        .orderBy("year", "month")
+    )
+
+
+def q_brand_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRAND-LEVEL sourcing concentration: each brand's top supplier by
+    exact revenue (suppkey tiebreak) and the share of brand revenue it
+    carries -- ``single_source_risk`` rolled up from parts to the
+    brand a category manager actually negotiates at. Rank-within-group
+    over (brand, supplier) sums; shares off the brand-total window."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    part = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    cells = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("brand", "l_suppkey")
+        .agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("c"))
+    )
+    w = Window.partitionBy("brand").orderBy(
+        F.col("c").desc(), F.col("l_suppkey").asc()
+    )
+    w_tot = Window.partitionBy("brand")
+    return (
+        cells.withColumn("rn", F.row_number().over(w))
+        .withColumn("tot", F.sum("c").over(w_tot))
+        .where(F.col("rn") == 1)
+        .select(
+            "brand",
+            F.col("l_suppkey").alias("top_suppkey"),
+            F.round(F.col("c").cast("double") / 100.0, 2).alias(
+                "top_supplier_revenue"
+            ),
+            F.round(
+                F.col("c").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("top_supplier_share"),
+        )
+        .orderBy("brand")
+    )
+
+
+def q_user_activity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHALE CURVE of event activity: users ranked into NTILE(10)
+    deciles by (event count, user_id) over the per-user AGGREGATE
+    (|users| rows -- the ``rfm_segments`` global-NTILE-at-aggregate-
+    grain pattern, never a raw-row global sort), each decile reporting
+    its user count, event share and exact summed value share."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "user_id",
+        F.coalesce(
+            F.round(F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+            F.lit(0),
+        ).alias("cents"),
+    )
+    per = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("cents").alias("cents"),
+    )
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    dec = per.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    hist = dec.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("cents").alias("cents"),
+    )
+    tot = hist.groupBy().agg(
+        F.sum("n_events").alias("te"), F.sum("cents").alias("tc")
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            F.round(
+                F.col("n_events").cast("double") / F.col("te").cast("double"),
+                6,
+            ).alias("event_share"),
+            F.round(
+                F.col("cents").cast("double") / F.col("tc").cast("double"), 6
+            ).alias("value_share"),
+        )
+        .orderBy("decile")
+    )

@@ -60,6 +60,7 @@ NESTED_LOOP_OK = {
     "part_supplier_breadth",  # 1-row revenue-total broadcast gate (shares)
     "customer_dow_habit",  # 1-row customer-total broadcast gate (shares)
     "session_size_histogram",  # 1-row session-total broadcast gate (shares)
+    "user_activity_deciles",  # 1-row (events, cents) totals broadcast gate
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

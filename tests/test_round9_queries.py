@@ -2233,3 +2233,97 @@ def test_source_genericness_bounds_and_recount(spark):
         n_top = sum(1 for t in toks if t in top)
         assert out[s].n_tokens == len(toks)
         assert abs(out[s].top100_mass_share - round(n_top / len(toks), 6)) < 1e-6
+
+
+def test_embedding_dim_correlations_python_model(spark):
+    """Top-25 pairs match a python recompute of exact Pearson with the
+    r^2-ratio ordering; |r| <= 1."""
+    import math
+
+    vecs = _quantized_embeddings(spark)
+    d = 64
+    n = len(vecs)
+    cols = [[q[i] for _l, q in vecs.values()] for i in range(d)]
+    scored = []
+    for i in range(d):
+        for j in range(i + 1, d):
+            sa, sb = sum(cols[i]), sum(cols[j])
+            saa = sum(x * x for x in cols[i])
+            sbb = sum(x * x for x in cols[j])
+            sab = sum(x * y for x, y in zip(cols[i], cols[j]))
+            c = n * sab - sa * sb
+            vx = n * saa - sa * sa
+            vy = n * sbb - sb * sb
+            scored.append((-(c * c) / (vx * vy), i, j, c, vx, vy))
+    scored.sort()
+    want = scored[:25]
+    out = Q.q_embedding_dim_correlations(spark, SF).collect()
+    assert [(r.dim_a, r.dim_b) for r in out] == [(i, j) for _s, i, j, *_ in want]
+    for r, (_s, _i, _j, c, vx, vy) in zip(out, want):
+        assert abs(r.r) <= 1.0 + 1e-9
+        assert abs(r.r - round(c / (math.sqrt(vx) * math.sqrt(vy)), 6)) < 1e-5
+
+
+def test_brand_nation_price_spread_bounds(spark):
+    """Spread ratio >= 1, min <= max, and nations-per-brand is bounded
+    by the nation count."""
+    out = Q.q_brand_nation_price_spread(spark, SF).collect()
+    n_nations = fixtures.load(spark, SF, "nation").count()
+    for r in out:
+        assert 1 <= r.n_nations <= n_nations
+        assert r.min_unit_price <= r.max_unit_price
+        assert r.spread_ratio >= 1.0 - 1e-9
+
+
+def test_monthly_aov_trend_telescopes(spark):
+    """Month rows conserve the order count; the delta column equals
+    the difference of consecutive AOVs (python recheck); the first
+    month has NULL delta."""
+    out = Q.q_monthly_aov_trend(spark, SF).collect()
+    assert sum(r.n_orders for r in out) == fixtures.load(spark, SF, "orders").count()
+    assert out[0].delta_vs_prev is None
+    for prev, cur in zip(out, out[1:]):
+        if (cur.year, cur.month) in {
+            (p.year, p.month + 1) for p in [prev]
+        } or (cur.year == prev.year + 1 and cur.month == 1 and prev.month == 12):
+            assert cur.delta_vs_prev is not None
+            assert abs(cur.delta_vs_prev - round(cur.aov - prev.aov, 2)) < 0.02
+
+
+def test_brand_top_supplier_share_argmax(spark):
+    """Winner per brand matches a python argmax with suppkey tiebreak;
+    share is a proper fraction."""
+    li = fixtures.load(spark, SF, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    ).collect()
+    brand = {r.p_partkey: r.p_brand for r in fixtures.load(spark, SF, "part").collect()}
+    cells: dict[tuple, int] = {}
+    tot: dict[str, int] = {}
+    for r in li:
+        b = brand[r.l_partkey]
+        c = int(round(float(r.l_extendedprice) * 100))
+        cells[(b, r.l_suppkey)] = cells.get((b, r.l_suppkey), 0) + c
+        tot[b] = tot.get(b, 0) + c
+    best: dict[str, tuple] = {}
+    for (b, s), c in cells.items():
+        cand = (-c, s)
+        if b not in best or cand < best[b]:
+            best[b] = cand
+    out = {r.brand: r for r in Q.q_brand_top_supplier_share(spark, SF).collect()}
+    assert set(out) == set(best)
+    for b, (negc, s) in best.items():
+        assert out[b].top_suppkey == s
+        assert abs(out[b].top_supplier_share - round(-negc / tot[b], 6)) < 1e-6
+        assert 0.0 < out[b].top_supplier_share <= 1.0
+
+
+def test_user_activity_deciles_conservation(spark):
+    """Deciles partition the user base; event and value shares each
+    telescope to 1; decile 1 (heaviest) has the max event share."""
+    out = Q.q_user_activity_deciles(spark, SF).collect()
+    n_users = fixtures.events(spark, SF).select("user_id").distinct().count()
+    assert sum(r.n_users for r in out) == n_users
+    assert abs(sum(r.event_share for r in out) - 1.0) < 1e-4
+    assert abs(sum(r.value_share for r in out) - 1.0) < 1e-4
+    assert out[0].decile == 1
+    assert out[0].event_share == max(r.event_share for r in out)

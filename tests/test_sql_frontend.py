@@ -324,6 +324,12 @@ PORTABLE = [
     "customer_dow_habit",
     "session_size_histogram",
     "event_type_peak_hour",
+    # round-9 batch 19 (pure ANSI; dim correlations excluded:
+    # unnest-indexed arrays + HUGEINT cross-products)
+    "brand_nation_price_spread",
+    "monthly_aov_trend",
+    "brand_top_supplier_share",
+    "user_activity_deciles",
 ]
 
 
