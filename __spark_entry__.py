@@ -157,6 +157,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_aov_trend": Q.q_monthly_aov_trend,
         "brand_top_supplier_share": Q.q_brand_top_supplier_share,
         "user_activity_deciles": Q.q_user_activity_deciles,
+        "nation_rank_trajectory": Q.q_nation_rank_trajectory,
+        "brand_backorder_exposure": Q.q_brand_backorder_exposure,
+        "customer_order_regularity": Q.q_customer_order_regularity,
+        "label_separation_matrix": Q.q_label_separation_matrix,
+        "order_rank_value_curve": Q.q_order_rank_value_curve,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -2829,6 +2834,127 @@ SELECT decile, n_users,
          AS event_share,
        ROUND(CAST(cents AS DOUBLE) / CAST(tc AS DOUBLE), 6) AS value_share
 FROM hist CROSS JOIN tot ORDER BY decile
+""",
+        "nation_rank_trajectory": """
+WITH per AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr, n.n_name AS nation,
+         SUM(CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS c
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer cu ON o.o_custkey = cu.c_custkey
+  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT yr, nation,
+         CAST(ROW_NUMBER() OVER (PARTITION BY yr
+                                 ORDER BY c DESC, nation ASC) AS BIGINT)
+           AS rk,
+         ROUND(CAST(c AS DOUBLE) / 100.0, 2) AS revenue
+  FROM per
+)
+SELECT r.yr AS order_year, r.nation, r.rk AS revenue_rank, r.revenue,
+       CAST(p.rk - r.rk AS BIGINT) AS rank_gain
+FROM ranked r
+LEFT JOIN ranked p ON p.yr = r.yr - 1 AND p.nation = r.nation
+ORDER BY order_year, revenue_rank
+""",
+        "brand_backorder_exposure": """
+WITH per AS (
+  SELECT l_partkey AS sku,
+         CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN CAST(l_quantity AS BIGINT)
+                       ELSE 0 END)
+              - SUM(CASE WHEN l_orderkey % 2 <> 0
+                         THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS net
+  FROM lineitem GROUP BY 1
+)
+SELECT p.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_skus,
+       CAST(SUM(CASE WHEN net < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       CAST(SUM(CASE WHEN net < 0 THEN -net ELSE 0 END) AS BIGINT)
+         AS units_short,
+       ROUND(CAST(SUM(CASE WHEN net < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS short_share
+FROM per JOIN part p ON per.sku = p.p_partkey
+GROUP BY 1 ORDER BY brand
+""",
+        "customer_order_regularity": """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey FROM orders
+),
+g AS (
+  SELECT o_custkey,
+         CAST(FLOOR(epoch(CAST(d AS TIMESTAMP)) / 86400) AS BIGINT)
+         - LAG(CAST(FLOOR(epoch(CAST(d AS TIMESTAMP)) / 86400) AS BIGINT))
+           OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS gap
+  FROM o
+),
+st AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         SUM(gap) AS s, SUM(gap * gap) AS s2
+  FROM g WHERE gap IS NOT NULL GROUP BY 1
+  HAVING COUNT(*) >= 2
+),
+per AS (
+  SELECT o_custkey,
+         CAST(ROUND(SQRT(GREATEST(0.0,
+                CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
+              / CAST(s AS DOUBLE) * 1000000.0) AS BIGINT) AS cv_ppm
+  FROM st
+)
+SELECT c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(cv_ppm) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 6) AS mean_gap_cv,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY cv_ppm)
+             / 1000000.0, 6) AS median_gap_cv
+FROM per JOIN customer c ON per.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY segment
+""",
+        "label_separation_matrix": """
+WITH ex AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+cent AS (SELECT label, dim, SUM(q) AS s FROM ex GROUP BY 1, 2),
+sizes AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS HUGEINT) AS n
+  FROM embeddings GROUP BY 1
+),
+pairs AS (
+  SELECT a.label AS la, b.label AS lb,
+         SUM((sb_n.n * a.s - sa_n.n * b.s) * (sb_n.n * a.s - sa_n.n * b.s))
+           AS num,
+         MAX(sa_n.n * sb_n.n) AS nn
+  FROM cent a
+  JOIN cent b ON a.dim = b.dim AND a.label < b.label
+  JOIN sizes sa_n ON a.label = sa_n.label
+  JOIN sizes sb_n ON b.label = sb_n.label
+  GROUP BY 1, 2
+)
+SELECT la AS label_a, lb AS label_b,
+       ROUND(CAST(num AS DOUBLE)
+             / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * 100000000.0), 6)
+         AS sq_dist
+FROM pairs ORDER BY label_a, label_b
+""",
+        "order_rank_value_curve": """
+WITH ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY CAST(o_orderdate AS DATE),
+                                          o_orderkey) AS BIGINT) AS rk,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+)
+SELECT rk AS order_rank, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(cents) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 100.0), 2) AS mean_order_value
+FROM ranked WHERE rk <= 10
+GROUP BY 1 ORDER BY order_rank
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

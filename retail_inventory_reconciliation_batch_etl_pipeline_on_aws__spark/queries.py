@@ -10972,3 +10972,238 @@ def q_user_activity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def q_nation_rank_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation REVENUE-RANK trajectory: each nation's exact-cents
+    revenue rank WITHIN each order year (rank windows partition by
+    year -- 25 rows per partition, never a global sort) and the rank
+    delta vs the previous year via an equi-self-join on (nation,
+    year-1) -- the league-table view of ``nation_profit`` over
+    time."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+    )
+    cust = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = fixtures.load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    per = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("yr", "nation")
+        .agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("c"))
+    )
+    w = Window.partitionBy("yr").orderBy(F.col("c").desc(), F.col("nation").asc())
+    ranked = per.withColumn("rk", F.row_number().over(w).cast("long")).select(
+        "yr", "nation", "rk", F.round(F.col("c").cast("double") / 100.0, 2).alias("revenue")
+    )
+    prev = ranked.select(
+        (F.col("yr") + 1).alias("yr"), "nation", F.col("rk").alias("prk")
+    )
+    return (
+        ranked.join(prev, ["yr", "nation"], "left")
+        .select(
+            F.col("yr").alias("order_year"),
+            "nation",
+            F.col("rk").alias("revenue_rank"),
+            "revenue",
+            (F.col("prk") - F.col("rk")).cast("long").alias("rank_gain"),
+        )
+        .orderBy("order_year", "revenue_rank")
+    )
+
+
+def q_brand_backorder_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BACKORDER EXPOSURE per brand under the ``fifo_allocation`` flow
+    convention (even order keys receive, odd issue): how many of the
+    brand's skus ended the horizon net-short, the total units short,
+    and the short-sku share -- the escalation list a supply planner
+    walks into the Monday meeting with. Flow rollup -> brand rollup;
+    all-integer arithmetic."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("sku"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        (F.col("l_orderkey") % 2 == 0).alias("is_receipt"),
+    )
+    per = li.groupBy("sku").agg(
+        (
+            F.sum(F.when(F.col("is_receipt"), F.col("qty")).otherwise(0))
+            - F.sum(F.when(~F.col("is_receipt"), F.col("qty")).otherwise(0))
+        )
+        .cast("long")
+        .alias("net")
+    )
+    part = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    j = per.join(part, per.sku == part.p_partkey)
+    return (
+        j.groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_skus"),
+            F.sum((F.col("net") < 0).cast("long")).cast("long").alias("n_short"),
+            F.sum(F.when(F.col("net") < 0, -F.col("net")).otherwise(0))
+            .cast("long")
+            .alias("units_short"),
+            F.round(
+                F.sum((F.col("net") < 0).cast("long")).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("short_share"),
+        )
+        .orderBy("brand")
+    )
+
+
+def q_customer_order_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-cadence REGULARITY per segment: each customer with >= 3
+    orders gets a gap-CV (sqrt of exact integer sufficient statistics
+    over inter-order day gaps), quantized to ppm (both engines round
+    the identical double, the ``order_line_hhi`` trick) and profiled
+    per segment as exact mean and interpolated median -- subscription-
+    like cadence (CV ~ 0) vs sporadic (CV >> 1), the customer-side
+    twin of ``demand_intermittency``."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        orders.withColumn("gap", F.datediff("d", F.lag("d").over(w)))
+        .where(F.col("gap").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.sum(F.col("gap").cast("decimal(38,0)")).alias("s"),
+            F.sum(
+                F.col("gap").cast("decimal(38,0)")
+                * F.col("gap").cast("decimal(38,0)")
+            ).alias("s2"),
+        )
+        .where(F.col("n_gaps") >= 2)
+    )
+    n = F.col("n_gaps").cast("double")
+    s = F.col("s").cast("double")
+    s2 = F.col("s2").cast("double")
+    cv_ppm = F.round(
+        F.sqrt(F.greatest(F.lit(0.0), n * s2 - s * s))
+        / s
+        * F.lit(1000000.0)
+    ).cast("long")
+    cust = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    per = gaps.select("o_custkey", cv_ppm.alias("cv_ppm")).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        per.groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(
+                F.sum("cv_ppm").cast("double")
+                / (F.count("*").cast("double") * F.lit(1000000.0)),
+                6,
+            ).alias("mean_gap_cv"),
+            F.round(
+                F.percentile("cv_ppm", F.lit(0.5)) / F.lit(1000000.0), 6
+            ).alias("median_gap_cv"),
+        )
+        .orderBy("segment")
+    )
+
+
+def q_label_separation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS-SEPARABILITY matrix of the embedding table: exact squared
+    distance between every pair of label centroids, the centroids kept
+    RATIONAL (d2(i,j) = ||nj*si - ni*sj||^2 / (ni*nj)^2 -- exact
+    integer numerator, one terminal divide) -- close centroid pairs
+    predict exactly where ``nearest_centroid_confusion`` bleeds.
+    |labels|^2 * d work on |labels|*d rows; nothing collects."""
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("v").cast("double") * 10000).cast("long").alias("q"),
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s")
+    )
+    sizes = emb.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count("*").cast("decimal(38,0)").alias("n")
+    )
+    a = cent.join(sizes, "label").select(
+        F.col("label").alias("la"), "dim", F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    b = cent.join(sizes, "label").select(
+        F.col("label").alias("lb"), "dim", F.col("s").alias("sb"), F.col("n").alias("nb")
+    )
+    diff = F.col("nb") * F.col("sa") - F.col("na") * F.col("sb")
+    pairs = (
+        a.join(b, "dim")
+        .where(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(diff * diff).alias("num"),
+            F.max(F.col("na") * F.col("nb")).alias("nn"),
+        )
+    )
+    return (
+        pairs.select(
+            F.col("la").alias("label_a"),
+            F.col("lb").alias("label_b"),
+            F.round(
+                F.col("num").cast("double")
+                / (
+                    F.col("nn").cast("double")
+                    * F.col("nn").cast("double")
+                    * F.lit(100000000.0)
+                ),
+                6,
+            ).alias("sq_dist"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+def q_order_rank_value_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALLET-EXPANSION curve: mean order value by the order's RANK in
+    its customer's lifetime (1st, 2nd, ... capped at 10) -- does the
+    second order spend more than the first? One partitioned
+    row_number, one map-side-combined aggregate per rank; exact
+    cents."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    ranked = orders.withColumn("rk", F.row_number().over(w).cast("long")).where(
+        F.col("rk") <= 10
+    )
+    return (
+        ranked.groupBy("rk")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(
+                F.sum("cents").cast("double")
+                / (F.count("*").cast("double") * 100.0),
+                2,
+            ).alias("mean_order_value"),
+        )
+        .select(F.col("rk").alias("order_rank"), "n_orders", "mean_order_value")
+        .orderBy("order_rank")
+    )

@@ -2327,3 +2327,126 @@ def test_user_activity_deciles_conservation(spark):
     assert abs(sum(r.value_share for r in out) - 1.0) < 1e-4
     assert out[0].decile == 1
     assert out[0].event_share == max(r.event_share for r in out)
+
+
+def test_nation_rank_trajectory_rank_properties(spark):
+    """Ranks are a permutation of 1..n within each year and rank_gain
+    telescopes (prev rank - current rank) on a python recheck."""
+    out = Q.q_nation_rank_trajectory(spark, SF).collect()
+    by_year: dict[int, list] = {}
+    for r in out:
+        by_year.setdefault(r.order_year, []).append(r)
+    prev_rank: dict[tuple, int] = {}
+    years = sorted(by_year)
+    for y in years:
+        rows = by_year[y]
+        assert sorted(r.revenue_rank for r in rows) == list(range(1, len(rows) + 1))
+        for r in rows:
+            want = prev_rank.get((y - 1, r.nation))
+            if want is None:
+                assert r.rank_gain is None
+            else:
+                assert r.rank_gain == want - r.revenue_rank
+        for r in rows:
+            prev_rank[(y, r.nation)] = r.revenue_rank
+
+
+def test_brand_backorder_exposure_conservation(spark):
+    """Sku counts conserve the shipped-part population and units_short
+    matches a python recount of negative net flows."""
+    out = Q.q_brand_backorder_exposure(spark, SF).collect()
+    li = fixtures.load(spark, SF, "lineitem").select(
+        "l_partkey", "l_quantity", "l_orderkey"
+    ).collect()
+    brand = {r.p_partkey: r.p_brand for r in fixtures.load(spark, SF, "part").collect()}
+    net: dict[int, int] = {}
+    for r in li:
+        q = int(r.l_quantity)
+        net[r.l_partkey] = net.get(r.l_partkey, 0) + (
+            q if r.l_orderkey % 2 == 0 else -q
+        )
+    want: dict[str, list[int]] = {}
+    for sku, n in net.items():
+        b = brand[sku]
+        t = want.setdefault(b, [0, 0, 0])
+        t[0] += 1
+        if n < 0:
+            t[1] += 1
+            t[2] += -n
+    assert {r.brand: (r.n_skus, r.n_short, r.units_short) for r in out} == {
+        b: tuple(v) for b, v in want.items()
+    }
+
+
+def test_customer_order_regularity_model(spark):
+    """Mean/median gap-CV per segment reproduce a python recompute
+    with the same ppm quantization."""
+    import math
+    import numpy as np
+
+    orders = fixtures.load(spark, SF, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d"), "o_orderkey"
+    ).collect()
+    seg = {
+        r.c_custkey: r.c_mktsegment
+        for r in fixtures.load(spark, SF, "customer").collect()
+    }
+    per: dict[int, list] = {}
+    for r in orders:
+        per.setdefault(r.o_custkey, []).append((r.d, r.o_orderkey))
+    ppms: dict[str, list[int]] = {}
+    for ck, xs in per.items():
+        if len(xs) < 3:
+            continue
+        xs.sort()
+        gaps = [(b[0] - a[0]).days for a, b in zip(xs, xs[1:])]
+        n, s, s2 = len(gaps), sum(gaps), sum(g * g for g in gaps)
+        cv = math.sqrt(max(0.0, n * s2 - s * s)) / s
+        ppms.setdefault(seg[ck], []).append(round(cv * 1e6))
+    out = {r.segment: r for r in Q.q_customer_order_regularity(spark, SF).collect()}
+    assert set(out) == set(ppms)
+    for s_, xs in ppms.items():
+        assert out[s_].n_customers == len(xs)
+        assert abs(out[s_].mean_gap_cv - round(sum(xs) / len(xs) / 1e6, 6)) < 1e-6
+        assert abs(out[s_].median_gap_cv - round(np.percentile(xs, 50) / 1e6, 6)) < 1e-5
+
+
+def test_label_separation_matrix_model(spark):
+    """All 45 label pairs appear; distances match an exact python
+    recompute of the rational-centroid formula; self-separation of the
+    closest pair lower-bounds nothing negative."""
+    vecs = _quantized_embeddings(spark)
+    sums: dict[int, list[int]] = {}
+    ns: dict[int, int] = {}
+    for _vid, (lbl, q) in vecs.items():
+        if lbl not in sums:
+            sums[lbl] = [0] * 64
+            ns[lbl] = 0
+        ns[lbl] += 1
+        for i, a in enumerate(q):
+            sums[lbl][i] += a
+    out = {(r.label_a, r.label_b): r.sq_dist for r in Q.q_label_separation_matrix(spark, SF).collect()}
+    labels = sorted(sums)
+    assert len(out) == len(labels) * (len(labels) - 1) // 2
+    for i, la in enumerate(labels):
+        for lb in labels[i + 1 :]:
+            num = sum(
+                (ns[lb] * sa - ns[la] * sb) ** 2
+                for sa, sb in zip(sums[la], sums[lb])
+            )
+            nn = ns[la] * ns[lb]
+            want = round(num / (nn * nn * 1e8), 6)
+            assert abs(out[(la, lb)] - want) < 1e-5
+            assert out[(la, lb)] >= 0.0
+
+
+def test_order_rank_value_curve_counts_decrease(spark):
+    """Rank-k order counts are non-increasing in k (a customer with a
+    k-th order has a (k-1)-th) and rank 1 counts every ordering
+    customer."""
+    out = Q.q_order_rank_value_curve(spark, SF).collect()
+    assert out[0].order_rank == 1
+    n_cust = fixtures.load(spark, SF, "orders").select("o_custkey").distinct().count()
+    assert out[0].n_orders == n_cust
+    for a, b in zip(out, out[1:]):
+        assert b.n_orders <= a.n_orders

@@ -330,6 +330,12 @@ PORTABLE = [
     "monthly_aov_trend",
     "brand_top_supplier_share",
     "user_activity_deciles",
+    # round-9 batch 20 (pure ANSI; regularity via epoch shim +
+    # percentile_cont; label separation excluded: unnest + HUGEINT)
+    "nation_rank_trajectory",
+    "brand_backorder_exposure",
+    "customer_order_regularity",
+    "order_rank_value_curve",
 ]
 
 
