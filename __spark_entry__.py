@@ -162,6 +162,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_regularity": Q.q_customer_order_regularity,
         "label_separation_matrix": Q.q_label_separation_matrix,
         "order_rank_value_curve": Q.q_order_rank_value_curve,
+        "new_sku_revenue_share": Q.q_new_sku_revenue_share,
+        "order_status_profile": Q.q_order_status_profile,
+        "event_value_coverage": Q.q_event_value_coverage,
+        "embedding_dim_occupancy": Q.q_embedding_dim_occupancy,
+        "basket_brand_breadth": Q.q_basket_brand_breadth,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -2955,6 +2960,85 @@ SELECT rk AS order_rank, CAST(COUNT(*) AS BIGINT) AS n_orders,
              / (CAST(COUNT(*) AS DOUBLE) * 100.0), 2) AS mean_order_value
 FROM ranked WHERE rk <= 10
 GROUP BY 1 ORDER BY order_rank
+""",
+        "new_sku_revenue_share": """
+WITH li AS (
+  SELECT l_partkey AS sku, CAST(year(l_shipdate) AS BIGINT) AS yr,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem
+),
+first AS (SELECT sku, MIN(yr) AS first_yr FROM li GROUP BY 1),
+j AS (
+  SELECT li.yr,
+         CASE WHEN li.yr = f.first_yr THEN 1 ELSE 0 END AS is_new,
+         li.cents
+  FROM li JOIN first f ON li.sku = f.sku
+),
+per AS (
+  SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         SUM(is_new * cents) AS nc, SUM(cents) AS tc,
+         CAST(SUM(is_new) AS BIGINT) AS n_new_lines
+  FROM j GROUP BY 1
+)
+SELECT yr AS ship_year, n_lines, n_new_lines,
+       ROUND(CAST(nc AS DOUBLE) / 100.0, 2) AS new_sku_revenue,
+       ROUND(CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE), 6) AS new_sku_share
+FROM per ORDER BY ship_year
+""",
+        "order_status_profile": """
+WITH cells AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus AS status,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT yr AS order_year, status, n_orders,
+       ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+       ROUND(CAST(cents AS DOUBLE) / (CAST(n_orders AS DOUBLE) * 100.0), 2)
+         AS mean_order_value,
+       ROUND(CAST(n_orders AS DOUBLE)
+             / CAST(SUM(n_orders) OVER (PARTITION BY yr) AS DOUBLE), 6)
+         AS year_share
+FROM cells ORDER BY order_year, status
+""",
+        "event_value_coverage": """
+WITH ev AS (
+  SELECT event_type,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(cents) AS BIGINT) AS n_with_value,
+       ROUND(CAST(COUNT(*) - COUNT(cents) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS null_share,
+       ROUND(CAST(COALESCE(SUM(cents), 0) AS DOUBLE) / 100.0, 2)
+         AS sum_value
+FROM ev GROUP BY event_type ORDER BY event_type
+""",
+        "embedding_dim_occupancy": """
+WITH ex AS (
+  SELECT CAST(i AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+)
+SELECT dim, CAST(COUNT(DISTINCT q) AS BIGINT) AS n_distinct,
+       MIN(q) AS min_q, MAX(q) AS max_q
+FROM ex GROUP BY dim ORDER BY dim
+""",
+        "basket_brand_breadth": """
+WITH per AS (
+  SELECT l.l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(COUNT(DISTINCT p.p_brand) AS BIGINT) AS n_brands
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+)
+SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(n_brands) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mean_brands
+FROM per GROUP BY 1 ORDER BY n_lines
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

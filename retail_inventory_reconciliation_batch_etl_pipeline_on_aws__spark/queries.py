@@ -11207,3 +11207,159 @@ def q_order_rank_value_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("rk").alias("order_rank"), "n_orders", "mean_order_value")
         .orderBy("order_rank")
     )
+
+
+def q_new_sku_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOVELTY REVENUE: each ship year's revenue split by whether the
+    sku FIRST shipped that year -- how much of the business rides on
+    fresh catalog vs the back list. The first-ship year is one per-sku
+    MIN aggregate joined back on the sku key; shares are one divide
+    off exact cents."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("sku"),
+        F.year("l_shipdate").cast("long").alias("yr"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    first = li.groupBy("sku").agg(F.min("yr").alias("first_yr"))
+    j = li.join(first, "sku").select(
+        "yr",
+        (F.col("yr") == F.col("first_yr")).cast("int").alias("is_new"),
+        "cents",
+    )
+    per = j.groupBy("yr").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("is_new") * F.col("cents")).alias("nc"),
+        F.sum("cents").alias("tc"),
+        F.sum("is_new").cast("long").alias("n_new_lines"),
+    )
+    return per.select(
+        F.col("yr").alias("ship_year"),
+        "n_lines",
+        "n_new_lines",
+        F.round(F.col("nc").cast("double") / 100.0, 2).alias("new_sku_revenue"),
+        F.round(
+            F.col("nc").cast("double") / F.col("tc").cast("double"), 6
+        ).alias("new_sku_share"),
+    ).orderBy("ship_year")
+
+
+def q_order_status_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-STATUS mix by year: count, exact revenue and mean order
+    value per (year, o_orderstatus) with the within-year count share
+    -- the fulfilment-state ledger (F fulfilled / O open / P partial)
+    the reference's reconciliation reads one level above line
+    status."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cells = orders.groupBy("yr", "status").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )
+    w = Window.partitionBy("yr")
+    return (
+        cells.withColumn("tot", F.sum("n_orders").over(w))
+        .select(
+            F.col("yr").alias("order_year"),
+            "status",
+            "n_orders",
+            F.round(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
+            F.round(
+                F.col("cents").cast("double")
+                / (F.col("n_orders").cast("double") * 100.0),
+                2,
+            ).alias("mean_order_value"),
+            F.round(
+                F.col("n_orders").cast("double") / F.col("tot").cast("double"),
+                6,
+            ).alias("year_share"),
+        )
+        .orderBy("order_year", "status")
+    )
+
+
+def q_event_value_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-FIELD coverage per event type: how many events carry a
+    value at all, the null share, and the exact sum of what's there --
+    the instrumentation-health check that catches a client build that
+    stopped sending revenue (``table_profile``'s null audit at the
+    grain alerts actually fire on)."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count("cents").cast("long").alias("n_with_value"),
+            F.round(
+                (F.count("*") - F.count("cents")).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("null_share"),
+            F.round(
+                F.coalesce(F.sum("cents"), F.lit(0)).cast("double") / 100.0, 2
+            ).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_embedding_dim_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-grid OCCUPANCY per embedding dimension: distinct
+    1e-4-quantized values, min and max -- the dead/clipped/collapsed
+    dimension screen that complements ``embedding_dim_stats``'
+    mean/variance (a dimension can have healthy variance and still sit
+    on 3 grid points). One exact distinct aggregate per dim."""
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        (F.col("dim") + 1).cast("long").alias("dim"),
+        F.round(F.col("v").cast("double") * 10000).cast("long").alias("q"),
+    )
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.countDistinct("q").cast("long").alias("n_distinct"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+        )
+        .orderBy("dim")
+    )
+
+
+def q_basket_brand_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRAND BREADTH per basket size: for each lines-per-order bucket,
+    the exact mean number of DISTINCT BRANDS in the basket -- do big
+    baskets diversify or pile onto one brand (the assortment signal
+    behind ``basket_rules``). Per-order distinct-brand counts come
+    from one (order, brand) dedup; means are one divide off exact
+    integers."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    per = j.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.countDistinct("brand").cast("long").alias("n_brands"),
+    )
+    return (
+        per.groupBy("n_lines")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(
+                F.sum("n_brands").cast("double") / F.count("*").cast("double"),
+                6,
+            ).alias("mean_brands"),
+        )
+        .orderBy("n_lines")
+    )

@@ -2450,3 +2450,68 @@ def test_order_rank_value_curve_counts_decrease(spark):
     assert out[0].n_orders == n_cust
     for a, b in zip(out, out[1:]):
         assert b.n_orders <= a.n_orders
+
+
+def test_new_sku_revenue_share_first_year_is_one(spark):
+    """The earliest ship year has new-share exactly 1.0 (every sku is
+    new then); shares stay in [0, 1]; lines conserve."""
+    out = Q.q_new_sku_revenue_share(spark, SF).collect()
+    assert abs(out[0].new_sku_share - 1.0) < 1e-9
+    assert out[0].n_new_lines == out[0].n_lines
+    for r in out:
+        assert 0.0 <= r.new_sku_share <= 1.0
+    assert sum(r.n_lines for r in out) == fixtures.load(spark, SF, "lineitem").count()
+
+
+def test_order_status_profile_shares(spark):
+    """Year shares telescope to 1 within each year; orders conserve."""
+    out = Q.q_order_status_profile(spark, SF).collect()
+    per_year: dict[int, float] = {}
+    for r in out:
+        per_year[r.order_year] = per_year.get(r.order_year, 0.0) + r.year_share
+    for s in per_year.values():
+        assert abs(s - 1.0) < 1e-4
+    assert sum(r.n_orders for r in out) == fixtures.load(spark, SF, "orders").count()
+
+
+def test_event_value_coverage_recount(spark):
+    """Null shares and sums match a python recount."""
+    ev = fixtures.events(spark, SF).select("event_type", "value").collect()
+    agg: dict[str, list] = {}
+    for r in ev:
+        t = agg.setdefault(r.event_type, [0, 0, 0])
+        t[0] += 1
+        if r.value is not None:
+            t[1] += 1
+            t[2] += int(round(float(r.value) * 100))
+    out = {r.event_type: r for r in Q.q_event_value_coverage(spark, SF).collect()}
+    assert set(out) == set(agg)
+    for k, (n, nv, c) in agg.items():
+        assert out[k].n_events == n
+        assert out[k].n_with_value == nv
+        assert abs(out[k].null_share - round((n - nv) / n, 6)) < 1e-6
+        assert abs(out[k].sum_value - c / 100.0) < 0.5  # HALF_UP vs round()
+
+
+def test_embedding_dim_occupancy_recount(spark):
+    """Distinct counts and ranges per dim match a python recount."""
+    vecs = _quantized_embeddings(spark)
+    per: dict[int, set] = {}
+    for _vid, (_lbl, q) in vecs.items():
+        for i, a in enumerate(q):
+            per.setdefault(i + 1, set()).add(a)
+    out = {r.dim: r for r in Q.q_embedding_dim_occupancy(spark, SF).collect()}
+    assert set(out) == set(per)
+    for d, s in per.items():
+        assert out[d].n_distinct == len(s)
+        assert out[d].min_q == min(s)
+        assert out[d].max_q == max(s)
+
+
+def test_basket_brand_breadth_bounds(spark):
+    """Mean brands per basket is in [1, n_lines] and orders conserve."""
+    out = Q.q_basket_brand_breadth(spark, SF).collect()
+    for r in out:
+        assert 1.0 - 1e-9 <= r.mean_brands <= r.n_lines + 1e-9
+    n_orders = fixtures.load(spark, SF, "lineitem").select("l_orderkey").distinct().count()
+    assert sum(r.n_orders for r in out) == n_orders

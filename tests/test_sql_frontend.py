@@ -336,6 +336,11 @@ PORTABLE = [
     "brand_backorder_exposure",
     "customer_order_regularity",
     "order_rank_value_curve",
+    # round-9 batch 21 (pure ANSI; occupancy excluded: unnest arrays)
+    "new_sku_revenue_share",
+    "order_status_profile",
+    "event_value_coverage",
+    "basket_brand_breadth",
 ]
 
 
