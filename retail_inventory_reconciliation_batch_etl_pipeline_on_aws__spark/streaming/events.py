@@ -1174,3 +1174,61 @@ def streaming_wau(
             "wau",
         )
     )
+
+
+TRANSITION_SCHEMA = "user_id bigint, from_type string, to_type string"
+_TRANSITION_STATE_SCHEMA = "last_us bigint, last_eid bigint, last_type string"
+
+
+def streaming_type_transitions(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stateful streaming EVENT-TYPE TRANSITIONS: the incremental twin
+    of ``queries.q_event_type_transitions``. State per user is the
+    single last event (epoch-micros, event_id, type) -- O(live users)
+    -- and every arriving event emits its (prev, next) pair
+    IMMEDIATELY, so like ``streaming_attribution`` there are no
+    timeouts and no drain punctuation. Within a micro-batch events
+    sort by (ts, event_id), the batch window's exact order; across
+    micro-batches exact parity requires time-ordered source files
+    (the same in-order delivery discipline the attribution twin
+    documents). The downstream count/share rollup is a plain
+    aggregation the consumer attaches."""
+    import pandas as pd  # noqa: F401  (executor-side dependency)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        last_us, last_eid, last_type = (
+            state.get if state.exists else (None, None, None)
+        )
+        ev = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out: list[tuple] = []
+        uss = ev["ts"].astype("int64") // 1_000
+        for us, eid, etype in zip(uss, ev["event_id"], ev["event_type"]):
+            us, eid = int(us), int(eid)
+            if last_type is not None:
+                out.append((user_id, last_type, etype))
+            last_us, last_eid, last_type = us, eid, etype
+        if last_type is not None:
+            state.update((last_us, last_eid, last_type))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "from_type", "to_type"]
+            )
+
+    raw = read_event_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    return raw.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TRANSITION_SCHEMA,
+        stateStructType=_TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

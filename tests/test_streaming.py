@@ -1060,3 +1060,48 @@ def test_streaming_wau_matches_batch_trailing_week(spark, tmp_path):
     assert set(batch) <= set(streamed), "event days missing from the stream"
     for day, wau in batch.items():
         assert streamed[day] == wau
+
+
+def test_streaming_type_transitions_match_batch(spark, tmp_path):
+    """The stateful transition extractor replayed over two time-ordered
+    micro-batches emits EXACTLY the batch window's (prev, next) pairs
+    -- cross-batch pairs included (the state carries each user's last
+    event over the file boundary)."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.queries import (
+        q_event_type_transitions,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (
+        streaming_type_transitions,
+    )
+
+    ev = raw_nanos_events(spark)
+    qs = ev.approxQuantile("ts", [0.5], 0.0)
+    src = tmp_path / "trans_src"
+    src.mkdir()
+    bounds = [None, *qs, None]
+    for i in range(2):
+        part = ev
+        if bounds[i] is not None:
+            part = part.where(F.col("ts") > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.where(F.col("ts") <= bounds[i + 1])
+        stage = tmp_path / f"tr_stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        (pf,) = glob.glob(str(stage / "part-*.parquet"))
+        shutil.move(pf, src / f"{i:02d}.parquet")
+        os.utime(src / f"{i:02d}.parquet", (i + 1, i + 1))
+
+    agg = streaming_type_transitions(spark, str(src), max_files_per_trigger=1)
+    assert agg.isStreaming
+    run_to_memory_sink(agg, "trans_stream_test", output_mode="append")
+    streamed: dict = {}
+    for r in spark.sql(
+        "SELECT from_type, to_type, COUNT(*) AS n FROM trans_stream_test "
+        "GROUP BY 1, 2"
+    ).collect():
+        streamed[(r.from_type, r.to_type)] = r.n
+    batch = {
+        (r.from_type, r.to_type): r.n
+        for r in q_event_type_transitions(spark, TESTDATA).collect()
+    }
+    assert streamed == batch
