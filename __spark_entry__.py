@@ -167,6 +167,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_coverage": Q.q_event_value_coverage,
         "embedding_dim_occupancy": Q.q_embedding_dim_occupancy,
         "basket_brand_breadth": Q.q_basket_brand_breadth,
+        "customer_brand_breadth": Q.q_customer_brand_breadth,
+        "order_calendar_coverage": Q.q_order_calendar_coverage,
+        "user_entry_exit_matrix": Q.q_user_entry_exit_matrix,
+        "inverted_interval_audit": Q.q_inverted_interval_audit,
+        "value_priority_matrix": Q.q_value_priority_matrix,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -3039,6 +3044,129 @@ SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders,
        ROUND(CAST(SUM(n_brands) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
          AS mean_brands
 FROM per GROUP BY 1 ORDER BY n_lines
+""",
+        "customer_brand_breadth": """
+WITH per AS (
+  SELECT o.o_custkey,
+         CAST(COUNT(DISTINCT p.p_brand) AS BIGINT) AS n_brands,
+         SUM(CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+),
+hist AS (
+  SELECT n_brands, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         SUM(cents) AS cents
+  FROM per GROUP BY 1
+),
+tot AS (SELECT SUM(cents) AS tc FROM hist)
+SELECT n_brands, n_customers,
+       ROUND(CAST(cents AS DOUBLE) / CAST(tc AS DOUBLE), 6) AS revenue_share
+FROM hist CROSS JOIN tot ORDER BY n_brands
+""",
+        "order_calendar_coverage": """
+WITH active AS (
+  SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(o_orderdate AS DATE) AS d
+  FROM orders
+),
+span AS (SELECT yr, MIN(d) AS lo, MAX(d) AS hi FROM active GROUP BY 1),
+spine AS (
+  SELECT yr, CAST(u.d AS DATE) AS d
+  FROM span, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS u(d)
+),
+flagged AS (
+  SELECT s.yr, s.d, CASE WHEN a.d IS NULL THEN 0 ELSE 1 END AS a
+  FROM spine s LEFT JOIN active a ON s.yr = a.yr AND s.d = a.d
+),
+grp AS (
+  SELECT yr, d, a,
+         SUM(a) OVER (PARTITION BY yr ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS g
+  FROM flagged
+),
+runs AS (
+  SELECT yr, g, CAST(COUNT(*) AS BIGINT) AS run
+  FROM grp WHERE a = 0 GROUP BY 1, 2
+),
+streak AS (SELECT yr, CAST(MAX(run) AS BIGINT) AS mx FROM runs GROUP BY 1),
+base AS (
+  SELECT yr, CAST(SUM(a) AS BIGINT) AS n_active_days,
+         CAST(SUM(1 - a) AS BIGINT) AS n_dead_days
+  FROM flagged GROUP BY 1
+)
+SELECT b.yr AS order_year, b.n_active_days, b.n_dead_days,
+       CAST(COALESCE(s.mx, 0) AS BIGINT) AS max_dead_streak
+FROM base b LEFT JOIN streak s ON b.yr = s.yr
+ORDER BY order_year
+""",
+        "user_entry_exit_matrix": """
+WITH ev AS (
+  SELECT user_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+  FROM events
+),
+per AS (
+  SELECT user_id,
+         MIN(CASE WHEN ra = 1 THEN event_type END) AS entry_type,
+         MIN(CASE WHEN rd = 1 THEN event_type END) AS exit_type
+  FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) AS ra,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY us DESC, event_id DESC) AS rd
+    FROM ev
+  ) WHERE ra = 1 OR rd = 1
+  GROUP BY 1
+),
+cells AS (
+  SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM per GROUP BY 1, 2
+),
+tot AS (SELECT SUM(n_users) AS t FROM cells)
+SELECT entry_type, exit_type, n_users,
+       ROUND(CAST(n_users AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+FROM cells CROSS JOIN tot ORDER BY entry_type, exit_type
+""",
+        "inverted_interval_audit": """
+WITH j AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         CAST(FLOOR(epoch(CAST(l.l_shipdate AS TIMESTAMP)) / 86400)
+              AS BIGINT)
+         - CAST(FLOOR(epoch(CAST(o.o_orderdate AS TIMESTAMP)) / 86400)
+                AS BIGINT) AS lat
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT yr AS order_year, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN lat < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inverted,
+       ROUND(CAST(SUM(CASE WHEN lat < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS inverted_share,
+       CAST(GREATEST(-MIN(lat), 0) AS BIGINT) AS worst_inversion_days
+FROM j GROUP BY 1 ORDER BY order_year
+""",
+        "value_priority_matrix": """
+WITH dec AS (
+  SELECT o_orderpriority AS priority,
+         CAST(NTILE(10) OVER (
+           ORDER BY CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                         AS BIGINT) DESC, o_orderkey ASC) AS BIGINT)
+           AS decile
+  FROM orders
+),
+cells AS (
+  SELECT decile, priority, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM dec GROUP BY 1, 2
+)
+SELECT decile, priority, n_orders,
+       ROUND(CAST(n_orders AS DOUBLE)
+             / CAST(SUM(n_orders) OVER (PARTITION BY decile) AS DOUBLE), 6)
+         AS decile_share
+FROM cells ORDER BY decile, priority
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

@@ -11363,3 +11363,224 @@ def q_basket_brand_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_lines")
     )
+
+
+def q_customer_brand_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIFETIME BRAND BREADTH: customers histogrammed by how many
+    distinct brands they ever bought, with each bucket's exact revenue
+    share -- single-brand loyalists vs assortment shoppers
+    (``basket_brand_breadth`` asks per order; this asks per lifetime).
+    Fact -> part -> customer rollup, then two aggregates and a 1-row
+    revenue gate."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    part = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    per = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.countDistinct("brand").cast("long").alias("n_brands"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("cents"),
+        )
+    )
+    hist = per.groupBy("n_brands").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").alias("cents"),
+    )
+    tot = hist.groupBy().agg(F.sum("cents").alias("tc"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "n_brands",
+            "n_customers",
+            F.round(
+                F.col("cents").cast("double") / F.col("tc").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("n_brands")
+    )
+
+
+def q_order_calendar_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR COVERAGE of order intake per year: active days, dead
+    days (the year's observed span, densified through
+    explode(sequence(min, max)) -- the date-spine pattern of
+    ``stock_gap_fill``, never a driver loop), and the LONGEST dead
+    streak via gaps-and-islands windows partitioned by year -- the
+    'did the feed stop' audit at ingest grain."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d")
+    )
+    active = orders.distinct().select(
+        F.year("d").cast("long").alias("yr"), "d", F.lit(1).alias("is_active")
+    )
+    span = active.groupBy("yr").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = span.select(
+        "yr", F.explode(F.expr("sequence(lo, hi)")).alias("d")
+    )
+    flagged = spine.join(active.select("yr", "d", "is_active"), ["yr", "d"], "left").select(
+        "yr", "d", F.coalesce("is_active", F.lit(0)).alias("a")
+    )
+    w = Window.partitionBy("yr").orderBy("d")
+    runs = (
+        flagged.withColumn(
+            "grp",
+            F.sum("a").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .where(F.col("a") == 0)
+        .groupBy("yr", "grp")
+        .agg(F.count("*").cast("long").alias("run"))
+    )
+    streak = runs.groupBy("yr").agg(F.max("run").cast("long").alias("max_dead_streak"))
+    base = flagged.groupBy("yr").agg(
+        F.sum("a").cast("long").alias("n_active_days"),
+        F.sum(F.lit(1) - F.col("a")).cast("long").alias("n_dead_days"),
+    )
+    return (
+        base.join(streak, "yr", "left")
+        .select(
+            F.col("yr").alias("order_year"),
+            "n_active_days",
+            "n_dead_days",
+            F.coalesce("max_dead_streak", F.lit(0)).cast("long").alias(
+                "max_dead_streak"
+            ),
+        )
+        .orderBy("order_year")
+    )
+
+
+def q_user_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTRY -> EXIT matrix: each user's FIRST event type crossed with
+    their LAST ((ts, event_id) order on both ends), cell counts and
+    shares of the user base -- where journeys start vs where they end,
+    the lifetime-level collapse of ``event_type_transitions``."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w_a = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w_d = Window.partitionBy("user_id").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    per = (
+        ev.withColumn("ra", F.row_number().over(w_a))
+        .withColumn("rd", F.row_number().over(w_d))
+        .where((F.col("ra") == 1) | (F.col("rd") == 1))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("ra") == 1, F.col("event_type"))).alias(
+                "entry_type"
+            ),
+            F.min(F.when(F.col("rd") == 1, F.col("event_type"))).alias(
+                "exit_type"
+            ),
+        )
+    )
+    cells = per.groupBy("entry_type", "exit_type").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    tot = cells.groupBy().agg(F.sum("n_users").alias("t"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "entry_type",
+            "exit_type",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("t").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("entry_type", "exit_type")
+    )
+
+
+def q_inverted_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-QUALITY audit of the generator's known inverted intervals
+    (l_shipdate BEFORE o_orderdate -- the r8 gotcha every sweep-line
+    and latency query must filter): per order year, how many lines
+    invert, their share, and the worst inversion in days -- the screen
+    that quantifies the quirk instead of silently dropping it."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_d"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "yr", F.datediff("ship_d", "order_d").alias("lat")
+    )
+    return (
+        j.groupBy("yr")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum((F.col("lat") < 0).cast("long")).cast("long").alias(
+                "n_inverted"
+            ),
+            F.round(
+                F.sum((F.col("lat") < 0).cast("long")).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("inverted_share"),
+            (-F.min("lat")).cast("long").alias("worst_inversion_days"),
+        )
+        .select(
+            F.col("yr").alias("order_year"),
+            "n_lines",
+            "n_inverted",
+            "inverted_share",
+            F.greatest(F.col("worst_inversion_days"), F.lit(0))
+            .cast("long")
+            .alias("worst_inversion_days"),
+        )
+        .orderBy("order_year")
+    )
+
+
+def q_value_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do EXPENSIVE orders get URGENT priority? Orders rank into
+    value deciles (global NTILE over the order frame -- the
+    ``lorenz_curve`` at-aggregate-grain pattern, exact cents,
+    orderkey tiebreak) and each (decile, priority) cell reports its
+    count and within-decile share."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_orderkey").asc())
+    dec = orders.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    cells = dec.groupBy("decile", "priority").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    w_row = Window.partitionBy("decile")
+    return (
+        cells.withColumn("tot", F.sum("n_orders").over(w_row))
+        .select(
+            "decile",
+            "priority",
+            "n_orders",
+            F.round(
+                F.col("n_orders").cast("double") / F.col("tot").cast("double"),
+                6,
+            ).alias("decile_share"),
+        )
+        .orderBy("decile", "priority")
+    )

@@ -61,6 +61,8 @@ NESTED_LOOP_OK = {
     "customer_dow_habit",  # 1-row customer-total broadcast gate (shares)
     "session_size_histogram",  # 1-row session-total broadcast gate (shares)
     "user_activity_deciles",  # 1-row (events, cents) totals broadcast gate
+    "customer_brand_breadth",  # 1-row revenue-total broadcast gate (shares)
+    "user_entry_exit_matrix",  # 1-row user-total broadcast gate (shares)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -2515,3 +2515,103 @@ def test_basket_brand_breadth_bounds(spark):
         assert 1.0 - 1e-9 <= r.mean_brands <= r.n_lines + 1e-9
     n_orders = fixtures.load(spark, SF, "lineitem").select("l_orderkey").distinct().count()
     assert sum(r.n_orders for r in out) == n_orders
+
+
+def test_customer_brand_breadth_conservation(spark):
+    """Buckets partition the ordering-customer base and revenue shares
+    telescope to 1."""
+    out = Q.q_customer_brand_breadth(spark, SF).collect()
+    n_cust = fixtures.load(spark, SF, "orders").select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in out) == n_cust
+    assert abs(sum(r.revenue_share for r in out) - 1.0) < 1e-4
+
+
+def test_order_calendar_coverage_python_model(spark):
+    """Active/dead day counts and the max dead streak match a python
+    recount over each year's observed span."""
+    dates = sorted(
+        {r.d for r in fixtures.load(spark, SF, "orders").select(
+            F.col("o_orderdate").cast("date").alias("d")).collect()}
+    )
+    import datetime as _dt
+
+    per: dict[int, set] = {}
+    for d in dates:
+        per.setdefault(d.year, set()).add(d)
+    out = {r.order_year: r for r in Q.q_order_calendar_coverage(spark, SF).collect()}
+    assert set(out) == set(per)
+    for yr, ds in per.items():
+        lo, hi = min(ds), max(ds)
+        span = (hi - lo).days + 1
+        dead = streak = best = 0
+        cur = lo
+        while cur <= hi:
+            if cur in ds:
+                streak = 0
+            else:
+                dead += 1
+                streak += 1
+                best = max(best, streak)
+            cur += _dt.timedelta(days=1)
+        assert out[yr].n_active_days == len(ds)
+        assert out[yr].n_dead_days == dead
+        assert out[yr].max_dead_streak == best
+        assert out[yr].n_active_days + out[yr].n_dead_days == span
+
+
+def test_user_entry_exit_matrix_conservation(spark):
+    """Cells partition the user base; shares telescope to 1; a python
+    recount verifies the entry/exit assignment."""
+    ev = fixtures.events(spark, SF).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    ).collect()
+    per: dict[int, list] = {}
+    for r in ev:
+        per.setdefault(r.user_id, []).append((r.us, r.event_id, r.event_type))
+    cells: dict[tuple, int] = {}
+    for xs in per.values():
+        xs.sort()
+        cells[(xs[0][2], xs[-1][2])] = cells.get((xs[0][2], xs[-1][2]), 0) + 1
+    out = {(r.entry_type, r.exit_type): r.n_users for r in Q.q_user_entry_exit_matrix(spark, SF).collect()}
+    assert out == cells
+
+
+def test_inverted_interval_audit_recount(spark):
+    """Inverted counts match the known generator quirk exactly."""
+    li = fixtures.load(spark, SF, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    od = fixtures.load(spark, SF, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    rows = li.join(od, li.l_orderkey == od.o_orderkey).collect()
+    agg: dict[int, list[int]] = {}
+    for r in rows:
+        lat = (r.sd - r.od).days
+        t = agg.setdefault(r.od.year, [0, 0, 0])
+        t[0] += 1
+        if lat < 0:
+            t[1] += 1
+            t[2] = max(t[2], -lat)
+    out = {r.order_year: r for r in Q.q_inverted_interval_audit(spark, SF).collect()}
+    assert set(out) == set(agg)
+    for yr, (n, inv, worst) in agg.items():
+        assert out[yr].n_lines == n
+        assert out[yr].n_inverted == inv
+        assert out[yr].worst_inversion_days == worst
+    assert any(r.n_inverted > 0 for r in out.values()), "generator quirk vanished"
+
+
+def test_value_priority_matrix_decile_shares(spark):
+    """Decile shares telescope to 1 within each decile and deciles
+    partition the order base."""
+    out = Q.q_value_priority_matrix(spark, SF).collect()
+    per: dict[int, float] = {}
+    n = 0
+    for r in out:
+        per[r.decile] = per.get(r.decile, 0.0) + r.decile_share
+        n += r.n_orders
+    assert set(per) == set(range(1, 11))
+    for s in per.values():
+        assert abs(s - 1.0) < 1e-4
+    assert n == fixtures.load(spark, SF, "orders").count()

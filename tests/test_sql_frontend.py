@@ -341,6 +341,13 @@ PORTABLE = [
     "order_status_profile",
     "event_value_coverage",
     "basket_brand_breadth",
+    # round-9 batch 22 (pure ANSI; entry/exit via epoch_us shim;
+    # inverted audit via epoch shim; calendar coverage excluded:
+    # generate_series table function)
+    "customer_brand_breadth",
+    "user_entry_exit_matrix",
+    "inverted_interval_audit",
+    "value_priority_matrix",
 ]
 
 
