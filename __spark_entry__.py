@@ -172,6 +172,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_entry_exit_matrix": Q.q_user_entry_exit_matrix,
         "inverted_interval_audit": Q.q_inverted_interval_audit,
         "value_priority_matrix": Q.q_value_priority_matrix,
+        "region_quarter_matrix": Q.q_region_quarter_matrix,
+        "supplier_return_rate": Q.q_supplier_return_rate,
+        "dup_rate_by_length": Q.q_dup_rate_by_length,
+        "balance_spend_correlation": Q.q_balance_spend_correlation,
+        "unit_price_inflation": Q.q_unit_price_inflation,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -3167,6 +3172,111 @@ SELECT decile, priority, n_orders,
              / CAST(SUM(n_orders) OVER (PARTITION BY decile) AS DOUBLE), 6)
          AS decile_share
 FROM cells ORDER BY decile, priority
+""",
+        "region_quarter_matrix": """
+WITH cells AS (
+  SELECT r.r_name AS region, CAST(quarter(o.o_orderdate) AS BIGINT) AS qtr,
+         SUM(CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS c
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer cu ON o.o_custkey = cu.c_custkey
+  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, qtr AS quarter,
+       ROUND(CAST(c AS DOUBLE) / 100.0, 2) AS revenue,
+       ROUND(CAST(c AS DOUBLE)
+             / CAST(SUM(c) OVER (PARTITION BY qtr) AS DOUBLE), 6)
+         AS quarter_share
+FROM cells ORDER BY region, quarter
+""",
+        "supplier_return_rate": """
+WITH per AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_returned,
+         SUM(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * 100) AS BIGINT)
+                  ELSE 0 END) AS rc
+  FROM lineitem GROUP BY 1
+  HAVING COUNT(*) >= 100
+)
+SELECT l_suppkey AS suppkey, n_lines, n_returned,
+       ROUND(CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+         AS return_share,
+       ROUND(CAST(rc AS DOUBLE) / 100.0, 2) AS returned_revenue
+FROM per
+ORDER BY return_share DESC, suppkey
+LIMIT 25
+""",
+        "dup_rate_by_length": """
+WITH docs AS (
+  SELECT doc_id, sha256(text) AS h,
+         CAST(FLOOR(CAST(n_chars AS BIGINT) / 500.0) AS BIGINT) AS band
+  FROM documents
+),
+sizes AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS k FROM docs GROUP BY 1),
+j AS (
+  SELECT d.band, CASE WHEN s.k >= 2 THEN 1 ELSE 0 END AS dup
+  FROM docs d JOIN sizes s ON d.h = s.h
+)
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dup) AS BIGINT) AS n_dup,
+       ROUND(CAST(SUM(dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS dup_share
+FROM j GROUP BY 1 ORDER BY band
+""",
+        "balance_spend_correlation": """
+WITH per AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS spend
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(ROUND(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS x,
+         COALESCE(p.spend, 0) AS y
+  FROM customer c LEFT JOIN per p ON c.c_custkey = p.o_custkey
+),
+st AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM j GROUP BY 1
+)
+SELECT segment, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS r
+FROM st ORDER BY segment
+""",
+        "unit_price_inflation": """
+WITH per AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+         SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS c,
+         SUM(CAST(l_quantity AS BIGINT)) AS q
+  FROM lineitem GROUP BY 1
+)
+SELECT cur.yr AS ship_year,
+       ROUND(CAST(cur.c AS DOUBLE) / (CAST(cur.q AS DOUBLE) * 100.0), 6)
+         AS mean_unit_price,
+       ROUND((CAST(cur.c AS DOUBLE) / (CAST(cur.q AS DOUBLE) * 100.0))
+             / (CAST(p.c AS DOUBLE) / (CAST(p.q AS DOUBLE) * 100.0)), 6)
+         AS yoy_ratio
+FROM per cur LEFT JOIN per p ON cur.yr = p.yr + 1
+ORDER BY ship_year
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

