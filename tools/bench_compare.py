@@ -43,6 +43,15 @@ FLOOR_NOTES = {
         "filter is the 100 TB posture: the planted boilerplate corpus "
         "test shows 780 raw candidate pairs collapse to 0."
     ),
+    "measure_correlations": (
+        "r9 observation: the code is unchanged since its r8 floor "
+        "(0.343s, driver host) but mid-round re-measures on a busy "
+        "host ranged 0.7-1.3s -- the query is one global 15-aggregate "
+        "DECIMAL(38,0) pass whose final single-partition reduce is "
+        "acutely sensitive to CPU contention. Same plan, same values; "
+        "treat ratios vs this floor as host-load variance unless the "
+        "plan changes."
+    ),
 }
 
 
