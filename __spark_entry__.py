@@ -51,7 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     attestation order -- the r04 cohort was fully re-attested in r8),
     then stalest r06 greens filling to 50. Past the window: the r06
     remainder, the 49 r07 greens, the 50 r08 greens (the full
-    round-8 window, freshest), then the 19 rows-only (seeded/
+    round-8 window, freshest), then the 20 rows-only (seeded/
     approximate/iterative) entries that close the tail by design --
     attesting those would waste a slot on a weaker rows-only check.
     All post-window entries stay pinned value-level by
@@ -399,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": Q.q_ann_recall,
         "pq_index_topk": Q.q_pq_index_topk,
         "mmr_diverse_topk": Q.q_mmr_diverse_topk,
+        "copurchase_communities": Q.q_copurchase_communities,
     }
 
 

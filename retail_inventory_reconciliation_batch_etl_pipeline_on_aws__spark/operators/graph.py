@@ -14,7 +14,7 @@ so the same loop runs on a billion-edge graph.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .skew import salted_join
@@ -328,3 +328,65 @@ def triangle_participation(edges: DataFrame, a: str = "pa", b: str = "pb") -> Da
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    a: str = "pa",
+    b: str = "pb",
+    iters: int = 8,
+) -> DataFrame:
+    """Deterministic synchronous LABEL PROPAGATION communities.
+
+    Classic LPA (Raghavan et al. 2007, public recipe) with the random
+    tie-break replaced by a total order so replays are bit-identical:
+    every node starts as its own label, and each round adopts the
+    label held by the PLURALITY of its neighbors, ties broken by
+    (count desc, label asc). Unlike ``connected_components`` (which
+    answers reachability), LPA splits a connected graph into densely
+    knit communities -- the modularity-style grouping a co-purchase or
+    co-supply graph is actually mined for.
+
+    Scale shape per round: edges join the label table on each endpoint
+    (two co-partitioned hash joins), neighbor labels aggregate
+    map-side to (node, label, n), and the plurality resolves with ONE
+    row_number window partitioned by node. Each round eagerly
+    ``localCheckpoint``s -- lineage would otherwise double per
+    iteration. Fixed ``iters`` rounds (LPA converges in a handful on
+    community-structured graphs; a fixed budget keeps the job plannable
+    at 100 TB -- the same contract as ``pagerank``).
+
+    Returns (node, label) -- label is the community representative's
+    node id.
+    """
+    und = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    und = und.distinct().localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("n").desc(), F.col("nb_label").asc()
+    )
+    for _ in range(iters):
+        neigh = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nb_label")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), "nb_label")
+            .agg(F.count("*").alias("n"))
+        )
+        labels = (
+            neigh.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("nb_label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -11780,3 +11780,49 @@ def q_unit_price_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_year")
     )
+
+
+def q_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMUNITY structure of the co-purchase graph: deterministic
+    label propagation (``operators/graph.label_propagation``, 8
+    synchronous rounds, plurality labels with a total-order tiebreak)
+    over the distinct co-purchase pairs, reported as the community
+    SIZE histogram -- what ``dedup_group_sizes`` is to connected
+    components, this is to modularity communities (CC answers 'can
+    they touch', LPA answers 'do they cluster'). Rows-only by design:
+    the fixpoint is iterative (the driver records the rows-only check;
+    pytest pins planted-community recovery and replay determinism)."""
+    from .operators.graph import label_propagation
+
+    li = fixtures.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                "ps",
+                lambda x: F.transform(
+                    F.col("ps"),
+                    lambda y: F.when(
+                        x < y, F.struct(x.alias("pa"), y.alias("pb"))
+                    ),
+                ),
+            )
+        ),
+        lambda s: s.isNotNull(),
+    )
+    pairs = (
+        grouped.select(F.explode(pair_arr).alias("pr"))
+        .select("pr.pa", "pr.pb")
+        .distinct()
+    )
+    labels = label_propagation(pairs, iters=8)
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("size")
+    )
+    return (
+        sizes.groupBy("size")
+        .agg(F.count("*").cast("long").alias("n_communities"))
+        .orderBy("size")
+    )

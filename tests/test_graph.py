@@ -214,3 +214,67 @@ def test_pagerank_mass_and_hub_ordering(spark):
     assert total <= n_nodes * scale
     # floor loss bound: per round, < 1 unit per (edge + node) term
     assert n_nodes * scale - total < iters * (len(raw) + n_nodes) * 100
+
+
+def test_label_propagation_recovers_planted_communities(spark):
+    """Two 6-cliques joined by a single bridge edge resolve to exactly
+    two communities (the bridge is outvoted by 5 clique neighbors);
+    labels are clique members."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (
+        label_propagation,
+    )
+
+    c1 = [(a, b) for a in range(6) for b in range(6) if a < b]
+    c2 = [(a, b) for a in range(10, 16) for b in range(10, 16) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(5, 10)], "pa int, pb int")
+    out = label_propagation(edges, iters=8).collect()
+    comm: dict[int, set] = {}
+    for r in out:
+        comm.setdefault(r.label, set()).add(r.node)
+    groups = sorted(sorted(v) for v in comm.values())
+    assert groups == [list(range(6)), list(range(10, 16))]
+
+
+def test_label_propagation_deterministic_replay(spark):
+    """Two runs over the same edges produce identical labelings (the
+    total-order tiebreak removes LPA's classic randomness)."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (
+        label_propagation,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    edges = spark.createDataFrame(
+        [(rng.randrange(40), rng.randrange(40)) for _ in range(120)],
+        "pa int, pb int",
+    ).where("pa < pb")
+    a = sorted((r.node, r.label) for r in label_propagation(edges, iters=6).collect())
+    b = sorted((r.node, r.label) for r in label_propagation(edges, iters=6).collect())
+    assert a == b
+    assert a, "empty labeling"
+
+
+def test_copurchase_communities_conserves_parts(spark):
+    """The size histogram accounts for every part that appears in a
+    co-purchase pair (singleton-order-only parts are out of graph)."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans import (
+        fixtures,
+    )
+
+    from conftest import TESTDATA
+
+    out = entry.queries()["copurchase_communities"](spark, TESTDATA).collect()
+    total = sum(r.size * r.n_communities for r in out)
+    li = fixtures.load(spark, TESTDATA, "lineitem").select("l_orderkey", "l_partkey")
+    by_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    ).collect()
+    in_graph = set()
+    for r in by_order:
+        if len(r.ps) >= 2:
+            in_graph.update(r.ps)
+    assert total == len(in_graph)
