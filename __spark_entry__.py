@@ -177,6 +177,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_length": Q.q_dup_rate_by_length,
         "balance_spend_correlation": Q.q_balance_spend_correlation,
         "unit_price_inflation": Q.q_unit_price_inflation,
+        "jaccard_band_histogram": Q.q_jaccard_band_histogram,
+        "brand_type_matrix": Q.q_brand_type_matrix,
+        "name_key_consistency": Q.q_name_key_consistency,
+        "weekday_latency_profile": Q.q_weekday_latency_profile,
+        "source_signature_bigram": Q.q_source_signature_bigram,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -3278,6 +3283,117 @@ SELECT cur.yr AS ship_year,
          AS yoy_ratio
 FROM per cur LEFT JOIN per p ON cur.yr = p.yr + 1
 ORDER BY ship_year
+""",
+        "jaccard_band_histogram": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 3 + 2), i ->
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+  FROM tok WHERE len(toks) >= 3
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+shared AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS shd
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh),
+bands AS (
+  SELECT CAST((20 * shd) // (sa.n + sb.n - shd) AS BIGINT) AS band
+  FROM shared
+  JOIN sz sa ON sa.doc_id = da
+  JOIN sz sb ON sb.doc_id = db
+)
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM bands WHERE band >= 4
+GROUP BY 1 ORDER BY band
+""",
+        "brand_type_matrix": """
+WITH cells AS (
+  SELECT p.p_brand AS brand, p.p_type AS ptype,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         SUM(CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+)
+SELECT brand, ptype, n_lines,
+       ROUND(CAST(c AS DOUBLE) / 100.0, 2) AS revenue,
+       ROUND(CAST(c AS DOUBLE)
+             / CAST(SUM(c) OVER (PARTITION BY brand) AS DOUBLE), 6)
+         AS brand_share
+FROM cells ORDER BY brand, ptype
+""",
+        "name_key_consistency": """
+WITH u AS (
+  SELECT 'customer' AS table_name,
+         CASE WHEN CAST(split_part(c_name, '#', 2) AS BIGINT)
+                   <> CAST(c_custkey AS BIGINT) THEN 1 ELSE 0 END AS bad
+  FROM customer
+  UNION ALL
+  SELECT 'supplier' AS table_name,
+         CASE WHEN CAST(split_part(s_name, '#', 2) AS BIGINT)
+                   <> CAST(s_suppkey AS BIGINT) THEN 1 ELSE 0 END AS bad
+  FROM supplier
+)
+SELECT table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(bad) AS BIGINT) AS n_mismatched
+FROM u GROUP BY 1 ORDER BY table_name
+""",
+        "weekday_latency_profile": """
+WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_d,
+         (CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400)
+               AS BIGINT) + 3) % 7 + 1 AS dow
+  FROM orders
+),
+lat AS (
+  SELECT o.dow,
+         CAST(FLOOR(epoch(CAST(l.l_shipdate AS TIMESTAMP)) / 86400)
+              AS BIGINT)
+         - CAST(FLOOR(epoch(CAST(o.order_d AS TIMESTAMP)) / 86400)
+                AS BIGINT) AS d
+  FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+)
+SELECT dow AS iso_dow, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mean_latency,
+       ROUND(CAST(SUM(CASE WHEN d > 30 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS late_share
+FROM lat WHERE d >= 0
+GROUP BY 1 ORDER BY iso_dow
+""",
+        "source_signature_bigram": """
+WITH tok AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+bi AS (
+  SELECT source,
+         unnest(list_transform(range(2, len(t) + 1), i ->
+           concat_ws(' ', t[i-1], t[i]))) AS bigram
+  FROM tok WHERE len(t) >= 2
+),
+cells AS (
+  SELECT source, bigram, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bi GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, bigram, n,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n DESC, bigram ASC) AS rn,
+         CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS tot
+  FROM cells
+)
+SELECT source, bigram AS signature_bigram, n AS n_occurrences,
+       ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS mass_share
+FROM ranked WHERE rn = 1 ORDER BY source
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

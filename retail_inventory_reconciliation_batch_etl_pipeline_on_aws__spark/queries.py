@@ -11826,3 +11826,209 @@ def q_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_communities"))
         .orderBy("size")
     )
+
+
+def q_jaccard_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMILARITY-MASS histogram of the near-dup candidate space:
+    candidate pairs (>= 1 shared 3-gram shingle) banded by
+    floor(20 * |A&B| / |A|+|B|-|A&B|) -- EXACT integer division, so
+    band edges never ride a double (0.7 * 20 is 13.999.. in IEEE;
+    20*shared div union is 14) -- the calibration curve that says
+    where to put an LSH threshold before committing a corpus-size run.
+    Bands below 20%% similarity are dropped (they dominate the count
+    and carry no dedup signal); the shared-shingle join is the
+    ``jaccard_pairs`` candidate generator."""
+    from .functions.text import tokens, word_ngrams
+
+    docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
+    sh = docs.where(F.size(tokens("text")) >= 3).select(
+        "doc_id", word_ngrams("text", 3).alias("shingles")
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sz = sh.select("doc_id", F.size("shingles").cast("long").alias("n"))
+    a = ex.select(F.col("doc_id").alias("da"), "s")
+    b = ex.select(F.col("doc_id").alias("db"), "s")
+    shared = (
+        a.join(b, "s")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").cast("long").alias("sh"))
+    )
+    j = (
+        shared.join(sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
+        .join(sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
+        .select(
+            F.expr("div(20 * sh, na + nb - sh)").cast("long").alias("band")
+        )
+        .where(F.col("band") >= 4)
+    )
+    return (
+        j.groupBy("band")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("band")
+    )
+
+
+def q_brand_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATALOG MIX: brand x part-type revenue matrix with within-brand
+    shares -- is a brand concentrated in one type tier (the assortment
+    view ``nation_segment_grid`` gives geography). One fact scan, one
+    dim join, a 25x|types| cell aggregate and a row-share window."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    part = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand"), F.col("p_type").alias("ptype")
+    )
+    cells = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("brand", "ptype")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("c"),
+        )
+    )
+    w = Window.partitionBy("brand")
+    return (
+        cells.withColumn("tot", F.sum("c").over(w))
+        .select(
+            "brand",
+            "ptype",
+            "n_lines",
+            F.round(F.col("c").cast("double") / 100.0, 2).alias("revenue"),
+            F.round(
+                F.col("c").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("brand_share"),
+        )
+        .orderBy("brand", "ptype")
+    )
+
+
+def q_name_key_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENTIAL-NAME audit: the generator's 'Customer#NNNNNNNNN' /
+    'Supplier#NNNNNNNNN' names must parse back to their own keys --
+    the cheap cross-field consistency check a landing zone runs before
+    trusting either column as a join key. Exact integer parse of the
+    digit suffix; one row per dimension table."""
+    cust = fixtures.load(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("table_name"),
+        (
+            F.split(F.col("c_name"), "#").getItem(1).cast("long")
+            != F.col("c_custkey").cast("long")
+        )
+        .cast("int")
+        .alias("bad"),
+    )
+    supp = fixtures.load(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("table_name"),
+        (
+            F.split(F.col("s_name"), "#").getItem(1).cast("long")
+            != F.col("s_suppkey").cast("long")
+        )
+        .cast("int")
+        .alias("bad"),
+    )
+    return (
+        cust.unionAll(supp)
+        .groupBy("table_name")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("bad").cast("long").alias("n_mismatched"),
+        )
+        .orderBy("table_name")
+    )
+
+
+def q_weekday_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do FRIDAY orders ship slower? Order-to-ship latency profiled by
+    the order date's ISO weekday (the epoch-day spelling both engines
+    share), exact mean + late share per dow -- the
+    operations-calendar diagnostic behind ``weekday_revenue_profile``'s
+    demand view. Inverted generator intervals excluded as in every
+    latency query."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_d"),
+        (
+            (
+                F.floor(
+                    F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+                    / F.lit(86400)
+                ).cast("long")
+                + 3
+            )
+            % 7
+            + 1
+        ).alias("dow"),
+    )
+    lat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("dow", F.datediff("ship_d", "order_d").alias("d"))
+        .where(F.col("d") >= 0)
+    )
+    return (
+        lat.groupBy("dow")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(
+                F.sum("d").cast("double") / F.count("*").cast("double"), 6
+            ).alias("mean_latency"),
+            F.round(
+                F.sum((F.col("d") > 30).cast("long")).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("late_share"),
+        )
+        .select(
+            F.col("dow").alias("iso_dow"), "n_lines", "mean_latency", "late_share"
+        )
+        .orderBy("iso_dow")
+    )
+
+
+def q_source_signature_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIGNATURE BIGRAM per source: each feed's most frequent token
+    bigram (count desc, bigram asc) and its share of the feed's
+    bigram mass -- the one-line fingerprint that spots a template
+    change or a mislabeled feed faster than full drift stats. The
+    rank-within-group mode pattern over (source, bigram) counts."""
+    from .functions.text import tokens
+
+    docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
+    toks = docs.select("source", tokens("text").alias("t")).where(
+        F.size("t") >= 2
+    )
+    bi = toks.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat_ws(' ', t[i-1], t[i]))"
+            )
+        ).alias("bigram"),
+    )
+    cells = bi.groupBy("source", "bigram").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("bigram").asc()
+    )
+    w_tot = Window.partitionBy("source")
+    return (
+        cells.withColumn("rn", F.row_number().over(w))
+        .withColumn("tot", F.sum("n").over(w_tot))
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("bigram").alias("signature_bigram"),
+            F.col("n").alias("n_occurrences"),
+            F.round(
+                F.col("n").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("mass_share"),
+        )
+        .orderBy("source")
+    )

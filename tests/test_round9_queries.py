@@ -2717,3 +2717,85 @@ def test_unit_price_inflation_identity(spark):
         want = round(cur.mean_unit_price / prev.mean_unit_price, 2)
         assert abs(round(cur.yoy_ratio, 2) - want) < 0.02
         assert cur.mean_unit_price > 0
+
+
+def test_jaccard_band_histogram_consistent_with_pairs(spark):
+    """Pairs at jaccard >= 0.5 (the jaccard_pairs output) equal the
+    mass in bands >= 10; integer banding never rides a double."""
+    out = {r.band: r.n_pairs for r in Q.q_jaccard_band_histogram(spark, SF).collect()}
+    n_high = sum(v for b, v in out.items() if b >= 10)
+    n_pairs = Q.q_jaccard_pairs(spark, SF).count()
+    assert n_high == n_pairs
+    assert all(4 <= b <= 20 for b in out)
+
+
+def test_brand_type_matrix_row_shares(spark):
+    """Within-brand shares telescope to 1 and lines conserve."""
+    out = Q.q_brand_type_matrix(spark, SF).collect()
+    per: dict[str, float] = {}
+    for r in out:
+        per[r.brand] = per.get(r.brand, 0.0) + r.brand_share
+    for s in per.values():
+        assert abs(s - 1.0) < 1e-4
+    assert sum(r.n_lines for r in out) == fixtures.load(spark, SF, "lineitem").count()
+
+
+def test_name_key_consistency_is_clean_and_detects(spark):
+    """The generator's names are consistent (0 mismatches); a planted
+    corruption is caught by the same parse rule."""
+    out = {r.table_name: r for r in Q.q_name_key_consistency(spark, SF).collect()}
+    assert out["customer"].n_mismatched == 0
+    assert out["supplier"].n_mismatched == 0
+    assert out["customer"].n_rows == fixtures.load(spark, SF, "customer").count()
+    bad = spark.createDataFrame(
+        [(1, "Customer#000000002")], "c_custkey long, c_name string"
+    ).select(
+        (
+            F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).cast("long")
+            != F.col("c_custkey")
+        ).alias("bad")
+    ).collect()
+    assert bad[0].bad is True
+
+
+def test_weekday_latency_profile_conservation(spark):
+    """Seven ISO dows; line counts conserve the non-inverted join."""
+    out = Q.q_weekday_latency_profile(spark, SF).collect()
+    assert {r.iso_dow for r in out} == set(range(1, 8))
+    li = fixtures.load(spark, SF, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    od = fixtures.load(spark, SF, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    n = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .where(F.datediff("sd", "od") >= 0)
+        .count()
+    )
+    assert sum(r.n_lines for r in out) == n
+
+
+def test_source_signature_bigram_argmax(spark):
+    """Each source's signature is the python-argmax bigram with the
+    (count desc, bigram asc) tiebreak."""
+    docs = fixtures.load(spark, SF, "documents").select("source", "text").collect()
+    cells: dict[tuple, int] = {}
+    tot: dict[str, int] = {}
+    for r in docs:
+        toks = [t for t in r.text.split() if t]
+        for a, b in zip(toks, toks[1:]):
+            bg = f"{a} {b}"
+            cells[(r.source, bg)] = cells.get((r.source, bg), 0) + 1
+            tot[r.source] = tot.get(r.source, 0) + 1
+    best: dict[str, tuple] = {}
+    for (s, bg), n in cells.items():
+        cand = (-n, bg)
+        if s not in best or cand < best[s]:
+            best[s] = cand
+    out = {r.source: r for r in Q.q_source_signature_bigram(spark, SF).collect()}
+    assert set(out) == set(best)
+    for s, (negn, bg) in best.items():
+        assert out[s].signature_bigram == bg
+        assert out[s].n_occurrences == -negn
+        assert abs(out[s].mass_share - round(-negn / tot[s], 6)) < 1e-6

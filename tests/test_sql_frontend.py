@@ -354,6 +354,12 @@ PORTABLE = [
     "supplier_return_rate",
     "dup_rate_by_length",
     "unit_price_inflation",
+    # round-9 batch 24 (pure ANSI; split_part is 1-indexed on BOTH
+    # engines; weekday latency via epoch shim; jaccard bands +
+    # signature bigram excluded: list_* lambda family)
+    "brand_type_matrix",
+    "name_key_consistency",
+    "weekday_latency_profile",
 ]
 
 
