@@ -278,3 +278,52 @@ def test_copurchase_communities_conserves_parts(spark):
         if len(r.ps) >= 2:
             in_graph.update(r.ps)
     assert total == len(in_graph)
+
+
+def test_label_propagation_matches_python_model_random_graphs(spark):
+    """Hypothesis: on random small graphs, the Spark LPA labeling is
+    identical to a synchronous python model with the same
+    (count desc, label asc) plurality rule, round for round."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (
+        label_propagation,
+    )
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 14), st.integers(0, 14)),
+            min_size=1,
+            max_size=30,
+        ),
+        st.integers(1, 4),
+    )
+    @settings(max_examples=12, deadline=None)
+    def check(raw_edges, iters):
+        edges = [(a, b) for a, b in raw_edges if a != b]
+        if not edges:
+            return
+        und: dict[int, set] = {}
+        for a, b in edges:
+            und.setdefault(a, set()).add(b)
+            und.setdefault(b, set()).add(a)
+        labels = {n: n for n in und}
+        for _ in range(iters):
+            new = {}
+            for n, nbrs in und.items():
+                counts: dict[int, int] = {}
+                for m in nbrs:
+                    counts[labels[m]] = counts.get(labels[m], 0) + 1
+                new[n] = min((-c, l) for l, c in counts.items())[1]
+            labels = new
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges], "pa int, pb int"
+        )
+        got = {
+            r.node: r.label
+            for r in label_propagation(df, iters=iters).collect()
+        }
+        assert got == labels
+
+    check()
