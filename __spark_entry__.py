@@ -182,6 +182,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_key_consistency": Q.q_name_key_consistency,
         "weekday_latency_profile": Q.q_weekday_latency_profile,
         "source_signature_bigram": Q.q_source_signature_bigram,
+        "source_opening_diversity": Q.q_source_opening_diversity,
+        "label_radius_profile": Q.q_label_radius_profile,
+        "basket_size_trend": Q.q_basket_size_trend,
+        "spend_latency_bias": Q.q_spend_latency_bias,
+        "order_weekend_premium": Q.q_order_weekend_premium,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -3394,6 +3399,133 @@ ranked AS (
 SELECT source, bigram AS signature_bigram, n AS n_occurrences,
        ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS mass_share
 FROM ranked WHERE rn = 1 ORDER BY source
+""",
+        "source_opening_diversity": """
+WITH per AS (
+  SELECT source,
+         (list_filter(regexp_split_to_array(text, '\\s+'),
+                      t -> t <> ''))[1] AS first_tok
+  FROM documents
+  WHERE len(list_filter(regexp_split_to_array(text, '\\s+'),
+                        t -> t <> '')) >= 1
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT first_tok) AS BIGINT) AS n_openings,
+       ROUND(CAST(COUNT(DISTINCT first_tok) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS opening_diversity
+FROM per GROUP BY 1 ORDER BY source
+""",
+        "label_radius_profile": """
+WITH ex AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+cent AS (SELECT label, dim, SUM(q) AS s FROM ex GROUP BY 1, 2),
+sizes AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS HUGEINT) AS nk
+  FROM embeddings GROUP BY 1
+),
+pv AS (
+  SELECT e.vec_id, e.label,
+         SUM((sz.nk * e.q - c.s) * (sz.nk * e.q - c.s)) AS num,
+         MAX(sz.nk) AS nk
+  FROM ex e
+  JOIN cent c ON e.label = c.label AND e.dim = c.dim
+  JOIN sizes sz ON e.label = sz.label
+  GROUP BY 1, 2
+),
+pl AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         MAX(num) AS mx, SUM(num) AS sm, MAX(nk) AS nk
+  FROM pv GROUP BY 1
+)
+SELECT label, n_vectors,
+       ROUND(CAST(mx AS DOUBLE)
+             / (CAST(nk AS DOUBLE) * CAST(nk AS DOUBLE) * 100000000.0), 6)
+         AS max_sq_dist,
+       ROUND(CAST(sm AS DOUBLE)
+             / (CAST(n_vectors AS DOUBLE) * CAST(nk AS DOUBLE)
+                * CAST(nk AS DOUBLE) * 100000000.0), 6) AS mean_sq_dist
+FROM pl ORDER BY label
+""",
+        "basket_size_trend": """
+WITH per AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+)
+SELECT c.yr AS order_year, c.n_orders,
+       ROUND(CAST(c.n_lines AS DOUBLE) / CAST(c.n_orders AS DOUBLE), 6)
+         AS mean_lines_per_order,
+       ROUND(CAST(c.n_lines AS DOUBLE) / CAST(c.n_orders AS DOUBLE)
+             - CAST(p.n_lines AS DOUBLE) / CAST(p.n_orders AS DOUBLE), 6)
+         AS delta_vs_prev
+FROM per c LEFT JOIN per p ON c.yr = p.yr + 1
+ORDER BY order_year
+""",
+        "spend_latency_bias": """
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS spend
+  FROM orders GROUP BY 1
+),
+dec AS (
+  SELECT o_custkey,
+         CAST(NTILE(10) OVER (ORDER BY spend DESC, o_custkey ASC)
+              AS BIGINT) AS decile
+  FROM spend
+),
+lat AS (
+  SELECT o.o_custkey,
+         CAST(FLOOR(epoch(CAST(l.l_shipdate AS TIMESTAMP)) / 86400)
+              AS BIGINT)
+         - CAST(FLOOR(epoch(CAST(o.o_orderdate AS TIMESTAMP)) / 86400)
+                AS BIGINT) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT dec.decile, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(lat.d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mean_latency,
+       ROUND(CAST(SUM(CASE WHEN lat.d > 30 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS late_share
+FROM lat JOIN dec ON lat.o_custkey = dec.o_custkey
+WHERE lat.d >= 0
+GROUP BY 1 ORDER BY decile
+""",
+        "order_weekend_premium": """
+WITH o AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CASE WHEN (CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP))
+                               / 86400) AS BIGINT) + 3) % 7 + 1 >= 6
+              THEN 1 ELSE 0 END AS we,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+),
+per AS (
+  SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(we) AS BIGINT) AS n_weekend,
+         SUM(we * cents) AS wc, SUM((1 - we) * cents) AS dc
+  FROM o GROUP BY 1
+)
+SELECT yr AS order_year, n_orders,
+       ROUND(CAST(n_weekend AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)
+         AS weekend_share,
+       ROUND(CAST(wc AS DOUBLE) / (CAST(n_weekend AS DOUBLE) * 100.0), 2)
+         AS weekend_aov,
+       ROUND(CAST(dc AS DOUBLE)
+             / (CAST(n_orders - n_weekend AS DOUBLE) * 100.0), 2)
+         AS weekday_aov,
+       ROUND((CAST(wc AS DOUBLE) / (CAST(n_weekend AS DOUBLE) * 100.0))
+             / (CAST(dc AS DOUBLE)
+                / (CAST(n_orders - n_weekend AS DOUBLE) * 100.0)), 6)
+         AS premium_ratio
+FROM per ORDER BY order_year
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

@@ -12032,3 +12032,213 @@ def q_source_signature_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def q_source_opening_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPENING DIVERSITY per source: distinct first tokens over doc
+    count -- a feed whose documents all open with the same word is a
+    template mill (``template_prefix_groups`` finds the families;
+    this one-number ratio ranks which FEEDS to point it at). One
+    scan, two exact aggregates."""
+    from .functions.text import tokens
+
+    docs = fixtures.load(spark, sf_dir, "documents").select(
+        "source", tokens("text").alias("t")
+    ).where(F.size("t") >= 1)
+    per = docs.select("source", F.col("t").getItem(0).alias("first_tok"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("first_tok").cast("long").alias("n_openings"),
+            F.round(
+                F.countDistinct("first_tok").cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("opening_diversity"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_label_radius_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER RADIUS per label: each class's max and mean squared
+    distance from its own rational centroid (exact integer numerators
+    ||n_k*x - s_k||^2 ordered before the one terminal divide, vec_id
+    tiebreak irrelevant for max) -- read together with
+    ``label_separation_matrix``, radius >> separation marks the class
+    pairs ``nearest_centroid_confusion`` will bleed between."""
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("v").cast("double") * 10000).cast("long").alias("q"),
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s")
+    )
+    sizes = emb.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count("*").cast("decimal(38,0)").alias("nk")
+    )
+    diff = (
+        F.col("nk") * F.col("q").cast("decimal(38,0)") - F.col("s")
+    )
+    per_vec = (
+        ex.join(cent, ["label", "dim"])
+        .join(sizes, "label")
+        .groupBy("vec_id", "label")
+        .agg(F.sum(diff * diff).alias("num"), F.max("nk").alias("nk"))
+    )
+    per_label = per_vec.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.max("num").alias("mx"),
+        F.sum("num").alias("sm"),
+        F.max("nk").alias("nk"),
+    )
+    nk2 = F.col("nk").cast("double") * F.col("nk").cast("double")
+    return per_label.select(
+        "label",
+        "n_vectors",
+        F.round(
+            F.col("mx").cast("double") / (nk2 * F.lit(100000000.0)), 6
+        ).alias("max_sq_dist"),
+        F.round(
+            F.col("sm").cast("double")
+            / (F.col("n_vectors").cast("double") * nk2 * F.lit(100000000.0)),
+            6,
+        ).alias("mean_sq_dist"),
+    ).orderBy("label")
+
+
+def q_basket_size_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASKET-SIZE trend: mean lines per order by order year with the
+    YoY delta (equi-self-join, never a timeline LAG) -- is the average
+    order getting wider or narrower, the volume-mix companion to
+    ``monthly_aov_trend``'s value view."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("yr")
+    )
+    per = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("yr")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+        )
+    )
+    mean = F.col("n_lines").cast("double") / F.col("n_orders").cast("double")
+    pmean = F.col("pl").cast("double") / F.col("po").cast("double")
+    prev = per.select(
+        (F.col("yr") + 1).alias("yr"),
+        F.col("n_lines").alias("pl"),
+        F.col("n_orders").alias("po"),
+    )
+    return (
+        per.join(prev, "yr", "left")
+        .select(
+            F.col("yr").alias("order_year"),
+            "n_orders",
+            F.round(mean, 6).alias("mean_lines_per_order"),
+            F.round(mean - pmean, 6).alias("delta_vs_prev"),
+        )
+        .orderBy("order_year")
+    )
+
+
+def q_spend_latency_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do BIG SPENDERS ship faster? Customers rank into spend deciles
+    (global NTILE over the per-customer aggregate, exact cents,
+    custkey tiebreak) and each decile reports its exact mean
+    order-to-ship latency and late share -- the service-fairness audit
+    operations runs when a key account complains. Inverted intervals
+    excluded as everywhere."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("order_d"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    spend = orders.groupBy("o_custkey").agg(F.sum("cents").alias("spend"))
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+    dec = spend.withColumn("decile", F.ntile(10).over(w).cast("long")).select(
+        "o_custkey", "decile"
+    )
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    lat = (
+        li.join(orders.select("o_orderkey", "o_custkey", "order_d"), li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", F.datediff("ship_d", "order_d").alias("d"))
+        .where(F.col("d") >= 0)
+        .join(dec, "o_custkey")
+    )
+    return (
+        lat.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(
+                F.sum("d").cast("double") / F.count("*").cast("double"), 6
+            ).alias("mean_latency"),
+            F.round(
+                F.sum((F.col("d") > 30).cast("long")).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("late_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+def q_order_weekend_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEKEND ORDERING premium by year: weekend (ISO dow 6-7) vs
+    weekday mean order value and the weekend share of orders -- the
+    consumer-vs-procurement mix signal under ``weekday_revenue_
+    profile``'s flat profile. Epoch-day dow; exact cents; one
+    aggregate."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        (
+            (
+                F.floor(
+                    F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+                    / F.lit(86400)
+                ).cast("long")
+                + 3
+            )
+            % 7
+            + 1
+            >= 6
+        )
+        .cast("int")
+        .alias("we"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = orders.groupBy("yr").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("we").cast("long").alias("n_weekend"),
+        F.sum(F.col("we") * F.col("cents")).alias("wc"),
+        F.sum(F.expr("(1 - we) * cents")).alias("dc"),
+    )
+    waov = F.col("wc").cast("double") / (
+        F.col("n_weekend").cast("double") * 100.0
+    )
+    daov = F.col("dc").cast("double") / (
+        (F.col("n_orders") - F.col("n_weekend")).cast("double") * 100.0
+    )
+    return per.select(
+        F.col("yr").alias("order_year"),
+        "n_orders",
+        F.round(
+            F.col("n_weekend").cast("double") / F.col("n_orders").cast("double"),
+            6,
+        ).alias("weekend_share"),
+        F.round(waov, 2).alias("weekend_aov"),
+        F.round(daov, 2).alias("weekday_aov"),
+        F.round(waov / daov, 6).alias("premium_ratio"),
+    ).orderBy("order_year")

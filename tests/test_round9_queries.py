@@ -2799,3 +2799,96 @@ def test_source_signature_bigram_argmax(spark):
         assert out[s].signature_bigram == bg
         assert out[s].n_occurrences == -negn
         assert abs(out[s].mass_share - round(-negn / tot[s], 6)) < 1e-6
+
+
+def test_source_opening_diversity_recount(spark):
+    """Diversity ratios match a python recount; ratio in (0, 1]."""
+    docs = fixtures.load(spark, SF, "documents").select("source", "text").collect()
+    per: dict[str, list] = {}
+    for r in docs:
+        toks = [t for t in r.text.split() if t]
+        if toks:
+            t = per.setdefault(r.source, [0, set()])
+            t[0] += 1
+            t[1].add(toks[0])
+    out = {r.source: r for r in Q.q_source_opening_diversity(spark, SF).collect()}
+    assert set(out) == set(per)
+    for s, (n, ops) in per.items():
+        assert out[s].n_docs == n
+        assert out[s].n_openings == len(ops)
+        assert 0.0 < out[s].opening_diversity <= 1.0
+
+
+def test_label_radius_profile_python_model(spark):
+    """Max and mean squared radius per label reproduce the exact
+    rational-centroid python recompute; radius >= mean."""
+    vecs = _quantized_embeddings(spark)
+    sums: dict[int, list[int]] = {}
+    ns: dict[int, int] = {}
+    for _vid, (lbl, q) in vecs.items():
+        if lbl not in sums:
+            sums[lbl] = [0] * 64
+            ns[lbl] = 0
+        ns[lbl] += 1
+        for i, a in enumerate(q):
+            sums[lbl][i] += a
+    agg: dict[int, list[int]] = {}
+    for _vid, (lbl, q) in vecs.items():
+        num = sum(
+            (ns[lbl] * a - s) ** 2 for a, s in zip(q, sums[lbl])
+        )
+        t = agg.setdefault(lbl, [0, 0, 0])
+        t[0] += 1
+        t[1] = max(t[1], num)
+        t[2] += num
+    out = {r.label: r for r in Q.q_label_radius_profile(spark, SF).collect()}
+    assert set(out) == set(agg)
+    for lbl, (n, mx, sm) in agg.items():
+        nk2 = ns[lbl] * ns[lbl]
+        assert out[lbl].n_vectors == n
+        assert abs(out[lbl].max_sq_dist - round(mx / (nk2 * 1e8), 6)) < 1e-5
+        assert abs(out[lbl].mean_sq_dist - round(sm / (n * nk2 * 1e8), 6)) < 1e-5
+        assert out[lbl].max_sq_dist >= out[lbl].mean_sq_dist - 1e-9
+
+
+def test_basket_size_trend_conservation(spark):
+    """Order counts conserve and the first year's delta is NULL."""
+    out = Q.q_basket_size_trend(spark, SF).collect()
+    assert out[0].delta_vs_prev is None
+    # conserve orders that HAVE lines (the generator leaves some
+    # orders line-less; they cannot contribute to basket width)
+    with_lines = (
+        fixtures.load(spark, SF, "lineitem").select("l_orderkey").distinct().count()
+    )
+    assert sum(r.n_orders for r in out) == with_lines
+    for r in out:
+        assert r.mean_lines_per_order >= 1.0
+
+
+def test_spend_latency_bias_deciles(spark):
+    """All ten deciles appear and line counts conserve the
+    non-inverted join."""
+    out = Q.q_spend_latency_bias(spark, SF).collect()
+    assert {r.decile for r in out} == set(range(1, 11))
+    li = fixtures.load(spark, SF, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    od = fixtures.load(spark, SF, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    n = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .where(F.datediff("sd", "od") >= 0)
+        .count()
+    )
+    assert sum(r.n_lines for r in out) == n
+
+
+def test_order_weekend_premium_accounting(spark):
+    """Weekend + weekday orders conserve; the premium ratio equals
+    weekend_aov / weekday_aov."""
+    out = Q.q_order_weekend_premium(spark, SF).collect()
+    assert sum(r.n_orders for r in out) == fixtures.load(spark, SF, "orders").count()
+    for r in out:
+        assert 0.0 < r.weekend_share < 1.0
+        assert abs(r.premium_ratio - round(r.weekend_aov / r.weekday_aov, 4)) < 1e-3

@@ -360,6 +360,11 @@ PORTABLE = [
     "brand_type_matrix",
     "name_key_consistency",
     "weekday_latency_profile",
+    # round-9 batch 25 (pure ANSI; bias + premium via epoch shim;
+    # opening diversity + label radius excluded: list_*/unnest)
+    "basket_size_trend",
+    "spend_latency_bias",
+    "order_weekend_premium",
 ]
 
 
