@@ -187,6 +187,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_size_trend": Q.q_basket_size_trend,
         "spend_latency_bias": Q.q_spend_latency_bias,
         "order_weekend_premium": Q.q_order_weekend_premium,
+        "dau_anomaly_days": Q.q_dau_anomaly_days,
+        "event_type_user_overlap": Q.q_event_type_user_overlap,
+        "annual_customer_retention": Q.q_annual_customer_retention,
+        "sku_price_drift_mix": Q.q_sku_price_drift_mix,
+        "embedding_exact_dups": Q.q_embedding_exact_dups,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -3526,6 +3531,125 @@ SELECT yr AS order_year, n_orders,
                 / (CAST(n_orders - n_weekend AS DOUBLE) * 100.0)), 6)
          AS premium_ratio
 FROM per ORDER BY order_year
+""",
+        "dau_anomaly_days": """
+WITH pairs AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM pairs GROUP BY 1),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(dau AS HUGEINT)) AS s,
+         SUM(CAST(dau AS HUGEINT) * dau) AS s2
+  FROM dau
+)
+SELECT d AS day, dau.dau AS dau,
+       ROUND(CAST(dau.dau AS DOUBLE)
+             - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE), 6)
+         AS delta_vs_mean,
+       CASE WHEN (st.n * dau.dau - st.s) * (st.n * dau.dau - st.s)
+                 > 4 * (st.n * st.s2 - st.s * st.s)
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM dau CROSS JOIN st ORDER BY day
+""",
+        "event_type_user_overlap": """
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM tu GROUP BY 1
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM tu a JOIN tu b ON a.user_id = b.user_id
+  WHERE a.event_type <> b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, i.n_both,
+       ROUND(CAST(i.n_both AS DOUBLE) / CAST(s.n_users AS DOUBLE), 6)
+         AS containment
+FROM inter i JOIN sizes s ON i.type_a = s.event_type
+ORDER BY type_a, type_b
+""",
+        "annual_customer_retention": """
+WITH yc AS (
+  SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr, o_custkey
+  FROM orders
+),
+per AS (
+  SELECT a.yr,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_retained
+  FROM yc a
+  LEFT JOIN yc b ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+  GROUP BY 1
+),
+mx AS (SELECT MAX(yr) AS last_yr FROM per)
+SELECT yr AS order_year, n_customers, n_retained,
+       ROUND(CAST(n_retained AS DOUBLE) / CAST(n_customers AS DOUBLE), 6)
+         AS retention_rate
+FROM per CROSS JOIN mx WHERE yr < last_yr
+ORDER BY order_year
+""",
+        "sku_price_drift_mix": """
+WITH li AS (
+  SELECT l_partkey AS sku, CAST(l_shipdate AS DATE) AS d,
+         l_orderkey, l_linenumber,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS c,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem
+),
+rk AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY sku
+                            ORDER BY d, l_orderkey, l_linenumber) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY sku
+                            ORDER BY d DESC, l_orderkey DESC,
+                                     l_linenumber DESC) AS rd
+  FROM li
+),
+ends AS (
+  SELECT sku, CAST(COUNT(*) AS BIGINT) AS n_ends,
+         MIN(CASE WHEN ra = 1 THEN c END) AS c1,
+         MIN(CASE WHEN ra = 1 THEN q END) AS q1,
+         MIN(CASE WHEN rd = 1 THEN c END) AS c2,
+         MIN(CASE WHEN rd = 1 THEN q END) AS q2
+  FROM rk WHERE ra = 1 OR rd = 1
+  GROUP BY 1 HAVING COUNT(*) = 2
+),
+drift AS (
+  SELECT sku,
+         CASE WHEN CAST(c2 AS HUGEINT) * q1 > CAST(c1 AS HUGEINT) * q2
+                THEN 1
+              WHEN CAST(c2 AS HUGEINT) * q1 < CAST(c1 AS HUGEINT) * q2
+                THEN -1
+              ELSE 0 END AS dir
+  FROM ends
+)
+SELECT p.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_skus,
+       CAST(SUM(CASE WHEN dir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       CAST(SUM(CASE WHEN dir = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+       CAST(SUM(CASE WHEN dir = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat
+FROM drift JOIN part p ON drift.sku = p.p_partkey
+GROUP BY 1 ORDER BY brand
+""",
+        "embedding_exact_dups": """
+WITH qvec AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        v -> CAST(ROUND(CAST(v AS DOUBLE) * 10000)
+                                  AS BIGINT)) AS qv
+  FROM embeddings
+),
+groups AS (
+  SELECT qv, CAST(COUNT(*) AS BIGINT) AS k FROM qvec GROUP BY 1
+)
+SELECT k AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups
+FROM groups GROUP BY 1 ORDER BY group_size
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

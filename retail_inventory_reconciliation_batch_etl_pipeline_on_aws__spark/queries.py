@@ -12242,3 +12242,211 @@ def q_order_weekend_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(daov, 2).alias("weekday_aov"),
         F.round(waov / daov, 6).alias("premium_ratio"),
     ).orderBy("order_year")
+
+
+def q_dau_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU ANOMALY days: days whose distinct-user count sits more than
+    2 population-sigma from the corpus mean, flagged WITHOUT a single
+    float accumulation -- the z test cross-multiplies to exact
+    integers ((n*dau - s)^2 > 4 * (n*s2 - s^2), the
+    ``sku_sales_anomaly`` rule on the activity axis). Emits every day
+    with its DAU, the exact z (one terminal divide) and the flag."""
+    pairs = (
+        fixtures.events(spark, sf_dir)
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+    )
+    dau = pairs.groupBy("d").agg(F.count("*").cast("long").alias("dau"))
+    stats = dau.groupBy().agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("dau").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("dau").cast("decimal(38,0)") * F.col("dau").cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    dev = n * F.col("dau").cast("decimal(38,0)") - F.col("s")
+    var_n2 = n * F.col("s2") - F.col("s") * F.col("s")
+    return (
+        dau.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            F.round(
+                F.col("dau").cast("double")
+                - F.col("s").cast("double") / F.col("n").cast("double"),
+                6,
+            ).alias("delta_vs_mean"),
+            (dev * dev > F.lit(4) * var_n2).cast("int").alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE-ADOPTION overlap: for every ordered event-type pair,
+    the share of type A's users who also emit type B
+    (|users(A) & users(B)| / |users(A)| -- directional containment,
+    the ``source_vocab_overlap`` shape on the behavioral axis). The
+    intersection is one equi-join over the distinct (type, user)
+    frame."""
+    tu = (
+        fixtures.events(spark, sf_dir)
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sizes = tu.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") != F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("event_type").alias("type_a"), "n_users"),
+            "type_a",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double") / F.col("n_users").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def q_annual_customer_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANNUAL customer retention: of the customers who ordered in year
+    Y, the share who order again in Y+1 -- the yearly heartbeat above
+    ``weekly_retention``'s event-grain cohort view. One distinct
+    (year, customer) frame self-joined on (customer, year+1)."""
+    yc = (
+        fixtures.load(spark, sf_dir, "orders")
+        .select(
+            F.year("o_orderdate").cast("long").alias("yr"), "o_custkey"
+        )
+        .distinct()
+    )
+    nxt = yc.select(
+        (F.col("yr") - 1).alias("pyr"), F.col("o_custkey").alias("ck")
+    )
+    j = yc.join(
+        nxt,
+        (yc.yr == nxt.pyr) & (yc.o_custkey == nxt.ck),
+        "left",
+    ).select(yc.yr.alias("yr"), (F.col("ck").isNotNull()).cast("int").alias("ret"))
+    per = j.groupBy("yr").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("ret").cast("long").alias("n_retained"),
+    )
+    mx = per.groupBy().agg(F.max("yr").alias("last_yr"))
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .where(F.col("yr") < F.col("last_yr"))
+        .select(
+            F.col("yr").alias("order_year"),
+            "n_customers",
+            "n_retained",
+            F.round(
+                F.col("n_retained").cast("double")
+                / F.col("n_customers").cast("double"),
+                6,
+            ).alias("retention_rate"),
+        )
+        .orderBy("order_year")
+    )
+
+
+def q_sku_price_drift_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE-DRIFT mix per brand: each multi-transaction sku's FIRST
+    vs LAST unit price compared EXACTLY by cross-multiplication
+    (unit price is the rational cents/qty -- the
+    ``price_change_events`` contract, applied end-to-end instead of
+    step-by-step), rolled up to how many of the brand's skus drifted
+    up / down / flat -- the assortment-level inflation fingerprint."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("sku"),
+        F.col("l_shipdate").cast("date").alias("d"),
+        "l_orderkey",
+        "l_linenumber",
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("c"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    w_a = Window.partitionBy("sku").orderBy("d", "l_orderkey", "l_linenumber")
+    w_d = Window.partitionBy("sku").orderBy(
+        F.col("d").desc(), F.col("l_orderkey").desc(), F.col("l_linenumber").desc()
+    )
+    ends = (
+        li.withColumn("ra", F.row_number().over(w_a))
+        .withColumn("rd", F.row_number().over(w_d))
+        .where((F.col("ra") == 1) | (F.col("rd") == 1))
+        .groupBy("sku")
+        .agg(
+            F.count("*").cast("long").alias("n_ends"),
+            F.min(F.when(F.col("ra") == 1, F.col("c"))).alias("c1"),
+            F.min(F.when(F.col("ra") == 1, F.col("q"))).alias("q1"),
+            F.min(F.when(F.col("rd") == 1, F.col("c"))).alias("c2"),
+            F.min(F.when(F.col("rd") == 1, F.col("q"))).alias("q2"),
+        )
+        .where(F.col("n_ends") == 2)  # multi-transaction skus only
+    )
+    lhs = F.col("c2").cast("decimal(38,0)") * F.col("q1").cast("decimal(38,0)")
+    rhs = F.col("c1").cast("decimal(38,0)") * F.col("q2").cast("decimal(38,0)")
+    drift = ends.select(
+        "sku",
+        F.when(lhs > rhs, F.lit(1))
+        .when(lhs < rhs, F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("dir"),
+    )
+    part = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    return (
+        drift.join(part, drift.sku == part.p_partkey)
+        .groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_skus"),
+            F.sum((F.col("dir") == 1).cast("long")).cast("long").alias("n_up"),
+            F.sum((F.col("dir") == -1).cast("long")).cast("long").alias("n_down"),
+            F.sum((F.col("dir") == 0).cast("long")).cast("long").alias("n_flat"),
+        )
+        .orderBy("brand")
+    )
+
+
+def q_embedding_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-DUPLICATE vectors: embeddings grouped by their full
+    1e-4-quantized coordinate tuple -- the vector-modality rung of the
+    exact-dedup ladder (``dedup_exact`` hashes text; a feature store
+    dedups repeated encodes the same way before they poison ANN
+    training). Reports the duplicate-group size histogram; grouping
+    is BY THE ARRAY itself (both engines define list equality
+    elementwise)."""
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    qvec = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * 10000).cast("long"),
+        ).alias("qv"),
+    )
+    groups = qvec.groupBy("qv").agg(F.count("*").cast("long").alias("k"))
+    return (
+        groups.groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_groups"))
+        .select(
+            F.col("k").alias("group_size"),
+            "n_groups",
+        )
+        .orderBy("group_size")
+    )

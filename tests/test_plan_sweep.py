@@ -63,6 +63,8 @@ NESTED_LOOP_OK = {
     "user_activity_deciles",  # 1-row (events, cents) totals broadcast gate
     "customer_brand_breadth",  # 1-row revenue-total broadcast gate (shares)
     "user_entry_exit_matrix",  # 1-row user-total broadcast gate (shares)
+    "dau_anomaly_days",  # 1-row (n, s, s2) day-stats broadcast gate
+    "annual_customer_retention",  # 1-row last-year broadcast gate
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -2892,3 +2892,115 @@ def test_order_weekend_premium_accounting(spark):
     for r in out:
         assert 0.0 < r.weekend_share < 1.0
         assert abs(r.premium_ratio - round(r.weekend_aov / r.weekday_aov, 4)) < 1e-3
+
+
+def test_dau_anomaly_days_matches_python_rule(spark):
+    """The exact cross-multiplied z rule matches a python recount."""
+    pairs = {
+        (r.d, r.user_id)
+        for r in fixtures.events(spark, SF)
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .collect()
+    }
+    per: dict = {}
+    for d, _u in pairs:
+        per[d] = per.get(d, 0) + 1
+    n = len(per)
+    s = sum(per.values())
+    s2 = sum(v * v for v in per.values())
+    out = {r.day: r for r in Q.q_dau_anomaly_days(spark, SF).collect()}
+    assert set(out) == set(per)
+    for d, v in per.items():
+        want = 1 if (n * v - s) ** 2 > 4 * (n * s2 - s * s) else 0
+        assert out[d].is_anomaly == want
+        assert out[d].dau == v
+
+
+def test_event_type_user_overlap_recount(spark):
+    """Containment cells match a python recount; containment in (0,1]."""
+    tu: dict[str, set] = {}
+    for r in fixtures.events(spark, SF).select("event_type", "user_id").collect():
+        tu.setdefault(r.event_type, set()).add(r.user_id)
+    out = {(r.type_a, r.type_b): r for r in Q.q_event_type_user_overlap(spark, SF).collect()}
+    for a in tu:
+        for b in tu:
+            if a == b:
+                continue
+            both = len(tu[a] & tu[b])
+            if both == 0:
+                assert (a, b) not in out
+                continue
+            r = out[(a, b)]
+            assert r.n_both == both
+            assert abs(r.containment - round(both / len(tu[a]), 6)) < 1e-6
+            assert 0.0 < r.containment <= 1.0
+
+
+def test_annual_customer_retention_recount(spark):
+    """Retention per year matches a python recount; the last year is
+    excluded (no lookahead)."""
+    yc: dict[int, set] = {}
+    for r in fixtures.load(spark, SF, "orders").select(
+        F.year("o_orderdate").alias("y"), "o_custkey"
+    ).collect():
+        yc.setdefault(r.y, set()).add(r.o_custkey)
+    years = sorted(yc)
+    out = {r.order_year: r for r in Q.q_annual_customer_retention(spark, SF).collect()}
+    assert set(out) == set(years[:-1])
+    for y in years[:-1]:
+        ret = len(yc[y] & yc.get(y + 1, set()))
+        assert out[y].n_customers == len(yc[y])
+        assert out[y].n_retained == ret
+
+
+def test_sku_price_drift_mix_python_model(spark):
+    """Up/down/flat per brand match an exact rational python recount
+    over first-vs-last transactions; counts partition multi-
+    transaction skus."""
+    li = fixtures.load(spark, SF, "lineitem").select(
+        "l_partkey",
+        F.col("l_shipdate").cast("date").alias("d"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_quantity",
+    ).collect()
+    per: dict[int, list] = {}
+    for r in li:
+        c = int(round(float(r.l_extendedprice) * 100))
+        q = int(r.l_quantity)
+        per.setdefault(r.l_partkey, []).append(
+            ((r.d, r.l_orderkey, r.l_linenumber), c, q)
+        )
+    brand = {r.p_partkey: r.p_brand for r in fixtures.load(spark, SF, "part").collect()}
+    agg: dict[str, list[int]] = {}
+    for sku, xs in per.items():
+        if len(xs) < 2:
+            continue
+        xs.sort()
+        _k1, c1, q1 = xs[0]
+        _k2, c2, q2 = xs[-1]
+        lhs, rhs = c2 * q1, c1 * q2
+        d = 0 if lhs == rhs else (1 if lhs > rhs else -1)
+        t = agg.setdefault(brand[sku], [0, 0, 0, 0])
+        t[0] += 1
+        t[1 if d == 1 else (2 if d == -1 else 3)] += 1
+    out = {r.brand: r for r in Q.q_sku_price_drift_mix(spark, SF).collect()}
+    assert set(out) == set(agg)
+    for b, (n, up, down, flat) in agg.items():
+        assert (out[b].n_skus, out[b].n_up, out[b].n_down, out[b].n_flat) == (
+            n,
+            up,
+            down,
+            flat,
+        )
+
+
+def test_embedding_exact_dups_conservation(spark):
+    """Group sizes conserve the vector count; the fixture has no
+    accidental quantized duplicates unless planted (size-1 groups
+    dominate)."""
+    out = Q.q_embedding_exact_dups(spark, SF).collect()
+    total = sum(r.group_size * r.n_groups for r in out)
+    assert total == fixtures.load(spark, SF, "embeddings").count()
+    assert out[0].group_size == 1

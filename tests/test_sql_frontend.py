@@ -365,6 +365,10 @@ PORTABLE = [
     "basket_size_trend",
     "spend_latency_bias",
     "order_weekend_premium",
+    # round-9 batch 26 (pure ANSI; drift mix + DAU anomaly excluded:
+    # HUGEINT statistics; exact dups excluded: list_transform)
+    "event_type_user_overlap",
+    "annual_customer_retention",
 ]
 
 
