@@ -192,6 +192,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annual_customer_retention": Q.q_annual_customer_retention,
         "sku_price_drift_mix": Q.q_sku_price_drift_mix,
         "embedding_exact_dups": Q.q_embedding_exact_dups,
+        "repeated_part_lines_audit": Q.q_repeated_part_lines_audit,
+        "hourly_value_profile": Q.q_hourly_value_profile,
+        "priority_value_profile": Q.q_priority_value_profile,
+        "brand_demand_acf": Q.q_brand_demand_acf,
+        "customer_entry_brand_loyalty": Q.q_customer_entry_brand_loyalty,
         # --- round-9 window fill: the 41 entries whose freshest green
         # is CORRECTNESS_r05 (in r05 attestation order), then the
         # stalest r06 greens to 50 -----------------------------------
@@ -3650,6 +3655,128 @@ groups AS (
 )
 SELECT k AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups
 FROM groups GROUP BY 1 ORDER BY group_size
+""",
+        "repeated_part_lines_audit": """
+WITH per AS (
+  SELECT l_orderkey, l_partkey, CAST(COUNT(*) AS BIGINT) AS k
+  FROM lineitem GROUP BY 1, 2
+),
+po AS (
+  SELECT l_orderkey, MAX(k) AS mx,
+         CAST(SUM(CASE WHEN k >= 2 THEN k ELSE 0 END) AS BIGINT)
+           AS dup_lines
+  FROM per GROUP BY 1
+)
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN po.mx >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_repeats,
+       ROUND(CAST(SUM(CASE WHEN po.mx >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS repeat_share,
+       CAST(SUM(po.dup_lines) AS BIGINT) AS n_dup_lines
+FROM po JOIN orders o ON po.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY order_year
+""",
+        "hourly_value_profile": """
+WITH ev AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT hr AS hour, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(cents) AS BIGINT) AS n_valued,
+       ROUND(CAST(SUM(cents) AS DOUBLE)
+             / (CAST(COUNT(cents) AS DOUBLE) * 100.0), 6) AS mean_value
+FROM ev GROUP BY 1 ORDER BY hour
+""",
+        "priority_value_profile": """
+WITH per AS (
+  SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT SUM(c) AS tc FROM per)
+SELECT priority, n_orders,
+       ROUND(CAST(c AS DOUBLE) / (CAST(n_orders AS DOUBLE) * 100.0), 2)
+         AS mean_order_value,
+       ROUND(CAST(c AS DOUBLE) / CAST(tc AS DOUBLE), 6) AS revenue_share
+FROM per CROSS JOIN tot ORDER BY priority
+""",
+        "brand_demand_acf": """
+WITH li AS (
+  SELECT l_partkey AS sku,
+         CAST(FLOOR(CAST(FLOOR(epoch(CAST(l_shipdate AS TIMESTAMP))
+                               / 86400) AS BIGINT) / 7.0) AS BIGINT) AS wk,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+weekly AS (
+  SELECT sku, wk, CAST(SUM(qty) AS BIGINT) AS q FROM li GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.sku, a.q AS x, b.q AS y
+  FROM weekly a JOIN weekly b ON a.sku = b.sku AND b.wk = a.wk + 1
+),
+st AS (
+  SELECT p.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM pairs JOIN part p ON pairs.sku = p.p_partkey
+  GROUP BY 1
+)
+SELECT brand, n_pairs,
+       ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(GREATEST(0.0,
+                              CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * SQRT(GREATEST(0.0,
+                                CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))),
+             6) AS acf1
+FROM st ORDER BY brand
+""",
+        "customer_entry_brand_loyalty": """
+WITH base AS (
+  SELECT o.o_custkey, p.p_brand AS brand,
+         CAST(l.l_shipdate AS DATE) AS d, l.l_orderkey, l.l_linenumber,
+         CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+              AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+),
+flagged AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY d, l_orderkey, l_linenumber) AS rn
+  FROM base
+),
+first AS (
+  SELECT o_custkey, brand AS first_brand FROM flagged WHERE rn = 1
+),
+per AS (
+  SELECT f.o_custkey,
+         SUM(CASE WHEN f.brand = fi.first_brand THEN f.cents ELSE 0 END)
+           AS fb,
+         SUM(f.cents) AS tc
+  FROM flagged f JOIN first fi ON f.o_custkey = fi.o_custkey
+  GROUP BY 1
+),
+q AS (
+  SELECT o_custkey,
+         CAST(ROUND(CAST(fb AS DOUBLE) * 1000000.0 / CAST(tc AS DOUBLE))
+              AS BIGINT) AS ppm
+  FROM per
+)
+SELECT c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(ppm) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 6)
+         AS mean_entry_brand_share
+FROM q JOIN customer c ON q.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY segment
 """,
         "market_share": """
 SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,

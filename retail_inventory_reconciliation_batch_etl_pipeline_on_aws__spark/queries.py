@@ -12450,3 +12450,247 @@ def q_embedding_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_size")
     )
+
+
+def q_repeated_part_lines_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-LINE audit: orders carrying the SAME part on multiple
+    lines, per year -- entry errors or deliberate line splitting
+    (``duplicate_invoice_screen`` hunts cloned orders; this hunts
+    cloned lines inside one order). Exact counts off one
+    (order, part) aggregate."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    per = li.groupBy("l_orderkey", "l_partkey").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    per_order = per.groupBy("l_orderkey").agg(
+        F.max("k").alias("mx"),
+        F.sum(F.when(F.col("k") >= 2, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("dup_lines"),
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("yr")
+    )
+    j = per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+    return (
+        j.groupBy("yr")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum((F.col("mx") >= 2).cast("long")).cast("long").alias(
+                "n_with_repeats"
+            ),
+            F.round(
+                F.sum((F.col("mx") >= 2).cast("long")).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("repeat_share"),
+            F.sum("dup_lines").cast("long").alias("n_dup_lines"),
+        )
+        .select(
+            F.col("yr").alias("order_year"),
+            "n_orders",
+            "n_with_repeats",
+            "repeat_share",
+            "n_dup_lines",
+        )
+        .orderBy("order_year")
+    )
+
+
+def q_hourly_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE by hour of day: event count, value coverage and exact
+    mean value per UTC hour -- ``events_hour_of_day`` weighs traffic,
+    this weighs money (checkout hours vs browse hours). NULL values
+    drop from both n and the sum, the SQL aggregate convention."""
+    ev = fixtures.events(spark, sf_dir).select(
+        F.hour("ts").cast("long").alias("hr"),
+        F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        ev.groupBy("hr")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count("cents").cast("long").alias("n_valued"),
+            F.round(
+                F.sum("cents").cast("double")
+                / (F.count("cents").cast("double") * 100.0),
+                6,
+            ).alias("mean_value"),
+        )
+        .select(F.col("hr").alias("hour"), "n_events", "n_valued", "mean_value")
+        .orderBy("hour")
+    )
+
+
+def q_priority_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do URGENT orders pay more? Order count, exact mean value and
+    revenue share per order priority -- the one-level summary
+    ``value_priority_matrix`` expands into deciles."""
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = orders.groupBy("priority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("c"),
+    )
+    tot = per.groupBy().agg(F.sum("c").alias("tc"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "priority",
+            "n_orders",
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("n_orders").cast("double") * 100.0),
+                2,
+            ).alias("mean_order_value"),
+            F.round(
+                F.col("c").cast("double") / F.col("tc").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("priority")
+    )
+
+
+def q_brand_demand_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly demand LAG-1 AUTOCORRELATION per brand: consecutive-week
+    (sku, qty) pairs pooled within each brand and fed through the
+    exact-integer Pearson recipe -- momentum (+) vs oscillation (-) vs
+    noise (~0), THE one-number forecastability screen over
+    ``demand_intermittency``'s classification. The lag join is an
+    equi-self-join on (sku, week+1) over the weekly aggregate (never a
+    partition-less window); every sufficient statistic is an exact
+    DECIMAL(38,0)."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("sku"),
+        F.floor(
+            F.floor(
+                F.unix_timestamp(F.col("l_shipdate").cast("timestamp"))
+                / F.lit(86400)
+            ).cast("long")
+            / F.lit(7.0)
+        )
+        .cast("long")
+        .alias("wk"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    weekly = li.groupBy("sku", "wk").agg(
+        F.sum("qty").cast("long").alias("q")
+    )
+    nxt = weekly.select(
+        "sku", (F.col("wk") - 1).alias("wk"), F.col("q").alias("qn")
+    )
+    pairs = weekly.join(nxt, ["sku", "wk"]).select(
+        "sku",
+        F.col("q").cast("decimal(38,0)").alias("x"),
+        F.col("qn").cast("decimal(38,0)").alias("y"),
+    )
+    part = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    st = (
+        pairs.join(part, pairs.sku == part.p_partkey)
+        .groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    return st.select(
+        "brand",
+        "n_pairs",
+        F.round(
+            (n * F.col("sxy").cast("double") - sx * sy)
+            / (
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0), n * F.col("sxx").cast("double") - sx * sx
+                    )
+                )
+                * F.sqrt(
+                    F.greatest(
+                        F.lit(0.0), n * F.col("syy").cast("double") - sy * sy
+                    )
+                )
+            ),
+            6,
+        ).alias("acf1"),
+    ).orderBy("brand")
+
+
+def q_customer_entry_brand_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTRY-BRAND loyalty per segment: the share of each customer's
+    lifetime line revenue spent on the FIRST brand they ever bought
+    (first line by (date, order, linenumber); exact cents; quantized
+    to ppm before averaging -- the ``order_line_hhi`` rule), averaged
+    per market segment -- does the first brand own the wallet."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("d"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    orders = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    part = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        part, li.l_partkey == part.p_partkey
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        "d", "l_orderkey", "l_linenumber"
+    )
+    flagged = base.withColumn("rn", F.row_number().over(w))
+    first = flagged.where(F.col("rn") == 1).select(
+        "o_custkey", F.col("brand").alias("first_brand")
+    )
+    per = (
+        flagged.join(first, "o_custkey")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("brand") == F.col("first_brand"), F.col("cents")
+                ).otherwise(0)
+            ).alias("fb"),
+            F.sum("cents").alias("tc"),
+        )
+    )
+    ppm = F.round(
+        F.col("fb").cast("double")
+        * F.lit(1000000.0)
+        / F.col("tc").cast("double")
+    ).cast("long")
+    cust = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    j = per.select("o_custkey", ppm.alias("ppm")).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        j.groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(
+                F.sum("ppm").cast("double")
+                / (F.count("*").cast("double") * F.lit(1000000.0)),
+                6,
+            ).alias("mean_entry_brand_share"),
+        )
+        .orderBy("segment")
+    )

@@ -65,6 +65,7 @@ NESTED_LOOP_OK = {
     "user_entry_exit_matrix",  # 1-row user-total broadcast gate (shares)
     "dau_anomaly_days",  # 1-row (n, s, s2) day-stats broadcast gate
     "annual_customer_retention",  # 1-row last-year broadcast gate
+    "priority_value_profile",  # 1-row revenue-total broadcast gate (shares)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -3004,3 +3004,112 @@ def test_embedding_exact_dups_conservation(spark):
     total = sum(r.group_size * r.n_groups for r in out)
     assert total == fixtures.load(spark, SF, "embeddings").count()
     assert out[0].group_size == 1
+
+
+def test_repeated_part_lines_audit_recount(spark):
+    """Repeat counts match a python recount over (order, part)
+    multiplicities."""
+    li = fixtures.load(spark, SF, "lineitem").select("l_orderkey", "l_partkey").collect()
+    mult: dict[tuple, int] = {}
+    for r in li:
+        mult[(r.l_orderkey, r.l_partkey)] = mult.get((r.l_orderkey, r.l_partkey), 0) + 1
+    per_order: dict[int, list[int]] = {}
+    for (o, _p), k in mult.items():
+        t = per_order.setdefault(o, [0, 0])
+        t[0] = max(t[0], k)
+        if k >= 2:
+            t[1] += k
+    yr = {
+        r.o_orderkey: r.y
+        for r in fixtures.load(spark, SF, "orders")
+        .select("o_orderkey", F.year("o_orderdate").alias("y"))
+        .collect()
+    }
+    agg: dict[int, list[int]] = {}
+    for o, (mx, dl) in per_order.items():
+        t = agg.setdefault(yr[o], [0, 0, 0])
+        t[0] += 1
+        if mx >= 2:
+            t[1] += 1
+        t[2] += dl
+    out = {r.order_year: r for r in Q.q_repeated_part_lines_audit(spark, SF).collect()}
+    assert set(out) == set(agg)
+    for y, (n, w, dl) in agg.items():
+        assert (out[y].n_orders, out[y].n_with_repeats, out[y].n_dup_lines) == (
+            n,
+            w,
+            dl,
+        )
+
+
+def test_hourly_value_profile_conservation(spark):
+    """All 24 hours appear; valued counts conserve the non-null
+    population."""
+    out = Q.q_hourly_value_profile(spark, SF).collect()
+    assert {r.hour for r in out} == set(range(24))
+    ev = fixtures.events(spark, SF)
+    assert sum(r.n_events for r in out) == ev.count()
+    assert sum(r.n_valued for r in out) == ev.where(F.col("value").isNotNull()).count()
+
+
+def test_priority_value_profile_shares(spark):
+    """Revenue shares telescope to 1 and orders conserve."""
+    out = Q.q_priority_value_profile(spark, SF).collect()
+    assert abs(sum(r.revenue_share for r in out) - 1.0) < 1e-4
+    assert sum(r.n_orders for r in out) == fixtures.load(spark, SF, "orders").count()
+
+
+def test_brand_demand_acf_bounds_and_model(spark):
+    """|acf1| <= 1 and one brand matches an exact python recompute."""
+    import math
+
+    out = {r.brand: r for r in Q.q_brand_demand_acf(spark, SF).collect()}
+    for r in out.values():
+        assert abs(r.acf1) <= 1.0 + 1e-9
+    li = fixtures.load(spark, SF, "lineitem").select(
+        "l_partkey",
+        F.floor(F.floor(F.unix_timestamp(F.col("l_shipdate").cast("timestamp")) / 86400).cast("long") / 7.0).cast("long").alias("wk"),
+        F.col("l_quantity").cast("long").alias("q"),
+    ).collect()
+    brand = {r.p_partkey: r.p_brand for r in fixtures.load(spark, SF, "part").collect()}
+    target = sorted(out)[0]
+    weekly: dict[tuple, int] = {}
+    for r in li:
+        if brand[r.l_partkey] != target:
+            continue
+        weekly[(r.l_partkey, r.wk)] = weekly.get((r.l_partkey, r.wk), 0) + r.q
+    n = sx = sy = sxx = syy = sxy = 0
+    for (sku, wk), x in weekly.items():
+        y = weekly.get((sku, wk + 1))
+        if y is None:
+            continue
+        n += 1
+        sx += x
+        sy += y
+        sxx += x * x
+        syy += y * y
+        sxy += x * y
+    r_ = (n * sxy - sx * sy) / (
+        math.sqrt(max(0, n * sxx - sx * sx)) * math.sqrt(max(0, n * syy - sy * sy))
+    )
+    assert out[target].n_pairs == n
+    assert abs(out[target].acf1 - round(r_, 6)) < 1e-5
+
+
+def test_customer_entry_brand_loyalty_bounds(spark):
+    """Mean entry-brand share is a proper fraction and customers
+    conserve to the line-generating population."""
+    out = Q.q_customer_entry_brand_loyalty(spark, SF).collect()
+    for r in out:
+        assert 0.0 < r.mean_entry_brand_share <= 1.0
+    n_cust = (
+        fixtures.load(spark, SF, "lineitem")
+        .join(
+            fixtures.load(spark, SF, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in out) == n_cust

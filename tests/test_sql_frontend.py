@@ -369,6 +369,12 @@ PORTABLE = [
     # HUGEINT statistics; exact dups excluded: list_transform)
     "event_type_user_overlap",
     "annual_customer_retention",
+    # round-9 batch 27 (pure ANSI; loyalty + acf via the epoch shim
+    # where dates fold to weeks; acf excluded: HUGEINT statistics)
+    "repeated_part_lines_audit",
+    "hourly_value_profile",
+    "priority_value_profile",
+    "customer_entry_brand_loyalty",
 ]
 
 
