@@ -41,76 +41,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the LEAST-RECENTLY driver-attested entries come FIRST.
 
     The driver's CORRECTNESS artifact records only the first 50
-    entries, so ordering is part of the contract. Round-9 rotation:
-    CORRECTNESS_r08 came back 50/50 green, so there are no reds to
-    front-pin; new round-9 additions (never driver-attested) are
-    inserted at the head of the window as they land, displacing the
-    stalest windowed r06 greens back past the boundary. Behind any
-    such additions the window holds the stalest greens: the 41
-    entries whose freshest green is CORRECTNESS_r05 (in r05
-    attestation order -- the r04 cohort was fully re-attested in r8),
-    then stalest r06 greens filling to 50. Past the window: the r06
-    remainder, the 49 r07 greens, the 50 r08 greens (the full
-    round-8 window, freshest), then the 20 rows-only (seeded/
-    approximate/iterative) entries that close the tail by design --
-    attesting those would waste a slot on a weaker rows-only check.
-    All post-window entries stay pinned value-level by
-    tests/test_oracle_parity.py and bit-exactly by
-    tools/strict_parity.py.
+    entries, so ordering is part of the contract. Round-10 rotation:
+    CORRECTNESS_r09 came back 50/50 green (no reds to front-pin), but
+    round 9 added 86 paired entries beyond the 50 it attested -- more
+    never-attested entries than the window holds. Per the over-full
+    rule the whole window is spent on them (86 > 50) and the 36
+    excess sit contiguously just past the boundary, leading the
+    round-11 queue. Behind those: every previously-attested paired
+    entry in staleness order (freshest green r5 -> r6 -> r7 -> r8 ->
+    r9), then the 21 rows-only (seeded/approximate/iterative) entries
+    that close the tail by design -- attesting those would waste a
+    slot on a weaker rows-only check. All post-window entries stay
+    pinned value-level by tests/test_oracle_parity.py and bit-exactly
+    by tools/strict_parity.py.
     """
     return {
-        # --- round-9 additions, never driver-attested (rotation rule
-        # 1: never-attested first) -----------------------------------
-        "price_change_events": Q.q_price_change_events,
-        "single_source_risk": Q.q_single_source_risk,
-        "seasonal_naive_backtest": Q.q_seasonal_naive_backtest,
-        "langid_confusion": Q.q_langid_confusion,
-        "dedup_group_sizes": Q.q_dedup_group_sizes,
-        "rfm_segments": Q.q_rfm_segments,
-        "lorenz_curve": Q.q_lorenz_curve,
-        "price_volume_bridge": Q.q_price_volume_bridge,
-        "revenue_recognition": Q.q_revenue_recognition,
-        "demand_intermittency": Q.q_demand_intermittency,
-        "token_burstiness": Q.q_token_burstiness,
-        "brand_spearman": Q.q_brand_spearman,
-        "kwic_concordance": Q.q_kwic_concordance,
-        "brand_transitions": Q.q_brand_transitions,
-        "snapshot_diff": Q.q_snapshot_diff,
-        "heavy_hitter_tokens": Q.q_heavy_hitter_tokens,
-        "template_prefix_groups": Q.q_template_prefix_groups,
-        "supplier_on_time_rate": Q.q_supplier_on_time_rate,
-        "post_return_activity": Q.q_post_return_activity,
-        "inventory_aging": Q.q_inventory_aging,
-        "brand_price_mad": Q.q_brand_price_mad,
-        "order_fill_status": Q.q_order_fill_status,
-        "ship_hazard": Q.q_ship_hazard,
-        "brand_price_slope": Q.q_brand_price_slope,
-        "readability_scores": Q.q_readability_scores,
-        "eoq_recommendation": Q.q_eoq_recommendation,
-        "order_batching": Q.q_order_batching,
-        "brand_price_ladder": Q.q_brand_price_ladder,
-        "monthly_return_rate": Q.q_monthly_return_rate,
-        "order_ship_span": Q.q_order_ship_span,
-        "char_trigram_profile": Q.q_char_trigram_profile,
-        "latency_by_year": Q.q_latency_by_year,
-        "customer_quartile_migration": Q.q_customer_quartile_migration,
-        "dormancy_by_segment": Q.q_dormancy_by_segment,
-        "sentence_length_profile": Q.q_sentence_length_profile,
-        "customer_value_cv": Q.q_customer_value_cv,
-        "chunk_dedup_stats": Q.q_chunk_dedup_stats,
-        "neardup_source_matrix": Q.q_neardup_source_matrix,
-        "part_size_mix": Q.q_part_size_mix,
-        "event_dow_hour_matrix": Q.q_event_dow_hour_matrix,
-        "line_position_profile": Q.q_line_position_profile,
-        "embedding_dim_stats": Q.q_embedding_dim_stats,
-        "label_balance": Q.q_label_balance,
-        "nearest_centroid_confusion": Q.q_nearest_centroid_confusion,
-        "segment_priority_mix": Q.q_segment_priority_mix,
-        "brand_seasonal_peak": Q.q_brand_seasonal_peak,
-        "order_total_consistency": Q.q_order_total_consistency,
-        "weekly_zchart": Q.q_weekly_zchart,
-        "nation_segment_grid": Q.q_nation_segment_grid,
-        "type_discount_profile": Q.q_type_discount_profile,
+        # --- round-10 window: the 86 never-attested r9-overflow
+        # entries lead (window spent entirely on never-attested
+        # per the over-full rule; the 36 excess sit contiguously
+        # past the boundary and lead the round-11 queue) --------
         "token_length_histogram": Q.q_token_length_histogram,
         "discount_cost_by_year": Q.q_discount_cost_by_year,
         "partname_word_prices": Q.q_partname_word_prices,
@@ -161,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_backorder_exposure": Q.q_brand_backorder_exposure,
         "customer_order_regularity": Q.q_customer_order_regularity,
         "label_separation_matrix": Q.q_label_separation_matrix,
+        # ^^^ window boundary (50) ^^^
         "order_rank_value_curve": Q.q_order_rank_value_curve,
         "new_sku_revenue_share": Q.q_new_sku_revenue_share,
         "order_status_profile": Q.q_order_status_profile,
@@ -197,9 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_value_profile": Q.q_priority_value_profile,
         "brand_demand_acf": Q.q_brand_demand_acf,
         "customer_entry_brand_loyalty": Q.q_customer_entry_brand_loyalty,
-        # --- round-9 window fill: the 41 entries whose freshest green
-        # is CORRECTNESS_r05 (in r05 attestation order), then the
-        # stalest r06 greens to 50 -----------------------------------
+        # --- stalest greens: freshest attestation CORRECTNESS_r5 ---
         "dim_products": Q.q_dim_products,
         "market_share": Q.q_market_share,
         "nation_profit": Q.q_nation_profit,
@@ -241,15 +189,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": Q.q_jaccard_pairs,
         "dedup_groups": Q.q_dedup_groups,
         "multimodal_features": Q.q_multimodal_features,
-        # --- stalest r06 greens fill the window to 50 -------------
+        # --- stalest greens: freshest attestation CORRECTNESS_r6 ---
         "lm_score": Q.q_lm_score,
         "top_tokens": Q.q_top_tokens,
         "corpus_filter": Q.q_corpus_filter,
         "doclen_histogram": Q.q_doclen_histogram,
-        # ---- end of the 50-entry attested window --------------------
-        # r06-green remainder (freshest row CORRECTNESS_r06.json;
-        # the head entries were displaced from the window by the
-        # round-9 additions and lead the stale queue next round)
         "sim_topk": Q.q_sim_topk,
         "label_centroid_sim": Q.q_label_centroid_sim,
         "embed_neardup": Q.q_embed_neardup,
@@ -295,7 +239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_flags": Q.q_quality_flags,
         "user_journey": Q.q_user_journey,
         "sku_sales_anomaly": Q.q_sku_sales_anomaly,
-        # r07-green remainder (freshest row CORRECTNESS_r07.json)
+        # --- stalest greens: freshest attestation CORRECTNESS_r7 ---
         "returnflag_unpivot": Q.q_returnflag_unpivot,
         "scd2_point_in_time": Q.q_scd2_point_in_time,
         "table_checksum": Q.q_table_checksum,
@@ -345,8 +289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_setops": Q.q_customer_setops,
         "returnflag_pivot": Q.q_returnflag_pivot,
         "min_cost_supplier": Q.q_min_cost_supplier,
-        # r08-green remainder (freshest row CORRECTNESS_r08.json;
-        # the full round-8 window attested 50/50)
+        # --- stalest greens: freshest attestation CORRECTNESS_r8 ---
         "price_equidepth_hist": Q.q_price_equidepth_hist,
         "fifo_allocation": Q.q_fifo_allocation,
         "name_edit1_pairs": Q.q_name_edit1_pairs,
@@ -397,8 +340,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evolving_schema": Q.q_evolving_schema,
         "stock_asof_forward": Q.q_stock_asof_forward,
         "stage_sales": Q.q_stage_sales,
-        # --- rows-only tail (seeded hash families / approximate /
-        # iterative) -- outside the window by design ------------------
+        # --- stalest greens: freshest attestation CORRECTNESS_r9 ---
+        "price_change_events": Q.q_price_change_events,
+        "single_source_risk": Q.q_single_source_risk,
+        "seasonal_naive_backtest": Q.q_seasonal_naive_backtest,
+        "langid_confusion": Q.q_langid_confusion,
+        "dedup_group_sizes": Q.q_dedup_group_sizes,
+        "rfm_segments": Q.q_rfm_segments,
+        "lorenz_curve": Q.q_lorenz_curve,
+        "price_volume_bridge": Q.q_price_volume_bridge,
+        "revenue_recognition": Q.q_revenue_recognition,
+        "demand_intermittency": Q.q_demand_intermittency,
+        "token_burstiness": Q.q_token_burstiness,
+        "brand_spearman": Q.q_brand_spearman,
+        "kwic_concordance": Q.q_kwic_concordance,
+        "brand_transitions": Q.q_brand_transitions,
+        "snapshot_diff": Q.q_snapshot_diff,
+        "heavy_hitter_tokens": Q.q_heavy_hitter_tokens,
+        "template_prefix_groups": Q.q_template_prefix_groups,
+        "supplier_on_time_rate": Q.q_supplier_on_time_rate,
+        "post_return_activity": Q.q_post_return_activity,
+        "inventory_aging": Q.q_inventory_aging,
+        "brand_price_mad": Q.q_brand_price_mad,
+        "order_fill_status": Q.q_order_fill_status,
+        "ship_hazard": Q.q_ship_hazard,
+        "brand_price_slope": Q.q_brand_price_slope,
+        "readability_scores": Q.q_readability_scores,
+        "eoq_recommendation": Q.q_eoq_recommendation,
+        "order_batching": Q.q_order_batching,
+        "brand_price_ladder": Q.q_brand_price_ladder,
+        "monthly_return_rate": Q.q_monthly_return_rate,
+        "order_ship_span": Q.q_order_ship_span,
+        "char_trigram_profile": Q.q_char_trigram_profile,
+        "latency_by_year": Q.q_latency_by_year,
+        "customer_quartile_migration": Q.q_customer_quartile_migration,
+        "dormancy_by_segment": Q.q_dormancy_by_segment,
+        "sentence_length_profile": Q.q_sentence_length_profile,
+        "customer_value_cv": Q.q_customer_value_cv,
+        "chunk_dedup_stats": Q.q_chunk_dedup_stats,
+        "neardup_source_matrix": Q.q_neardup_source_matrix,
+        "part_size_mix": Q.q_part_size_mix,
+        "event_dow_hour_matrix": Q.q_event_dow_hour_matrix,
+        "line_position_profile": Q.q_line_position_profile,
+        "embedding_dim_stats": Q.q_embedding_dim_stats,
+        "label_balance": Q.q_label_balance,
+        "nearest_centroid_confusion": Q.q_nearest_centroid_confusion,
+        "segment_priority_mix": Q.q_segment_priority_mix,
+        "brand_seasonal_peak": Q.q_brand_seasonal_peak,
+        "order_total_consistency": Q.q_order_total_consistency,
+        "weekly_zchart": Q.q_weekly_zchart,
+        "nation_segment_grid": Q.q_nation_segment_grid,
+        "type_discount_profile": Q.q_type_discount_profile,
+        # --- rows-only (no oracle) entries close the tail by
+        # design: attesting one would waste a window slot ------
         "image_phash_neardup": Q.q_image_phash_neardup,
         "pq_topk": Q.q_pq_topk,
         "alert_throttle": Q.q_alert_throttle,

@@ -30,3 +30,18 @@ def test_readme_counts_match_surface():
     assert f"{n} `queries()` entries ({paired} DuckDB-oracle-paired" in readme, (
         f"README.md counts drifted from the actual surface ({n}/{paired})"
     )
+
+
+def test_readme_portable_count_matches_frontend():
+    """The README's headline 3-way-portable count once drifted three
+    ways (215 claimed / 211 actual / 203 in the changelog) because no
+    guard covered it -- pin it to the PORTABLE list itself."""
+    from tests.test_sql_frontend import PORTABLE
+
+    n = len(PORTABLE)
+    assert n == len(set(PORTABLE)), "PORTABLE has duplicate names"
+    with open(os.path.join(REPO, "README.md")) as f:
+        readme = f.read()
+    assert f"oracle statements -- {n} queries" in readme, (
+        f"README.md portable count drifted from len(PORTABLE)={n}"
+    )

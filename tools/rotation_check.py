@@ -83,6 +83,17 @@ def check(queries: list[str], oracle_paired: set[str], repo: str = REPO) -> list
                     f"{q}: window slot not spent on one of the "
                     f"{len(never_attested)} never-attested entries"
                 )
+        # the excess must sit CONTIGUOUSLY just past the boundary so it
+        # mechanically leads the next round's queue -- an ordering that
+        # interleaves stale greens ahead of the excess would otherwise
+        # pass (r9 ADVICE item)
+        excess = len(never_attested) - WINDOW
+        for q in queries[WINDOW : WINDOW + excess]:
+            if q not in oracle_paired or q in green:
+                problems.append(
+                    f"{q}: stale/rows-only entry interleaved ahead of the "
+                    f"{excess} excess never-attested entries at the boundary"
+                )
     else:
         for q in paired_outside:
             if q not in green:
