@@ -23,6 +23,31 @@ from pyspark.sql import functions as F
 from ..functions.vectors import as_double_array, cosine
 
 
+def write_index_marker(spark, path: str, tag: str) -> None:
+    """Write a tiny completion-marker file at ``{path}/_INDEX_COMPLETE``
+    through the Hadoop FileSystem API, so the marker works on ANY path
+    scheme the index artifacts themselves were written to (file:,
+    hdfs://, s3a://...). Overwrites an existing marker (idempotent
+    rebuild)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_INDEX_COMPLETE")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(f"{tag}\n", "utf-8"))
+    finally:
+        out.close()
+
+
+def index_marker_exists(spark, path: str) -> bool:
+    """True iff the completion marker is present -- the rebuild-skip
+    check, scheme-agnostic like the writer."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_INDEX_COMPLETE")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -680,11 +705,12 @@ def build_pq_index(
     # top-level completion marker, written strictly AFTER the last
     # artifact: codes land first, so codes/_SUCCESS alone cannot tell
     # a finished index from one whose build crashed mid-way -- a
-    # rebuild-skip keyed on it would serve a half-built index forever
-    import os as _os
-
-    with open(_os.path.join(path, "_INDEX_COMPLETE"), "w") as fh:
-        fh.write("ivfpq-v1\n")
+    # rebuild-skip keyed on it would serve a half-built index forever.
+    # Written through the Hadoop FileSystem API so the marker lands on
+    # whatever scheme the artifacts did (s3://, hdfs://, file:) -- a
+    # local open() here would crash AFTER a successful remote build
+    # and the rebuild-skip would then rebuild forever (r9 ADVICE).
+    write_index_marker(spark, path, "ivfpq-v1")
 
 
 def pq_index_topk(

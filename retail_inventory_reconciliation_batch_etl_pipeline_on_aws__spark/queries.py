@@ -4820,23 +4820,25 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_a contained in doc_b), both orientations examined, self-pairs
     excluded.
 
-    Routed through ``operators.dedup.prefix_containment_pairs`` (r8):
-    candidates now form through the PPJoin+ overlap prefix filter
-    (contained side's rarest ``|A| - ceil(0.8|A|) + 1`` shingles
-    joined against the container's full set) instead of the raw
-    shared-shingle self-join, so one hot boilerplate shingle shared by
-    k docs no longer contributes k^2/2 candidate rows -- under the
-    rarest-first global order a hot shingle is in almost nobody's
-    prefix. The filter is lossless by theorem, so the ORACLE IS THE
-    RAW JOIN, verbatim: any recall loss fails the value hash.
+    Routed through ``operators.dedup.containment_pairs`` (r10): a
+    1-row max-document-frequency gate picks the candidate plan. On a
+    benign corpus (max DF <= 32 -- this generator measures 25 at
+    sf0.1) the raw shared-shingle self-join wins: one join + one
+    aggregate, worst shingle bounded at 32^2/2 candidate rows. Above
+    the gate, candidates form through the PPJoin+ overlap prefix
+    filter (contained side's rarest ``|A| - alpha + 1`` shingles
+    joined against the container's full set), so one hot boilerplate
+    shingle shared by k docs no longer contributes k^2/2 candidate
+    rows -- under the rarest-first global order a hot shingle is in
+    almost nobody's prefix. Both routes are lossless (raw by
+    definition, prefix by theorem), so the ORACLE IS THE RAW JOIN,
+    verbatim: any recall loss on either route fails the value hash.
     """
-    from .operators.dedup import prefix_containment_pairs
+    from .operators.dedup import containment_pairs
 
     docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
     return (
-        prefix_containment_pairs(
-            docs, n=3, threshold_num=4, threshold_den=5
-        )
+        containment_pairs(docs, n=3, threshold_num=4, threshold_den=5)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -5707,7 +5709,9 @@ def q_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FIXTURE_ROOT,
         f"pq_index_{_os.path.basename(sf_dir.rstrip('/'))}_{fp}",
     )
-    if not _os.path.exists(_os.path.join(idx, "_INDEX_COMPLETE")):
+    from .operators.similarity import index_marker_exists
+
+    if not index_marker_exists(spark, idx):
         build_pq_index(emb, idx)
     return pq_index_topk(
         spark, idx, _query_vector(spark, sf_dir), k=10, embeddings=emb
