@@ -56,10 +56,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     by tools/strict_parity.py.
     """
     return {
-        # --- round-10 window: the 86 never-attested r9-overflow
-        # entries lead (window spent entirely on never-attested
-        # per the over-full rule; the 36 excess sit contiguously
-        # past the boundary and lead the round-11 queue) --------
+        # --- round-10 window: round-10's own additions first, then
+        # the 86 never-attested r9-overflow entries (window spent
+        # entirely on never-attested per the over-full rule; the
+        # excess sits contiguously past the boundary and leads the
+        # round-11 queue) ---------------------------------------
+        "purchases_in_promo_windows": Q.q_purchases_in_promo_windows,
         "token_length_histogram": Q.q_token_length_histogram,
         "discount_cost_by_year": Q.q_discount_cost_by_year,
         "partname_word_prices": Q.q_partname_word_prices,
@@ -529,6 +531,22 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "purchases_in_promo_windows": """
+WITH promos AS (
+  SELECT DISTINCT date_trunc('week', ts) AS promo_start FROM events
+),
+p AS (
+  SELECT ts, CAST(value AS DECIMAL(18,2)) AS v
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(promo_start AS DATE) AS promo_start,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(v) AS DOUBLE) AS promo_revenue
+FROM p JOIN promos
+  ON p.ts >= promo_start AND p.ts < promo_start + INTERVAL 2 DAY
+GROUP BY 1
+ORDER BY 1
+""",
         "token_burstiness": """
 WITH tok AS (
   SELECT doc_id,

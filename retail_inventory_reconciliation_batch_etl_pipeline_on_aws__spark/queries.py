@@ -12698,3 +12698,38 @@ def q_customer_entry_brand_loyalty(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("segment")
     )
+
+
+def q_purchases_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases landing inside weekly 2-day promo windows (Mon-Tue of
+    every event week), per window: the events-table twin of
+    ``orders_in_promos`` and the batch side of the
+    ``streaming.streaming_promo_interval_join`` parity pair.
+
+    The ORACLE spells the interval join (distinct promo weeks x
+    purchase containment). Batch-side the join is provably elidable:
+    the promo dimension is derived from the fact stream itself, so
+    every purchase's own week IS a promo window and containment
+    reduces to ``ts < date_trunc('week', ts) + 2 days`` -- one scan,
+    zero shuffles before the final week rollup. (The STREAMING twin
+    cannot elide it: there the promo windows arrive as an independent
+    stream and the stream-stream interval join is real.) Revenue sums
+    in DECIMAL(18,2) -- exact and order-independent -- and casts to
+    double at the edge.
+    """
+    ev = fixtures.events(spark, sf_dir)
+    wk = F.date_trunc("week", "ts")
+    p = ev.where(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") < wk + F.expr("INTERVAL 2 DAYS"))
+    )
+    return (
+        p.groupBy(F.to_date(wk).alias("promo_start"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("promo_revenue"),
+        )
+        .orderBy("promo_start")
+    )

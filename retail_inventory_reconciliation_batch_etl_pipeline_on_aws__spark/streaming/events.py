@@ -1176,6 +1176,92 @@ def streaming_wau(
     )
 
 
+def streaming_promo_interval_join(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "9 days",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream-stream INTERVAL-CONTAINMENT join + chained windowed agg:
+    the streaming twin of ``queries.q_purchases_in_promo_windows``
+    (and the streaming form of the ``orders_in_promos`` range-join
+    shape). Three chained stateful operators in append mode:
+
+      1. promo-window stream: every event projects its week's promo
+         window start (Monday, ``date_trunc('week', ts)``), deduped to
+         one row per week by a stateful ``dropDuplicates`` whose
+         subset IS the event-time column -- state evicts by watermark;
+      2. point-in-interval join: purchases land in their week's
+         [promo_start, promo_start + 2 days) window. The equi-key
+         (the purchase's own week truncation == promo_start) gives the
+         state store a hash-partitionable key -- the same
+         bucketize-then-exact-containment discipline as the batch
+         ``operators.interval.interval_join``, with bucket == week --
+         and the explicit time-range predicate is what lets the engine
+         EVICT: a buffered promo row drops once the purchase-side
+         watermark passes ``promo_start + 2 days``, a buffered
+         purchase once the promo-side watermark passes its ``ts``, so
+         join state is O(events inside the horizon), not O(stream);
+      3. Monday-aligned tumbling-week aggregation over the joined
+         rows (``window(ts, '7 days', startTime='4 days')`` -- the
+         epoch is a Thursday, +4 days lands windows on Mondays), which
+         finalizes in append mode once the watermark passes each
+         window's end.
+
+    Both watermarks are ``9 days``: a week's duplicate promo
+    projections arrive up to 7 days after the first (the whole week
+    fan-in), so the dedup key must survive at least that long or a
+    re-emitted promo row would double-count every purchase joined
+    after the eviction. Revenue sums in DECIMAL(18,2) -- exact,
+    order-independent, replay-deterministic -- and casts to double
+    only at the edge, the batch query's own discipline.
+
+    Drain: the ``write_drain_sentinel`` heartbeats advance the
+    watermark (``event_type`` filters here reference ``ts`` so
+    Catalyst cannot push them below the EventTimeWatermark collector
+    -- the r9 lesson); sentinels are ``__drain__``-typed so they
+    never become a purchase, and their phantom future promo windows
+    join nothing and are dropped by the inner join.
+    """
+    raw = read_event_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    promos = (
+        raw.select(F.date_trunc("week", "ts").alias("promo_start"))
+        .withWatermark("promo_start", watermark)
+        .dropDuplicates(["promo_start"])
+    )
+    purchases = (
+        raw.withWatermark("ts", watermark)
+        .where((F.col("event_type") == "purchase") | F.col("ts").isNull())
+        .select(
+            "ts",
+            F.col("value").cast("decimal(18,2)").alias("_v"),
+            F.date_trunc("week", "ts").alias("_wk"),
+        )
+    )
+    joined = purchases.join(
+        promos,
+        (F.col("_wk") == F.col("promo_start"))
+        & (F.col("ts") >= F.col("promo_start"))
+        & (F.col("ts") < F.col("promo_start") + F.expr("INTERVAL 2 DAYS")),
+    )
+    return (
+        joined.groupBy(
+            F.window("ts", "7 days", "7 days", "4 days").alias("w")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum("_v").cast("double").alias("promo_revenue"),
+        )
+        .select(
+            F.to_date(F.col("w").start).alias("promo_start"),
+            "n_purchases",
+            "promo_revenue",
+        )
+    )
+
+
 TRANSITION_SCHEMA = "user_id bigint, from_type string, to_type string"
 _TRANSITION_STATE_SCHEMA = "last_us bigint, last_eid bigint, last_type string"
 

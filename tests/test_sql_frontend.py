@@ -375,6 +375,8 @@ PORTABLE = [
     "hourly_value_profile",
     "priority_value_profile",
     "customer_entry_brand_loyalty",
+    # round 10
+    "purchases_in_promo_windows",
 ]
 
 

@@ -1105,3 +1105,50 @@ def test_streaming_type_transitions_match_batch(spark, tmp_path):
         for r in q_event_type_transitions(spark, TESTDATA).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_promo_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval-containment join (promo-window stream x
+    purchase stream) + chained Monday-aligned weekly aggregation must
+    reproduce the batch q_purchases_in_promo_windows EXACTLY once the
+    drain heartbeats flush the final week; revenue compares exactly
+    (both sides sum DECIMAL(18,2))."""
+    import calendar
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.queries import (
+        q_purchases_in_promo_windows,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (
+        streaming_promo_interval_join,
+        write_drain_sentinel,
+    )
+
+    src = tmp_path / "promo_src"
+    src.mkdir()
+    (src / "events.parquet").symlink_to(f"{TESTDATA}/events.parquet")
+    max_ts = fixtures.events(spark, TESTDATA).agg(F.max("ts")).collect()[0][0]
+    max_ns = int(calendar.timegm(max_ts.timetuple())) * 1_000_000_000
+    # the promo-side watermark rides on week-TRUNCATED event time, so
+    # it lags raw time by up to 6 days; heartbeats must run far enough
+    # that week(max_heartbeat) - 9d watermark clears the final promo
+    # window's end (week(max_ts) + 7d). 3-day steps stay inside the
+    # 9-day lateness allowance (the r9 chained-stateful lesson) at a
+    # third of the micro-batch count of daily ones.
+    for k in range(1, 10):
+        write_drain_sentinel(
+            spark, str(src), ts_ns=max_ns + k * 3 * 86400 * 1_000_000_000, user_id=-1
+        )
+
+    agg = streaming_promo_interval_join(spark, str(src), max_files_per_trigger=1)
+    assert agg.isStreaming
+    run_to_memory_sink(agg, "promo_join_stream_test", output_mode="append")
+    streamed = {
+        r.promo_start: (r.n_purchases, r.promo_revenue)
+        for r in spark.sql("SELECT * FROM promo_join_stream_test").collect()
+    }
+    batch = {
+        r.promo_start: (r.n_purchases, r.promo_revenue)
+        for r in q_purchases_in_promo_windows(spark, TESTDATA).collect()
+    }
+    assert batch, "batch twin is empty -- fixture has no Mon/Tue purchases"
+    assert streamed == batch
