@@ -49,7 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     excess sit contiguously just past the boundary, leading the
     round-11 queue. Behind those: every previously-attested paired
     entry in staleness order (freshest green r5 -> r6 -> r7 -> r8 ->
-    r9), then the 21 rows-only (seeded/approximate/iterative) entries
+    r9), then the 22 rows-only (seeded/approximate/iterative) entries
     that close the tail by design -- attesting those would waste a
     slot on a weaker rows-only check. All post-window entries stay
     pinned value-level by tests/test_oracle_parity.py and bit-exactly
@@ -414,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": Q.q_quantized_topk,
         "ann_recall": Q.q_ann_recall,
         "pq_index_topk": Q.q_pq_index_topk,
+        "pq_index_append_topk": Q.q_pq_index_append_topk,
         "mmr_diverse_topk": Q.q_mmr_diverse_topk,
         "copurchase_communities": Q.q_copurchase_communities,
     }

@@ -702,6 +702,16 @@ def build_pq_index(
         [(i, c) for i, c in enumerate(cents)],
         "cluster int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # training-time quality floor for the drift gate: corpus size and
+    # mean PQ quantization error under the just-trained codebook
+    # (appends re-measure the same statistic on their batch; the RATIO
+    # is the staleness signal -- public FAISS practice: add() encodes
+    # under the fixed codebook, retrain when the distribution drifts)
+    n_base = en.select("_id").distinct().count()
+    spark.createDataFrame(
+        [(int(n_base), float(_pq_mean_distortion(sf, books, m)))],
+        "n_vectors long, mean_sq_distortion double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/build_stats")
     # top-level completion marker, written strictly AFTER the last
     # artifact: codes land first, so codes/_SUCCESS alone cannot tell
     # a finished index from one whose build crashed mid-way -- a
@@ -711,6 +721,157 @@ def build_pq_index(
     # local open() here would crash AFTER a successful remote build
     # and the rebuild-skip would then rebuild forever (r9 ADVICE).
     write_index_marker(spark, path, "ivfpq-v1")
+
+
+def _pq_mean_distortion(sf: DataFrame, books: dict, m: int) -> float:
+    """Mean (over vectors) total squared PQ quantization error under a
+    FIXED codebook: sum over the m subspaces of the min squared
+    distance to any sub-centroid. One double crosses the driver."""
+    mine = F.element_at(_pq_book_lit(books, m), F.col("j") + 1)
+    dists = F.transform(
+        mine,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("_v"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    row = (
+        sf.withColumn("_d", F.array_min(dists))
+        .groupBy("_id")
+        .agg(F.sum("_d").alias("_tot"))
+        .agg(F.avg("_tot").alias("mean_d"))
+        .first()
+    )
+    return float(row.mean_d if row.mean_d is not None else 0.0)
+
+
+def _load_pq_artifacts(spark, path: str) -> tuple[dict, list, int, int]:
+    """(codebooks, coarse centroids, m, sub) from a persisted index."""
+    books_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    books: dict[int, list] = {}
+    for r in sorted(books_rows, key=lambda r: (r.j, r.code)):
+        books.setdefault(int(r.j), []).append(list(r.centroid))
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents_map = {int(r.cluster): list(r.centroid) for r in cent_rows}
+    cents = [cents_map[i] for i in range(len(cents_map))]
+    m = len(books)
+    dim = len(cents[0])
+    return books, cents, m, dim // m
+
+
+def append_to_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally append new vectors to a persisted IVF-PQ index
+    WITHOUT retraining: encode under the EXISTING codebook and coarse
+    quantizer (exactly FAISS ``index.add`` semantics -- the codebook is
+    fixed at train time; growth is cheap, retraining is a deliberate,
+    drift-gated event) and append the new codes under the same
+    ``cluster=N`` partition layout, so the serve path's partition
+    pruning is oblivious to how many appends produced the table.
+
+    Durability contract: the codes append lands FIRST, the append-log
+    row second, so a crash between them leaves an index that SERVES
+    correctly (the extra codes are valid) but under-reports staleness;
+    a retried append can therefore double-append a batch. Codes are
+    deterministic under a fixed codebook, so duplicates are IDENTICAL
+    rows and the serve path's ``dropDuplicates(_id)`` makes the read
+    exactly-once over an at-least-once append -- the standard
+    idempotent-read discipline.
+
+    Returns ``{"seq", "n_appended", "mean_sq_distortion"}``; feed
+    :func:`pq_index_staleness` to decide when to retrain.
+    """
+    spark = embeddings.sparkSession
+    if not index_marker_exists(spark, path):
+        raise ValueError(
+            f"no complete IVF-PQ index at {path} (missing _INDEX_COMPLETE)"
+        )
+    books, cents, m, sub = _load_pq_artifacts(spark, path)
+    e = embeddings.select(
+        F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
+    )
+    en = _l2_normalized(e).persist()
+    assigned = _ivf_assign(en, cents).select("_id", "cluster")
+    sf = _pq_subframe(en, m, sub).persist()
+    n = en.select("_id").distinct().count()
+    (
+        _pq_encode(sf, books, m)
+        .join(assigned, "_id")
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(f"{path}/codes")
+    )
+    distortion = _pq_mean_distortion(sf, books, m)
+    try:
+        prev = (
+            spark.read.parquet(f"{path}/append_log")
+            .agg(F.max("seq").alias("mx"))
+            .first()
+            .mx
+        )
+        seq = int(prev or 0) + 1
+    except Exception:  # noqa: BLE001 -- first append: no log yet
+        seq = 1
+    spark.createDataFrame(
+        [(seq, int(n), float(distortion))],
+        "seq int, n_appended long, mean_sq_distortion double",
+    ).coalesce(1).write.mode("append").parquet(f"{path}/append_log")
+    return {"seq": seq, "n_appended": int(n), "mean_sq_distortion": distortion}
+
+
+def pq_index_staleness(
+    spark,
+    path: str,
+    max_appended_fraction: float = 0.5,
+    max_distortion_ratio: float = 1.5,
+) -> dict:
+    """Staleness report for an appended-to IVF-PQ index: how much of
+    the corpus was encoded under a codebook that never saw it, and how
+    much worse it quantizes than the training data did. Retrain is
+    RECOMMENDED (never automatic -- it invalidates every persisted
+    code) when either the appended fraction or the distortion ratio
+    crosses its threshold; both thresholds follow public FAISS
+    guidance that an index trained on a representative sample serves
+    appends well until the distribution drifts."""
+    try:
+        log = spark.read.parquet(f"{path}/append_log")
+        row = log.agg(
+            F.sum("n_appended").alias("n"),
+            (
+                F.sum(F.col("n_appended") * F.col("mean_sq_distortion"))
+                / F.sum("n_appended")
+            ).alias("d"),
+        ).first()
+        appended, app_dist = int(row.n or 0), row.d
+    except Exception:  # noqa: BLE001 -- never appended
+        appended, app_dist = 0, None
+    try:
+        base = spark.read.parquet(f"{path}/build_stats").first()
+        base_n, base_dist = int(base.n_vectors), float(base.mean_sq_distortion)
+    except Exception:  # noqa: BLE001 -- pre-r10 index without stats
+        base_n, base_dist = None, None
+    total = (base_n or 0) + appended
+    frac = (appended / total) if total else 0.0
+    ratio = (
+        float(app_dist) / base_dist
+        if app_dist is not None and base_dist
+        else None
+    )
+    return {
+        "n_base": base_n,
+        "n_appended": appended,
+        "appended_fraction": round(frac, 6),
+        "base_distortion": base_dist,
+        "appended_distortion": app_dist,
+        "distortion_ratio": round(ratio, 6) if ratio is not None else None,
+        "retrain_recommended": frac > max_appended_fraction
+        or (ratio is not None and ratio > max_distortion_ratio),
+    }
 
 
 def pq_index_topk(
@@ -750,8 +911,16 @@ def pq_index_topk(
     probes = sorted(
         cents, key=lambda i: (sum((x - y) ** 2 for x, y in zip(cents[i], qv)), i)
     )[:nprobe]
-    codes = spark.read.parquet(f"{path}/codes").where(
-        F.col("cluster").isin(probes)
+    # dropDuplicates(_id): a crash-retried append can land a batch
+    # twice (see append_to_pq_index's durability contract); codes are
+    # deterministic under the fixed codebook, so duplicates are
+    # identical rows and any-wins dedup restores exactly-once reads.
+    # It runs AFTER partition pruning, so the shuffle is bounded by
+    # the probed clusters, not the corpus.
+    codes = (
+        spark.read.parquet(f"{path}/codes")
+        .where(F.col("cluster").isin(probes))
+        .dropDuplicates(["_id"])
     )
     adc = _pq_adc_expr(books, qv, m, sub)
     ranked = codes.withColumn("_adc", adc).orderBy(

@@ -12733,3 +12733,56 @@ def q_purchases_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("promo_start")
     )
+
+
+def q_pq_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 served from an IVF-PQ index GROWN BY INCREMENTAL APPEND:
+    the index trains on the lower half of the corpus (by vec_id), the
+    upper half arrives later via ``append_to_pq_index`` (encoded under
+    the EXISTING codebook -- FAISS ``index.add`` semantics; no
+    retrain), and the query is served over the combined codes table.
+    The append-log staleness report gates retraining in production;
+    here the corpus halves are iid so the drift ratio stays ~1.
+    Approximate by design -> rows-only; codes-parity, associativity,
+    idempotent-read, and staleness-gate semantics are pinned by tests.
+    Built lazily into the gitignored fixture root, like
+    ``q_pq_index_topk``."""
+    import os as _os
+
+    from .operators.similarity import (
+        append_to_pq_index,
+        build_pq_index,
+        index_marker_exists,
+        pq_index_topk,
+        write_index_marker,
+    )
+    from .plans.fixtures import FIXTURE_ROOT
+
+    emb = fixtures.load(spark, sf_dir, "embeddings")
+    mid = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    base, extra = emb.where(F.col("vec_id") <= mid), emb.where(
+        F.col("vec_id") > mid
+    )
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    st = _os.stat(src)
+    fp = f"{st.st_size:x}-{st.st_mtime_ns:x}"
+    idx = _os.path.join(
+        FIXTURE_ROOT,
+        f"pq_index_app_{_os.path.basename(sf_dir.rstrip('/'))}_{fp}",
+    )
+    # the append must run exactly once per fixture dir: a SECOND
+    # marker ("_APPENDED") written after the append-log row makes the
+    # whole build+append lifecycle idempotent across query calls
+    jvm = spark._jvm
+    app_marker = jvm.org.apache.hadoop.fs.Path(f"{idx}/_APPENDED")
+    fs = app_marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not index_marker_exists(spark, idx):
+        build_pq_index(base, idx)
+    if not fs.exists(app_marker):
+        append_to_pq_index(extra, idx)
+        out = fs.create(app_marker, True)
+        out.write(bytearray(b"1\n"))
+        out.close()
+    return pq_index_topk(
+        spark, idx, _query_vector(spark, sf_dir), k=10, embeddings=emb
+    )

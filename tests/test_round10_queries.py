@@ -102,3 +102,148 @@ def test_containment_router_boundary_pair_on_raw_route(spark):
     got = {(r.doc_a, r.doc_b): r.containment for r in containment_pairs(docs).collect()}
     assert got[(1, 2)] == 0.8
     assert (1, 3) not in got and (3, 1) not in got
+
+
+def _emb(spark):
+    return fixtures.load(spark, SF, "embeddings")
+
+
+def _codes_set(spark, idx):
+    return {
+        (r._id, tuple(r.codes), r.cluster)
+        for r in spark.read.parquet(f"{idx}/codes").collect()
+    }
+
+
+def test_pq_append_encodes_under_existing_codebook(spark, tmp_path):
+    """append(build(A), B) must produce EXACTLY the codes that a
+    one-shot encode of A+B under A's codebook would: the codebook and
+    coarse centroids are immutable across appends (FAISS add
+    semantics), so an index trained on A and grown with B equals an
+    index trained on A whose codes table covers A+B."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.similarity import (  # noqa: E501
+        append_to_pq_index,
+        build_pq_index,
+    )
+
+    emb = _emb(spark)
+    mid = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    a = emb.where(F.col("vec_id") <= mid)
+    b = emb.where(F.col("vec_id") > mid)
+
+    grown = str(tmp_path / "grown")
+    build_pq_index(a, grown)
+    before = _codes_set(spark, grown)
+    stats = append_to_pq_index(b, grown)
+    assert stats["n_appended"] == b.count() and stats["seq"] == 1
+
+    # books/centroids unchanged by the append
+    ref = str(tmp_path / "ref")
+    build_pq_index(a, ref)
+    for art in ("codebooks", "centroids"):
+        assert sorted(
+            map(tuple, spark.read.parquet(f"{grown}/{art}").collect())
+        ) == sorted(map(tuple, spark.read.parquet(f"{ref}/{art}").collect()))
+
+    # appended codes == direct encode of B under A's artifacts
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.similarity import (  # noqa: E501
+        _ivf_assign,
+        _l2_normalized,
+        _load_pq_artifacts,
+        _pq_encode,
+        _pq_subframe,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.functions.vectors import (  # noqa: E501
+        as_double_array,
+    )
+
+    books, cents, m, sub = _load_pq_artifacts(spark, ref)
+    en = _l2_normalized(
+        b.select(F.col("vec_id").alias("_id"), as_double_array("embedding").alias("_v"))
+    )
+    want_new = {
+        (r._id, tuple(r.codes), r.cluster)
+        for r in _pq_encode(_pq_subframe(en, m, sub), books, m)
+        .join(_ivf_assign(en, cents).select("_id", "cluster"), "_id")
+        .collect()
+    }
+    assert _codes_set(spark, grown) == before | want_new and want_new
+
+
+def test_pq_append_is_associative_and_idempotent_to_read(spark, tmp_path):
+    """Two half-appends == one full append (codes-set equality), and a
+    crash-retried DOUBLE append changes nothing the serve path can
+    see: dropDuplicates(_id) makes reads exactly-once over the
+    at-least-once append."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.similarity import (  # noqa: E501
+        append_to_pq_index,
+        build_pq_index,
+        pq_index_topk,
+    )
+
+    emb = _emb(spark)
+    qs = emb.approxQuantile("vec_id", [0.4, 0.7], 0.0)
+    a = emb.where(F.col("vec_id") <= qs[0])
+    b1 = emb.where((F.col("vec_id") > qs[0]) & (F.col("vec_id") <= qs[1]))
+    b2 = emb.where(F.col("vec_id") > qs[1])
+
+    split, whole = str(tmp_path / "split"), str(tmp_path / "whole")
+    build_pq_index(a, split)
+    build_pq_index(a, whole)
+    append_to_pq_index(b1, split)
+    append_to_pq_index(b2, split)
+    append_to_pq_index(b1.unionByName(b2), whole)
+    assert _codes_set(spark, split) == _codes_set(spark, whole)
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    once = pq_index_topk(spark, whole, qv, k=10, embeddings=emb).collect()
+    append_to_pq_index(b2, split)  # simulated crash-retry double append
+    dup = pq_index_topk(spark, split, qv, k=10, embeddings=emb).collect()
+    assert dup == once
+    assert len({r.vec_id for r in dup}) == 10  # no id served twice
+
+
+def test_pq_staleness_gates_retraining(spark, tmp_path):
+    """The staleness report counts base vs appended rows, weights
+    distortion by batch size, and recommends retraining only past the
+    thresholds -- appending MORE than the training corpus must trip
+    the appended-fraction gate."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.similarity import (  # noqa: E501
+        append_to_pq_index,
+        build_pq_index,
+        pq_index_staleness,
+    )
+
+    emb = _emb(spark)
+    mid = emb.approxQuantile("vec_id", [0.3], 0.0)[0]
+    a = emb.where(F.col("vec_id") <= mid)
+    b = emb.where(F.col("vec_id") > mid)
+    idx = str(tmp_path / "stale")
+    build_pq_index(a, idx)
+
+    fresh = pq_index_staleness(spark, idx)
+    assert fresh["n_appended"] == 0 and not fresh["retrain_recommended"]
+    assert fresh["n_base"] == a.count()
+
+    append_to_pq_index(b, idx)
+    rep = pq_index_staleness(spark, idx)
+    assert rep["n_appended"] == b.count()
+    assert rep["appended_fraction"] > 0.5
+    assert rep["retrain_recommended"]  # appended > trained-on corpus
+    # iid halves: the fixed codebook quantizes the unseen half about
+    # as well as the training half (ratio ~ 1, far under the gate)
+    assert rep["distortion_ratio"] is not None
+    assert rep["distortion_ratio"] < 1.5
+
+
+def test_pq_index_append_query_contract(spark):
+    """The rows-only entry: 10 rows, deterministic, self is top-1 (the
+    query vector sits in the TRAINED half, served alongside appended
+    codes)."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()["pq_index_append_topk"]
+    rows = q(spark, SF).collect()
+    assert len(rows) == 10
+    assert rows[0].vec_id == 0 and rows[0].score == 1.0
+    assert rows == q(spark, SF).collect()
