@@ -380,6 +380,156 @@ PORTABLE = [
 ]
 
 
+#: Every oracle-paired entry NOT in PORTABLE, keyed to its NAMED
+#: dialect divergence (r9 VERDICT item 4: "document each remaining
+#: exclusion"). Classified mechanically: each oracle was fed verbatim
+#: to spark.sql() after register_views; the tag names the first
+#: blocking construct. The divergence classes:
+#:
+#: - list-lambda: DuckDB's list_filter/list_transform/list_sum lambda
+#:   family. Spark's equivalents (filter/transform/aggregate) exist
+#:   but lambda-taking functions cannot be SQL-UDF-aliased, and Spark
+#:   resolves builtins before temp functions so the DuckDB names
+#:   cannot be shadowed (r8 finding).
+#: - unnest-tvf / range-tvf / file-tvf: table-valued functions
+#:   (unnest, range/generate_series, read_parquet/read_json) -- Spark
+#:   spells these LATERAL VIEW explode / explode(sequence()) / reader
+#:   API; there is no shared spelling. The range-tvf embedding family
+#:   additionally indexes lists 1-based ([i] is 0-based on Spark,
+#:   element_at is MAP-only on DuckDB).
+#: - hugeint-statistics: int128 sufficient statistics (sums of
+#:   products of BIGINT). DECIMAL cannot substitute: DuckDB caps
+#:   width at 38 and a DECIMAL(38,0) x DECIMAL(38,0) product exceeds
+#:   it at bind time.
+#: - dialect-syntax: DuckDB-only grammar in the oracle (ASOF JOIN,
+#:   PIVOT shorthand, [i:j] slicing, ? placeholders, etc.).
+#: - type-coercion: DuckDB implicit casts Spark rejects (interval /
+#:   integer arithmetic mixes, bare VARCHAR/TEXT type names, double
+#:   'g' regexp flags).
+#: - function-signature: same-name function, different arity or
+#:   argument types on Spark.
+#: - lateral-alias: DuckDB column-alias scoping Spark does not allow.
+#: - decimal-division-scale: parses on Spark but DuckDB's decimal
+#:   division scale rules produce different rounding (fifo/lifo
+#:   layer allocation).
+NONPORTABLE = {
+    "audio_meta": "dialect-syntax",
+    "balance_spend_correlation": "hugeint-statistics",
+    "bigram_counts": "list-lambda",
+    "bm25_search": "list-lambda",
+    "brand_demand_acf": "hugeint-statistics",
+    "char_trigram_profile": "range-tvf",
+    "chunk_dedup_stats": "list-lambda",
+    "collocation_lift": "list-lambda",
+    "contamination_check": "list-lambda",
+    "contamination_hashed": "list-lambda",
+    "corpus_filter": "list-lambda",
+    "corpus_pack": "dialect-syntax",
+    "curation_summary": "list-lambda",
+    "customer_tenure_value": "function-signature",
+    "dataset_split": "list-lambda",
+    "dau_anomaly_days": "hugeint-statistics",
+    "dau_wau_stickiness": "range-tvf",
+    "decontaminated_split": "list-lambda",
+    "dedup_applied": "list-lambda",
+    "dedup_canonical": "type-coercion",
+    "dedup_group_sizes": "list-lambda",
+    "dedup_groups": "list-lambda",
+    "dedup_keep_best": "list-lambda",
+    "doc_chunks": "dialect-syntax",
+    "doc_repetition": "list-lambda",
+    "domain_classifier": "dialect-syntax",
+    "dq_violations": "dialect-syntax",
+    "embed_contamination": "dialect-syntax",
+    "embed_neardup": "dialect-syntax",
+    "embedding_dim_correlations": "range-tvf",
+    "embedding_dim_occupancy": "range-tvf",
+    "embedding_dim_stats": "range-tvf",
+    "embedding_exact_dups": "list-lambda",
+    "embedding_label_margin": "range-tvf",
+    "embedding_outliers": "hugeint-statistics",
+    "epoch_shuffle": "type-coercion",
+    "event_interarrival_profile": "hugeint-statistics",
+    "event_path_trigrams": "dialect-syntax",
+    "evolving_schema": "lateral-alias",
+    "fifo_allocation": "decimal-division-scale",
+    "forecast_backtest": "type-coercion",
+    "hapax_stats": "unnest-tvf",
+    "heavy_hitter_tokens": "list-lambda",
+    "hybrid_rank": "dialect-syntax",
+    "inventory_aging": "type-coercion",
+    "jaccard_band_histogram": "dialect-syntax",
+    "jaccard_pairs": "list-lambda",
+    "jaccard_prefix_pairs": "list-lambda",
+    "kmeans_iteration": "range-tvf",
+    "kwic_concordance": "list-lambda",
+    "label_balance": "range-tvf",
+    "label_centroid_sim": "dialect-syntax",
+    "label_radius_profile": "hugeint-statistics",
+    "label_separation_matrix": "hugeint-statistics",
+    "langid": "list-lambda",
+    "langid_confusion": "list-lambda",
+    "lifo_allocation": "decimal-division-scale",
+    "lm_score": "unnest-tvf",
+    "measure_correlations": "hugeint-statistics",
+    "multimodal_features": "list-lambda",
+    "nation_revenue_gini": "hugeint-statistics",
+    "nation_supplier_hhi": "hugeint-statistics",
+    "neardup_source_matrix": "list-lambda",
+    "nearest_centroid_confusion": "range-tvf",
+    "ngram_novelty": "list-lambda",
+    "order_calendar_coverage": "range-tvf",
+    "partname_word_prices": "unnest-tvf",
+    "pii_scan": "type-coercion",
+    "price_equidepth_hist": "dialect-syntax",
+    "purchase_attribution": "dialect-syntax",
+    "quality_flags": "list-lambda",
+    "readability_scores": "list-lambda",
+    "rebate_proration": "dialect-syntax",
+    "repeated_spans": "list-lambda",
+    "returnflag_pivot": "dialect-syntax",
+    "revenue_recognition": "unnest-tvf",
+    "rolling_fingerprint": "list-lambda",
+    "segment_top_percentile": "dialect-syntax",
+    "sentence_length_profile": "unnest-tvf",
+    "shingle_containment": "list-lambda",
+    "shingle_df_profile": "list-lambda",
+    "sim_topk": "dialect-syntax",
+    "simhash": "dialect-syntax",
+    "simhash_neardup": "dialect-syntax",
+    "sku_price_drift_mix": "hugeint-statistics",
+    "snapshot_diff": "dialect-syntax",
+    "source_genericness": "unnest-tvf",
+    "source_opening_diversity": "list-lambda",
+    "source_quality_drift": "list-lambda",
+    "source_signature_bigram": "list-lambda",
+    "source_vocab_overlap": "unnest-tvf",
+    "stock_asof": "dialect-syntax",
+    "stock_asof_forward": "dialect-syntax",
+    "stock_asof_tolerant": "dialect-syntax",
+    "stock_cover_days": "function-signature",
+    "stock_gap_fill": "dialect-syntax",
+    "supplier_on_time_rate": "type-coercion",
+    "table_after_dml": "dialect-syntax",
+    "table_cdf": "dialect-syntax",
+    "table_checksum": "type-coercion",
+    "table_history": "file-tvf",
+    "table_time_travel": "dialect-syntax",
+    "template_prefix_groups": "dialect-syntax",
+    "text_stats": "list-lambda",
+    "tfidf_keywords": "unnest-tvf",
+    "token_budget": "type-coercion",
+    "token_burstiness": "list-lambda",
+    "token_dist_drift": "unnest-tvf",
+    "token_frequency_spectrum": "unnest-tvf",
+    "token_length_histogram": "unnest-tvf",
+    "token_simpson_diversity": "hugeint-statistics",
+    "top_tokens": "unnest-tvf",
+    "value_anomalies": "hugeint-statistics",
+    "vocab_growth": "unnest-tvf",
+}
+
+
 @pytest.mark.parametrize("name", PORTABLE)
 def test_sql_string_matches_dataframe_api(spark, name):
     register_views(spark, TESTDATA)
@@ -390,3 +540,16 @@ def test_sql_string_matches_dataframe_api(spark, name):
     a = normalized_rows(cols, [[r[c] for c in cols] for r in sql_df.collect()])
     b = normalized_rows(cols, [[r[c] for c in cols] for r in api_df.collect()])
     assert a == b
+
+
+def test_portable_and_exclusions_partition_the_paired_surface():
+    """Every oracle-paired entry is either 3-way portable or carries a
+    named divergence -- a new paired query must land in exactly one
+    list, so portability coverage can never silently drift again (the
+    r9 README drift)."""
+    paired = set(entry.oracle_sql())
+    assert set(PORTABLE).isdisjoint(NONPORTABLE)
+    both = set(PORTABLE) | set(NONPORTABLE)
+    assert both == paired, (
+        f"unclassified: {sorted(paired - both)}; stale: {sorted(both - paired)}"
+    )
