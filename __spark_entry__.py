@@ -62,6 +62,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # excess sits contiguously past the boundary and leads the
         # round-11 queue) ---------------------------------------
         "purchases_in_promo_windows": Q.q_purchases_in_promo_windows,
+        "cross_region_trade_share": Q.q_cross_region_trade_share,
+        "referential_integrity_audit": Q.q_referential_integrity_audit,
+        "user_lifespan_profile": Q.q_user_lifespan_profile,
+        "user_burst_ratio": Q.q_user_burst_ratio,
+        "segment_halfyear_momentum": Q.q_segment_halfyear_momentum,
         "token_length_histogram": Q.q_token_length_histogram,
         "discount_cost_by_year": Q.q_discount_cost_by_year,
         "partname_word_prices": Q.q_partname_word_prices,
@@ -532,6 +537,136 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cross_region_trade_share": """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem
+)
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS year,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(l.cents) AS DOUBLE) / 100.0 AS total_revenue,
+       ROUND(CAST(SUM(CASE WHEN cn.n_regionkey = sn.n_regionkey
+                           THEN l.cents ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(l.cents) AS DOUBLE), 6) AS intra_share
+FROM l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+GROUP BY 1
+ORDER BY 1
+""",
+        "referential_integrity_audit": """
+SELECT 'customer->nation' AS check_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'lineitem->orders',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'lineitem->part',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'lineitem->supplier',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+UNION ALL
+SELECT 'nation->region',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+UNION ALL
+SELECT 'orders->customer',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'supplier->nation',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+ORDER BY check_name
+""",
+        "user_lifespan_profile": """
+WITH daily AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS eday,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+per AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS days_active,
+         MAX(eday) - MIN(eday) AS span_days,
+         CAST(SUM(n) AS BIGINT) AS n_events
+  FROM daily GROUP BY 1
+)
+SELECT days_active,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       ROUND(AVG(n_events), 6) AS events_per_user,
+       ROUND(AVG(span_days), 6) AS avg_span_days
+FROM per
+GROUP BY 1
+ORDER BY 1
+""",
+        "user_burst_ratio": """
+WITH hourly AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS ehour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+per AS (
+  SELECT user_id, CAST(MAX(n) AS BIGINT) AS peak,
+         CAST(SUM(n) AS BIGINT) AS total
+  FROM hourly GROUP BY 1
+)
+SELECT CASE WHEN peak * 50 <= total THEN '0_le2pct'
+            WHEN peak * 33 <= total THEN '1_le3pct'
+            WHEN peak * 25 <= total THEN '2_le4pct'
+            ELSE '3_gt4pct' END AS burst_band,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(total), 6) AS avg_events,
+       ROUND(AVG(peak), 6) AS avg_peak_hour_events
+FROM per
+GROUP BY 1
+ORDER BY 1
+""",
+        "segment_halfyear_momentum": """
+WITH o AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS year,
+         month(o_orderdate) AS m,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+),
+agg AS (
+  SELECT c.c_mktsegment AS segment, o.year,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CASE WHEN o.m <= 6 THEN o.cents ELSE 0 END) AS BIGINT)
+           AS h1,
+         CAST(SUM(CASE WHEN o.m > 6 THEN o.cents ELSE 0 END) AS BIGINT)
+           AS h2
+  FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT segment, year, n_orders,
+       CAST(h1 AS DOUBLE) / 100.0 AS h1_revenue,
+       CAST(h2 AS DOUBLE) / 100.0 AS h2_revenue,
+       ROUND(CASE WHEN h1 > 0
+                  THEN CAST(h2 AS DOUBLE) / CAST(h1 AS DOUBLE) END, 6)
+         AS momentum
+FROM agg
+ORDER BY segment, year
+""",
         "purchases_in_promo_windows": """
 WITH promos AS (
   SELECT DISTINCT date_trunc('week', ts) AS promo_start FROM events

@@ -12786,3 +12786,231 @@ def q_pq_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_index_topk(
         spark, idx, _query_vector(spark, sf_dir), k=10, embeddings=emb
     )
+
+
+def q_cross_region_trade_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra- vs cross-region trade mix per order year: the share of
+    line revenue where the customer's region equals the supplier's
+    (the globalization screen a trade analyst runs; TPC-H Q5's join
+    spine widened to BOTH region sides). Exact integer cents, one
+    terminal rounded division per year -- the share's numerator and
+    denominator aggregate in the SAME group, so no global-total gate
+    is needed. Nation is the only broadcast hint (25-row domain
+    constant); customer/supplier joins are left to AQE at scale."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.year("o_orderdate").cast("long").alias("year"),
+    )
+    c = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = fixtures.load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = fixtures.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_regionkey").alias("c_region"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_regionkey").alias("s_region"),
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), "c_nationkey")
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), "s_nationkey")
+    )
+    return (
+        j.groupBy("year")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("cents").alias("_tot"),
+            F.sum(
+                F.when(F.col("c_region") == F.col("s_region"), F.col("cents"))
+                .otherwise(0)
+            ).alias("_intra"),
+        )
+        .select(
+            "year",
+            "n_lines",
+            (F.col("_tot").cast("double") / 100.0).alias("total_revenue"),
+            F.round(
+                F.col("_intra").cast("double") / F.col("_tot").cast("double"),
+                6,
+            ).alias("intra_share"),
+        )
+        .orderBy("year")
+    )
+
+
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan screen over every parent-child edge in the
+    schema: child rows whose parent key resolves to nothing (the load
+    smoke test every warehouse runs after ingest; the reference
+    pipeline's J2 row-drop quirk makes exactly this class of defect
+    invisible downstream). One row per edge: child rows checked,
+    orphans found. Each edge is a single left join + count aggregate
+    -- at scale the orphan count is the same shuffle an inner join
+    would pay, and the seven edges union WITHOUT a barrier."""
+    t = {
+        name: fixtures.load(spark, sf_dir, name)
+        for name in (
+            "lineitem",
+            "orders",
+            "customer",
+            "supplier",
+            "part",
+            "nation",
+            "region",
+        )
+    }
+    edges = [
+        ("customer->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+        ("lineitem->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+        ("lineitem->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+        ("lineitem->supplier", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
+        ("nation->region", t["nation"], "n_regionkey", t["region"], "r_regionkey"),
+        ("orders->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        ("supplier->nation", t["supplier"], "s_nationkey", t["nation"], "n_nationkey"),
+    ]
+    parts = []
+    for name, child, ck, parent, pk in edges:
+        j = child.select(F.col(ck).alias("_ck")).join(
+            parent.select(F.col(pk).alias("_pk")),
+            F.col("_ck") == F.col("_pk"),
+            "left",
+        )
+        parts.append(
+            j.agg(
+                F.lit(name).alias("check_name"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("_pk").isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_orphans"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("check_name")
+
+
+def q_user_lifespan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-days histogram over the event stream: per user the count
+    of DISTINCT active days, the calendar span (epoch-day of last
+    event minus first), and event volume, grouped by active-day count
+    -- the engagement-density cut (how REGULARLY users show up inside
+    their span) a growth team reads before retention work. Exact
+    integer epoch-day arithmetic; the only doubles are terminal
+    AVG-of-int ROUNDs. The exact-distinct per user is a two-level
+    groupBy (user,day)->user, both map-side combinable."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "user_id",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400))
+        .cast("long")
+        .alias("eday"),
+    )
+    daily = ev.groupBy("user_id", "eday").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    per = daily.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("days_active"),
+        (F.max("eday") - F.min("eday")).alias("span_days"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    return (
+        per.groupBy("days_active")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.avg("n_events"), 6).alias("events_per_user"),
+            F.round(F.avg("span_days"), 6).alias("avg_span_days"),
+        )
+        .orderBy("days_active")
+    )
+
+
+def q_user_burst_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness bands: what fraction of each user's events lands in
+    their single busiest HOUR -- near 1.0 is a drive-by session spike,
+    near 0 is steady engagement (the temporal twin of
+    ``user_activity_deciles``). Banding compares exact integers
+    (``50*peak <= total`` <=> ratio <= 2%), so no division ever enters
+    a group key; two chained map-side-combinable aggregates. Band
+    edges (2/3/4%) bracket this generator's observed 2-3.6% range so
+    the histogram resolves instead of collapsing into one band."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "user_id",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(3600))
+        .cast("long")
+        .alias("ehour"),
+    )
+    hourly = ev.groupBy("user_id", "ehour").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    per = hourly.groupBy("user_id").agg(
+        F.max("n").alias("peak"), F.sum("n").cast("long").alias("total")
+    )
+    band = (
+        F.when(F.col("peak") * 50 <= F.col("total"), "0_le2pct")
+        .when(F.col("peak") * 33 <= F.col("total"), "1_le3pct")
+        .when(F.col("peak") * 25 <= F.col("total"), "2_le4pct")
+        .otherwise("3_gt4pct")
+    )
+    return (
+        per.groupBy(band.alias("burst_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.round(F.avg("total"), 6).alias("avg_events"),
+            F.round(F.avg("peak"), 6).alias("avg_peak_hour_events"),
+        )
+        .orderBy("burst_band")
+    )
+
+
+def q_segment_halfyear_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2-vs-H1 revenue momentum per market segment and year: did a
+    segment accelerate into the back half of the year (ratio > 1) or
+    fade -- the seasonal-mix screen behind ``month_end_push`` at a
+    coarser grain. Exact cents split by order month inside ONE group
+    (no global gate); one terminal guarded division."""
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("long").alias("year"),
+        F.month("o_orderdate").alias("_m"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    agg = j.groupBy("segment", "year").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("_m") <= 6, F.col("cents")).otherwise(0)).alias("_h1"),
+        F.sum(F.when(F.col("_m") > 6, F.col("cents")).otherwise(0)).alias("_h2"),
+    )
+    return agg.select(
+        "segment",
+        "year",
+        "n_orders",
+        (F.col("_h1").cast("double") / 100.0).alias("h1_revenue"),
+        (F.col("_h2").cast("double") / 100.0).alias("h2_revenue"),
+        F.round(
+            F.when(
+                F.col("_h1") > 0,
+                F.col("_h2").cast("double") / F.col("_h1").cast("double"),
+            ),
+            6,
+        ).alias("momentum"),
+    ).orderBy("segment", "year")

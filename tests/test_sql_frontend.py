@@ -377,6 +377,11 @@ PORTABLE = [
     "customer_entry_brand_loyalty",
     # round 10
     "purchases_in_promo_windows",
+    "cross_region_trade_share",
+    "referential_integrity_audit",
+    "user_lifespan_profile",
+    "user_burst_ratio",
+    "segment_halfyear_momentum",
 ]
 
 
