@@ -67,6 +67,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_lifespan_profile": Q.q_user_lifespan_profile,
         "user_burst_ratio": Q.q_user_burst_ratio,
         "segment_halfyear_momentum": Q.q_segment_halfyear_momentum,
+        "corpus_ingestion_drift": Q.q_corpus_ingestion_drift,
+        "nation_acctbal_quartiles": Q.q_nation_acctbal_quartiles,
+        "avg_word_length_profile": Q.q_avg_word_length_profile,
+        "customer_purchase_acceleration": Q.q_customer_purchase_acceleration,
+        "order_value_band_transition": Q.q_order_value_band_transition,
         "token_length_histogram": Q.q_token_length_histogram,
         "discount_cost_by_year": Q.q_discount_cost_by_year,
         "partname_word_prices": Q.q_partname_word_prices,
@@ -537,6 +542,121 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "corpus_ingestion_drift": """
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS nc,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS toks
+  FROM documents
+),
+mx AS (SELECT MAX(doc_id) AS mxid FROM documents)
+SELECT CAST(FLOOR(d.doc_id * 10 / (mx.mxid + 1)) AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(nc), 6) AS mean_chars,
+       CAST(SUM(nc) AS BIGINT) AS total_chars,
+       ROUND(AVG(toks), 6) AS mean_tokens
+FROM d CROSS JOIN mx
+GROUP BY 1
+ORDER BY 1
+""",
+        "nation_acctbal_quartiles": """
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY c.c_acctbal), 6)
+         AS p25,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY c.c_acctbal), 6)
+         AS p50,
+       ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY c.c_acctbal), 6)
+         AS p75,
+       ROUND(CAST(SUM(CASE WHEN c.c_acctbal < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS debt_share
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+ORDER BY 1
+""",
+        "avg_word_length_profile": """
+WITH d AS (
+  SELECT source, CAST(length(text) AS BIGINT) AS chars,
+         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+           AS spaces
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(chars - spaces) AS DOUBLE)
+             / CAST(SUM(spaces + 1) AS DOUBLE), 6) AS mean_word_len,
+       ROUND(CAST(SUM(spaces + 1) AS DOUBLE) / COUNT(*), 6)
+         AS tokens_per_doc
+FROM d
+GROUP BY 1
+ORDER BY 1
+""",
+        "customer_purchase_acceleration": """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400) AS BIGINT)
+           AS d
+  FROM orders
+),
+g AS (
+  SELECT o_custkey, d, o_orderkey,
+         d - LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+           AS gap
+  FROM o
+),
+dl AS (
+  SELECT o_custkey,
+         gap - LAG(gap) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+           AS delta
+  FROM g WHERE gap IS NOT NULL
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_deltas,
+       ROUND(AVG(delta), 6) AS mean_delta_days,
+       ROUND(CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS accelerating_share
+FROM dl JOIN customer c ON dl.o_custkey = c.c_custkey
+WHERE delta IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+""",
+        "order_value_band_transition": """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400) AS BIGINT)
+           AS d,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+),
+seq AS (
+  SELECT o_custkey, d, o_orderkey,
+         CASE WHEN cents < 12500000 THEN '0_lt125k'
+              WHEN cents < 25000000 THEN '1_lt250k'
+              WHEN cents < 37500000 THEN '2_lt375k'
+              ELSE '3_ge375k' END AS to_band
+  FROM o
+),
+pairs AS (
+  SELECT LAG(to_band) OVER (PARTITION BY o_custkey
+                            ORDER BY d, o_orderkey) AS from_band,
+         to_band
+  FROM seq
+),
+counts AS (
+  SELECT from_band, to_band, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE from_band IS NOT NULL
+  GROUP BY 1, 2
+),
+rt AS (
+  SELECT from_band, CAST(SUM(n) AS BIGINT) AS row_total
+  FROM counts GROUP BY 1
+)
+SELECT counts.from_band, counts.to_band, counts.n,
+       ROUND(CAST(counts.n AS DOUBLE) / rt.row_total, 6) AS row_share
+FROM counts JOIN rt ON counts.from_band = rt.from_band
+ORDER BY counts.from_band, counts.to_band
+""",
         "cross_region_trade_share": """
 WITH l AS (
   SELECT l_orderkey, l_suppkey,

@@ -13014,3 +13014,198 @@ def q_segment_halfyear_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("momentum"),
     ).orderBy("segment", "year")
+
+
+def q_corpus_ingestion_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length drift across the corpus in INGESTION ORDER: documents cut
+    into ten equal doc_id deciles, per decile the doc count, mean/total
+    characters, and mean single-space token estimate -- the upstream-
+    collector drift screen (a crawler whose later batches shrink is a
+    pipeline bug, not a corpus property). The decile is pure integer
+    arithmetic off a 1-row max-id gate (no global NTILE window -- a
+    single-partition sort over the corpus is exactly what dies at
+    100 TB)."""
+    d = fixtures.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("nc"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("long").alias("toks"),
+    )
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(F.col("doc_id") * 10 / (F.col("mx") + 1))
+            .cast("int")
+            .alias("decile"),
+            "nc",
+            "toks",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("nc"), 6).alias("mean_chars"),
+            F.sum("nc").cast("long").alias("total_chars"),
+            F.round(F.avg("toks"), 6).alias("mean_tokens"),
+        )
+        .orderBy("decile")
+    )
+
+
+def q_nation_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer account-balance quartiles per nation (p25/p50/p75 by
+    percentile_cont interpolation, identical expression trees on both
+    engines) plus the in-debt share -- the credit-risk distribution cut
+    behind ``negative_balance_profile``'s aggregate view. One grouped
+    sort-based aggregate; no global window."""
+    c = fixtures.load(spark, sf_dir, "customer").select(
+        "c_nationkey", F.col("c_acctbal").alias("bal")
+    )
+    n = fixtures.load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return (
+        j.groupBy("nation")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY bal)"), 6).alias("p25"),
+            F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY bal)"), 6).alias("p50"),
+            F.round(F.expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY bal)"), 6).alias("p75"),
+            F.round(
+                F.sum(F.when(F.col("bal") < 0, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("debt_share"),
+        )
+        .orderBy("nation")
+    )
+
+
+def q_avg_word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled mean word length and tokens-per-doc per source, computed
+    WITHOUT any list function: tokens in a single-space corpus are
+    ``spaces + 1`` and letter mass is ``chars - spaces``, so the whole
+    profile is integer length/replace arithmetic -- the portable
+    spelling of the token-statistics family (the list-lambda spellings
+    in ``text_stats`` are DuckDB-side only). Exact integer sums, two
+    terminal rounded divisions."""
+    d = fixtures.load(spark, sf_dir, "documents").select(
+        "source",
+        F.length("text").cast("long").alias("chars"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        ).cast("long").alias("spaces"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("chars") - F.col("spaces")).cast("double")
+                / F.sum(F.col("spaces") + 1).cast("double"),
+                6,
+            ).alias("mean_word_len"),
+            F.round(
+                F.sum(F.col("spaces") + 1).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("tokens_per_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_customer_purchase_acceleration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order purchase cadence per segment: the CHANGE in the
+    gap between consecutive orders (gap_i - gap_{i-1}, exact epoch-day
+    integers) -- negative deltas mean the customer is ordering
+    FASTER. Per segment: delta count, mean delta, accelerating share.
+    Two chained per-customer LAGs (partitioned windows), deterministic
+    (date, orderkey) order; only the two terminal divisions are
+    doubles."""
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400)
+        ).cast("long").alias("d"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = o.withColumn("gap", F.col("d") - F.lag("d").over(w)).where(
+        F.col("gap").isNotNull()
+    )
+    deltas = gaps.withColumn(
+        "delta", F.col("gap") - F.lag("gap").over(w)
+    ).where(F.col("delta").isNotNull())
+    c = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    j = deltas.join(c, deltas.o_custkey == c.c_custkey)
+    return (
+        j.groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_deltas"),
+            F.round(F.avg("delta"), 6).alias("mean_delta_days"),
+            F.round(
+                F.sum(F.when(F.col("delta") < 0, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("accelerating_share"),
+        )
+        .orderBy("segment")
+    )
+
+
+def q_order_value_band_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value band TRANSITION matrix: consecutive orders of the
+    same customer classified into four fixed value bands (cents
+    thresholds at 125k/250k/375k dollars' worth -- the uniform
+    generator's quartile edges), counting from->to moves and each
+    from-band's row share -- the trade-up/trade-down mobility screen
+    (the value twin of ``brand_transitions``). Band edges compare
+    exact integer cents; one partitioned LAG; row shares divide exact
+    counts inside the from-band group."""
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400)
+        ).cast("long").alias("d"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    band = (
+        F.when(F.col("cents") < 12500000, "0_lt125k")
+        .when(F.col("cents") < 25000000, "1_lt250k")
+        .when(F.col("cents") < 37500000, "2_lt375k")
+        .otherwise("3_ge375k")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    seq = o.select("o_custkey", "d", "o_orderkey", band.alias("to_band"))
+    pairs = seq.withColumn("from_band", F.lag("to_band").over(w)).where(
+        F.col("from_band").isNotNull()
+    )
+    counts = pairs.groupBy("from_band", "to_band").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    row_tot = counts.groupBy("from_band").agg(
+        F.sum("n").cast("long").alias("_rt")
+    )
+    return (
+        counts.join(row_tot, "from_band")
+        .select(
+            "from_band",
+            "to_band",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_rt"), 6).alias(
+                "row_share"
+            ),
+        )
+        .orderBy("from_band", "to_band")
+    )

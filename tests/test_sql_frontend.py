@@ -382,6 +382,11 @@ PORTABLE = [
     "user_lifespan_profile",
     "user_burst_ratio",
     "segment_halfyear_momentum",
+    "corpus_ingestion_drift",
+    "nation_acctbal_quartiles",
+    "avg_word_length_profile",
+    "customer_purchase_acceleration",
+    "order_value_band_transition",
 ]
 
 
