@@ -66,6 +66,7 @@ NESTED_LOOP_OK = {
     "dau_anomaly_days",  # 1-row (n, s, s2) day-stats broadcast gate
     "annual_customer_retention",  # 1-row last-year broadcast gate
     "priority_value_profile",  # 1-row revenue-total broadcast gate (shares)
+    "corpus_ingestion_drift",  # 1-row max-doc-id broadcast gate (decile edges)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why
