@@ -72,6 +72,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_word_length_profile": Q.q_avg_word_length_profile,
         "customer_purchase_acceleration": Q.q_customer_purchase_acceleration,
         "order_value_band_transition": Q.q_order_value_band_transition,
+        "lang_source_lift": Q.q_lang_source_lift,
+        "user_error_rate_bands": Q.q_user_error_rate_bands,
+        "brand_weekly_rank_volatility": Q.q_brand_weekly_rank_volatility,
+        "size_band_revenue_trend": Q.q_size_band_revenue_trend,
+        "customer_value_uplift": Q.q_customer_value_uplift,
         "token_length_histogram": Q.q_token_length_histogram,
         "discount_cost_by_year": Q.q_discount_cost_by_year,
         "partname_word_prices": Q.q_partname_word_prices,
@@ -542,6 +547,125 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lang_source_lift": """
+WITH sl AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_sl
+  FROM documents GROUP BY 1, 2
+),
+s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY 1),
+l AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM documents GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents)
+SELECT sl.source, sl.lang, sl.n_sl,
+       ROUND(CAST(sl.n_sl * t.n_total AS DOUBLE)
+             / CAST(s.n_s * l.n_l AS DOUBLE), 6) AS lift
+FROM sl
+JOIN s ON sl.source = s.source
+JOIN l ON sl.lang = l.lang
+CROSS JOIN t
+ORDER BY sl.source, sl.lang
+""",
+        "user_error_rate_bands": """
+WITH per AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errs
+  FROM events GROUP BY 1
+)
+SELECT CASE WHEN errs = 0 THEN '0_clean'
+            WHEN errs * 20 <= total THEN '1_le5pct'
+            WHEN errs * 5 <= total THEN '2_le20pct'
+            ELSE '3_gt20pct' END AS error_band,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(total) AS BIGINT) AS n_events,
+       CAST(SUM(errs) AS BIGINT) AS n_errors,
+       ROUND(CAST(SUM(errs) AS DOUBLE) / CAST(SUM(total) AS DOUBLE), 6)
+         AS pooled_error_share
+FROM per
+GROUP BY 1
+ORDER BY 1
+""",
+        "brand_weekly_rank_volatility": """
+WITH wk AS (
+  SELECT FLOOR(CAST(FLOOR(epoch(CAST(l.l_shipdate AS TIMESTAMP)) / 86400)
+                    AS BIGINT) / 7.0) AS week,
+         p.p_brand AS brand,
+         CAST(SUM(CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT brand,
+         CAST(RANK() OVER (PARTITION BY week
+                           ORDER BY rev DESC, brand) AS BIGINT) AS rk
+  FROM wk
+)
+SELECT brand,
+       CAST(COUNT(*) AS BIGINT) AS n_weeks,
+       ROUND(AVG(rk), 6) AS mean_rank,
+       ROUND(CAST(COUNT(*) * SUM(rk * rk) - SUM(rk) * SUM(rk) AS DOUBLE)
+             / CAST(COUNT(*) * COUNT(*) AS DOUBLE), 6) AS rank_variance,
+       CAST(MIN(rk) AS BIGINT) AS best_rank,
+       CAST(MAX(rk) AS BIGINT) AS worst_rank
+FROM ranked
+GROUP BY 1
+ORDER BY 1
+""",
+        "size_band_revenue_trend": """
+WITH per AS (
+  SELECT CAST(year(l.l_shipdate) AS BIGINT) AS year,
+         CAST(FLOOR(p.p_size / 10.0) AS INT) AS size_band,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+yr AS (SELECT year, CAST(SUM(c) AS BIGINT) AS yt FROM per GROUP BY 1)
+SELECT per.year, per.size_band, per.n_lines,
+       CAST(per.c AS DOUBLE) / 100.0 AS revenue,
+       ROUND(CAST(per.c AS DOUBLE) / CAST(yr.yt AS DOUBLE), 6) AS year_share
+FROM per JOIN yr ON per.year = yr.year
+ORDER BY per.year, per.size_band
+""",
+        "customer_value_uplift": """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400) AS BIGINT)
+           AS d,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+),
+rn AS (
+  SELECT o_custkey, cents,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY d, o_orderkey) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY d DESC, o_orderkey DESC) AS rn_d
+  FROM o
+),
+per AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CASE WHEN rn_a = 1 THEN cents ELSE 0 END) AS BIGINT)
+           AS first_c,
+         CAST(SUM(CASE WHEN rn_d = 1 THEN cents ELSE 0 END) AS BIGINT)
+           AS last_c
+  FROM rn GROUP BY 1
+  HAVING COUNT(*) >= 2
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(first_c) AS DOUBLE) / 100.0 AS first_revenue,
+       CAST(SUM(last_c) AS DOUBLE) / 100.0 AS last_revenue,
+       ROUND(CAST(SUM(last_c) AS DOUBLE) / CAST(SUM(first_c) AS DOUBLE), 6)
+         AS pooled_uplift,
+       ROUND(CAST(SUM(CASE WHEN last_c > first_c THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS upgraded_share
+FROM per JOIN customer c ON per.o_custkey = c.c_custkey
+GROUP BY 1
+ORDER BY 1
+""",
         "corpus_ingestion_drift": """
 WITH d AS (
   SELECT doc_id, CAST(n_chars AS BIGINT) AS nc,

@@ -13209,3 +13209,217 @@ def q_order_value_band_transition(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("from_band", "to_band")
     )
+
+
+def q_lang_source_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-language association LIFT: observed (source, lang) doc
+    count against the independence expectation ``n_s * n_l / N`` --
+    lift far from 1 means a collector is language-skewed (the corpus-
+    composition screen behind ``langid``'s per-doc view). All counts
+    exact integers; the lift is ONE division of exact int64 products
+    (n_sl * N vs n_s * n_l, both far inside int64 at any corpus that
+    fits a cluster); the grand total is a 1-row broadcast gate."""
+    d = fixtures.load(spark, sf_dir, "documents").select("source", "lang")
+    sl = d.groupBy("source", "lang").agg(F.count("*").cast("long").alias("n_sl"))
+    s = d.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
+    l = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_l"))
+    tot = d.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        sl.join(s, "source")
+        .join(l, "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_sl",
+            F.round(
+                (F.col("n_sl") * F.col("n_total")).cast("double")
+                / (F.col("n_s") * F.col("n_l")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def q_user_error_rate_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-experience bands: what fraction of each user's events are
+    'error', banded by integer comparison (``20*errors <= total`` <=>
+    rate <= 5%) -- the reliability-exposure cut an SRE reads next to
+    the raw error counts. Per band: users, pooled exact event/error
+    sums, pooled error share; one terminal division."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "user_id",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    per = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("total"),
+        F.sum("is_err").cast("long").alias("errs"),
+    )
+    band = (
+        F.when(F.col("errs") == 0, "0_clean")
+        .when(F.col("errs") * 20 <= F.col("total"), "1_le5pct")
+        .when(F.col("errs") * 5 <= F.col("total"), "2_le20pct")
+        .otherwise("3_gt20pct")
+    )
+    return (
+        per.groupBy(band.alias("error_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("total").cast("long").alias("n_events"),
+            F.sum("errs").cast("long").alias("n_errors"),
+            F.round(
+                F.sum("errs").cast("double") / F.sum("total").cast("double"),
+                6,
+            ).alias("pooled_error_share"),
+        )
+        .orderBy("error_band")
+    )
+
+
+def q_brand_weekly_rank_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly revenue-rank VOLATILITY per brand: rank each brand inside
+    every ship week (deterministic tiebreak by brand), then the
+    per-brand rank variance from exact integer sufficient statistics
+    (n*s2 - s^2 -- ranks are tiny ints, every product exact) -- the
+    brand twin of ``nation_rank_trajectory``'s endpoints view: WHO
+    churns position week to week, not just who moved overall. The
+    rank window is partitioned BY WEEK (bounded rows per partition);
+    no global sort anywhere."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(
+            F.floor(
+                F.unix_timestamp(F.col("l_shipdate").cast("timestamp"))
+                / F.lit(86400)
+            ).cast("long")
+            / F.lit(7.0)
+        ).cast("long").alias("week"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    p = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    wk = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("week", "brand")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = Window.partitionBy("week").orderBy(F.col("rev").desc(), F.col("brand"))
+    ranked = wk.select("week", "brand", F.rank().over(w).cast("long").alias("rk"))
+    return (
+        ranked.groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_weeks"),
+            F.round(F.avg("rk"), 6).alias("mean_rank"),
+            F.round(
+                (
+                    F.count("*") * F.sum(F.col("rk") * F.col("rk"))
+                    - F.sum("rk") * F.sum("rk")
+                ).cast("double")
+                / (F.count("*") * F.count("*")).cast("double"),
+                6,
+            ).alias("rank_variance"),
+            F.min("rk").cast("long").alias("best_rank"),
+            F.max("rk").cast("long").alias("worst_rank"),
+        )
+        .orderBy("brand")
+    )
+
+
+def q_size_band_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-size band revenue mix BY YEAR: does demand drift toward
+    bigger parts over time -- the longitudinal twin of
+    ``part_size_mix``'s static shares. Band = size div 10 (exact
+    integer); each year's shares divide exact cents inside a KEYED
+    join against that year's total (no global gate)."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").cast("long").alias("year"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    p = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_size") / F.lit(10.0)).cast("int").alias("size_band"),
+    )
+    per = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("year", "size_band")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("cents").alias("_c"),
+        )
+    )
+    yr = per.groupBy("year").agg(F.sum("_c").alias("_yt"))
+    return (
+        per.join(yr, "year")
+        .select(
+            "year",
+            "size_band",
+            "n_lines",
+            (F.col("_c").cast("double") / 100.0).alias("revenue"),
+            F.round(
+                F.col("_c").cast("double") / F.col("_yt").cast("double"), 6
+            ).alias("year_share"),
+        )
+        .orderBy("year", "size_band")
+    )
+
+
+def q_customer_value_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-to-last order value uplift per segment: each customer's
+    FIRST and LAST order totals (deterministic (date, orderkey)
+    endpoints), pooled into exact cent sums per segment -- did the
+    book of business trade up between first and latest touch, and
+    what share of customers upgraded at all. Pooled ratio =
+    SUM(last)/SUM(first) keeps everything exact-int until one
+    terminal division (a mean of per-customer double ratios would be
+    an order-dependent double sum -- never hash-stable)."""
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400)
+        ).cast("long").alias("d"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    wa = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    wd = Window.partitionBy("o_custkey").orderBy(
+        F.col("d").desc(), F.col("o_orderkey").desc()
+    )
+    per = (
+        o.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.when(F.col("rn_a") == 1, F.col("cents")).otherwise(0)).alias("first_c"),
+            F.sum(F.when(F.col("rn_d") == 1, F.col("cents")).otherwise(0)).alias("last_c"),
+        )
+        .where(F.col("n_orders") >= 2)
+    )
+    c = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    j = per.join(c, per.o_custkey == c.c_custkey)
+    return (
+        j.groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            (F.sum("first_c").cast("double") / 100.0).alias("first_revenue"),
+            (F.sum("last_c").cast("double") / 100.0).alias("last_revenue"),
+            F.round(
+                F.sum("last_c").cast("double") / F.sum("first_c").cast("double"),
+                6,
+            ).alias("pooled_uplift"),
+            F.round(
+                F.sum(
+                    F.when(F.col("last_c") > F.col("first_c"), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("upgraded_share"),
+        )
+        .orderBy("segment")
+    )

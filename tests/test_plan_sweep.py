@@ -67,6 +67,7 @@ NESTED_LOOP_OK = {
     "annual_customer_retention",  # 1-row last-year broadcast gate
     "priority_value_profile",  # 1-row revenue-total broadcast gate (shares)
     "corpus_ingestion_drift",  # 1-row max-doc-id broadcast gate (decile edges)
+    "lang_source_lift",  # 1-row corpus-total broadcast gate (lift denominator)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -387,6 +387,11 @@ PORTABLE = [
     "avg_word_length_profile",
     "customer_purchase_acceleration",
     "order_value_band_transition",
+    "lang_source_lift",
+    "user_error_rate_bands",
+    "brand_weekly_rank_volatility",
+    "size_band_revenue_trend",
+    "customer_value_uplift",
 ]
 
 
