@@ -77,6 +77,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_weekly_rank_volatility": Q.q_brand_weekly_rank_volatility,
         "size_band_revenue_trend": Q.q_size_band_revenue_trend,
         "customer_value_uplift": Q.q_customer_value_uplift,
+        "tax_discount_grid": Q.q_tax_discount_grid,
+        "supplier_brand_focus": Q.q_supplier_brand_focus,
+        "source_exact_dup_rate": Q.q_source_exact_dup_rate,
+        "same_day_reorder_rate": Q.q_same_day_reorder_rate,
+        "event_mix_drift": Q.q_event_mix_drift,
         "token_length_histogram": Q.q_token_length_histogram,
         "discount_cost_by_year": Q.q_discount_cost_by_year,
         "partname_word_prices": Q.q_partname_word_prices,
@@ -547,6 +552,121 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "tax_discount_grid": """
+WITH li AS (
+  SELECT CAST(ROUND(CAST(l_discount AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS discount_pct,
+         CAST(ROUND(CAST(l_tax AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS tax_pct,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem
+),
+per AS (
+  SELECT discount_pct, tax_pct,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(cents) AS BIGINT) AS c
+  FROM li GROUP BY 1, 2
+),
+rt AS (
+  SELECT discount_pct, CAST(SUM(n_lines) AS BIGINT) AS row_total
+  FROM per GROUP BY 1
+)
+SELECT per.discount_pct, per.tax_pct, per.n_lines,
+       CAST(per.c AS DOUBLE) / 100.0 AS revenue,
+       ROUND(CAST(per.n_lines AS DOUBLE) / rt.row_total, 6)
+         AS discount_row_share
+FROM per JOIN rt ON per.discount_pct = rt.discount_pct
+ORDER BY per.discount_pct, per.tax_pct
+""",
+        "supplier_brand_focus": """
+WITH sb AS (
+  SELECT l.l_suppkey, p.p_brand AS brand,
+         CAST(SUM(CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS bc
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT l_suppkey, bc,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                            ORDER BY bc DESC, brand) AS r
+  FROM sb
+),
+per AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_brands,
+         CAST(SUM(bc) AS BIGINT) AS tot,
+         CAST(SUM(CASE WHEN r = 1 THEN bc ELSE 0 END) AS BIGINT) AS top
+  FROM rk GROUP BY 1
+)
+SELECT CASE WHEN top * 50 <= tot * 3 THEN '0_le6pct'
+            WHEN top * 200 <= tot * 13 THEN '1_le6_5pct'
+            WHEN top * 100 <= tot * 7 THEN '2_le7pct'
+            ELSE '3_gt7pct' END AS focus_band,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(AVG(n_brands), 6) AS mean_brand_breadth,
+       ROUND(CAST(SUM(top) AS DOUBLE) / CAST(SUM(tot) AS DOUBLE), 6)
+         AS pooled_focus
+FROM per
+GROUP BY 1
+ORDER BY 1
+""",
+        "source_exact_dup_rate": """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+       ROUND(CAST(COUNT(*) - COUNT(DISTINCT text) AS DOUBLE) / COUNT(*), 6)
+         AS dup_rate
+FROM documents
+GROUP BY 1
+ORDER BY 1
+""",
+        "same_day_reorder_rate": """
+WITH per_day AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(DISTINCT per_day.o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_cust_days,
+       CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS multi_order_days,
+       ROUND(CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS multi_day_share
+FROM per_day JOIN customer c ON per_day.o_custkey = c.c_custkey
+GROUP BY 1
+ORDER BY 1
+""",
+        "event_mix_drift": """
+WITH ev AS (
+  SELECT CAST(FLOOR(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) / 7.0)
+              AS BIGINT) AS week,
+         event_type
+  FROM events
+),
+wt AS (
+  SELECT week, event_type, CAST(COUNT(*) AS BIGINT) AS n_wt
+  FROM ev GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM ev GROUP BY 1
+),
+wk AS (SELECT week, CAST(SUM(n_wt) AS BIGINT) AS n_w FROM wt GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM ev)
+SELECT wt.week,
+       CAST(MAX(wk.n_w) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(ABS(wt.n_wt * tot.n_total - t.n_t * wk.n_w))
+                  AS DOUBLE) * 500000.0
+             / (CAST(MAX(wk.n_w) AS DOUBLE) * CAST(MAX(tot.n_total) AS DOUBLE)),
+             6) AS tvd_ppm
+FROM wt
+JOIN t ON wt.event_type = t.event_type
+JOIN wk ON wt.week = wk.week
+CROSS JOIN tot
+GROUP BY 1
+ORDER BY 1
+""",
         "lang_source_lift": """
 WITH sl AS (
   SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_sl

@@ -13423,3 +13423,206 @@ def q_customer_value_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+def q_tax_discount_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint (discount %, tax %) incidence grid: line counts, exact
+    revenue, and each discount row's tax mix -- the pricing-policy
+    interaction view behind the marginal ``type_discount_profile`` /
+    ``tax_burden_profile`` cuts (are deep discounts taxed like list
+    sales?). Percent keys are exact integers (DECIMAL-rounded cents of
+    the rate); row shares divide exact counts inside a keyed join."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("long").alias("discount_pct"),
+        F.round(F.col("l_tax").cast("decimal(18,2)") * 100)
+        .cast("long").alias("tax_pct"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    per = li.groupBy("discount_pct", "tax_pct").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("cents").alias("_c"),
+    )
+    rt = per.groupBy("discount_pct").agg(F.sum("n_lines").cast("long").alias("_rt"))
+    return (
+        per.join(rt, "discount_pct")
+        .select(
+            "discount_pct",
+            "tax_pct",
+            "n_lines",
+            (F.col("_c").cast("double") / 100.0).alias("revenue"),
+            F.round(F.col("n_lines").cast("double") / F.col("_rt"), 6).alias(
+                "discount_row_share"
+            ),
+        )
+        .orderBy("discount_pct", "tax_pct")
+    )
+
+
+def q_supplier_brand_focus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier brand-FOCUS bands: how concentrated is each supplier's
+    revenue on its single top brand (deterministic rank-1 by cents,
+    brand tiebreak), banded by integer comparison (``2*top >= total``
+    <=> focus >= 50%) -- the reverse direction of
+    ``brand_top_supplier_share`` and the assortment-risk screen a
+    category manager reads next to ``single_source_risk``. Per band:
+    suppliers, mean brand breadth, pooled focus share."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_partkey",
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    p = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    sb = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "brand")
+        .agg(F.sum("cents").alias("bc"))
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("bc").desc(), F.col("brand")
+    )
+    per = (
+        sb.withColumn("rk", F.row_number().over(w))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("long").alias("n_brands"),
+            F.sum("bc").alias("tot"),
+            F.sum(F.when(F.col("rk") == 1, F.col("bc")).otherwise(0)).alias("top"),
+        )
+    )
+    # band edges bracket this generator's observed 5.1-7.4% focus
+    # range (uniform brand assignment pins focus near 1/|brands|) --
+    # exact integer comparisons, no division in the group key
+    band = (
+        F.when(F.col("top") * 50 <= F.col("tot") * 3, "0_le6pct")
+        .when(F.col("top") * 200 <= F.col("tot") * 13, "1_le6_5pct")
+        .when(F.col("top") * 100 <= F.col("tot") * 7, "2_le7pct")
+        .otherwise("3_gt7pct")
+    )
+    return (
+        per.groupBy(band.alias("focus_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.round(F.avg("n_brands"), 6).alias("mean_brand_breadth"),
+            F.round(
+                F.sum("top").cast("double") / F.sum("tot").cast("double"), 6
+            ).alias("pooled_focus"),
+        )
+        .orderBy("focus_band")
+    )
+
+
+def q_source_exact_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EXACT duplicate rate: docs vs distinct text bodies
+    (COUNT(DISTINCT text) -- the portable spelling of the exact-dedup
+    family's per-source cut; the corpus-wide hash spellings stay
+    DuckDB-side behind the sha256 shim). A collector whose dup rate
+    spikes is re-crawling itself; this is the triage view before the
+    dedup ladder runs. At 100 TB the distinct would fold text to
+    xxhash64 first -- here the oracle IS the definition, strings
+    compare directly."""
+    d = fixtures.load(spark, sf_dir, "documents").select("source", "text")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("text").cast("long").alias("n_distinct"),
+            F.round(
+                (F.count("*") - F.countDistinct("text")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_same_day_reorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-day repeat ordering per segment: customers who placed 2+
+    orders on one calendar day, the days it happened, and the share of
+    multi-order days -- the order-splitting / fraud-velocity screen
+    next to ``split_order_screen``'s intra-order view. Two exact
+    grouped counts; one terminal division."""
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("day")
+    )
+    per_day = o.groupBy("o_custkey", "day").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    c = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    j = per_day.join(c, per_day.o_custkey == c.c_custkey)
+    return (
+        j.groupBy("segment")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.count("*").cast("long").alias("n_cust_days"),
+            F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("multi_order_days"),
+            F.round(
+                F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("multi_day_share"),
+        )
+        .orderBy("segment")
+    )
+
+
+def q_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-TYPE mix drift per week: exact total-variation distance
+    (in ppm) between each week's event-type mix and the whole
+    corpus's -- the composition-stability monitor (a week whose mix
+    lurches means a client release changed instrumentation), the
+    event-stream twin of ``token_dist_drift``. TVD numerators are
+    exact |n_wt * N - n_t * N_w| int64 products (bounded far inside
+    int64 for any corpus a cluster holds); one terminal division per
+    week (denominator multiplied in double -- n_w * N can pass int64
+    at extreme scale, and the double product is engine-identical);
+    corpus totals join keyed by type plus one 1-row gate. The sum
+    runs over (week, type) cells OBSERVED in the week -- a type
+    absent from a week contributes only through the normalization,
+    a stated property of the metric, identical on both engines."""
+    ev = fixtures.events(spark, sf_dir).select(
+        F.floor(
+            F.floor(
+                F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400)
+            ).cast("long")
+            / F.lit(7.0)
+        ).cast("long").alias("week"),
+        "event_type",
+    )
+    wt = ev.groupBy("week", "event_type").agg(
+        F.count("*").cast("long").alias("n_wt")
+    )
+    t = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n_t"))
+    wk = wt.groupBy("week").agg(F.sum("n_wt").cast("long").alias("n_w"))
+    tot = ev.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        wt.join(t, "event_type")
+        .join(wk, "week")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("week")
+        .agg(
+            F.max("n_w").cast("long").alias("n_events"),
+            F.round(
+                F.sum(
+                    F.abs(
+                        F.col("n_wt") * F.col("n_total")
+                        - F.col("n_t") * F.col("n_w")
+                    )
+                ).cast("double")
+                * 500000.0
+                / (
+                    F.max("n_w").cast("double")
+                    * F.max("n_total").cast("double")
+                ),
+                6,
+            ).alias("tvd_ppm"),
+        )
+        .orderBy("week")
+    )

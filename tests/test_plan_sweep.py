@@ -68,6 +68,7 @@ NESTED_LOOP_OK = {
     "priority_value_profile",  # 1-row revenue-total broadcast gate (shares)
     "corpus_ingestion_drift",  # 1-row max-doc-id broadcast gate (decile edges)
     "lang_source_lift",  # 1-row corpus-total broadcast gate (lift denominator)
+    "event_mix_drift",  # 1-row corpus-total broadcast gate (TVD denominator)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -392,6 +392,11 @@ PORTABLE = [
     "brand_weekly_rank_volatility",
     "size_band_revenue_trend",
     "customer_value_uplift",
+    "tax_discount_grid",
+    "supplier_brand_focus",
+    "source_exact_dup_rate",
+    "same_day_reorder_rate",
+    "event_mix_drift",
 ]
 
 
