@@ -435,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": Q.q_ann_recall,
         "pq_index_topk": Q.q_pq_index_topk,
         "pq_index_append_topk": Q.q_pq_index_append_topk,
+        "bpe_merges": Q.q_bpe_merges,
         "mmr_diverse_topk": Q.q_mmr_diverse_topk,
         "copurchase_communities": Q.q_copurchase_communities,
     }

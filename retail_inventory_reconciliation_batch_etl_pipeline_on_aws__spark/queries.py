@@ -13626,3 +13626,18 @@ def q_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 16 BPE merges on the document corpus (Sennrich et al.
+    2016, the tokenizer-training step of an LLM data pipeline) and
+    return the merge table in learned order -- fully deterministic
+    (count desc, pair asc tie-break), but the iterative argmax has no
+    SQL spelling, so the entry is rows-only; an exact-Python-model
+    hypothesis property test and the classic worked example pin the
+    semantics (``operators/bpe.py``). The corpus is scanned once into
+    the word-frequency table; every merge iteration is |vocab|-sized."""
+    from .operators.bpe import learn_bpe_merges
+
+    docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
+    return learn_bpe_merges(docs, n_merges=16).orderBy("rank")
