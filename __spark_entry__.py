@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_index_topk": Q.q_pq_index_topk,
         "pq_index_append_topk": Q.q_pq_index_append_topk,
         "bpe_merges": Q.q_bpe_merges,
+        "copurchase_kcore": Q.q_copurchase_kcore,
         "mmr_diverse_topk": Q.q_mmr_diverse_topk,
         "copurchase_communities": Q.q_copurchase_communities,
     }

@@ -390,3 +390,73 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def kcore_numbers(
+    edges: DataFrame,
+    a: str = "pa",
+    b: str = "pb",
+    max_iters: int = 32,
+) -> DataFrame:
+    """CORENESS of every node via the distributed H-INDEX fixpoint
+    (Lu et al. 2016, "The H-index of a network node", public recipe):
+    initialize every node at its degree, then repeatedly replace each
+    node's value with the H-index of its neighbors' values (the
+    largest h such that >= h neighbors hold >= h). The sequence is
+    monotone non-increasing and converges EXACTLY to the k-core
+    number -- the peeling algorithm's answer without the peeling
+    algorithm's sequential deletions, which is what makes it a
+    batch-synchronous (BSP) computation a cluster can run.
+
+    Scale shape per round: one co-partitioned join of the undirected
+    edge list against the value table, then the per-node H-index as a
+    window rank over neighbor values (partitioned BY NODE -- bounded
+    by max degree) folded with ``max(least(rank, value))``. Rounds
+    eagerly ``localCheckpoint`` (the iterative-operator lineage
+    contract shared with ``pagerank`` / ``label_propagation``), and
+    the loop EXITS EARLY through a 1-row any-change gate -- the
+    H-index iteration typically converges in O(log n)-ish rounds on
+    real graphs; ``max_iters`` is the plannability backstop.
+
+    Returns (node, coreness). Isolated nodes never enter an edge list,
+    so every returned node has coreness >= 1.
+    """
+    und = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionAll(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vals = (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(F.col("nb_c").desc(), F.col("dst"))
+    for _ in range(max_iters):
+        nxt = (
+            und.join(
+                vals.select(F.col("node").alias("dst"), F.col("c").alias("nb_c")),
+                "dst",
+            )
+            .select(F.col("src").alias("node"), "dst", "nb_c")
+            .withColumn("rn", F.row_number().over(w))
+            .groupBy("node")
+            .agg(
+                F.max(F.least(F.col("rn").cast("long"), F.col("nb_c")))
+                .cast("long")
+                .alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(vals.withColumnRenamed("c", "c_old"), "node")
+            .where(F.col("c") != F.col("c_old"))
+            .limit(1)
+            .count()
+        )  # 1-row convergence gate: the H-sequence is monotone, so
+        # no-change anywhere IS the fixpoint (coreness exactly)
+        vals = nxt
+        if changed == 0:
+            break
+    return vals.select("node", F.col("c").alias("coreness"))

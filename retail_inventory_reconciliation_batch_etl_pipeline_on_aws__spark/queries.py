@@ -13641,3 +13641,45 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
     return learn_bpe_merges(docs, n_merges=16).orderBy("rank")
+
+
+def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORENESS histogram of the co-purchase graph (H-index fixpoint,
+    ``operators/graph.kcore_numbers``): how many parts sit in each
+    k-core -- the engagement-density ladder of the catalog (CC answers
+    reachability, LPA clustering; coreness answers how DEEPLY embedded
+    a part is in dense co-purchase structure, the classic influence /
+    robustness screen). Rows-only by design: the fixpoint is
+    iterative; pytest pins hypothesis equivalence to an exact Python
+    peeling model, planted clique/path recovery, and determinism."""
+    from .operators.graph import kcore_numbers
+
+    li = fixtures.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                "ps",
+                lambda x: F.transform(
+                    F.col("ps"),
+                    lambda y: F.when(
+                        x < y, F.struct(x.alias("pa"), y.alias("pb"))
+                    ),
+                ),
+            )
+        ),
+        lambda s: s.isNotNull(),
+    )
+    pairs = (
+        grouped.select(F.explode(pair_arr).alias("pr"))
+        .select("pr.pa", "pr.pb")
+        .distinct()
+    )
+    cores = kcore_numbers(pairs)
+    return (
+        cores.groupBy("coreness")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy("coreness")
+    )
