@@ -82,6 +82,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_exact_dup_rate": Q.q_source_exact_dup_rate,
         "same_day_reorder_rate": Q.q_same_day_reorder_rate,
         "event_mix_drift": Q.q_event_mix_drift,
+        "brand_cannibalization": Q.q_brand_cannibalization,
+        "order_priority_escalation": Q.q_order_priority_escalation,
+        "customer_supply_reach": Q.q_customer_supply_reach,
+        "returning_user_curve": Q.q_returning_user_curve,
+        "sku_velocity_quadrant": Q.q_sku_velocity_quadrant,
         "token_length_histogram": Q.q_token_length_histogram,
         "discount_cost_by_year": Q.q_discount_cost_by_year,
         "partname_word_prices": Q.q_partname_word_prices,
@@ -554,6 +559,112 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "brand_cannibalization": """
+WITH ot AS (
+  SELECT l.l_orderkey, p.p_type AS ptype,
+         CAST(COUNT(DISTINCT p.p_brand) AS BIGINT) AS n_brands
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+)
+SELECT ptype,
+       CAST(COUNT(*) AS BIGINT) AS n_order_types,
+       CAST(SUM(CASE WHEN n_brands >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS multi_brand,
+       ROUND(CAST(SUM(CASE WHEN n_brands >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS multi_brand_share,
+       ROUND(AVG(n_brands), 6) AS mean_brands
+FROM ot
+GROUP BY 1
+ORDER BY 1
+""",
+        "order_priority_escalation": """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400) AS BIGINT)
+           AS d,
+         o_orderpriority AS pri,
+         CAST(substr(o_orderpriority, 1, 1) AS INT) AS rank_now
+  FROM orders
+),
+pairs AS (
+  SELECT LAG(pri) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+           AS from_priority,
+         LAG(rank_now) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+           AS prev_rank,
+         rank_now
+  FROM o
+)
+SELECT from_priority,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CASE WHEN rank_now < prev_rank THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS escalated_share,
+       ROUND(CAST(SUM(CASE WHEN rank_now = prev_rank THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS held_share,
+       ROUND(CAST(SUM(CASE WHEN rank_now > prev_rank THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS deescalated_share
+FROM pairs
+WHERE from_priority IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+""",
+        "customer_supply_reach": """
+WITH reach AS (
+  SELECT o.o_custkey,
+         CAST(COUNT(DISTINCT s.s_nationkey) AS BIGINT) AS n_nations
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1
+)
+SELECT c.c_mktsegment AS segment, reach.n_nations,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM reach JOIN customer c ON reach.o_custkey = c.c_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+        "returning_user_curve": """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS eday
+  FROM events
+),
+anchor AS (
+  SELECT user_id, MIN(eday) AS d0 FROM ev
+  WHERE event_type = 'signup' GROUP BY 1
+)
+SELECT CAST(FLOOR((ev.eday - anchor.d0) / 7.0) AS BIGINT) AS offset_week,
+       CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT ev.user_id), 6)
+         AS events_per_user
+FROM ev JOIN anchor ON ev.user_id = anchor.user_id
+WHERE ev.eday >= anchor.d0
+GROUP BY 1
+ORDER BY 1
+""",
+        "sku_velocity_quadrant": """
+WITH per AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+         CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1
+),
+med AS (
+  SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY q) AS mq,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY c) AS mc,
+         CAST(SUM(c) AS BIGINT) AS tot
+  FROM per
+)
+SELECT CASE WHEN per.q > med.mq THEN 'fast' ELSE 'slow' END || '_'
+         || CASE WHEN per.c > med.mc THEN 'high' ELSE 'low' END AS quadrant,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(CAST(SUM(per.c) AS DOUBLE) / CAST(MAX(med.tot) AS DOUBLE), 6)
+         AS revenue_share
+FROM per CROSS JOIN med
+GROUP BY 1
+ORDER BY 1
+""",
         "tax_discount_grid": """
 WITH li AS (
   SELECT CAST(ROUND(CAST(l_discount AS DECIMAL(18,2)) * 100) AS BIGINT)

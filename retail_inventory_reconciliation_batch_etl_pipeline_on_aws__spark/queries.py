@@ -13683,3 +13683,202 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_nodes"))
         .orderBy("coreness")
     )
+
+
+def q_brand_cannibalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-TYPE multi-brand orders per part type: how often does one
+    order contain two or more brands of the SAME type -- the
+    cannibalization / comparison-shopping screen a category manager
+    reads before rationalizing an assortment. Exact distinct counts
+    per (order, type); shares divide exact counts inside the type
+    group."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    p = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_type").alias("ptype"),
+        F.col("p_brand").alias("brand"),
+    )
+    ot = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey", "ptype")
+        .agg(F.countDistinct("brand").cast("long").alias("n_brands"))
+    )
+    return (
+        ot.groupBy("ptype")
+        .agg(
+            F.count("*").cast("long").alias("n_order_types"),
+            F.sum(F.when(F.col("n_brands") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("multi_brand"),
+            F.round(
+                F.sum(F.when(F.col("n_brands") >= 2, 1).otherwise(0))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("multi_brand_share"),
+            F.round(F.avg("n_brands"), 6).alias("mean_brands"),
+        )
+        .orderBy("ptype")
+    )
+
+
+def q_order_priority_escalation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority ESCALATION between consecutive orders of one customer:
+    the ordinal move (urgent = low rank number) from each order to the
+    next, aggregated to escalation / hold / de-escalation shares per
+    FROM-priority -- did urgency breed urgency? One partitioned LAG
+    over deterministic (date, orderkey) order; priorities map to exact
+    ordinal ints by their leading digit."""
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400)
+        ).cast("long").alias("d"),
+        F.col("o_orderpriority").alias("pri"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("rank_now"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    pairs = (
+        o.withColumn("prev_pri", F.lag("pri").over(w))
+        .withColumn("prev_rank", F.lag("rank_now").over(w))
+        .where(F.col("prev_pri").isNotNull())
+    )
+    return (
+        pairs.groupBy(F.col("prev_pri").alias("from_priority"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rank_now") < F.col("prev_rank"), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("escalated_share"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rank_now") == F.col("prev_rank"), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("held_share"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rank_now") > F.col("prev_rank"), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("deescalated_share"),
+        )
+        .orderBy("from_priority")
+    )
+
+
+def q_customer_supply_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply REACH histogram: how many distinct supplier NATIONS does
+    each customer's purchasing touch (via their orders' line
+    suppliers) -- the demand-side twin of ``part_supplier_breadth``'s
+    sourcing view, cut by market segment. Exact distinct counts; the
+    histogram key is the reach itself."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = fixtures.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = fixtures.load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    reach = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("s_nationkey").cast("long").alias("n_nations"))
+    )
+    c = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        reach.join(c, reach.o_custkey == c.c_custkey)
+        .groupBy("segment", "n_nations")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("segment", "n_nations")
+    )
+
+
+def q_returning_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity decay curve anchored at each user's FIRST SIGNUP
+    event: events per offset-week since signup (week 0 = signup week)
+    -- the lifecycle curve growth teams plot before any retention
+    experiment; users without a signup event are out of scope by
+    definition. Exact epoch-day integers; the anchor join is keyed by
+    user (no gate)."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400))
+        .cast("long")
+        .alias("eday"),
+    )
+    anchor = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("eday").alias("d0"))
+    )
+    j = ev.join(anchor, "user_id").where(F.col("eday") >= F.col("d0"))
+    return (
+        j.select(
+            "user_id",
+            F.floor((F.col("eday") - F.col("d0")) / F.lit(7.0))
+            .cast("long")
+            .alias("offset_week"),
+        )
+        .groupBy("offset_week")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.count("*").cast("double") / F.countDistinct("user_id"), 6
+            ).alias("events_per_user"),
+        )
+        .orderBy("offset_week")
+    )
+
+
+def q_sku_velocity_quadrant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity-value QUADRANTS: every part classified against the
+    corpus MEDIAN unit volume and MEDIAN revenue (percentile_cont over
+    exact ints, a 1-row broadcast gate) into fast/slow x high/low-value
+    -- the merchandising 2x2 behind ABC analysis. Quadrant counts plus
+    each quadrant's exact revenue share."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    per = li.groupBy("l_partkey").agg(
+        F.sum("qty").cast("long").alias("q"),
+        F.sum("cents").alias("c"),
+    )
+    med = per.agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY q)").alias("mq"),
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY c)").alias("mc"),
+        F.sum("c").alias("tot"),
+    )
+    quad = F.concat(
+        F.when(F.col("q") > F.col("mq"), F.lit("fast")).otherwise(F.lit("slow")),
+        F.lit("_"),
+        F.when(F.col("c") > F.col("mc"), F.lit("high")).otherwise(F.lit("low")),
+    )
+    return (
+        per.crossJoin(F.broadcast(med))
+        .groupBy(quad.alias("quadrant"))
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.round(
+                F.sum("c").cast("double") / F.max("tot").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("quadrant")
+    )

@@ -69,6 +69,7 @@ NESTED_LOOP_OK = {
     "corpus_ingestion_drift",  # 1-row max-doc-id broadcast gate (decile edges)
     "lang_source_lift",  # 1-row corpus-total broadcast gate (lift denominator)
     "event_mix_drift",  # 1-row corpus-total broadcast gate (TVD denominator)
+    "sku_velocity_quadrant",  # 1-row (medians, total) broadcast gate (quadrant edges)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -397,6 +397,11 @@ PORTABLE = [
     "source_exact_dup_rate",
     "same_day_reorder_rate",
     "event_mix_drift",
+    "brand_cannibalization",
+    "order_priority_escalation",
+    "customer_supply_reach",
+    "returning_user_curve",
+    "sku_velocity_quadrant",
 ]
 
 
