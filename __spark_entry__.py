@@ -87,6 +87,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_supply_reach": Q.q_customer_supply_reach,
         "returning_user_curve": Q.q_returning_user_curve,
         "sku_velocity_quadrant": Q.q_sku_velocity_quadrant,
+        "stopword_density_profile": Q.q_stopword_density_profile,
+        "nation_trade_imbalance": Q.q_nation_trade_imbalance,
+        "nation_weekly_volatility": Q.q_nation_weekly_volatility,
+        "label_cohesion": Q.q_label_cohesion,
         "token_length_histogram": Q.q_token_length_histogram,
         "discount_cost_by_year": Q.q_discount_cost_by_year,
         "partname_word_prices": Q.q_partname_word_prices,
@@ -442,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_index_append_topk": Q.q_pq_index_append_topk,
         "bpe_merges": Q.q_bpe_merges,
         "copurchase_kcore": Q.q_copurchase_kcore,
+        "bpe_compression_by_source": Q.q_bpe_compression_by_source,
         "mmr_diverse_topk": Q.q_mmr_diverse_topk,
         "copurchase_communities": Q.q_copurchase_communities,
     }
@@ -559,6 +564,121 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "stopword_density_profile": """
+WITH d AS (
+  SELECT source,
+         '  ' || replace(text, ' ', '  ') || '  ' AS s2,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS toks
+  FROM documents
+),
+cnt AS (
+  SELECT source, toks,
+         CAST((length(s2) - length(replace(s2, ' the ', ''))) / 5
+              + (length(s2) - length(replace(s2, ' and ', ''))) / 5
+              + (length(s2) - length(replace(s2, ' of ', ''))) / 4
+              + (length(s2) - length(replace(s2, ' to ', ''))) / 4
+              + (length(s2) - length(replace(s2, ' a ', ''))) / 3
+              AS BIGINT) AS stop
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(stop) AS BIGINT) AS n_stopwords,
+       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(stop) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE), 6)
+         AS stopword_density
+FROM cnt
+GROUP BY 1
+ORDER BY 1
+""",
+        "nation_trade_imbalance": """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem
+),
+exp AS (
+  SELECT s.s_nationkey AS nk, CAST(SUM(li.cents) AS BIGINT) AS exp_c
+  FROM li JOIN supplier s ON li.l_suppkey = s.s_suppkey
+  GROUP BY 1
+),
+imp AS (
+  SELECT c.c_nationkey AS nk, CAST(SUM(li.cents) AS BIGINT) AS imp_c
+  FROM li
+  JOIN orders o ON li.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+),
+flows AS (
+  SELECT COALESCE(exp.nk, imp.nk) AS nk,
+         COALESCE(exp_c, 0) AS exp_c, COALESCE(imp_c, 0) AS imp_c
+  FROM exp FULL OUTER JOIN imp ON exp.nk = imp.nk
+)
+SELECT n.n_name AS nation,
+       CAST(exp_c AS DOUBLE) / 100.0 AS exported,
+       CAST(imp_c AS DOUBLE) / 100.0 AS imported,
+       ROUND(CAST(exp_c - imp_c AS DOUBLE) / CAST(exp_c + imp_c AS DOUBLE), 6)
+         AS imbalance
+FROM flows JOIN nation n ON flows.nk = n.n_nationkey
+ORDER BY 1
+""",
+        "nation_weekly_volatility": """
+WITH wk AS (
+  SELECT n.n_name AS nation,
+         CAST(FLOOR(CAST(FLOOR(epoch(CAST(l.l_shipdate AS TIMESTAMP))
+                               / 86400) AS BIGINT) / 7.0) AS BIGINT) AS week,
+         CAST(SUM(CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+d AS (
+  SELECT nation, rev,
+         LAG(rev) OVER (PARTITION BY nation ORDER BY week) AS prev
+  FROM wk
+)
+SELECT nation,
+       CAST(COUNT(*) AS BIGINT) AS n_weeks,
+       ROUND(CAST(SUM(ABS(rev - prev)) AS DOUBLE)
+             / CAST(SUM(prev) AS DOUBLE), 6) AS pooled_volatility,
+       ROUND(CAST(SUM(CASE WHEN rev < prev THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS down_week_share
+FROM d
+WHERE prev IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+""",
+        "label_cohesion": """
+WITH ex AS (
+  SELECT label, CAST(i AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+pd AS (
+  SELECT label, dim, SUM(q) AS s, SUM(q * q) AS t
+  FROM ex GROUP BY 1, 2
+),
+agg AS (
+  SELECT label, SUM(s * s) AS s2, SUM(t) AS t FROM pd GROUP BY 1
+),
+n AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM embeddings GROUP BY 1
+)
+SELECT agg.label, n.n_vectors,
+       ROUND(CAST(agg.s2 - agg.t AS DOUBLE)
+             / (CAST(n.n_vectors AS DOUBLE)
+                * CAST(n.n_vectors - 1 AS DOUBLE) * 100000000.0), 6)
+         AS mean_pairwise_dot
+FROM agg JOIN n ON agg.label = n.label
+ORDER BY 1
+""",
         "brand_cannibalization": """
 WITH ot AS (
   SELECT l.l_orderkey, p.p_type AS ptype,

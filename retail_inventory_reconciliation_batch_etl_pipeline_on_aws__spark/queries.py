@@ -13882,3 +13882,244 @@ def q_sku_velocity_quadrant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quadrant")
     )
+
+
+def q_stopword_density_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword density per source WITHOUT list functions: occurrences
+    of each probe word count as ``(len(s) - len(replace(s, probe, '')))
+    / len(probe)`` over a SPACE-DOUBLED copy of the text (every space
+    duplicated, text padded), so each word is flanked by its own
+    spaces and non-overlapping replace counts EVERY occurrence -- the
+    portable spelling of the stopword-ratio feature in
+    ``functions.text.quality_score``. Exact integer counts; one
+    terminal division per source."""
+    d = fixtures.load(spark, sf_dir, "documents")
+    s2 = F.concat(
+        F.lit("  "),
+        F.replace(F.col("text"), F.lit(" "), F.lit("  ")),
+        F.lit("  "),
+    )
+    def occ(word: str):
+        probe = f" {word} "
+        return (
+            (F.length(s2) - F.length(F.replace(s2, F.lit(probe), F.lit(""))))
+            / F.lit(len(probe))
+        ).cast("long")
+
+    toks = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    probes = ["the", "and", "of", "to", "a"]
+    total_stop = None
+    for w in probes:
+        total_stop = occ(w) if total_stop is None else total_stop + occ(w)
+    return (
+        d.select("source", total_stop.alias("stop"), toks.alias("toks"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("stop").cast("long").alias("n_stopwords"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("stop").cast("double") / F.sum("toks").cast("double"),
+                6,
+            ).alias("stopword_density"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_nation_trade_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade BALANCE per nation: line revenue exported (as the
+    supplier's nation) vs imported (as the customer's nation), with
+    the normalized imbalance ``(exp - imp) / (exp + imp)`` -- the
+    macro view over the same join spine as
+    ``cross_region_trade_share``, pivoted to the nation grain. Exact
+    cents on both flows (two independent aggregates full-outer-merged
+    on the nation key -- a nation can export without importing); one
+    terminal division."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    o = fixtures.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = fixtures.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = fixtures.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = fixtures.load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    exp = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.sum("cents").alias("exp_c"))
+    )
+    imp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.sum("cents").alias("imp_c"))
+    )
+    both = exp.join(imp, "nk", "full").na.fill(0, ["exp_c", "imp_c"])
+    return (
+        both.join(F.broadcast(n), both.nk == n.n_nationkey)
+        .select(
+            "nation",
+            (F.col("exp_c").cast("double") / 100.0).alias("exported"),
+            (F.col("imp_c").cast("double") / 100.0).alias("imported"),
+            F.round(
+                (F.col("exp_c") - F.col("imp_c")).cast("double")
+                / (F.col("exp_c") + F.col("imp_c")).cast("double"),
+                6,
+            ).alias("imbalance"),
+        )
+        .orderBy("nation")
+    )
+
+
+def q_nation_weekly_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue VOLATILITY per customer nation: pooled
+    |delta| mass over pooled prior-week mass (one exact-int division
+    per nation -- a mean of per-week double ratios would be an
+    order-dependent double sum), plus the share of down-weeks. One
+    partitioned LAG over the (nation, week) revenue series."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(
+            F.floor(
+                F.unix_timestamp(F.col("l_shipdate").cast("timestamp"))
+                / F.lit(86400)
+            ).cast("long")
+            / F.lit(7.0)
+        ).cast("long").alias("week"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    o = fixtures.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = fixtures.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = fixtures.load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    wk = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("nation", "week")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = Window.partitionBy("nation").orderBy("week")
+    d = wk.withColumn("prev", F.lag("rev").over(w)).where(
+        F.col("prev").isNotNull()
+    )
+    return (
+        d.groupBy("nation")
+        .agg(
+            F.count("*").cast("long").alias("n_weeks"),
+            F.round(
+                F.sum(F.abs(F.col("rev") - F.col("prev"))).cast("double")
+                / F.sum("prev").cast("double"),
+                6,
+            ).alias("pooled_volatility"),
+            F.round(
+                F.sum(F.when(F.col("rev") < F.col("prev"), 1).otherwise(0))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("down_week_share"),
+        )
+        .orderBy("nation")
+    )
+
+
+def q_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-label COHESION: the mean pairwise dot product inside each
+    label via the centroid identity ``(||sum v||^2 - sum ||v||^2) /
+    (n(n-1))`` -- computed WITHOUT any pairwise join (the identity
+    turns O(n^2) pairs into two exact sums), in the r9 embedding
+    family's quantized-integer discipline: q = round(10^4 v) makes
+    every sum an exact int64 and the one division terminal. The
+    complement of ``label_radius_profile`` (dispersion): cohesion is
+    the expected similarity of two random same-label points."""
+    e = fixtures.load(spark, sf_dir, "embeddings").select(
+        "label",
+        F.transform(
+            "embedding", lambda v: F.round(v.cast("double") * 10000).cast("long")
+        ).alias("q"),
+    )
+    ex = e.select(
+        "label", F.posexplode("q").alias("dim", "qv")
+    )
+    per_dim = ex.groupBy("label", "dim").agg(
+        F.sum("qv").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).alias("t"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.sum(F.col("s") * F.col("s")).alias("_s2"),
+            F.sum("t").alias("_t"),
+        )
+        .join(
+            e.groupBy("label").agg(F.count("*").cast("long").alias("n_vectors")),
+            "label",
+        )
+        .select(
+            "label",
+            "n_vectors",
+            F.round(
+                (F.col("_s2") - F.col("_t")).cast("double")
+                / (
+                    F.col("n_vectors").cast("double")
+                    * (F.col("n_vectors") - 1).cast("double")
+                    * 100000000.0
+                ),
+                6,
+            ).alias("mean_pairwise_dot"),
+        )
+        .orderBy("label")
+    )
+
+
+def q_bpe_compression_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword COMPRESSION per source under the corpus's own 16-merge
+    BPE table: mean subwords per word and per character -- the
+    fertility metric that tells a tokenizer team which collector's
+    text the vocabulary serves worst. Rows-only (the merge table is
+    the iterative operator's output); exact integer symbol counts over
+    the vocab-join apply path (``operators/bpe.apply_bpe_merges``)."""
+    from .operators.bpe import apply_bpe_merges, learn_bpe_merges
+
+    docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
+    merges = [
+        (r.left, r.right)
+        for r in learn_bpe_merges(docs, n_merges=16).orderBy("rank").collect()
+    ]
+    tok = apply_bpe_merges(docs.select("source", "text"), merges)
+    return (
+        tok.select(
+            "source",
+            F.size("bpe_tokens").cast("long").alias("n_sub"),
+            (
+                F.aggregate(
+                    "bpe_tokens",
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + F.length(x),
+                )
+                - F.lit(len("</w>"))
+            ).alias("n_chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+            F.round(
+                F.sum("n_sub").cast("double") / F.count("*"), 6
+            ).alias("subwords_per_word"),
+            F.round(
+                F.sum("n_sub").cast("double") / F.sum("n_chars").cast("double"),
+                6,
+            ).alias("subwords_per_char"),
+        )
+        .orderBy("source")
+    )

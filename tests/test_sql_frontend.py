@@ -402,6 +402,9 @@ PORTABLE = [
     "customer_supply_reach",
     "returning_user_curve",
     "sku_velocity_quadrant",
+    "stopword_density_profile",
+    "nation_trade_imbalance",
+    "nation_weekly_volatility",
 ]
 
 
@@ -438,6 +441,7 @@ PORTABLE = [
 #:   division scale rules produce different rounding (fifo/lifo
 #:   layer allocation).
 NONPORTABLE = {
+    "label_cohesion": "range-tvf",
     "audio_meta": "dialect-syntax",
     "balance_spend_correlation": "hugeint-statistics",
     "bigram_counts": "list-lambda",
