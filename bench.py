@@ -131,6 +131,11 @@ BENCH_QUERIES = [
     "kmeans_iteration",
     "dau_wau_stickiness",
     "shingle_df_profile",
+    # round-10: the heaviest new shapes -- the six-table dual-region
+    # join spine, and the iterative BPE trainer (16 vocabulary-sized
+    # merge rounds, each with a 1-row argmax) -- first floors
+    "cross_region_trade_share",
+    "bpe_merges",
 ]
 
 
