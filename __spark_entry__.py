@@ -91,6 +91,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_imbalance": Q.q_nation_trade_imbalance,
         "nation_weekly_volatility": Q.q_nation_weekly_volatility,
         "label_cohesion": Q.q_label_cohesion,
+        "supplier_new_business_trend": Q.q_supplier_new_business_trend,
+        "quantity_uniformity_screen": Q.q_quantity_uniformity_screen,
+        "type_hour_profile_similarity": Q.q_type_hour_profile_similarity,
+        "supplier_turnover": Q.q_supplier_turnover,
+        "returns_by_value_band": Q.q_returns_by_value_band,
         "token_length_histogram": Q.q_token_length_histogram,
         "discount_cost_by_year": Q.q_discount_cost_by_year,
         "partname_word_prices": Q.q_partname_word_prices,
@@ -564,6 +569,113 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "supplier_new_business_trend": """
+WITH pairs AS (
+  SELECT l.l_suppkey, o.o_custkey,
+         CAST(year(o.o_orderdate) AS BIGINT) AS year,
+         CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+first AS (
+  SELECT l_suppkey, o_custkey, MIN(year) AS first_year
+  FROM pairs GROUP BY 1, 2
+)
+SELECT pairs.year,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(pairs.cents) AS DOUBLE) / 100.0 AS total_revenue,
+       ROUND(CAST(SUM(CASE WHEN pairs.year = first.first_year
+                           THEN pairs.cents ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(pairs.cents) AS DOUBLE), 6)
+         AS new_relationship_share
+FROM pairs
+JOIN first ON pairs.l_suppkey = first.l_suppkey
+          AND pairs.o_custkey = first.o_custkey
+GROUP BY 1
+ORDER BY 1
+""",
+        "quantity_uniformity_screen": """
+WITH per AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS grand_total,
+         CAST(COUNT(*) AS BIGINT) AS n_bins
+  FROM per
+)
+SELECT per.qty, per.n,
+       ROUND(CAST(tot.grand_total AS DOUBLE) / tot.n_bins, 6) AS expected,
+       ROUND(CAST((per.n * tot.n_bins - tot.grand_total)
+                  * (per.n * tot.n_bins - tot.grand_total) AS DOUBLE)
+             / (CAST(tot.n_bins AS DOUBLE) * CAST(tot.n_bins AS DOUBLE)
+                * CAST(tot.grand_total AS DOUBLE)), 6) AS chi2_contrib
+FROM per CROSS JOIN tot
+ORDER BY per.qty
+""",
+        "type_hour_profile_similarity": """
+WITH prof AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+norms AS (
+  SELECT event_type, CAST(SUM(n * n) AS BIGINT) AS n2 FROM prof GROUP BY 1
+),
+dots AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(SUM(a.n * b.n) AS BIGINT) AS dot
+  FROM prof a JOIN prof b ON a.h = b.h AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT dots.type_a, dots.type_b,
+       ROUND(CAST(dots.dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+         AS cosine
+FROM dots
+JOIN norms na ON dots.type_a = na.event_type
+JOIN norms nb ON dots.type_b = nb.event_type
+ORDER BY dots.type_a, dots.type_b
+""",
+        "supplier_turnover": """
+WITH active AS (
+  SELECT DISTINCT l_suppkey, CAST(year(l_shipdate) AS BIGINT) AS year
+  FROM lineitem
+),
+span AS (
+  SELECT l_suppkey, MIN(year) AS y0, MAX(year) AS y1
+  FROM active GROUP BY 1
+)
+SELECT active.year,
+       CAST(COUNT(*) AS BIGINT) AS active_suppliers,
+       CAST(SUM(CASE WHEN active.year = span.y0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS entering,
+       CAST(SUM(CASE WHEN active.year = span.y1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS exiting
+FROM active JOIN span ON active.l_suppkey = span.l_suppkey
+GROUP BY 1
+ORDER BY 1
+""",
+        "returns_by_value_band": """
+WITH li AS (
+  SELECT CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+  FROM lineitem
+)
+SELECT CASE WHEN cents < 1000000 THEN '0_lt10k'
+            WHEN cents < 3000000 THEN '1_lt30k'
+            WHEN cents < 5000000 THEN '2_lt50k'
+            ELSE '3_ge50k' END AS value_band,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(ret) AS BIGINT) AS n_returned,
+       ROUND(CAST(SUM(ret) AS DOUBLE) / COUNT(*), 6) AS return_rate,
+       ROUND(CAST(SUM(CASE WHEN ret = 1 THEN cents ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(cents) AS DOUBLE), 6) AS returned_value_share
+FROM li
+GROUP BY 1
+ORDER BY 1
+""",
         "stopword_density_profile": """
 WITH d AS (
   SELECT source,

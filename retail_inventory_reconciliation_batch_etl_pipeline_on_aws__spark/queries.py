@@ -14123,3 +14123,201 @@ def q_bpe_compression_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def q_supplier_new_business_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW-relationship revenue per year: the share of line revenue
+    flowing through (supplier, customer) pairs trading for the FIRST
+    time that year -- the supplier-side twin of
+    ``new_vs_repeat_revenue`` (is the network growing or deepening?).
+    First-year is a min aggregate joined back on the pair key; exact
+    cents; one terminal division per year."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias("year")
+    )
+    pairs = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey", "o_custkey", "year", "cents"
+    )
+    first = pairs.groupBy("l_suppkey", "o_custkey").agg(
+        F.min("year").alias("first_year")
+    )
+    j = pairs.join(first, ["l_suppkey", "o_custkey"])
+    return (
+        j.groupBy("year")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            (F.sum("cents").cast("double") / 100.0).alias("total_revenue"),
+            F.round(
+                F.sum(
+                    F.when(F.col("year") == F.col("first_year"), F.col("cents"))
+                    .otherwise(0)
+                ).cast("double")
+                / F.sum("cents").cast("double"),
+                6,
+            ).alias("new_relationship_share"),
+        )
+        .orderBy("year")
+    )
+
+
+def q_quantity_uniformity_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-quantity UNIFORMITY screen: each integer quantity's count
+    against the uniform expectation, with its exact chi-square
+    contribution -- the synthetic-data / entry-automation tell
+    (hand-keyed quantities cluster on round numbers; generated ones
+    are flat), the quantity twin of ``benford_screen``. The expected
+    count rides a 1-row (total, n_bins) gate; the contribution is
+    ``(n*k - N)^2 / (k*N*k)`` in exact int64 cross-multiplied form
+    before ONE terminal division."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty")
+    )
+    per = li.groupBy("qty").agg(F.count("*").cast("long").alias("n"))
+    tot = per.agg(
+        F.sum("n").cast("long").alias("grand_total"),
+        F.count("*").cast("long").alias("n_bins"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "qty",
+            "n",
+            F.round(
+                F.col("grand_total").cast("double") / F.col("n_bins"), 6
+            ).alias("expected"),
+            F.round(
+                (
+                    (F.col("n") * F.col("n_bins") - F.col("grand_total"))
+                    * (F.col("n") * F.col("n_bins") - F.col("grand_total"))
+                ).cast("double")
+                / (
+                    F.col("n_bins").cast("double")
+                    * F.col("n_bins").cast("double")
+                    * F.col("grand_total").cast("double")
+                ),
+                6,
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("qty")
+    )
+
+
+def q_type_hour_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise COSINE similarity of event types' hour-of-day count
+    profiles: do clicks and views share a daily rhythm while errors
+    follow deploys -- the temporal-fingerprint comparison behind
+    ``event_type_peak_hour``'s single-argmax view. Profiles are exact
+    integer 24-vectors; the dot product is a SUM of int64 products
+    over an hour-keyed self-join (never 24-wide rows), and the one
+    double expression ``dot / (sqrt(na) * sqrt(nb))`` is
+    cross-engine-identical (IEEE sqrt over exact-int operands -- the
+    r7 discipline)."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "event_type", F.hour("ts").alias("h")
+    )
+    prof = ev.groupBy("event_type", "h").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    norms = prof.groupBy("event_type").agg(
+        F.sum(F.col("n") * F.col("n")).alias("n2")
+    )
+    a = prof.select(
+        F.col("event_type").alias("type_a"), "h", F.col("n").alias("na")
+    )
+    b = prof.select(
+        F.col("event_type").alias("type_b"), "h", F.col("n").alias("nb")
+    )
+    dots = (
+        a.join(b, "h")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("dot"))
+    )
+    n2a = norms.select(F.col("event_type").alias("type_a"), F.col("n2").alias("n2a"))
+    n2b = norms.select(F.col("event_type").alias("type_b"), F.col("n2").alias("n2b"))
+    return (
+        dots.join(n2a, "type_a")
+        .join(n2b, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("n2a").cast("double"))
+                    * F.sqrt(F.col("n2b").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def q_supplier_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier TURNOVER by ship year: how many suppliers are active,
+    entering (first active year), and exiting (last active year) --
+    the network-churn lifecycle view next to
+    ``annual_customer_retention``'s demand side. First/last are min
+    and max aggregates per supplier; exact counts."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", F.year("l_shipdate").cast("long").alias("year")
+    )
+    active = li.distinct()
+    span = active.groupBy("l_suppkey").agg(
+        F.min("year").alias("y0"), F.max("year").alias("y1")
+    )
+    j = active.join(span, "l_suppkey")
+    return (
+        j.groupBy("year")
+        .agg(
+            F.count("*").cast("long").alias("active_suppliers"),
+            F.sum(F.when(F.col("year") == F.col("y0"), 1).otherwise(0))
+            .cast("long")
+            .alias("entering"),
+            F.sum(F.when(F.col("year") == F.col("y1"), 1).otherwise(0))
+            .cast("long")
+            .alias("exiting"),
+        )
+        .orderBy("year")
+    )
+
+
+def q_returns_by_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return incidence by line-VALUE band: are expensive lines
+    returned more -- the value cut the discount-band
+    (``returns_by_discount_band``) and brand (``returns_rate_by_brand``)
+    screens miss. Band edges compare exact cents; shares divide exact
+    counts and cents inside each band."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    band = (
+        F.when(F.col("cents") < 1000000, "0_lt10k")
+        .when(F.col("cents") < 3000000, "1_lt30k")
+        .when(F.col("cents") < 5000000, "2_lt50k")
+        .otherwise("3_ge50k")
+    )
+    return (
+        li.groupBy(band.alias("value_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("ret").cast("long").alias("n_returned"),
+            F.round(
+                F.sum("ret").cast("double") / F.count("*"), 6
+            ).alias("return_rate"),
+            F.round(
+                F.sum(F.when(F.col("ret") == 1, F.col("cents")).otherwise(0))
+                .cast("double")
+                / F.sum("cents").cast("double"),
+                6,
+            ).alias("returned_value_share"),
+        )
+        .orderBy("value_band")
+    )

@@ -405,6 +405,11 @@ PORTABLE = [
     "stopword_density_profile",
     "nation_trade_imbalance",
     "nation_weekly_volatility",
+    "supplier_new_business_trend",
+    "quantity_uniformity_screen",
+    "type_hour_profile_similarity",
+    "supplier_turnover",
+    "returns_by_value_band",
 ]
 
 
