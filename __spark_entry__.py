@@ -96,6 +96,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_hour_profile_similarity": Q.q_type_hour_profile_similarity,
         "supplier_turnover": Q.q_supplier_turnover,
         "returns_by_value_band": Q.q_returns_by_value_band,
+        "customer_concentration_trend": Q.q_customer_concentration_trend,
+        "day_of_month_profile": Q.q_day_of_month_profile,
+        "label_top_dims": Q.q_label_top_dims,
+        "sku_repurchase_cycle": Q.q_sku_repurchase_cycle,
+        "exact_dup_source_matrix": Q.q_exact_dup_source_matrix,
         "token_length_histogram": Q.q_token_length_histogram,
         "discount_cost_by_year": Q.q_discount_cost_by_year,
         "partname_word_prices": Q.q_partname_word_prices,
@@ -569,6 +574,104 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "customer_concentration_trend": """
+WITH per AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS year, o_custkey,
+         CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+),
+ranked AS (
+  SELECT year, c,
+         ROW_NUMBER() OVER (PARTITION BY year
+                            ORDER BY c DESC, o_custkey) AS rk
+  FROM per
+)
+SELECT year,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(c) AS DOUBLE) / 100.0 AS total_revenue,
+       ROUND(CAST(SUM(CASE WHEN rk = 1 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE), 6) AS top1_share,
+       ROUND(CAST(SUM(CASE WHEN rk <= 10 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE), 6) AS top10_share
+FROM ranked
+GROUP BY 1
+ORDER BY 1
+""",
+        "day_of_month_profile": """
+WITH per AS (
+  SELECT CAST(EXTRACT(DAY FROM CAST(o_orderdate AS DATE)) AS INT) AS dom,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS grand_c FROM per)
+SELECT per.dom, per.n_orders,
+       CAST(per.c AS DOUBLE) / 100.0 AS revenue,
+       ROUND(CAST(per.c AS DOUBLE) / CAST(tot.grand_c AS DOUBLE), 6)
+         AS revenue_share
+FROM per CROSS JOIN tot
+ORDER BY per.dom
+""",
+        "label_top_dims": """
+WITH ex AS (
+  SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+pd AS (
+  SELECT label, dim, CAST(SUM(q) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex GROUP BY 1, 2
+),
+ranked AS (
+  SELECT label, dim, s, n,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY ABS(s) DESC, dim) AS rk
+  FROM pd
+)
+SELECT label, CAST(rk AS INT) AS rank, dim,
+       ROUND(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0), 6)
+         AS mean_value
+FROM ranked
+WHERE rk <= 3
+ORDER BY label, rank
+""",
+        "sku_repurchase_cycle": """
+WITH days AS (
+  SELECT DISTINCT o.o_custkey, l.l_partkey,
+         CAST(FLOOR(epoch(CAST(o.o_orderdate AS TIMESTAMP)) / 86400)
+              AS BIGINT) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+gaps AS (
+  SELECT l_partkey,
+         d - LAG(d) OVER (PARTITION BY o_custkey, l_partkey ORDER BY d)
+           AS gap
+  FROM days
+)
+SELECT p.p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_cycles,
+       ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 6) AS mean_days,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap), 6)
+         AS median_days
+FROM gaps JOIN part p ON gaps.l_partkey = p.p_partkey
+WHERE gap IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+""",
+        "exact_dup_source_matrix": """
+WITH d AS (
+  SELECT DISTINCT source, substr(text, 1, 30) AS k FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(DISTINCT a.k) AS BIGINT) AS n_shared_openings
+FROM d a JOIN d b ON a.k = b.k AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
         "supplier_new_business_trend": """
 WITH pairs AS (
   SELECT l.l_suppkey, o.o_custkey,

@@ -14321,3 +14321,178 @@ def q_returns_by_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("value_band")
     )
+
+
+def q_customer_concentration_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue CONCENTRATION trend: per year, the share held by the
+    top-1 and top-10 customers (rank within the year partition,
+    deterministic custkey tiebreak) -- is the book of business
+    diversifying or keying on whales, the longitudinal cut
+    ``lorenz_curve``'s static view misses. Exact cents; shares divide
+    inside the year group (no global gate)."""
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("long").alias("year"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = o.groupBy("year", "o_custkey").agg(F.sum("cents").alias("c"))
+    w = Window.partitionBy("year").orderBy(F.col("c").desc(), F.col("o_custkey"))
+    ranked = per.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("year")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            (F.sum("c").cast("double") / 100.0).alias("total_revenue"),
+            F.round(
+                F.sum(F.when(F.col("rk") == 1, F.col("c")).otherwise(0))
+                .cast("double")
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("top1_share"),
+            F.round(
+                F.sum(F.when(F.col("rk") <= 10, F.col("c")).otherwise(0))
+                .cast("double")
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("top10_share"),
+        )
+        .orderBy("year")
+    )
+
+
+def q_day_of_month_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order cadence by DAY OF MONTH: counts, exact revenue, and each
+    day's revenue share -- the payday / billing-cycle fingerprint at a
+    finer grain than ``month_end_push``'s last-3-days window. One
+    grouped aggregate plus an allow-listed 1-row total gate for the
+    shares."""
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = o.groupBy("dom").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").alias("c"),
+    )
+    tot = per.agg(F.sum("c").alias("grand_c"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "dom",
+            "n_orders",
+            (F.col("c").cast("double") / 100.0).alias("revenue"),
+            F.round(
+                F.col("c").cast("double") / F.col("grand_c").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("dom")
+    )
+
+
+def q_label_top_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 DISCRIMINATIVE dimensions per label by |mean| (exact
+    integer rank: within one label every dim's mean shares the same
+    denominator, so ranking |sum of quantized values| IS ranking
+    |mean| -- no division before the ordering, the argmax stays
+    cross-engine-deterministic by expression identity). The feature-
+    importance complement of ``label_separation_matrix``; one exploded
+    (label, dim) aggregate, one label-partitioned rank window."""
+    e = fixtures.load(spark, sf_dir, "embeddings").select(
+        "label",
+        F.transform(
+            "embedding", lambda v: F.round(v.cast("double") * 10000).cast("long")
+        ).alias("q"),
+    )
+    ex = e.select("label", F.posexplode("q").alias("dim", "qv"))
+    pd_ = ex.groupBy("label", "dim").agg(
+        F.sum("qv").alias("s"), F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.abs(F.col("s")).desc(), F.col("dim")
+    )
+    return (
+        pd_.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "label",
+            F.col("rk").cast("int").alias("rank"),
+            F.col("dim").cast("long").alias("dim"),
+            F.round(
+                F.col("s").cast("double")
+                / (F.col("n").cast("double") * 10000.0),
+                6,
+            ).alias("mean_value"),
+        )
+        .orderBy("label", "rank")
+    )
+
+
+def q_sku_repurchase_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPURCHASE cycle per brand: the gap in days between one
+    customer's consecutive orders OF THE SAME PART, pooled per brand
+    -- the replenishment clock behind ``demand_intermittency``'s
+    corpus-wide zeros view. Exact epoch-day gaps from a (customer,
+    part)-partitioned LAG over distinct order days; percentile_cont
+    median alongside the exact pooled mean."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400)
+        ).cast("long").alias("d"),
+    )
+    days = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_partkey", "d")
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey", "l_partkey").orderBy("d")
+    gaps = days.withColumn("gap", F.col("d") - F.lag("d").over(w)).where(
+        F.col("gap").isNotNull()
+    )
+    p = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    j = gaps.join(p, gaps.l_partkey == p.p_partkey)
+    return (
+        j.groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_cycles"),
+            F.round(
+                F.sum("gap").cast("double") / F.count("*"), 6
+            ).alias("mean_days"),
+            F.round(
+                F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY gap)"), 6
+            ).alias("median_days"),
+        )
+        .orderBy("brand")
+    )
+
+
+def q_exact_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shared-OPENING matrix: distinct 30-char text
+    openings appearing in BOTH of a source pair -- the provenance
+    screen between ``source_exact_dup_rate`` (self re-crawls) and
+    ``neardup_source_matrix`` (Jaccard candidates): which collectors
+    share templated openings with EACH OTHER. Full-body exact
+    cross-source duplication is zero on this generator (verified), so
+    the matrix keys on the opening prefix -- the same blocking key the
+    template family uses; at 100 TB the key folds to xxhash64 first.
+    Pairs meet only through the shared key equi-join, never all
+    pairs."""
+    d = (
+        fixtures.load(spark, sf_dir, "documents")
+        .select("source", F.substring("text", 1, 30).alias("k"))
+        .distinct()
+    )
+    a = d.select(F.col("source").alias("source_a"), "k")
+    b = d.select(F.col("source").alias("source_b"), "k")
+    return (
+        a.join(b, "k")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("k").cast("long").alias("n_shared_openings"))
+        .orderBy("source_a", "source_b")
+    )

@@ -71,6 +71,7 @@ NESTED_LOOP_OK = {
     "event_mix_drift",  # 1-row corpus-total broadcast gate (TVD denominator)
     "sku_velocity_quadrant",  # 1-row (medians, total) broadcast gate (quadrant edges)
     "quantity_uniformity_screen",  # 1-row (total, n_bins) broadcast gate (chi2 expectation)
+    "day_of_month_profile",  # 1-row revenue-total broadcast gate (shares)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -410,6 +410,10 @@ PORTABLE = [
     "type_hour_profile_similarity",
     "supplier_turnover",
     "returns_by_value_band",
+    "customer_concentration_trend",
+    "day_of_month_profile",
+    "sku_repurchase_cycle",
+    "exact_dup_source_matrix",
 ]
 
 
@@ -447,6 +451,7 @@ PORTABLE = [
 #:   layer allocation).
 NONPORTABLE = {
     "label_cohesion": "range-tvf",
+    "label_top_dims": "range-tvf",
     "audio_meta": "dialect-syntax",
     "balance_spend_correlation": "hugeint-statistics",
     "bigram_counts": "list-lambda",
