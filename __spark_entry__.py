@@ -101,6 +101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_top_dims": Q.q_label_top_dims,
         "sku_repurchase_cycle": Q.q_sku_repurchase_cycle,
         "exact_dup_source_matrix": Q.q_exact_dup_source_matrix,
+        "label_text_profile": Q.q_label_text_profile,
+        "lang_label_lift": Q.q_lang_label_lift,
+        "open_order_aging": Q.q_open_order_aging,
+        "segment_spend_intensity": Q.q_segment_spend_intensity,
+        "brand_order_penetration": Q.q_brand_order_penetration,
         "token_length_histogram": Q.q_token_length_histogram,
         "discount_cost_by_year": Q.q_discount_cost_by_year,
         "partname_word_prices": Q.q_partname_word_prices,
@@ -574,6 +579,98 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "label_text_profile": """
+WITH d AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS nc,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS toks
+  FROM documents
+)
+SELECT e.label,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(d.nc), 6) AS mean_chars,
+       ROUND(AVG(d.toks), 6) AS mean_tokens,
+       CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs
+FROM d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY 1
+ORDER BY 1
+""",
+        "lang_label_lift": """
+WITH j AS (
+  SELECT d.lang, e.label
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+ll AS (SELECT lang, label, CAST(COUNT(*) AS BIGINT) AS n_ll FROM j GROUP BY 1, 2),
+l AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM j GROUP BY 1),
+b AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_b FROM j GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM j)
+SELECT ll.lang, ll.label, ll.n_ll,
+       ROUND(CAST(ll.n_ll * t.n_total AS DOUBLE)
+             / CAST(l.n_l * b.n_b AS DOUBLE), 6) AS lift
+FROM ll
+JOIN l ON ll.lang = l.lang
+JOIN b ON ll.label = b.label
+CROSS JOIN t
+ORDER BY ll.lang, ll.label
+""",
+        "open_order_aging": """
+WITH o AS (
+  SELECT o_orderpriority AS priority, o_orderstatus AS status,
+         CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400) AS BIGINT)
+           AS d,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+),
+h AS (SELECT MAX(d) AS horizon FROM o)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_open,
+       ROUND(AVG(h.horizon - o.d), 6) AS mean_age_days,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS open_value
+FROM o CROSS JOIN h
+WHERE o.status = 'O'
+GROUP BY 1
+ORDER BY 1
+""",
+        "segment_spend_intensity": """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(COUNT(DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE))
+              AS BIGINT) AS months,
+         CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+)
+SELECT cu.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(per.months) AS BIGINT) AS customer_months,
+       ROUND(CAST(SUM(per.c) AS DOUBLE)
+             / (CAST(SUM(per.months) AS DOUBLE) * 100.0), 6)
+         AS revenue_per_active_month
+FROM per JOIN customer cu ON per.o_custkey = cu.c_custkey
+GROUP BY 1
+ORDER BY 1
+""",
+        "brand_order_penetration": """
+WITH ob AS (
+  SELECT l.l_orderkey, p.p_brand AS brand,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         ROUND(AVG(n_lines), 6) AS mean_lines_when_present
+  FROM ob GROUP BY 1
+),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders_total FROM orders)
+SELECT per.brand, per.n_orders,
+       ROUND(CAST(per.n_orders AS DOUBLE) / t.n_orders_total, 6)
+         AS penetration,
+       per.mean_lines_when_present
+FROM per CROSS JOIN t
+ORDER BY per.brand
+""",
         "customer_concentration_trend": """
 WITH per AS (
   SELECT CAST(year(o_orderdate) AS BIGINT) AS year, o_custkey,

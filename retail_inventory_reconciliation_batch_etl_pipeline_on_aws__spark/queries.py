@@ -14496,3 +14496,171 @@ def q_exact_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("k").cast("long").alias("n_shared_openings"))
         .orderBy("source_a", "source_b")
     )
+
+
+def q_label_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL profile: the text-side statistics of each embedding
+    label (vec_id == doc_id on this corpus -- the 1:1 multimodal key),
+    the first query family to JOIN the documents and embeddings
+    tables: per label, doc count, exact mean characters and
+    single-space tokens, and language breadth. The sanity screen run
+    after any embedding-space clustering: do the clusters mean
+    anything in text space? One id-keyed equi-join, two exact
+    aggregates."""
+    d = fixtures.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("nc"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("long").alias("toks"),
+    )
+    e = fixtures.load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    j = d.join(e, "doc_id")
+    return (
+        j.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("nc"), 6).alias("mean_chars"),
+            F.round(F.avg("toks"), 6).alias("mean_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("label")
+    )
+
+
+def q_lang_label_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language x embedding-label association LIFT (cross-modal twin of
+    ``lang_source_lift``): does a label cluster concentrate a language
+    beyond its base rate -- the quickest tell that an embedding space
+    is encoding LANGUAGE rather than topic, the curation bug SemDeDup
+    pipelines screen for. Exact int64 cross products; 1-row total
+    gate."""
+    d = fixtures.load(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = fixtures.load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    j = d.join(e, "doc_id").select("lang", "label")
+    ll = j.groupBy("lang", "label").agg(F.count("*").cast("long").alias("n_ll"))
+    l = j.groupBy("lang").agg(F.count("*").cast("long").alias("n_l"))
+    b = j.groupBy("label").agg(F.count("*").cast("long").alias("n_b"))
+    tot = j.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        ll.join(l, "lang")
+        .join(b, "label")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "label",
+            "n_ll",
+            F.round(
+                (F.col("n_ll") * F.col("n_total")).cast("double")
+                / (F.col("n_l") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("lang", "label")
+    )
+
+
+def q_open_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGING of still-OPEN orders at the corpus horizon (max order
+    date, a 1-row gate): per priority, how many 'O'-status orders are
+    outstanding, their exact mean age in days, and their open value --
+    the working-capital escalation screen next to
+    ``inventory_aging``'s stock view. Exact epoch-day ints; terminal
+    AVG round."""
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400)
+        ).cast("long").alias("d"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    horizon = o.agg(F.max("d").alias("h"))
+    return (
+        o.where(F.col("status") == "O")
+        .crossJoin(F.broadcast(horizon))
+        .groupBy("priority")
+        .agg(
+            F.count("*").cast("long").alias("n_open"),
+            F.round(F.avg(F.col("h") - F.col("d")), 6).alias("mean_age_days"),
+            (F.sum("cents").cast("double") / 100.0).alias("open_value"),
+        )
+        .orderBy("priority")
+    )
+
+
+def q_segment_spend_intensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend INTENSITY per segment: pooled revenue per customer-active-
+    MONTH (distinct order months, exact) -- tempo-normalized value that
+    separates 'spends a lot' from 'has been around long', the
+    denominator discipline ``customer_tenure_value`` leaves to span
+    days. Exact cents / exact month counts; one terminal division."""
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.countDistinct("m").cast("long").alias("months"),
+        F.sum("cents").alias("c"),
+    )
+    c = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        per.join(c, per.o_custkey == c.c_custkey)
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("months").cast("long").alias("customer_months"),
+            F.round(
+                F.sum("c").cast("double")
+                / (F.sum("months").cast("double") * 100.0),
+                6,
+            ).alias("revenue_per_active_month"),
+        )
+        .orderBy("segment")
+    )
+
+
+def q_brand_order_penetration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand ORDER PENETRATION: the share of all orders containing
+    each brand, and the average line count when present -- the basket
+    REACH view (how often a brand gets into the cart at all) that
+    revenue rankings hide. Distinct (order, brand) pairs against a
+    1-row order-total gate; exact counts."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    ob = li.join(p, li.l_partkey == p.p_partkey).groupBy(
+        "l_orderkey", "brand"
+    ).agg(F.count("*").cast("long").alias("n_lines"))
+    tot = fixtures.load(spark, sf_dir, "orders").agg(
+        F.count("*").cast("long").alias("n_orders_total")
+    )
+    return (
+        ob.groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.avg("n_lines"), 6).alias("mean_lines_when_present"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand",
+            "n_orders",
+            F.round(
+                F.col("n_orders").cast("double") / F.col("n_orders_total"), 6
+            ).alias("penetration"),
+            "mean_lines_when_present",
+        )
+        .orderBy("brand")
+    )

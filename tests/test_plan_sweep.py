@@ -72,6 +72,9 @@ NESTED_LOOP_OK = {
     "sku_velocity_quadrant",  # 1-row (medians, total) broadcast gate (quadrant edges)
     "quantity_uniformity_screen",  # 1-row (total, n_bins) broadcast gate (chi2 expectation)
     "day_of_month_profile",  # 1-row revenue-total broadcast gate (shares)
+    "lang_label_lift",  # 1-row corpus-total broadcast gate (lift denominator)
+    "open_order_aging",  # 1-row horizon (max order date) broadcast gate
+    "brand_order_penetration",  # 1-row order-total broadcast gate (penetration)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -414,6 +414,11 @@ PORTABLE = [
     "day_of_month_profile",
     "sku_repurchase_cycle",
     "exact_dup_source_matrix",
+    "label_text_profile",
+    "lang_label_lift",
+    "open_order_aging",
+    "segment_spend_intensity",
+    "brand_order_penetration",
 ]
 
 
