@@ -106,6 +106,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "open_order_aging": Q.q_open_order_aging,
         "segment_spend_intensity": Q.q_segment_spend_intensity,
         "brand_order_penetration": Q.q_brand_order_penetration,
+        "signup_conversion_by_week": Q.q_signup_conversion_by_week,
+        "segment_qoq_growth": Q.q_segment_qoq_growth,
+        "brand_volume_value_mix": Q.q_brand_volume_value_mix,
+        "customer_priority_breadth": Q.q_customer_priority_breadth,
+        "brand_copurchase_pairs": Q.q_brand_copurchase_pairs,
         "token_length_histogram": Q.q_token_length_histogram,
         "discount_cost_by_year": Q.q_discount_cost_by_year,
         "partname_word_prices": Q.q_partname_word_prices,
@@ -579,6 +584,117 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "signup_conversion_by_week": """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS eday
+  FROM events
+),
+signup AS (
+  SELECT user_id, MIN(eday) AS d0 FROM ev
+  WHERE event_type = 'signup' GROUP BY 1
+),
+conv AS (
+  SELECT signup.user_id, signup.d0,
+         MAX(CASE WHEN p.eday >= signup.d0 AND p.eday <= signup.d0 + 7
+                  THEN 1 ELSE 0 END) AS converted
+  FROM signup
+  LEFT JOIN (SELECT user_id, eday FROM ev WHERE event_type = 'purchase') p
+    ON signup.user_id = p.user_id
+  GROUP BY 1, 2
+)
+SELECT CAST(FLOOR(d0 / 7.0) AS BIGINT) AS signup_week,
+       CAST(COUNT(*) AS BIGINT) AS n_signups,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6)
+         AS conversion_rate
+FROM conv
+GROUP BY 1
+ORDER BY 1
+""",
+        "segment_qoq_growth": """
+WITH per AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(date_trunc('quarter', o.o_orderdate) AS DATE) AS quarter,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS c
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT segment, quarter, n_orders,
+       CAST(c AS DOUBLE) / 100.0 AS revenue,
+       ROUND(CASE WHEN LAG(c) OVER (PARTITION BY segment ORDER BY quarter) > 0
+                  THEN CAST(c AS DOUBLE)
+                       / CAST(LAG(c) OVER (PARTITION BY segment
+                                           ORDER BY quarter) AS DOUBLE)
+             END, 6) AS qoq_ratio
+FROM per
+ORDER BY segment, quarter
+""",
+        "brand_volume_value_mix": """
+WITH per AS (
+  SELECT p.p_brand AS brand,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q,
+         CAST(SUM(CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(q) AS BIGINT) AS tq, CAST(SUM(c) AS BIGINT) AS tc FROM per
+)
+SELECT per.brand,
+       ROUND(CAST(per.q AS DOUBLE) / CAST(tot.tq AS DOUBLE), 6)
+         AS volume_share,
+       ROUND(CAST(per.c AS DOUBLE) / CAST(tot.tc AS DOUBLE), 6)
+         AS value_share,
+       ROUND(CAST(per.c * tot.tq AS DOUBLE)
+             / CAST(per.q * tot.tc AS DOUBLE), 6) AS premium_index
+FROM per CROSS JOIN tot
+ORDER BY per.brand
+""",
+        "customer_priority_breadth": """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS breadth,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+)
+SELECT breadth,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(AVG(n_orders), 6) AS mean_orders,
+       CAST(SUM(c) AS DOUBLE) / 100.0 AS revenue
+FROM per
+GROUP BY 1
+ORDER BY 1
+""",
+        "brand_copurchase_pairs": """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS n_together
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+  GROUP BY 1, 2
+),
+per AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_brand FROM ob GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders)
+SELECT pairs.brand_a, pairs.brand_b, pairs.n_together,
+       ROUND(CAST(pairs.n_together * t.n_orders AS DOUBLE)
+             / CAST(na.n_brand * nb.n_brand AS DOUBLE), 6) AS lift
+FROM pairs
+JOIN per na ON pairs.brand_a = na.brand
+JOIN per nb ON pairs.brand_b = nb.brand
+CROSS JOIN t
+ORDER BY lift DESC, pairs.brand_a, pairs.brand_b
+LIMIT 20
+""",
         "label_text_profile": """
 WITH d AS (
   SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS nc,

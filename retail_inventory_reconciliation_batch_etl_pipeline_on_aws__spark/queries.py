@@ -14664,3 +14664,207 @@ def q_brand_order_penetration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+def q_signup_conversion_by_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-cohort CONVERSION trend: per signup week, the share of
+    new users making any purchase within 7 days of their first signup
+    -- the weekly acquisition-quality series behind
+    ``signup_purchase_funnel``'s single overall funnel. Exact
+    epoch-day arithmetic; first-signup and first-qualifying-purchase
+    are min aggregates joined on the user key."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400))
+        .cast("long")
+        .alias("eday"),
+    )
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("eday").alias("d0"))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("eday").alias("pd")
+    )
+    conv = (
+        signup.join(purch, "user_id", "left")
+        .groupBy("user_id", "d0")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("pd") >= F.col("d0"))
+                    & (F.col("pd") <= F.col("d0") + 7),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return (
+        conv.groupBy(
+            F.floor(F.col("d0") / F.lit(7.0)).cast("long").alias("signup_week")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_signups"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            F.round(
+                F.sum("converted").cast("double") / F.count("*"), 6
+            ).alias("conversion_rate"),
+        )
+        .orderBy("signup_week")
+    )
+
+
+def q_segment_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-over-quarter revenue GROWTH per segment: each quarter's
+    exact revenue with its QoQ ratio from a segment-partitioned LAG --
+    the board-deck series between ``monthly_aov_trend`` (finer) and
+    ``segment_halfyear_momentum`` (coarser). One guarded terminal
+    division per row."""
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = fixtures.load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("segment", "quarter")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").alias("c"),
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("quarter")
+    return (
+        per.withColumn("prev", F.lag("c").over(w))
+        .select(
+            "segment",
+            "quarter",
+            "n_orders",
+            (F.col("c").cast("double") / 100.0).alias("revenue"),
+            F.round(
+                F.when(
+                    F.col("prev") > 0,
+                    F.col("c").cast("double") / F.col("prev").cast("double"),
+                ),
+                6,
+            ).alias("qoq_ratio"),
+        )
+        .orderBy("segment", "quarter")
+    )
+
+
+def q_brand_volume_value_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-vs-VALUE mix per brand: quantity share against revenue
+    share and their ratio (the mix-based premium index -- a brand
+    whose value share beats its volume share sells dear;
+    ``retailprice_premium`` asks the unit-price version). Exact int64
+    cross-products against a 1-row (qty, cents) totals gate."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    p = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    per = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("brand")
+        .agg(F.sum("qty").alias("q"), F.sum("cents").alias("c"))
+    )
+    tot = per.agg(F.sum("q").alias("tq"), F.sum("c").alias("tc"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "brand",
+            F.round(F.col("q").cast("double") / F.col("tq").cast("double"), 6)
+            .alias("volume_share"),
+            F.round(F.col("c").cast("double") / F.col("tc").cast("double"), 6)
+            .alias("value_share"),
+            F.round(
+                (F.col("c") * F.col("tq")).cast("double")
+                / (F.col("q") * F.col("tc")).cast("double"),
+                6,
+            ).alias("premium_index"),
+        )
+        .orderBy("brand")
+    )
+
+
+def q_customer_priority_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority BREADTH histogram: how many distinct order priorities
+    a customer uses, with the pooled spend of each breadth class --
+    single-priority customers are habitual; five-priority ones are
+    routing everything through one account (the consolidation tell).
+    Two exact grouped aggregates."""
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").cast("long").alias("breadth"),
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").alias("c"),
+    )
+    return (
+        per.groupBy("breadth")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.avg("n_orders"), 6).alias("mean_orders"),
+            (F.sum("c").cast("double") / 100.0).alias("revenue"),
+        )
+        .orderBy("breadth")
+    )
+
+
+def q_brand_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand CO-PURCHASE lift, top 20 pairs: how much more often two
+    brands share an order than their independent rates predict -- the
+    brand-level rollup of ``copurchase_pairs`` (parts) whose 25-brand
+    key space keeps the pair table trivially bounded at any corpus
+    size. Distinct (order, brand) incidence, exact int64 cross
+    products, a 1-row order-total gate; deterministic top-20."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    ob = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "brand"
+    ).distinct()
+    a = ob.select(F.col("l_orderkey").alias("ok"), F.col("brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("ok"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("n_together"))
+    )
+    per = ob.groupBy("brand").agg(F.count("*").cast("long").alias("n_brand"))
+    tot = fixtures.load(spark, sf_dir, "orders").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    na = per.select(F.col("brand").alias("brand_a"), F.col("n_brand").alias("n_a"))
+    nb = per.select(F.col("brand").alias("brand_b"), F.col("n_brand").alias("n_b"))
+    return (
+        pairs.join(na, "brand_a")
+        .join(nb, "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_together",
+            F.round(
+                (F.col("n_together") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )

@@ -75,6 +75,8 @@ NESTED_LOOP_OK = {
     "lang_label_lift",  # 1-row corpus-total broadcast gate (lift denominator)
     "open_order_aging",  # 1-row horizon (max order date) broadcast gate
     "brand_order_penetration",  # 1-row order-total broadcast gate (penetration)
+    "brand_volume_value_mix",  # 1-row (qty, cents) totals broadcast gate (mix shares)
+    "brand_copurchase_pairs",  # 1-row order-total broadcast gate (lift denominator)
 }
 
 #: queries allowed an Arrow-batched Python stage, and why

@@ -419,6 +419,11 @@ PORTABLE = [
     "open_order_aging",
     "segment_spend_intensity",
     "brand_order_penetration",
+    "signup_conversion_by_week",
+    "segment_qoq_growth",
+    "brand_volume_value_mix",
+    "customer_priority_breadth",
+    "brand_copurchase_pairs",
 ]
 
 
