@@ -111,6 +111,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_volume_value_mix": Q.q_brand_volume_value_mix,
         "customer_priority_breadth": Q.q_customer_priority_breadth,
         "brand_copurchase_pairs": Q.q_brand_copurchase_pairs,
+        "three_step_funnel": Q.q_three_step_funnel,
+        "session_duration_by_entry": Q.q_session_duration_by_entry,
+        "partname_brand_collisions": Q.q_partname_brand_collisions,
+        "event_value_concentration": Q.q_event_value_concentration,
+        "value_roundness_screen": Q.q_value_roundness_screen,
         "token_length_histogram": Q.q_token_length_histogram,
         "discount_cost_by_year": Q.q_discount_cost_by_year,
         "partname_word_prices": Q.q_partname_word_prices,
@@ -584,6 +589,147 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "three_step_funnel": """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS eday
+  FROM events
+),
+s1 AS (
+  SELECT user_id, MIN(eday) AS t1 FROM ev
+  WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT s1.user_id, MIN(c.eday) AS t2
+  FROM s1 JOIN (SELECT user_id, eday FROM ev WHERE event_type = 'click') c
+    ON s1.user_id = c.user_id
+  WHERE c.eday >= s1.t1 AND c.eday <= s1.t1 + 7
+  GROUP BY 1
+),
+s3 AS (
+  SELECT s2.user_id, MIN(p.eday) AS t3
+  FROM s2 JOIN (SELECT user_id, eday FROM ev WHERE event_type = 'purchase') p
+    ON s2.user_id = p.user_id
+  WHERE p.eday >= s2.t2 AND p.eday <= s2.t2 + 7
+  GROUP BY 1
+)
+SELECT CAST(1 AS INT) AS stage, CAST('signup' AS STRING) AS step,
+       CAST(COUNT(*) AS BIGINT) AS n FROM s1
+UNION ALL
+SELECT CAST(2 AS INT), CAST('click_7d' AS STRING),
+       CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS INT), CAST('purchase_7d' AS STRING),
+       CAST(COUNT(*) AS BIGINT) FROM s3
+ORDER BY stage
+""",
+        "session_duration_by_entry": """
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_type, event_id, sec,
+         CASE WHEN LAG(sec) OVER w IS NULL THEN 1
+              WHEN sec - LAG(sec) OVER w > 1800 THEN 1
+              ELSE 0 END AS new_s
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+),
+sess AS (
+  SELECT user_id, event_type, event_id, sec,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS sid
+  FROM flagged
+),
+entry AS (
+  SELECT user_id, sid, event_type AS entry_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                            ORDER BY sec, event_id) AS rn
+  FROM sess
+),
+per AS (
+  SELECT sess.user_id, sess.sid,
+         MAX(sess.sec) - MIN(sess.sec) AS dur,
+         CAST(COUNT(*) AS BIGINT) AS depth
+  FROM sess GROUP BY 1, 2
+)
+SELECT entry.entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(AVG(per.dur), 6) AS mean_duration_sec,
+       ROUND(AVG(per.depth), 6) AS mean_depth
+FROM per
+JOIN entry ON per.user_id = entry.user_id AND per.sid = entry.sid
+WHERE entry.rn = 1
+GROUP BY 1
+ORDER BY 1
+""",
+        "partname_brand_collisions": """
+WITH multi AS (
+  SELECT p_name,
+         CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS nk,
+         CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands
+  FROM part GROUP BY 1
+  HAVING COUNT(DISTINCT p_brand) >= 2
+),
+rev AS (
+  SELECT p.p_name,
+         CAST(SUM(CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS c
+  FROM part p
+  JOIN multi ON p.p_name = multi.p_name
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  GROUP BY 1
+)
+SELECT multi.n_brands,
+       CAST(COUNT(*) AS BIGINT) AS n_names,
+       CAST(SUM(multi.nk) AS BIGINT) AS n_parts,
+       CAST(SUM(COALESCE(rev.c, 0)) AS DOUBLE) / 100.0 AS affected_revenue
+FROM multi LEFT JOIN rev ON multi.p_name = rev.p_name
+GROUP BY 1
+ORDER BY 1
+""",
+        "event_value_concentration": """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents DESC, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_t
+  FROM ev
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value,
+       ROUND(CAST(SUM(CASE WHEN rk * 10 <= n_t THEN cents ELSE 0 END)
+                  AS DOUBLE) / CAST(SUM(cents) AS DOUBLE), 6)
+         AS top_decile_value_share
+FROM ranked
+GROUP BY 1
+ORDER BY 1
+""",
+        "value_roundness_screen": """
+WITH ev AS (
+  SELECT event_type,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS whole_dollar_share,
+       ROUND(CAST(SUM(CASE WHEN cents % 100 = 99 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS ninety_nine_share
+FROM ev
+GROUP BY 1
+ORDER BY 1
+""",
         "signup_conversion_by_week": """
 WITH ev AS (
   SELECT user_id, event_type,

@@ -14868,3 +14868,210 @@ def q_brand_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
         .limit(20)
     )
+
+
+def q_three_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order THREE-step funnel: first signup -> first click
+    AFTER it (within 7 days) -> first purchase AFTER that (within 7
+    days), reported as per-stage user counts and conversion rates --
+    the multi-hop generalization of ``signup_purchase_funnel``'s one
+    hop. Each stage is a min aggregate over a stage-windowed join on
+    the user key (never a row explosion across stages); exact
+    epoch-day arithmetic."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400))
+        .cast("long")
+        .alias("eday"),
+    )
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("eday").alias("t1"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("eday").alias("cd")
+    )
+    s2 = (
+        s1.join(clicks, "user_id")
+        .where((F.col("cd") >= F.col("t1")) & (F.col("cd") <= F.col("t1") + 7))
+        .groupBy("user_id")
+        .agg(F.min("cd").alias("t2"))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("eday").alias("pd")
+    )
+    s3 = (
+        s2.join(purch, "user_id")
+        .where((F.col("pd") >= F.col("t2")) & (F.col("pd") <= F.col("t2") + 7))
+        .groupBy("user_id")
+        .agg(F.min("pd").alias("t3"))
+    )
+    n1 = s1.agg(F.count("*").cast("long").alias("n")).select(
+        F.lit(1).alias("stage"), F.lit("signup").alias("step"), "n"
+    )
+    n2 = s2.agg(F.count("*").cast("long").alias("n")).select(
+        F.lit(2).alias("stage"), F.lit("click_7d").alias("step"), "n"
+    )
+    n3 = s3.agg(F.count("*").cast("long").alias("n")).select(
+        F.lit(3).alias("stage"), F.lit("purchase_7d").alias("step"), "n"
+    )
+    return n1.unionByName(n2).unionByName(n3).orderBy("stage")
+
+
+def q_session_duration_by_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session DURATION by ENTRY event type, with sessions defined
+    declaratively (30-minute gap rule as a per-user boundary-flag
+    running sum -- the classic gaps-and-islands spelling, every window
+    partitioned by user): per entry type, session count, exact mean
+    duration in seconds, and mean depth. The SQL-expressible twin the
+    ``events_sessionize`` operators get compared against, cut by what
+    STARTED the session."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("t"),
+    ).withColumn("sec", F.unix_timestamp("t"))
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.col("sec") - F.lag("sec").over(w) > 1800, 1
+        ).otherwise(F.when(F.lag("sec").over(w).isNull(), 1).otherwise(0)),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy("sec", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.min_by("event_type", F.struct("sec", "event_id")).alias("entry_type"),
+        (F.max("sec") - F.min("sec")).alias("dur"),
+        F.count("*").cast("long").alias("depth"),
+    )
+    return (
+        per.groupBy("entry_type")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.round(F.avg("dur"), 6).alias("mean_duration_sec"),
+            F.round(F.avg("depth"), 6).alias("mean_depth"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+def q_partname_brand_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog COLLISION screen: part names listed under MORE THAN ONE
+    brand -- the master-data defect (one physical product, several
+    brand rows) that silently splits every brand-level metric.
+    Histogram by brand count per colliding name, plus the affected
+    revenue. Exact counts; the name key joins lineitem once."""
+    p = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name"
+    )
+    multi = (
+        p.groupBy("p_name")
+        .agg(F.countDistinct("p_partkey").cast("long").alias("nk"))
+        .join(
+            fixtures.load(spark, sf_dir, "part")
+            .groupBy("p_name")
+            .agg(F.countDistinct("p_brand").cast("long").alias("n_brands")),
+            "p_name",
+        )
+        .where(F.col("n_brands") >= 2)
+    )
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    rev = (
+        p.join(multi.select("p_name"), "p_name")
+        .join(li, p.p_partkey == li.l_partkey)
+        .groupBy("p_name")
+        .agg(F.sum("cents").alias("c"))
+    )
+    j = multi.join(rev, "p_name", "left").na.fill(0, ["c"])
+    return (
+        j.groupBy("n_brands")
+        .agg(
+            F.count("*").cast("long").alias("n_names"),
+            F.sum("nk").cast("long").alias("n_parts"),
+            (F.sum("c").cast("double") / 100.0).alias("affected_revenue"),
+        )
+        .orderBy("n_brands")
+    )
+
+
+def q_event_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value CONCENTRATION per event type: the share of total value
+    carried by the top decile of events (per-type rank against the
+    per-type count, both exact) -- whale-dependence for event value,
+    the per-type micro version of ``lorenz_curve``. Cents-exact; the
+    decile membership test cross-multiplies ranks (rk * 10 <= n)
+    instead of dividing."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cents").desc(), F.col("event_id")
+    )
+    ranked = ev.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_t", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.sum("cents").cast("double") / 100.0).alias("total_value"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rk") * 10 <= F.col("n_t"), F.col("cents"))
+                    .otherwise(0)
+                ).cast("double")
+                / F.sum("cents").cast("double"),
+                6,
+            ).alias("top_decile_value_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_value_roundness_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value ROUNDNESS screen per event type: the share of whole-dollar
+    and .99-priced values -- the synthetic-data / hand-entry / pricing-
+    psychology tell (organic transaction values rarely favor .00).
+    Pure modular arithmetic on exact cents; two terminal divisions."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.when(F.col("cents") % 100 == 0, 1).otherwise(0))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("whole_dollar_share"),
+            F.round(
+                F.sum(F.when(F.col("cents") % 100 == 99, 1).otherwise(0))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("ninety_nine_share"),
+        )
+        .orderBy("event_type")
+    )

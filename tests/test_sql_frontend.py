@@ -424,6 +424,11 @@ PORTABLE = [
     "brand_volume_value_mix",
     "customer_priority_breadth",
     "brand_copurchase_pairs",
+    "three_step_funnel",
+    "session_duration_by_entry",
+    "partname_brand_collisions",
+    "event_value_concentration",
+    "value_roundness_screen",
 ]
 
 
