@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_volume_value_mix": Q.q_brand_volume_value_mix,
         "customer_priority_breadth": Q.q_customer_priority_breadth,
         "brand_copurchase_pairs": Q.q_brand_copurchase_pairs,
+        "daily_trending_types": Q.q_daily_trending_types,
         "three_step_funnel": Q.q_three_step_funnel,
         "session_duration_by_entry": Q.q_session_duration_by_entry,
         "partname_brand_collisions": Q.q_partname_brand_collisions,
@@ -589,6 +590,23 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "daily_trending_types": """
+WITH counts AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT day, event_type, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY day
+                                 ORDER BY n DESC, event_type) AS INT) AS rank
+  FROM counts
+)
+SELECT day, event_type, n, rank
+FROM ranked
+WHERE rank <= 3
+ORDER BY day, rank
+""",
         "three_step_funnel": """
 WITH ev AS (
   SELECT user_id, event_type,

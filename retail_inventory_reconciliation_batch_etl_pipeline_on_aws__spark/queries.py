@@ -15075,3 +15075,25 @@ def q_value_roundness_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def q_daily_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day TOP-3 trending event types (count desc, type asc
+    tiebreak) -- the batch side of the streaming RANK-AFTER-WATERMARK
+    pattern (``streaming.streaming_trending_types``: ranking is only
+    meaningful once a window's groups are final, so the stream ranks
+    in foreachBatch over finalized days; THIS query is what that sink
+    computes). One day-partitioned rank window over daily type
+    counts."""
+    ev = fixtures.events(spark, sf_dir).select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    counts = ev.groupBy("day", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("day").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .orderBy("day", "rank")
+    )

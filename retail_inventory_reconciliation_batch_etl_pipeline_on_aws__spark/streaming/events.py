@@ -1262,6 +1262,74 @@ def streaming_promo_interval_join(
     )
 
 
+def streaming_trending_types(
+    spark: SparkSession,
+    source_dir: str,
+    k: int = 3,
+    watermark: str = "2 days",
+    max_files_per_trigger: int | None = None,
+    collector: list | None = None,
+) -> "object":
+    """Per-day TOP-K trending event types: the RANK-AFTER-WATERMARK
+    pattern. Structured Streaming cannot rank inside a windowed
+    aggregation (a rank is only meaningful once the window's groups
+    are FINAL), so the plan splits at exactly the point the engine
+    finalizes state:
+
+      1. in-stream: watermarked tumbling-day (window, event_type)
+         counts in APPEND mode -- every group of a given day emits
+         exactly once, in the micro-batch whose watermark passes the
+         day's end, so each day arrives at the sink COMPLETE;
+      2. in-sink (``foreachBatch``): a per-day rank window over that
+         finalized batch keeps the top-``k`` (count desc, type asc --
+         deterministic), appended to the collector/sink.
+
+    The foreachBatch side is plain batch Spark -- the same rank the
+    batch twin runs -- so parity is structural, not coincidental. At
+    100 TB the sink batch holds one day's GROUPS (|event types|), not
+    its events. Returns the StreamingQuery (caller awaits/stops);
+    results accumulate in ``collector`` as Rows (day, event_type,
+    n, rank)."""
+    out: list = collector if collector is not None else []
+
+    raw = read_event_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    ).withWatermark("ts", watermark)
+    # sentinel heartbeats advance the watermark but must never become
+    # a trending type; the predicate references ts so Catalyst cannot
+    # push it below the EventTimeWatermark collector (the r9 lesson)
+    raw = raw.where(
+        (F.col("event_type") != "__drain__") | F.col("ts").isNull()
+    )
+    counts = raw.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(F.count("*").cast("long").alias("n"))
+
+    def sink(batch_df, batch_id):
+        from pyspark.sql import Window as W
+
+        if batch_df.isEmpty():
+            return
+        ranked = (
+            batch_df.select(
+                F.to_date(F.col("w").start).alias("day"), "event_type", "n"
+            )
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    W.partitionBy("day").orderBy(
+                        F.col("n").desc(), F.col("event_type")
+                    )
+                ),
+            )
+            .where(F.col("rank") <= k)
+        )
+        out.extend(ranked.collect())
+
+    q = counts.writeStream.outputMode("append").foreachBatch(sink).start()
+    return q
+
+
 TRANSITION_SCHEMA = "user_id bigint, from_type string, to_type string"
 _TRANSITION_STATE_SCHEMA = "last_us bigint, last_eid bigint, last_type string"
 

@@ -429,6 +429,7 @@ PORTABLE = [
     "partname_brand_collisions",
     "event_value_concentration",
     "value_roundness_screen",
+    "daily_trending_types",
 ]
 
 

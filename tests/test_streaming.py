@@ -1152,3 +1152,47 @@ def test_streaming_promo_interval_join_matches_batch(spark, tmp_path):
     }
     assert batch, "batch twin is empty -- fixture has no Mon/Tue purchases"
     assert streamed == batch
+
+
+def test_streaming_trending_types_matches_batch(spark, tmp_path):
+    """Rank-after-watermark: the foreachBatch top-3 over finalized
+    daily windows must equal the batch q_daily_trending_types EXACTLY
+    on every event day once heartbeats flush the final window -- all
+    of a day's groups emit in ONE micro-batch (they share the window
+    end the watermark must pass), so the sink-side rank always sees
+    complete days; the sentinel type itself never trends."""
+    import calendar
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.queries import (
+        q_daily_trending_types,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.streaming.events import (
+        streaming_trending_types,
+        write_drain_sentinel,
+    )
+
+    src = tmp_path / "trend_src"
+    src.mkdir()
+    (src / "events.parquet").symlink_to(f"{TESTDATA}/events.parquet")
+    max_ts = fixtures.events(spark, TESTDATA).agg(F.max("ts")).collect()[0][0]
+    max_ns = int(calendar.timegm(max_ts.timetuple())) * 1_000_000_000
+    for kk in range(1, 4):
+        write_drain_sentinel(
+            spark, str(src), ts_ns=max_ns + kk * 2 * 86400 * 1_000_000_000, user_id=-1
+        )
+
+    got: list = []
+    q = streaming_trending_types(
+        spark, str(src), k=3, max_files_per_trigger=1, collector=got
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = sorted((r.day, r.rank, r.event_type, r.n) for r in got)
+    batch = sorted(
+        (r.day, r.rank, r.event_type, r.n)
+        for r in q_daily_trending_types(spark, TESTDATA).collect()
+    )
+    assert len(streamed) > 0
+    assert streamed == batch
