@@ -117,6 +117,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partname_brand_collisions": Q.q_partname_brand_collisions,
         "event_value_concentration": Q.q_event_value_concentration,
         "value_roundness_screen": Q.q_value_roundness_screen,
+        "monthly_reactivation": Q.q_monthly_reactivation,
+        "value_by_user_age": Q.q_value_by_user_age,
+        "month_yoy_heat": Q.q_month_yoy_heat,
+        "order_ordinal_curve": Q.q_order_ordinal_curve,
+        "session_conversion_rate": Q.q_session_conversion_rate,
         "token_length_histogram": Q.q_token_length_histogram,
         "discount_cost_by_year": Q.q_discount_cost_by_year,
         "partname_word_prices": Q.q_partname_word_prices,
@@ -590,6 +595,150 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "monthly_reactivation": """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400) AS BIGINT)
+           AS d
+  FROM orders
+),
+flagged AS (
+  SELECT m, o_custkey,
+         d - LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+           AS gap
+  FROM o
+),
+per AS (
+  SELECT m, o_custkey,
+         MAX(CASE WHEN gap >= 60 THEN 1 ELSE 0 END) AS reactivated
+  FROM flagged GROUP BY 1, 2
+)
+SELECT m,
+       CAST(COUNT(*) AS BIGINT) AS active_customers,
+       CAST(SUM(reactivated) AS BIGINT) AS reactivated_customers,
+       ROUND(CAST(SUM(reactivated) AS DOUBLE) / COUNT(*), 6)
+         AS reactivation_share
+FROM per
+GROUP BY 1
+ORDER BY 1
+""",
+        "value_by_user_age": """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS eday,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM events
+),
+anchor AS (
+  SELECT user_id, MIN(eday) AS d0 FROM ev
+  WHERE event_type = 'signup' GROUP BY 1
+),
+p AS (
+  SELECT ev.user_id, ev.eday - anchor.d0 AS age, ev.cents
+  FROM ev JOIN anchor ON ev.user_id = anchor.user_id
+  WHERE ev.event_type = 'purchase' AND ev.eday >= anchor.d0
+)
+SELECT CASE WHEN age <= 7 THEN '0_first_week'
+            WHEN age <= 14 THEN '1_second_week'
+            WHEN age <= 21 THEN '2_third_week'
+            ELSE '3_later' END AS age_band,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / (COUNT(*) * 100.0), 6)
+         AS mean_purchase_value
+FROM p
+GROUP BY 1
+ORDER BY 1
+""",
+        "month_yoy_heat": """
+WITH per AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+         CAST(month(o_orderdate) AS INT) AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+)
+SELECT year, month, n_orders,
+       CAST(c AS DOUBLE) / 100.0 AS revenue,
+       ROUND(CASE WHEN LAG(c) OVER (PARTITION BY month ORDER BY year) > 0
+                  THEN CAST(c AS DOUBLE)
+                       / CAST(LAG(c) OVER (PARTITION BY month
+                                           ORDER BY year) AS DOUBLE)
+             END, 6) AS yoy_ratio
+FROM per
+ORDER BY year, month
+""",
+        "order_ordinal_curve": """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400) AS BIGINT)
+           AS d,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+),
+ranked AS (
+  SELECT cents,
+         CAST(LEAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                       ORDER BY d, o_orderkey), 8) AS INT)
+           AS ordinal
+  FROM o
+)
+SELECT ordinal,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / (COUNT(*) * 100.0), 6)
+         AS mean_order_value
+FROM ranked
+GROUP BY 1
+ORDER BY 1
+""",
+        "session_conversion_rate": """
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_type, event_id, sec,
+         CASE WHEN LAG(sec) OVER w IS NULL THEN 1
+              WHEN sec - LAG(sec) OVER w > 1800 THEN 1
+              ELSE 0 END AS new_s
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+),
+sess AS (
+  SELECT user_id, event_type, event_id, sec,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS sid
+  FROM flagged
+),
+entry AS (
+  SELECT user_id, sid, event_type AS entry_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                            ORDER BY sec, event_id) AS rn
+  FROM sess
+),
+per AS (
+  SELECT user_id, sid,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM sess GROUP BY 1, 2
+)
+SELECT entry.entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(per.converted) AS BIGINT) AS n_converted,
+       ROUND(CAST(SUM(per.converted) AS DOUBLE) / COUNT(*), 6)
+         AS conversion_rate
+FROM per
+JOIN entry ON per.user_id = entry.user_id AND per.sid = entry.sid
+WHERE entry.rn = 1
+GROUP BY 1
+ORDER BY 1
+""",
         "daily_trending_types": """
 WITH counts AS (
   SELECT CAST(ts AS DATE) AS day, event_type,

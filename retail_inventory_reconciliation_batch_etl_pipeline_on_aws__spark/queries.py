@@ -15097,3 +15097,194 @@ def q_daily_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .orderBy("day", "rank")
     )
+
+
+def q_monthly_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REACTIVATION trend: per order month, customers coming back from
+    a 60-day-plus dormancy (previous order >= 60 days earlier) and
+    their share of that month's active customers -- the win-back
+    series behind ``dormancy_by_segment``'s static snapshot. One
+    customer-partitioned LAG; exact epoch-day gaps; distinct-customer
+    counts per month."""
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+        F.floor(
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400)
+        ).cast("long").alias("d"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    flagged = o.withColumn("gap", F.col("d") - F.lag("d").over(w))
+    per = flagged.groupBy("m", "o_custkey").agg(
+        F.max(F.when(F.col("gap") >= 60, 1).otherwise(0)).alias("reactivated")
+    )
+    return (
+        per.groupBy("m")
+        .agg(
+            F.count("*").cast("long").alias("active_customers"),
+            F.sum("reactivated").cast("long").alias("reactivated_customers"),
+            F.round(
+                F.sum("reactivated").cast("double") / F.count("*"), 6
+            ).alias("reactivation_share"),
+        )
+        .orderBy("m")
+    )
+
+
+def q_value_by_user_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase VALUE by user AGE band (days since first signup): do
+    older accounts spend more per purchase -- the monetization curve on
+    top of ``returning_user_curve``'s activity counts. Exact cents
+    and epoch-day offsets; age bands compare integers."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400))
+        .cast("long")
+        .alias("eday"),
+        F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    anchor = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("eday").alias("d0"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(anchor, "user_id")
+        .where(F.col("eday") >= F.col("d0"))
+        .withColumn("age", F.col("eday") - F.col("d0"))
+    )
+    band = (
+        F.when(F.col("age") <= 7, "0_first_week")
+        .when(F.col("age") <= 14, "1_second_week")
+        .when(F.col("age") <= 21, "2_third_week")
+        .otherwise("3_later")
+    )
+    return (
+        p.groupBy(band.alias("age_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(
+                F.sum("cents").cast("double") / (F.count("*") * 100.0), 6
+            ).alias("mean_purchase_value"),
+        )
+        .orderBy("age_band")
+    )
+
+
+def q_month_yoy_heat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-grain revenue with its YEAR-OVER-YEAR ratio (LAG
+    partitioned BY CALENDAR MONTH, so each January compares to last
+    January) -- the seasonality-corrected growth read that a plain
+    month-over-month series confounds. Exact cents; one guarded
+    terminal division."""
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("year"),
+        F.month("o_orderdate").cast("int").alias("month"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = o.groupBy("year", "month").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").alias("c"),
+    )
+    w = Window.partitionBy("month").orderBy("year")
+    return (
+        per.withColumn("prev", F.lag("c").over(w))
+        .select(
+            "year",
+            "month",
+            "n_orders",
+            (F.col("c").cast("double") / 100.0).alias("revenue"),
+            F.round(
+                F.when(
+                    F.col("prev") > 0,
+                    F.col("c").cast("double") / F.col("prev").cast("double"),
+                ),
+                6,
+            ).alias("yoy_ratio"),
+        )
+        .orderBy("year", "month")
+    )
+
+
+def q_order_ordinal_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTV curve by order ORDINAL: revenue and mean order value at the
+    customer's 1st, 2nd, ... nth order (ordinals 8+ pooled) -- does
+    relationship depth buy bigger baskets. One customer-partitioned
+    ROW_NUMBER on deterministic (date, orderkey) order; exact cents."""
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400)
+        ).cast("long").alias("d"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    ranked = o.withColumn(
+        "ordinal",
+        F.least(F.row_number().over(w), F.lit(8)).cast("int"),
+    )
+    return (
+        ranked.groupBy("ordinal")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            (F.sum("cents").cast("double") / 100.0).alias("revenue"),
+            F.round(
+                F.sum("cents").cast("double") / (F.count("*") * 100.0), 6
+            ).alias("mean_order_value"),
+        )
+        .orderBy("ordinal")
+    )
+
+
+def q_session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session CONVERSION by entry type: the share of 30-minute-gap
+    sessions containing at least one purchase, cut by what event
+    STARTED the session -- the monetization read on the
+    ``session_duration_by_entry`` family's same declarative
+    gaps-and-islands sessions."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(F.col("sec") - F.lag("sec").over(w) > 1800, 1)
+        .otherwise(F.when(F.lag("sec").over(w).isNull(), 1).otherwise(0)),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy("sec", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.min_by("event_type", F.struct("sec", "event_id")).alias("entry_type"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return (
+        per.groupBy("entry_type")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            F.round(
+                F.sum("converted").cast("double") / F.count("*"), 6
+            ).alias("conversion_rate"),
+        )
+        .orderBy("entry_type")
+    )

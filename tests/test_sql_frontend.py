@@ -430,6 +430,11 @@ PORTABLE = [
     "event_value_concentration",
     "value_roundness_screen",
     "daily_trending_types",
+    "monthly_reactivation",
+    "value_by_user_age",
+    "month_yoy_heat",
+    "order_ordinal_curve",
+    "session_conversion_rate",
 ]
 
 
