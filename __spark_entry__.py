@@ -122,6 +122,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "month_yoy_heat": Q.q_month_yoy_heat,
         "order_ordinal_curve": Q.q_order_ordinal_curve,
         "session_conversion_rate": Q.q_session_conversion_rate,
+        "big_order_brand_mix": Q.q_big_order_brand_mix,
+        "returns_by_line_position": Q.q_returns_by_line_position,
+        "weekpart_overlap": Q.q_weekpart_overlap,
+        "order_supplier_spread": Q.q_order_supplier_spread,
+        "brand_price_mix_effect": Q.q_brand_price_mix_effect,
         "token_length_histogram": Q.q_token_length_histogram,
         "discount_cost_by_year": Q.q_discount_cost_by_year,
         "partname_word_prices": Q.q_partname_word_prices,
@@ -595,6 +600,122 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "big_order_brand_mix": """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS oc
+  FROM orders
+),
+edge AS (
+  SELECT percentile_cont(0.9) WITHIN GROUP (ORDER BY oc) AS p90 FROM o
+),
+j AS (
+  SELECT p.p_brand AS brand, o.oc > edge.p90 AS big,
+         CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+              AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN o ON l.l_orderkey = o.o_orderkey
+  CROSS JOIN edge
+  JOIN part p ON l.l_partkey = p.p_partkey
+),
+per AS (
+  SELECT brand,
+         CAST(SUM(CASE WHEN big THEN cents ELSE 0 END) AS BIGINT) AS bc,
+         CAST(SUM(CASE WHEN NOT big THEN cents ELSE 0 END) AS BIGINT) AS sc
+  FROM j GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(bc) AS BIGINT) AS tb, CAST(SUM(sc) AS BIGINT) AS ts
+  FROM per
+)
+SELECT per.brand,
+       ROUND(CAST(per.bc AS DOUBLE) / CAST(tot.tb AS DOUBLE), 6)
+         AS big_order_share,
+       ROUND(CAST(per.sc AS DOUBLE) / CAST(tot.ts AS DOUBLE), 6)
+         AS small_order_share,
+       ROUND(CAST(per.bc AS DOUBLE) / CAST(tot.tb AS DOUBLE)
+             - CAST(per.sc AS DOUBLE) / CAST(tot.ts AS DOUBLE), 6)
+         AS share_point_diff
+FROM per CROSS JOIN tot
+ORDER BY per.brand
+""",
+        "returns_by_line_position": """
+SELECT CAST(l_linenumber AS INT) AS position,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS return_rate
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+""",
+        "weekpart_overlap": """
+WITH ev AS (
+  SELECT user_id,
+         (CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS dow
+  FROM events
+),
+per AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN dow <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS wk,
+         CAST(SUM(CASE WHEN dow >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS we
+  FROM ev GROUP BY 1
+)
+SELECT CASE WHEN we * 5 < wk + we THEN '0_lt20pct'
+            WHEN we * 10 < (wk + we) * 3 THEN '1_lt30pct'
+            WHEN we * 5 < (wk + we) * 2 THEN '2_lt40pct'
+            ELSE '3_ge40pct' END AS weekpart,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(wk + we) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(we) AS DOUBLE) / CAST(SUM(wk + we) AS DOUBLE), 6)
+         AS weekend_event_share
+FROM per
+GROUP BY 1
+ORDER BY 1
+""",
+        "order_supplier_spread": """
+WITH per AS (
+  SELECT l.l_orderkey,
+         CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+  FROM lineitem l GROUP BY 1
+)
+SELECT per.n_suppliers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                           AS BIGINT)) AS DOUBLE) / (COUNT(*) * 100.0), 6)
+         AS mean_order_value
+FROM per JOIN orders o ON per.l_orderkey = o.o_orderkey
+GROUP BY 1
+ORDER BY 1
+""",
+        "brand_price_mix_effect": """
+WITH li AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem WHERE CAST(l_quantity AS BIGINT) > 0
+),
+per AS (
+  SELECT p.p_brand AS brand,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(li.cents) AS BIGINT) AS c,
+         CAST(SUM(li.qty) AS BIGINT) AS q,
+         CAST(SUM(CAST(FLOOR(li.cents * 1000000.0 / li.qty) AS BIGINT))
+              AS BIGINT) AS unit_ppm
+  FROM li JOIN part p ON li.l_partkey = p.p_partkey
+  GROUP BY 1
+)
+SELECT brand, n_lines,
+       ROUND(CAST(c AS DOUBLE) / CAST(q AS DOUBLE) / 100.0, 6)
+         AS weighted_unit_price,
+       ROUND(CAST(unit_ppm AS DOUBLE)
+             / (CAST(n_lines AS DOUBLE) * 100000000.0), 6)
+         AS unweighted_unit_price
+FROM per
+ORDER BY brand
+""",
         "monthly_reactivation": """
 WITH o AS (
   SELECT o_custkey, o_orderkey,

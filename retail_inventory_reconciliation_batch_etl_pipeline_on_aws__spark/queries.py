@@ -15288,3 +15288,195 @@ def q_session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type")
     )
+
+
+def q_big_order_brand_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand mix of TOP-DECILE orders vs the rest: which brands
+    over-index in big baskets (share-point difference between the two
+    pools) -- the premium-assortment read a merchandiser cross-checks
+    against ``brand_volume_value_mix``. The decile edge is a 1-row
+    percentile gate over per-order totals; shares are exact cents
+    inside each pool."""
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("oc"),
+    )
+    edge = o.agg(
+        F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY oc)").alias("p90")
+    )
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    p = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .crossJoin(F.broadcast(edge))
+        .withColumn("big", F.col("oc") > F.col("p90"))
+        .join(p, li.l_partkey == p.p_partkey)
+    )
+    per = j.groupBy("brand").agg(
+        F.sum(F.when(F.col("big"), F.col("cents")).otherwise(0)).alias("bc"),
+        F.sum(F.when(~F.col("big"), F.col("cents")).otherwise(0)).alias("sc"),
+    )
+    tot = per.agg(F.sum("bc").alias("tb"), F.sum("sc").alias("ts"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "brand",
+            F.round(F.col("bc").cast("double") / F.col("tb").cast("double"), 6)
+            .alias("big_order_share"),
+            F.round(F.col("sc").cast("double") / F.col("ts").cast("double"), 6)
+            .alias("small_order_share"),
+            F.round(
+                F.col("bc").cast("double") / F.col("tb").cast("double")
+                - F.col("sc").cast("double") / F.col("ts").cast("double"),
+                6,
+            ).alias("share_point_diff"),
+        )
+        .orderBy("brand")
+    )
+
+
+def q_returns_by_line_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate by LINE POSITION within the order: do later-added
+    lines return more (impulse-add hypothesis) -- the returns cut of
+    ``line_position_profile``'s value view. Exact counts; one terminal
+    division per position."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_linenumber").cast("int").alias("position"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    return (
+        li.groupBy("position")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("ret").cast("long").alias("n_returned"),
+            F.round(
+                F.sum("ret").cast("double") / F.count("*"), 6
+            ).alias("return_rate"),
+        )
+        .orderBy("position")
+    )
+
+
+def q_weekpart_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEKPART engagement split: users active only on weekdays, only
+    on weekends, or both -- with each pool's event volume (the
+    scheduling read behind ``customer_dow_habit``'s order-side modal
+    day). ISO day-of-week from epoch-day arithmetic ((eday + 4) % 7
+    spells Monday=0 on both engines -- 1970-01-01 was a Thursday);
+    exact counts."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "user_id",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400))
+        .cast("long")
+        .alias("eday"),
+    )
+    dow = ((F.col("eday") + 4) % 7).alias("dow")  # 0=Mon .. 6=Sun
+    per = ev.select("user_id", dow).groupBy("user_id").agg(
+        F.sum(F.when(F.col("dow") <= 4, 1).otherwise(0)).alias("wk"),
+        F.sum(F.when(F.col("dow") >= 5, 1).otherwise(0)).alias("we"),
+    )
+    # every user on this generator is active in both weekparts (29-day
+    # uniform activity), so the informative cut is the weekend SHARE
+    # banded around its 2/7 ~= 28.6% expectation -- exact integer
+    # comparisons (we * 5 < total <=> share < 20%), no division in the
+    # group key
+    total = F.col("wk") + F.col("we")
+    pool = (
+        F.when(F.col("we") * 5 < total, "0_lt20pct")
+        .when(F.col("we") * 10 < total * 3, "1_lt30pct")
+        .when(F.col("we") * 5 < total * 2, "2_lt40pct")
+        .otherwise("3_ge40pct")
+    )
+    return (
+        per.groupBy(pool.alias("weekpart"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(F.col("wk") + F.col("we")).cast("long").alias("n_events"),
+            F.round(
+                F.sum("we").cast("double")
+                / F.sum(F.col("wk") + F.col("we")).cast("double"),
+                6,
+            ).alias("weekend_event_share"),
+        )
+        .orderBy("weekpart")
+    )
+
+
+def q_order_supplier_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment SPREAD histogram: distinct suppliers per order, with
+    mean order value by spread -- single-supplier orders ship simple,
+    five-supplier orders are split-fulfilment risk (the order-grain
+    view over ``supplier_cosupply_pairs``). Exact distinct counts and
+    cents."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+    )
+    return (
+        per.groupBy("n_suppliers")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(
+                F.sum("cents").cast("double") / (F.count("*") * 100.0), 6
+            ).alias("mean_order_value"),
+        )
+        .orderBy("n_suppliers")
+    )
+
+
+def q_brand_price_mix_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price MIX effect per brand: the quantity-weighted mean unit
+    price against the unweighted per-line mean -- a ratio above 1
+    means big-quantity lines carry the dearer units (mix, not list
+    price, drives the brand's realized price). Everything exact int64
+    cross-multiplied before ONE terminal division: the ratio is
+    (sum_cents * sum_lines_unit_qty) ... spelled as two exact
+    aggregates per brand."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    ).where(F.col("qty") > 0)
+    p = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    # per-line unit price quantized to EXACT ppm ints BEFORE the sum
+    # (a sum of per-row double divisions is order-dependent and never
+    # hash-stable); FLOOR-then-cast is the portable truncation (DuckDB
+    # ROUNDS bare double->int casts where Spark truncates -- r8)
+    unit_ppm = F.floor(
+        F.col("cents") * F.lit(1000000.0) / F.col("qty")
+    ).cast("long")
+    per = j.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("cents").alias("c"),
+        F.sum("qty").alias("q"),
+        F.sum(unit_ppm).alias("unit_ppm"),
+    )
+    return per.select(
+        "brand",
+        "n_lines",
+        F.round(
+            F.col("c").cast("double") / F.col("q").cast("double") / 100.0, 6
+        ).alias("weighted_unit_price"),
+        F.round(
+            F.col("unit_ppm").cast("double")
+            / (F.col("n_lines").cast("double") * 100000000.0),
+            6,
+        ).alias("unweighted_unit_price"),
+    ).orderBy("brand")

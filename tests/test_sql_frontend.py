@@ -435,6 +435,11 @@ PORTABLE = [
     "month_yoy_heat",
     "order_ordinal_curve",
     "session_conversion_rate",
+    "big_order_brand_mix",
+    "returns_by_line_position",
+    "weekpart_overlap",
+    "order_supplier_spread",
+    "brand_price_mix_effect",
 ]
 
 
