@@ -127,6 +127,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekpart_overlap": Q.q_weekpart_overlap,
         "order_supplier_spread": Q.q_order_supplier_spread,
         "brand_price_mix_effect": Q.q_brand_price_mix_effect,
+        "nation_acquisition_trend": Q.q_nation_acquisition_trend,
+        "hourly_conversion_profile": Q.q_hourly_conversion_profile,
+        "priority_mix_trend": Q.q_priority_mix_trend,
+        "brand_part_introduction": Q.q_brand_part_introduction,
+        "discount_by_line_position": Q.q_discount_by_line_position,
         "token_length_histogram": Q.q_token_length_histogram,
         "discount_cost_by_year": Q.q_discount_cost_by_year,
         "partname_word_prices": Q.q_partname_word_prices,
@@ -600,6 +605,105 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "nation_acquisition_trend": """
+WITH first AS (
+  SELECT o_custkey, CAST(MIN(year(o_orderdate)) AS BIGINT) AS first_year
+  FROM orders GROUP BY 1
+),
+per AS (
+  SELECT n.n_name AS nation, first.first_year,
+         CAST(COUNT(*) AS BIGINT) AS new_customers
+  FROM first
+  JOIN customer c ON first.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+yr AS (
+  SELECT first_year, CAST(SUM(new_customers) AS BIGINT) AS yt
+  FROM per GROUP BY 1
+)
+SELECT per.nation, per.first_year, per.new_customers,
+       ROUND(CAST(per.new_customers AS DOUBLE) / yr.yt, 6) AS year_share
+FROM per JOIN yr ON per.first_year = yr.first_year
+ORDER BY per.nation, per.first_year
+""",
+        "hourly_conversion_profile": """
+WITH ev AS (
+  SELECT CAST(hour(ts) AS INT) AS hour, event_type FROM events
+)
+SELECT hour,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clicks,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+       ROUND(CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       > 0
+                  THEN CAST(SUM(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(SUM(CASE WHEN event_type = 'click'
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+             END, 6) AS purchases_per_click
+FROM ev
+GROUP BY 1
+ORDER BY 1
+""",
+        "priority_mix_trend": """
+WITH per AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+         o_orderpriority AS priority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+),
+yr AS (
+  SELECT year, CAST(SUM(n_orders) AS BIGINT) AS yo,
+         CAST(SUM(c) AS BIGINT) AS yc
+  FROM per GROUP BY 1
+)
+SELECT per.year, per.priority, per.n_orders,
+       ROUND(CAST(per.n_orders AS DOUBLE) / yr.yo, 6) AS order_share,
+       ROUND(CAST(per.c AS DOUBLE) / CAST(yr.yc AS DOUBLE), 6)
+         AS revenue_share
+FROM per JOIN yr ON per.year = yr.year
+ORDER BY per.year, per.priority
+""",
+        "brand_part_introduction": """
+WITH first AS (
+  SELECT l_partkey, CAST(MIN(year(l_shipdate)) AS BIGINT) AS first_year
+  FROM lineitem GROUP BY 1
+),
+per AS (
+  SELECT p.p_brand AS brand, first.first_year,
+         CAST(COUNT(*) AS BIGINT) AS new_parts
+  FROM first JOIN part p ON first.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT brand, CAST(SUM(new_parts) AS BIGINT) AS bt FROM per GROUP BY 1
+)
+SELECT per.brand, per.first_year, per.new_parts,
+       ROUND(CAST(per.new_parts AS DOUBLE) / tot.bt, 6) AS brand_share
+FROM per JOIN tot ON per.brand = tot.brand
+ORDER BY per.brand, per.first_year
+""",
+        "discount_by_line_position": """
+WITH li AS (
+  SELECT CAST(l_linenumber AS INT) AS position,
+         CAST(ROUND(CAST(l_discount AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS disc_pct
+  FROM lineitem
+)
+SELECT position,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(disc_pct) AS DOUBLE) / COUNT(*), 6)
+         AS mean_discount_pct,
+       ROUND(CAST(SUM(CASE WHEN disc_pct >= 8 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS deep_discount_share
+FROM li
+GROUP BY 1
+ORDER BY 1
+""",
         "big_order_brand_mix": """
 WITH o AS (
   SELECT o_orderkey,

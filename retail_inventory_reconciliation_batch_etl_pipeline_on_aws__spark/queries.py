@@ -15480,3 +15480,174 @@ def q_brand_price_mix_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("unweighted_unit_price"),
     ).orderBy("brand")
+
+
+def q_nation_acquisition_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer ACQUISITION by nation and first-order year: where is
+    the book of business growing -- the geographic cut of
+    ``first_order_cohort``. First-order year is a min aggregate;
+    exact counts plus each nation-year's share of that year's new
+    customers (keyed year-total join, no gate)."""
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").cast("long").alias("year")
+    )
+    first = o.groupBy("o_custkey").agg(F.min("year").alias("first_year"))
+    c = fixtures.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = fixtures.load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    per = (
+        first.join(c, first.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("nation", "first_year")
+        .agg(F.count("*").cast("long").alias("new_customers"))
+    )
+    yr = per.groupBy("first_year").agg(
+        F.sum("new_customers").cast("long").alias("yt")
+    )
+    return (
+        per.join(yr, "first_year")
+        .select(
+            "nation",
+            "first_year",
+            "new_customers",
+            F.round(
+                F.col("new_customers").cast("double") / F.col("yt"), 6
+            ).alias("year_share"),
+        )
+        .orderBy("nation", "first_year")
+    )
+
+
+def q_hourly_conversion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase CONVERSION by hour of day: clicks, purchases,
+    and purchases-per-click -- when does intent convert (the funnel
+    rhythm behind ``events_hour_of_day``'s raw counts). Exact counts;
+    one guarded terminal division per hour."""
+    ev = fixtures.events(spark, sf_dir).select(
+        F.hour("ts").cast("int").alias("hour"), "event_type"
+    )
+    return (
+        ev.groupBy("hour")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("n_clicks"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases"),
+            F.round(
+                F.when(
+                    F.sum(
+                        F.when(F.col("event_type") == "click", 1).otherwise(0)
+                    )
+                    > 0,
+                    F.sum(
+                        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                    ).cast("double")
+                    / F.sum(
+                        F.when(F.col("event_type") == "click", 1).otherwise(0)
+                    ).cast("double"),
+                ),
+                6,
+            ).alias("purchases_per_click"),
+        )
+        .orderBy("hour")
+    )
+
+
+def q_priority_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-PRIORITY mix by year: each priority's share of the year's
+    orders and revenue -- urgency inflation over time (the trend view
+    over ``priority_value_profile``'s static profile). Shares divide
+    exact counts/cents inside keyed year-total joins."""
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("year"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round(_dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = o.groupBy("year", "priority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").alias("c"),
+    )
+    yr = per.groupBy("year").agg(
+        F.sum("n_orders").cast("long").alias("yo"),
+        F.sum("c").alias("yc"),
+    )
+    return (
+        per.join(yr, "year")
+        .select(
+            "year",
+            "priority",
+            "n_orders",
+            F.round(F.col("n_orders").cast("double") / F.col("yo"), 6).alias(
+                "order_share"
+            ),
+            F.round(
+                F.col("c").cast("double") / F.col("yc").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("year", "priority")
+    )
+
+
+def q_brand_part_introduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog INTRODUCTION cadence: parts making their FIRST shipment
+    per (brand, year) and their share of the brand's catalog -- how
+    fresh each brand's assortment runs (the count twin of
+    ``new_sku_revenue_share``'s revenue view). First-ship year is a
+    min aggregate; the brand's part total joins on the brand key."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.year("l_shipdate").cast("long").alias("year")
+    )
+    first = li.groupBy("l_partkey").agg(F.min("year").alias("first_year"))
+    p = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    per = (
+        first.join(p, first.l_partkey == p.p_partkey)
+        .groupBy("brand", "first_year")
+        .agg(F.count("*").cast("long").alias("new_parts"))
+    )
+    tot = per.groupBy("brand").agg(F.sum("new_parts").cast("long").alias("bt"))
+    return (
+        per.join(tot, "brand")
+        .select(
+            "brand",
+            "first_year",
+            "new_parts",
+            F.round(
+                F.col("new_parts").cast("double") / F.col("bt"), 6
+            ).alias("brand_share"),
+        )
+        .orderBy("brand", "first_year")
+    )
+
+
+def q_discount_by_line_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean discount by LINE POSITION: are later-added lines discounted
+    deeper (bundle sweeteners) -- the pricing cut alongside
+    ``returns_by_line_position``. Discount percents are exact ints;
+    one terminal division per position."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.col("l_linenumber").cast("int").alias("position"),
+        F.round(F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("disc_pct"),
+    )
+    return (
+        li.groupBy("position")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(
+                F.sum("disc_pct").cast("double") / F.count("*"), 6
+            ).alias("mean_discount_pct"),
+            F.round(
+                F.sum(F.when(F.col("disc_pct") >= 8, 1).otherwise(0))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("deep_discount_share"),
+        )
+        .orderBy("position")
+    )

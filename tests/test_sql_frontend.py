@@ -440,6 +440,11 @@ PORTABLE = [
     "weekpart_overlap",
     "order_supplier_spread",
     "brand_price_mix_effect",
+    "nation_acquisition_trend",
+    "hourly_conversion_profile",
+    "priority_mix_trend",
+    "brand_part_introduction",
+    "discount_by_line_position",
 ]
 
 
