@@ -43,17 +43,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's CORRECTNESS artifact records only the first 50
     entries, so ordering is part of the contract. Round-10 rotation:
     CORRECTNESS_r09 came back 50/50 green (no reds to front-pin), but
-    round 9 added 86 paired entries beyond the 50 it attested -- more
-    never-attested entries than the window holds. Per the over-full
-    rule the whole window is spent on them (86 > 50) and the 36
-    excess sit contiguously just past the boundary, leading the
-    round-11 queue. Behind those: every previously-attested paired
-    entry in staleness order (freshest green r5 -> r6 -> r7 -> r8 ->
-    r9), then the 22 rows-only (seeded/approximate/iterative) entries
-    that close the tail by design -- attesting those would waste a
-    slot on a weaker rows-only check. All post-window entries stay
-    pinned value-level by tests/test_oracle_parity.py and bit-exactly
-    by tools/strict_parity.py.
+    round 9 left 86 paired entries never attested and round 10 added
+    71 more -- far more never-attested entries than the window holds.
+    Per the over-full rule the whole window is spent on them (the
+    round-10 additions lead, then the r9 overflow) and the excess
+    sits contiguously just past the boundary, leading the round-11
+    queue. Behind those: every previously-attested paired entry in
+    staleness order (freshest green r5 -> r6 -> r7 -> r8 -> r9), then
+    the 25 rows-only (seeded/approximate/iterative) entries that
+    close the tail by design -- attesting those would waste a slot on
+    a weaker rows-only check. All post-window entries stay pinned
+    value-level by tests/test_oracle_parity.py and bit-exactly by
+    tools/strict_parity.py.
     """
     return {
         # --- round-10 window: round-10's own additions first, then
