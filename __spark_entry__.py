@@ -133,6 +133,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_mix_trend": Q.q_priority_mix_trend,
         "brand_part_introduction": Q.q_brand_part_introduction,
         "discount_by_line_position": Q.q_discount_by_line_position,
+        "first_day_activity_mix": Q.q_first_day_activity_mix,
+        "supplier_discount_profile": Q.q_supplier_discount_profile,
+        "returns_trend_by_year": Q.q_returns_trend_by_year,
+        "basket_density_bands": Q.q_basket_density_bands,
+        "event_calendar_gaps": Q.q_event_calendar_gaps,
         "token_length_histogram": Q.q_token_length_histogram,
         "discount_cost_by_year": Q.q_discount_cost_by_year,
         "partname_word_prices": Q.q_partname_word_prices,
@@ -606,6 +611,99 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "first_day_activity_mix": """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS eday
+  FROM events
+),
+first AS (SELECT user_id, MIN(eday) AS d0 FROM ev GROUP BY 1),
+day0 AS (
+  SELECT ev.user_id, ev.event_type
+  FROM ev JOIN first ON ev.user_id = first.user_id
+  WHERE ev.eday = first.d0
+),
+per AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM day0 GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t FROM per)
+SELECT per.event_type, per.n_events, per.n_users,
+       ROUND(CAST(per.n_events AS DOUBLE) / tot.t, 6) AS day0_share
+FROM per CROSS JOIN tot
+ORDER BY per.event_type
+""",
+        "supplier_discount_profile": """
+WITH per AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(CAST(l_discount AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS s
+  FROM lineitem GROUP BY 1
+)
+SELECT CASE WHEN s * 25 <= n * 100 THEN '0_le4pct'
+            WHEN s * 20 <= n * 100 THEN '1_le5pct'
+            WHEN s * 100 <= n * 600 THEN '2_le6pct'
+            ELSE '3_gt6pct' END AS discount_band,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(n) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+         AS pooled_mean_discount_pct
+FROM per
+GROUP BY 1
+ORDER BY 1
+""",
+        "returns_trend_by_year": """
+WITH li AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS year,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem
+)
+SELECT year,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(ret) AS DOUBLE) / COUNT(*), 6) AS return_rate,
+       ROUND(CAST(SUM(CASE WHEN ret = 1 THEN cents ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(cents) AS DOUBLE), 6) AS returned_value_share
+FROM li
+GROUP BY 1
+ORDER BY 1
+""",
+        "basket_density_bands": """
+WITH per AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1
+)
+SELECT CASE WHEN c <= n_lines * 2000000 THEN '0_le20k_per_line'
+            WHEN c <= n_lines * 4000000 THEN '1_le40k_per_line'
+            WHEN c <= n_lines * 6000000 THEN '2_le60k_per_line'
+            ELSE '3_gt60k_per_line' END AS density_band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(AVG(n_lines), 6) AS mean_lines,
+       ROUND(CAST(SUM(c) AS DOUBLE) / (CAST(SUM(n_lines) AS DOUBLE) * 100.0),
+             6) AS pooled_value_per_line
+FROM per
+GROUP BY 1
+ORDER BY 1
+""",
+        "event_calendar_gaps": """
+WITH days AS (
+  SELECT DISTINCT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS eday
+  FROM events
+),
+gaps AS (
+  SELECT eday, eday - LAG(eday) OVER (ORDER BY eday) AS gap FROM days
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS active_days,
+       CAST(MAX(eday) - MIN(eday) + 1 AS BIGINT) AS span_days,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / CAST(MAX(eday) - MIN(eday) + 1 AS DOUBLE), 6) AS coverage,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_days
+FROM gaps
+""",
         "nation_acquisition_trend": """
 WITH first AS (
   SELECT o_custkey, CAST(MIN(year(o_orderdate)) AS BIGINT) AS first_year

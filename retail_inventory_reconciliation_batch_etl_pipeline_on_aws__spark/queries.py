@@ -15651,3 +15651,164 @@ def q_discount_by_line_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("position")
     )
+
+
+def q_first_day_activity_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONBOARDING mix: the event-type composition of each user's FIRST
+    active day, pooled -- what do new users actually do on day one
+    (the day-zero read in front of ``returning_user_curve``). First
+    day is a min aggregate joined back on (user, day); exact counts,
+    one share division per type."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400))
+        .cast("long")
+        .alias("eday"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("eday").alias("d0"))
+    day0 = ev.join(first, "user_id").where(F.col("eday") == F.col("d0"))
+    per = day0.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    tot = per.agg(F.sum("n_events").cast("long").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_events",
+            "n_users",
+            F.round(F.col("n_events").cast("double") / F.col("t"), 6).alias(
+                "day0_share"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_supplier_discount_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier DISCOUNT posture bands: mean granted discount per
+    supplier (exact integer percents), banded -- who is buying volume
+    with price, the supply-side mirror of ``discount_depth_profile``.
+    Band edges compare exact integers (mean*denominator cross-
+    multiplication, never a division in the key)."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("disc_pct"),
+    )
+    per = li.groupBy("l_suppkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("disc_pct").alias("s"),
+    )
+    band = (
+        F.when(F.col("s") * 25 <= F.col("n") * 100, "0_le4pct")
+        .when(F.col("s") * 20 <= F.col("n") * 100, "1_le5pct")
+        .when(F.col("s") * 100 <= F.col("n") * 600, "2_le6pct")
+        .otherwise("3_gt6pct")
+    )
+    return (
+        per.groupBy(band.alias("discount_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.sum("n").cast("long").alias("n_lines"),
+            F.round(
+                F.sum("s").cast("double") / F.sum("n").cast("double"), 6
+            ).alias("pooled_mean_discount_pct"),
+        )
+        .orderBy("discount_band")
+    )
+
+
+def q_returns_trend_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate TREND by ship year: line and value return shares per
+    year -- is the return problem growing (the longitudinal cut of the
+    ``returns_*`` family). Exact counts and cents; two terminal
+    divisions per year."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("long").alias("year"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        li.groupBy("year")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(
+                F.sum("ret").cast("double") / F.count("*"), 6
+            ).alias("return_rate"),
+            F.round(
+                F.sum(F.when(F.col("ret") == 1, F.col("cents")).otherwise(0))
+                .cast("double")
+                / F.sum("cents").cast("double"),
+                6,
+            ).alias("returned_value_share"),
+        )
+        .orderBy("year")
+    )
+
+
+def q_basket_density_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket DENSITY bands: order value PER LINE (exact cents over
+    exact line counts, integer band edges by cross-multiplication) --
+    a few dear lines vs many cheap ones at the same order total, the
+    composition dimension ``basket_size_histogram`` (count only) and
+    ``order_rank_value_curve`` (value only) each miss. Per band:
+    orders, pooled value-per-line, mean lines."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    per = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("cents").alias("c"),
+    )
+    band = (
+        F.when(F.col("c") <= F.col("n_lines") * 2000000, "0_le20k_per_line")
+        .when(F.col("c") <= F.col("n_lines") * 4000000, "1_le40k_per_line")
+        .when(F.col("c") <= F.col("n_lines") * 6000000, "2_le60k_per_line")
+        .otherwise("3_gt60k_per_line")
+    )
+    return (
+        per.groupBy(band.alias("density_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.avg("n_lines"), 6).alias("mean_lines"),
+            F.round(
+                F.sum("c").cast("double")
+                / (F.sum("n_lines").cast("double") * 100.0),
+                6,
+            ).alias("pooled_value_per_line"),
+        )
+        .orderBy("density_band")
+    )
+
+
+def q_event_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream CALENDAR coverage: distinct active days against
+    the min-max span, with the largest dark gap -- the ingestion-hole
+    screen (``order_calendar_coverage``'s twin for the event stream).
+    One distinct-day frame, one LAG for the max gap; exact epoch-day
+    integers; single summary row. The lone single-partition window is
+    CALENDAR-bounded (distinct days grow with the timeline, not the
+    data -- a century is ~36.5k rows), the one shape where a global
+    window is scale-safe."""
+    ev = fixtures.events(spark, sf_dir).select(
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400))
+        .cast("long")
+        .alias("eday")
+    ).distinct()
+    w = Window.orderBy("eday").partitionBy(F.lit(1))
+    gaps = ev.withColumn("gap", F.col("eday") - F.lag("eday").over(w))
+    return gaps.agg(
+        F.count("*").cast("long").alias("active_days"),
+        (F.max("eday") - F.min("eday") + 1).cast("long").alias("span_days"),
+        F.round(
+            F.count("*").cast("double")
+            / (F.max("eday") - F.min("eday") + 1).cast("double"),
+            6,
+        ).alias("coverage"),
+        F.max("gap").cast("long").alias("max_gap_days"),
+    )

@@ -445,6 +445,11 @@ PORTABLE = [
     "priority_mix_trend",
     "brand_part_introduction",
     "discount_by_line_position",
+    "first_day_activity_mix",
+    "supplier_discount_profile",
+    "returns_trend_by_year",
+    "basket_density_bands",
+    "event_calendar_gaps",
 ]
 
 
