@@ -138,6 +138,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returns_trend_by_year": Q.q_returns_trend_by_year,
         "basket_density_bands": Q.q_basket_density_bands,
         "event_calendar_gaps": Q.q_event_calendar_gaps,
+        "customer_return_propensity": Q.q_customer_return_propensity,
+        "weekly_value_per_event": Q.q_weekly_value_per_event,
+        "nation_discount_gap": Q.q_nation_discount_gap,
+        "cohort_retention_triangle": Q.q_cohort_retention_triangle,
+        "click_to_purchase_latency": Q.q_click_to_purchase_latency,
         "token_length_histogram": Q.q_token_length_histogram,
         "discount_cost_by_year": Q.q_discount_cost_by_year,
         "partname_word_prices": Q.q_partname_word_prices,
@@ -611,6 +616,119 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "customer_return_propensity": """
+WITH per AS (
+  SELECT o.o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r,
+         CAST(SUM(CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+)
+SELECT CASE WHEN r = 0 THEN '0_never'
+            WHEN r * 5 <= n THEN '1_le20pct'
+            WHEN r * 5 <= n * 2 THEN '2_le40pct'
+            ELSE '3_gt40pct' END AS return_band,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(r) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+         AS pooled_return_rate,
+       CAST(SUM(c) AS DOUBLE) / 100.0 AS revenue
+FROM per
+GROUP BY 1
+ORDER BY 1
+""",
+        "weekly_value_per_event": """
+WITH ev AS (
+  SELECT CAST(FLOOR(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) / 7.0)
+              AS BIGINT) AS week,
+         event_type,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT week,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / (COUNT(*) * 100.0), 6)
+         AS value_per_event,
+       ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS purchase_share
+FROM ev
+GROUP BY 1
+ORDER BY 1
+""",
+        "nation_discount_gap": """
+WITH per AS (
+  SELECT n.n_name AS nation,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(ROUND(CAST(l.l_discount AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS s
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_lines) AS BIGINT) AS tn, CAST(SUM(s) AS BIGINT) AS ts
+  FROM per
+)
+SELECT per.nation, per.n_lines,
+       ROUND(CAST(per.s AS DOUBLE) / CAST(per.n_lines AS DOUBLE), 6)
+         AS mean_discount_pct,
+       ROUND(CAST(per.s AS DOUBLE) / CAST(per.n_lines AS DOUBLE)
+             - CAST(tot.ts AS DOUBLE) / CAST(tot.tn AS DOUBLE), 6)
+         AS gap_vs_global
+FROM per CROSS JOIN tot
+ORDER BY per.nation
+""",
+        "cohort_retention_triangle": """
+WITH yc AS (
+  SELECT DISTINCT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS year
+  FROM orders
+),
+first AS (SELECT o_custkey, MIN(year) AS cohort FROM yc GROUP BY 1),
+per AS (
+  SELECT first.cohort, yc.year - first.cohort AS year_offset,
+         CAST(COUNT(DISTINCT yc.o_custkey) AS BIGINT) AS n_active
+  FROM yc JOIN first ON yc.o_custkey = first.o_custkey
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT cohort, n_active AS cohort_size FROM per WHERE year_offset = 0
+)
+SELECT per.cohort, per.year_offset, per.n_active,
+       ROUND(CAST(per.n_active AS DOUBLE) / base.cohort_size, 6)
+         AS retention
+FROM per JOIN base ON per.cohort = base.cohort
+ORDER BY per.cohort, per.year_offset
+""",
+        "click_to_purchase_latency": """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS eday
+  FROM events
+),
+c0 AS (
+  SELECT user_id, MIN(eday) AS c FROM ev
+  WHERE event_type = 'click' GROUP BY 1
+),
+lat AS (
+  SELECT c0.user_id, MIN(p.eday) - MAX(c0.c) AS lat
+  FROM c0 JOIN (SELECT user_id, eday FROM ev
+                WHERE event_type = 'purchase') p
+    ON c0.user_id = p.user_id
+  WHERE p.eday >= c0.c
+  GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(lat), 6) AS mean_days,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY lat), 6)
+         AS median_days,
+       ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY lat), 6)
+         AS p90_days
+FROM lat
+""",
         "first_day_activity_mix": """
 WITH ev AS (
   SELECT user_id, event_type,

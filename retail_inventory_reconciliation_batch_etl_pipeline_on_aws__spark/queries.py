@@ -15812,3 +15812,203 @@ def q_event_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("coverage"),
         F.max("gap").cast("long").alias("max_gap_days"),
     )
+
+
+def q_customer_return_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer RETURN-propensity bands: each customer's returned-line
+    share (exact integer cross-multiplied band edges), with the band's
+    pooled spend -- do heavy returners also spend heavily (the
+    customer cut the ``returns_*`` family lacks). Exact counts/cents;
+    terminal divisions only."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    o = fixtures.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("ret").alias("r"),
+            F.sum("cents").alias("c"),
+        )
+    )
+    band = (
+        F.when(F.col("r") == 0, "0_never")
+        .when(F.col("r") * 5 <= F.col("n"), "1_le20pct")
+        .when(F.col("r") * 5 <= F.col("n") * 2, "2_le40pct")
+        .otherwise("3_gt40pct")
+    )
+    return (
+        per.groupBy(band.alias("return_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(
+                F.sum("r").cast("double") / F.sum("n").cast("double"), 6
+            ).alias("pooled_return_rate"),
+            (F.sum("c").cast("double") / 100.0).alias("revenue"),
+        )
+        .orderBy("return_band")
+    )
+
+
+def q_weekly_value_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monetization DENSITY trend: value per event per week (exact
+    cents over exact counts) with the purchase share of events -- is
+    the stream getting more or less commercial (the weekly trend over
+    ``hourly_value_profile``'s time-of-day cut)."""
+    ev = fixtures.events(spark, sf_dir).select(
+        F.floor(
+            F.floor(
+                F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400)
+            ).cast("long")
+            / F.lit(7.0)
+        ).cast("long").alias("week"),
+        "event_type",
+        F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        ev.groupBy("week")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.sum("cents").cast("double") / (F.count("*") * 100.0), 6
+            ).alias("value_per_event"),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("purchase_share"),
+        )
+        .orderBy("week")
+    )
+
+
+def q_nation_discount_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEO-pricing screen: the mean discount granted per CUSTOMER
+    nation (exact integer percents) against the global mean -- uneven
+    discounting across geographies is a pricing-governance defect (or
+    a deliberate strategy; either way it should be visible). Keyed
+    joins plus one 1-row global-mean gate."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("disc_pct"),
+    )
+    o = fixtures.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = fixtures.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = fixtures.load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    per = j.groupBy("nation").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("disc_pct").alias("s"),
+    )
+    tot = per.agg(
+        F.sum("n_lines").cast("long").alias("tn"), F.sum("s").alias("ts")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            "n_lines",
+            F.round(
+                F.col("s").cast("double") / F.col("n_lines").cast("double"), 6
+            ).alias("mean_discount_pct"),
+            F.round(
+                F.col("s").cast("double") / F.col("n_lines").cast("double")
+                - F.col("ts").cast("double") / F.col("tn").cast("double"),
+                6,
+            ).alias("gap_vs_global"),
+        )
+        .orderBy("nation")
+    )
+
+
+def q_cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention TRIANGLE: for each first-order-year cohort,
+    the share still active at every year offset -- the full curve
+    ``annual_customer_retention``'s adjacent-year view flattens. One
+    distinct (customer, year) frame joined to its own min-year; exact
+    distinct counts per (cohort, offset)."""
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").cast("long").alias("year")
+    ).distinct()
+    first = o.groupBy("o_custkey").agg(F.min("year").alias("cohort"))
+    j = o.join(first, "o_custkey").select(
+        "cohort",
+        (F.col("year") - F.col("cohort")).alias("year_offset"),
+        "o_custkey",
+    )
+    per = j.groupBy("cohort", "year_offset").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_active")
+    )
+    base = per.where(F.col("year_offset") == 0).select(
+        "cohort", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        per.join(base, "cohort")
+        .select(
+            "cohort",
+            "year_offset",
+            "n_active",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort", "year_offset")
+    )
+
+
+def q_click_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLICK-to-purchase latency: each user's first click and first
+    purchase AFTER it, summarized as count, exact mean, and
+    percentile_cont median/p90 in days -- the intent-to-money clock
+    (``funnel_latency`` times signup-to-purchase; this times the
+    shopping hop). Min aggregates on the user key; exact epoch-day
+    arithmetic."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400))
+        .cast("long")
+        .alias("eday"),
+    )
+    c0 = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("eday").alias("c"))
+    )
+    lat = (
+        c0.join(
+            ev.where(F.col("event_type") == "purchase").select(
+                "user_id", F.col("eday").alias("p")
+            ),
+            "user_id",
+        )
+        .where(F.col("p") >= F.col("c"))
+        .groupBy("user_id")
+        .agg((F.min("p") - F.max("c")).alias("lat"))
+    )
+    return lat.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.round(F.avg("lat"), 6).alias("mean_days"),
+        F.round(
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY lat)"), 6
+        ).alias("median_days"),
+        F.round(
+            F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY lat)"), 6
+        ).alias("p90_days"),
+    )

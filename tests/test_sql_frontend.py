@@ -450,6 +450,11 @@ PORTABLE = [
     "returns_trend_by_year",
     "basket_density_bands",
     "event_calendar_gaps",
+    "customer_return_propensity",
+    "weekly_value_per_event",
+    "nation_discount_gap",
+    "cohort_retention_triangle",
+    "click_to_purchase_latency",
 ]
 
 
