@@ -418,12 +418,17 @@ def kcore_numbers(
     H-index iteration typically converges in O(log n)-ish rounds on
     real graphs; ``max_iters`` is the plannability backstop.
 
-    Returns (node, coreness). Isolated nodes never enter an edge list,
-    so every returned node has coreness >= 1.
+    Returns (node, coreness). Self-loops are dropped up front (the
+    standard k-core convention -- a self-loop is not a neighbor, and
+    counting it would hand every self-looped node a +1 coreness the
+    peeling definition does not award); isolated and self-loop-only
+    nodes therefore never appear, and every returned node has
+    coreness >= 1.
     """
     und = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionAll(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .where(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )

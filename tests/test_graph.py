@@ -417,3 +417,23 @@ def test_kcore_deterministic_and_early_exit(spark):
     a = sorted(map(tuple, kcore_numbers(df).collect()))
     b = sorted(map(tuple, kcore_numbers(df).collect()))
     assert a == b == [(1, 2), (2, 2), (3, 2), (4, 1)]
+
+
+def test_kcore_ignores_self_loops(spark):
+    """Standard k-core convention: a self-loop is not a neighbor. A
+    triangle keeps coreness 2; a self-loop-only node disappears from
+    the output (it has no neighbors), and a self-loop on a path node
+    does not inflate its coreness."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (
+        kcore_numbers,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 4), (3, 5), (5, 5)],
+        "pa long, pb long",
+    )
+    got = {r.node: r.coreness for r in kcore_numbers(df).collect()}
+    assert got == _py_coreness([(1, 2), (2, 3), (3, 1), (4, 4), (3, 5), (5, 5)])
+    assert 4 not in got           # self-loop-only node: no neighbors
+    assert got[5] == 1            # dangling node: self-loop adds nothing
+    assert got[1] == got[2] == got[3] == 2
