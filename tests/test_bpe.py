@@ -139,3 +139,15 @@ def test_bpe_merges_query_contract(spark):
     assert all(r.pair_freq > 0 for r in rows)
     assert all(r.merged == r.left + r.right for r in rows)
     assert rows == q(spark, "/root/testdata/sf0.001").collect()
+
+
+def test_bpe_stops_early_when_pairs_exhaust(spark):
+    """A corpus whose vocabulary runs out of adjacent pairs must stop
+    early and return only the merges that existed: 'ab' yields exactly
+    (a,b) then (ab,</w>) and nothing else, no matter the budget."""
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    got = [
+        (r.rank, r.left, r.right)
+        for r in learn_bpe_merges(docs, n_merges=10).orderBy("rank").collect()
+    ]
+    assert got == [(0, "a", "b"), (1, "ab", EOW)]
