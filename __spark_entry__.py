@@ -143,6 +143,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_discount_gap": Q.q_nation_discount_gap,
         "cohort_retention_triangle": Q.q_cohort_retention_triangle,
         "click_to_purchase_latency": Q.q_click_to_purchase_latency,
+        "signup_dow_retention": Q.q_signup_dow_retention,
+        "vintage_price_profile": Q.q_vintage_price_profile,
+        "supplier_activity_regularity": Q.q_supplier_activity_regularity,
+        "brand_weekend_mix": Q.q_brand_weekend_mix,
+        "cadence_by_ordinal": Q.q_cadence_by_ordinal,
         "token_length_histogram": Q.q_token_length_histogram,
         "discount_cost_by_year": Q.q_discount_cost_by_year,
         "partname_word_prices": Q.q_partname_word_prices,
@@ -616,6 +621,133 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "signup_dow_retention": """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS eday
+  FROM events
+),
+anchor AS (
+  SELECT user_id, MIN(eday) AS d0 FROM ev
+  WHERE event_type = 'signup' GROUP BY 1
+),
+act AS (
+  SELECT anchor.user_id, anchor.d0,
+         MAX(CASE WHEN ev.eday >= anchor.d0 + 7
+                   AND ev.eday <= anchor.d0 + 13 THEN 1 ELSE 0 END) AS week2
+  FROM anchor JOIN ev ON anchor.user_id = ev.user_id
+  GROUP BY 1, 2
+)
+SELECT CAST((d0 + 4) % 7 AS INT) AS signup_dow,
+       CAST(COUNT(*) AS BIGINT) AS n_signups,
+       CAST(SUM(week2) AS BIGINT) AS n_week2_active,
+       ROUND(CAST(SUM(week2) AS DOUBLE) / COUNT(*), 6) AS week2_retention
+FROM act
+GROUP BY 1
+ORDER BY 1
+""",
+        "vintage_price_profile": """
+WITH first AS (
+  SELECT l_partkey, CAST(MIN(year(l_shipdate)) AS BIGINT) AS vintage
+  FROM lineitem GROUP BY 1
+),
+rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1
+)
+SELECT first.vintage,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100)
+                           AS BIGINT)) AS DOUBLE) / (COUNT(*) * 100.0), 6)
+         AS mean_list_price,
+       ROUND(CAST(SUM(rev.c) AS DOUBLE) / (COUNT(*) * 100.0), 6)
+         AS mean_revenue_per_part
+FROM first
+JOIN part p ON first.l_partkey = p.p_partkey
+JOIN rev ON first.l_partkey = rev.l_partkey
+GROUP BY 1
+ORDER BY 1
+""",
+        "supplier_activity_regularity": """
+WITH qa AS (
+  SELECT l_suppkey,
+         CAST(year(l_shipdate) AS BIGINT) * 4
+           + CAST(quarter(l_shipdate) AS BIGINT) - 1 AS qi,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+per AS (
+  SELECT l_suppkey, CAST(MAX(n) AS BIGINT) AS peak,
+         CAST(SUM(n) AS BIGINT) AS total
+  FROM qa GROUP BY 1
+)
+SELECT CASE WHEN peak * 20 <= total THEN '0_le5pct'
+            WHEN peak * 200 <= total * 11 THEN '1_le5_5pct'
+            WHEN peak * 100 <= total * 6 THEN '2_le6pct'
+            ELSE '3_gt6pct' END AS concentration_band,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(AVG(total), 6) AS mean_lines,
+       ROUND(CAST(SUM(peak) AS DOUBLE) / CAST(SUM(total) AS DOUBLE), 6)
+         AS pooled_peak_share
+FROM per
+GROUP BY 1
+ORDER BY 1
+""",
+        "brand_weekend_mix": """
+WITH li AS (
+  SELECT l_partkey,
+         (CAST(FLOOR(epoch(CAST(l_shipdate AS TIMESTAMP)) / 86400) AS BIGINT)
+          + 4) % 7 AS dow,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem
+),
+per AS (
+  SELECT p.p_brand AS brand,
+         CAST(SUM(li.cents) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN li.dow >= 5 THEN li.cents ELSE 0 END) AS BIGINT)
+           AS wc
+  FROM li JOIN part p ON li.l_partkey = p.p_partkey
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS tc, CAST(SUM(wc) AS BIGINT) AS twc
+  FROM per
+)
+SELECT per.brand,
+       ROUND(CAST(per.wc AS DOUBLE) / CAST(per.c AS DOUBLE), 6)
+         AS weekend_share,
+       ROUND(CAST(per.wc AS DOUBLE) / CAST(per.c AS DOUBLE)
+             - CAST(tot.twc AS DOUBLE) / CAST(tot.tc AS DOUBLE), 6)
+         AS gap_vs_global
+FROM per CROSS JOIN tot
+ORDER BY per.brand
+""",
+        "cadence_by_ordinal": """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400) AS BIGINT)
+           AS d
+  FROM orders
+),
+g AS (
+  SELECT CAST(LEAST(ROW_NUMBER() OVER w, 6) AS INT) AS ordinal,
+         (LEAD(d) OVER w) - d AS next_gap
+  FROM o
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+)
+SELECT ordinal,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(AVG(next_gap), 6) AS mean_gap_days,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY next_gap), 6)
+         AS median_gap_days
+FROM g
+WHERE next_gap IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+""",
         "customer_return_propensity": """
 WITH per AS (
   SELECT o.o_custkey,

@@ -16012,3 +16012,210 @@ def q_click_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY lat)"), 6
         ).alias("p90_days"),
     )
+
+
+def q_signup_dow_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the signup WEEKDAY predict second-week retention: per ISO
+    signup day-of-week ((eday + 4) % 7 -- Monday = 0 on both engines),
+    the cohort size and the share still active on days 7-13 after
+    signup -- the acquisition-timing read behind
+    ``signup_conversion_by_week``'s quality trend. Exact epoch-day
+    arithmetic; min-aggregate anchor."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400))
+        .cast("long")
+        .alias("eday"),
+    )
+    anchor = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("eday").alias("d0"))
+    )
+    act = (
+        anchor.join(ev.select("user_id", "eday"), "user_id")
+        .groupBy("user_id", "d0")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("eday") >= F.col("d0") + 7)
+                    & (F.col("eday") <= F.col("d0") + 13),
+                    1,
+                ).otherwise(0)
+            ).alias("week2")
+        )
+    )
+    return (
+        act.groupBy(((F.col("d0") + 4) % 7).cast("int").alias("signup_dow"))
+        .agg(
+            F.count("*").cast("long").alias("n_signups"),
+            F.sum("week2").cast("long").alias("n_week2_active"),
+            F.round(
+                F.sum("week2").cast("double") / F.count("*"), 6
+            ).alias("week2_retention"),
+        )
+        .orderBy("signup_dow")
+    )
+
+
+def q_vintage_price_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog VINTAGE pricing: parts grouped by FIRST-ship year, with
+    exact mean list price and realized revenue per part -- do newer
+    introductions list higher (price-ladder drift across vintages,
+    the part-level complement of ``unit_price_inflation``'s
+    transaction view). Min-aggregate vintage; exact cents."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").cast("long").alias("year"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    first = li.groupBy("l_partkey").agg(F.min("year").alias("vintage"))
+    p = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(_dec("p_retailprice") * 100).cast("long").alias("list_cents"),
+    )
+    rev = li.groupBy("l_partkey").agg(F.sum("cents").alias("c"))
+    j = first.join(p, first.l_partkey == p.p_partkey).join(rev, "l_partkey")
+    return (
+        j.groupBy("vintage")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.round(
+                F.sum("list_cents").cast("double") / (F.count("*") * 100.0), 6
+            ).alias("mean_list_price"),
+            F.round(
+                F.sum("c").cast("double") / (F.count("*") * 100.0), 6
+            ).alias("mean_revenue_per_part"),
+        )
+        .orderBy("vintage")
+    )
+
+
+def q_supplier_activity_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier load CONCENTRATION bands: the share of a supplier's
+    lines landing in its single busiest QUARTER, banded around the
+    uniform expectation (this generator spans ~20 quarters, so peak
+    shares sit at 4.4-7.1%, median 5.3% -- band edges at 5/5.5/6%
+    bracket it; every supplier ships every quarter here, so a naive
+    active-vs-span regularity ratio is degenerate at 1.0). Integer
+    cross-multiplied band edges; the supply-side twin of
+    ``user_burst_ratio``."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (
+            F.year("l_shipdate").cast("long") * 4
+            + F.quarter("l_shipdate").cast("long")
+            - 1
+        ).alias("qi"),
+    )
+    qa = li.groupBy("l_suppkey", "qi").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    per = qa.groupBy("l_suppkey").agg(
+        F.max("n").alias("peak"), F.sum("n").cast("long").alias("total")
+    )
+    band = (
+        F.when(F.col("peak") * 20 <= F.col("total"), "0_le5pct")
+        .when(F.col("peak") * 200 <= F.col("total") * 11, "1_le5_5pct")
+        .when(F.col("peak") * 100 <= F.col("total") * 6, "2_le6pct")
+        .otherwise("3_gt6pct")
+    )
+    return (
+        per.groupBy(band.alias("concentration_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.round(F.avg("total"), 6).alias("mean_lines"),
+            F.round(
+                F.sum("peak").cast("double") / F.sum("total").cast("double"),
+                6,
+            ).alias("pooled_peak_share"),
+        )
+        .orderBy("concentration_band")
+    )
+
+
+def q_brand_weekend_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEKEND shipping mix per brand: the share of each brand's line
+    revenue shipped on Saturday/Sunday against the global weekend
+    share -- fulfilment-calendar skew by brand ((eday + 4) % 7 ISO
+    weekday on both engines). Exact cents; keyed aggregates plus one
+    1-row global gate."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (
+            (
+                F.floor(
+                    F.unix_timestamp(F.col("l_shipdate").cast("timestamp"))
+                    / F.lit(86400)
+                ).cast("long")
+                + 4
+            )
+            % 7
+        ).alias("dow"),
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    p = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    per = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("brand")
+        .agg(
+            F.sum("cents").alias("c"),
+            F.sum(
+                F.when(F.col("dow") >= 5, F.col("cents")).otherwise(0)
+            ).alias("wc"),
+        )
+    )
+    tot = per.agg(F.sum("c").alias("tc"), F.sum("wc").alias("twc"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "brand",
+            F.round(
+                F.col("wc").cast("double") / F.col("c").cast("double"), 6
+            ).alias("weekend_share"),
+            F.round(
+                F.col("wc").cast("double") / F.col("c").cast("double")
+                - F.col("twc").cast("double") / F.col("tc").cast("double"),
+                6,
+            ).alias("gap_vs_global"),
+        )
+        .orderBy("brand")
+    )
+
+
+def q_cadence_by_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order CADENCE by relationship depth: the mean gap in days
+    FOLLOWING a customer's nth order (ordinals 6+ pooled) -- do
+    customers reorder faster as the relationship deepens, the
+    forward-gap companion of ``order_ordinal_curve``'s value view and
+    ``customer_purchase_acceleration``'s second-order deltas. One
+    partitioned window computing both the ordinal and the LEAD gap."""
+    o = fixtures.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400)
+        ).cast("long").alias("d"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    g = (
+        o.withColumn("ordinal", F.least(F.row_number().over(w), F.lit(6)).cast("int"))
+        .withColumn("next_gap", F.lead("d").over(w) - F.col("d"))
+        .where(F.col("next_gap").isNotNull())
+    )
+    return (
+        g.groupBy("ordinal")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.round(F.avg("next_gap"), 6).alias("mean_gap_days"),
+            F.round(
+                F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY next_gap)"),
+                6,
+            ).alias("median_gap_days"),
+        )
+        .orderBy("ordinal")
+    )

@@ -455,6 +455,11 @@ PORTABLE = [
     "nation_discount_gap",
     "cohort_retention_triangle",
     "click_to_purchase_latency",
+    "signup_dow_retention",
+    "vintage_price_profile",
+    "supplier_activity_regularity",
+    "brand_weekend_mix",
+    "cadence_by_ordinal",
 ]
 
 
