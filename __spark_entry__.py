@@ -148,6 +148,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_activity_regularity": Q.q_supplier_activity_regularity,
         "brand_weekend_mix": Q.q_brand_weekend_mix,
         "cadence_by_ordinal": Q.q_cadence_by_ordinal,
+        "type_mix_by_tenure": Q.q_type_mix_by_tenure,
+        "brand_customer_concentration": Q.q_brand_customer_concentration,
+        "weekpart_value_gap": Q.q_weekpart_value_gap,
+        "conversion_by_session_depth": Q.q_conversion_by_session_depth,
+        "nation_market_structure": Q.q_nation_market_structure,
         "token_length_histogram": Q.q_token_length_histogram,
         "discount_cost_by_year": Q.q_discount_cost_by_year,
         "partname_word_prices": Q.q_partname_word_prices,
@@ -621,6 +626,145 @@ WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "type_mix_by_tenure": """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS eday
+  FROM events
+),
+anchor AS (
+  SELECT user_id, MIN(eday) AS d0 FROM ev
+  WHERE event_type = 'signup' GROUP BY 1
+),
+aged AS (
+  SELECT CASE WHEN ev.eday - anchor.d0 <= 7 THEN '0_first_week'
+              WHEN ev.eday - anchor.d0 <= 21 THEN '1_weeks_2_3'
+              ELSE '2_later' END AS tenure_band,
+         ev.event_type
+  FROM ev JOIN anchor ON ev.user_id = anchor.user_id
+  WHERE ev.eday >= anchor.d0
+),
+per AS (
+  SELECT tenure_band, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM aged GROUP BY 1, 2
+),
+tot AS (
+  SELECT tenure_band, CAST(SUM(n) AS BIGINT) AS bt FROM per GROUP BY 1
+)
+SELECT per.tenure_band, per.event_type, per.n,
+       ROUND(CAST(per.n AS DOUBLE) / tot.bt, 6) AS band_share
+FROM per JOIN tot ON per.tenure_band = tot.tenure_band
+ORDER BY per.tenure_band, per.event_type
+""",
+        "brand_customer_concentration": """
+WITH bc AS (
+  SELECT p.p_brand AS brand, o.o_custkey,
+         CAST(SUM(CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                       AS BIGINT)) AS BIGINT) AS c
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT brand, c,
+         ROW_NUMBER() OVER (PARTITION BY brand
+                            ORDER BY c DESC, o_custkey) AS rk
+  FROM bc
+)
+SELECT brand,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(CASE WHEN rk <= 3 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE), 6) AS top3_share
+FROM ranked
+GROUP BY 1
+ORDER BY 1
+""",
+        "weekpart_value_gap": """
+WITH ev AS (
+  SELECT event_type,
+         (CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS dow,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM events
+),
+per AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN dow <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS wn,
+         CAST(SUM(CASE WHEN dow <= 4 THEN cents ELSE 0 END) AS BIGINT) AS wc,
+         CAST(SUM(CASE WHEN dow >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS en,
+         CAST(SUM(CASE WHEN dow >= 5 THEN cents ELSE 0 END) AS BIGINT) AS ec
+  FROM ev GROUP BY 1
+)
+SELECT event_type,
+       ROUND(CASE WHEN wn > 0 THEN CAST(wc AS DOUBLE) / (wn * 100.0) END, 6)
+         AS weekday_mean_value,
+       ROUND(CASE WHEN en > 0 THEN CAST(ec AS DOUBLE) / (en * 100.0) END, 6)
+         AS weekend_mean_value,
+       ROUND(CASE WHEN en > 0 THEN CAST(ec AS DOUBLE) / (en * 100.0) END
+             - CASE WHEN wn > 0 THEN CAST(wc AS DOUBLE) / (wn * 100.0) END,
+             6) AS weekend_gap
+FROM per
+ORDER BY event_type
+""",
+        "conversion_by_session_depth": """
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_type, event_id, sec,
+         CASE WHEN LAG(sec) OVER w IS NULL THEN 1
+              WHEN sec - LAG(sec) OVER w > 1800 THEN 1
+              ELSE 0 END AS new_s
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+),
+sess AS (
+  SELECT user_id, event_type,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS sid
+  FROM flagged
+),
+per AS (
+  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS depth,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM sess GROUP BY 1, 2
+)
+SELECT CASE WHEN depth = 1 THEN '0_single'
+            WHEN depth <= 3 THEN '1_short'
+            WHEN depth <= 7 THEN '2_medium'
+            ELSE '3_long' END AS depth_band,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6)
+         AS conversion_rate
+FROM per
+GROUP BY 1
+ORDER BY 1
+""",
+        "nation_market_structure": """
+WITH c AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM customer GROUP BY 1
+),
+s AS (
+  SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+  FROM supplier GROUP BY 1
+)
+SELECT n.n_name AS nation,
+       COALESCE(c.n_customers, 0) AS n_customers,
+       COALESCE(s.n_suppliers, 0) AS n_suppliers,
+       ROUND(CASE WHEN COALESCE(s.n_suppliers, 0) > 0
+                  THEN CAST(c.n_customers AS DOUBLE) / s.n_suppliers
+             END, 6) AS customers_per_supplier
+FROM nation n
+LEFT JOIN c ON n.n_nationkey = c.c_nationkey
+LEFT JOIN s ON n.n_nationkey = s.s_nationkey
+ORDER BY 1
+""",
         "signup_dow_retention": """
 WITH ev AS (
   SELECT user_id, event_type,

@@ -16219,3 +16219,212 @@ def q_cadence_by_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ordinal")
     )
+
+
+def q_type_mix_by_tenure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type MIX by user tenure band (days since first signup):
+    does behavior shift from browsing to buying as accounts age --
+    the composition companion of ``value_by_user_age``'s value view.
+    Exact counts; shares divide inside each (band, type) row against
+    the band total (keyed join, no gate)."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400))
+        .cast("long")
+        .alias("eday"),
+    )
+    anchor = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("eday").alias("d0"))
+    )
+    aged = (
+        ev.join(anchor, "user_id")
+        .where(F.col("eday") >= F.col("d0"))
+        .withColumn(
+            "tenure_band",
+            F.when(F.col("eday") - F.col("d0") <= 7, "0_first_week")
+            .when(F.col("eday") - F.col("d0") <= 21, "1_weeks_2_3")
+            .otherwise("2_later"),
+        )
+    )
+    per = aged.groupBy("tenure_band", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = per.groupBy("tenure_band").agg(F.sum("n").cast("long").alias("bt"))
+    return (
+        per.join(tot, "tenure_band")
+        .select(
+            "tenure_band",
+            "event_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("bt"), 6).alias(
+                "band_share"
+            ),
+        )
+        .orderBy("tenure_band", "event_type")
+    )
+
+
+def q_brand_customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wholesale-DEPENDENCY screen: the share of each brand's revenue
+    held by its top-3 customers (brand-partitioned rank, deterministic
+    custkey tiebreak) -- a brand living off three buyers is a channel
+    risk ``brand_top_supplier_share`` (supply side) cannot see. Exact
+    cents; shares divide inside the brand group."""
+    li = fixtures.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    o = fixtures.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = fixtures.load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    bc = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("brand", "o_custkey")
+        .agg(F.sum("cents").alias("c"))
+    )
+    w = Window.partitionBy("brand").orderBy(F.col("c").desc(), F.col("o_custkey"))
+    ranked = bc.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(
+                F.sum(F.when(F.col("rk") <= 3, F.col("c")).otherwise(0))
+                .cast("double")
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("top3_share"),
+        )
+        .orderBy("brand")
+    )
+
+
+def q_weekpart_value_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEKEND value gap per event type: mean event value on weekends
+    vs weekdays and their exact-cents difference -- do weekend
+    sessions monetize differently ((eday + 4) % 7 ISO weekday on both
+    engines). Exact cents; two guarded terminal divisions."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "event_type",
+        (
+            (
+                F.floor(
+                    F.unix_timestamp(F.col("ts").cast("timestamp"))
+                    / F.lit(86400)
+                ).cast("long")
+                + 4
+            )
+            % 7
+        ).alias("dow"),
+        F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    per = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("dow") <= 4, 1).otherwise(0)).cast("long").alias("wn"),
+        F.sum(F.when(F.col("dow") <= 4, F.col("cents")).otherwise(0)).alias("wc"),
+        F.sum(F.when(F.col("dow") >= 5, 1).otherwise(0)).cast("long").alias("en"),
+        F.sum(F.when(F.col("dow") >= 5, F.col("cents")).otherwise(0)).alias("ec"),
+    )
+    wk_mean = F.when(
+        F.col("wn") > 0, F.col("wc").cast("double") / (F.col("wn") * 100.0)
+    )
+    we_mean = F.when(
+        F.col("en") > 0, F.col("ec").cast("double") / (F.col("en") * 100.0)
+    )
+    return per.select(
+        "event_type",
+        F.round(wk_mean, 6).alias("weekday_mean_value"),
+        F.round(we_mean, 6).alias("weekend_mean_value"),
+        F.round(we_mean - wk_mean, 6).alias("weekend_gap"),
+    ).orderBy("event_type")
+
+
+def q_conversion_by_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion by session DEPTH band: do longer sessions convert --
+    the depth cut on the same declarative 30-minute gaps-and-islands
+    sessions as ``session_conversion_rate``. Integer depth bands;
+    exact counts; one terminal division per band."""
+    ev = fixtures.events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(F.col("sec") - F.lag("sec").over(w) > 1800, 1)
+        .otherwise(F.when(F.lag("sec").over(w).isNull(), 1).otherwise(0)),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy("sec", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count("*").cast("long").alias("depth"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    band = (
+        F.when(F.col("depth") == 1, "0_single")
+        .when(F.col("depth") <= 3, "1_short")
+        .when(F.col("depth") <= 7, "2_medium")
+        .otherwise("3_long")
+    )
+    return (
+        per.groupBy(band.alias("depth_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            F.round(
+                F.sum("converted").cast("double") / F.count("*"), 6
+            ).alias("conversion_rate"),
+        )
+        .orderBy("depth_band")
+    )
+
+
+def q_nation_market_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market STRUCTURE per nation: customers and suppliers domiciled
+    there, the customer-per-supplier ratio, and each side's revenue --
+    the one-row-per-nation market map stitched from both master
+    tables and the trade flows of ``nation_trade_imbalance``. Keyed
+    joins; exact counts and cents."""
+    c = fixtures.load(spark, sf_dir, "customer").groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+    s = fixtures.load(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(
+        F.count("*").cast("long").alias("n_suppliers")
+    )
+    n = fixtures.load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    j = (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .join(s, n.n_nationkey == s.s_nationkey, "left")
+        .na.fill(0, ["n_customers", "n_suppliers"])
+    )
+    return j.select(
+        "nation",
+        "n_customers",
+        "n_suppliers",
+        F.round(
+            F.when(
+                F.col("n_suppliers") > 0,
+                F.col("n_customers").cast("double") / F.col("n_suppliers"),
+            ),
+            6,
+        ).alias("customers_per_supplier"),
+    ).orderBy("nation")

@@ -460,6 +460,11 @@ PORTABLE = [
     "supplier_activity_regularity",
     "brand_weekend_mix",
     "cadence_by_ordinal",
+    "type_mix_by_tenure",
+    "brand_customer_concentration",
+    "weekpart_value_gap",
+    "conversion_by_session_depth",
+    "nation_market_structure",
 ]
 
 
