@@ -41,77 +41,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the LEAST-RECENTLY driver-attested entries come FIRST.
 
     The driver's CORRECTNESS artifact records only the first 50
-    entries, so ordering is part of the contract. Round-10 rotation:
-    CORRECTNESS_r09 came back 50/50 green (no reds to front-pin), but
-    round 9 left 86 paired entries never attested and round 10 added
-    71 more -- far more never-attested entries than the window holds.
-    Per the over-full rule the whole window is spent on them (the
-    round-10 additions lead, then the r9 overflow) and the excess
-    sits contiguously just past the boundary, leading the round-11
-    queue. Behind those: every previously-attested paired entry in
-    staleness order (freshest green r5 -> r6 -> r7 -> r8 -> r9), then
-    the 25 rows-only (seeded/approximate/iterative) entries that
-    close the tail by design -- attesting those would waste a slot on
-    a weaker rows-only check. All post-window entries stay pinned
+    entries, so ordering is part of the contract. Round-11 rotation:
+    CORRECTNESS_r10 came back 50/50 green (no reds to front-pin),
+    leaving 127 oracle-paired entries never attested -- still more
+    than the window holds -- plus 16 rows-only entries with NO driver
+    row in any artifact (no evidence they even execute at sf0.01; the
+    r10 judge's item #4). The window takes the 34 oldest never-
+    attested paired entries (honoring r10's excess-leads-the-queue
+    promise) plus those 16 rows-only entries, each spending its
+    one-time ``spark_rows > 0`` slot under the rule-3 exception added
+    to tools/rotation_check.py this round. The remaining 93 paired
+    never-attested entries sit contiguously past the boundary (round-
+    12 leads); behind those, every previously-attested paired entry
+    in staleness order, then the 9 rows-only entries that already
+    hold r02 spark_rows evidence. All post-window entries stay pinned
     value-level by tests/test_oracle_parity.py and bit-exactly by
     tools/strict_parity.py.
     """
     return {
-        # --- round-10 window: round-10's own additions first, then
-        # the 86 never-attested r9-overflow entries (window spent
-        # entirely on never-attested per the over-full rule; the
-        # excess sits contiguously past the boundary and leads the
-        # round-11 queue) ---------------------------------------
-        "purchases_in_promo_windows": Q.q_purchases_in_promo_windows,
-        "cross_region_trade_share": Q.q_cross_region_trade_share,
-        "referential_integrity_audit": Q.q_referential_integrity_audit,
-        "user_lifespan_profile": Q.q_user_lifespan_profile,
-        "user_burst_ratio": Q.q_user_burst_ratio,
-        "segment_halfyear_momentum": Q.q_segment_halfyear_momentum,
-        "corpus_ingestion_drift": Q.q_corpus_ingestion_drift,
-        "nation_acctbal_quartiles": Q.q_nation_acctbal_quartiles,
-        "avg_word_length_profile": Q.q_avg_word_length_profile,
-        "customer_purchase_acceleration": Q.q_customer_purchase_acceleration,
-        "order_value_band_transition": Q.q_order_value_band_transition,
-        "lang_source_lift": Q.q_lang_source_lift,
-        "user_error_rate_bands": Q.q_user_error_rate_bands,
-        "brand_weekly_rank_volatility": Q.q_brand_weekly_rank_volatility,
-        "size_band_revenue_trend": Q.q_size_band_revenue_trend,
-        "customer_value_uplift": Q.q_customer_value_uplift,
-        "tax_discount_grid": Q.q_tax_discount_grid,
-        "supplier_brand_focus": Q.q_supplier_brand_focus,
-        "source_exact_dup_rate": Q.q_source_exact_dup_rate,
-        "same_day_reorder_rate": Q.q_same_day_reorder_rate,
-        "event_mix_drift": Q.q_event_mix_drift,
-        "brand_cannibalization": Q.q_brand_cannibalization,
-        "order_priority_escalation": Q.q_order_priority_escalation,
-        "customer_supply_reach": Q.q_customer_supply_reach,
-        "returning_user_curve": Q.q_returning_user_curve,
-        "sku_velocity_quadrant": Q.q_sku_velocity_quadrant,
-        "stopword_density_profile": Q.q_stopword_density_profile,
-        "nation_trade_imbalance": Q.q_nation_trade_imbalance,
-        "nation_weekly_volatility": Q.q_nation_weekly_volatility,
-        "label_cohesion": Q.q_label_cohesion,
-        "supplier_new_business_trend": Q.q_supplier_new_business_trend,
-        "quantity_uniformity_screen": Q.q_quantity_uniformity_screen,
-        "type_hour_profile_similarity": Q.q_type_hour_profile_similarity,
-        "supplier_turnover": Q.q_supplier_turnover,
-        "returns_by_value_band": Q.q_returns_by_value_band,
-        "customer_concentration_trend": Q.q_customer_concentration_trend,
-        "day_of_month_profile": Q.q_day_of_month_profile,
-        "label_top_dims": Q.q_label_top_dims,
-        "sku_repurchase_cycle": Q.q_sku_repurchase_cycle,
-        "exact_dup_source_matrix": Q.q_exact_dup_source_matrix,
-        "label_text_profile": Q.q_label_text_profile,
-        "lang_label_lift": Q.q_lang_label_lift,
-        "open_order_aging": Q.q_open_order_aging,
-        "segment_spend_intensity": Q.q_segment_spend_intensity,
-        "brand_order_penetration": Q.q_brand_order_penetration,
-        "signup_conversion_by_week": Q.q_signup_conversion_by_week,
-        "segment_qoq_growth": Q.q_segment_qoq_growth,
-        "brand_volume_value_mix": Q.q_brand_volume_value_mix,
-        "customer_priority_breadth": Q.q_customer_priority_breadth,
-        "brand_copurchase_pairs": Q.q_brand_copurchase_pairs,
+        # --- round-11 window (50 slots, ALL never-attested): the 34
+        # oldest never-attested oracle-paired entries (r9/r10 overflow,
+        # honoring r10's excess-leads-the-queue promise), then the 16
+        # rows-only entries that have NEVER produced driver evidence --
+        # each earns its one spark_rows>0 slot per the rule-3 exception
+        # added this round (r10 judge item #4) ---------------------------
         "daily_trending_types": Q.q_daily_trending_types,
         "three_step_funnel": Q.q_three_step_funnel,
         "session_duration_by_entry": Q.q_session_duration_by_entry,
@@ -146,6 +99,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signup_dow_retention": Q.q_signup_dow_retention,
         "vintage_price_profile": Q.q_vintage_price_profile,
         "supplier_activity_regularity": Q.q_supplier_activity_regularity,
+        # 16 never-executed rows-only entries: one-time spark_rows>0 slots
+        "image_phash_neardup": Q.q_image_phash_neardup,
+        "pq_topk": Q.q_pq_topk,
+        "alert_throttle": Q.q_alert_throttle,
+        "semantic_dedup": Q.q_semantic_dedup,
+        "dau_sketch_merge": Q.q_dau_sketch_merge,
+        "pagerank": Q.q_pagerank,
+        "weighted_sample": Q.q_weighted_sample,
+        "quantized_topk": Q.q_quantized_topk,
+        "ann_recall": Q.q_ann_recall,
+        "pq_index_topk": Q.q_pq_index_topk,
+        "pq_index_append_topk": Q.q_pq_index_append_topk,
+        "bpe_merges": Q.q_bpe_merges,
+        "copurchase_kcore": Q.q_copurchase_kcore,
+        "bpe_compression_by_source": Q.q_bpe_compression_by_source,
+        "mmr_diverse_topk": Q.q_mmr_diverse_topk,
+        "copurchase_communities": Q.q_copurchase_communities,
+        # --- excess never-attested paired entries, contiguous past the
+        # boundary (lead the round-12 queue) -----------------------------
         "brand_weekend_mix": Q.q_brand_weekend_mix,
         "cadence_by_ordinal": Q.q_cadence_by_ordinal,
         "type_mix_by_tenure": Q.q_type_mix_by_tenure,
@@ -203,7 +175,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_backorder_exposure": Q.q_brand_backorder_exposure,
         "customer_order_regularity": Q.q_customer_order_regularity,
         "label_separation_matrix": Q.q_label_separation_matrix,
-        # ^^^ window boundary (50) ^^^
         "order_rank_value_curve": Q.q_order_rank_value_curve,
         "new_sku_revenue_share": Q.q_new_sku_revenue_share,
         "order_status_profile": Q.q_order_status_profile,
@@ -240,7 +211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_value_profile": Q.q_priority_value_profile,
         "brand_demand_acf": Q.q_brand_demand_acf,
         "customer_entry_brand_loyalty": Q.q_customer_entry_brand_loyalty,
-        # --- stalest greens: freshest attestation CORRECTNESS_r5 ---
+        # --- previously-attested paired entries, stalest green first ----
         "dim_products": Q.q_dim_products,
         "market_share": Q.q_market_share,
         "nation_profit": Q.q_nation_profit,
@@ -282,7 +253,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": Q.q_jaccard_pairs,
         "dedup_groups": Q.q_dedup_groups,
         "multimodal_features": Q.q_multimodal_features,
-        # --- stalest greens: freshest attestation CORRECTNESS_r6 ---
         "lm_score": Q.q_lm_score,
         "top_tokens": Q.q_top_tokens,
         "corpus_filter": Q.q_corpus_filter,
@@ -332,7 +302,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_flags": Q.q_quality_flags,
         "user_journey": Q.q_user_journey,
         "sku_sales_anomaly": Q.q_sku_sales_anomaly,
-        # --- stalest greens: freshest attestation CORRECTNESS_r7 ---
         "returnflag_unpivot": Q.q_returnflag_unpivot,
         "scd2_point_in_time": Q.q_scd2_point_in_time,
         "table_checksum": Q.q_table_checksum,
@@ -382,7 +351,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_setops": Q.q_customer_setops,
         "returnflag_pivot": Q.q_returnflag_pivot,
         "min_cost_supplier": Q.q_min_cost_supplier,
-        # --- stalest greens: freshest attestation CORRECTNESS_r8 ---
         "price_equidepth_hist": Q.q_price_equidepth_hist,
         "fifo_allocation": Q.q_fifo_allocation,
         "name_edit1_pairs": Q.q_name_edit1_pairs,
@@ -433,7 +401,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evolving_schema": Q.q_evolving_schema,
         "stock_asof_forward": Q.q_stock_asof_forward,
         "stage_sales": Q.q_stage_sales,
-        # --- stalest greens: freshest attestation CORRECTNESS_r9 ---
         "price_change_events": Q.q_price_change_events,
         "single_source_risk": Q.q_single_source_risk,
         "seasonal_naive_backtest": Q.q_seasonal_naive_backtest,
@@ -484,12 +451,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_zchart": Q.q_weekly_zchart,
         "nation_segment_grid": Q.q_nation_segment_grid,
         "type_discount_profile": Q.q_type_discount_profile,
-        # --- rows-only (no oracle) entries close the tail by
-        # design: attesting one would waste a window slot ------
-        "image_phash_neardup": Q.q_image_phash_neardup,
-        "pq_topk": Q.q_pq_topk,
-        "alert_throttle": Q.q_alert_throttle,
-        "semantic_dedup": Q.q_semantic_dedup,
+        "purchases_in_promo_windows": Q.q_purchases_in_promo_windows,
+        "cross_region_trade_share": Q.q_cross_region_trade_share,
+        "referential_integrity_audit": Q.q_referential_integrity_audit,
+        "user_lifespan_profile": Q.q_user_lifespan_profile,
+        "user_burst_ratio": Q.q_user_burst_ratio,
+        "segment_halfyear_momentum": Q.q_segment_halfyear_momentum,
+        "corpus_ingestion_drift": Q.q_corpus_ingestion_drift,
+        "nation_acctbal_quartiles": Q.q_nation_acctbal_quartiles,
+        "avg_word_length_profile": Q.q_avg_word_length_profile,
+        "customer_purchase_acceleration": Q.q_customer_purchase_acceleration,
+        "order_value_band_transition": Q.q_order_value_band_transition,
+        "lang_source_lift": Q.q_lang_source_lift,
+        "user_error_rate_bands": Q.q_user_error_rate_bands,
+        "brand_weekly_rank_volatility": Q.q_brand_weekly_rank_volatility,
+        "size_band_revenue_trend": Q.q_size_band_revenue_trend,
+        "customer_value_uplift": Q.q_customer_value_uplift,
+        "tax_discount_grid": Q.q_tax_discount_grid,
+        "supplier_brand_focus": Q.q_supplier_brand_focus,
+        "source_exact_dup_rate": Q.q_source_exact_dup_rate,
+        "same_day_reorder_rate": Q.q_same_day_reorder_rate,
+        "event_mix_drift": Q.q_event_mix_drift,
+        "brand_cannibalization": Q.q_brand_cannibalization,
+        "order_priority_escalation": Q.q_order_priority_escalation,
+        "customer_supply_reach": Q.q_customer_supply_reach,
+        "returning_user_curve": Q.q_returning_user_curve,
+        "sku_velocity_quadrant": Q.q_sku_velocity_quadrant,
+        "stopword_density_profile": Q.q_stopword_density_profile,
+        "nation_trade_imbalance": Q.q_nation_trade_imbalance,
+        "nation_weekly_volatility": Q.q_nation_weekly_volatility,
+        "label_cohesion": Q.q_label_cohesion,
+        "supplier_new_business_trend": Q.q_supplier_new_business_trend,
+        "quantity_uniformity_screen": Q.q_quantity_uniformity_screen,
+        "type_hour_profile_similarity": Q.q_type_hour_profile_similarity,
+        "supplier_turnover": Q.q_supplier_turnover,
+        "returns_by_value_band": Q.q_returns_by_value_band,
+        "customer_concentration_trend": Q.q_customer_concentration_trend,
+        "day_of_month_profile": Q.q_day_of_month_profile,
+        "label_top_dims": Q.q_label_top_dims,
+        "sku_repurchase_cycle": Q.q_sku_repurchase_cycle,
+        "exact_dup_source_matrix": Q.q_exact_dup_source_matrix,
+        "label_text_profile": Q.q_label_text_profile,
+        "lang_label_lift": Q.q_lang_label_lift,
+        "open_order_aging": Q.q_open_order_aging,
+        "segment_spend_intensity": Q.q_segment_spend_intensity,
+        "brand_order_penetration": Q.q_brand_order_penetration,
+        "signup_conversion_by_week": Q.q_signup_conversion_by_week,
+        "segment_qoq_growth": Q.q_segment_qoq_growth,
+        "brand_volume_value_mix": Q.q_brand_volume_value_mix,
+        "customer_priority_breadth": Q.q_customer_priority_breadth,
+        "brand_copurchase_pairs": Q.q_brand_copurchase_pairs,
+        # --- rows-only entries already attested (r02 spark_rows evidence);
+        # re-attesting would waste a slot on a weaker check ---------------
         "minhash_pairs": Q.q_minhash_pairs,
         "minhash_ml_pairs": Q.q_minhash_ml_pairs,
         "ann_topk": Q.q_ann_topk,
@@ -499,18 +512,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": Q.q_stratified_sample,
         "value_quantile_sketch": Q.q_value_quantile_sketch,
         "customer_spend_quartiles_approx": Q.q_customer_spend_quartiles_approx,
-        "dau_sketch_merge": Q.q_dau_sketch_merge,
-        "pagerank": Q.q_pagerank,
-        "weighted_sample": Q.q_weighted_sample,
-        "quantized_topk": Q.q_quantized_topk,
-        "ann_recall": Q.q_ann_recall,
-        "pq_index_topk": Q.q_pq_index_topk,
-        "pq_index_append_topk": Q.q_pq_index_append_topk,
-        "bpe_merges": Q.q_bpe_merges,
-        "copurchase_kcore": Q.q_copurchase_kcore,
-        "bpe_compression_by_source": Q.q_bpe_compression_by_source,
-        "mmr_diverse_topk": Q.q_mmr_diverse_topk,
-        "copurchase_communities": Q.q_copurchase_communities,
     }
 
 

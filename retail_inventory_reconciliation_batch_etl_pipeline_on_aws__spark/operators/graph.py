@@ -464,4 +464,18 @@ def kcore_numbers(
         vals = nxt
         if changed == 0:
             break
+    else:
+        # The loop exhausted max_iters with the last round still
+        # changing: the H-sequence is monotone NON-INCREASING, so the
+        # values on hand are an OVER-estimate of coreness, not the
+        # fixpoint. Propagation moves roughly one hop per round, so a
+        # graph with long chains hanging off denser cores (effective
+        # diameter > max_iters) lands here. Silent truncation would
+        # hand the caller wrong numbers with no signal -- raise with
+        # the remedy instead (r10 ADVICE item).
+        raise RuntimeError(
+            f"kcore_numbers did not converge within max_iters={max_iters} "
+            "(last round still had changes); values would over-estimate "
+            "coreness. Raise max_iters (rounds needed ~ graph diameter)."
+        )
     return vals.select("node", F.col("c").alias("coreness"))

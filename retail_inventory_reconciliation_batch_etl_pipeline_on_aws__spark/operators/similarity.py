@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -815,7 +816,10 @@ def append_to_pq_index(
             .mx
         )
         seq = int(prev or 0) + 1
-    except Exception:  # noqa: BLE001 -- first append: no log yet
+    except AnalysisException:  # path not found: first append, no log yet.
+        # Anything else (corruption, transient FS failure) PROPAGATES --
+        # silently resetting seq to 1 on a transient error would fork
+        # the sequence (r10 ADVICE item).
         seq = 1
     spark.createDataFrame(
         [(seq, int(n), float(distortion))],

@@ -15794,13 +15794,16 @@ def q_event_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; single summary row. The lone single-partition window is
     CALENDAR-bounded (distinct days grow with the timeline, not the
     data -- a century is ~36.5k rows), the one shape where a global
-    window is scale-safe."""
+    window is scale-safe; the exception is mechanically tracked in
+    ``tests/test_plan_sweep.GLOBAL_WINDOW_OK`` (a ``partitionBy(F.lit(1))``
+    spelling used to suggest a partition that Catalyst folds away --
+    r10 ADVICE item)."""
     ev = fixtures.events(spark, sf_dir).select(
         F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400))
         .cast("long")
         .alias("eday")
     ).distinct()
-    w = Window.orderBy("eday").partitionBy(F.lit(1))
+    w = Window.orderBy("eday")
     gaps = ev.withColumn("gap", F.col("eday") - F.lag("eday").over(w))
     return gaps.agg(
         F.count("*").cast("long").alias("active_days"),

@@ -83,6 +83,27 @@ NESTED_LOOP_OK = {
     "brand_weekend_mix",  # 1-row global-weekend-share broadcast gate (gap baseline)
 }
 
+#: queries allowed a GLOBAL (partition-less / single-partition) window,
+#: and why. Two sanctioned shapes only: (a) global NTILE/rank AT
+#: AGGREGATE GRAIN -- the sorted frame is one row per customer/order/
+#: user, orders of magnitude below the fact tables, and exact global
+#: quantile assignment genuinely needs one sorted pass (the documented
+#: scale path beyond ~1e9 keys is approx percentile cuts, see
+#: customer_spend_quartiles_approx); (b) CALENDAR-bounded frames whose
+#: row count grows with the timeline, not the data (a century is
+#: ~36.5k rows). Anything else funneling through one task is a bug
+#: (r10 ADVICE: track the exception mechanically, not in docstrings).
+GLOBAL_WINDOW_OK = {
+    "customer_spend_quartiles",  # NTILE(4) at per-customer aggregate grain
+    "rfm_segments",  # 3x NTILE(5) at per-customer aggregate grain
+    "spend_latency_bias",  # NTILE(10) at per-customer aggregate grain
+    "value_priority_matrix",  # NTILE(10) at per-order aggregate grain
+    "customer_quartile_migration",  # per-half NTILE(4) at customer grain
+    "lorenz_curve",  # NTILE(10) + cumulative share at per-order grain
+    "user_activity_deciles",  # NTILE(10) at per-user aggregate grain
+    "event_calendar_gaps",  # LAG over distinct active DAYS (calendar-bounded)
+}
+
 #: queries allowed an Arrow-batched Python stage, and why
 PYTHON_OK = {
     "multimodal_features",  # sanctioned mapInPandas binary-feature boundary
@@ -116,6 +137,17 @@ def test_no_silent_antipatterns(spark, name):
     if name not in PYTHON_OK:
         for node in ("ArrowEvalPython", "MapInPandas"):
             assert node not in plan, f"{name}: unexpected Python stage {node}"
+    if name not in GLOBAL_WINDOW_OK:
+        import re as _re
+
+        for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            args = [a.strip() for a in m.group(1).split(",")]
+            part = [a for a in args if _re.fullmatch(r"\w+#\d+L?", a)]
+            assert part, (
+                f"{name}: partition-less (global) window -- funnels the "
+                "frame through one task; partition it or add to "
+                "GLOBAL_WINDOW_OK with the bounded-grain reason"
+            )
     # OUTPUT contract: no DECIMAL columns, ever. DECIMAL is welcome
     # INSIDE a plan (exact money/token accumulation) but the external
     # hasher canonicalizes DECIMAL cells differently across engines --

