@@ -136,6 +136,11 @@ BENCH_QUERIES = [
     # merge rounds, each with a 1-row argmax) -- first floors
     "cross_region_trade_share",
     "bpe_merges",
+    # round-11: the large-star/small-star CC fixpoint over the strong
+    # co-purchase graph, and the Arrow-batched JFIF synth + SOF decode
+    # boundary -- first floors
+    "copurchase_component_sizes",
+    "image_dims_jpeg",
 ]
 
 

@@ -60,7 +60,132 @@ def decode_image(payload: bytes) -> dict:
             "height": abs(height),
             "bit_depth": bpp,
         }
-    raise ValueError("unsupported image format (expect PNG or BMP)")
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
+    raise ValueError("unsupported image format (expect PNG, BMP or JPEG)")
+
+
+#: SOFn markers that carry a frame header. C4/C8/CC are DHT/JPG/DAC --
+#: huffman/arithmetic tables that share the C0-CF range but are NOT
+#: frame headers (ITU T.81 table B.1).
+_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _decode_jpeg(payload: bytes) -> dict:
+    """REAL JPEG frame-header decode: walk the marker-segment stream
+    from SOI to the first SOFn and parse precision/height/width/
+    components out of its bytes (ITU T.81 B.2.2). Pure Python, no
+    media libs -- the same chunk-walk discipline as the PNG/BMP/GIF/
+    WAV decoders. Foreign metadata segments (EXIF APP1, COM, DQT,
+    DHT, DRI, any APPn) are SKIPPED by their big-endian length
+    fields; ``format`` distinguishes baseline (SOF0/1) from
+    progressive (SOF2); ``bit_depth`` is bits per pixel (sample
+    precision x component count: 8 gray, 24 YCbCr). Raises
+    ``ValueError`` on marker desync, truncation, or a scan/EOI
+    arriving before any frame header."""
+    i = 2
+    n = len(payload)
+    while True:
+        if i + 2 > n:
+            raise ValueError("corrupt JPEG: truncated before SOF")
+        if payload[i] != 0xFF:
+            raise ValueError("corrupt JPEG: marker desync")
+        # 0xFF fill bytes may pad ahead of any marker (B.1.1.2)
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 2 > n:
+            raise ValueError("corrupt JPEG: truncated fill run")
+        marker = payload[i + 1]
+        if marker in (0xD9, 0xDA):  # EOI / SOS with no frame header seen
+            raise ValueError("corrupt JPEG: no SOF before scan/EOI")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            raise ValueError("corrupt JPEG: standalone marker before scan")
+        if i + 4 > n:
+            raise ValueError("corrupt JPEG: truncated segment length")
+        (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        if seg_len < 2 or i + 2 + seg_len > n:
+            raise ValueError("corrupt JPEG: segment overruns payload")
+        if marker in _SOF_MARKERS:
+            if seg_len < 8:
+                raise ValueError("corrupt JPEG: SOF segment too short")
+            precision = payload[i + 4]
+            height, width = struct.unpack(">HH", payload[i + 5 : i + 9])
+            ncomp = payload[i + 9]
+            if ncomp == 0 or seg_len != 8 + 3 * ncomp:
+                raise ValueError("corrupt JPEG: SOF component table size")
+            return {
+                "format": "jpeg_progressive" if marker == 0xC2 else "jpeg",
+                "width": width,
+                "height": height,
+                "bit_depth": precision * ncomp,
+            }
+        i += 2 + seg_len
+
+
+#: ITU T.81 Annex K.1 luminance quantization table (zigzag order) --
+#: the canonical example table every libjpeg-family encoder ships.
+_JPEG_LUMA_DQT = bytes(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ]
+)
+
+
+def _jpeg_segment(marker: int, data: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    seed: int = 0,
+    gray: bool = True,
+    progressive: bool = False,
+) -> bytes:
+    """Build a structurally-VALID JFIF byte stream: SOI, APP0 (JFIF
+    1.1), DQT (Annex K luminance table), SOF0 or SOF2 frame header
+    with real dimensions and 1 (gray) or 3 (YCbCr 4:2:0) components,
+    a minimal DHT, SOS, seed-deterministic entropy bytes with proper
+    0xFF 0x00 byte stuffing, EOI. Every segment length field is
+    correct, so any spec-conforming marker walker (including
+    ``_decode_jpeg``) parses it; the entropy data is filler -- this
+    synthesizes header-decode fixtures, not viewable pictures (the
+    house boundary: container/headers REAL, pixel inference stubbed).
+    Deterministic in all arguments."""
+    ncomp = 1 if gray else 3
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = b"\x00" + _JPEG_LUMA_DQT
+    comps = b"".join(
+        bytes([cid, 0x22 if (not gray and cid == 1) else 0x11, 0])
+        for cid in range(1, ncomp + 1)
+    )
+    sof = struct.pack(">BHHB", 8, height, width, ncomp) + comps
+    # minimal DC huffman table: one 1-bit code mapping to value 0
+    dht = b"\x00" + bytes([1] + [0] * 15) + b"\x00"
+    sos = (
+        bytes([ncomp])
+        + b"".join(bytes([cid, 0x00]) for cid in range(1, ncomp + 1))
+        + bytes([0, 63, 0])
+    )
+    raw = bytes((seed + 7 * k) % 256 for k in range(16 + (seed + width) % 23))
+    entropy = raw.replace(b"\xff", b"\xff\x00")
+    return (
+        b"\xff\xd8"
+        + _jpeg_segment(0xE0, app0)
+        + _jpeg_segment(0xDB, dqt)
+        + _jpeg_segment(0xC2 if progressive else 0xC0, sof)
+        + _jpeg_segment(0xC4, dht)
+        + _jpeg_segment(0xDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
 
 
 def _png_chunk(tag: bytes, data: bytes) -> bytes:
@@ -281,6 +406,36 @@ def with_test_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 encode_png_gray(int(i) % 61 + 4, int(i) * 13 % 47 + 4, seed=int(i))
                 if int(i) % 2 == 0
                 else encode_bmp_rgb(int(i) % 61 + 4, int(i) * 13 % 47 + 4, seed=int(i))
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, "doc_id bigint, payload binary"
+    )
+
+
+def with_test_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a deterministic VALID JFIF payload per row with
+    dimensions and variant derived arithmetically from the id
+    (width = id % 199 + 8, height = id * 17 % 151 + 8; id % 3 == 0 ->
+    progressive SOF2 color, 1 -> baseline gray, 2 -> baseline color),
+    so an SQL oracle can verify the SOF frame-header decode end-to-end
+    without ever seeing the bytes -- the ``with_test_images``
+    contract for the JPEG branch. Arrow-batched like every other
+    payload stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                encode_jpeg(
+                    int(i) % 199 + 8,
+                    int(i) * 17 % 151 + 8,
+                    seed=int(i),
+                    gray=int(i) % 3 == 1,
+                    progressive=int(i) % 3 == 0,
+                )
                 for i in ids
             ]
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})

@@ -6,12 +6,14 @@ import pytest
 from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.multimodal import (
     decode_image,
     encode_bmp_rgb,
+    encode_jpeg,
     encode_png_gray,
     image_dimensions,
     resize_images,
     sample_frames,
     with_binary_payload,
     with_test_images,
+    with_test_jpegs,
 )
 
 from conftest import TESTDATA
@@ -86,6 +88,99 @@ def test_png_payload_is_standard_decodable():
         off += 12 + ln
     assert set(chunks) == {b"IHDR", b"IDAT", b"IEND"}
     assert len(zlib.decompress(chunks[b"IDAT"])) == h * (1 + w)
+
+
+def test_decode_jpeg_roundtrip_all_variants():
+    for w, h in [(8, 8), (97, 143), (640, 480), (65535, 65535)]:
+        for gray, prog in [(True, False), (False, False), (False, True)]:
+            m = decode_image(encode_jpeg(w, h, seed=3, gray=gray, progressive=prog))
+            assert m == {
+                "format": "jpeg_progressive" if prog else "jpeg",
+                "width": w,
+                "height": h,
+                "bit_depth": 8 if gray else 24,
+            }
+
+
+def test_decode_jpeg_parses_foreign_headers():
+    """Marker streams NOT produced by our encoder -- hand-packed per
+    ITU T.81 -- so the walker is checked against the format, not its
+    sibling encoder: an EXIF APP1 + COM + DRI ahead of an SOF1
+    (extended sequential) frame, with 0xFF fill padding before SOF."""
+    import struct
+
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    sof1 = struct.pack(">BHHB", 12, 1080, 1920, 3) + bytes(
+        [1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    payload = (
+        b"\xff\xd8"
+        + seg(0xE1, b"Exif\x00\x00" + b"II*\x00" + b"\x00" * 8)
+        + seg(0xFE, b"made by a real camera")
+        + seg(0xDD, struct.pack(">H", 8))
+        + b"\xff"  # fill byte ahead of the SOF marker (B.1.1.2)
+        + seg(0xC1, sof1)[1:]
+    )
+    assert decode_image(payload) == {
+        "format": "jpeg", "width": 1920, "height": 1080, "bit_depth": 36,
+    }
+
+
+def test_decode_jpeg_rejects_corruption():
+    good = encode_jpeg(32, 24, seed=5)
+    with pytest.raises(ValueError, match="overruns"):
+        decode_image(good[:9])  # cut inside APP0 (length points past end)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(good[:3])  # cut inside the APP0 marker itself
+    with pytest.raises(ValueError, match="no SOF"):
+        decode_image(b"\xff\xd8\xff\xda\x00\x08" + b"\x00" * 6)  # SOS first
+    with pytest.raises(ValueError, match="no SOF"):
+        decode_image(b"\xff\xd8\xff\xd9")  # empty SOI+EOI
+    with pytest.raises(ValueError, match="desync"):
+        decode_image(b"\xff\xd8\x00\x00\x00\x00")  # garbage after SOI
+    with pytest.raises(ValueError, match="standalone"):
+        decode_image(b"\xff\xd8\xff\xd3")  # RST outside scan data
+    with pytest.raises(ValueError, match="overruns"):
+        # APP0 length field pointing past the end of the payload
+        decode_image(b"\xff\xd8\xff\xe0\xff\xff" + b"\x00" * 4)
+    with pytest.raises(ValueError, match="component table"):
+        # SOF length inconsistent with its component count
+        bad_sof = (
+            b"\xff\xd8\xff\xc0\x00\x0b"
+            + bytes([8]) + (24).to_bytes(2, "big") + (32).to_bytes(2, "big")
+            + bytes([3, 1, 0x11, 0])  # claims 3 comps, carries 1
+        )
+        decode_image(bad_sof)
+
+
+def test_jpeg_entropy_bytes_are_stuffed():
+    """No bare 0xFF may survive inside the entropy segment, or a
+    marker walker would misparse scan data as a marker; the encoder
+    must byte-stuff (0xFF -> 0xFF 0x00) per B.1.1.5."""
+    for seed in range(40):
+        p = encode_jpeg(50 + seed, 60, seed=seed, gray=seed % 2 == 0)
+        sos_at = p.find(b"\xff\xda")
+        scan = p[sos_at + 2 :][: -2]  # between SOS marker and EOI
+        i = p[sos_at + 2 : sos_at + 4]
+        body = scan[int.from_bytes(i, "big") :]
+        for k, b in enumerate(body[:-1]):
+            if b == 0xFF:
+                assert body[k + 1] == 0x00, f"bare 0xFF at {k} (seed {seed})"
+
+
+def test_image_dimensions_jpeg_spark_path(spark):
+    """SOF fields parsed from bytes on executors == values computed
+    from ids (the oracle arithmetic for image_dims_jpeg)."""
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet").limit(30)
+    out = image_dimensions(with_test_jpegs(docs)).collect()
+    assert len(out) == 30
+    for r in out:
+        assert r.format == ("jpeg_progressive" if r.doc_id % 3 == 0 else "jpeg")
+        assert r.width == r.doc_id % 199 + 8
+        assert r.height == r.doc_id * 17 % 151 + 8
+        assert r.bit_depth == (8 if r.doc_id % 3 == 1 else 24)
 
 
 def test_image_dimensions_spark_path(spark):

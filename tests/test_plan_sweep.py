@@ -108,6 +108,7 @@ GLOBAL_WINDOW_OK = {
 PYTHON_OK = {
     "multimodal_features",  # sanctioned mapInPandas binary-feature boundary
     "image_dims",  # sanctioned mapInPandas payload-synth + header-decode boundary
+    "image_dims_jpeg",  # sanctioned mapInPandas JFIF-synth + SOF-decode boundary
     "minhash_ml_pairs",  # pyspark.ml MinHashLSH internals
     "ann_topk",  # pyspark.ml BucketedRandomProjectionLSH internals
     "embed_neardup_lsh",  # pyspark.ml LSH internals

@@ -465,6 +465,10 @@ PORTABLE = [
     "weekpart_value_gap",
     "conversion_by_session_depth",
     "nation_market_structure",
+    # round-11 additions probed portable (the component-sizes twin is
+    # recursive-union-distinct, see NONPORTABLE)
+    "image_dims_jpeg",
+    "copurchase_degree_hist",
 ]
 
 
@@ -500,6 +504,11 @@ PORTABLE = [
 #: - decimal-division-scale: parses on Spark but DuckDB's decimal
 #:   division scale rules produce different rounding (fifo/lifo
 #:   layer allocation).
+#: - recursive-union-distinct: WITH RECURSIVE ... UNION (distinct) --
+#:   the transitive-closure form that terminates on cyclic graphs.
+#:   Spark 4.1 supports recursive CTEs but only with UNION ALL
+#:   (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), which never terminates
+#:   on a cycle; there is no shared spelling.
 NONPORTABLE = {
     "label_cohesion": "range-tvf",
     "label_top_dims": "range-tvf",
@@ -513,6 +522,7 @@ NONPORTABLE = {
     "collocation_lift": "list-lambda",
     "contamination_check": "list-lambda",
     "contamination_hashed": "list-lambda",
+    "copurchase_component_sizes": "recursive-union-distinct",
     "corpus_filter": "list-lambda",
     "corpus_pack": "dialect-syntax",
     "curation_summary": "list-lambda",
