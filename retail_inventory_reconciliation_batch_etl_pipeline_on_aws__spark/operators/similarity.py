@@ -852,13 +852,43 @@ def pq_index_staleness(
             ).alias("d"),
         ).first()
         appended, app_dist = int(row.n or 0), row.d
-    except Exception:  # noqa: BLE001 -- never appended
+    except AnalysisException:  # path not found: never appended.
+        # Anything else (corruption, transient FS failure) PROPAGATES --
+        # a silent n_appended=0 would suppress a due retrain
+        # recommendation (r10 ADVICE item).
         appended, app_dist = 0, None
     try:
         base = spark.read.parquet(f"{path}/build_stats").first()
         base_n, base_dist = int(base.n_vectors), float(base.mean_sq_distortion)
-    except Exception:  # noqa: BLE001 -- pre-r10 index without stats
+    except AnalysisException:  # pre-r10 index persisted without stats
         base_n, base_dist = None, None
+    return staleness_report(
+        base_n,
+        base_dist,
+        appended,
+        None if app_dist is None else float(app_dist),
+        max_appended_fraction,
+        max_distortion_ratio,
+    )
+
+
+def staleness_report(
+    base_n: int | None,
+    base_dist: float | None,
+    appended: int,
+    app_dist: float | None,
+    max_appended_fraction: float = 0.5,
+    max_distortion_ratio: float = 1.5,
+) -> dict:
+    """The pure gate math of :func:`pq_index_staleness`, factored out
+    so the decision logic is property-testable against an exact Python
+    model without Spark I/O per example. Invariants the hypothesis
+    suite pins: the weighted-mean inputs are the CALLER's (size-
+    weighted across append batches); ``appended_fraction`` is
+    monotone in ``appended`` and never exceeds 1; a missing side
+    (no appends / pre-stats index) can WAIVE the ratio gate but never
+    the fraction gate; recommendation is exactly the OR of the two
+    threshold breaches."""
     total = (base_n or 0) + appended
     frac = (appended / total) if total else 0.0
     ratio = (
