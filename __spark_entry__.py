@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dims_jpeg": Q.q_image_dims_jpeg,
         "copurchase_degree_hist": Q.q_copurchase_degree_hist,
         "copurchase_component_sizes": Q.q_copurchase_component_sizes,
+        "leakage_safe_split": Q.q_leakage_safe_split,
         "daily_trending_types": Q.q_daily_trending_types,
         "three_step_funnel": Q.q_three_step_funnel,
         "session_duration_by_entry": Q.q_session_duration_by_entry,
@@ -101,7 +102,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_calendar_gaps": Q.q_event_calendar_gaps,
         "customer_return_propensity": Q.q_customer_return_propensity,
         "weekly_value_per_event": Q.q_weekly_value_per_event,
-        "nation_discount_gap": Q.q_nation_discount_gap,
         # judge item #7: the never-attested cross-modal pair windowed
         "kmeans_iteration": Q.q_kmeans_iteration,
         "embedding_outliers": Q.q_embedding_outliers,
@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- excess never-attested paired entries, contiguous past the
         # boundary (lead the round-12 queue; the first three were
         # displaced from the window by the round-11 additions) -----------
+        "nation_discount_gap": Q.q_nation_discount_gap,
         "cohort_retention_triangle": Q.q_cohort_retention_triangle,
         "click_to_purchase_latency": Q.q_click_to_purchase_latency,
         "signup_dow_retention": Q.q_signup_dow_retention,
@@ -10078,5 +10079,75 @@ sizes AS (
 )
 SELECT comp_size, CAST(COUNT(*) AS BIGINT) AS n_components
 FROM sizes GROUP BY comp_size ORDER BY comp_size
+""",
+        # round 11: group-aware split -- dedup_groups' recursive-CTE
+        # clustering composed with dataset_split's md5-bucket idiom,
+        # keyed on the CANONICAL id so no near-dup group straddles
+        "leakage_safe_split": """
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 3 + 2), i ->
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+  FROM tok WHERE len(toks) >= 3
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+jpairs AS (
+  SELECT doc_a, doc_b
+  FROM shared
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jpairs
+  UNION
+  SELECT doc_b, doc_a FROM jpairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id
+  FROM reach GROUP BY a
+),
+gsz AS (SELECT canonical_id, COUNT(*) AS group_size FROM comp GROUP BY 1),
+g AS (
+  SELECT c.doc_id, c.canonical_id, s.group_size
+  FROM comp c JOIN gsz s ON s.canonical_id = c.canonical_id
+),
+j AS (
+  SELECT d.doc_id,
+         COALESCE(g.canonical_id, d.doc_id) AS canon,
+         CASE WHEN g.group_size >= 2 THEN 1 ELSE 0 END AS nd
+  FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id
+),
+b AS (
+  SELECT canon, nd,
+         CAST(list_sum(list_transform(range(1, 9), i ->
+           (strpos('0123456789abcdef',
+                   substr(md5(CAST(canon AS STRING)), CAST(i AS INT), 1)) - 1)
+           * power(16, 8 - i))) AS BIGINT) % 10 AS bucket
+  FROM j
+)
+SELECT CASE WHEN bucket < 8 THEN 'train'
+            WHEN bucket = 8 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canonical,
+       CAST(SUM(nd) AS BIGINT) AS n_near_dup_docs
+FROM b GROUP BY 1 ORDER BY 1
 """,
     }

@@ -16538,3 +16538,60 @@ def q_copurchase_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_components"))
         .orderBy("comp_size")
     )
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/val/test split: the eval-leakage guard
+    ``dataset_split`` lacks. Hashing each doc independently puts ~2%
+    of every near-dup CLUSTER's mass in val/test, so the model is
+    evaluated on paraphrases of its own training data (the published
+    reason LLM corpora deduplicate ACROSS splits, not just within
+    them). Fix: split on the near-dup group's CANONICAL id -- members
+    of one cluster share the canonical, hence the split, so no group
+    straddles a boundary BY CONSTRUCTION (pinned by pytest; the
+    oracle hash-verifies both the clustering and the md5-bucket
+    arithmetic).
+
+    Composition of two independently-oracled stages: connected
+    components over the exact-Jaccard >= 0.5 pair graph
+    (``dedup_groups``) left-joined under the full corpus (singletons
+    are their own canonical), then the ``dataset_split`` md5-bucket
+    idiom applied to the canonical id. Per split: docs, distinct
+    canonical groups, and near-dup members. Same production note as
+    ``dedup_keep_best``: at 100 TB the groups table is materialized
+    once, not recomputed per consumer."""
+    from .operators.dedup import shingle_jaccard_pairs
+    from .operators.graph import dedup_groups
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    groups = dedup_groups(
+        shingle_jaccard_pairs(fixtures.fan_out(docs), n=3, threshold=0.5)
+    )
+    j = docs.select("doc_id").join(
+        groups.select("doc_id", "canonical_id", "group_size"), "doc_id", "left"
+    )
+    canon = F.coalesce(F.col("canonical_id"), F.col("doc_id"))
+    bucket = (
+        F.conv(F.substring(F.md5(canon.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        j.select(
+            split.alias("split"),
+            canon.alias("canon"),
+            F.when(F.col("group_size") >= 2, 1).otherwise(0).alias("nd"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("canon").cast("long").alias("n_canonical"),
+            F.sum("nd").cast("long").alias("n_near_dup_docs"),
+        )
+        .orderBy("split")
+    )

@@ -523,6 +523,7 @@ NONPORTABLE = {
     "contamination_check": "list-lambda",
     "contamination_hashed": "list-lambda",
     "copurchase_component_sizes": "recursive-union-distinct",
+    "leakage_safe_split": "list-lambda",
     "corpus_filter": "list-lambda",
     "corpus_pack": "dialect-syntax",
     "curation_summary": "list-lambda",
