@@ -222,6 +222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_value_profile": Q.q_priority_value_profile,
         "brand_demand_acf": Q.q_brand_demand_acf,
         "customer_entry_brand_loyalty": Q.q_customer_entry_brand_loyalty,
+        # round-11 additions (youngest never-attested -> back of queue)
+        "winnow_fingerprint_density": Q.q_winnow_fingerprint_density,
+        "fingerprint_matches": Q.q_fingerprint_matches,
         # --- previously-attested paired entries, stalest green first ----
         "dim_products": Q.q_dim_products,
         "market_share": Q.q_market_share,
@@ -10080,6 +10083,77 @@ sizes AS (
 SELECT comp_size, CAST(COUNT(*) AS BIGINT) AS n_components
 FROM sizes GROUP BY comp_size ORDER BY comp_size
 """,
+        # round 11: the iterative PageRank loop becomes FULLY paired --
+        # the operator is BIGINT fixed-point (every division a floor
+        # div, every sum exact), so 6 unrolled iteration CTEs reproduce
+        # it integer-for-integer; no float ever enters either side.
+        "pagerank": """
+WITH pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+edges AS (SELECT pa AS src, pb AS dst FROM pairs UNION SELECT pb, pa FROM pairs),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM deg),
+r1 AS (
+  SELECT d.node, CAST(150000000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+  FROM deg d
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // dd.outdeg) AS s
+    FROM edges e JOIN r0 r ON r.node = e.src JOIN deg dd ON dd.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = d.node
+),
+r2 AS (
+  SELECT d.node, CAST(150000000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+  FROM deg d
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // dd.outdeg) AS s
+    FROM edges e JOIN r1 r ON r.node = e.src JOIN deg dd ON dd.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = d.node
+),
+r3 AS (
+  SELECT d.node, CAST(150000000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+  FROM deg d
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // dd.outdeg) AS s
+    FROM edges e JOIN r2 r ON r.node = e.src JOIN deg dd ON dd.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = d.node
+),
+r4 AS (
+  SELECT d.node, CAST(150000000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+  FROM deg d
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // dd.outdeg) AS s
+    FROM edges e JOIN r3 r ON r.node = e.src JOIN deg dd ON dd.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = d.node
+),
+r5 AS (
+  SELECT d.node, CAST(150000000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+  FROM deg d
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // dd.outdeg) AS s
+    FROM edges e JOIN r4 r ON r.node = e.src JOIN deg dd ON dd.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = d.node
+),
+r6 AS (
+  SELECT d.node, CAST(150000000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+  FROM deg d
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // dd.outdeg) AS s
+    FROM edges e JOIN r5 r ON r.node = e.src JOIN deg dd ON dd.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = d.node
+)
+SELECT node AS part, rank FROM r6 ORDER BY rank DESC, part LIMIT 50
+""",
         # round 11: group-aware split -- dedup_groups' recursive-CTE
         # clustering composed with dataset_split's md5-bucket idiom,
         # keyed on the CANONICAL id so no near-dup group straddles
@@ -10149,5 +10223,90 @@ SELECT CASE WHEN bucket < 8 THEN 'train'
        CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canonical,
        CAST(SUM(nd) AS BIGINT) AS n_near_dup_docs
 FROM b GROUP BY 1 ORDER BY 1
+""",
+        # round 11: MOSS winnowing (Schleimer et al. 2003) -- k=4-token
+        # gram hashes via the portable md5 hex-fold, w=4 window minima
+        # with leftmost tie-break (list_position = first match, exactly
+        # Spark's array_position), selections deduped per doc. Both
+        # entries share this prelude.
+        "winnow_fingerprint_density": """
+WITH tok AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id, source,
+         list_transform(
+           list_transform(range(1, len(toks) - 4 + 2), i ->
+             array_to_string(list_slice(toks, i, i + 3), ' ')),
+           g -> CAST(list_sum(list_transform(range(1, 9), x ->
+                  (strpos('0123456789abcdef',
+                          substr(md5(g), CAST(x AS INT), 1)) - 1)
+                  * power(16, 8 - x))) AS BIGINT)) AS hs
+  FROM tok WHERE len(toks) >= 7
+),
+sel AS (
+  SELECT doc_id, source, hs,
+         list_distinct(list_transform(range(1, len(hs) - 4 + 2), j ->
+           j - 1 + list_position(list_slice(hs, j, j + 3),
+                                 list_min(list_slice(hs, j, j + 3))))) AS ps
+  FROM h
+),
+fpe AS (SELECT doc_id, hs[unnest(ps)] AS fp FROM sel),
+perdoc AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fp
+  FROM fpe GROUP BY doc_id
+),
+g AS (SELECT doc_id, source, CAST(len(hs) AS BIGINT) AS n_grams FROM h)
+SELECT g.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.n_fp) AS BIGINT) AS n_fingerprints,
+       ROUND(CAST(SUM(p.n_fp) AS DOUBLE) / COUNT(*), 4) AS fp_per_doc,
+       ROUND(CAST(SUM(p.n_fp) AS DOUBLE) / SUM(g.n_grams), 4) AS density
+FROM g JOIN perdoc p ON p.doc_id = g.doc_id
+GROUP BY 1 ORDER BY 1
+""",
+        "fingerprint_matches": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, len(toks) - 4 + 2), i ->
+             array_to_string(list_slice(toks, i, i + 3), ' ')),
+           g -> CAST(list_sum(list_transform(range(1, 9), x ->
+                  (strpos('0123456789abcdef',
+                          substr(md5(g), CAST(x AS INT), 1)) - 1)
+                  * power(16, 8 - x))) AS BIGINT)) AS hs
+  FROM tok WHERE len(toks) >= 7
+),
+sel AS (
+  SELECT doc_id, hs,
+         list_distinct(list_transform(range(1, len(hs) - 4 + 2), j ->
+           j - 1 + list_position(list_slice(hs, j, j + 3),
+                                 list_min(list_slice(hs, j, j + 3))))) AS ps
+  FROM h
+),
+fpe AS (SELECT doc_id, hs[unnest(ps)] AS fp FROM sel),
+fpd AS (SELECT DISTINCT doc_id, fp FROM fpe),
+rare AS (SELECT fp FROM fpd GROUP BY fp HAVING COUNT(*) <= 50),
+kept AS (SELECT f.doc_id, f.fp FROM fpd f JOIN rare USING (fp)),
+nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM fpd GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT doc_a, doc_b, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / LEAST(na.nf, nb.nf), 4) AS overlap
+FROM pairs
+JOIN nf na ON na.doc_id = doc_a
+JOIN nf nb ON nb.doc_id = doc_b
+ORDER BY n_shared DESC, doc_a, doc_b
 """,
     }

@@ -3372,9 +3372,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the engine's iterative-algorithm surface
     (``operators.graph.pagerank``): a Pregel-style join-agg loop in
     BIGINT fixed-point (1 rank = 10^12 units), bit-deterministic for
-    any partitioning -- see the operator docstring. Rows-only entry:
-    8 rounds of joins are not SQL-expressible; the pytest twin checks
-    the Spark loop EXACTLY (integer-for-integer) against a pure-Python
+    any partitioning -- see the operator docstring. FULLY PAIRED as of
+    round 11: because every rank is an exact BIGINT (floor-div
+    damping, order-free integer sums), the 6 iterations unroll into 6
+    chained SQL CTEs that the DuckDB oracle reproduces
+    integer-for-integer -- the fixed-point discipline is what makes an
+    iterative operator oracle-checkable at all (double-precision
+    PageRank could never hash-match across engines). The pytest twin
+    additionally checks the Spark loop against a pure-Python
     arbitrary-precision implementation, plus mass-conservation and
     hub-ordering properties.
 
@@ -16594,4 +16599,105 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nd").cast("long").alias("n_near_dup_docs"),
         )
         .orderBy("split")
+    )
+
+
+def q_winnow_fingerprint_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING fingerprint audit by source: how many MOSS-style
+    fingerprints (k=4-token grams, w=4 window minima -- see
+    ``operators.dedup.winnow_fingerprints``) each corpus source emits,
+    per doc and per gram. The density column is the paper's 2/(w+1)
+    expectation made observable -- a source whose density runs hot has
+    repetitive text (window minima keep shifting), one that runs cold
+    is near-constant boilerplate; both are curation signals BEFORE any
+    pair matching runs, and the per-source fingerprint volume is the
+    direct cost model for the match join of
+    ``q_fingerprint_matches``.
+
+    Fully paired: every selection is exact integer arithmetic on the
+    portable md5 hex-fold, so the oracle re-derives the identical
+    fingerprint sets and aggregates. Linear scan shape -- one
+    projection of array HOFs, one explode, one agg; no join anywhere.
+    """
+    from .operators.dedup import winnow_fingerprints
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs)
+    per_doc = fps.groupBy("doc_id").agg(
+        F.countDistinct("fp").cast("long").alias("n_fp"),
+        F.count("*").cast("long").alias("n_sel"),
+    )
+    from .functions.text import tokens as _toks
+
+    grams = docs.select(
+        "doc_id",
+        "source",
+        (F.size(_toks("text")) - F.lit(3)).cast("long").alias("n_grams"),
+    ).where(F.col("n_grams") >= 4)
+    return (
+        grams.join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_fp").cast("long").alias("n_fingerprints"),
+            F.round(F.sum("n_fp") / F.count("*"), 4).alias("fp_per_doc"),
+            F.round(F.sum("n_fp") / F.sum("n_grams"), 4).alias("density"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document WINNOWING matches: document pairs sharing >= 2
+    distinct winnowed fingerprints, scored by overlap against the
+    smaller fingerprint set -- MOSS's match report, and the
+    contamination primitive that catches eval text pasted into
+    training documents even when only a t-token run (t = k+w-1 = 7)
+    survives editing: the winnowing guarantee says any shared run of
+    >= t tokens yields a shared fingerprint, so thresholding at 2
+    shared keeps only multi-run (or long-run) overlap.
+
+    Scale discipline -- the join is on the FINGERPRINT, never doc x
+    doc: per-doc fingerprints are ~2/(w+1) of grams (constant-factor
+    sparse), and the one hub risk (a boilerplate fingerprint present
+    in thousands of docs exploding the self-join quadratically) is
+    killed by the MOSS stop-fingerprint rule: fingerprints in > 50
+    distinct documents are dropped BEFORE the self-join (the paper's
+    "ignore very common fingerprints"; a fingerprint that common
+    carries no pair-attribution signal anyway). That caps per-bucket
+    fan-out at 50^2 regardless of corpus size -- the same
+    block-then-verify posture as the rest of the dedup ladder.
+    """
+    from .operators.dedup import winnow_fingerprints
+
+    docs = fixtures.load(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs).select("doc_id", "fp").distinct()
+    rare = fps.groupBy("fp").agg(F.count("*").alias("_df")).where(
+        F.col("_df") <= 50
+    )
+    kept = fps.join(rare.select("fp"), "fp")
+    n_fp = fps.groupBy("doc_id").agg(F.count("*").cast("long").alias("nf"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+    na = n_fp.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("_na"))
+    nb = n_fp.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("_nb"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("_na", "_nb"), 4
+            ).alias("overlap"),
+        )
+        .orderBy(F.col("n_shared").desc(), "doc_a", "doc_b")
     )
