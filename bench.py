@@ -141,6 +141,11 @@ BENCH_QUERIES = [
     # boundary -- first floors
     "copurchase_component_sizes",
     "image_dims_jpeg",
+    # round-11 session 2: the 6-round fixed-point PageRank loop (now
+    # fully oracle-paired) and the winnowing fingerprint match join --
+    # first floors
+    "pagerank",
+    "fingerprint_matches",
 ]
 
 
