@@ -52,7 +52,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     excess-leads-the-queue promise) plus those 16 rows-only entries,
     each spending its
     one-time ``spark_rows > 0`` slot under the rule-3 exception added
-    to tools/rotation_check.py this round. The remaining 96 paired
+    to tools/rotation_check.py this round. Session 2: ``pagerank``
+    (already in-window on a rule-3 slot) gained a full DuckDB oracle
+    -- the fixed-point loop unrolled as 6 iteration CTEs -- so its
+    slot upgrades from rows-only to a paired attestation in place;
+    the two winnowing additions join the BACK of the excess zone
+    (youngest never-attested last). The remaining 98 paired
     never-attested entries (the three displaced by the round-11
     additions first) sit contiguously past the boundary (round-
     12 leads); behind those, every previously-attested paired entry

@@ -16671,7 +16671,13 @@ def q_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import winnow_fingerprints
 
     docs = fixtures.load(spark, sf_dir, "documents")
-    fps = winnow_fingerprints(docs).select("doc_id", "fp").distinct()
+    # persist the distinct (doc, fp) frame: four consumers (both join
+    # sides, the stop-fingerprint DF count, the per-doc denominators)
+    # would otherwise EACH re-run the tokenize+gram+hash+select HOF
+    # pipeline over the corpus -- 4 winnowing passes instead of 1
+    fps = (
+        winnow_fingerprints(docs).select("doc_id", "fp").distinct().persist()
+    )
     rare = fps.groupBy("fp").agg(F.count("*").alias("_df")).where(
         F.col("_df") <= 50
     )
