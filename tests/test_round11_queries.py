@@ -190,3 +190,35 @@ def test_fingerprint_matches_shape(spark):
         assert r.n_shared >= 2
         assert 0.0 < r.overlap <= 1.0
     assert any(r.overlap == 1.0 for r in rows)
+
+
+def test_winnow_randomized_corpus_vs_twin(spark):
+    """One Spark pass over a seeded random corpus (varied lengths,
+    small alphabet so ties and repeats are dense) must equal the
+    pure-Python twin doc-for-doc -- the randomized complement to the
+    crafted shapes above."""
+    import random
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.dedup import (  # noqa: E501
+        winnow_fingerprints,
+    )
+
+    rng = random.Random(1137)
+    vocab = [f"w{i}" for i in range(9)]
+    corpora = {
+        i: [rng.choice(vocab) for _ in range(rng.randint(0, 40))]
+        for i in range(40)
+    }
+    df = spark.createDataFrame(
+        [(i, " ".join(ts)) for i, ts in corpora.items()],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    want = {
+        i: _winnow_twin(ts)
+        for i, ts in corpora.items()
+        if _winnow_twin(ts)
+    }
+    assert got == want
