@@ -9716,13 +9716,16 @@ def q_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same plan re-run -- this is the building block SemDeDup's IVF
     clustering trains with."""
     emb = fixtures.load(spark, sf_dir, "embeddings")
+    # persisted: seeds, the scoring join, and the centroid-update sum
+    # all consume the exploded+quantized frame -- unpersisted, each
+    # re-runs the posexplode over the source (8 scans in the plan)
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "v")
     ).select(
         "vec_id",
         "dim",
         F.round(F.col("v").cast("double") * 10000).cast("long").alias("q"),
-    )
+    ).persist()
     seeds = ex.where(F.col("vec_id") < 8).select(
         F.col("vec_id").cast("long").alias("k"), "dim", F.col("q").alias("c")
     )
