@@ -5861,17 +5861,23 @@ def q_supplier_backlog_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = li.join(orders, li.l_orderkey == orders.o_orderkey).where(
         F.col("ship_d") >= F.col("order_d")
     )
+    # both sweep deltas from ONE pass over the join: the unionAll
+    # spelling executed the lineitem-orders join twice (once per
+    # branch); a 2-element inline explode emits +1/-1 together
     deltas = lines.select(
         F.col("l_suppkey").alias("supp"),
-        F.col("order_d").alias("d"),
-        F.lit(1).alias("delta"),
-    ).unionAll(
-        lines.select(
-            F.col("l_suppkey").alias("supp"),
-            F.date_add("ship_d", 1).alias("d"),
-            F.lit(-1).alias("delta"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("order_d").alias("d"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.date_add("ship_d", 1).alias("d"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("_e"),
+    ).select("supp", F.col("_e.d").alias("d"), F.col("_e.delta").alias("delta"))
     daily = deltas.groupBy("supp", "d").agg(F.sum("delta").alias("dd"))
     w = (
         Window.partitionBy("supp")
@@ -7833,7 +7839,17 @@ def q_brand_price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def lower_median(vals: DataFrame, col: str) -> DataFrame:
-        pts = vals.groupBy("brand", col).agg(F.count("*").alias("c"))
+        # persisted: the cumulative scan AND the per-brand total both
+        # consume pts, and the deviation median chains the price
+        # median's pts again -- unpersisted, the lineitem-part join
+        # re-executed 8x. Only the aggregate persists (value-count
+        # grain, never the fact): caching the joined fact costs more
+        # than one extra join pass locally and is memory-infeasible at
+        # scale, so the join now runs exactly twice (once per median
+        # input), the honest floor for two different derived columns.
+        pts = vals.groupBy("brand", col).agg(
+            F.count("*").alias("c")
+        ).persist()
         w = (
             Window.partitionBy("brand")
             .orderBy(col)
