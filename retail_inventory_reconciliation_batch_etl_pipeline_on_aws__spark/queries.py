@@ -1589,11 +1589,12 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: ONE explode of query-term matches feeds tf per
     (doc, term); df per term is a tiny aggregate (|query terms| rows)
     joined back by broadcast; the global doc-count/avg-length scalar
-    rides a 1-row broadcast whose lineage is a shuffle-free projection
-    of the documents scan (duplicating that scan is parallel and cheap
-    -- an unpartitioned window over |docs| rows would funnel the corpus
-    through one task instead). Nothing but (doc_id, term, tf) ever
-    shuffles; text stays in the scan stage.
+    rides a 1-row broadcast over the persisted (doc_id, dl) length
+    frame, which also feeds the per-doc normalization join -- one
+    corpus tokenization serves both (an unpartitioned window over
+    |docs| rows would funnel the corpus through one task instead).
+    Nothing but (doc_id, term, tf) ever shuffles; text stays in the
+    scan stage.
 
     Cross-engine float parity: each term's BM25 contribution is rounded
     to DECIMAL(18,8) BEFORE the per-doc sum (3-double addition order
@@ -1606,7 +1607,11 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ["table", "spark", "merge"]
     k1, b = 1.2, 0.75
     docs = fixtures.load(spark, sf_dir, "documents")
-    lens = docs.select("doc_id", token_count("text").alias("dl"))
+    # persisted: the global-stats scalar and the per-doc normalization
+    # join both consume lens; unpersisted, each re-tokenizes the corpus
+    # (two extra full-text passes). Two longs per doc -- the smallest
+    # sufficient frame, the right thing to cache at any scale.
+    lens = docs.select("doc_id", token_count("text").alias("dl")).persist()
     stats = lens.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avg_dl"),

@@ -1,0 +1,99 @@
+"""Repeated-subtree scan audit: find query plans that execute the same
+source (and everything stacked on it) many times.
+
+Spark does not share common subplans across DataFrame reuse -- every
+consumer of an un-persisted frame re-executes its whole lineage. That
+is invisible in small-SF wall-clock (a pruned parquet re-scan is
+microseconds locally) but rules the economics at 100 TB: a plan that
+tokenizes the corpus four times costs four corpus passes. This tool
+sweeps every `__spark_entry__.queries()` plan, counts `Scan parquet`
+blocks per source location (via `plans.audit.audit_plan`), and prints
+plans where one source appears >= the threshold.
+
+TRIAGE DISCIPLINE (why this is a tool, not a lint): a high scan count
+is only a defect when the REPEATED SUBTREE IS EXPENSIVE.
+
+- Bare-scan self-joins (customer_setops, basket_rules, funnel steps)
+  legitimately scan a table per branch: the scan is the cheapest node
+  in the plan, a cache write would cost more, and at scale the
+  re-scan is pruned columnar I/O. Leave them.
+- Repeated EXPENSIVE subtrees (a join, an explode, a tokenize/HOF
+  pipeline re-executed per consumer) are the real finding. Fix by
+  persisting the smallest sufficient frame -- the aggregate or
+  signature grain, never the fact (caching a fact-sized frame costs
+  more than one recompute locally and is memory-infeasible on a
+  cluster) -- or by restructuring to one pass (a 2-element inline
+  explode instead of a unionAll of two selects over the same join).
+
+Round-11 sweep findings actioned this way: fingerprint_matches (4
+winnowing passes -> 1, persist the (doc, fp) set), name_edit1_pairs
+(12 dictionary scans -> 1, persist the deletion-variant frame),
+kmeans_iteration (8 embedding scans -> 1, persist the exploded
+quantized frame), supplier_backlog_peak (join per unionAll branch ->
+one-pass explode), brand_price_mad (8 fact joins -> 2, persist the
+per-(brand, value) count aggregate only).
+
+    python tools/rescan_audit.py [--sf /root/testdata/sf0.001] [--min 4]
+
+Empty-location counts come from non-file scans (localCheckpoint /
+ExistingRDD) -- memory reads, never a repeated source pass; reported
+separately and not flagged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans.audit import (  # noqa: E402,E501
+    audit_plan,
+)
+from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.session import (  # noqa: E402,E501
+    build_session,
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--min", type=int, default=4)
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args()
+
+    spark = build_session(app_name="rescan-audit")
+    flagged = 0
+    names = args.only or list(entry.queries())
+    qs = entry.queries()
+    for name in names:
+        try:
+            a = audit_plan(qs[name](spark, args.sf))
+        except Exception as ex:  # plan construction failure is a finding too
+            print(f"{name:36s} ERROR {type(ex).__name__}: {str(ex)[:90]}")
+            flagged += 1
+            continue
+        counts = collections.Counter(s["location"] for s in a.scans)
+        hot = {
+            loc.rsplit("/", 1)[-1]: c
+            for loc, c in counts.items()
+            if c >= args.min and loc
+        }
+        mem = counts.get("", 0)
+        if hot:
+            cached = "InMemoryTableScan" in a.formatted
+            extra = f" (+{mem} memory scans)" if mem else ""
+            print(
+                f"{name:36s} {hot} cached={cached}{extra}"
+            )
+            flagged += 1
+    print(f"\n{flagged} plans at >= {args.min} same-source scans "
+          f"(triage per the module docstring before persisting anything)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
