@@ -437,3 +437,26 @@ def test_kcore_ignores_self_loops(spark):
     assert 4 not in got           # self-loop-only node: no neighbors
     assert got[5] == 1            # dangling node: self-loop adds nothing
     assert got[1] == got[2] == got[3] == 2
+
+
+def test_pagerank_identical_across_join_strategies(spark):
+    """The broadcast router picks a physical strategy, never a result:
+    forcing the shuffle-join path (broadcast_max_nodes=0) must agree
+    rank-for-rank with the broadcast path -- the fixed-point integer
+    discipline is exactly what makes this hold (double sums would
+    differ across join orders)."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (
+        pagerank,
+    )
+
+    raw = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (4, 1), (2, 9),
+           (9, 2), (5, 6), (6, 5)]
+    edges = spark.createDataFrame(raw, "src bigint, dst bigint")
+    bcast = {r.node: r["rank"]
+             for r in pagerank(edges, iterations=5).collect()}
+    shuffled = {r.node: r["rank"]
+                for r in pagerank(
+                    edges, iterations=5, broadcast_max_nodes=0
+                ).collect()}
+    assert bcast == shuffled
+    assert bcast == _pagerank_int_twin(raw, iterations=5)
