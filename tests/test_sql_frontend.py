@@ -573,6 +573,7 @@ NONPORTABLE = {
     "lifo_allocation": "decimal-division-scale",
     "lm_score": "unnest-tvf",
     "measure_correlations": "hugeint-statistics",
+    "fingerprint_matches": "list-lambda",
     "multimodal_features": "list-lambda",
     "nation_revenue_gini": "hugeint-statistics",
     "nation_supplier_hhi": "hugeint-statistics",
@@ -580,6 +581,7 @@ NONPORTABLE = {
     "nearest_centroid_confusion": "range-tvf",
     "ngram_novelty": "list-lambda",
     "order_calendar_coverage": "range-tvf",
+    "pagerank": "dialect-syntax",
     "partname_word_prices": "unnest-tvf",
     "pii_scan": "type-coercion",
     "price_equidepth_hist": "dialect-syntax",
@@ -598,6 +600,7 @@ NONPORTABLE = {
     "sim_topk": "dialect-syntax",
     "simhash": "dialect-syntax",
     "simhash_neardup": "dialect-syntax",
+    "winnow_fingerprint_density": "list-lambda",
     "sku_price_drift_mix": "hugeint-statistics",
     "snapshot_diff": "dialect-syntax",
     "source_genericness": "unnest-tvf",
