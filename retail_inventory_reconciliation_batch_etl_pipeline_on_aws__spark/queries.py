@@ -8786,6 +8786,28 @@ def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _labeled_quantized_dims(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, dim, q): the embedding table exploded to
+    per-dimension rows, coordinates quantized to exact 1e-4 integers
+    -- the shared entry point of the labeled-embedding exact family
+    (nearest-centroid confusion, outliers, margins, separation).
+    Persisted: every consumer aggregates it at least twice (per-dim /
+    per-centroid sums AND per-vector scores); unpersisted, each pass
+    re-ran the posexplode over the source (rescan audit: 4 embedding
+    scans per plan). n*d rows -- input-sized, and the smallest
+    sufficient frame for this family."""
+    return emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("v").cast("double") * 10000).cast("long").alias("q"),
+    ).persist()
+
+
 def q_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-CENTROID classifier evaluation over the embedding table:
     every vector is assigned to the label whose (leave-in) centroid
@@ -8802,16 +8824,7 @@ def q_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-centroid -- and centroids are |labels|*d rows, never
     collected."""
     emb = fixtures.load(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "vec_id",
-        F.col("label").cast("long").alias("label"),
-        F.posexplode("embedding").alias("dim", "v"),
-    ).select(
-        "vec_id",
-        "label",
-        "dim",
-        F.round(F.col("v").cast("double") * 10000).cast("long").alias("q"),
-    )
+    ex = _labeled_quantized_dims(emb)
     sizes = emb.groupBy(F.col("label").cast("long").alias("k")).agg(
         F.count("*").cast("long").alias("nk")
     )
@@ -9858,16 +9871,7 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance is the one terminal divide. Per-dim sums are d rows and
     the (N, ||s||^2) gate is 1-row broadcast."""
     emb = fixtures.load(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "vec_id",
-        F.col("label").cast("long").alias("label"),
-        F.posexplode("embedding").alias("dim", "v"),
-    ).select(
-        "vec_id",
-        "label",
-        "dim",
-        F.round(F.col("v").cast("double") * 10000).cast("long").alias("q"),
-    )
+    ex = _labeled_quantized_dims(emb)
     sums = ex.groupBy("dim").agg(
         F.sum(F.col("q").cast("decimal(38,0)")).alias("s")
     )
@@ -10440,16 +10444,7 @@ def q_embedding_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-int-to-double score f_k, so margin ordering (vec_id
     tiebreak) is cross-engine deterministic."""
     emb = fixtures.load(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "vec_id",
-        F.col("label").cast("long").alias("label"),
-        F.posexplode("embedding").alias("dim", "v"),
-    ).select(
-        "vec_id",
-        "label",
-        "dim",
-        F.round(F.col("v").cast("double") * 10000).cast("long").alias("q"),
-    )
+    ex = _labeled_quantized_dims(emb)
     sizes = emb.groupBy(F.col("label").cast("long").alias("k")).agg(
         F.count("*").cast("long").alias("nk")
     )
@@ -11171,9 +11166,12 @@ def q_label_separation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         F.round(F.col("v").cast("double") * 10000).cast("long").alias("q"),
     )
+    # persisted: both pair sides consume cent; unpersisted each re-ran
+    # the posexplode (4 embedding scans). |labels|*d rows -- the
+    # smallest sufficient frame, so cent persists rather than ex
     cent = ex.groupBy("label", "dim").agg(
         F.sum(F.col("q").cast("decimal(38,0)")).alias("s")
-    )
+    ).persist()
     sizes = emb.groupBy(F.col("label").cast("long").alias("label")).agg(
         F.count("*").cast("decimal(38,0)").alias("n")
     )
@@ -11877,8 +11875,13 @@ def q_jaccard_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.where(F.size(tokens("text")) >= 3).select(
         "doc_id", word_ngrams("text", 3).alias("shingles")
     )
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sz = sh.select("doc_id", F.size("shingles").cast("long").alias("n"))
+    # persisted: both pair-join sides and the size denominators all
+    # derive from the exploded distinct-shingle set -- unpersisted,
+    # the tokenize+shingle pipeline re-ran 4x (same discipline as
+    # fingerprint_matches; sizes count the cached rows instead of
+    # re-deriving F.size over a second shingle pass)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s")).persist()
+    sz = ex.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
     a = ex.select(F.col("doc_id").alias("da"), "s")
     b = ex.select(F.col("doc_id").alias("db"), "s")
     shared = (
@@ -12102,16 +12105,7 @@ def q_label_radius_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``label_separation_matrix``, radius >> separation marks the class
     pairs ``nearest_centroid_confusion`` will bleed between."""
     emb = fixtures.load(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "vec_id",
-        F.col("label").cast("long").alias("label"),
-        F.posexplode("embedding").alias("dim", "v"),
-    ).select(
-        "vec_id",
-        "label",
-        "dim",
-        F.round(F.col("v").cast("double") * 10000).cast("long").alias("q"),
-    )
+    ex = _labeled_quantized_dims(emb)
     cent = ex.groupBy("label", "dim").agg(
         F.sum(F.col("q").cast("decimal(38,0)")).alias("s")
     )
@@ -14573,7 +14567,11 @@ def q_lang_label_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = fixtures.load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "label"
     )
-    j = d.join(e, "doc_id").select("lang", "label")
+    # persisted: all four marginals (cell, lang, label, total) consume
+    # j; unpersisted, the docs-embeddings fact-fact join re-ran per
+    # marginal (audited: 4 scans of each side). Two short columns --
+    # the smallest sufficient frame.
+    j = d.join(e, "doc_id").select("lang", "label").persist()
     ll = j.groupBy("lang", "label").agg(F.count("*").cast("long").alias("n_ll"))
     l = j.groupBy("lang").agg(F.count("*").cast("long").alias("n_l"))
     b = j.groupBy("label").agg(F.count("*").cast("long").alias("n_b"))

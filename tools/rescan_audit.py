@@ -58,11 +58,51 @@ from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.session im
 )
 
 
+#: Triaged benign hits (round-11 sweep): each entry names WHY its scan
+#: count is the honest plan, so the default run reports only NEW
+#: drift. Re-triage before extending -- a tag here is a design claim.
+#:
+#: - bare-scan-branch: each consumer re-reads a narrow pruned scan
+#:   (a marginal, a funnel stage, a band split); the scan IS the
+#:   cheapest node and a cache write would cost more.
+#: - self-join: pair mining / setops joining a scan to itself -- two
+#:   scans per join side is the definition of the operator.
+#: - delta-join-by-design: incremental view maintenance unions one
+#:   branch per delta side; the repeated reads simulate the deltas.
+#: - already-cached: the plan persists its hot frame; residual scans
+#:   are the pre-cache probe or a one-consumer branch.
+KNOWN = {
+    "three_step_funnel": "bare-scan-branch",
+    "partname_brand_collisions": "bare-scan-branch",
+    "big_order_brand_mix": "bare-scan-branch",
+    "first_day_activity_mix": "bare-scan-branch",
+    "cohort_retention_triangle": "bare-scan-branch",
+    "type_mix_by_tenure": "bare-scan-branch",
+    "order_calendar_coverage": "bare-scan-branch",
+    "customer_quartile_migration": "bare-scan-branch",
+    "event_mix_drift": "bare-scan-branch",
+    "type_hour_profile_similarity": "bare-scan-branch",
+    "mixture_weights": "bare-scan-branch",
+    "lang_source_lift": "bare-scan-branch",
+    "curation_summary": "bare-scan-branch",
+    "customer_setops": "self-join",
+    "basket_rules": "self-join",
+    "lifo_allocation": "self-join",
+    "brand_copurchase_pairs": "self-join",
+    "join_view_merge": "delta-join-by-design",
+    "domain_classifier": "already-cached",
+}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--min", type=int, default=4)
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument(
+        "--all", action="store_true",
+        help="also print KNOWN (triaged-benign) hits",
+    )
     args = ap.parse_args()
 
     spark = build_session(app_name="rescan-audit")
@@ -84,14 +124,18 @@ def main() -> int:
         }
         mem = counts.get("", 0)
         if hot:
+            if name in KNOWN and not args.all:
+                continue
             cached = "InMemoryTableScan" in a.formatted
             extra = f" (+{mem} memory scans)" if mem else ""
+            tag = f" KNOWN:{KNOWN[name]}" if name in KNOWN else ""
             print(
-                f"{name:36s} {hot} cached={cached}{extra}"
+                f"{name:36s} {hot} cached={cached}{extra}{tag}"
             )
             flagged += 1
     print(f"\n{flagged} plans at >= {args.min} same-source scans "
-          f"(triage per the module docstring before persisting anything)")
+          f"(KNOWN-benign suppressed unless --all; triage per the "
+          f"module docstring before persisting anything)")
     return 0
 
 
