@@ -41,95 +41,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the LEAST-RECENTLY driver-attested entries come FIRST.
 
     The driver's CORRECTNESS artifact records only the first 50
-    entries, so ordering is part of the contract. Round-11 rotation:
-    CORRECTNESS_r10 came back 50/50 green (no reds to front-pin),
-    leaving 127 oracle-paired entries never attested -- still more
-    than the window holds -- plus 16 rows-only entries with NO driver
-    row in any artifact (no evidence they even execute at sf0.01; the
-    r10 judge's item #4). The window takes round 11's three additions
-    (JPEG SOF decode + the graph family's two paired projections) and
-    the 31 oldest never-attested paired entries (honoring r10's
-    excess-leads-the-queue promise) plus those 16 rows-only entries,
-    each spending its
-    one-time ``spark_rows > 0`` slot under the rule-3 exception added
-    to tools/rotation_check.py this round. Session 2: ``pagerank``
-    (already in-window on a rule-3 slot) gained a full DuckDB oracle
-    -- the fixed-point loop unrolled as 6 iteration CTEs -- so its
-    slot upgrades from rows-only to a paired attestation in place;
-    the two winnowing additions join the BACK of the excess zone
-    (youngest never-attested last). The remaining 98 paired
-    never-attested entries (the three displaced by the round-11
-    additions first) sit contiguously past the boundary (round-
-    12 leads); behind those, every previously-attested paired entry
-    in staleness order, then the 9 rows-only entries that already
-    hold r02 spark_rows evidence. All post-window entries stay pinned
-    value-level by tests/test_oracle_parity.py and bit-exactly by
-    tools/strict_parity.py.
+    entries, so ordering is part of the contract. Round-12 rotation:
+    CORRECTNESS_r11 came back 50/50 green (35 paired + 15 rows-only
+    entries spending their one-time spark_rows>0 slots), leaving 99
+    oracle-paired entries never attested -- still two rotations of
+    backlog. The window spends 46 slots on the OLDEST never-attested
+    paired entries (the three displaced by round-11's additions lead,
+    honoring the excess-contiguity promise), 2 on the winnowing pair
+    the r11 verdict ordered windowed before they could be displaced
+    again (item #7), and 2 on this round's additions -- the
+    integer-exact PQ/ADC serve path and the fixed-round H-index k-core
+    histogram (verdict items #4/#5) -- so both new families earn
+    driver attestation the same round they land instead of joining
+    the backlog. The remaining 51 never-attested paired entries sit
+    contiguously past the boundary (round-13 leads with the four
+    window-displaced entries); behind those, every previously-attested
+    paired entry in staleness order, then the 24 rows-only entries
+    whose one-time driver evidence is already on file. All post-window
+    entries stay pinned value-level by tests/test_oracle_parity.py and
+    bit-exactly by tools/strict_parity.py.
     """
     return {
-        # --- round-11 window (50 slots, ALL never-attested): the three
-        # round-11 additions (JPEG SOF decode; the graph family's first
-        # fully-oracle-paired projections), then the 31 oldest
-        # never-attested oracle-paired entries (r9/r10 overflow,
-        # honoring r10's excess-leads-the-queue promise), then the 16
-        # rows-only entries that have NEVER produced driver evidence --
-        # each earns its one spark_rows>0 slot per the rule-3 exception
-        # added this round (r10 judge item #4) ---------------------------
-        "image_dims_jpeg": Q.q_image_dims_jpeg,
-        "copurchase_degree_hist": Q.q_copurchase_degree_hist,
-        "copurchase_component_sizes": Q.q_copurchase_component_sizes,
-        "leakage_safe_split": Q.q_leakage_safe_split,
-        "daily_trending_types": Q.q_daily_trending_types,
-        "three_step_funnel": Q.q_three_step_funnel,
-        "session_duration_by_entry": Q.q_session_duration_by_entry,
-        "partname_brand_collisions": Q.q_partname_brand_collisions,
-        "event_value_concentration": Q.q_event_value_concentration,
-        "value_roundness_screen": Q.q_value_roundness_screen,
-        "monthly_reactivation": Q.q_monthly_reactivation,
-        "value_by_user_age": Q.q_value_by_user_age,
-        "month_yoy_heat": Q.q_month_yoy_heat,
-        "order_ordinal_curve": Q.q_order_ordinal_curve,
-        "session_conversion_rate": Q.q_session_conversion_rate,
-        "big_order_brand_mix": Q.q_big_order_brand_mix,
-        "returns_by_line_position": Q.q_returns_by_line_position,
-        "weekpart_overlap": Q.q_weekpart_overlap,
-        "order_supplier_spread": Q.q_order_supplier_spread,
-        "brand_price_mix_effect": Q.q_brand_price_mix_effect,
-        "nation_acquisition_trend": Q.q_nation_acquisition_trend,
-        "hourly_conversion_profile": Q.q_hourly_conversion_profile,
-        "priority_mix_trend": Q.q_priority_mix_trend,
-        "brand_part_introduction": Q.q_brand_part_introduction,
-        "discount_by_line_position": Q.q_discount_by_line_position,
-        "first_day_activity_mix": Q.q_first_day_activity_mix,
-        "supplier_discount_profile": Q.q_supplier_discount_profile,
-        "returns_trend_by_year": Q.q_returns_trend_by_year,
-        "basket_density_bands": Q.q_basket_density_bands,
-        "event_calendar_gaps": Q.q_event_calendar_gaps,
-        "customer_return_propensity": Q.q_customer_return_propensity,
-        "weekly_value_per_event": Q.q_weekly_value_per_event,
-        # judge item #7: the never-attested cross-modal pair windowed
-        "kmeans_iteration": Q.q_kmeans_iteration,
-        "embedding_outliers": Q.q_embedding_outliers,
-        # 16 never-executed rows-only entries: one-time spark_rows>0 slots
-        "image_phash_neardup": Q.q_image_phash_neardup,
-        "pq_topk": Q.q_pq_topk,
-        "alert_throttle": Q.q_alert_throttle,
-        "semantic_dedup": Q.q_semantic_dedup,
-        "dau_sketch_merge": Q.q_dau_sketch_merge,
-        "pagerank": Q.q_pagerank,
-        "weighted_sample": Q.q_weighted_sample,
-        "quantized_topk": Q.q_quantized_topk,
-        "ann_recall": Q.q_ann_recall,
-        "pq_index_topk": Q.q_pq_index_topk,
-        "pq_index_append_topk": Q.q_pq_index_append_topk,
-        "bpe_merges": Q.q_bpe_merges,
-        "copurchase_kcore": Q.q_copurchase_kcore,
-        "bpe_compression_by_source": Q.q_bpe_compression_by_source,
-        "mmr_diverse_topk": Q.q_mmr_diverse_topk,
-        "copurchase_communities": Q.q_copurchase_communities,
-        # --- excess never-attested paired entries, contiguous past the
-        # boundary (lead the round-12 queue; the first three were
-        # displaced from the window by the round-11 additions) -----------
+        # --- round-12 window (50 slots, ALL never-attested): the 46
+        # oldest never-attested paired entries (r10/r11 overflow, the
+        # three r11-displaced leading), the two winnowing entries the
+        # r11 verdict ordered windowed (item #7), and the two round-12
+        # additions -- the PQ/ADC serve path and the fixed-round k-core
+        # histogram (items #4/#5), attested the round they land --------
         "nation_discount_gap": Q.q_nation_discount_gap,
         "cohort_retention_triangle": Q.q_cohort_retention_triangle,
         "click_to_purchase_latency": Q.q_click_to_purchase_latency,
@@ -176,6 +114,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returns_by_discount_band": Q.q_returns_by_discount_band,
         "embedding_label_margin": Q.q_embedding_label_margin,
         "supplier_cosupply_pairs": Q.q_supplier_cosupply_pairs,
+        "winnow_fingerprint_density": Q.q_winnow_fingerprint_density,
+        "fingerprint_matches": Q.q_fingerprint_matches,
+        "copurchase_kcore_hist": Q.q_copurchase_kcore_hist,
+        "pq_adc_topk": Q.q_pq_adc_topk,
+        # --- excess never-attested paired entries, contiguous past the
+        # boundary (lead the round-13 queue; the four displaced by the
+        # winnowing+round-12 window picks first) -------------------------
         "brand_quantity_mode": Q.q_brand_quantity_mode,
         "sku_seasonality_strength": Q.q_sku_seasonality_strength,
         "customer_dow_habit": Q.q_customer_dow_habit,
@@ -227,9 +172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_value_profile": Q.q_priority_value_profile,
         "brand_demand_acf": Q.q_brand_demand_acf,
         "customer_entry_brand_loyalty": Q.q_customer_entry_brand_loyalty,
-        # round-11 additions (youngest never-attested -> back of queue)
-        "winnow_fingerprint_density": Q.q_winnow_fingerprint_density,
-        "fingerprint_matches": Q.q_fingerprint_matches,
         # --- previously-attested paired entries, stalest green first ----
         "dim_products": Q.q_dim_products,
         "market_share": Q.q_market_share,
@@ -520,8 +462,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_volume_value_mix": Q.q_brand_volume_value_mix,
         "customer_priority_breadth": Q.q_customer_priority_breadth,
         "brand_copurchase_pairs": Q.q_brand_copurchase_pairs,
-        # --- rows-only entries already attested (r02 spark_rows evidence);
+        "image_dims_jpeg": Q.q_image_dims_jpeg,
+        "copurchase_degree_hist": Q.q_copurchase_degree_hist,
+        "copurchase_component_sizes": Q.q_copurchase_component_sizes,
+        "leakage_safe_split": Q.q_leakage_safe_split,
+        "daily_trending_types": Q.q_daily_trending_types,
+        "three_step_funnel": Q.q_three_step_funnel,
+        "session_duration_by_entry": Q.q_session_duration_by_entry,
+        "partname_brand_collisions": Q.q_partname_brand_collisions,
+        "event_value_concentration": Q.q_event_value_concentration,
+        "value_roundness_screen": Q.q_value_roundness_screen,
+        "monthly_reactivation": Q.q_monthly_reactivation,
+        "value_by_user_age": Q.q_value_by_user_age,
+        "month_yoy_heat": Q.q_month_yoy_heat,
+        "order_ordinal_curve": Q.q_order_ordinal_curve,
+        "session_conversion_rate": Q.q_session_conversion_rate,
+        "big_order_brand_mix": Q.q_big_order_brand_mix,
+        "returns_by_line_position": Q.q_returns_by_line_position,
+        "weekpart_overlap": Q.q_weekpart_overlap,
+        "order_supplier_spread": Q.q_order_supplier_spread,
+        "brand_price_mix_effect": Q.q_brand_price_mix_effect,
+        "nation_acquisition_trend": Q.q_nation_acquisition_trend,
+        "hourly_conversion_profile": Q.q_hourly_conversion_profile,
+        "priority_mix_trend": Q.q_priority_mix_trend,
+        "brand_part_introduction": Q.q_brand_part_introduction,
+        "discount_by_line_position": Q.q_discount_by_line_position,
+        "first_day_activity_mix": Q.q_first_day_activity_mix,
+        "supplier_discount_profile": Q.q_supplier_discount_profile,
+        "returns_trend_by_year": Q.q_returns_trend_by_year,
+        "basket_density_bands": Q.q_basket_density_bands,
+        "event_calendar_gaps": Q.q_event_calendar_gaps,
+        "customer_return_propensity": Q.q_customer_return_propensity,
+        "weekly_value_per_event": Q.q_weekly_value_per_event,
+        "kmeans_iteration": Q.q_kmeans_iteration,
+        "embedding_outliers": Q.q_embedding_outliers,
+        "pagerank": Q.q_pagerank,
+        # --- rows-only entries already attested (spark_rows evidence);
         # re-attesting would waste a slot on a weaker check ---------------
+        "image_phash_neardup": Q.q_image_phash_neardup,
+        "pq_topk": Q.q_pq_topk,
+        "alert_throttle": Q.q_alert_throttle,
+        "semantic_dedup": Q.q_semantic_dedup,
+        "dau_sketch_merge": Q.q_dau_sketch_merge,
+        "weighted_sample": Q.q_weighted_sample,
+        "quantized_topk": Q.q_quantized_topk,
+        "ann_recall": Q.q_ann_recall,
+        "pq_index_topk": Q.q_pq_index_topk,
+        "pq_index_append_topk": Q.q_pq_index_append_topk,
+        "bpe_merges": Q.q_bpe_merges,
+        "copurchase_kcore": Q.q_copurchase_kcore,
+        "bpe_compression_by_source": Q.q_bpe_compression_by_source,
+        "mmr_diverse_topk": Q.q_mmr_diverse_topk,
+        "copurchase_communities": Q.q_copurchase_communities,
         "minhash_pairs": Q.q_minhash_pairs,
         "minhash_ml_pairs": Q.q_minhash_ml_pairs,
         "ann_topk": Q.q_ann_topk,
@@ -10313,5 +10305,273 @@ FROM pairs
 JOIN nf na ON na.doc_id = doc_a
 JOIN nf nb ON nb.doc_id = doc_b
 ORDER BY n_shared DESC, doc_a, doc_b
+""",
+
+        # round 12: the kcore family's first paired row -- the result
+        # is DEFINED as 24 synchronous H-index rounds (fixed-round
+        # contract, the pagerank precedent; 24 covers every probed
+        # local convergence horizon, so the value IS coreness here),
+        # reproduced integer-for-integer by 24 unrolled CTEs. The
+        # CTEs are AS MATERIALIZED (DuckDB-only grammar -- hence the
+        # dialect-syntax nonportable tag): DuckDB's optimizer goes
+        # EXPONENTIAL on a deep plain-CTE chain (measured at sf0.01:
+        # 0.4s at depth 10, 10s at 16, ~800s extrapolated at 24;
+        # materialized: 0.25s at 24) -- each level inlines its whole
+        # prefix and the re-optimization compounds
+        "copurchase_kcore_hist": """
+WITH pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+),
+edges AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs UNION SELECT pb, pa FROM pairs),
+h0 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS c FROM edges GROUP BY src),
+h1 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h0 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h2 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h1 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h3 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h2 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h4 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h3 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h5 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h4 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h6 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h5 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h7 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h6 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h8 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h7 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h9 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h8 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h10 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h9 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h11 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h10 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h12 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h11 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h13 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h12 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h14 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h13 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h15 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h14 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h16 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h15 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h17 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h16 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h18 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h17 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h19 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h18 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h20 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h19 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h21 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h20 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h22 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h21 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h23 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h22 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h24 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h23 h ON h.node = e.dst
+  ) GROUP BY src
+)
+SELECT c AS h_round24, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM h24 GROUP BY c ORDER BY h_round24
+""",
+        # round 12: the PQ/ADC serve path paired end to end -- encode
+        # (argmin over the 16 seed sub-centroids, lowest-code ties),
+        # ADC table for the pinned query, the table-lookup scan sum,
+        # top-10, and exact re-rank, all exact BIGINT arithmetic on
+        # 1e-4-quantized coordinates (the kmeans_iteration discipline)
+        "pq_adc_topk": """
+WITH ex AS (
+  SELECT vec_id, CAST(FLOOR((CAST(i AS BIGINT) - 1) / 8.0) AS BIGINT) AS j,
+         (CAST(i AS BIGINT) - 1) % 8 AS t,
+         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+seeds AS (
+  SELECT CAST(vec_id AS BIGINT) AS code, j, t, q AS c FROM ex WHERE vec_id < 16
+),
+d2 AS (
+  SELECT e.vec_id, e.j, s.code, SUM((e.q - s.c) * (e.q - s.c)) AS d2
+  FROM ex e JOIN seeds s ON e.j = s.j AND e.t = s.t
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+qv AS (SELECT j, t, q AS qq FROM ex WHERE vec_id = 0),
+tab AS (
+  SELECT s.j, s.code, SUM((v.qq - s.c) * (v.qq - s.c)) AS td2
+  FROM seeds s JOIN qv v ON s.j = v.j AND s.t = v.t
+  GROUP BY 1, 2
+),
+adc AS (
+  SELECT c.vec_id, CAST(SUM(tb.td2) AS BIGINT) AS adc_d2
+  FROM codes c JOIN tab tb ON c.j = tb.j AND c.code = tb.code
+  GROUP BY 1
+),
+topk AS (SELECT vec_id, adc_d2 FROM adc ORDER BY adc_d2, vec_id LIMIT 10),
+exact AS (
+  SELECT e.vec_id, CAST(SUM((e.q - v.qq) * (e.q - v.qq)) AS BIGINT) AS exact_d2
+  FROM ex e JOIN qv v ON e.j = v.j AND e.t = v.t
+  WHERE e.vec_id IN (SELECT vec_id FROM topk)
+  GROUP BY 1
+)
+SELECT t.vec_id, t.adc_d2, x.exact_d2
+FROM topk t JOIN exact x ON t.vec_id = x.vec_id
+ORDER BY t.adc_d2, t.vec_id
 """,
     }

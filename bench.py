@@ -151,6 +151,22 @@ BENCH_QUERIES = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # SOLO-RUN GUARD (r11 verdict item #2): this box's single-shot
+    # timings swing 2-3x under co-tenant load, and two rounds running
+    # recorded floors under load_avg >= 10 poisoned the 2x-regression
+    # gate (lm_score read 2.36x its floor with the code untouched).
+    # The artifact must carry the violation unmissably -- but NOT
+    # refuse outright: the per-round driver invocation may land on a
+    # busy host, and an empty artifact is worse than an annotated one.
+    load1 = os.getloadavg()[0]
+    load_warning = None
+    if load1 >= 2.0:
+        load_warning = (
+            f"pre-run 1-min load_avg {load1:.2f} >= 2.0: timings are "
+            "co-tenant-noise-inflated; re-run solo before recording "
+            "floors or judging regressions"
+        )
+        print(f"bench: WARNING -- {load_warning}", file=sys.stderr)
     spark = build_session(app_name="bench")
     queries = entry.queries()
 
@@ -221,6 +237,9 @@ def main() -> None:
                 # this box runs other tenants; a uniformly-elevated round
                 # with high load is noise, not regression
                 "load_avg": [round(x, 2) for x in os.getloadavg()],
+                # non-null iff the PRE-run 1-min load crossed the solo
+                # bar -- a floor recorded with this set is inadmissible
+                "load_warning": load_warning,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -219,6 +219,22 @@ def pagerank(
     as ``q_pagerank`` does. Floor loss <1 unit per term --
     ~1e-12 of a rank -- far below any ranking-relevant gap.
 
+    MAGNITUDE CEILING (r11 ADVICE): the contribution sum and the
+    ``damping_pct * sum`` product are BIGINT with non-ANSI silent
+    wraparound on Spark, while a DuckDB oracle sums the same terms
+    into HUGEINT -- the engines diverge silently once a node's
+    in-mass exceeds ~9.2e18 / damping_pct. Per-iteration rank is
+    bounded by ~scale * N (all mass on one node), so the claim
+    "bit-identical to an arbitrary-precision twin" holds while
+    ``damping_pct * scale * N < 2^63`` -- at the default
+    scale=1e12 and d=85, graphs up to ~10^5 nodes unconditionally,
+    and far beyond that in practice because a mega-hub needs ~10^7
+    dangling-free in-neighbors each contributing full rank to get
+    near the edge. Past that regime, lower ``scale`` (every 10x buys
+    10x more nodes; precision loss stays ~N/scale of total mass) or
+    move the accumulation to DECIMAL(38,0) like the k-means centroid
+    sums.
+
     Scale shape: per round, ONE shuffle-join of edges to the
     ids-only rank frame on src (hot hubs salt-able exactly like
     ``_attach_mins``) and one map-side-combined sum on dst. Ranks are
@@ -418,6 +434,94 @@ def label_propagation(
     return labels
 
 
+def _hindex_init(edges: DataFrame, a: str, b: str):
+    """(und, vals): the deduped undirected edge list (self-loops
+    dropped -- the standard k-core convention) and the degree table
+    that seeds the H-index sequence. Both eagerly checkpointed: every
+    round re-reads ``und``, and ``vals`` heads an iterated lineage."""
+    und = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionAll(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vals = (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    return und, vals
+
+
+def _hindex_step(und: DataFrame, vals: DataFrame) -> DataFrame:
+    """ONE synchronous H-index round: each node's value becomes the
+    H-index of its neighbors' values -- neighbor values rank desc
+    (dst id the deterministic tiebreak) and the H-index folds as
+    ``max(least(rank, value))``. One co-partitioned join plus one
+    window bounded by max degree; eagerly checkpointed so iterated
+    lineage never doubles."""
+    w = Window.partitionBy("node").orderBy(F.col("nb_c").desc(), F.col("dst"))
+    return (
+        und.join(
+            vals.select(F.col("node").alias("dst"), F.col("c").alias("nb_c")),
+            "dst",
+        )
+        .select(F.col("src").alias("node"), "dst", "nb_c")
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("node")
+        .agg(
+            F.max(F.least(F.col("rn").cast("long"), F.col("nb_c")))
+            .cast("long")
+            .alias("c")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def hindex_rounds(
+    edges: DataFrame,
+    a: str = "pa",
+    b: str = "pb",
+    rounds: int = 10,
+) -> DataFrame:
+    """FIXED-ROUND synchronous H-index iteration -- ``kcore_numbers``'s
+    oracle-pairable twin under the ``pagerank`` contract: the result is
+    defined as the value table after EXACTLY ``rounds`` synchronous
+    applications of the H-operator (Lu et al. 2016) starting from the
+    degree table, so a DuckDB oracle reproduces it bit-for-bit by
+    unrolling ``rounds`` CTEs -- no convergence judgment call on either
+    side, at any scale. Values are exact BIGINTs throughout.
+
+    The loop still exits early at the fixpoint -- soundly, because the
+    H-operator is IDEMPOTENT there (a no-change round proves every
+    later round returns the same table), so early exit is a pure
+    wall-clock optimization, never a semantic one. Wherever the
+    monotone non-increasing sequence has converged within ``rounds``,
+    the returned value IS the k-core number; on a graph whose
+    effective diameter exceeds ``rounds`` it is kcore's documented
+    over-estimate, which is exactly what the fixed-round contract
+    makes reproducible (``kcore_numbers`` raises in that state
+    instead -- use it when the TRUE coreness is required and the
+    round budget is negotiable).
+
+    Returns (node, h) for every non-isolated node.
+    """
+    und, vals = _hindex_init(edges, a, b)
+    for _ in range(rounds):
+        nxt = _hindex_step(und, vals)
+        changed = (
+            nxt.join(vals.withColumnRenamed("c", "c_old"), "node")
+            .where(F.col("c") != F.col("c_old"))
+            .limit(1)
+            .count()
+        )
+        vals = nxt
+        if changed == 0:
+            break  # fixpoint: remaining rounds are identity
+    return vals.select("node", F.col("c").alias("h"))
+
+
 def kcore_numbers(
     edges: DataFrame,
     a: str = "pa",
@@ -451,35 +555,9 @@ def kcore_numbers(
     nodes therefore never appear, and every returned node has
     coreness >= 1.
     """
-    und = (
-        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-        .unionAll(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    vals = (
-        und.groupBy(F.col("src").alias("node"))
-        .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=True)
-    )
-    w = Window.partitionBy("node").orderBy(F.col("nb_c").desc(), F.col("dst"))
+    und, vals = _hindex_init(edges, a, b)
     for _ in range(max_iters):
-        nxt = (
-            und.join(
-                vals.select(F.col("node").alias("dst"), F.col("c").alias("nb_c")),
-                "dst",
-            )
-            .select(F.col("src").alias("node"), "dst", "nb_c")
-            .withColumn("rn", F.row_number().over(w))
-            .groupBy("node")
-            .agg(
-                F.max(F.least(F.col("rn").cast("long"), F.col("nb_c")))
-                .cast("long")
-                .alias("c")
-            )
-            .localCheckpoint(eager=True)
-        )
+        nxt = _hindex_step(und, vals)
         changed = (
             nxt.join(vals.withColumnRenamed("c", "c_old"), "node")
             .where(F.col("c") != F.col("c_old"))

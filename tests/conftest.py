@@ -76,6 +76,15 @@ def normalized_rows(cols, rows):
 
 
 def compare_query(spark, duck, qfn, sql, sf_dir):
+    # several plans persist() intermediates by design, and a returned
+    # DataFrame cannot unpersist what its own construction cached;
+    # without this, the full parametrized parity sweep accumulates
+    # every such frame in ONE session (correct under MEMORY_AND_DISK
+    # eviction, but disk spill grows across ~425 queries -- the r11
+    # ADVICE item). clearCache per compare is the harness-side
+    # contract the plan docstrings rely on; bench.py and
+    # tools/strict_parity.py apply the same isolation.
+    spark.catalog.clearCache()
     sdf = qfn(spark, sf_dir)
     srows = sdf.collect()
     scols = sdf.columns

@@ -1,0 +1,201 @@
+"""Round-12 additions: the fixed-round H-index operator behind
+``copurchase_kcore_hist`` and the integer-exact PQ/ADC serve path
+behind ``pq_adc_topk`` (value parity is pinned bit-exactly by
+tools/strict_parity.py; these tests pin the properties the hash
+compare cannot express -- fixed-round semantics vs an exact Python
+model, truncation honesty, and ADC arithmetic vs a from-scratch
+recomputation)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from conftest import TESTDATA
+from test_graph import _py_coreness
+
+
+def _py_hindex_rounds(edges, rounds):
+    """Exact Python model of ``hindex_rounds``: ``rounds`` synchronous
+    applications of the H-operator from the degree table (early exit
+    at the fixpoint -- identical by idempotence)."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    vals = {n: len(ns) for n, ns in adj.items()}
+    for _ in range(rounds):
+        nxt = {}
+        for n, ns in adj.items():
+            nb = sorted((vals[m] for m in ns), reverse=True)
+            nxt[n] = max(min(rk + 1, v) for rk, v in enumerate(nb))
+        if nxt == vals:
+            break
+        vals = nxt
+    return vals
+
+
+def test_hindex_rounds_equals_coreness_at_convergence(spark):
+    """On a graph whose H-sequence settles within the budget, the
+    fixed-round value IS the k-core number (clique 3 / path 1 /
+    glued triangle 2)."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (  # noqa: E501
+        hindex_rounds,
+    )
+
+    clique = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    path = [(4, 10), (10, 11), (11, 12)]
+    tri = [(20, 21), (21, 22), (20, 22), (22, 30)]
+    df = spark.createDataFrame(clique + path + tri, "pa long, pb long")
+    got = {r.node: r.h for r in hindex_rounds(df, rounds=10).collect()}
+    assert got == _py_coreness(clique + path + tri)
+
+
+def test_hindex_rounds_matches_python_model_random_graphs(spark):
+    """Property: at ANY round budget -- including ones too small to
+    converge -- the operator equals the exact synchronous Python
+    model. This is the fixed-round contract itself: the value is
+    defined by the round count, not by convergence."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (  # noqa: E501
+        hindex_rounds,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.sets(
+            st.tuples(
+                st.integers(min_value=0, max_value=11),
+                st.integers(min_value=0, max_value=11),
+            ).filter(lambda e: e[0] < e[1]),
+            min_size=1,
+            max_size=25,
+        ),
+        st.integers(min_value=1, max_value=4),
+    )
+    def check(edges, rounds):
+        df = spark.createDataFrame(sorted(edges), "pa long, pb long")
+        got = {r.node: r.h for r in hindex_rounds(df, rounds=rounds).collect()}
+        assert got == _py_hindex_rounds(edges, rounds)
+
+    check()
+
+
+def test_hindex_rounds_truncates_instead_of_raising(spark):
+    """A chain longer than the round budget: ``kcore_numbers`` raises
+    (true coreness unreachable), ``hindex_rounds`` returns the
+    documented over-estimate -- monotonically >= coreness, exactly the
+    2-round model value."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (  # noqa: E501
+        hindex_rounds,
+        kcore_numbers,
+    )
+
+    chain = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(chain, "pa long, pb long")
+    with pytest.raises(RuntimeError):
+        kcore_numbers(df, max_iters=2)
+    got = {r.node: r.h for r in hindex_rounds(df, rounds=2).collect()}
+    assert got == _py_hindex_rounds(chain, 2)
+    core = _py_coreness(chain)
+    assert all(got[n] >= core[n] for n in core)
+
+
+def test_copurchase_kcore_hist_is_true_coreness_here(spark):
+    """At test scale the 24-round budget converges, so the paired
+    histogram must equal the convergence-gated fixpoint's histogram --
+    the bridge between the fixed-round oracle contract and the
+    rows-only ``copurchase_kcore`` entry's true-coreness semantics."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (  # noqa: E501
+        kcore_numbers,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.queries import (  # noqa: E501
+        _copurchase_pairs_weighted,
+    )
+
+    got = {
+        r.h_round24: r.n_nodes
+        for r in entry.queries()["copurchase_kcore_hist"](
+            spark, TESTDATA
+        ).collect()
+    }
+    edges = (
+        _copurchase_pairs_weighted(spark, TESTDATA)
+        .where(F.col("w") >= 2)
+        .select("pa", "pb")
+    )
+    cores = kcore_numbers(edges).collect()
+    want = {}
+    for r in cores:
+        want[r.coreness] = want.get(r.coreness, 0) + 1
+    assert got == want
+
+
+def _py_pq_adc(vecs, m=8, sub=8, ksub=16, k=10, query_id=0):
+    """From-scratch Python model of the pq_adc_topk plan: quantize at
+    1e-4 (round-half-up like both engines on these magnitudes), seed
+    codebook from the ksub lowest ids, argmin encode with lowest-code
+    ties, ADC table + scan for the pinned query, top-k, exact re-rank.
+    All ints -- any drift from the Spark plan is a logic bug, not
+    float noise."""
+    q = {
+        i: [round(float(x) * 10000) for x in v] for i, v in vecs.items()
+    }
+    seeds = {c: q[c] for c in sorted(q) if c < ksub}
+    codes = {}
+    for i, v in q.items():
+        codes[i] = []
+        for j in range(m):
+            best = min(
+                (
+                    sum(
+                        (v[j * sub + t] - seeds[c][j * sub + t]) ** 2
+                        for t in range(sub)
+                    ),
+                    c,
+                )
+                for c in seeds
+            )
+            codes[i].append(best[1])
+    qq = q[query_id]
+    tab = {
+        (j, c): sum(
+            (qq[j * sub + t] - seeds[c][j * sub + t]) ** 2 for t in range(sub)
+        )
+        for j in range(m)
+        for c in seeds
+    }
+    adc = {i: sum(tab[(j, codes[i][j])] for j in range(m)) for i in q}
+    top = sorted(q, key=lambda i: (adc[i], i))[:k]
+    return [
+        (i, adc[i], sum((q[i][d] - qq[d]) ** 2 for d in range(m * sub)))
+        for i in top
+    ]
+
+
+def test_pq_adc_topk_matches_python_model(spark):
+    """The full serve path vs the exact Python recomputation on the
+    real test embeddings: codes, ADC sums, top-10 membership AND
+    order, and the exact re-rank distances."""
+    vecs = {
+        r.vec_id: list(r.embedding)
+        for r in spark.read.parquet(f"{TESTDATA}/embeddings.parquet").collect()
+    }
+    want = _py_pq_adc(vecs)
+    got = [
+        (r.vec_id, r.adc_d2, r.exact_d2)
+        for r in entry.queries()["pq_adc_topk"](spark, TESTDATA).collect()
+    ]
+    assert got == want
+
+
+def test_pq_adc_query_vector_is_its_own_nearest(spark):
+    """vec_id 0 is seed 0: its sub-vectors quantize to their own codes,
+    so its ADC and exact distances are both exactly 0 and it leads the
+    ranking -- the self-consistency floor of the ADC arithmetic."""
+    rows = entry.queries()["pq_adc_topk"](spark, TESTDATA).collect()
+    assert rows[0].vec_id == 0
+    assert rows[0].adc_d2 == 0 and rows[0].exact_d2 == 0

@@ -523,6 +523,11 @@ NONPORTABLE = {
     "contamination_check": "list-lambda",
     "contamination_hashed": "list-lambda",
     "copurchase_component_sizes": "recursive-union-distinct",
+    # 24 unrolled H-index CTEs need AS MATERIALIZED: DuckDB's
+    # optimizer is exponential on a deep plain-CTE chain (10s at
+    # depth 16, ~800s at 24; 0.25s materialized), and Spark has no
+    # MATERIALIZED spelling
+    "copurchase_kcore_hist": "dialect-syntax",
     "leakage_safe_split": "list-lambda",
     "corpus_filter": "list-lambda",
     "corpus_pack": "dialect-syntax",
@@ -583,6 +588,7 @@ NONPORTABLE = {
     "order_calendar_coverage": "range-tvf",
     "pagerank": "dialect-syntax",
     "partname_word_prices": "unnest-tvf",
+    "pq_adc_topk": "range-tvf",
     "pii_scan": "type-coercion",
     "price_equidepth_hist": "dialect-syntax",
     "purchase_attribution": "dialect-syntax",

@@ -45,6 +45,17 @@ FLOOR_NOTES = {
         "the planted boilerplate corpus (DF 40 > gate) still routes "
         "prefix and collapses 780 raw candidates to 0."
     ),
+    "image_dims_jpeg": (
+        "r11 bench tail: 24.28s on the very FIRST execution vs 0.705s "
+        "steady-state -- a 34x cold/warm spread from one-time Python "
+        "worker spin-up + JFIF synthesis/decode module import inside "
+        "the Arrow-batched mapInPandas stage. bench.py's untimed "
+        "warmup absorbs it in recorded floors, but any harness that "
+        "times a single cold run (driver smoke, ad-hoc profiling) "
+        "will read it as a regression that is not there. Not a scale "
+        "concern: the stage is narrow and the cost is per-worker, "
+        "not per-row."
+    ),
     "measure_correlations": (
         "r9 observation: the code is unchanged since its r8 floor "
         "(0.343s, driver host) but mid-round re-measures on a busy "

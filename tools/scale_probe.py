@@ -84,6 +84,75 @@ def _scaled_docs(spark, sf: str, k: int) -> DataFrame:
     return out
 
 
+def _disjoint_docs(spark, sf: str, k: int) -> DataFrame:
+    """k copies of the corpus with DISJOINT shingle spaces: every
+    token gets a per-copy tag (regexp group rewrite), so each copy
+    reproduces the original's intra-copy match structure -- same gram
+    counts, same DF histogram, same hub fingerprints, per copy --
+    while cross-copy shingle/fingerprint shares are ZERO. This is the
+    graph probe's disjoint-copies construction adapted to MATCH-shaped
+    text ops (r11 verdict item #6): the salt-PREFIX clone used for
+    scan-shaped ops would hand every doc k-1 true clones -- n*k^2
+    genuine near-dup pairs, a real quadratic in the OUTPUT that
+    certifies nothing about the join -- whereas with disjoint copies
+    the true output is exactly k x the original's, so any superlinear
+    TIME is the join plan's fault and only the join plan's."""
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    copies = [
+        d.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.regexp_replace("text", r"(\S+)", f"c{i}w$1").alias("text"),
+        )
+        for i in range(k)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+def probe_fingerprint_matches(spark, sf: str, k: int) -> int:
+    """The q_fingerprint_matches join core (winnow -> distinct (doc,
+    fp) -> stop-fingerprint DF<=50 -> fp-keyed self-join -> >=2 shared)
+    on disjoint k-copies: certifies the stop-fingerprint cap holds the
+    self-join subquadratic as the corpus grows."""
+    fps = (
+        winnow_fingerprints(_disjoint_docs(spark, sf, k))
+        .select("doc_id", "fp")
+        .distinct()
+        .persist()
+    )
+    rare = fps.groupBy("fp").agg(F.count("*").alias("_df")).where(
+        F.col("_df") <= 50
+    )
+    kept = fps.join(rare.select("fp"), "fp")
+    n = (
+        kept.select(F.col("doc_id").alias("doc_a"), "fp")
+        .join(kept.select(F.col("doc_id").alias("doc_b"), "fp"), "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .count()
+    )
+    fps.unpersist()
+    return n
+
+
+def probe_containment(spark, sf: str, k: int) -> int:
+    """q_shingle_containment's routed operator (raw shared-shingle
+    join vs PPJoin+ prefix filter behind the 1-row max-DF gate) on
+    disjoint k-copies: certifies the DF router keeps the candidate
+    join subquadratic."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.dedup import (  # noqa: E501
+        containment_pairs,
+    )
+
+    return containment_pairs(
+        _disjoint_docs(spark, sf, k), n=3, threshold_num=4, threshold_den=5
+    ).count()
+
+
 def probe_pagerank(spark, sf: str, k: int) -> int:
     li = _scaled_lineitem(spark, sf, k)
     grouped = li.groupBy("l_orderkey").agg(
@@ -136,6 +205,9 @@ PROBES = {
     "pagerank_6iter": probe_pagerank,
     "winnow_density": probe_winnow,
     "exact_dedup": probe_exact_dedup,
+    # r11 verdict item #6: the join-shaped risks, on DISJOINT copies
+    "fingerprint_matches": probe_fingerprint_matches,
+    "shingle_containment": probe_containment,
 }
 
 

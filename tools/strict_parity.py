@@ -89,6 +89,13 @@ def main() -> int:
             print(f"{name:28s} rows-only (no oracle) -- skipped")
             continue
         try:
+            # several plans persist() intermediates by design and a
+            # returned DataFrame cannot unpersist them itself; without
+            # this, a full 447-entry sweep accumulates every cached
+            # frame in one session (MEMORY_AND_DISK eviction keeps
+            # results correct but disk spill grows unboundedly -- the
+            # r11 ADVICE item). Same isolation bench.py applies.
+            spark.catalog.clearCache()
             sdf = qs[name](spark, args.sf)
             scols = sdf.columns
             srows = [[r[c] for c in scols] for r in sdf.collect()]
