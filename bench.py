@@ -146,6 +146,12 @@ BENCH_QUERIES = [
     # first floors
     "pagerank",
     "fingerprint_matches",
+    # round-12: the fixed-round H-index loop (up to 24 checkpointed
+    # join+window rounds, early-exit at the fixpoint) and the
+    # integer-exact PQ/ADC serve path (one cached explode, five
+    # consumers, broadcast codebook/table) -- first floors
+    "copurchase_kcore_hist",
+    "pq_adc_topk",
 ]
 
 
