@@ -440,3 +440,41 @@ def test_copurchase_is_join_free_group_then_expand(spark):
     assert "Join" not in p, "a join crept back into pair mining"
     assert len(_re.findall(r"\(\d+\) Exchange", p)) <= 2
     assert "TakeOrderedAndProject" in p
+
+
+def test_pq_adc_topk_one_scan_broadcast_serve_path(spark):
+    """PQ/ADC serve-path guards (round 12): the exploded+quantized
+    frame persists ONCE and every consumer (seeds, encode join, query
+    row, ADC scan, re-rank) reads the cache -- exactly one parquet
+    scan location in the whole plan; every small side (codebook, ADC
+    table, top-10, query vector) rides a broadcast, so there is no
+    sort-merge join and no cartesian anywhere; the top-10 is
+    TakeOrderedAndProject, never a global Sort of the ADC frame.
+    Cache cleared first so the fresh logical shape is what's pinned."""
+    spark.catalog.clearCache()
+    p = plan_of(spark, "pq_adc_topk")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    scans = re.findall(
+        r"Location: InMemoryFileIndex \[[^\]]*?/(\w+)\.parquet\]", p
+    )
+    assert set(scans) == {"embeddings"}, f"unexpected scans: {scans}"
+    assert len(set(re.findall(r"Location: InMemoryFileIndex \[[^\]]+\]", p))) == 1
+    assert "InMemoryTableScan" in p  # the persisted exploded frame
+    assert "TakeOrderedAndProject" in p
+    n_broadcast = len(re.findall(r"\(\d+\) BroadcastHashJoin\b", p))
+    assert n_broadcast >= 4, f"expected >=4 broadcast joins, got {n_broadcast}"
+
+
+def test_copurchase_kcore_hist_checkpointed_iteration(spark):
+    """Fixed-round H-index guards (round 12): the terminal plan reads
+    the LAST round's localCheckpoint (ExistingRDD/LogicalRDD -- the
+    iteration never drags the pair-mining lineage into the histogram),
+    so no parquet scan and no join survives into the final two-rollup
+    plan; a lineitem scan here would mean a round re-executed the edge
+    mining (the 53s pagerank bug this family's contract exists to
+    prevent)."""
+    p = plan_of(spark, "copurchase_kcore_hist")
+    assert "Scan parquet" not in p
+    assert re.search(r"Scan ExistingRDD|LogicalRDD", p), p[:400]
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
