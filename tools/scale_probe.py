@@ -183,6 +183,46 @@ def probe_pagerank(spark, sf: str, k: int) -> int:
     return pagerank(edges, iterations=6).count()
 
 
+def probe_kcore_hindex(spark, sf: str, k: int) -> int:
+    """The fixed-round H-index loop (copurchase_kcore_hist's operator)
+    on k disjoint copies of the thresholded co-purchase graph: each
+    round is one co-partitioned join + a max-degree-bounded window,
+    so time should track edges linearly; disjoint copies keep the
+    convergence horizon IDENTICAL per copy (the early exit fires at
+    the same round count), isolating per-round join cost."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (  # noqa: E501
+        hindex_rounds,
+    )
+
+    li = _scaled_lineitem(spark, sf, k)
+    grouped = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                "ps",
+                lambda a: F.transform(
+                    F.col("ps"),
+                    lambda b: F.when(
+                        a < b, F.struct(a.alias("pa"), b.alias("pb"))
+                    ),
+                ),
+            )
+        ),
+        lambda s: s.isNotNull(),
+    )
+    pairs = (
+        grouped.select(F.explode(pair_arr).alias("pr"))
+        .select("pr.pa", "pr.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 2)
+        .select("pa", "pb")
+    )
+    return hindex_rounds(pairs, rounds=24).count()
+
+
 def probe_winnow(spark, sf: str, k: int) -> int:
     return (
         winnow_fingerprints(_scaled_docs(spark, sf, k))
@@ -208,6 +248,8 @@ PROBES = {
     # r11 verdict item #6: the join-shaped risks, on DISJOINT copies
     "fingerprint_matches": probe_fingerprint_matches,
     "shingle_containment": probe_containment,
+    # r12: the fixed-round H-index loop behind copurchase_kcore_hist
+    "kcore_hindex": probe_kcore_hindex,
 }
 
 
