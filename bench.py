@@ -155,23 +155,28 @@ BENCH_QUERIES = [
 ]
 
 
+def load_warning_for(load1: float, bar: float = 2.0) -> str | None:
+    """SOLO-RUN GUARD (r11 verdict item #2): this box's single-shot
+    timings swing 2-3x under co-tenant load, and two rounds running
+    recorded floors under load_avg >= 10 poisoned the 2x-regression
+    gate (lm_score read 2.36x its floor with the code untouched).
+    Returns the annotation for the artifact when the PRE-run 1-min
+    load crosses the bar, else None -- annotate, do NOT refuse: the
+    per-round driver invocation may land on a busy host, and an empty
+    artifact is worse than an annotated one."""
+    if load1 < bar:
+        return None
+    return (
+        f"pre-run 1-min load_avg {load1:.2f} >= {bar}: timings are "
+        "co-tenant-noise-inflated; re-run solo before recording "
+        "floors or judging regressions"
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # SOLO-RUN GUARD (r11 verdict item #2): this box's single-shot
-    # timings swing 2-3x under co-tenant load, and two rounds running
-    # recorded floors under load_avg >= 10 poisoned the 2x-regression
-    # gate (lm_score read 2.36x its floor with the code untouched).
-    # The artifact must carry the violation unmissably -- but NOT
-    # refuse outright: the per-round driver invocation may land on a
-    # busy host, and an empty artifact is worse than an annotated one.
-    load1 = os.getloadavg()[0]
-    load_warning = None
-    if load1 >= 2.0:
-        load_warning = (
-            f"pre-run 1-min load_avg {load1:.2f} >= 2.0: timings are "
-            "co-tenant-noise-inflated; re-run solo before recording "
-            "floors or judging regressions"
-        )
+    load_warning = load_warning_for(os.getloadavg()[0])
+    if load_warning:
         print(f"bench: WARNING -- {load_warning}", file=sys.stderr)
     spark = build_session(app_name="bench")
     queries = entry.queries()

@@ -45,3 +45,19 @@ def test_readme_portable_count_matches_frontend():
     assert f"oracle statements -- {n} queries" in readme, (
         f"README.md portable count drifted from len(PORTABLE)={n}"
     )
+
+
+def test_bench_load_guard_annotates_not_refuses():
+    """The solo-run guard (r11 verdict item #2) must annotate a busy
+    pre-run host in the artifact and stay silent on an idle one --
+    and never raise, because an empty driver artifact is worse than
+    an annotated one."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from bench import load_warning_for
+
+    assert load_warning_for(0.5) is None
+    assert load_warning_for(1.99) is None
+    w = load_warning_for(17.57)
+    assert w is not None and "17.57" in w and "re-run solo" in w
