@@ -199,3 +199,50 @@ def test_pq_adc_query_vector_is_its_own_nearest(spark):
     rows = entry.queries()["pq_adc_topk"](spark, TESTDATA).collect()
     assert rows[0].vec_id == 0
     assert rows[0].adc_d2 == 0 and rows[0].exact_d2 == 0
+
+
+def test_hindex_rounds_selfloop_and_empty_graphs(spark):
+    """Degenerate inputs: a self-loop-only graph has no neighbors
+    (standard k-core convention, shared with kcore_numbers) so the
+    value table is empty; an isolated-pair graph converges in one
+    round at h=1."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (  # noqa: E501
+        hindex_rounds,
+    )
+
+    loops = spark.createDataFrame([(1, 1), (2, 2)], "pa long, pb long")
+    assert hindex_rounds(loops, rounds=3).count() == 0
+    pair = spark.createDataFrame([(1, 2)], "pa long, pb long")
+    got = {r.node: r.h for r in hindex_rounds(pair, rounds=3).collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_pq_adc_topk_tiny_corpus_partial_codebook(spark, tmp_path):
+    """Fewer vectors than ksub=16: the seed codebook is just the
+    corpus, every vector's best code is itself (ADC distance = the
+    query-table entry of its own code), and the Python model agrees
+    exactly -- the boundary the driver never exercises but an
+    incremental serve path would."""
+    import random
+
+    rng = random.Random(7)
+    vecs = {i: [rng.uniform(-0.5, 0.5) for _ in range(64)] for i in range(5)}
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = [
+        (r.vec_id, r.adc_d2, r.exact_d2)
+        for r in entry.queries()["pq_adc_topk"](spark, str(tmp_path)).collect()
+    ]
+    # the parquet round-trip casts to float32; model must quantize the
+    # same post-cast values
+    import struct as _s
+
+    f32 = {
+        i: [_s.unpack("f", _s.pack("f", x))[0] for x in v]
+        for i, v in vecs.items()
+    }
+    assert got == _py_pq_adc(f32, k=10)
+    assert got[0] == (0, 0, 0)
