@@ -135,6 +135,7 @@ def main() -> int:
 
     fl = floors()
     bad = []
+    ratios = []
     print(f"{'query':26s} {'now':>7s} {'floor':>7s} {'ratio':>6s}")
     for q, t in current["queries"].items():
         f = fl.get(q)
@@ -142,14 +143,28 @@ def main() -> int:
             print(f"{q:26s} {t:7.3f} {'--':>7s} {'new':>6s}")
             continue
         r = t / f if f > 0 else float("inf")
+        ratios.append(r)
         flag = " <-- REGRESSION" if r > args.ratio else ""
         note = FLOOR_NOTES.get(q)
         note_s = f"  [{note}]" if note and r > 1.25 else ""
         print(f"{q:26s} {t:7.3f} {f:7.3f} {r:6.2f}{flag}{note_s}")
         if r > args.ratio:
             bad.append(q)
+    # the summary the per-round verdict computes by hand: geomean of
+    # the vs-floor ratios (whole-surface drift, robust to one outlier)
+    # plus the worst row -- a geomean near 1 with high load is the
+    # co-tenant-noise signature; a shifted geomean at low load is real
+    if ratios:
+        import math
+
+        geo = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+        print(
+            f"\nvs floors: geomean {geo:.2f}, max {max(ratios):.2f} "
+            f"over {len(ratios)} shared queries; "
+            f"{len(bad)} over {args.ratio}x"
+        )
     if bad:
-        print(f"\n{len(bad)} queries over {args.ratio}x floor: {bad}")
+        print(f"{len(bad)} queries over {args.ratio}x floor: {bad}")
     return 1 if bad else 0
 
 
