@@ -56,6 +56,23 @@ FLOOR_NOTES = {
         "concern: the stage is narrow and the cost is per-worker, "
         "not per-row."
     ),
+    "simhash": (
+        "floor 0.11s is pure scheduling territory: the plan is one "
+        "corpus scan + HOF fold with best-of readings ranging "
+        "0.18-0.27s across r11/r12 solo sessions, identical plan. A "
+        "sub-0.3s query cannot regress meaningfully against a 0.11s "
+        "floor -- read ratios here as task-launch jitter unless the "
+        "plan gains a node."
+    ),
+    "token_dist_drift": (
+        "r11 read 1.92x and an r12 solo session 2.0x against the "
+        "0.62s floor with the plan untouched since r5 (one corpus "
+        "tokenize + two small aggregates); the sibling same-day solo "
+        "session read 1.186s (1.9x) and the merged best sits under "
+        "the bar. The floor was recorded in an early light-list round "
+        "-- treat near-2x readings as load/scheduling variance unless "
+        "the explain changes."
+    ),
     "measure_correlations": (
         "r9 observation: the code is unchanged since its r8 floor "
         "(0.343s, driver host) but mid-round re-measures on a busy "
