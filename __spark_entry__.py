@@ -45,29 +45,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS_r11 came back 50/50 green (35 paired + 15 rows-only
     entries spending their one-time spark_rows>0 slots), leaving 99
     oracle-paired entries never attested -- still two rotations of
-    backlog. The window spends 46 slots on the OLDEST never-attested
+    backlog. The window spends 45 slots on the OLDEST never-attested
     paired entries (the three displaced by round-11's additions lead,
     honoring the excess-contiguity promise), 2 on the winnowing pair
     the r11 verdict ordered windowed before they could be displaced
-    again (item #7), and 2 on this round's additions -- the
-    integer-exact PQ/ADC serve path and the fixed-round H-index k-core
-    histogram (verdict items #4/#5) -- so both new families earn
-    driver attestation the same round they land instead of joining
-    the backlog. The remaining 51 never-attested paired entries sit
-    contiguously past the boundary (round-13 leads with the four
-    window-displaced entries); behind those, every previously-attested
+    again (item #7), and 3 on this round's additions -- the
+    integer-exact PQ/ADC serve path, the fixed-round H-index k-core
+    histogram (verdict items #4/#5), and the int8-cosine twin that
+    extends the same conversion to the quantized-scan rung -- so the
+    new families earn driver attestation the same round they land
+    instead of joining the backlog. The remaining 52 never-attested
+    paired entries sit contiguously past the boundary (round-13 leads
+    with the five window-displaced entries); behind those, every
+    previously-attested
     paired entry in staleness order, then the 24 rows-only entries
     whose one-time driver evidence is already on file. All post-window
     entries stay pinned value-level by tests/test_oracle_parity.py and
     bit-exactly by tools/strict_parity.py.
     """
     return {
-        # --- round-12 window (50 slots, ALL never-attested): the 46
+        # --- round-12 window (50 slots, ALL never-attested): the 45
         # oldest never-attested paired entries (r10/r11 overflow, the
         # three r11-displaced leading), the two winnowing entries the
-        # r11 verdict ordered windowed (item #7), and the two round-12
-        # additions -- the PQ/ADC serve path and the fixed-round k-core
-        # histogram (items #4/#5), attested the round they land --------
+        # r11 verdict ordered windowed (item #7), and the three
+        # round-12 additions -- the PQ/ADC serve path, the fixed-round
+        # k-core histogram (items #4/#5), and the int8-cosine twin --
+        # attested the round they land ----------------------------------
         "nation_discount_gap": Q.q_nation_discount_gap,
         "cohort_retention_triangle": Q.q_cohort_retention_triangle,
         "click_to_purchase_latency": Q.q_click_to_purchase_latency,
@@ -113,14 +116,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "second_purchase_latency": Q.q_second_purchase_latency,
         "returns_by_discount_band": Q.q_returns_by_discount_band,
         "embedding_label_margin": Q.q_embedding_label_margin,
-        "supplier_cosupply_pairs": Q.q_supplier_cosupply_pairs,
         "winnow_fingerprint_density": Q.q_winnow_fingerprint_density,
         "fingerprint_matches": Q.q_fingerprint_matches,
         "copurchase_kcore_hist": Q.q_copurchase_kcore_hist,
         "pq_adc_topk": Q.q_pq_adc_topk,
+        "int8_cosine_topk": Q.q_int8_cosine_topk,
         # --- excess never-attested paired entries, contiguous past the
-        # boundary (lead the round-13 queue; the four displaced by the
+        # boundary (lead the round-13 queue; the five displaced by the
         # winnowing+round-12 window picks first) -------------------------
+        "supplier_cosupply_pairs": Q.q_supplier_cosupply_pairs,
         "brand_quantity_mode": Q.q_brand_quantity_mode,
         "sku_seasonality_strength": Q.q_sku_seasonality_strength,
         "customer_dow_habit": Q.q_customer_dow_habit,
@@ -10573,5 +10577,46 @@ exact AS (
 SELECT t.vec_id, t.adc_d2, x.exact_d2
 FROM topk t JOIN exact x ON t.vec_id = x.vec_id
 ORDER BY t.adc_d2, t.vec_id
+""",
+
+        # round 12 session 2: the int8 rung of the ANN-compression
+        # family paired -- codes from the identical exact-int-to-
+        # double round(v*127/max|v|) expression on both engines, dot
+        # and norms exact BIGINT, cosine the one float (identical
+        # inputs, identical expression), ranked unrounded
+        "int8_cosine_topk": """
+WITH ex AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
+              AS BIGINT) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+sc AS (SELECT vec_id, MAX(ABS(v)) AS s FROM ex GROUP BY vec_id),
+codes AS (
+  SELECT e.vec_id, e.dim,
+         CASE WHEN sc.s = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(ROUND(CAST(e.v AS DOUBLE) * 127.0
+                              / CAST(sc.s AS DOUBLE)) AS BIGINT) END AS c
+  FROM ex e JOIN sc ON sc.vec_id = e.vec_id
+),
+qv AS (SELECT dim, c AS d FROM codes WHERE vec_id = 0),
+nd AS (SELECT SUM(d * d) AS nd FROM qv),
+scored AS (
+  SELECT cd.vec_id,
+         CAST(SUM(cd.c * q.d) AS BIGINT) AS dot_q,
+         CAST(SUM(cd.c * cd.c) AS BIGINT) AS norm_q
+  FROM codes cd JOIN qv q ON q.dim = cd.dim
+  GROUP BY cd.vec_id
+)
+SELECT vec_id, dot_q, norm_q,
+       ROUND(CAST(dot_q AS DOUBLE)
+             / SQRT(CAST(norm_q AS DOUBLE)
+                    * CAST((SELECT nd FROM nd) AS DOUBLE)), 6) AS score
+FROM scored
+ORDER BY CAST(dot_q AS DOUBLE)
+         / SQRT(CAST(norm_q AS DOUBLE)
+                * CAST((SELECT nd FROM nd) AS DOUBLE)) DESC,
+         vec_id
+LIMIT 10
 """,
     }

@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     # consumers, broadcast codebook/table) -- first floors
     "copurchase_kcore_hist",
     "pq_adc_topk",
+    "int8_cosine_topk",
 ]
 
 

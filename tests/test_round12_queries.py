@@ -246,3 +246,61 @@ def test_pq_adc_topk_tiny_corpus_partial_codebook(spark, tmp_path):
     }
     assert got == _py_pq_adc(f32, k=10)
     assert got[0] == (0, 0, 0)
+
+
+def _py_int8_cosine(vecs, k=10, query_id=0):
+    """Exact Python model of int8_cosine_topk: 1e-4 quantize,
+    symmetric per-vector int8 codes (round toward nearest, away from
+    zero on .5 -- matching both engines' double rounding on these
+    magnitudes), exact integer dot/norms, float cosine last."""
+    import math
+
+    q = {i: [round(float(x) * 10000) for x in v] for i, v in vecs.items()}
+
+    def codes(v):
+        s = max(abs(x) for x in v)
+        if s == 0:
+            return [0] * len(v)
+        out = []
+        for x in v:
+            r = x * 127.0 / s
+            f = math.floor(r + 0.5) if r >= 0 else math.ceil(r - 0.5)
+            out.append(int(f))
+        return out
+
+    c = {i: codes(v) for i, v in q.items()}
+    d = c[query_id]
+    nd = sum(x * x for x in d)
+    rows = []
+    for i, ci in c.items():
+        dot = sum(a * b for a, b in zip(ci, d))
+        n = sum(a * a for a in ci)
+        rows.append((i, dot, n, dot / math.sqrt(n * nd)))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    return [(i, dot, n, round(s, 6)) for i, dot, n, s in rows[:k]]
+
+
+def test_int8_cosine_topk_matches_python_model(spark):
+    """The int8 serve path vs the exact Python recomputation on the
+    real test embeddings: codes, integer dot/norms, ranking, and the
+    rounded cosine."""
+    vecs = {
+        r.vec_id: list(r.embedding)
+        for r in spark.read.parquet(f"{TESTDATA}/embeddings.parquet").collect()
+    }
+    want = _py_int8_cosine(vecs)
+    got = [
+        (r.vec_id, r.dot_q, r.norm_q, r.score)
+        for r in entry.queries()["int8_cosine_topk"](spark, TESTDATA).collect()
+    ]
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[3] - w[3]) < 1e-9, (g, w)
+
+
+def test_int8_cosine_query_is_its_own_top1(spark):
+    """vec_id 0 scores exactly 1.0 against itself (dot == norm == the
+    query norm) -- the self-consistency floor of the int8 arithmetic."""
+    rows = entry.queries()["int8_cosine_topk"](spark, TESTDATA).collect()
+    assert rows[0].vec_id == 0
+    assert rows[0].dot_q == rows[0].norm_q and rows[0].score == 1.0

@@ -589,6 +589,7 @@ NONPORTABLE = {
     "pagerank": "dialect-syntax",
     "partname_word_prices": "unnest-tvf",
     "pq_adc_topk": "range-tvf",
+    "int8_cosine_topk": "range-tvf",
     "pii_scan": "type-coercion",
     "price_equidepth_hist": "dialect-syntax",
     "purchase_attribution": "dialect-syntax",
