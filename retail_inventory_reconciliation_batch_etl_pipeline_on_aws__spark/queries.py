@@ -16915,15 +16915,18 @@ def q_int8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = codes.where(F.col("vec_id") == 0).select(
         "dim", F.col("c").alias("d")
     )
-    nd = qv.agg(F.sum(F.col("d") * F.col("d")).cast("long").alias("nd"))
+    # the query norm rides the SAME scoring join (each dim appears
+    # once per vector, so per-group sum(d*d) IS sum over the query) --
+    # no 1-row cross join, which would compile to the
+    # BroadcastNestedLoopJoin the plan-sweep lint forbids
     scored = (
         codes.join(F.broadcast(qv), "dim")
         .groupBy("vec_id")
         .agg(
             F.sum(F.col("c") * F.col("d")).cast("long").alias("dot_q"),
             F.sum(F.col("c") * F.col("c")).cast("long").alias("norm_q"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("nd"),
         )
-        .crossJoin(F.broadcast(nd))
     )
     raw = F.col("dot_q").cast("double") / F.sqrt(
         F.col("norm_q").cast("double") * F.col("nd").cast("double")
