@@ -41,89 +41,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the LEAST-RECENTLY driver-attested entries come FIRST.
 
     The driver's CORRECTNESS artifact records only the first 50
-    entries, so ordering is part of the contract. Round-12 rotation:
-    CORRECTNESS_r11 came back 50/50 green (35 paired + 15 rows-only
-    entries spending their one-time spark_rows>0 slots), leaving 99
-    oracle-paired entries never attested -- still two rotations of
-    backlog. The window spends 45 slots on the OLDEST never-attested
-    paired entries (the three displaced by round-11's additions lead,
-    honoring the excess-contiguity promise), 2 on the winnowing pair
-    the r11 verdict ordered windowed before they could be displaced
-    again (item #7), and 3 on this round's additions -- the
-    integer-exact PQ/ADC serve path, the fixed-round H-index k-core
-    histogram (verdict items #4/#5), and the int8-cosine twin that
-    extends the same conversion to the quantized-scan rung -- so the
-    new families earn driver attestation the same round they land
-    instead of joining the backlog. The remaining 52 never-attested
-    paired entries sit contiguously past the boundary (round-13 leads
-    with the five window-displaced entries); behind those, every
-    previously-attested
-    paired entry in staleness order, then the 24 rows-only entries
-    whose one-time driver evidence is already on file. All post-window
-    entries stay pinned value-level by tests/test_oracle_parity.py and
-    bit-exactly by tools/strict_parity.py.
+    entries, so ordering is part of the contract. Round-13 rotation:
+    CORRECTNESS_r12 came back 50/50 green on a 100% never-attested
+    window, leaving 52 oracle-paired entries never attested -- one
+    rotation from zero. Per the r12 verdict (item #1) the window
+    spends all 50 slots on the OLDEST never-attested paired entries
+    (the five displaced by the round-12 picks lead, honoring the
+    excess-contiguity promise); the 2 overflow plus this round's
+    oracle conversions (rows-only entries promoted to hash-checked
+    pairs under pinned parameters) sit contiguously past the boundary
+    and lead the round-14 queue, at which point the never-attested
+    backlog hits zero. Behind those, every previously-attested paired
+    entry in staleness order (the round-12 window's 50, green r12,
+    freshest last), then the rows-only entries whose one-time driver
+    evidence is already on file. All post-window entries stay pinned
+    value-level by tests/test_oracle_parity.py and bit-exactly by
+    tools/strict_parity.py.
     """
     return {
-        # --- round-12 window (50 slots, ALL never-attested): the 45
-        # oldest never-attested paired entries (r10/r11 overflow, the
-        # three r11-displaced leading), the two winnowing entries the
-        # r11 verdict ordered windowed (item #7), and the three
-        # round-12 additions -- the PQ/ADC serve path, the fixed-round
-        # k-core histogram (items #4/#5), and the int8-cosine twin --
-        # attested the round they land ----------------------------------
-        "nation_discount_gap": Q.q_nation_discount_gap,
-        "cohort_retention_triangle": Q.q_cohort_retention_triangle,
-        "click_to_purchase_latency": Q.q_click_to_purchase_latency,
-        "signup_dow_retention": Q.q_signup_dow_retention,
-        "vintage_price_profile": Q.q_vintage_price_profile,
-        "supplier_activity_regularity": Q.q_supplier_activity_regularity,
-        "brand_weekend_mix": Q.q_brand_weekend_mix,
-        "cadence_by_ordinal": Q.q_cadence_by_ordinal,
-        "type_mix_by_tenure": Q.q_type_mix_by_tenure,
-        "brand_customer_concentration": Q.q_brand_customer_concentration,
-        "weekpart_value_gap": Q.q_weekpart_value_gap,
-        "conversion_by_session_depth": Q.q_conversion_by_session_depth,
-        "nation_market_structure": Q.q_nation_market_structure,
-        "token_length_histogram": Q.q_token_length_histogram,
-        "discount_cost_by_year": Q.q_discount_cost_by_year,
-        "partname_word_prices": Q.q_partname_word_prices,
-        "first_order_cohort": Q.q_first_order_cohort,
-        "qty_discount_curve": Q.q_qty_discount_curve,
-        "returns_vs_latency": Q.q_returns_vs_latency,
-        "acctbal_activity_bands": Q.q_acctbal_activity_bands,
-        "negative_balance_profile": Q.q_negative_balance_profile,
-        "supplier_nation_load": Q.q_supplier_nation_load,
-        "month_end_push": Q.q_month_end_push,
-        "event_value_moments": Q.q_event_value_moments,
-        "split_order_screen": Q.q_split_order_screen,
-        "supplier_leadtime_cv": Q.q_supplier_leadtime_cv,
-        "tax_burden_profile": Q.q_tax_burden_profile,
-        "retailprice_premium": Q.q_retailprice_premium,
-        "dau_wau_stickiness": Q.q_dau_wau_stickiness,
-        "copurchase_degree_dist": Q.q_copurchase_degree_dist,
-        "event_interarrival_profile": Q.q_event_interarrival_profile,
-        "user_type_diversity": Q.q_user_type_diversity,
-        "supplier_balance_bands": Q.q_supplier_balance_bands,
-        "customer_tenure_value": Q.q_customer_tenure_value,
-        "order_line_hhi": Q.q_order_line_hhi,
-        "stock_cover_days": Q.q_stock_cover_days,
-        "shingle_df_profile": Q.q_shingle_df_profile,
-        "nation_balance_flow": Q.q_nation_balance_flow,
-        "top_customer_per_nation": Q.q_top_customer_per_nation,
-        "event_type_transitions": Q.q_event_type_transitions,
-        "part_supplier_breadth": Q.q_part_supplier_breadth,
-        "source_length_percentiles": Q.q_source_length_percentiles,
-        "second_purchase_latency": Q.q_second_purchase_latency,
-        "returns_by_discount_band": Q.q_returns_by_discount_band,
-        "embedding_label_margin": Q.q_embedding_label_margin,
-        "winnow_fingerprint_density": Q.q_winnow_fingerprint_density,
-        "fingerprint_matches": Q.q_fingerprint_matches,
-        "copurchase_kcore_hist": Q.q_copurchase_kcore_hist,
-        "pq_adc_topk": Q.q_pq_adc_topk,
-        "int8_cosine_topk": Q.q_int8_cosine_topk,
-        # --- excess never-attested paired entries, contiguous past the
-        # boundary (lead the round-13 queue; the five displaced by the
-        # winnowing+round-12 window picks first) -------------------------
+        # --- round-13 window (50 slots, ALL never-attested): the 50
+        # oldest of the 52 never-attested paired entries (the five
+        # displaced by the round-12 window picks leading, per the
+        # excess-contiguity promise) -- backlog hits zero in round 14 --
         "supplier_cosupply_pairs": Q.q_supplier_cosupply_pairs,
         "brand_quantity_mode": Q.q_brand_quantity_mode,
         "sku_seasonality_strength": Q.q_sku_seasonality_strength,
@@ -174,6 +113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_part_lines_audit": Q.q_repeated_part_lines_audit,
         "hourly_value_profile": Q.q_hourly_value_profile,
         "priority_value_profile": Q.q_priority_value_profile,
+        # --- excess never-attested paired entries, contiguous past the
+        # boundary (lead the round-14 queue: the 2 round-13 overflow,
+        # then any round-13 oracle conversions/additions) --------------
         "brand_demand_acf": Q.q_brand_demand_acf,
         "customer_entry_brand_loyalty": Q.q_customer_entry_brand_loyalty,
         # --- previously-attested paired entries, stalest green first ----
@@ -501,6 +443,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_iteration": Q.q_kmeans_iteration,
         "embedding_outliers": Q.q_embedding_outliers,
         "pagerank": Q.q_pagerank,
+        # --- round-12 window, all green r12 (freshest attested) ---------
+        "nation_discount_gap": Q.q_nation_discount_gap,
+        "cohort_retention_triangle": Q.q_cohort_retention_triangle,
+        "click_to_purchase_latency": Q.q_click_to_purchase_latency,
+        "signup_dow_retention": Q.q_signup_dow_retention,
+        "vintage_price_profile": Q.q_vintage_price_profile,
+        "supplier_activity_regularity": Q.q_supplier_activity_regularity,
+        "brand_weekend_mix": Q.q_brand_weekend_mix,
+        "cadence_by_ordinal": Q.q_cadence_by_ordinal,
+        "type_mix_by_tenure": Q.q_type_mix_by_tenure,
+        "brand_customer_concentration": Q.q_brand_customer_concentration,
+        "weekpart_value_gap": Q.q_weekpart_value_gap,
+        "conversion_by_session_depth": Q.q_conversion_by_session_depth,
+        "nation_market_structure": Q.q_nation_market_structure,
+        "token_length_histogram": Q.q_token_length_histogram,
+        "discount_cost_by_year": Q.q_discount_cost_by_year,
+        "partname_word_prices": Q.q_partname_word_prices,
+        "first_order_cohort": Q.q_first_order_cohort,
+        "qty_discount_curve": Q.q_qty_discount_curve,
+        "returns_vs_latency": Q.q_returns_vs_latency,
+        "acctbal_activity_bands": Q.q_acctbal_activity_bands,
+        "negative_balance_profile": Q.q_negative_balance_profile,
+        "supplier_nation_load": Q.q_supplier_nation_load,
+        "month_end_push": Q.q_month_end_push,
+        "event_value_moments": Q.q_event_value_moments,
+        "split_order_screen": Q.q_split_order_screen,
+        "supplier_leadtime_cv": Q.q_supplier_leadtime_cv,
+        "tax_burden_profile": Q.q_tax_burden_profile,
+        "retailprice_premium": Q.q_retailprice_premium,
+        "dau_wau_stickiness": Q.q_dau_wau_stickiness,
+        "copurchase_degree_dist": Q.q_copurchase_degree_dist,
+        "event_interarrival_profile": Q.q_event_interarrival_profile,
+        "user_type_diversity": Q.q_user_type_diversity,
+        "supplier_balance_bands": Q.q_supplier_balance_bands,
+        "customer_tenure_value": Q.q_customer_tenure_value,
+        "order_line_hhi": Q.q_order_line_hhi,
+        "stock_cover_days": Q.q_stock_cover_days,
+        "shingle_df_profile": Q.q_shingle_df_profile,
+        "nation_balance_flow": Q.q_nation_balance_flow,
+        "top_customer_per_nation": Q.q_top_customer_per_nation,
+        "event_type_transitions": Q.q_event_type_transitions,
+        "part_supplier_breadth": Q.q_part_supplier_breadth,
+        "source_length_percentiles": Q.q_source_length_percentiles,
+        "second_purchase_latency": Q.q_second_purchase_latency,
+        "returns_by_discount_band": Q.q_returns_by_discount_band,
+        "embedding_label_margin": Q.q_embedding_label_margin,
+        "winnow_fingerprint_density": Q.q_winnow_fingerprint_density,
+        "fingerprint_matches": Q.q_fingerprint_matches,
+        "copurchase_kcore_hist": Q.q_copurchase_kcore_hist,
+        "pq_adc_topk": Q.q_pq_adc_topk,
+        "int8_cosine_topk": Q.q_int8_cosine_topk,
         # --- rows-only entries already attested (spark_rows evidence);
         # re-attesting would waste a slot on a weaker check ---------------
         "image_phash_neardup": Q.q_image_phash_neardup,
