@@ -16879,6 +16879,19 @@ def q_int8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id tiebreak). A wrong code, a scale off by one, or an
     unstable ranking hash-mismatches.
 
+    INPUT CONTRACT (r12 ADVICE): the query norm rides the scoring
+    join as the per-group ``sum(d*d)``, which equals the true global
+    query norm ONLY because every embedding carries the identical
+    fixed dimension set (posexplode of equal-length arrays -- the
+    generator's contract, asserted by ``tests`` on the embeddings
+    table); a ragged corpus vector would silently drop query-norm
+    terms for its missing dims. Likewise an all-zero CORPUS vector
+    yields 0/sqrt(0) -- Spark NULL vs DuckDB IEEE NaN, which sort
+    differently -- so the pairing additionally assumes no zero
+    vectors (true of the generated table; a production caller should
+    pre-filter ``norm_q > 0``). An all-zero QUERY vector is already
+    guarded by the ``s == 0`` branch producing all-zero codes.
+
     Scale shape: one window (per-vector max|v|) replaces an agg+join
     so the exploded frame is scanned once; the int8 code frame (the
     4x-compressed representation a 100 TB index actually stores)
