@@ -118,6 +118,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then any round-13 oracle conversions/additions) --------------
         "brand_demand_acf": Q.q_brand_demand_acf,
         "customer_entry_brand_loyalty": Q.q_customer_entry_brand_loyalty,
+        # the four round-13 rows-only -> oracle-paired conversions
+        # (pinned hash families / exact-arithmetic sampling; r12
+        # verdict item #3): paired-never-attested, queued behind the
+        # overflow per the excess-contiguity rule
+        "minhash_pairs": Q.q_minhash_pairs,
+        "weighted_sample": Q.q_weighted_sample,
+        "stratified_sample": Q.q_stratified_sample,
+        "ann_topk": Q.q_ann_topk,
         # --- previously-attested paired entries, stalest green first ----
         "dim_products": Q.q_dim_products,
         "market_share": Q.q_market_share,
@@ -501,7 +509,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alert_throttle": Q.q_alert_throttle,
         "semantic_dedup": Q.q_semantic_dedup,
         "dau_sketch_merge": Q.q_dau_sketch_merge,
-        "weighted_sample": Q.q_weighted_sample,
         "quantized_topk": Q.q_quantized_topk,
         "ann_recall": Q.q_ann_recall,
         "pq_index_topk": Q.q_pq_index_topk,
@@ -511,13 +518,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_compression_by_source": Q.q_bpe_compression_by_source,
         "mmr_diverse_topk": Q.q_mmr_diverse_topk,
         "copurchase_communities": Q.q_copurchase_communities,
-        "minhash_pairs": Q.q_minhash_pairs,
         "minhash_ml_pairs": Q.q_minhash_ml_pairs,
-        "ann_topk": Q.q_ann_topk,
         "embed_neardup_lsh": Q.q_embed_neardup_lsh,
         "ivf_topk": Q.q_ivf_topk,
         "daily_active_users_approx": Q.q_daily_active_users_approx,
-        "stratified_sample": Q.q_stratified_sample,
         "value_quantile_sketch": Q.q_value_quantile_sketch,
         "customer_spend_quartiles_approx": Q.q_customer_spend_quartiles_approx,
     }
@@ -10610,6 +10614,169 @@ ORDER BY CAST(dot_q AS DOUBLE)
          / SQRT(CAST(norm_q AS DOUBLE)
                 * CAST((SELECT nd FROM nd) AS DOUBLE)) DESC,
          vec_id
+LIMIT 10
+""",
+        # --- round-13 rows-only -> paired conversions (r12 verdict
+        # item #3): pinned hash families restated verbatim ------------
+        # banded MinHash under the PINNED universal-hash family
+        # (A*x + B) mod 2^31-1 over md5 hex-fold shingle hashes --
+        # constants = operators/dedup.py MINHASH_PERMS; band keys are
+        # (band, sig-row, sig-row) tuples, verification is exact
+        # Jaccard on the hashed-shingle sets (list_intersect ==
+        # array_intersect: both sets are distinct)
+        "minhash_pairs": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1), i ->
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingles
+  FROM tok WHERE len(toks) >= 3
+),
+hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles, s ->
+           CAST(list_sum(list_transform(range(1, 9), i ->
+             (strpos('0123456789abcdef', substr(md5(s), CAST(i AS INT), 1)) - 1)
+             * power(16, 8 - i))) AS BIGINT))) AS h
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         list_min(list_transform(h, x -> (CAST(257093419 AS BIGINT) * x + 713984526) % 2147483647)) AS s0,
+         list_min(list_transform(h, x -> (CAST(557988187 AS BIGINT) * x + 330252355) % 2147483647)) AS s1,
+         list_min(list_transform(h, x -> (CAST(166587455 AS BIGINT) * x + 1290638759) % 2147483647)) AS s2,
+         list_min(list_transform(h, x -> (CAST(1002143927 AS BIGINT) * x + 1219733215) % 2147483647)) AS s3,
+         list_min(list_transform(h, x -> (CAST(776980337 AS BIGINT) * x + 1458115296) % 2147483647)) AS s4,
+         list_min(list_transform(h, x -> (CAST(823213523 AS BIGINT) * x + 379243596) % 2147483647)) AS s5,
+         list_min(list_transform(h, x -> (CAST(734770035 AS BIGINT) * x + 1779385637) % 2147483647)) AS s6,
+         list_min(list_transform(h, x -> (CAST(1034518267 AS BIGINT) * x + 1822842404) % 2147483647)) AS s7
+  FROM hs
+),
+bkt AS (
+            SELECT doc_id, 0 AS band, s0 AS k0, s1 AS k1 FROM sig
+  UNION ALL SELECT doc_id, 1, s2, s3 FROM sig
+  UNION ALL SELECT doc_id, 2, s4, s5 FROM sig
+  UNION ALL SELECT doc_id, 3, s6, s7 FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bkt a JOIN bkt b
+    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+   AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE)
+               / (len(ha.h) + len(hb.h) - len(list_intersect(ha.h, hb.h))),
+               4) AS jaccard
+  FROM cand
+  JOIN hs ha ON ha.doc_id = doc_a
+  JOIN hs hb ON hb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored
+WHERE jaccard >= 0.5
+ORDER BY doc_a, doc_b
+""",
+        # sequential Poisson sampling (Ohlsson 1998): u from the md5
+        # hex-fold of doc_id:seed, selection key floor(u/w * 1e12) --
+        # +, /, floor only, all IEEE-correctly-rounded hence
+        # bit-identical cross-engine (no transcendental in the chain)
+        "weighted_sample": """
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              t -> t <> '')) AS BIGINT) AS weight
+  FROM documents
+),
+pri AS (
+  SELECT doc_id, weight,
+         CAST(FLOOR(
+           ((CAST(list_sum(list_transform(range(1, 9), i ->
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || ':7'),
+                              CAST(i AS INT), 1)) - 1)
+               * power(16, 8 - i))) AS BIGINT) + 0.5) / 4294967296.0)
+           / CAST(weight AS DOUBLE) * 1e12) AS BIGINT) AS priority_e12
+  FROM tok WHERE weight > 0
+)
+SELECT doc_id, weight, priority_e12
+FROM pri ORDER BY priority_e12, doc_id LIMIT 100
+""",
+        # hash-based stratified Bernoulli: md5-bucket(doc_id:42) % 100
+        # under per-stratum percentages (en 50, rest 100) -- the
+        # dataset_split idiom as a sampler
+        "stratified_sample": """
+WITH b AS (
+  SELECT lang,
+         CAST(list_sum(list_transform(range(1, 9), i ->
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                            CAST(i AS INT), 1)) - 1)
+             * power(16, 8 - i))) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM b
+WHERE bucket < (CASE WHEN lang = 'en' THEN 50 ELSE 100 END)
+GROUP BY 1 ORDER BY 1
+""",
+        # pinned sign-RP ANN: projection coefficients derived from
+        # md5(rp:t:p:dim) % 19 - 9 over range(1024), 4 tables x 4 sign
+        # planes, candidates share the query bucket in any table, exact
+        # quantized-BIGINT cosine re-rank (int8_cosine_topk precedent)
+        "ann_topk": """
+WITH ex AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+proj AS (
+  SELECT CAST(FLOOR(r / 256.0) AS BIGINT) AS t,
+         CAST(FLOOR(r / 64.0) AS BIGINT) % 4 AS p,
+         r % 64 + 1 AS dim,
+         CAST(list_sum(list_transform(range(1, 9), i ->
+             (strpos('0123456789abcdef',
+                     substr(md5('rp:' || CAST(CAST(FLOOR(r / 256.0) AS BIGINT) AS VARCHAR)
+                                || ':' || CAST(CAST(FLOOR(r / 64.0) AS BIGINT) % 4 AS VARCHAR)
+                                || ':' || CAST(r % 64 + 1 AS VARCHAR)),
+                            CAST(i AS INT), 1)) - 1)
+             * power(16, 8 - i))) AS BIGINT) % 19 - 9 AS c
+  FROM (SELECT unnest(range(0, 1024)) AS r)
+),
+sums AS (
+  SELECT e.vec_id, pr.t, pr.p, SUM(pr.c * e.q) AS s
+  FROM ex e JOIN proj pr ON pr.dim = e.dim
+  GROUP BY 1, 2, 3
+),
+sigs AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN s >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS bucket
+  FROM sums GROUP BY 1, 2
+),
+probes AS (SELECT t, bucket FROM sigs WHERE vec_id = 0),
+cand AS (
+  SELECT DISTINCT s.vec_id
+  FROM sigs s JOIN probes pb ON s.t = pb.t AND s.bucket = pb.bucket
+),
+qd AS (SELECT dim, q AS d FROM ex WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         CAST(SUM(e.q * qd.d) AS BIGINT) AS dot_q,
+         CAST(SUM(e.q * e.q) AS BIGINT) AS nq,
+         CAST(SUM(qd.d * qd.d) AS BIGINT) AS nd
+  FROM ex e JOIN cand c ON c.vec_id = e.vec_id
+  JOIN qd ON qd.dim = e.dim
+  GROUP BY 1
+)
+SELECT vec_id, dot_q,
+       ROUND(CAST(dot_q AS DOUBLE) / SQRT(CAST(nq AS DOUBLE) * CAST(nd AS DOUBLE)), 6) AS score
+FROM scored
+ORDER BY CAST(dot_q AS DOUBLE) / SQRT(CAST(nq AS DOUBLE) * CAST(nd AS DOUBLE)) DESC, vec_id
 LIMIT 10
 """,
     }

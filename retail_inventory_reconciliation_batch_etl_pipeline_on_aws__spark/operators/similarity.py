@@ -118,6 +118,121 @@ def lsh_ann_topk(
     return res.select(id_col, F.round("dist", 4).alias("dist"))
 
 
+def pinned_rp_ann_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_tables: int = 4,
+    n_planes: int = 4,
+    dims: int = 64,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection (SimHash-for-angles) ANN cosine top-k
+    under a PINNED projection matrix -- the oracle-paired twin of
+    ``lsh_ann_topk`` (r12 verdict item #3: the ``pq_adc_topk``
+    pinned-parameter playbook applied to the RP rung; the pyspark.ml
+    variant stays for API parity, its JVM RNG is not SQL-mirrorable).
+
+    The projection matrix is DERIVED, not stored: coefficient
+    c(t, p, dim) = md5-fold('rp:t:p:dim') % 19 - 9, an integer in
+    [-9, 9] computed identically by both engines from ``range()`` --
+    O(tables*planes*dims) rows built once and broadcast, never O(n)
+    hashing. Coordinates quantize at 1e-4 (exact BIGINTs, the
+    ``kmeans_iteration`` discipline), each vector gets ``n_tables``
+    sign-bit bucket codes (bit p of table t = [sum_dim c*q >= 0]),
+    and candidates are vectors sharing the query's bucket in ANY
+    table -- recall 1-(1-a^p)^t for per-plane agreement a = 1-theta/pi,
+    the Goemans-Williamson identity. Candidates then re-rank by EXACT
+    quantized cosine: BIGINT dot and norms, one sqrt/divide at the
+    end evaluated identically on both engines (the ``int8_cosine_topk``
+    precedent, same fixed-length input contract). Everything is an
+    equi-join (the probe side joins on (table, bucket) -- multi-table
+    union, never a Hamming theta-join), so no nested-loop anywhere.
+
+    Scale shape: one posexplode of the corpus (persisted: signature
+    pass + re-rank pass), a broadcast join against the
+    tables*planes*dims projection frame with a map-side-combined sum,
+    and a candidate-only re-rank -- the full-corpus work is linear
+    narrow maps + combinable aggs; only candidate rows (~n/2^planes
+    per table) reach the scoring join. Returns (vec_id, dot_q, score):
+    exact BIGINT dot against the query plus the cosine rounded 6dp,
+    ranked unrounded with vec_id tiebreak.
+    """
+    spark = embeddings.sparkSession
+    ex = (
+        embeddings.select(
+            F.col(id_col), F.posexplode(vec_col).alias("pos", "vf")
+        )
+        .select(
+            id_col,
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            F.round(F.col("vf").cast("double") * 10000)
+            .cast("long")
+            .alias("q"),
+        )
+        .persist()
+    )
+    fold = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
+    proj = spark.range(n_tables * n_planes * dims).select(
+        (F.col("id") / (n_planes * dims)).cast("long").alias("t"),
+        ((F.col("id") / dims).cast("long") % n_planes).alias("p"),
+        (F.col("id") % dims + 1).alias("dim"),
+        (
+            fold(
+                F.concat_ws(
+                    ":",
+                    F.lit("rp"),
+                    (F.col("id") / (n_planes * dims)).cast("long"),
+                    ((F.col("id") / dims).cast("long") % n_planes),
+                    (F.col("id") % dims + 1),
+                )
+            )
+            % 19
+            - 9
+        ).alias("c"),
+    )
+    sums = (
+        ex.join(F.broadcast(proj), "dim")
+        .groupBy(id_col, "t", "p")
+        .agg(F.sum(F.col("c") * F.col("q")).alias("s"))
+    )
+    sigs = sums.groupBy(id_col, "t").agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.expr("shiftleft(1L, CAST(p AS INT))"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("bucket")
+    )
+    probes = sigs.where(F.col(id_col) == query_id).select("t", "bucket")
+    cand = (
+        sigs.join(F.broadcast(probes), ["t", "bucket"])
+        .select(id_col)
+        .distinct()
+    )
+    qd = ex.where(F.col(id_col) == query_id).select(
+        "dim", F.col("q").alias("d")
+    )
+    scored = (
+        ex.join(cand, id_col)
+        .join(F.broadcast(qd), "dim")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("q") * F.col("d")).cast("long").alias("dot_q"),
+            F.sum(F.col("q") * F.col("q")).cast("long").alias("nq"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("nd"),
+        )
+    )
+    raw = F.col("dot_q").cast("double") / F.sqrt(
+        F.col("nq").cast("double") * F.col("nd").cast("double")
+    )
+    return (
+        scored.withColumn("_raw", raw)
+        .orderBy(F.col("_raw").desc(), id_col)
+        .limit(k)
+        .select(id_col, "dot_q", F.round("_raw", 6).alias("score"))
+    )
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float,

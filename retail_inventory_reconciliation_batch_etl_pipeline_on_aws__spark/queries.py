@@ -1088,19 +1088,42 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified corpus sampling for training-data curation: downsample
-    per language to rebalance the mix (here: 50% of 'en', 100% of the
-    rest), seeded for determinism. Bernoulli sampling is executed inside
-    the scan -- no shuffle, rows are dropped before anything downstream.
-    Sampling is engine-specific => rows-only; the proportion test lives
-    in tests/test_rows_only_queries.py."""
+    """Stratified corpus sampling for training-data curation:
+    downsample per language to rebalance the mix (50% of 'en', 100%
+    of the rest). Oracle-paired (r12 verdict item #3; previously
+    rows-only under engine-RNG ``sampleBy``): selection is now
+    HASH-BASED Bernoulli -- keep a doc iff ``md5-fold(doc_id:42) %
+    100`` falls under the stratum's percentage -- the same md5-bucket
+    arithmetic ``dataset_split``/``leakage_safe_split`` already
+    oracle, so membership is reproducible row-for-row on any engine,
+    any partitioning, any retry (the property production samplers
+    actually want: re-runs and backfills select the SAME rows, unlike
+    seeded-RNG sampling whose output is partitioning-dependent).
+    Still executed inside the scan as a pure filter -- no shuffle,
+    rows drop before anything downstream; per-stratum proportions are
+    pinned by the pytest alongside the driver hash-check."""
     docs = fixtures.load(spark, sf_dir, "documents")
-    # strata are data-driven (unlisted strata would be dropped entirely);
-    # the distinct-lang lookup is a tiny metadata-sized action
-    langs = [r.lang for r in docs.select("lang").distinct().collect()]
-    fractions = {lang: (0.5 if lang == "en" else 1.0) for lang in langs}
-    sampled = docs.sampleBy("lang", fractions, seed=42)
-    return sampled.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("42"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    pct = F.when(F.col("lang") == "en", F.lit(50)).otherwise(F.lit(100))
+    return (
+        docs.where(bucket < pct)
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("lang")
+    )
 
 
 def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1121,12 +1144,24 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-MinHash near-dup pairs (custom deterministic LSH -- the
-    scale path; exact-verified so precision is 1.0)."""
-    from .operators.dedup import minhash_banded_pairs
+    """Banded-MinHash near-dup pairs, oracle-paired end to end (r12
+    verdict item #3): the PINNED universal-hash family
+    ``(A*x + B) mod 2^31-1`` over md5 hex-fold shingle hashes
+    (``operators.dedup.minhash_banded_pairs_portable``) replaces the
+    JVM-only xxhash64 family, so the DuckDB twin restates every
+    signature, band bucket, and verified Jaccard integer-for-integer
+    -- banding recall becomes hash-checked driver evidence instead of
+    a rows-only determinism smoke. The xxhash64 production path
+    (``minhash_banded_pairs``) stays available for callers who want
+    the cheaper per-shingle hash and don't need SQL mirrorability;
+    both share the banding math and the exact-verify contract
+    (precision 1.0 by construction)."""
+    from .operators.dedup import minhash_banded_pairs_portable
 
     docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
-    return minhash_banded_pairs(docs, threshold=0.5)
+    return minhash_banded_pairs_portable(docs, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 def q_minhash_ml_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1139,12 +1174,19 @@ def q_minhash_ml_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 by random-projection LSH bucketing (seeded
-    pyspark.ml); overlap-vs-exact pinned by test."""
-    from .operators.similarity import lsh_ann_topk
+    """Approximate cosine top-10 by sign-random-projection bucketing
+    under a PINNED md5-derived projection matrix, oracle-paired end to
+    end (r12 verdict item #3; previously rows-only under pyspark.ml's
+    JVM-RNG BucketedRandomProjectionLSH, which stays available as
+    ``lsh_ann_topk``): 4 tables x 4 sign planes generate the
+    candidates, exact quantized-BIGINT cosine re-ranks them -- see
+    ``operators.similarity.pinned_rp_ann_topk``. Overlap-vs-exact is
+    still pinned by test; the driver now also hash-checks every
+    candidate-selection and scoring integer."""
+    from .operators.similarity import pinned_rp_ann_topk
 
     emb = fixtures.load(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(emb, _query_vector(spark, sf_dir), k=10)
+    return pinned_rp_ann_topk(emb, k=10)
 
 
 def q_dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3749,37 +3791,59 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str, k: int = 100, seed: int = 7) -> DataFrame:
-    """Weighted sampling WITHOUT replacement via the exponential race
-    (Efraimidis-Spirakis A-ES): draw u_i deterministically from
-    (doc_id, seed), give row i the race time ``t_i = -ln(u_i) / w_i``,
-    keep the k smallest. Inclusion probability is proportional-to-size
-    without replacement -- the curation sampler for quality-weighted
-    corpus downsampling (weight here = token count, so it is
-    token-budget-proportional, matching how mixture weights are spent).
+    """Weighted sampling WITHOUT replacement via SEQUENTIAL POISSON
+    sampling (Ohlsson 1998, the Swedish-CPI estimator): draw u_i
+    deterministically from (doc_id, seed), rank by the priority
+    ``u_i / w_i``, keep the k smallest. Inclusion probability is
+    approximately proportional-to-size without replacement -- the
+    curation sampler for quality-weighted corpus downsampling (weight
+    = token count, so selection is token-budget-proportional,
+    matching how mixture weights are spent).
 
-    Distributed shape: t_i is a pure projection (no RNG state, no row
-    order -- any partitioning, any retry, same sample), and the k
-    smallest ride TakeOrderedAndProject (per-partition heap + driver
-    merge), never a global sort. Rows-only entry: ln is 1-ulp
-    engine-specific, so the SELECTION boundary is not SQL-mirrorable;
-    the pytest twin pins determinism, PPS monotonicity, and the
-    zero-weight exclusion instead.
+    Oracle-paired (r12 verdict item #3; previously rows-only under an
+    A-ES ``-ln(u)/w`` race whose transcendental is 1-ulp
+    engine-specific): sequential Poisson needs only +, /, floor --
+    every step IEEE-correctly-rounded and therefore bit-identical
+    across engines. u = (md5-fold(doc_id:seed) + 0.5) / 2^32 (exact:
+    integer-valued double + 0.5, then a power-of-two divide); the
+    SELECTION KEY is the quantized ``priority_e12 =
+    floor(u/w * 1e12)`` with doc_id tiebreak, so the ranking the
+    driver hash-checks IS the ranking the engine sorts by -- no float
+    in the contract's order-determining position.
+
+    Distributed shape: the priority is a pure projection (no RNG
+    state, no row order -- any partitioning, any retry, same sample),
+    and the k smallest ride TakeOrderedAndProject (per-partition heap
+    + driver merge), never a global sort.
     """
     from .functions import text as TX
 
     docs = fixtures.load(spark, sf_dir, "documents").select("doc_id", "text")
-    # u in (0,1): 64-bit xxhash64 folded to [0,1) via unsigned scaling,
-    # +0.5 ulp-ish offset so ln(u) is finite
-    u = (F.xxhash64(F.col("doc_id"), F.lit(seed)).cast("double") / F.lit(2.0**64)) + F.lit(0.5)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("doc_id").cast("string"), F.lit(str(seed))
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
     w = TX.token_count("text").cast("double")
     return (
         docs.where(TX.token_count("text") > 0)
         .select(
             "doc_id",
             TX.token_count("text").alias("weight"),
-            (-F.log(u) / w).alias("race_t"),
+            F.floor(u / w * F.lit(1e12)).cast("long").alias("priority_e12"),
         )
-        .orderBy("race_t", "doc_id")
+        .orderBy("priority_e12", "doc_id")
         .limit(k)
     )
 

@@ -17,12 +17,15 @@ def test_minhash_pairs_runs_and_deterministic(spark):
 
 
 def test_ann_topk_runs_and_overlaps_exact(spark):
+    # oracle-paired since r13 (pinned sign-RP family); this test keeps
+    # the APPROXIMATION-QUALITY contract the hash-check can't express:
+    # self-match first and decent overlap with the exact top-10
     qs = entry.queries()
     ann = qs["ann_topk"](spark, ORACLE_SF).collect()
     assert 0 < len(ann) <= 10
-    assert ann[0].asDict().keys() == {"vec_id", "dist"}
+    assert ann[0].asDict().keys() == {"vec_id", "dot_q", "score"}
     # the query vector itself must be its own nearest neighbor
-    assert ann[0].vec_id == 0 and ann[0].dist == 0.0
+    assert ann[0].vec_id == 0 and ann[0].score == 1.0
     # ANN should recover a decent chunk of the exact top-10
     exact = {r.vec_id for r in qs["sim_topk"](spark, ORACLE_SF).collect()}
     got = {r.vec_id for r in ann}
@@ -192,7 +195,9 @@ def test_pagerank_query_deterministic_and_ranked(spark):
 
 
 def test_weighted_sample_deterministic_pps_and_zero_weight_excluded(spark):
-    """A-ES contract: (a) same seed => identical sample under any
+    """Sequential-Poisson contract (oracle-paired since r13; this test
+    keeps the SAMPLING-QUALITY properties the hash-check can't
+    express): (a) same seed => identical sample under any
     partitioning; (b) exactly k rows; (c) heavier docs win more seats
     across seeds (PPS monotonicity at 10x weight); (d) empty docs never
     appear."""

@@ -223,6 +223,154 @@ def probe_kcore_hindex(spark, sf: str, k: int) -> int:
     return hindex_rounds(pairs, rounds=24).count()
 
 
+def _scaled_embeddings(spark, sf: str, k: int) -> DataFrame:
+    """k copies of the embeddings table with DISJOINT vec_id spaces
+    (same vectors -- the probe times JOIN PLANS, which see only ids
+    and quantized ints, so duplicate coordinates cannot fake either
+    direction: the pq encode join pairs every row with the fixed
+    16-seed codebook and the int8/RP scoring joins pair every row
+    with the one query vector, both k x by construction)."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    copies = [
+        e.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            "embedding",
+        )
+        for i in range(k)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+def probe_pq_encode_adc(spark, sf: str, k: int) -> int:
+    """q_pq_adc_topk's two join-shaped risks (r12 verdict item #6):
+    the encode argmin join (every sub-vector against the broadcast
+    16-seed codebook, window argmin per (vec, subspace)) and the ADC
+    scan join (codes against the broadcast 128-row table). Codebook
+    size is FIXED as the corpus grows -- the realistic PQ posture --
+    so both joins must be linear in rows."""
+    ex = (
+        _scaled_embeddings(spark, sf, k)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "vec_id",
+            F.floor(F.col("pos") / 8).cast("long").alias("j"),
+            (F.col("pos") % 8).cast("long").alias("t"),
+            F.round(F.col("v").cast("double") * 10000).cast("long").alias("q"),
+        )
+        .persist()
+    )
+    seeds = ex.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("long").alias("code"), "j", "t",
+        F.col("q").alias("c"),
+    )
+    diff = F.col("q") - F.col("c")
+    d2 = (
+        ex.join(F.broadcast(seeds), ["j", "t"])
+        .groupBy("vec_id", "j", "code")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id", "j").orderBy("d2", "code")
+    codes = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "j", "code")
+    )
+    qv = ex.where(F.col("vec_id") == 0).select("j", "t", F.col("q").alias("qq"))
+    qdiff = F.col("qq") - F.col("c")
+    tab = (
+        F.broadcast(seeds)
+        .join(F.broadcast(qv), ["j", "t"])
+        .groupBy("j", "code")
+        .agg(F.sum(qdiff * qdiff).alias("td2"))
+    )
+    n = (
+        codes.join(F.broadcast(tab), ["j", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("td2").cast("long").alias("adc_d2"))
+        .count()
+    )
+    ex.unpersist()
+    return n
+
+
+def probe_int8_cosine(spark, sf: str, k: int) -> int:
+    """q_int8_cosine_topk's scoring join (r12 verdict item #6): the
+    per-vector max|v| window over the exploded frame, then the int8
+    code rows against the broadcast 64-row query -- one window + one
+    broadcast join + one map-side-combined agg, all linear."""
+    from pyspark.sql import Window
+
+    ex = (
+        _scaled_embeddings(spark, sf, k)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "vf"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            F.round(F.col("vf").cast("double") * 10000).cast("long").alias("v"),
+        )
+    )
+    w = Window.partitionBy("vec_id")
+    codes = (
+        ex.withColumn("s", F.max(F.abs(F.col("v"))).over(w))
+        .select(
+            "vec_id", "dim",
+            F.when(F.col("s") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.round(
+                    F.col("v").cast("double") * 127.0 / F.col("s").cast("double")
+                ).cast("long")
+            )
+            .alias("c"),
+        )
+        .persist()
+    )
+    qv = codes.where(F.col("vec_id") == 0).select("dim", F.col("c").alias("d"))
+    n = (
+        codes.join(F.broadcast(qv), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("c") * F.col("d")).cast("long").alias("dot_q"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("norm_q"),
+        )
+        .count()
+    )
+    codes.unpersist()
+    return n
+
+
+def probe_minhash_banded(spark, sf: str, k: int) -> int:
+    """The r13 portable banded-MinHash's band self-join on DISJOINT
+    k-copies (every token per-copy tagged, so cross-copy signatures
+    share nothing and true pairs are exactly k x the original's): the
+    band bucket join is the operator's one quadratic-shaped risk."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.dedup import (  # noqa: E501
+        minhash_banded_pairs_portable,
+    )
+
+    return minhash_banded_pairs_portable(
+        _disjoint_docs(spark, sf, k), threshold=0.5
+    ).count()
+
+
+def probe_rp_ann(spark, sf: str, k: int) -> int:
+    """The r13 pinned sign-RP ANN end to end on k x vec_ids: the
+    signature pass (n x 1024-row broadcast join + two combinable
+    aggs) and the candidate re-rank (bucket-share candidates grow
+    k x; scoring join is candidate-only) must both stay linear."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.similarity import (  # noqa: E501
+        pinned_rp_ann_topk,
+    )
+
+    return pinned_rp_ann_topk(_scaled_embeddings(spark, sf, k), k=10).count()
+
+
 def probe_winnow(spark, sf: str, k: int) -> int:
     return (
         winnow_fingerprints(_scaled_docs(spark, sf, k))
@@ -250,6 +398,12 @@ PROBES = {
     "shingle_containment": probe_containment,
     # r12: the fixed-round H-index loop behind copurchase_kcore_hist
     "kcore_hindex": probe_kcore_hindex,
+    # r13 (r12 verdict item #6): the ANN-compression rungs' join shapes
+    "pq_encode_adc": probe_pq_encode_adc,
+    "int8_cosine": probe_int8_cosine,
+    # r13 conversions: the new banded self-join and RP candidate path
+    "minhash_banded": probe_minhash_banded,
+    "rp_ann": probe_rp_ann,
 }
 
 
