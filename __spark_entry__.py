@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": Q.q_weighted_sample,
         "stratified_sample": Q.q_stratified_sample,
         "ann_topk": Q.q_ann_topk,
+        "mmr_diverse_topk": Q.q_mmr_diverse_topk,
+        "ivf_topk": Q.q_ivf_topk,
         # --- previously-attested paired entries, stalest green first ----
         "dim_products": Q.q_dim_products,
         "market_share": Q.q_market_share,
@@ -516,11 +518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": Q.q_bpe_merges,
         "copurchase_kcore": Q.q_copurchase_kcore,
         "bpe_compression_by_source": Q.q_bpe_compression_by_source,
-        "mmr_diverse_topk": Q.q_mmr_diverse_topk,
         "copurchase_communities": Q.q_copurchase_communities,
         "minhash_ml_pairs": Q.q_minhash_ml_pairs,
         "embed_neardup_lsh": Q.q_embed_neardup_lsh,
-        "ivf_topk": Q.q_ivf_topk,
         "daily_active_users_approx": Q.q_daily_active_users_approx,
         "value_quantile_sketch": Q.q_value_quantile_sketch,
         "customer_spend_quartiles_approx": Q.q_customer_spend_quartiles_approx,
@@ -10778,5 +10778,185 @@ SELECT vec_id, dot_q,
 FROM scored
 ORDER BY CAST(dot_q AS DOUBLE) / SQRT(CAST(nq AS DOUBLE) * CAST(nd AS DOUBLE)) DESC, vec_id
 LIMIT 10
+""",
+        # MMR diverse top-10: the 10 greedy steps unrolled as
+        # MATERIALIZED CTEs (the copurchase_kcore_hist deep-CTE
+        # lesson); every compared score is one divide + one sqrt from
+        # exact BIGINT dots, so selection is cross-engine exact
+        "mmr_diverse_topk": """
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+qd AS (SELECT dim, q AS d FROM ex WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         CAST(SUM(e.q * qd.d) AS BIGINT) AS dot_q,
+         CAST(SUM(e.q * e.q) AS BIGINT) AS nq,
+         CAST(SUM(qd.d * qd.d) AS BIGINT) AS nd
+  FROM ex e JOIN qd ON qd.dim = e.dim GROUP BY 1
+),
+pool AS MATERIALIZED (
+  SELECT vec_id, nq,
+         CAST(dot_q AS DOUBLE)
+         / SQRT(CAST(nq AS DOUBLE) * CAST(nd AS DOUBLE)) AS rel
+  FROM scored
+  ORDER BY CAST(dot_q AS DOUBLE)
+           / SQRT(CAST(nq AS DOUBLE) * CAST(nd AS DOUBLE)) DESC, vec_id
+  LIMIT 50
+),
+pex AS (SELECT e.vec_id, e.dim, e.q FROM ex e JOIN pool p ON p.vec_id = e.vec_id),
+sims AS MATERIALIZED (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         CAST(SUM(a.q * b.q) AS DOUBLE)
+         / SQRT(CAST(pa.nq AS DOUBLE) * CAST(pb.nq AS DOUBLE)) AS sim
+  FROM pex a JOIN pex b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+  JOIN pool pa ON pa.vec_id = a.vec_id
+  JOIN pool pb ON pb.vec_id = b.vec_id
+  GROUP BY a.vec_id, b.vec_id, pa.nq, pb.nq
+),
+p1 AS MATERIALIZED (
+  SELECT vec_id, rel, 0.7 * rel - 0.3 * 0.0 AS mmr
+  FROM pool ORDER BY mmr DESC, vec_id LIMIT 1
+),
+p2 AS MATERIALIZED (
+  SELECT pool.vec_id, pool.rel,
+         0.7 * pool.rel - 0.3 * (SELECT MAX(s.sim) FROM sims s
+                                 WHERE s.i = pool.vec_id
+                                   AND s.j IN (SELECT vec_id FROM p1)) AS mmr
+  FROM pool
+  WHERE pool.vec_id NOT IN (SELECT vec_id FROM p1)
+  ORDER BY mmr DESC, pool.vec_id LIMIT 1
+),
+p3 AS MATERIALIZED (
+  SELECT pool.vec_id, pool.rel,
+         0.7 * pool.rel - 0.3 * (SELECT MAX(s.sim) FROM sims s
+                                 WHERE s.i = pool.vec_id
+                                   AND s.j IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2)) AS mmr
+  FROM pool
+  WHERE pool.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2)
+  ORDER BY mmr DESC, pool.vec_id LIMIT 1
+),
+p4 AS MATERIALIZED (
+  SELECT pool.vec_id, pool.rel,
+         0.7 * pool.rel - 0.3 * (SELECT MAX(s.sim) FROM sims s
+                                 WHERE s.i = pool.vec_id
+                                   AND s.j IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3)) AS mmr
+  FROM pool
+  WHERE pool.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3)
+  ORDER BY mmr DESC, pool.vec_id LIMIT 1
+),
+p5 AS MATERIALIZED (
+  SELECT pool.vec_id, pool.rel,
+         0.7 * pool.rel - 0.3 * (SELECT MAX(s.sim) FROM sims s
+                                 WHERE s.i = pool.vec_id
+                                   AND s.j IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3 UNION ALL SELECT vec_id FROM p4)) AS mmr
+  FROM pool
+  WHERE pool.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3 UNION ALL SELECT vec_id FROM p4)
+  ORDER BY mmr DESC, pool.vec_id LIMIT 1
+),
+p6 AS MATERIALIZED (
+  SELECT pool.vec_id, pool.rel,
+         0.7 * pool.rel - 0.3 * (SELECT MAX(s.sim) FROM sims s
+                                 WHERE s.i = pool.vec_id
+                                   AND s.j IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3 UNION ALL SELECT vec_id FROM p4 UNION ALL SELECT vec_id FROM p5)) AS mmr
+  FROM pool
+  WHERE pool.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3 UNION ALL SELECT vec_id FROM p4 UNION ALL SELECT vec_id FROM p5)
+  ORDER BY mmr DESC, pool.vec_id LIMIT 1
+),
+p7 AS MATERIALIZED (
+  SELECT pool.vec_id, pool.rel,
+         0.7 * pool.rel - 0.3 * (SELECT MAX(s.sim) FROM sims s
+                                 WHERE s.i = pool.vec_id
+                                   AND s.j IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3 UNION ALL SELECT vec_id FROM p4 UNION ALL SELECT vec_id FROM p5 UNION ALL SELECT vec_id FROM p6)) AS mmr
+  FROM pool
+  WHERE pool.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3 UNION ALL SELECT vec_id FROM p4 UNION ALL SELECT vec_id FROM p5 UNION ALL SELECT vec_id FROM p6)
+  ORDER BY mmr DESC, pool.vec_id LIMIT 1
+),
+p8 AS MATERIALIZED (
+  SELECT pool.vec_id, pool.rel,
+         0.7 * pool.rel - 0.3 * (SELECT MAX(s.sim) FROM sims s
+                                 WHERE s.i = pool.vec_id
+                                   AND s.j IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3 UNION ALL SELECT vec_id FROM p4 UNION ALL SELECT vec_id FROM p5 UNION ALL SELECT vec_id FROM p6 UNION ALL SELECT vec_id FROM p7)) AS mmr
+  FROM pool
+  WHERE pool.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3 UNION ALL SELECT vec_id FROM p4 UNION ALL SELECT vec_id FROM p5 UNION ALL SELECT vec_id FROM p6 UNION ALL SELECT vec_id FROM p7)
+  ORDER BY mmr DESC, pool.vec_id LIMIT 1
+),
+p9 AS MATERIALIZED (
+  SELECT pool.vec_id, pool.rel,
+         0.7 * pool.rel - 0.3 * (SELECT MAX(s.sim) FROM sims s
+                                 WHERE s.i = pool.vec_id
+                                   AND s.j IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3 UNION ALL SELECT vec_id FROM p4 UNION ALL SELECT vec_id FROM p5 UNION ALL SELECT vec_id FROM p6 UNION ALL SELECT vec_id FROM p7 UNION ALL SELECT vec_id FROM p8)) AS mmr
+  FROM pool
+  WHERE pool.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3 UNION ALL SELECT vec_id FROM p4 UNION ALL SELECT vec_id FROM p5 UNION ALL SELECT vec_id FROM p6 UNION ALL SELECT vec_id FROM p7 UNION ALL SELECT vec_id FROM p8)
+  ORDER BY mmr DESC, pool.vec_id LIMIT 1
+),
+p10 AS MATERIALIZED (
+  SELECT pool.vec_id, pool.rel,
+         0.7 * pool.rel - 0.3 * (SELECT MAX(s.sim) FROM sims s
+                                 WHERE s.i = pool.vec_id
+                                   AND s.j IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3 UNION ALL SELECT vec_id FROM p4 UNION ALL SELECT vec_id FROM p5 UNION ALL SELECT vec_id FROM p6 UNION ALL SELECT vec_id FROM p7 UNION ALL SELECT vec_id FROM p8 UNION ALL SELECT vec_id FROM p9)) AS mmr
+  FROM pool
+  WHERE pool.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3 UNION ALL SELECT vec_id FROM p4 UNION ALL SELECT vec_id FROM p5 UNION ALL SELECT vec_id FROM p6 UNION ALL SELECT vec_id FROM p7 UNION ALL SELECT vec_id FROM p8 UNION ALL SELECT vec_id FROM p9)
+  ORDER BY mmr DESC, pool.vec_id LIMIT 1
+)
+SELECT 1 AS rank, vec_id, ROUND(rel, 6) AS rel, ROUND(mmr, 6) AS mmr_score FROM p1
+UNION ALL SELECT 2 AS rank, vec_id, ROUND(rel, 6) AS rel, ROUND(mmr, 6) AS mmr_score FROM p2
+UNION ALL SELECT 3 AS rank, vec_id, ROUND(rel, 6) AS rel, ROUND(mmr, 6) AS mmr_score FROM p3
+UNION ALL SELECT 4 AS rank, vec_id, ROUND(rel, 6) AS rel, ROUND(mmr, 6) AS mmr_score FROM p4
+UNION ALL SELECT 5 AS rank, vec_id, ROUND(rel, 6) AS rel, ROUND(mmr, 6) AS mmr_score FROM p5
+UNION ALL SELECT 6 AS rank, vec_id, ROUND(rel, 6) AS rel, ROUND(mmr, 6) AS mmr_score FROM p6
+UNION ALL SELECT 7 AS rank, vec_id, ROUND(rel, 6) AS rel, ROUND(mmr, 6) AS mmr_score FROM p7
+UNION ALL SELECT 8 AS rank, vec_id, ROUND(rel, 6) AS rel, ROUND(mmr, 6) AS mmr_score FROM p8
+UNION ALL SELECT 9 AS rank, vec_id, ROUND(rel, 6) AS rel, ROUND(mmr, 6) AS mmr_score FROM p9
+UNION ALL SELECT 10 AS rank, vec_id, ROUND(rel, 6) AS rel, ROUND(mmr, 6) AS mmr_score FROM p10
+ORDER BY rank
+""",
+        # IVF serve path under the pinned seed quantizer (the
+        # pq_adc_topk playbook): assign argmin, probe selection, and
+        # candidate re-rank all exact integer arithmetic
+        "ivf_topk": """
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+cents AS (
+  SELECT CAST(vec_id AS BIGINT) AS cell, dim, q AS c FROM ex WHERE vec_id < 16
+),
+d2 AS (
+  SELECT e.vec_id, s.cell, SUM((e.q - s.c) * (e.q - s.c)) AS _d2
+  FROM ex e JOIN cents s ON e.dim = s.dim
+  GROUP BY 1, 2
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY _d2, cell) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+qd AS (SELECT dim, q AS d FROM ex WHERE vec_id = 0),
+probes AS (
+  SELECT cell FROM (
+    SELECT s.cell, SUM((v.d - s.c) * (v.d - s.c)) AS qd2
+    FROM cents s JOIN qd v ON s.dim = v.dim
+    GROUP BY 1
+  ) ORDER BY qd2, cell LIMIT 4
+),
+cand AS (
+  SELECT a.vec_id, a.cell FROM assigned a JOIN probes p ON a.cell = p.cell
+),
+scored AS (
+  SELECT e.vec_id, c.cell,
+         CAST(SUM((e.q - qd.d) * (e.q - qd.d)) AS BIGINT) AS d2
+  FROM ex e JOIN cand c ON c.vec_id = e.vec_id
+  JOIN qd ON qd.dim = e.dim
+  GROUP BY 1, 2
+)
+SELECT vec_id, cell, d2 FROM scored ORDER BY d2, vec_id LIMIT 10
 """,
     }

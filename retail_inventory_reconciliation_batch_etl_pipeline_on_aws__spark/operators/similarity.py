@@ -416,6 +416,99 @@ def ivf_topk(
     )
 
 
+def ivf_topk_pinned(
+    embeddings: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF serve path under a PINNED coarse quantizer, oracle-paired
+    end to end -- the ``pq_adc_topk`` playbook applied to the
+    inverted-file rung (r12 verdict item #3): IVF SERVING is pure
+    arithmetic under a fixed centroid table, so the pairing needs no
+    SQL Lloyd unroll; training quality stays pytest territory exactly
+    as for PQ. The quantizer is the seed state of ``ivf_topk``'s
+    trainer (the ``nlist`` lowest-id vectors, Lloyd iters=0).
+
+    Every step is exact BIGINT arithmetic both engines reproduce
+    bit-for-bit: coordinates quantize at 1e-4; ASSIGN = argmin of the
+    integer squared distance to the 16 seed centroids (ties to the
+    lowest centroid id -- the ``_pq_assign`` rule); PROBE = the
+    ``nprobe`` centroids nearest the query by the same integer d2
+    (ties to the lowest id); the scan re-ranks only vectors assigned
+    to probed cells by exact integer d2 to the query. Returns
+    (vec_id, cell, d2): the probed-cell membership AND the distance
+    are both hash-checked.
+
+    Scale shape: one cached explode of the corpus (assign + scan
+    consume it); the centroid frame (nlist x dim rows) and the probe
+    list broadcast; assign is one map-side-combinable agg + a
+    WindowGroupLimit argmin; the re-rank join touches only probed-cell
+    rows (~ nprobe/nlist of the corpus). No UDF, no driver loop."""
+    from pyspark.sql import Window
+
+    ex = (
+        embeddings.select(
+            F.col(id_col), F.posexplode(vec_col).alias("pos", "vf")
+        )
+        .select(
+            id_col,
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            F.round(F.col("vf").cast("double") * 10000)
+            .cast("long")
+            .alias("q"),
+        )
+        .persist()
+    )
+    cents = ex.where(F.col(id_col) < nlist).select(
+        F.col(id_col).cast("long").alias("cell"),
+        "dim",
+        F.col("q").alias("c"),
+    )
+    diff = F.col("q") - F.col("c")
+    d2 = (
+        ex.join(F.broadcast(cents), "dim")
+        .groupBy(id_col, "cell")
+        .agg(F.sum(diff * diff).alias("_d2"))
+    )
+    w = Window.partitionBy(id_col).orderBy("_d2", "cell")
+    assigned = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, "cell")
+    )
+    # probe selection: the query's OWN integer d2 to every centroid,
+    # nprobe smallest (ties to lowest cell) -- a 16-row frame, never
+    # a driver-side float loop
+    qd = ex.where(F.col(id_col) == query_id).select(
+        "dim", F.col("q").alias("d")
+    )
+    qdiff = F.col("d") - F.col("c")
+    probes = (
+        F.broadcast(cents)
+        .join(F.broadcast(qd), "dim")
+        .groupBy("cell")
+        .agg(F.sum(qdiff * qdiff).alias("qd2"))
+        .orderBy("qd2", "cell")
+        .limit(nprobe)
+        .select("cell")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell")
+    rdiff = F.col("q") - F.col("d")
+    return (
+        ex.join(cand, id_col)
+        .join(F.broadcast(qd), "dim")
+        .groupBy(id_col, "cell")
+        .agg(F.sum(rdiff * rdiff).cast("long").alias("d2"))
+        .orderBy("d2", id_col)
+        .limit(k)
+        .select(id_col, "cell", "d2")
+    )
+
+
 def quantize_embeddings(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -1250,3 +1343,132 @@ def mmr_topk(
         ],
         f"rank long, {id_col} long, score double, mmr_score double",
     )
+
+
+def mmr_topk_exact(
+    embeddings: DataFrame,
+    k: int = 10,
+    pool: int = 50,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MMR diverse top-k in CROSS-ENGINE EXACT arithmetic -- the
+    oracle-paired twin of ``mmr_topk`` (r12 verdict item #3: the
+    fixed-round playbook applied to a sequential greedy). lambda is
+    pinned at 0.7.
+
+    Every score the greedy compares is derived from exact BIGINT dot
+    products of 1e-4-quantized coordinates by one divide + one sqrt
+    (both IEEE-correctly-rounded, hence bit-identical on any engine):
+    rel_i = dot(i,q) / sqrt(n_i * n_q), sim(i,j) = dot(i,j) /
+    sqrt(n_i * n_j), mmr_i = 0.7*rel_i - 0.3*max_sim_i. No float SUM
+    anywhere (summation-order-dependent), no transcendental, no
+    epsilon tie-break -- ties resolve by id exactly like the oracle's
+    ORDER BY mmr DESC, id LIMIT 1 -- so a DuckDB twin that unrolls
+    the k greedy steps as MATERIALIZED CTEs reproduces every
+    selection bit-for-bit.
+
+    Scale shape (unchanged from ``mmr_topk``): relevance scoring and
+    top-``pool`` selection are fully distributed
+    (TakeOrderedAndProject over one cached explode); the pairwise
+    dots are computed DISTRIBUTED over the pool's exploded rows (a
+    dim-keyed self-join of pool x dim rows -- pool^2 * dim products,
+    constant once pool is fixed); only the bounded pool --
+    pool rows + pool^2 integer dots, the same O(pool^2) the
+    nlist-centroid collects set precedent for -- ever reaches the
+    driver, where the O(k * pool) greedy runs. Returns (rank,
+    vec_id, rel, mmr_score) with 6dp display rounding applied
+    SPARK-SIDE (HALF_UP, matching DuckDB ROUND) after unrounded
+    selection."""
+    ex = (
+        embeddings.select(
+            F.col(id_col), F.posexplode(vec_col).alias("pos", "vf")
+        )
+        .select(
+            id_col,
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            F.round(F.col("vf").cast("double") * 10000)
+            .cast("long")
+            .alias("q"),
+        )
+        .persist()
+    )
+    qd = ex.where(F.col(id_col) == query_id).select(
+        "dim", F.col("q").alias("d")
+    )
+    scored = (
+        ex.join(F.broadcast(qd), "dim")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("q") * F.col("d")).cast("long").alias("dot_q"),
+            F.sum(F.col("q") * F.col("q")).cast("long").alias("nq"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("nd"),
+        )
+    )
+    raw = F.col("dot_q").cast("double") / F.sqrt(
+        F.col("nq").cast("double") * F.col("nd").cast("double")
+    )
+    pool_df = (
+        scored.withColumn("_raw", raw)
+        .orderBy(F.col("_raw").desc(), id_col)
+        .limit(pool)
+        .select(id_col, "dot_q", "nq", "nd")
+    )
+    pe = ex.join(F.broadcast(pool_df.select(id_col)), id_col)
+    a, b = pe.alias("a"), pe.alias("b")
+    pair_dots = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("i"), F.col(f"b.{id_col}").alias("j")
+        )
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).cast("long").alias("dot"))
+    )
+    # bounded collects: pool rows + pool^2 dots (the nlist-centroid
+    # precedent); everything upstream ran distributed
+    prows = pool_df.collect()
+    dots = {(r["i"], r["j"]): r["dot"] for r in pair_dots.collect()}
+    ex.unpersist()
+
+    from math import sqrt
+
+    nq = {r[id_col]: r["nq"] for r in prows}
+    n_query = prows[0]["nd"]  # identical fixed query norm on every row
+    rel = {
+        r[id_col]: r["dot_q"] / sqrt(r["nq"] * n_query) for r in prows
+    }
+    remaining = sorted(nq)
+    selected: list[tuple[int, float, float]] = []
+    while remaining and len(selected) < k:
+        best = None
+        for i in remaining:  # ascending id: first strict win == lowest id
+            max_sim = max(
+                (
+                    dots[(i, j)] / sqrt(nq[i] * nq[j])
+                    for j, _, _ in selected
+                ),
+                default=0.0,
+            )
+            mmr = 0.7 * rel[i] - 0.3 * max_sim
+            if best is None or mmr > best[1]:
+                best = (i, mmr, rel[i])
+        selected.append(best)
+        remaining.remove(best[0])
+    spark = embeddings.sparkSession
+    out = spark.createDataFrame(
+        [
+            (rank + 1, i, r, m)
+            for rank, (i, m, r) in enumerate(selected)
+        ],
+        f"rank long, {id_col} long, _rel double, _mmr double",
+    )
+    return out.select(
+        "rank",
+        id_col,
+        F.round("_rel", 6).alias("rel"),
+        F.round("_mmr", 6).alias("mmr_score"),
+    ).orderBy("rank")

@@ -1135,12 +1135,18 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 (deterministic centroids; approximate by design,
-    so rows-only -- recall vs brute force is asserted in tests)."""
-    from .operators.similarity import ivf_topk
+    """IVF ANN top-10 under the PINNED seed quantizer, oracle-paired
+    end to end (r12 verdict item #3; previously rows-only under the
+    Lloyd-trained ``ivf_topk``, which stays as the production trainer
+    behind the persisted-index paths): serving is exact BIGINT
+    arithmetic under a fixed 16-centroid table -- assign argmin, probe
+    selection, and candidate re-rank all hash-checked; see
+    ``operators/similarity.ivf_topk_pinned``. Recall vs brute force
+    is still asserted in tests."""
+    from .operators.similarity import ivf_topk_pinned
 
     emb = fixtures.load(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, _query_vector(spark, sf_dir), k=10)
+    return ivf_topk_pinned(emb, k=10, nlist=16, nprobe=4)
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7689,15 +7695,20 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware retrieval: MMR top-10 (lambda=0.7) from the
-    exact top-50 pool against the standard probe vector
-    (``operators/similarity.mmr_topk``) -- the de-redundancy rerank a
-    RAG stack applies so near-duplicate passages don't crowd the
-    context window. Greedy objective => rows-only; determinism and
-    the redundancy-suppression contract are pinned by tests."""
-    from .operators.similarity import mmr_topk
+    exact top-50 pool against the standard probe vector -- the
+    de-redundancy rerank a RAG stack applies so near-duplicate
+    passages don't crowd the context window. Oracle-paired since r13
+    (r12 verdict item #3; previously rows-only): every score the
+    greedy compares is one divide + one sqrt from exact BIGINT dots
+    (``operators/similarity.mmr_topk_exact``), so the DuckDB twin
+    unrolls the 10 greedy steps as MATERIALIZED CTEs and reproduces
+    every selection bit-for-bit; the float ``mmr_topk`` stays for
+    callers with pre-scored float pools. Redundancy-suppression is
+    still pinned by tests."""
+    from .operators.similarity import mmr_topk_exact
 
     emb = fixtures.load(spark, sf_dir, "embeddings")
-    return mmr_topk(emb, _query_vector(spark, sf_dir), k=10, pool=50)
+    return mmr_topk_exact(emb, k=10, pool=50)
 
 
 def q_template_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -566,13 +566,17 @@ def test_mmr_is_deterministic_and_suppresses_redundancy(spark):
     assert [r.rank for r in out1] == [1, 2, 3]
 
 
-def test_mmr_rows_only_contract(spark):
-    """The queries() entry returns k deterministic rows on the
-    fixture."""
+def test_mmr_queries_entry_contract(spark):
+    """The queries() entry (oracle-paired exact-arithmetic twin since
+    r13) returns k deterministic rows on the fixture, self-match
+    first at rel 1.0, mmr bounded by lambda * rel."""
     rows = Q.q_mmr_diverse_topk(spark, SF).collect()
     assert len(rows) == 10
     assert rows == Q.q_mmr_diverse_topk(spark, SF).collect()
-    assert rows[0].vec_id == 0 and rows[0].score == 1.0
+    assert rows[0].vec_id == 0 and rows[0].rel == 1.0
+    assert [r.rank for r in rows] == list(range(1, 11))
+    for r in rows:
+        assert r.mmr_score <= 0.7 * r.rel + 1e-9
 
 
 def test_inventory_aging_conserves_unconsumed_stock(spark):

@@ -590,6 +590,13 @@ NONPORTABLE = {
     "partname_word_prices": "unnest-tvf",
     "pq_adc_topk": "range-tvf",
     "int8_cosine_topk": "range-tvf",
+    # r13 rows-only -> paired conversions
+    "minhash_pairs": "list-lambda",
+    "weighted_sample": "list-lambda",
+    "stratified_sample": "list-lambda",
+    "ann_topk": "list-lambda",
+    "ivf_topk": "range-tvf",
+    "mmr_diverse_topk": "range-tvf",
     "pii_scan": "type-coercion",
     "price_equidepth_hist": "dialect-syntax",
     "purchase_attribution": "dialect-syntax",
