@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": Q.q_ann_topk,
         "mmr_diverse_topk": Q.q_mmr_diverse_topk,
         "ivf_topk": Q.q_ivf_topk,
+        "embed_neardup_lsh": Q.q_embed_neardup_lsh,
+        "copurchase_kcore": Q.q_copurchase_kcore,
         # --- previously-attested paired entries, stalest green first ----
         "dim_products": Q.q_dim_products,
         "market_share": Q.q_market_share,
@@ -516,11 +518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_index_topk": Q.q_pq_index_topk,
         "pq_index_append_topk": Q.q_pq_index_append_topk,
         "bpe_merges": Q.q_bpe_merges,
-        "copurchase_kcore": Q.q_copurchase_kcore,
         "bpe_compression_by_source": Q.q_bpe_compression_by_source,
         "copurchase_communities": Q.q_copurchase_communities,
         "minhash_ml_pairs": Q.q_minhash_ml_pairs,
-        "embed_neardup_lsh": Q.q_embed_neardup_lsh,
         "daily_active_users_approx": Q.q_daily_active_users_approx,
         "value_quantile_sketch": Q.q_value_quantile_sketch,
         "customer_spend_quartiles_approx": Q.q_customer_spend_quartiles_approx,
@@ -10958,5 +10958,398 @@ scored AS (
   GROUP BY 1, 2
 )
 SELECT vec_id, cell, d2 FROM scored ORDER BY d2, vec_id LIMIT 10
+""",
+        # pinned sign-RP near-dup: 6 tables x 3 planes from
+        # md5(nd:t:p:dim), exact quantized-BIGINT cosine verify
+        "embed_neardup_lsh": """
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+proj AS (
+  SELECT CAST(FLOOR(r / 192.0) AS BIGINT) AS t,
+         CAST(FLOOR(r / 64.0) AS BIGINT) % 3 AS p,
+         r % 64 + 1 AS dim,
+         CAST(list_sum(list_transform(range(1, 9), i ->
+             (strpos('0123456789abcdef',
+                     substr(md5('nd:' || CAST(CAST(FLOOR(r / 192.0) AS BIGINT) AS VARCHAR)
+                                || ':' || CAST(CAST(FLOOR(r / 64.0) AS BIGINT) % 3 AS VARCHAR)
+                                || ':' || CAST(r % 64 + 1 AS VARCHAR)),
+                            CAST(i AS INT), 1)) - 1)
+             * power(16, 8 - i))) AS BIGINT) % 19 - 9 AS c
+  FROM (SELECT unnest(range(0, 1152)) AS r)
+),
+sums AS (
+  SELECT e.vec_id, pr.t, pr.p, SUM(pr.c * e.q) AS s
+  FROM ex e JOIN proj pr ON pr.dim = e.dim
+  GROUP BY 1, 2, 3
+),
+sigs AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN s >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS bucket
+  FROM sums GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2 FROM ex GROUP BY 1
+),
+dots AS (
+  SELECT c.vec_a, c.vec_b, CAST(SUM(ea.q * eb.q) AS BIGINT) AS dot
+  FROM cand c
+  JOIN ex ea ON ea.vec_id = c.vec_a
+  JOIN ex eb ON eb.vec_id = c.vec_b AND eb.dim = ea.dim
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.vec_a, d.vec_b,
+         ROUND(CAST(d.dot AS DOUBLE)
+               / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4) AS cos_sim
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.vec_a
+  JOIN norms nb ON nb.vec_id = d.vec_b
+)
+SELECT vec_a, vec_b, cos_sim FROM scored
+WHERE cos_sim >= 0.45
+ORDER BY vec_a, vec_b
+""",
+        # unweighted-graph coreness: the kcore_hist fixed-round
+        # contract at budget 40 (probed horizons 10/19/38)
+        "copurchase_kcore": """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pairs UNION SELECT pb, pa FROM pairs),
+h0 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS c FROM edges GROUP BY src),
+h1 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h0 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h2 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h1 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h3 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h2 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h4 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h3 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h5 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h4 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h6 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h5 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h7 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h6 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h8 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h7 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h9 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h8 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h10 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h9 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h11 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h10 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h12 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h11 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h13 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h12 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h14 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h13 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h15 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h14 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h16 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h15 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h17 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h16 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h18 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h17 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h19 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h18 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h20 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h19 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h21 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h20 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h22 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h21 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h23 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h22 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h24 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h23 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h25 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h24 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h26 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h25 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h27 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h26 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h28 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h27 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h29 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h28 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h30 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h29 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h31 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h30 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h32 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h31 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h33 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h32 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h34 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h33 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h35 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h34 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h36 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h35 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h37 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h36 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h38 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h37 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h39 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h38 h ON h.node = e.dst
+  ) GROUP BY src
+),
+h40 AS MATERIALIZED (
+  SELECT src AS node, MAX(LEAST(rn, nb)) AS c FROM (
+    SELECT e.src, h.c AS nb,
+           CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                                   ORDER BY h.c DESC, e.dst) AS BIGINT) AS rn
+    FROM edges e JOIN h39 h ON h.node = e.dst
+  ) GROUP BY src
+)
+SELECT c AS coreness, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM h40 GROUP BY 1 ORDER BY 1
 """,
     }

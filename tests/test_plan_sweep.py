@@ -110,9 +110,9 @@ PYTHON_OK = {
     "image_dims",  # sanctioned mapInPandas payload-synth + header-decode boundary
     "image_dims_jpeg",  # sanctioned mapInPandas JFIF-synth + SOF-decode boundary
     "minhash_ml_pairs",  # pyspark.ml MinHashLSH internals
-    "embed_neardup_lsh",  # pyspark.ml LSH internals
-    # ann_topk / ivf_topk: de-listed in r13 -- the pinned-family
-    # conversions are pure DataFrame arithmetic, no Python stage left
+    # ann_topk / ivf_topk / embed_neardup_lsh: de-listed in r13 -- the
+    # pinned-family conversions are pure DataFrame arithmetic, no
+    # Python stage left
     "audio_meta",  # sanctioned mapInPandas payload-synth + RIFF-decode boundary
     "frame_meta",  # sanctioned mapInPandas payload-synth + GIF-walk boundary
     "image_phash_neardup",  # sanctioned mapInPandas payload-synth + pixel-decode + aHash boundary

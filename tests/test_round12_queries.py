@@ -107,8 +107,9 @@ def test_hindex_rounds_truncates_instead_of_raising(spark):
 def test_copurchase_kcore_hist_is_true_coreness_here(spark):
     """At test scale the 24-round budget converges, so the paired
     histogram must equal the convergence-gated fixpoint's histogram --
-    the bridge between the fixed-round oracle contract and the
-    rows-only ``copurchase_kcore`` entry's true-coreness semantics."""
+    the bridge between the fixed-round oracle contract and
+    true-coreness semantics (``copurchase_kcore``, paired the same
+    way at budget 40 in r13, gets the same bridge below)."""
     from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (  # noqa: E501
         kcore_numbers,
     )
@@ -126,6 +127,45 @@ def test_copurchase_kcore_hist_is_true_coreness_here(spark):
         _copurchase_pairs_weighted(spark, TESTDATA)
         .where(F.col("w") >= 2)
         .select("pa", "pb")
+    )
+    cores = kcore_numbers(edges).collect()
+    want = {}
+    for r in cores:
+        want[r.coreness] = want.get(r.coreness, 0) + 1
+    assert got == want
+
+
+def test_copurchase_kcore_round40_is_true_coreness_here(spark):
+    """Same bridge for the r13-paired UNWEIGHTED entry: the 40-round
+    budget covers every probed local horizon (10/19/38), so the
+    fixed-round histogram must equal the convergence-gated fixpoint's
+    histogram on the same distinct-pair graph."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (  # noqa: E501
+        kcore_numbers,
+    )
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans import (  # noqa: E501
+        fixtures,
+    )
+
+    got = {
+        r.coreness: r.n_nodes
+        for r in entry.queries()["copurchase_kcore"](spark, TESTDATA).collect()
+    }
+    li = fixtures.load(spark, TESTDATA, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
     )
     cores = kcore_numbers(edges).collect()
     want = {}

@@ -597,6 +597,10 @@ NONPORTABLE = {
     "ann_topk": "list-lambda",
     "ivf_topk": "range-tvf",
     "mmr_diverse_topk": "range-tvf",
+    "embed_neardup_lsh": "list-lambda",
+    # 40 unrolled H-index CTEs, same MATERIALIZED requirement as
+    # copurchase_kcore_hist
+    "copurchase_kcore": "dialect-syntax",
     "pii_scan": "type-coercion",
     "price_equidepth_hist": "dialect-syntax",
     "purchase_attribution": "dialect-syntax",
