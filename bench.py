@@ -153,6 +153,18 @@ BENCH_QUERIES = [
     "copurchase_kcore_hist",
     "pq_adc_topk",
     "int8_cosine_topk",
+    # round-13: the nine rows-only -> paired conversions (pinned hash
+    # families / exact-arithmetic sampling / fixed-round unrolls) --
+    # first floors
+    "minhash_pairs",
+    "weighted_sample",
+    "stratified_sample",
+    "ann_topk",
+    "ivf_topk",
+    "mmr_diverse_topk",
+    "embed_neardup_lsh",
+    "copurchase_kcore",
+    "copurchase_communities",
 ]
 
 

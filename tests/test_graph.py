@@ -257,26 +257,28 @@ def test_label_propagation_deterministic_replay(spark):
 
 def test_copurchase_communities_conserves_parts(spark):
     """The size histogram accounts for every part that appears in a
-    co-purchase pair (singleton-order-only parts are out of graph)."""
+    REPEAT co-purchase pair (the w >= 2 edge set the query moved to
+    when it was oracle-paired in r13)."""
     import __spark_entry__ as entry
     from pyspark.sql import functions as F
 
-    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.plans import (
-        fixtures,
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.queries import (
+        _copurchase_pairs_weighted,
     )
 
     from conftest import TESTDATA
 
     out = entry.queries()["copurchase_communities"](spark, TESTDATA).collect()
     total = sum(r.size * r.n_communities for r in out)
-    li = fixtures.load(spark, TESTDATA, "lineitem").select("l_orderkey", "l_partkey")
-    by_order = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
-    ).collect()
+    pairs = (
+        _copurchase_pairs_weighted(spark, TESTDATA)
+        .where(F.col("w") >= 2)
+        .collect()
+    )
     in_graph = set()
-    for r in by_order:
-        if len(r.ps) >= 2:
-            in_graph.update(r.ps)
+    for r in pairs:
+        in_graph.add(r.pa)
+        in_graph.add(r.pb)
     assert total == len(in_graph)
 
 

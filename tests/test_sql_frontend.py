@@ -601,6 +601,8 @@ NONPORTABLE = {
     # 40 unrolled H-index CTEs, same MATERIALIZED requirement as
     # copurchase_kcore_hist
     "copurchase_kcore": "dialect-syntax",
+    # 8 unrolled LPA plurality rounds, MATERIALIZED
+    "copurchase_communities": "dialect-syntax",
     "pii_scan": "type-coercion",
     "price_equidepth_hist": "dialect-syntax",
     "purchase_attribution": "dialect-syntax",
