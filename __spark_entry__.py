@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_lsh": Q.q_embed_neardup_lsh,
         "copurchase_kcore": Q.q_copurchase_kcore,
         "copurchase_communities": Q.q_copurchase_communities,
+        "alert_throttle": Q.q_alert_throttle,
         # --- previously-attested paired entries, stalest green first ----
         "dim_products": Q.q_dim_products,
         "market_share": Q.q_market_share,
@@ -511,7 +512,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-attesting would waste a slot on a weaker check ---------------
         "image_phash_neardup": Q.q_image_phash_neardup,
         "pq_topk": Q.q_pq_topk,
-        "alert_throttle": Q.q_alert_throttle,
         "semantic_dedup": Q.q_semantic_dedup,
         "dau_sketch_merge": Q.q_dau_sketch_merge,
         "quantized_topk": Q.q_quantized_topk,
@@ -11441,5 +11441,30 @@ l8 AS MATERIALIZED (
 sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM l8 GROUP BY 1)
 SELECT size, CAST(COUNT(*) AS BIGINT) AS n_communities
 FROM sizes GROUP BY 1 ORDER BY 1
+""",
+        # applyInPandas greedy throttle: the linear recurrence walked
+        # by a RECURSIVE CTE carrying the last-kept timestamp per key
+        # (the dedup_groups closure precedent); Spark side unchanged
+        "alert_throttle": """
+WITH RECURSIVE al AS (
+  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT),
+                                          event_id) AS BIGINT) AS rn
+  FROM events WHERE event_type = 'error'
+),
+scan AS (
+  SELECT user_id, event_id, sec, rn, TRUE AS kept, sec AS last_kept
+  FROM al WHERE rn = 1
+  UNION ALL
+  SELECT a.user_id, a.event_id, a.sec, a.rn,
+         a.sec - s.last_kept >= 86400 AS kept,
+         CASE WHEN a.sec - s.last_kept >= 86400
+              THEN a.sec ELSE s.last_kept END AS last_kept
+  FROM scan s JOIN al a ON a.user_id = s.user_id AND a.rn = s.rn + 1
+)
+SELECT user_id, event_id, sec FROM scan
+WHERE kept
+ORDER BY user_id, sec
 """,
     }

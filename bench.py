@@ -153,10 +153,11 @@ BENCH_QUERIES = [
     "copurchase_kcore_hist",
     "pq_adc_topk",
     "int8_cosine_topk",
-    # round-13: the nine rows-only -> paired conversions (pinned hash
-    # families / exact-arithmetic sampling / fixed-round unrolls) --
-    # first floors
-    "minhash_pairs",
+    # round-13: the ten rows-only -> paired conversions (pinned hash
+    # families / exact-arithmetic sampling / fixed-round unrolls /
+    # a recursive-CTE-oracled applyInPandas greedy) -- first floors
+    # (minhash_pairs is already a headline above; its r13 portable
+    # re-plan gets a FLOOR_NOTE instead of a new slot)
     "weighted_sample",
     "stratified_sample",
     "ann_topk",
@@ -165,6 +166,7 @@ BENCH_QUERIES = [
     "embed_neardup_lsh",
     "copurchase_kcore",
     "copurchase_communities",
+    "alert_throttle",
 ]
 
 

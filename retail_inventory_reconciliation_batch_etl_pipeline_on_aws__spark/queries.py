@@ -5809,11 +5809,15 @@ def q_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alert-storm suppression over the error stream (24h cooldown per
     user): the batch twin of ``streaming_alert_throttle``. Greedy
     selection chained off the last KEPT alert -- provably not
-    window-expressible (see ``alerts.throttle_alerts``), hence the
-    sanctioned ordered-per-key ``applyInPandas`` scan and a rows-only
-    correctness check (the greedy recurrence has no SQL spelling; the
-    exact stream==batch parity and a hypothesis python-greedy recompute
-    pin the semantics in tests)."""
+    WINDOW-expressible (see ``alerts.throttle_alerts``), hence the
+    sanctioned ordered-per-key ``applyInPandas`` scan. Oracle-paired
+    since r13 (r12 verdict item #3): the greedy IS a linear recurrence
+    over (sec, event_id)-ordered rows, so a DuckDB RECURSIVE CTE (the
+    ``dedup_groups`` closure precedent) walks each key's rows by rank
+    carrying the last-kept timestamp -- the first hash-check of a
+    Python-boundary stateful operator, with the Spark side UNCHANGED.
+    Exact stream==batch parity and a hypothesis python-greedy
+    recompute still pin the semantics in tests."""
     from .alerts import throttle_alerts
 
     alerts = (

@@ -603,6 +603,9 @@ NONPORTABLE = {
     "copurchase_kcore": "dialect-syntax",
     # 8 unrolled LPA plurality rounds, MATERIALIZED
     "copurchase_communities": "dialect-syntax",
+    # per-key greedy recurrence walked by a RECURSIVE CTE (Spark has
+    # no recursive spelling pre-4.0 union semantics we rely on here)
+    "alert_throttle": "recursive-union-distinct",
     "pii_scan": "type-coercion",
     "price_equidepth_hist": "dialect-syntax",
     "purchase_attribution": "dialect-syntax",

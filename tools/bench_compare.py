@@ -70,6 +70,15 @@ FLOOR_NOTES = {
         "with a byte-identical plan -- the re-validation protocol's "
         "exact trigger. The bar is now the r11+ best steady-state."
     ),
+    "minhash_pairs": (
+        "PLAN REPLACED in r13: the queries() entry moved from the "
+        "xxhash64 hash family to the oracle-pairable pinned "
+        "universal-hash family over md5 hex-fold shingles (r12 "
+        "verdict item #3) -- md5 per distinct shingle costs more than "
+        "xxhash64, bought hash-checked driver evidence. The xxhash64 "
+        "operator (minhash_banded_pairs) is unchanged for production "
+        "callers; pre-r13 floors compare a different plan."
+    ),
     "measure_correlations": (
         "r9 observation: the code is unchanged since its r8 floor "
         "(0.343s, driver host) but mid-round re-measures on a busy "
@@ -92,6 +101,14 @@ FLOOR_NOTES = {
 #: supersession is recorded here (query -> (from_round, rationale)),
 #: never silently: the old number stays in the git-tracked artifacts.
 FLOOR_RESETS: dict[str, tuple[int, str]] = {
+    "minhash_pairs": (
+        13,
+        "not a re-validation but a PLAN REPLACEMENT: r13 moved the "
+        "entry to the pinned universal-hash family (md5 hex-fold "
+        "shingles) so it could be oracle-paired; pre-r13 floors timed "
+        "the xxhash64 family, a different plan. The floor re-bases at "
+        "the new plan's first recorded steady-state."
+    ),
     "token_dist_drift": (
         11,
         "0.620s was recorded in the light-list r5 round and never "
