@@ -47,11 +47,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation from zero. Per the r12 verdict (item #1) the window
     spends all 50 slots on the OLDEST never-attested paired entries
     (the five displaced by the round-12 picks lead, honoring the
-    excess-contiguity promise); the 2 overflow plus this round's
+    excess-contiguity promise); the 2 overflow plus this round's TEN
     oracle conversions (rows-only entries promoted to hash-checked
-    pairs under pinned parameters) sit contiguously past the boundary
-    and lead the round-14 queue, at which point the never-attested
-    backlog hits zero. Behind those, every previously-attested paired
+    pairs under pinned hash families, exact-arithmetic sampling,
+    fixed-round unrolls, and one recursive-CTE oracle over an
+    unchanged applyInPandas plan) sit contiguously past the boundary
+    and lead the round-14 queue -- a 12-entry round-14 window slice,
+    after which the never-attested backlog hits zero. Behind those, every previously-attested paired
     entry in staleness order (the round-12 window's 50, green r12,
     freshest last), then the rows-only entries whose one-time driver
     evidence is already on file. All post-window entries stay pinned
