@@ -1084,7 +1084,9 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- rows-only queries (not SQL-expressible: seeded hash families) -----
+# --- hash-family / sampling queries (several oracle-paired under
+# pinned families since r13; the rest rows-only: engine RNG, ML
+# internals, sketches) ---------------------------------------------------
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -16620,7 +16622,8 @@ def q_copurchase_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrees spreading 1..13), the edge set a co-purchase recommender
     would actually keep, and the paired entry that pins the WEIGHTED
     pair-mining path (count-distinct-orders per pair) the kcore/LPA
-    rows-only family builds on (r10 judge item #6). Exact integer
+    family (itself fully oracle-paired since r13) builds on (r10
+    judge item #6). Exact integer
     counts end to end; one shuffle for the pair weights, one for the
     degree rollup, one for the histogram."""
     edges = _copurchase_pairs_weighted(spark, sf_dir).where(F.col("w") >= 2)
