@@ -10629,7 +10629,7 @@ LIMIT 10
         "minhash_pairs": """
 WITH tok AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
   FROM documents
 ),
 sh AS (
@@ -10690,7 +10690,7 @@ ORDER BY doc_a, doc_b
         "weighted_sample": """
 WITH tok AS (
   SELECT doc_id,
-         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
                               t -> t <> '')) AS BIGINT) AS weight
   FROM documents
 ),
