@@ -251,6 +251,14 @@ def pagerank(
     # per round -- 8x the pair-mining shuffle for 6 iterations
     # (measured 53s -> 7s at sf0.1). Same executor-local persistence
     # strategy GraphX uses for its iteration working set.
+    # NOTE (r13): the _hindex_init repartition+persist trick was
+    # measured HERE too and reverted -- pagerank's per-round agg
+    # map-side combines 2.4M joined rows to ~|V| before its exchange,
+    # so the shuffle this would eliminate is already tiny, and the
+    # up-front repartition + cache-scan overhead made rounds SLOWER
+    # (9.3s vs 5.0s at sf0.1). Partition reuse only pays for
+    # WINDOW-bound rounds (hindex), where no combine can shrink the
+    # data before the exchange.
     edges = edges.select(
         F.col(src).alias(src), F.col(dst).alias(dst)
     ).localCheckpoint(eager=True)
@@ -404,6 +412,11 @@ def label_propagation(
     und = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
         edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     )
+    # NOTE (r13): the _hindex_init repartition+persist trick was
+    # measured here and reverted, same diagnosis as pagerank -- the
+    # plurality agg map-side combines before its exchange, so the
+    # per-round shuffle is already small and the trick cost 2x
+    # (7.8s vs 3.6s at sf0.1)
     und = und.distinct().localCheckpoint(eager=True)
     labels = (
         und.select(F.col("src").alias("node"))
@@ -438,13 +451,26 @@ def _hindex_init(edges: DataFrame, a: str, b: str):
     """(und, vals): the deduped undirected edge list (self-loops
     dropped -- the standard k-core convention) and the degree table
     that seeds the H-index sequence. Both eagerly checkpointed: every
-    round re-reads ``und``, and ``vals`` heads an iterated lineage."""
+    round re-reads ``und``, and ``vals`` heads an iterated lineage.
+    ``und`` is hash-partitioned by ``src`` and PERSISTED, not
+    checkpointed (r13): its lineage is static (computed once, never
+    iterated), and a localCheckpoint would ERASE the partitioning
+    metadata (LogicalRDD carries no outputPartitioning here), forcing
+    the round's window to re-exchange the full edge list every round
+    -- measured as one 2.4M-row shuffle x 38 rounds at sf0.1. With
+    the persist, the per-round value join broadcasts (see
+    ``_hindex_step``), and the window (partitionBy node == src) plus
+    terminal groupBy reuse the cached partitioning: ONE up-front
+    shuffle of the edge list total, and a round moves no edge bytes.
+    ``vals`` stays eagerly checkpointed -- ITS lineage is the iterated
+    one."""
     und = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionAll(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition(F.col("src"))
+        .persist()
     )
     vals = (
         und.groupBy(F.col("src").alias("node"))
@@ -454,17 +480,35 @@ def _hindex_init(edges: DataFrame, a: str, b: str):
     return und, vals
 
 
-def _hindex_step(und: DataFrame, vals: DataFrame) -> DataFrame:
+def _hindex_step(
+    und: DataFrame, vals: DataFrame, small: bool = True
+) -> DataFrame:
     """ONE synchronous H-index round: each node's value becomes the
     H-index of its neighbors' values -- neighbor values rank desc
     (dst id the deterministic tiebreak) and the H-index folds as
-    ``max(least(rank, value))``. One co-partitioned join plus one
-    window bounded by max degree; eagerly checkpointed so iterated
-    lineage never doubles."""
+    ``max(least(rank, value))``. Eagerly checkpointed so iterated
+    lineage never doubles.
+
+    Join routing (r13, the ``pagerank`` router precedent): the
+    checkpointed value table carries no stats, so Catalyst would plan
+    a sort-merge join that RE-SHUFFLES the edge list every round --
+    measured 57.7s for 38 rounds on the sf0.1 unweighted co-purchase
+    graph. With ``small`` (node table under the broadcast ceiling,
+    the common case -- it is |V| rows, not |E|), the value side
+    broadcasts and the round becomes map-side against the
+    src-partitioned checkpointed edges; the window (partitionBy node
+    == src) and the terminal groupBy both reuse that partitioning, so
+    a round moves NO edge bytes at all. Above the ceiling the honest
+    shuffle join stands (a billion-node value table must partition)."""
+    hint = F.broadcast if small else (lambda d: d)
     w = Window.partitionBy("node").orderBy(F.col("nb_c").desc(), F.col("dst"))
     return (
         und.join(
-            vals.select(F.col("node").alias("dst"), F.col("c").alias("nb_c")),
+            hint(
+                vals.select(
+                    F.col("node").alias("dst"), F.col("c").alias("nb_c")
+                )
+            ),
             "dst",
         )
         .select(F.col("src").alias("node"), "dst", "nb_c")
@@ -508,8 +552,11 @@ def hindex_rounds(
     Returns (node, h) for every non-isolated node.
     """
     und, vals = _hindex_init(edges, a, b)
+    # explicit broadcast router (checkpointed frames carry no stats):
+    # |V| rows, same 4M ceiling as pagerank's rank-side router
+    small = vals.count() <= 4_000_000
     for _ in range(rounds):
-        nxt = _hindex_step(und, vals)
+        nxt = _hindex_step(und, vals, small)
         changed = (
             nxt.join(vals.withColumnRenamed("c", "c_old"), "node")
             .where(F.col("c") != F.col("c_old"))
@@ -556,8 +603,9 @@ def kcore_numbers(
     coreness >= 1.
     """
     und, vals = _hindex_init(edges, a, b)
+    small = vals.count() <= 4_000_000  # same router as hindex_rounds
     for _ in range(max_iters):
-        nxt = _hindex_step(und, vals)
+        nxt = _hindex_step(und, vals, small)
         changed = (
             nxt.join(vals.withColumnRenamed("c", "c_old"), "node")
             .where(F.col("c") != F.col("c_old"))

