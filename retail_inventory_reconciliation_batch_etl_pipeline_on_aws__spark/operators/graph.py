@@ -463,7 +463,10 @@ def _hindex_init(edges: DataFrame, a: str, b: str):
     terminal groupBy reuse the cached partitioning: ONE up-front
     shuffle of the edge list total, and a round moves no edge bytes.
     ``vals`` stays eagerly checkpointed -- ITS lineage is the iterated
-    one."""
+    one. Cache lifetime follows the harness clearCache contract (see
+    ``queries._labeled_quantized_dims``): sweeps that run many
+    queries per session clear between queries; a long-lived caller
+    embedding this loop should do the same."""
     und = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionAll(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
