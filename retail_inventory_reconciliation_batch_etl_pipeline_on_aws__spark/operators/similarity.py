@@ -359,18 +359,16 @@ def rp_neardup_pairs_pinned(
     ``n_planes`` must grow ~log(n) with ``n_tables`` compensating
     recall -- the standard LSH dial, exposed as parameters here."""
     spark = embeddings.sparkSession
-    ex = (
-        embeddings.select(
-            F.col(id_col), F.posexplode(vec_col).alias("pos", "vf")
-        )
-        .select(
-            id_col,
-            (F.col("pos") + 1).cast("long").alias("dim"),
-            F.round(F.col("vf").cast("double") * 10000)
-            .cast("long")
-            .alias("q"),
-        )
-        .persist()
+    # NOT persisted: the signature pass is this frame's only consumer
+    # since the r13 HOF-verify rewrite (the verify side reads whole
+    # quantized arrays straight off the source scan) -- the
+    # smallest-sufficient-frame rule says no cache for one reader
+    ex = embeddings.select(
+        F.col(id_col), F.posexplode(vec_col).alias("pos", "vf")
+    ).select(
+        id_col,
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.round(F.col("vf").cast("double") * 10000).cast("long").alias("q"),
     )
     fold = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
     per_t = n_planes * dims
