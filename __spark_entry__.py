@@ -41,89 +41,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the LEAST-RECENTLY driver-attested entries come FIRST.
 
     The driver's CORRECTNESS artifact records only the first 50
-    entries, so ordering is part of the contract. Round-13 rotation:
-    CORRECTNESS_r12 came back 50/50 green on a 100% never-attested
-    window, leaving 52 oracle-paired entries never attested -- one
-    rotation from zero. Per the r12 verdict (item #1) the window
-    spends all 50 slots on the OLDEST never-attested paired entries
-    (the five displaced by the round-12 picks lead, honoring the
-    excess-contiguity promise); the 2 overflow plus this round's TEN
-    oracle conversions (rows-only entries promoted to hash-checked
-    pairs under pinned hash families, exact-arithmetic sampling,
-    fixed-round unrolls, and one recursive-CTE oracle over an
-    unchanged applyInPandas plan) sit contiguously past the boundary
-    and lead the round-14 queue -- a 12-entry round-14 window slice,
-    after which the never-attested backlog hits zero. Behind those, every previously-attested paired
-    entry in staleness order (the round-12 window's 50, green r12,
-    freshest last), then the rows-only entries whose one-time driver
-    evidence is already on file. All post-window entries stay pinned
-    value-level by tests/test_oracle_parity.py and bit-exactly by
+    entries, so ordering is part of the contract. Round-14 rotation:
+    CORRECTNESS_r13 came back 50/50 green, leaving exactly 12
+    oracle-paired entries never attested -- the 2 round-13
+    window-overflow rows (``brand_demand_acf``,
+    ``customer_entry_brand_loyalty``) and the 10 round-13 rows-only ->
+    oracle-paired conversions, queued contiguously past the boundary
+    last round per the excess-contiguity promise. Per the r13 verdict
+    (item #1) those 12 lead this window, and the remaining 38 slots go
+    to the stalest previously-attested paired entries (all green r5,
+    the oldest standing attestations) -- after this round the
+    never-attested backlog is ZERO and the window becomes a pure
+    staleness rotation. Behind the window, every previously-attested
+    paired entry in staleness order (freshest last), then the
+    rows-only entries whose one-time driver evidence is already on
+    file. All post-window entries stay pinned value-level by
+    tests/test_oracle_parity.py and bit-exactly by
     tools/strict_parity.py.
     """
     return {
-        # --- round-13 window (50 slots, ALL never-attested): the 50
-        # oldest of the 52 never-attested paired entries (the five
-        # displaced by the round-12 window picks leading, per the
-        # excess-contiguity promise) -- backlog hits zero in round 14 --
-        "supplier_cosupply_pairs": Q.q_supplier_cosupply_pairs,
-        "brand_quantity_mode": Q.q_brand_quantity_mode,
-        "sku_seasonality_strength": Q.q_sku_seasonality_strength,
-        "customer_dow_habit": Q.q_customer_dow_habit,
-        "session_size_histogram": Q.q_session_size_histogram,
-        "event_type_peak_hour": Q.q_event_type_peak_hour,
-        "source_genericness": Q.q_source_genericness,
-        "embedding_dim_correlations": Q.q_embedding_dim_correlations,
-        "brand_nation_price_spread": Q.q_brand_nation_price_spread,
-        "monthly_aov_trend": Q.q_monthly_aov_trend,
-        "brand_top_supplier_share": Q.q_brand_top_supplier_share,
-        "user_activity_deciles": Q.q_user_activity_deciles,
-        "nation_rank_trajectory": Q.q_nation_rank_trajectory,
-        "brand_backorder_exposure": Q.q_brand_backorder_exposure,
-        "customer_order_regularity": Q.q_customer_order_regularity,
-        "label_separation_matrix": Q.q_label_separation_matrix,
-        "order_rank_value_curve": Q.q_order_rank_value_curve,
-        "new_sku_revenue_share": Q.q_new_sku_revenue_share,
-        "order_status_profile": Q.q_order_status_profile,
-        "event_value_coverage": Q.q_event_value_coverage,
-        "embedding_dim_occupancy": Q.q_embedding_dim_occupancy,
-        "basket_brand_breadth": Q.q_basket_brand_breadth,
-        "customer_brand_breadth": Q.q_customer_brand_breadth,
-        "order_calendar_coverage": Q.q_order_calendar_coverage,
-        "user_entry_exit_matrix": Q.q_user_entry_exit_matrix,
-        "inverted_interval_audit": Q.q_inverted_interval_audit,
-        "value_priority_matrix": Q.q_value_priority_matrix,
-        "region_quarter_matrix": Q.q_region_quarter_matrix,
-        "supplier_return_rate": Q.q_supplier_return_rate,
-        "dup_rate_by_length": Q.q_dup_rate_by_length,
-        "balance_spend_correlation": Q.q_balance_spend_correlation,
-        "unit_price_inflation": Q.q_unit_price_inflation,
-        "jaccard_band_histogram": Q.q_jaccard_band_histogram,
-        "brand_type_matrix": Q.q_brand_type_matrix,
-        "name_key_consistency": Q.q_name_key_consistency,
-        "weekday_latency_profile": Q.q_weekday_latency_profile,
-        "source_signature_bigram": Q.q_source_signature_bigram,
-        "source_opening_diversity": Q.q_source_opening_diversity,
-        "label_radius_profile": Q.q_label_radius_profile,
-        "basket_size_trend": Q.q_basket_size_trend,
-        "spend_latency_bias": Q.q_spend_latency_bias,
-        "order_weekend_premium": Q.q_order_weekend_premium,
-        "dau_anomaly_days": Q.q_dau_anomaly_days,
-        "event_type_user_overlap": Q.q_event_type_user_overlap,
-        "annual_customer_retention": Q.q_annual_customer_retention,
-        "sku_price_drift_mix": Q.q_sku_price_drift_mix,
-        "embedding_exact_dups": Q.q_embedding_exact_dups,
-        "repeated_part_lines_audit": Q.q_repeated_part_lines_audit,
-        "hourly_value_profile": Q.q_hourly_value_profile,
-        "priority_value_profile": Q.q_priority_value_profile,
-        # --- excess never-attested paired entries, contiguous past the
-        # boundary (lead the round-14 queue: the 2 round-13 overflow,
-        # then any round-13 oracle conversions/additions) --------------
+        # --- round-14 window (50 slots): the 12 never-attested paired
+        # entries lead (the 2 round-13 window-overflow rows, then the 10
+        # round-13 rows-only -> oracle-paired conversions) -- the
+        # never-attested backlog hits ZERO this round; the remaining 38
+        # slots go to the stalest previously-attested entries (green r5,
+        # the oldest standing attestations on file) ----------------------
         "brand_demand_acf": Q.q_brand_demand_acf,
         "customer_entry_brand_loyalty": Q.q_customer_entry_brand_loyalty,
-        # the four round-13 rows-only -> oracle-paired conversions
-        # (pinned hash families / exact-arithmetic sampling; r12
-        # verdict item #3): paired-never-attested, queued behind the
-        # overflow per the excess-contiguity rule
         "minhash_pairs": Q.q_minhash_pairs,
         "weighted_sample": Q.q_weighted_sample,
         "stratified_sample": Q.q_stratified_sample,
@@ -134,7 +78,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_kcore": Q.q_copurchase_kcore,
         "copurchase_communities": Q.q_copurchase_communities,
         "alert_throttle": Q.q_alert_throttle,
-        # --- previously-attested paired entries, stalest green first ----
         "dim_products": Q.q_dim_products,
         "market_share": Q.q_market_share,
         "nation_profit": Q.q_nation_profit,
@@ -173,9 +116,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": Q.q_doc_chunks,
         "simhash": Q.q_simhash,
         "simhash_neardup": Q.q_simhash_neardup,
+        # --- previously-attested paired entries, stalest green first ----
+        # last green r5 ---------------------------------------------
         "jaccard_pairs": Q.q_jaccard_pairs,
         "dedup_groups": Q.q_dedup_groups,
         "multimodal_features": Q.q_multimodal_features,
+        # last green r6 ---------------------------------------------
         "lm_score": Q.q_lm_score,
         "top_tokens": Q.q_top_tokens,
         "corpus_filter": Q.q_corpus_filter,
@@ -225,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_flags": Q.q_quality_flags,
         "user_journey": Q.q_user_journey,
         "sku_sales_anomaly": Q.q_sku_sales_anomaly,
+        # last green r7 ---------------------------------------------
         "returnflag_unpivot": Q.q_returnflag_unpivot,
         "scd2_point_in_time": Q.q_scd2_point_in_time,
         "table_checksum": Q.q_table_checksum,
@@ -274,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_setops": Q.q_customer_setops,
         "returnflag_pivot": Q.q_returnflag_pivot,
         "min_cost_supplier": Q.q_min_cost_supplier,
+        # last green r8 ---------------------------------------------
         "price_equidepth_hist": Q.q_price_equidepth_hist,
         "fifo_allocation": Q.q_fifo_allocation,
         "name_edit1_pairs": Q.q_name_edit1_pairs,
@@ -324,6 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evolving_schema": Q.q_evolving_schema,
         "stock_asof_forward": Q.q_stock_asof_forward,
         "stage_sales": Q.q_stage_sales,
+        # last green r9 ---------------------------------------------
         "price_change_events": Q.q_price_change_events,
         "single_source_risk": Q.q_single_source_risk,
         "seasonal_naive_backtest": Q.q_seasonal_naive_backtest,
@@ -374,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_zchart": Q.q_weekly_zchart,
         "nation_segment_grid": Q.q_nation_segment_grid,
         "type_discount_profile": Q.q_type_discount_profile,
+        # last green r10 --------------------------------------------
         "purchases_in_promo_windows": Q.q_purchases_in_promo_windows,
         "cross_region_trade_share": Q.q_cross_region_trade_share,
         "referential_integrity_audit": Q.q_referential_integrity_audit,
@@ -424,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_volume_value_mix": Q.q_brand_volume_value_mix,
         "customer_priority_breadth": Q.q_customer_priority_breadth,
         "brand_copurchase_pairs": Q.q_brand_copurchase_pairs,
+        # last green r11 --------------------------------------------
         "image_dims_jpeg": Q.q_image_dims_jpeg,
         "copurchase_degree_hist": Q.q_copurchase_degree_hist,
         "copurchase_component_sizes": Q.q_copurchase_component_sizes,
@@ -459,7 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_iteration": Q.q_kmeans_iteration,
         "embedding_outliers": Q.q_embedding_outliers,
         "pagerank": Q.q_pagerank,
-        # --- round-12 window, all green r12 (freshest attested) ---------
+        # last green r12 --------------------------------------------
         "nation_discount_gap": Q.q_nation_discount_gap,
         "cohort_retention_triangle": Q.q_cohort_retention_triangle,
         "click_to_purchase_latency": Q.q_click_to_purchase_latency,
@@ -510,6 +461,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_kcore_hist": Q.q_copurchase_kcore_hist,
         "pq_adc_topk": Q.q_pq_adc_topk,
         "int8_cosine_topk": Q.q_int8_cosine_topk,
+        # last green r13 --------------------------------------------
+        "supplier_cosupply_pairs": Q.q_supplier_cosupply_pairs,
+        "brand_quantity_mode": Q.q_brand_quantity_mode,
+        "sku_seasonality_strength": Q.q_sku_seasonality_strength,
+        "customer_dow_habit": Q.q_customer_dow_habit,
+        "session_size_histogram": Q.q_session_size_histogram,
+        "event_type_peak_hour": Q.q_event_type_peak_hour,
+        "source_genericness": Q.q_source_genericness,
+        "embedding_dim_correlations": Q.q_embedding_dim_correlations,
+        "brand_nation_price_spread": Q.q_brand_nation_price_spread,
+        "monthly_aov_trend": Q.q_monthly_aov_trend,
+        "brand_top_supplier_share": Q.q_brand_top_supplier_share,
+        "user_activity_deciles": Q.q_user_activity_deciles,
+        "nation_rank_trajectory": Q.q_nation_rank_trajectory,
+        "brand_backorder_exposure": Q.q_brand_backorder_exposure,
+        "customer_order_regularity": Q.q_customer_order_regularity,
+        "label_separation_matrix": Q.q_label_separation_matrix,
+        "order_rank_value_curve": Q.q_order_rank_value_curve,
+        "new_sku_revenue_share": Q.q_new_sku_revenue_share,
+        "order_status_profile": Q.q_order_status_profile,
+        "event_value_coverage": Q.q_event_value_coverage,
+        "embedding_dim_occupancy": Q.q_embedding_dim_occupancy,
+        "basket_brand_breadth": Q.q_basket_brand_breadth,
+        "customer_brand_breadth": Q.q_customer_brand_breadth,
+        "order_calendar_coverage": Q.q_order_calendar_coverage,
+        "user_entry_exit_matrix": Q.q_user_entry_exit_matrix,
+        "inverted_interval_audit": Q.q_inverted_interval_audit,
+        "value_priority_matrix": Q.q_value_priority_matrix,
+        "region_quarter_matrix": Q.q_region_quarter_matrix,
+        "supplier_return_rate": Q.q_supplier_return_rate,
+        "dup_rate_by_length": Q.q_dup_rate_by_length,
+        "balance_spend_correlation": Q.q_balance_spend_correlation,
+        "unit_price_inflation": Q.q_unit_price_inflation,
+        "jaccard_band_histogram": Q.q_jaccard_band_histogram,
+        "brand_type_matrix": Q.q_brand_type_matrix,
+        "name_key_consistency": Q.q_name_key_consistency,
+        "weekday_latency_profile": Q.q_weekday_latency_profile,
+        "source_signature_bigram": Q.q_source_signature_bigram,
+        "source_opening_diversity": Q.q_source_opening_diversity,
+        "label_radius_profile": Q.q_label_radius_profile,
+        "basket_size_trend": Q.q_basket_size_trend,
+        "spend_latency_bias": Q.q_spend_latency_bias,
+        "order_weekend_premium": Q.q_order_weekend_premium,
+        "dau_anomaly_days": Q.q_dau_anomaly_days,
+        "event_type_user_overlap": Q.q_event_type_user_overlap,
+        "annual_customer_retention": Q.q_annual_customer_retention,
+        "sku_price_drift_mix": Q.q_sku_price_drift_mix,
+        "embedding_exact_dups": Q.q_embedding_exact_dups,
+        "repeated_part_lines_audit": Q.q_repeated_part_lines_audit,
+        "hourly_value_profile": Q.q_hourly_value_profile,
+        "priority_value_profile": Q.q_priority_value_profile,
         # --- rows-only entries already attested (spark_rows evidence);
         # re-attesting would waste a slot on a weaker check ---------------
         "image_phash_neardup": Q.q_image_phash_neardup,
