@@ -10614,6 +10614,7 @@ SELECT vec_id, dot_q, norm_q,
              / SQRT(CAST(norm_q AS DOUBLE)
                     * CAST((SELECT nd FROM nd) AS DOUBLE)), 6) AS score
 FROM scored
+WHERE norm_q > 0  -- zero-vector guard, mirrored from the Spark plan
 ORDER BY CAST(dot_q AS DOUBLE)
          / SQRT(CAST(norm_q AS DOUBLE)
                 * CAST((SELECT nd FROM nd) AS DOUBLE)) DESC,
@@ -10807,6 +10808,7 @@ pool AS MATERIALIZED (
          CAST(dot_q AS DOUBLE)
          / SQRT(CAST(nq AS DOUBLE) * CAST(nd AS DOUBLE)) AS rel
   FROM scored
+  WHERE nq > 0 AND nd > 0  -- zero-norm guard, mirrored from the Spark plan
   ORDER BY CAST(dot_q AS DOUBLE)
            / SQRT(CAST(nq AS DOUBLE) * CAST(nd AS DOUBLE)) DESC, vec_id
   LIMIT 50

@@ -1531,6 +1531,14 @@ def mmr_topk_exact(
     the k greedy steps as MATERIALIZED CTEs reproduces every
     selection bit-for-bit.
 
+    INPUT CONTRACT (r13 ADVICE, closed r14): zero-norm vectors are
+    GUARDED, not assumed away -- the pool pre-filters ``nq > 0 AND
+    nd > 0`` (mirrored in the oracle), so an all-zero pool vector can
+    no longer raise ZeroDivisionError driver-side (where DuckDB would
+    have yielded NaN), and an all-zero QUERY vector yields an empty
+    result on both engines instead of NaN-ranked garbage. Same guard
+    convention as ``q_int8_cosine_topk``'s ``norm_q > 0``.
+
     Scale shape (unchanged from ``mmr_topk``): relevance scoring and
     top-``pool`` selection are fully distributed
     (TakeOrderedAndProject over one cached explode); the pairwise
@@ -1572,7 +1580,11 @@ def mmr_topk_exact(
         F.col("nq").cast("double") * F.col("nd").cast("double")
     )
     pool_df = (
-        scored.withColumn("_raw", raw)
+        scored
+        # zero-norm guard (r13 ADVICE): 0/sqrt(0) would be NaN in
+        # DuckDB but ZeroDivisionError in the driver-side greedy
+        .where((F.col("nq") > 0) & (F.col("nd") > 0))
+        .withColumn("_raw", raw)
         .orderBy(F.col("_raw").desc(), id_col)
         .limit(pool)
         .select(id_col, "dot_q", "nq", "nd")
@@ -1595,6 +1607,12 @@ def mmr_topk_exact(
     prows = pool_df.collect()
     dots = {(r["i"], r["j"]): r["dot"] for r in pair_dots.collect()}
     ex.unpersist()
+
+    spark = embeddings.sparkSession
+    if not prows:  # all-zero query vector: empty on both engines
+        return spark.createDataFrame(
+            [], f"rank long, {id_col} long, rel double, mmr_score double"
+        )
 
     from math import sqrt
 
@@ -1620,7 +1638,6 @@ def mmr_topk_exact(
                 best = (i, mmr, rel[i])
         selected.append(best)
         remaining.remove(best[0])
-    spark = embeddings.sparkSession
     out = spark.createDataFrame(
         [
             (rank + 1, i, r, m)

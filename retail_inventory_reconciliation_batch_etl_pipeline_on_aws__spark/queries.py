@@ -16971,24 +16971,24 @@ def q_int8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id tiebreak). A wrong code, a scale off by one, or an
     unstable ranking hash-mismatches.
 
-    INPUT CONTRACT (r12 ADVICE): the query norm rides the scoring
-    join as the per-group ``sum(d*d)``, which equals the true global
-    query norm ONLY because every embedding carries the identical
-    fixed dimension set (posexplode of equal-length arrays -- the
-    generator's contract, asserted by ``tests`` on the embeddings
-    table); a ragged corpus vector would silently drop query-norm
-    terms for its missing dims. Likewise an all-zero CORPUS vector
-    yields 0/sqrt(0) -- Spark NULL vs DuckDB IEEE NaN, which sort
-    differently -- so the pairing additionally assumes no zero
-    vectors (true of the generated table; a production caller should
-    pre-filter ``norm_q > 0``). An all-zero QUERY vector is already
-    guarded by the ``s == 0`` branch producing all-zero codes.
+    INPUT CONTRACT, closed r14 (r12 ADVICE, r13 verdict item #2): the
+    query norm is computed ONCE, globally, from the broadcast query
+    codes -- a 1-row broadcast gate, structurally identical to the
+    oracle's ``nd`` CTE -- so a ragged corpus vector can no longer
+    silently drop query-norm terms (through r13 it rode the scoring
+    join as per-group ``sum(d*d)``, correct only under the
+    fixed-dimension contract). All-zero CORPUS vectors (0/sqrt(0):
+    Spark NULL vs DuckDB IEEE NaN, which sort differently) are now
+    GUARDED by the ``norm_q > 0`` pre-filter, mirrored in the oracle.
+    An all-zero QUERY vector is guarded by the ``s == 0`` branch
+    producing all-zero codes (every cosine NULL/NaN -> zero rows out
+    on both engines under the same filters).
 
     Scale shape: one window (per-vector max|v|) replaces an agg+join
     so the exploded frame is scanned once; the int8 code frame (the
     4x-compressed representation a 100 TB index actually stores)
     persists for its two consumers (query row, scoring join); the
-    query side and the 1-row query-norm frame broadcast; scoring is
+    query side and the 1-row query-norm gate broadcast; scoring is
     one map-side-combinable groupBy. No UDF, no driver loop."""
     emb = fixtures.load(spark, sf_dir, "embeddings")
     ex = emb.select(
@@ -17020,18 +17020,23 @@ def q_int8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = codes.where(F.col("vec_id") == 0).select(
         "dim", F.col("c").alias("d")
     )
-    # the query norm rides the SAME scoring join (each dim appears
-    # once per vector, so per-group sum(d*d) IS sum over the query) --
-    # no 1-row cross join, which would compile to the
-    # BroadcastNestedLoopJoin the plan-sweep lint forbids
+    # the GLOBAL query norm: 1 row off the (tiny, broadcast) query
+    # codes, attached as a sanctioned 1-row broadcast gate -- the
+    # structural twin of the oracle's nd CTE, independent of which
+    # dims a corpus vector happens to carry (r13 verdict item #2)
+    ndf = qv.agg(F.sum(F.col("d") * F.col("d")).cast("long").alias("nd"))
     scored = (
         codes.join(F.broadcast(qv), "dim")
         .groupBy("vec_id")
         .agg(
             F.sum(F.col("c") * F.col("d")).cast("long").alias("dot_q"),
             F.sum(F.col("c") * F.col("c")).cast("long").alias("norm_q"),
-            F.sum(F.col("d") * F.col("d")).cast("long").alias("nd"),
         )
+        .crossJoin(F.broadcast(ndf))
+        # zero-vector guard: an all-zero corpus vector would score
+        # 0/sqrt(0) = Spark NULL vs DuckDB NaN (they sort differently);
+        # drop it on BOTH sides instead of documenting the divergence
+        .where(F.col("norm_q") > 0)
     )
     raw = F.col("dot_q").cast("double") / F.sqrt(
         F.col("norm_q").cast("double") * F.col("nd").cast("double")

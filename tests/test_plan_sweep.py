@@ -80,6 +80,7 @@ NESTED_LOOP_OK = {
     "big_order_brand_mix",  # 1-row p90-edge + 1-row pool-totals broadcast gates
     "first_day_activity_mix",  # 1-row day-zero-total broadcast gate (shares)
     "nation_discount_gap",  # 1-row global-mean broadcast gate (gap baseline)
+    "int8_cosine_topk",  # 1-row global-query-norm broadcast gate (r13 item #2)
     "brand_weekend_mix",  # 1-row global-weekend-share broadcast gate (gap baseline)
 }
 

@@ -79,6 +79,21 @@ FLOOR_NOTES = {
         "operator (minhash_banded_pairs) is unchanged for production "
         "callers; pre-r13 floors compare a different plan."
     ),
+    "embed_neardup_lsh": (
+        "SELECTIVITY, not speed (r13 ADVICE item #1): at the shipped "
+        "cos>=0.45 threshold (~63 deg) on this isotropic corpus the "
+        "6x3 sign-RP tables admit ~55% of all pairs as candidates -- "
+        "the exact HOF verify keeps it correct and locally fast "
+        "(4.3s solo) but effectively O(n^2) pairs verified. The "
+        "threshold is data-driven: the synthetic embeddings' max "
+        "cosine is ~0.5-0.6, so any higher bar yields an empty (thus "
+        "evidence-free) result. A production corpus with real "
+        "near-dups runs cos>=0.9 where the same construction prunes "
+        "(background/table 0.125 vs true-pair 0.63); scale runs at "
+        "low thresholds must grow n_planes ~log(n) -- the dial is a "
+        "parameter, the quadratic-at-0.45 behavior is recorded here "
+        "and in PLANS.md so it cannot surprise."
+    ),
     "measure_correlations": (
         "r9 observation: the code is unchanged since its r8 floor "
         "(0.343s, driver host) but mid-round re-measures on a busy "
@@ -161,10 +176,12 @@ def floors() -> dict[str, float]:
     for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
         try:
             d = _unwrap(json.load(open(path)))
+            # BENCH_r{N}.json / BENCH_r{N}_solo.json -> N; inside the
+            # try so a scratch copy with a non-numeric suffix is
+            # skipped like a malformed payload (r13 ADVICE item #3)
+            rnd = int(os.path.basename(path)[7:].split(".")[0].split("_")[0])
         except Exception:  # noqa: BLE001 -- tolerate a malformed artifact
             continue
-        # BENCH_r{N}.json / BENCH_r{N}_solo.json -> N
-        rnd = int(os.path.basename(path)[7:].split(".")[0].split("_")[0])
         for q, t in (d.get("queries") or {}).items():
             reset = FLOOR_RESETS.get(q)
             if reset and rnd < reset[0]:
