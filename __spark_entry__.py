@@ -48,7 +48,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``customer_entry_brand_loyalty``) and the 10 round-13 rows-only ->
     oracle-paired conversions, queued contiguously past the boundary
     last round per the excess-contiguity promise. Per the r13 verdict
-    (item #1) those 12 lead this window, and the remaining 38 slots go
+    (item #1) those 12 lead this window, followed by this round's TWO
+    rows-only -> paired conversions (``ann_recall`` under a composed
+    oracle of the pinned rungs, ``image_phash_neardup`` under an
+    analytic-pixel oracle; r13 verdict item #5 -- paired-never-green,
+    so rule 1 wants them windowed), and the remaining 36 slots go
     to the stalest previously-attested paired entries (all green r5,
     the oldest standing attestations) -- after this round the
     never-attested backlog is ZERO and the window becomes a pure
@@ -78,6 +82,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_kcore": Q.q_copurchase_kcore,
         "copurchase_communities": Q.q_copurchase_communities,
         "alert_throttle": Q.q_alert_throttle,
+        # the two round-14 rows-only -> oracle-paired conversions (r13
+        # verdict item #5): composed-recall and analytic-pixel oracles;
+        # paired-never-attested, so rule 1 puts them in this window
+        "ann_recall": Q.q_ann_recall,
+        "image_phash_neardup": Q.q_image_phash_neardup,
         "dim_products": Q.q_dim_products,
         "market_share": Q.q_market_share,
         "nation_profit": Q.q_nation_profit,
@@ -513,13 +522,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_value_profile": Q.q_hourly_value_profile,
         "priority_value_profile": Q.q_priority_value_profile,
         # --- rows-only entries already attested (spark_rows evidence);
-        # re-attesting would waste a slot on a weaker check ---------------
-        "image_phash_neardup": Q.q_image_phash_neardup,
-        "pq_topk": Q.q_pq_topk,
+        # re-attesting would waste a slot on a weaker check. Down to 10
+        # in r14 (verdict item #5): quantized_topk and pq_topk RETIRED
+        # (their serve math is the paired int8_cosine_topk /
+        # pq_adc_topk rungs; the operators and their pytest twins
+        # stay), ann_recall and image_phash_neardup CONVERTED to
+        # oracle-paired (see the window above) ----------------------------
         "semantic_dedup": Q.q_semantic_dedup,
         "dau_sketch_merge": Q.q_dau_sketch_merge,
-        "quantized_topk": Q.q_quantized_topk,
-        "ann_recall": Q.q_ann_recall,
         "pq_index_topk": Q.q_pq_index_topk,
         "pq_index_append_topk": Q.q_pq_index_append_topk,
         "bpe_merges": Q.q_bpe_merges,
@@ -533,6 +543,173 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --- DuckDB oracle SQL --------------------------------------------------
 # The fixture CTEs mirror plans/fixtures.py rule-for-rule.
+
+# Component oracles shared between their own entries and the composed
+# ann_recall oracle (r13 verdict item #5): each is a standalone
+# WITH...SELECT that ann_recall embeds as a subquery.
+_SIM_TOPK_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 4) AS score
+FROM embeddings CROSS JOIN q
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+_ANN_TOPK_SQL = """
+WITH ex AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+proj AS (
+  SELECT CAST(FLOOR(r / 256.0) AS BIGINT) AS t,
+         CAST(FLOOR(r / 64.0) AS BIGINT) % 4 AS p,
+         r % 64 + 1 AS dim,
+         CAST(list_sum(list_transform(range(1, 9), i ->
+             (strpos('0123456789abcdef',
+                     substr(md5('rp:' || CAST(CAST(FLOOR(r / 256.0) AS BIGINT) AS VARCHAR)
+                                || ':' || CAST(CAST(FLOOR(r / 64.0) AS BIGINT) % 4 AS VARCHAR)
+                                || ':' || CAST(r % 64 + 1 AS VARCHAR)),
+                            CAST(i AS INT), 1)) - 1)
+             * power(16, 8 - i))) AS BIGINT) % 19 - 9 AS c
+  FROM (SELECT unnest(range(0, 1024)) AS r)
+),
+sums AS (
+  SELECT e.vec_id, pr.t, pr.p, SUM(pr.c * e.q) AS s
+  FROM ex e JOIN proj pr ON pr.dim = e.dim
+  GROUP BY 1, 2, 3
+),
+sigs AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN s >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS bucket
+  FROM sums GROUP BY 1, 2
+),
+probes AS (SELECT t, bucket FROM sigs WHERE vec_id = 0),
+cand AS (
+  SELECT DISTINCT s.vec_id
+  FROM sigs s JOIN probes pb ON s.t = pb.t AND s.bucket = pb.bucket
+),
+qd AS (SELECT dim, q AS d FROM ex WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         CAST(SUM(e.q * qd.d) AS BIGINT) AS dot_q,
+         CAST(SUM(e.q * e.q) AS BIGINT) AS nq,
+         CAST(SUM(qd.d * qd.d) AS BIGINT) AS nd
+  FROM ex e JOIN cand c ON c.vec_id = e.vec_id
+  JOIN qd ON qd.dim = e.dim
+  GROUP BY 1
+)
+SELECT vec_id, dot_q,
+       ROUND(CAST(dot_q AS DOUBLE) / SQRT(CAST(nq AS DOUBLE) * CAST(nd AS DOUBLE)), 6) AS score
+FROM scored
+ORDER BY CAST(dot_q AS DOUBLE) / SQRT(CAST(nq AS DOUBLE) * CAST(nd AS DOUBLE)) DESC, vec_id
+LIMIT 10
+"""
+
+_IVF_TOPK_SQL = """
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+cents AS (
+  SELECT CAST(vec_id AS BIGINT) AS cell, dim, q AS c FROM ex WHERE vec_id < 16
+),
+d2 AS (
+  SELECT e.vec_id, s.cell, SUM((e.q - s.c) * (e.q - s.c)) AS _d2
+  FROM ex e JOIN cents s ON e.dim = s.dim
+  GROUP BY 1, 2
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY _d2, cell) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+qd AS (SELECT dim, q AS d FROM ex WHERE vec_id = 0),
+probes AS (
+  SELECT cell FROM (
+    SELECT s.cell, SUM((v.d - s.c) * (v.d - s.c)) AS qd2
+    FROM cents s JOIN qd v ON s.dim = v.dim
+    GROUP BY 1
+  ) ORDER BY qd2, cell LIMIT 4
+),
+cand AS (
+  SELECT a.vec_id, a.cell FROM assigned a JOIN probes p ON a.cell = p.cell
+),
+scored AS (
+  SELECT e.vec_id, c.cell,
+         CAST(SUM((e.q - qd.d) * (e.q - qd.d)) AS BIGINT) AS d2
+  FROM ex e JOIN cand c ON c.vec_id = e.vec_id
+  JOIN qd ON qd.dim = e.dim
+  GROUP BY 1, 2
+)
+SELECT vec_id, cell, d2 FROM scored ORDER BY d2, vec_id LIMIT 10
+"""
+
+_INT8_COSINE_TOPK_SQL = """
+WITH ex AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
+              AS BIGINT) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+sc AS (SELECT vec_id, MAX(ABS(v)) AS s FROM ex GROUP BY vec_id),
+codes AS (
+  SELECT e.vec_id, e.dim,
+         CASE WHEN sc.s = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(ROUND(CAST(e.v AS DOUBLE) * 127.0
+                              / CAST(sc.s AS DOUBLE)) AS BIGINT) END AS c
+  FROM ex e JOIN sc ON sc.vec_id = e.vec_id
+),
+qv AS (SELECT dim, c AS d FROM codes WHERE vec_id = 0),
+nd AS (SELECT SUM(d * d) AS nd FROM qv),
+scored AS (
+  SELECT cd.vec_id,
+         CAST(SUM(cd.c * q.d) AS BIGINT) AS dot_q,
+         CAST(SUM(cd.c * cd.c) AS BIGINT) AS norm_q
+  FROM codes cd JOIN qv q ON q.dim = cd.dim
+  GROUP BY cd.vec_id
+)
+SELECT vec_id, dot_q, norm_q,
+       ROUND(CAST(dot_q AS DOUBLE)
+             / SQRT(CAST(norm_q AS DOUBLE)
+                    * CAST((SELECT nd FROM nd) AS DOUBLE)), 6) AS score
+FROM scored
+WHERE norm_q > 0  -- zero-vector guard, mirrored from the Spark plan
+ORDER BY CAST(dot_q AS DOUBLE)
+         / SQRT(CAST(norm_q AS DOUBLE)
+                * CAST((SELECT nd FROM nd) AS DOUBLE)) DESC,
+         vec_id
+LIMIT 10
+"""
+
+#: recall@10 of the three pinned approximate rungs vs brute force --
+#: the component oracles embedded verbatim as subqueries, so the
+#: composed number is exactly as hash-checkable as its parts
+_ANN_RECALL_SQL = f"""
+WITH exact AS (SELECT vec_id FROM ({_SIM_TOPK_SQL})),
+lsh AS (SELECT vec_id FROM ({_ANN_TOPK_SQL})),
+ivf AS (SELECT vec_id FROM ({_IVF_TOPK_SQL})),
+int8 AS (SELECT vec_id FROM ({_INT8_COSINE_TOPK_SQL})),
+cand AS (
+  SELECT 'lsh' AS method, vec_id FROM lsh
+  UNION ALL SELECT 'ivf', vec_id FROM ivf
+  UNION ALL SELECT 'int8', vec_id FROM int8
+)
+SELECT c.method,
+       CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       CAST(10 AS BIGINT) AS k,
+       ROUND(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 6) AS recall
+FROM cand c LEFT JOIN exact e ON e.vec_id = c.vec_id
+GROUP BY c.method
+ORDER BY c.method
+"""
+
 
 _FIXTURE_CTES = """
 WITH sales AS (
@@ -7391,14 +7568,7 @@ SELECT doc_id,
 FROM documents
 """,
         # --- similarity search -------------------------------------------
-        "sim_topk": """
-WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
-SELECT vec_id,
-       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 4) AS score
-FROM embeddings CROSS JOIN q
-ORDER BY score DESC, vec_id ASC
-LIMIT 10
-""",
+        "sim_topk": _SIM_TOPK_SQL,
         "embed_neardup": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -10585,42 +10755,7 @@ ORDER BY t.adc_d2, t.vec_id
         # double round(v*127/max|v|) expression on both engines, dot
         # and norms exact BIGINT, cosine the one float (identical
         # inputs, identical expression), ranked unrounded
-        "int8_cosine_topk": """
-WITH ex AS (
-  SELECT vec_id, CAST(i AS BIGINT) AS dim,
-         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
-              AS BIGINT) AS v
-  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
-),
-sc AS (SELECT vec_id, MAX(ABS(v)) AS s FROM ex GROUP BY vec_id),
-codes AS (
-  SELECT e.vec_id, e.dim,
-         CASE WHEN sc.s = 0 THEN CAST(0 AS BIGINT)
-              ELSE CAST(ROUND(CAST(e.v AS DOUBLE) * 127.0
-                              / CAST(sc.s AS DOUBLE)) AS BIGINT) END AS c
-  FROM ex e JOIN sc ON sc.vec_id = e.vec_id
-),
-qv AS (SELECT dim, c AS d FROM codes WHERE vec_id = 0),
-nd AS (SELECT SUM(d * d) AS nd FROM qv),
-scored AS (
-  SELECT cd.vec_id,
-         CAST(SUM(cd.c * q.d) AS BIGINT) AS dot_q,
-         CAST(SUM(cd.c * cd.c) AS BIGINT) AS norm_q
-  FROM codes cd JOIN qv q ON q.dim = cd.dim
-  GROUP BY cd.vec_id
-)
-SELECT vec_id, dot_q, norm_q,
-       ROUND(CAST(dot_q AS DOUBLE)
-             / SQRT(CAST(norm_q AS DOUBLE)
-                    * CAST((SELECT nd FROM nd) AS DOUBLE)), 6) AS score
-FROM scored
-WHERE norm_q > 0  -- zero-vector guard, mirrored from the Spark plan
-ORDER BY CAST(dot_q AS DOUBLE)
-         / SQRT(CAST(norm_q AS DOUBLE)
-                * CAST((SELECT nd FROM nd) AS DOUBLE)) DESC,
-         vec_id
-LIMIT 10
-""",
+        "int8_cosine_topk": _INT8_COSINE_TOPK_SQL,
         # --- round-13 rows-only -> paired conversions (r12 verdict
         # item #3): pinned hash families restated verbatim ------------
         # banded MinHash under the PINNED universal-hash family
@@ -10733,57 +10868,7 @@ GROUP BY 1 ORDER BY 1
         # md5(rp:t:p:dim) % 19 - 9 over range(1024), 4 tables x 4 sign
         # planes, candidates share the query bucket in any table, exact
         # quantized-BIGINT cosine re-rank (int8_cosine_topk precedent)
-        "ann_topk": """
-WITH ex AS (
-  SELECT vec_id, CAST(i AS BIGINT) AS dim,
-         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
-              AS BIGINT) AS q
-  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
-),
-proj AS (
-  SELECT CAST(FLOOR(r / 256.0) AS BIGINT) AS t,
-         CAST(FLOOR(r / 64.0) AS BIGINT) % 4 AS p,
-         r % 64 + 1 AS dim,
-         CAST(list_sum(list_transform(range(1, 9), i ->
-             (strpos('0123456789abcdef',
-                     substr(md5('rp:' || CAST(CAST(FLOOR(r / 256.0) AS BIGINT) AS VARCHAR)
-                                || ':' || CAST(CAST(FLOOR(r / 64.0) AS BIGINT) % 4 AS VARCHAR)
-                                || ':' || CAST(r % 64 + 1 AS VARCHAR)),
-                            CAST(i AS INT), 1)) - 1)
-             * power(16, 8 - i))) AS BIGINT) % 19 - 9 AS c
-  FROM (SELECT unnest(range(0, 1024)) AS r)
-),
-sums AS (
-  SELECT e.vec_id, pr.t, pr.p, SUM(pr.c * e.q) AS s
-  FROM ex e JOIN proj pr ON pr.dim = e.dim
-  GROUP BY 1, 2, 3
-),
-sigs AS (
-  SELECT vec_id, t,
-         SUM(CASE WHEN s >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS bucket
-  FROM sums GROUP BY 1, 2
-),
-probes AS (SELECT t, bucket FROM sigs WHERE vec_id = 0),
-cand AS (
-  SELECT DISTINCT s.vec_id
-  FROM sigs s JOIN probes pb ON s.t = pb.t AND s.bucket = pb.bucket
-),
-qd AS (SELECT dim, q AS d FROM ex WHERE vec_id = 0),
-scored AS (
-  SELECT e.vec_id,
-         CAST(SUM(e.q * qd.d) AS BIGINT) AS dot_q,
-         CAST(SUM(e.q * e.q) AS BIGINT) AS nq,
-         CAST(SUM(qd.d * qd.d) AS BIGINT) AS nd
-  FROM ex e JOIN cand c ON c.vec_id = e.vec_id
-  JOIN qd ON qd.dim = e.dim
-  GROUP BY 1
-)
-SELECT vec_id, dot_q,
-       ROUND(CAST(dot_q AS DOUBLE) / SQRT(CAST(nq AS DOUBLE) * CAST(nd AS DOUBLE)), 6) AS score
-FROM scored
-ORDER BY CAST(dot_q AS DOUBLE) / SQRT(CAST(nq AS DOUBLE) * CAST(nd AS DOUBLE)) DESC, vec_id
-LIMIT 10
-""",
+        "ann_topk": _ANN_TOPK_SQL,
         # MMR diverse top-10: the 10 greedy steps unrolled as
         # MATERIALIZED CTEs (the copurchase_kcore_hist deep-CTE
         # lesson); every compared score is one divide + one sqrt from
@@ -10923,48 +11008,7 @@ ORDER BY rank
         # IVF serve path under the pinned seed quantizer (the
         # pq_adc_topk playbook): assign argmin, probe selection, and
         # candidate re-rank all exact integer arithmetic
-        "ivf_topk": """
-WITH ex AS MATERIALIZED (
-  SELECT vec_id, CAST(i AS BIGINT) AS dim,
-         CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000)
-              AS BIGINT) AS q
-  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
-),
-cents AS (
-  SELECT CAST(vec_id AS BIGINT) AS cell, dim, q AS c FROM ex WHERE vec_id < 16
-),
-d2 AS (
-  SELECT e.vec_id, s.cell, SUM((e.q - s.c) * (e.q - s.c)) AS _d2
-  FROM ex e JOIN cents s ON e.dim = s.dim
-  GROUP BY 1, 2
-),
-assigned AS (
-  SELECT vec_id, cell FROM (
-    SELECT vec_id, cell,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY _d2, cell) AS rn
-    FROM d2
-  ) WHERE rn = 1
-),
-qd AS (SELECT dim, q AS d FROM ex WHERE vec_id = 0),
-probes AS (
-  SELECT cell FROM (
-    SELECT s.cell, SUM((v.d - s.c) * (v.d - s.c)) AS qd2
-    FROM cents s JOIN qd v ON s.dim = v.dim
-    GROUP BY 1
-  ) ORDER BY qd2, cell LIMIT 4
-),
-cand AS (
-  SELECT a.vec_id, a.cell FROM assigned a JOIN probes p ON a.cell = p.cell
-),
-scored AS (
-  SELECT e.vec_id, c.cell,
-         CAST(SUM((e.q - qd.d) * (e.q - qd.d)) AS BIGINT) AS d2
-  FROM ex e JOIN cand c ON c.vec_id = e.vec_id
-  JOIN qd ON qd.dim = e.dim
-  GROUP BY 1, 2
-)
-SELECT vec_id, cell, d2 FROM scored ORDER BY d2, vec_id LIMIT 10
-""",
+        "ivf_topk": _IVF_TOPK_SQL,
         # pinned sign-RP near-dup: 6 tables x 3 planes from
         # md5(nd:t:p:dim), exact quantized-BIGINT cosine verify
         "embed_neardup_lsh": """
@@ -11472,5 +11516,63 @@ scan AS (
 SELECT user_id, event_id, sec FROM scan
 WHERE kept
 ORDER BY user_id, sec
+""",
+        # --- round-14 conversions (r13 verdict item #5) ----------------
+        # recall@10 of the pinned ANN rungs: composed from the four
+        # component oracles (embedded as subqueries above)
+        "ann_recall": _ANN_RECALL_SQL,
+        # perceptual image near-dup: DuckDB cannot decode PNG, but it
+        # does not need to -- with_test_images_textured's pixels are a
+        # pure integer formula of (doc_id, y, x), so the oracle
+        # recomputes the SAME pixels analytically, folds the SAME
+        # all-integer 8x8 aHash (block rows = [i*h//8, (i+1)*h//8), so
+        # y's block is (8y+7)//h -- NOT the synthesizer's perturbation
+        # grid y*8//h, which is a different partition), and verifies
+        # the Spark side's actual PNG encode -> zlib decode -> pixel
+        # walk end to end: a single wrong byte anywhere in the codec
+        # path hash-mismatches. Pairs are brute-force hamming <= 3
+        # (the pigeonhole banding has recall exactly 1.0 there, so
+        # candidates == qualifying pairs by theorem).
+        "image_phash_neardup": """
+WITH dims AS (
+  SELECT doc_id, doc_id // 10 AS fam, doc_id % 10 AS m,
+         (doc_id // 10) % 61 + 8 AS w, ((doc_id // 10) * 13) % 47 + 8 AS h,
+         (doc_id % 10) % 8 AS by, ((doc_id % 10) * 3) % 8 AS bx
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         CAST(uy.y AS BIGINT) AS y, CAST(ux.x AS BIGINT) AS x,
+         CASE WHEN (y * 8) // h = by AND (x * 8) // w = bx
+              THEN ((fam*37 + y*y*3 + x*x*5 + ((y*x) % 7) * 11) % 256 + 128) % 256
+              ELSE (fam*37 + y*y*3 + x*x*5 + ((y*x) % 7) * 11) % 256 END AS v
+  FROM dims, unnest(range(0, h)) AS uy(y), unnest(range(0, w)) AS ux(x)
+),
+blocks AS (
+  SELECT doc_id, (8*y + 7) // h AS bi, (8*x + 7) // w AS bj,
+         SUM(v) // COUNT(*) AS b
+  FROM px GROUP BY 1, 2, 3
+),
+tot AS (SELECT doc_id, SUM(b) AS total FROM blocks GROUP BY 1),
+sigparts AS (
+  SELECT b.doc_id,
+         SUM(CASE WHEN b.b * 64 > t.total AND 63 - (b.bi*8+b.bj) < 32
+                  THEN CAST(power(2, 63 - (b.bi*8+b.bj)) AS BIGINT) ELSE 0 END) AS sig_lo,
+         SUM(CASE WHEN b.b * 64 > t.total AND 63 - (b.bi*8+b.bj) >= 32
+                  THEN CAST(power(2, 31 - (b.bi*8+b.bj)) AS BIGINT) ELSE 0 END) AS sig_hi
+  FROM blocks b JOIN tot t USING (doc_id) GROUP BY 1
+),
+sh AS (
+  SELECT doc_id,
+         CAST(CASE WHEN sig_hi >= 2147483648
+                   THEN (sig_hi - 4294967296) * 4294967296 + sig_lo
+                   ELSE sig_hi * 4294967296 + sig_lo END AS BIGINT) AS ahash
+  FROM sigparts
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+ORDER BY doc_a, doc_b
 """,
     }

@@ -531,6 +531,7 @@ def hindex_rounds(
     a: str = "pa",
     b: str = "pb",
     rounds: int = 10,
+    gate_every: int = 4,
 ) -> DataFrame:
     """FIXED-ROUND synchronous H-index iteration -- ``kcore_numbers``'s
     oracle-pairable twin under the ``pagerank`` contract: the result is
@@ -543,7 +544,17 @@ def hindex_rounds(
     The loop still exits early at the fixpoint -- soundly, because the
     H-operator is IDEMPOTENT there (a no-change round proves every
     later round returns the same table), so early exit is a pure
-    wall-clock optimization, never a semantic one. Wherever the
+    wall-clock optimization, never a semantic one. The convergence
+    gate is AMORTIZED (r13 verdict item #3): checked every
+    ``gate_every`` rounds instead of every round, which is equally
+    sound -- no-change between two CONSECUTIVE rounds proves the
+    fixpoint whenever you happen to look, and rounds run past the
+    fixpoint are identity by the same idempotence -- and halves the
+    per-round job count (the 1-row gate was a full extra action per
+    round; under the fixed-round contract the worst case is
+    ``gate_every - 1`` identity rounds traded for ``~rounds *
+    (1 - 1/gate_every)`` gate jobs). The gate is skipped on the final
+    round, where the budget ends the loop regardless. Wherever the
     monotone non-increasing sequence has converged within ``rounds``,
     the returned value IS the k-core number; on a graph whose
     effective diameter exceeds ``rounds`` it is kcore's documented
@@ -558,17 +569,19 @@ def hindex_rounds(
     # explicit broadcast router (checkpointed frames carry no stats):
     # |V| rows, same 4M ceiling as pagerank's rank-side router
     small = vals.count() <= 4_000_000
-    for _ in range(rounds):
+    for i in range(rounds):
         nxt = _hindex_step(und, vals, small)
-        changed = (
-            nxt.join(vals.withColumnRenamed("c", "c_old"), "node")
-            .where(F.col("c") != F.col("c_old"))
-            .limit(1)
-            .count()
-        )
+        if (i + 1) % gate_every == 0 and i < rounds - 1:
+            changed = (
+                nxt.join(vals.withColumnRenamed("c", "c_old"), "node")
+                .where(F.col("c") != F.col("c_old"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                vals = nxt
+                break  # fixpoint: remaining rounds are identity
         vals = nxt
-        if changed == 0:
-            break  # fixpoint: remaining rounds are identity
     return vals.select("node", F.col("c").alias("h"))
 
 
@@ -577,6 +590,7 @@ def kcore_numbers(
     a: str = "pa",
     b: str = "pb",
     max_iters: int = 32,
+    gate_every: int = 4,
 ) -> DataFrame:
     """CORENESS of every node via the distributed H-INDEX fixpoint
     (Lu et al. 2016, "The H-index of a network node", public recipe):
@@ -594,9 +608,15 @@ def kcore_numbers(
     by max degree) folded with ``max(least(rank, value))``. Rounds
     eagerly ``localCheckpoint`` (the iterative-operator lineage
     contract shared with ``pagerank`` / ``label_propagation``), and
-    the loop EXITS EARLY through a 1-row any-change gate -- the
-    H-index iteration typically converges in O(log n)-ish rounds on
-    real graphs; ``max_iters`` is the plannability backstop.
+    the loop EXITS EARLY through a 1-row any-change gate, AMORTIZED
+    to every ``gate_every`` rounds (r13 verdict item #3: the
+    every-round gate doubled the per-round job count; checking
+    sparsely is sound because consecutive-round no-change proves the
+    idempotent fixpoint whenever it is observed, and overshoot rounds
+    past the fixpoint are identity) -- the H-index iteration
+    typically converges in O(log n)-ish rounds on real graphs;
+    ``max_iters`` is the plannability backstop and its final round
+    always gates so exhaustion is still detected exactly.
 
     Returns (node, coreness). Self-loops are dropped up front (the
     standard k-core convention -- a self-loop is not a neighbor, and
@@ -607,19 +627,27 @@ def kcore_numbers(
     """
     und, vals = _hindex_init(edges, a, b)
     small = vals.count() <= 4_000_000  # same router as hindex_rounds
-    for _ in range(max_iters):
+    converged = False
+    for i in range(max_iters):
         nxt = _hindex_step(und, vals, small)
-        changed = (
-            nxt.join(vals.withColumnRenamed("c", "c_old"), "node")
-            .where(F.col("c") != F.col("c_old"))
-            .limit(1)
-            .count()
-        )  # 1-row convergence gate: the H-sequence is monotone, so
-        # no-change anywhere IS the fixpoint (coreness exactly)
+        # 1-row convergence gate, AMORTIZED every gate_every rounds
+        # (always on the final round -- the exhaustion raise below
+        # needs to know whether it still changed): no-change between
+        # two consecutive rounds IS the fixpoint whenever checked
+        # (idempotence), and overshoot rounds are identity
+        if (i + 1) % gate_every == 0 or i == max_iters - 1:
+            changed = (
+                nxt.join(vals.withColumnRenamed("c", "c_old"), "node")
+                .where(F.col("c") != F.col("c_old"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                vals = nxt
+                converged = True
+                break
         vals = nxt
-        if changed == 0:
-            break
-    else:
+    if not converged:
         # The loop exhausted max_iters with the last round still
         # changing: the H-sequence is monotone NON-INCREASING, so the
         # values on hand are an OVER-estimate of coreness, not the

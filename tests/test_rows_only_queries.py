@@ -3,6 +3,10 @@ must run, return stable schemas, and be deterministic across invocations."""
 
 import __spark_entry__ as entry
 
+from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark import (
+    queries as Q,
+)
+
 from conftest import ORACLE_SF
 
 
@@ -260,7 +264,10 @@ def test_quantized_topk_overlap_and_reconstruction_bound(spark):
     )
     assert joined.where(F.col("max_err") > F.col("bound")).count() == 0
 
-    got = entry.queries()["quantized_topk"](spark, ORACLE_SF).collect()
+    # q_quantized_topk was RETIRED from the queries() registry in r14
+    # (its rung is the oracle-paired int8_cosine_topk); the operator
+    # and this contract test stay
+    got = Q.q_quantized_topk(spark, ORACLE_SF).collect()
     exact = {r.vec_id for r in entry.queries()["sim_topk"](spark, ORACLE_SF).collect()}
     assert len(got) == 10 and got[0].vec_id == 0
     assert len(exact & {r.vec_id for r in got}) >= 8
@@ -286,8 +293,10 @@ def test_pq_topk_recall_rerank_and_compression(spark):
     only, never scores), deterministic across runs; and the code
     representation is genuinely m small ints (the 8-bytes-per-vector
     compression claim)."""
+    # q_pq_topk was RETIRED from the queries() registry in r14 (its
+    # serve math is the oracle-paired pq_adc_topk); operator + test stay
     qs = entry.queries()
-    pq = qs["pq_topk"](spark, ORACLE_SF).collect()
+    pq = Q.q_pq_topk(spark, ORACLE_SF).collect()
     assert len(pq) == 10
     assert pq[0].vec_id == 0 and pq[0].score == 1.0
     brute = {r.vec_id: r.score for r in qs["sim_topk"](spark, ORACLE_SF).collect()}
@@ -298,7 +307,7 @@ def test_pq_topk_recall_rerank_and_compression(spark):
     for r in pq:
         if r.vec_id in brute:
             assert r.score == brute[r.vec_id]
-    again = qs["pq_topk"](spark, ORACLE_SF).collect()
+    again = Q.q_pq_topk(spark, ORACLE_SF).collect()
     assert [r.vec_id for r in pq] == [r.vec_id for r in again]
 
 
@@ -393,6 +402,6 @@ def test_pq_index_topk_contract(spark):
     assert rows == qs["pq_index_topk"](spark, ORACLE_SF).collect()
     # serve-many vs train-per-query: same corpus, same codebook params
     # -> the persisted path must agree with pq_topk's candidates
-    direct = {r.vec_id for r in qs["pq_topk"](spark, ORACLE_SF).collect()}
+    direct = {r.vec_id for r in Q.q_pq_topk(spark, ORACLE_SF).collect()}
     served = {r.vec_id for r in rows}
     assert len(served & direct) >= 8  # nprobe=4 of 8 clusters may trim

@@ -380,6 +380,70 @@ def probe_winnow(spark, sf: str, k: int) -> int:
     )
 
 
+def _error_alerts(spark, sf: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ev.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("sec")
+    )
+
+
+def probe_alert_throttle_users(spark, sf: str, k: int) -> int:
+    """q_alert_throttle's applyInPandas ordered-per-key greedy on k
+    DISJOINT user copies (r13 verdict item #6 -- the one
+    Python-boundary batch operator without an exponent row): keys grow
+    k x, per-key depth is unchanged, so the one shuffle (hash by
+    user) and the Arrow-batched linear scans must track rows
+    linearly."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.alerts import (  # noqa: E501
+        throttle_alerts,
+    )
+
+    al = _error_alerts(spark, sf)
+    copies = [
+        al.select(
+            (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+            (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+            "sec",
+        )
+        for i in range(k)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionAll(c)
+    return throttle_alerts(out, cooldown_s=86400).count()
+
+
+def probe_alert_throttle_depth(spark, sf: str, k: int) -> int:
+    """The OTHER axis of the same operator: k x rows PER USER (time-
+    shifted copies appended to the SAME keys, each copy offset past
+    the trace's end so per-copy keep decisions replay identically).
+    The greedy carries O(1) state per key, so depth must also be
+    linear -- a superlinear alpha here would mean the per-key scan is
+    accumulating (the classic per-key-list trap this operator's
+    applyInPandas shape avoids)."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.alerts import (  # noqa: E501
+        throttle_alerts,
+    )
+
+    al = _error_alerts(spark, sf)
+    # one tiny agg for the trace span; the copies shift by whole spans
+    span = al.agg(
+        (F.max("sec") - F.min("sec") + 2 * 86400).alias("s")
+    ).collect()[0]["s"]
+    copies = [
+        al.select(
+            "user_id",
+            (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+            (F.col("sec") + F.lit(i * int(span))).alias("sec"),
+        )
+        for i in range(k)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionAll(c)
+    return throttle_alerts(out, cooldown_s=86400).count()
+
+
 def probe_exact_dedup(spark, sf: str, k: int) -> int:
     d = _scaled_docs(spark, sf, k)
     return (
@@ -404,6 +468,9 @@ PROBES = {
     # r13 conversions: the new banded self-join and RP candidate path
     "minhash_banded": probe_minhash_banded,
     "rp_ann": probe_rp_ann,
+    # r14 (r13 verdict item #6): the applyInPandas throttle, both axes
+    "alert_throttle_users": probe_alert_throttle_users,
+    "alert_throttle_depth": probe_alert_throttle_depth,
 }
 
 
