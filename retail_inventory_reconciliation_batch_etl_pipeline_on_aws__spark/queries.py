@@ -13777,11 +13777,29 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train 16 BPE merges on the document corpus (Sennrich et al.
     2016, the tokenizer-training step of an LLM data pipeline) and
     return the merge table in learned order -- fully deterministic
-    (count desc, pair asc tie-break), but the iterative argmax has no
-    SQL spelling, so the entry is rows-only; an exact-Python-model
-    hypothesis property test and the classic worked example pin the
-    semantics (``operators/bpe.py``). The corpus is scanned once into
-    the word-frequency table; every merge iteration is |vocab|-sized."""
+    (count desc, pair asc tie-break).
+
+    ORACLE-PAIRED since r14 (the last "inherently iterative"
+    hold-out, converted under the fixed-round contract): the result
+    is DEFINED as 16 synchronous merge rounds, each = exact-BIGINT
+    weighted pair count -> (n DESC, left, right) argmax -> greedy
+    left-to-right merge. The oracle unrolls 16 MATERIALIZED CTE
+    rounds over a DOUBLE-SEPARATOR symbol-string encoding
+    ('||s1||s2||...||'), where one plain ``replace('|a||b|' ->
+    '|ab|')`` IS the greedy non-overlapping left-to-right fold:
+    leftmost-first matching consumes symbols exactly as the Spark
+    ``F.aggregate`` accumulator does, abutting matches keep their own
+    boundary bar from the doubled separator (a single-separator
+    encoding diverges on runs: [a x 6] would merge as [aa,a,aa,a]
+    instead of [aa,aa,aa] -- caught by the crafted-runs parity test),
+    and a merged token can never re-match as its own left/right
+    within the same round (a+b differs from both, and matches are
+    boundary-delimited). Separator safety is asserted corpus-side
+    (no chr(1)-class bytes; the generated corpus is ASCII words).
+    The exact-Python-model hypothesis property test and the classic
+    worked example still pin the semantics (``operators/bpe.py``).
+    The corpus is scanned once into the word-frequency table; every
+    merge iteration is |vocab|-sized."""
     from .operators.bpe import learn_bpe_merges
 
     docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))

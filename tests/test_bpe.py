@@ -126,10 +126,10 @@ def test_bpe_apply_matches_python_and_is_greedy(spark):
 
 
 def test_bpe_merges_query_contract(spark):
-    """The rows-only entry: 16 rows, rank-ordered, deterministic
-    across runs, monotone non-increasing pair frequency is NOT
-    required (merges create new pairs) but every frequency is
-    positive."""
+    """The driver entry (oracle-paired since r14): 16 rows,
+    rank-ordered, deterministic across runs, monotone non-increasing
+    pair frequency is NOT required (merges create new pairs) but every
+    frequency is positive."""
     import __spark_entry__ as entry
 
     q = entry.queries()["bpe_merges"]
@@ -139,6 +139,40 @@ def test_bpe_merges_query_contract(spark):
     assert all(r.pair_freq > 0 for r in rows)
     assert all(r.merged == r.left + r.right for r in rows)
     assert rows == q(spark, "/root/testdata/sf0.001").collect()
+
+
+def test_bpe_oracle_replace_equals_greedy_on_runs(spark):
+    """The r14 oracle's load-bearing trick: over a DOUBLE-separator
+    symbol string, one replace('|a||b|' -> '|ab|') IS the greedy
+    left-to-right non-overlapping fold. Runs are the adversarial case
+    -- a SINGLE-separator encoding diverges on them ([a x 6] merges as
+    [aa,a,aa,a] instead of greedy's [aa,aa,aa] because abutting
+    matches share the boundary bar). Pin the full 16-round unrolled
+    oracle against the Spark fold on run-heavy crafted corpora."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sql = entry.oracle_sql()["bpe_merges"]
+    corpora = [
+        "aaaa aaa aa abab aab bbaa abba aaaaaaa aaaaaaa",
+        "xyxyxy xxyy yxxy xyyx xyxyxy xxyy",
+        "aaaaaa bbb ab ba aabb bbaa aba bab",
+    ]
+    for text in corpora:
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = [
+            tuple(r)
+            for r in learn_bpe_merges(docs, n_merges=16)
+            .orderBy("rank")
+            .collect()
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(text VARCHAR)")
+        con.execute("INSERT INTO documents VALUES (?)", [text])
+        exp = [tuple(r) for r in con.execute(sql).fetchall()]
+        con.close()
+        assert got == exp, text
 
 
 def test_bpe_stops_early_when_pairs_exhaust(spark):
