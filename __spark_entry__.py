@@ -49,12 +49,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle-paired conversions, queued contiguously past the boundary
     last round per the excess-contiguity promise. Per the r13 verdict
     (item #1) those 12 lead this window, followed by this round's
-    THREE rows-only -> paired conversions (``ann_recall`` under a
+    FOUR rows-only -> paired conversions (``ann_recall`` under a
     composed oracle of the pinned rungs, ``image_phash_neardup`` under
     an analytic-pixel oracle -- r13 verdict item #5 -- and
-    ``bpe_merges`` under a 16-round fixed-round unroll;
+    ``bpe_merges`` + ``bpe_compression_by_source`` under the 16-round
+    fixed-round unroll, the latter carrying ``word`` through the chain
+    so the apply path falls out of the final vocab CTE;
     paired-never-green, so rule 1 wants them windowed), and the
-    remaining 35 slots go
+    remaining 34 slots go
     to the stalest previously-attested paired entries (all green r5,
     the oldest standing attestations) -- after this round the
     never-attested backlog is ZERO and the window becomes a pure
@@ -68,10 +70,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-14 window (50 slots): the 12 never-attested paired
         # entries lead (the 2 round-13 window-overflow rows, then the 10
-        # round-13 rows-only -> oracle-paired conversions) -- the
-        # never-attested backlog hits ZERO this round; the remaining 38
-        # slots go to the stalest previously-attested entries (green r5,
-        # the oldest standing attestations on file) ----------------------
+        # round-13 rows-only -> oracle-paired conversions), then the 4
+        # round-14 conversions -- the never-attested backlog hits ZERO
+        # this round; the remaining 34 slots go to the stalest
+        # previously-attested entries (green r5, the oldest standing
+        # attestations on file; simhash_neardup, the 35th r5 row, slips
+        # just past the boundary and leads the next round's queue) -------
         "brand_demand_acf": Q.q_brand_demand_acf,
         "customer_entry_brand_loyalty": Q.q_customer_entry_brand_loyalty,
         "minhash_pairs": Q.q_minhash_pairs,
@@ -84,14 +88,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_kcore": Q.q_copurchase_kcore,
         "copurchase_communities": Q.q_copurchase_communities,
         "alert_throttle": Q.q_alert_throttle,
-        # the three round-14 rows-only -> oracle-paired conversions:
+        # the four round-14 rows-only -> oracle-paired conversions:
         # composed-recall and analytic-pixel oracles (r13 verdict item
-        # #5) plus the fixed-round BPE unroll (the last "inherently
-        # iterative" hold-out); paired-never-attested, so rule 1 puts
-        # them in this window
+        # #5), the fixed-round BPE unroll (the last "inherently
+        # iterative" hold-out), and the BPE apply path riding the same
+        # unroll (the chain carries `word`, so per-word subword counts
+        # fall out of the final vocab CTE); paired-never-attested, so
+        # rule 1 puts them in this window
         "ann_recall": Q.q_ann_recall,
         "image_phash_neardup": Q.q_image_phash_neardup,
         "bpe_merges": Q.q_bpe_merges,
+        "bpe_compression_by_source": Q.q_bpe_compression_by_source,
         "dim_products": Q.q_dim_products,
         "market_share": Q.q_market_share,
         "nation_profit": Q.q_nation_profit,
@@ -527,24 +534,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_value_profile": Q.q_hourly_value_profile,
         "priority_value_profile": Q.q_priority_value_profile,
         # --- rows-only entries already attested (spark_rows evidence);
-        # re-attesting would waste a slot on a weaker check. Down to 9
+        # re-attesting would waste a slot on a weaker check. Down to 8
         # in r14 (verdict item #5): quantized_topk and pq_topk RETIRED
         # (their serve math is the paired int8_cosine_topk /
         # pq_adc_topk rungs; the operators and their pytest twins
-        # stay); ann_recall, image_phash_neardup, and bpe_merges
-        # CONVERTED to oracle-paired (see the window above). Each
-        # remaining entry is rows-only for a hard reason: float Lloyd
-        # (semantic_dedup, the pq_index_* trained codebooks), sketch
-        # internals (dau_sketch_merge, value_quantile_sketch, *_approx),
-        # pyspark.ml JVM RNG (minhash_ml_pairs), or an upstream
-        # fixed-round artifact (bpe_compression_by_source applies the
-        # learned merges corpus-wide; its cost is the apply, not the
-        # already-paired learn) -------------------------------------------
+        # stay); ann_recall, image_phash_neardup, bpe_merges, and
+        # bpe_compression_by_source CONVERTED to oracle-paired (see
+        # the window above). Each remaining entry is rows-only for a
+        # hard reason: float Lloyd (semantic_dedup, the pq_index_*
+        # trained codebooks), sketch internals (dau_sketch_merge,
+        # value_quantile_sketch, *_approx), or pyspark.ml JVM RNG
+        # (minhash_ml_pairs) ----------------------------------------------
         "semantic_dedup": Q.q_semantic_dedup,
         "dau_sketch_merge": Q.q_dau_sketch_merge,
         "pq_index_topk": Q.q_pq_index_topk,
         "pq_index_append_topk": Q.q_pq_index_append_topk,
-        "bpe_compression_by_source": Q.q_bpe_compression_by_source,
         "minhash_ml_pairs": Q.q_minhash_ml_pairs,
         "daily_active_users_approx": Q.q_daily_active_users_approx,
         "value_quantile_sketch": Q.q_value_quantile_sketch,
@@ -11855,6 +11859,338 @@ SELECT CAST(rank AS INT) AS rank, l AS left, r AS right, merged, n AS pair_freq 
 UNION ALL
 SELECT CAST(rank AS INT) AS rank, l AS left, r AS right, merged, n AS pair_freq FROM b16
 ORDER BY rank
+""",
+        # the BPE APPLY path under the same 16-round unroll: the chain
+        # carries `word` (word -> symbol-string is injective, so
+        # grouping by word == grouping by rep), each apply round is a
+        # LEFT JOIN ON TRUE + COALESCE so an exhausted argmax leaves an
+        # identity round instead of emptying the vocabulary, and the
+        # final vocab CTE yields per-word subword counts (n_sub =
+        # symbols in the final rep; n_chars = word length, since the
+        # subword concatenation is word + '</w>') joined back to the
+        # per-(source, word) occurrence table
+        "bpe_compression_by_source": """
+WITH w0 AS MATERIALIZED (
+  SELECT word,
+         '||' || array_to_string(
+           list_append(list_transform(range(1, length(word) + 1),
+                                      i -> substr(word, CAST(i AS INT), 1)),
+                       '</w>'), '||') || '||' AS rep,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                  t -> t <> '')) AS word FROM documents) t
+  GROUP BY 1
+),
+p1 AS MATERIALIZED (
+  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+         CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT string_split(substr(rep, 3, length(rep) - 4), '||') AS syms,
+               freq FROM w0) s,
+       unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+b1 AS MATERIALIZED (
+  SELECT l, r FROM p1 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+),
+w1 AS MATERIALIZED (
+  SELECT w.word,
+         COALESCE(replace(w.rep, '|' || b.l || '||' || b.r || '|',
+                          '|' || b.l || b.r || '|'), w.rep) AS rep,
+         w.freq
+  FROM w0 w LEFT JOIN b1 b ON TRUE
+),
+p2 AS MATERIALIZED (
+  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+         CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT string_split(substr(rep, 3, length(rep) - 4), '||') AS syms,
+               freq FROM w1) s,
+       unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+b2 AS MATERIALIZED (
+  SELECT l, r FROM p2 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+),
+w2 AS MATERIALIZED (
+  SELECT w.word,
+         COALESCE(replace(w.rep, '|' || b.l || '||' || b.r || '|',
+                          '|' || b.l || b.r || '|'), w.rep) AS rep,
+         w.freq
+  FROM w1 w LEFT JOIN b2 b ON TRUE
+),
+p3 AS MATERIALIZED (
+  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+         CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT string_split(substr(rep, 3, length(rep) - 4), '||') AS syms,
+               freq FROM w2) s,
+       unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+b3 AS MATERIALIZED (
+  SELECT l, r FROM p3 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+),
+w3 AS MATERIALIZED (
+  SELECT w.word,
+         COALESCE(replace(w.rep, '|' || b.l || '||' || b.r || '|',
+                          '|' || b.l || b.r || '|'), w.rep) AS rep,
+         w.freq
+  FROM w2 w LEFT JOIN b3 b ON TRUE
+),
+p4 AS MATERIALIZED (
+  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+         CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT string_split(substr(rep, 3, length(rep) - 4), '||') AS syms,
+               freq FROM w3) s,
+       unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+b4 AS MATERIALIZED (
+  SELECT l, r FROM p4 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+),
+w4 AS MATERIALIZED (
+  SELECT w.word,
+         COALESCE(replace(w.rep, '|' || b.l || '||' || b.r || '|',
+                          '|' || b.l || b.r || '|'), w.rep) AS rep,
+         w.freq
+  FROM w3 w LEFT JOIN b4 b ON TRUE
+),
+p5 AS MATERIALIZED (
+  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+         CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT string_split(substr(rep, 3, length(rep) - 4), '||') AS syms,
+               freq FROM w4) s,
+       unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+b5 AS MATERIALIZED (
+  SELECT l, r FROM p5 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+),
+w5 AS MATERIALIZED (
+  SELECT w.word,
+         COALESCE(replace(w.rep, '|' || b.l || '||' || b.r || '|',
+                          '|' || b.l || b.r || '|'), w.rep) AS rep,
+         w.freq
+  FROM w4 w LEFT JOIN b5 b ON TRUE
+),
+p6 AS MATERIALIZED (
+  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+         CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT string_split(substr(rep, 3, length(rep) - 4), '||') AS syms,
+               freq FROM w5) s,
+       unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+b6 AS MATERIALIZED (
+  SELECT l, r FROM p6 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+),
+w6 AS MATERIALIZED (
+  SELECT w.word,
+         COALESCE(replace(w.rep, '|' || b.l || '||' || b.r || '|',
+                          '|' || b.l || b.r || '|'), w.rep) AS rep,
+         w.freq
+  FROM w5 w LEFT JOIN b6 b ON TRUE
+),
+p7 AS MATERIALIZED (
+  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+         CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT string_split(substr(rep, 3, length(rep) - 4), '||') AS syms,
+               freq FROM w6) s,
+       unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+b7 AS MATERIALIZED (
+  SELECT l, r FROM p7 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+),
+w7 AS MATERIALIZED (
+  SELECT w.word,
+         COALESCE(replace(w.rep, '|' || b.l || '||' || b.r || '|',
+                          '|' || b.l || b.r || '|'), w.rep) AS rep,
+         w.freq
+  FROM w6 w LEFT JOIN b7 b ON TRUE
+),
+p8 AS MATERIALIZED (
+  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+         CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT string_split(substr(rep, 3, length(rep) - 4), '||') AS syms,
+               freq FROM w7) s,
+       unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+b8 AS MATERIALIZED (
+  SELECT l, r FROM p8 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+),
+w8 AS MATERIALIZED (
+  SELECT w.word,
+         COALESCE(replace(w.rep, '|' || b.l || '||' || b.r || '|',
+                          '|' || b.l || b.r || '|'), w.rep) AS rep,
+         w.freq
+  FROM w7 w LEFT JOIN b8 b ON TRUE
+),
+p9 AS MATERIALIZED (
+  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+         CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT string_split(substr(rep, 3, length(rep) - 4), '||') AS syms,
+               freq FROM w8) s,
+       unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+b9 AS MATERIALIZED (
+  SELECT l, r FROM p9 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+),
+w9 AS MATERIALIZED (
+  SELECT w.word,
+         COALESCE(replace(w.rep, '|' || b.l || '||' || b.r || '|',
+                          '|' || b.l || b.r || '|'), w.rep) AS rep,
+         w.freq
+  FROM w8 w LEFT JOIN b9 b ON TRUE
+),
+p10 AS MATERIALIZED (
+  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+         CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT string_split(substr(rep, 3, length(rep) - 4), '||') AS syms,
+               freq FROM w9) s,
+       unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+b10 AS MATERIALIZED (
+  SELECT l, r FROM p10 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+),
+w10 AS MATERIALIZED (
+  SELECT w.word,
+         COALESCE(replace(w.rep, '|' || b.l || '||' || b.r || '|',
+                          '|' || b.l || b.r || '|'), w.rep) AS rep,
+         w.freq
+  FROM w9 w LEFT JOIN b10 b ON TRUE
+),
+p11 AS MATERIALIZED (
+  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+         CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT string_split(substr(rep, 3, length(rep) - 4), '||') AS syms,
+               freq FROM w10) s,
+       unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+b11 AS MATERIALIZED (
+  SELECT l, r FROM p11 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+),
+w11 AS MATERIALIZED (
+  SELECT w.word,
+         COALESCE(replace(w.rep, '|' || b.l || '||' || b.r || '|',
+                          '|' || b.l || b.r || '|'), w.rep) AS rep,
+         w.freq
+  FROM w10 w LEFT JOIN b11 b ON TRUE
+),
+p12 AS MATERIALIZED (
+  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+         CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT string_split(substr(rep, 3, length(rep) - 4), '||') AS syms,
+               freq FROM w11) s,
+       unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+b12 AS MATERIALIZED (
+  SELECT l, r FROM p12 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+),
+w12 AS MATERIALIZED (
+  SELECT w.word,
+         COALESCE(replace(w.rep, '|' || b.l || '||' || b.r || '|',
+                          '|' || b.l || b.r || '|'), w.rep) AS rep,
+         w.freq
+  FROM w11 w LEFT JOIN b12 b ON TRUE
+),
+p13 AS MATERIALIZED (
+  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+         CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT string_split(substr(rep, 3, length(rep) - 4), '||') AS syms,
+               freq FROM w12) s,
+       unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+b13 AS MATERIALIZED (
+  SELECT l, r FROM p13 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+),
+w13 AS MATERIALIZED (
+  SELECT w.word,
+         COALESCE(replace(w.rep, '|' || b.l || '||' || b.r || '|',
+                          '|' || b.l || b.r || '|'), w.rep) AS rep,
+         w.freq
+  FROM w12 w LEFT JOIN b13 b ON TRUE
+),
+p14 AS MATERIALIZED (
+  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+         CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT string_split(substr(rep, 3, length(rep) - 4), '||') AS syms,
+               freq FROM w13) s,
+       unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+b14 AS MATERIALIZED (
+  SELECT l, r FROM p14 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+),
+w14 AS MATERIALIZED (
+  SELECT w.word,
+         COALESCE(replace(w.rep, '|' || b.l || '||' || b.r || '|',
+                          '|' || b.l || b.r || '|'), w.rep) AS rep,
+         w.freq
+  FROM w13 w LEFT JOIN b14 b ON TRUE
+),
+p15 AS MATERIALIZED (
+  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+         CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT string_split(substr(rep, 3, length(rep) - 4), '||') AS syms,
+               freq FROM w14) s,
+       unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+b15 AS MATERIALIZED (
+  SELECT l, r FROM p15 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+),
+w15 AS MATERIALIZED (
+  SELECT w.word,
+         COALESCE(replace(w.rep, '|' || b.l || '||' || b.r || '|',
+                          '|' || b.l || b.r || '|'), w.rep) AS rep,
+         w.freq
+  FROM w14 w LEFT JOIN b15 b ON TRUE
+),
+p16 AS MATERIALIZED (
+  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+         CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT string_split(substr(rep, 3, length(rep) - 4), '||') AS syms,
+               freq FROM w15) s,
+       unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+b16 AS MATERIALIZED (
+  SELECT l, r FROM p16 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+),
+w16 AS MATERIALIZED (
+  SELECT w.word,
+         COALESCE(replace(w.rep, '|' || b.l || '||' || b.r || '|',
+                          '|' || b.l || b.r || '|'), w.rep) AS rep,
+         w.freq
+  FROM w15 w LEFT JOIN b16 b ON TRUE
+),
+sub AS (
+  SELECT word,
+         CAST(len(string_split(substr(rep, 3, length(rep) - 4), '||'))
+              AS BIGINT) AS n_sub,
+         CAST(length(word) AS BIGINT) AS n_chars
+  FROM w16
+),
+occ AS (
+  SELECT source, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                    t -> t <> '')) AS word
+  FROM documents
+)
+SELECT o.source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(s.n_sub) AS BIGINT) AS n_subwords,
+       ROUND(CAST(SUM(s.n_sub) AS DOUBLE) / COUNT(*), 6)
+         AS subwords_per_word,
+       ROUND(CAST(SUM(s.n_sub) AS DOUBLE) / CAST(SUM(s.n_chars) AS DOUBLE), 6)
+         AS subwords_per_char
+FROM occ o JOIN sub s USING (word)
+GROUP BY o.source
+ORDER BY o.source
 """,
         # --- round-14 conversions (r13 verdict item #5) ----------------
         # recall@10 of the pinned ANN rungs: composed from the four

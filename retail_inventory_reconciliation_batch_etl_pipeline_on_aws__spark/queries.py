@@ -14260,9 +14260,22 @@ def q_bpe_compression_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subword COMPRESSION per source under the corpus's own 16-merge
     BPE table: mean subwords per word and per character -- the
     fertility metric that tells a tokenizer team which collector's
-    text the vocabulary serves worst. Rows-only (the merge table is
-    the iterative operator's output); exact integer symbol counts over
-    the vocab-join apply path (``operators/bpe.apply_bpe_merges``)."""
+    text the vocabulary serves worst. Exact integer symbol counts over
+    the vocab-join apply path (``operators/bpe.apply_bpe_merges``).
+
+    ORACLE-PAIRED since r14, riding ``bpe_merges``' fixed-round
+    unroll: the oracle's 16 CTE rounds carry ``word`` alongside the
+    double-separator symbol string (word -> symbol-string is
+    injective, so grouping by word IS grouping by rep and the learn
+    aggregates are unchanged), each apply round is a LEFT JOIN +
+    COALESCE (an exhausted argmax becomes an identity round, the
+    mirror of the Spark loop's break), and the final vocab CTE yields
+    per-word subword counts directly -- n_sub = symbols in the final
+    rep, n_chars = word length (the subword concatenation is always
+    word + '</w>') -- joined back to per-(source, word) occurrences.
+    The Spark plan is untouched: distinct-vocab folds with per-merge
+    localCheckpoint, then one corpus join (each unique word tokenizes
+    once regardless of frequency)."""
     from .operators.bpe import apply_bpe_merges, learn_bpe_merges
 
     docs = fixtures.fan_out(fixtures.load(spark, sf_dir, "documents"))
