@@ -11877,7 +11877,7 @@ WITH w0 AS MATERIALIZED (
                                       i -> substr(word, CAST(i AS INT), 1)),
                        '</w>'), '||') || '||' AS rep,
          CAST(COUNT(*) AS BIGINT) AS freq
-  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
                                   t -> t <> '')) AS word FROM documents) t
   GROUP BY 1
 ),
@@ -12177,7 +12177,7 @@ sub AS (
   FROM w16
 ),
 occ AS (
-  SELECT source, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+  SELECT source, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
                                     t -> t <> '')) AS word
   FROM documents
 )

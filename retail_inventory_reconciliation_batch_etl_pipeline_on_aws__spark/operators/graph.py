@@ -487,10 +487,12 @@ def _hindex_step(
     und: DataFrame, vals: DataFrame, small: bool = True
 ) -> DataFrame:
     """ONE synchronous H-index round: each node's value becomes the
-    H-index of its neighbors' values -- neighbor values rank desc
-    (dst id the deterministic tiebreak) and the H-index folds as
-    ``max(least(rank, value))``. Eagerly checkpointed so iterated
-    lineage never doubles.
+    H-index of its neighbors' values, computed in HISTOGRAM form --
+    per-(node, value) neighbor counts, a cumulative count over values
+    desc, and ``max(least(cum, value))`` -- which equals the per-rank
+    ``max(least(rank, value))`` fold (for each distinct value v,
+    cum(v) is the largest rank among neighbors valued >= v). Eagerly
+    checkpointed so iterated lineage never doubles.
 
     Join routing (r13, the ``pagerank`` router precedent): the
     checkpointed value table carries no stats, so Catalyst would plan
@@ -517,7 +519,11 @@ def _hindex_step(
     converges in 5 of 24 budget rounds, and gating at 4/8 runs 3
     identity rounds that cost more than the gates they save.)"""
     hint = F.broadcast if small else (lambda d: d)
-    w = Window.partitionBy("node").orderBy(F.col("nb_c").desc(), F.col("dst"))
+    w = (
+        Window.partitionBy("node")
+        .orderBy(F.col("nb_c").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
         und.join(
             hint(
@@ -527,11 +533,24 @@ def _hindex_step(
             ),
             "dst",
         )
-        .select(F.col("src").alias("node"), "dst", "nb_c")
-        .withColumn("rn", F.row_number().over(w))
+        # histogram H-index (r14): pre-aggregate to per-(node, value)
+        # neighbor counts -- map-side combinable and satisfied by the
+        # src partitioning, so still no exchange -- then H = max over
+        # distinct values v of least(cum_neighbors_with_value>=v, v),
+        # the classic histogram form, provably equal to the per-rank
+        # max(least(rank, value)) fold. The window sort now runs over
+        # |node x distinct neighbor values| rows instead of |E|: as
+        # the monotone sequence collapses values into a small range,
+        # late rounds sort a tiny fraction of the edge list (hub
+        # nodes especially -- a 10k-degree node contributes <= its
+        # value-range in rows, not 10k). No tiebreak column needed:
+        # the histogram is deterministic without row_number.
+        .groupBy(F.col("src").alias("node"), "nb_c")
+        .agg(F.count("*").cast("long").alias("k"))
+        .withColumn("cum", F.sum("k").over(w))
         .groupBy("node")
         .agg(
-            F.max(F.least(F.col("rn").cast("long"), F.col("nb_c")))
+            F.max(F.least(F.col("cum"), F.col("nb_c")))
             .cast("long")
             .alias("c")
         )
@@ -610,9 +629,12 @@ def kcore_numbers(
     batch-synchronous (BSP) computation a cluster can run.
 
     Scale shape per round: one co-partitioned join of the undirected
-    edge list against the value table, then the per-node H-index as a
-    window rank over neighbor values (partitioned BY NODE -- bounded
-    by max degree) folded with ``max(least(rank, value))``. Rounds
+    edge list against the value table, a map-side-combined
+    (node, value) neighbor-count aggregate, then the per-node H-index
+    in histogram form -- a cumulative count over values desc folded
+    with ``max(least(cum, value))``, so the window sorts
+    |node x distinct values| rows, not |E| (see ``_hindex_step``;
+    hub nodes contribute their value range, not their degree). Rounds
     eagerly ``localCheckpoint`` (the iterative-operator lineage
     contract shared with ``pagerank`` / ``label_propagation``), and
     the loop EXITS EARLY through a 1-row any-change gate that is a

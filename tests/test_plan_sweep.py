@@ -17,6 +17,7 @@ NESTED_LOOP_OK = {
     "embed_neardup",  # exact all-pairs ground truth by design (scale path: embed_neardup_lsh)
     "label_centroid_sim",  # 10x1 broadcast cross join against the reference centroid
     "sim_topk",  # scan x 1-row literal query vector
+    "ann_recall",  # composes the paired rungs incl. sim_topk's 1-row query-vector cross join (r14 conversion)
     "idle_rich_customers",  # 1-row scalar-aggregate broadcast (decorrelated scalar subquery)
     "customer_spend_quartiles_approx",  # 1-row broadcast of approx cut points
     "bm25_search",  # 1-row broadcast of (N, avg_dl) corpus stats

@@ -595,6 +595,14 @@ NONPORTABLE = {
     "weighted_sample": "list-lambda",
     "stratified_sample": "list-lambda",
     "ann_topk": "list-lambda",
+    # the four r14 conversions: ann_recall composes the paired rung
+    # oracles (ann_topk's list lambdas included); the BPE unrolls walk
+    # the symbol string with list_transform/list_filter lambdas; the
+    # analytic-pixel aHash regenerates pixels with unnest(range(...))
+    "ann_recall": "list-lambda",
+    "bpe_merges": "list-lambda",
+    "bpe_compression_by_source": "list-lambda",
+    "image_phash_neardup": "range-tvf",
     "ivf_topk": "range-tvf",
     "mmr_diverse_topk": "range-tvf",
     "embed_neardup_lsh": "list-lambda",
