@@ -13846,10 +13846,14 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda s: s.isNotNull(),
     )
+    # NO .distinct() here (r14 optimization round, guide §2.4): the
+    # operator's _hindex_init symmetrizes and distincts the edge list
+    # itself, so a pre-distinct is a second full exchange of the pair
+    # stream for an identical edge set -- kcore semantics are
+    # per-distinct-edge either way.
     pairs = (
         grouped.select(F.explode(pair_arr).alias("pr"))
         .select("pr.pa", "pr.pb")
-        .distinct()
     )
     h = hindex_rounds(pairs, rounds=40)
     return (

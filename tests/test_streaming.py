@@ -934,6 +934,49 @@ def test_alert_throttle_stream_equals_batch_and_greedy_rule(spark, tmp_path):
     assert kept == [0, 3, 5]
 
 
+def test_alert_throttle_state_carries_across_arrow_batches(spark):
+    """The r14 mapInPandas spelling carries (current key, last-kept
+    sec) across Arrow batch boundaries inside a partition. Force
+    2-row batches so every key straddles several batches: the kept
+    set must equal the per-key python greedy exactly -- a reset at a
+    batch boundary would re-keep suppressed rows mid-burst."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.alerts import (  # noqa: E501
+        throttle_alerts,
+    )
+
+    # 3 users x 50 alerts, 40s apart -> with cooldown 100s the greedy
+    # keeps every 3rd alert per user (t=0,120,240,...); 2-row Arrow
+    # batches put ~25 batch boundaries inside each user's run
+    rows = [
+        (u, u * 1000 + i, 40 * i) for u in (1, 2, 3) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, sec long")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        kept = sorted(
+            (r.user_id, r.event_id)
+            for r in throttle_alerts(df, cooldown_s=100).collect()
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+    # python greedy twin
+    want = []
+    for u in (1, 2, 3):
+        last = None
+        for i in range(50):
+            sec = 40 * i
+            if last is None or sec - last >= 100:
+                want.append((u, u * 1000 + i))
+                last = sec
+    assert kept == sorted(want) and len(kept) == 3 * 17
+
+
 def test_streaming_mg_candidates_recount_equals_batch_heavy_hitters(
     spark, tmp_path
 ):
