@@ -57,29 +57,35 @@ def _initial_symbols(word: F.Column) -> F.Column:
     return F.concat(chars, F.array(F.lit(EOW)))
 
 
-def _apply_merge(syms, a: str, b: str) -> F.Column:
+def _apply_merge(syms, a, b) -> F.Column:
     """Greedy left-to-right merge of adjacent (a, b) -> a+b, the
     published application order: a fold whose accumulator is the
     rewritten prefix ('aaa' + (a,a) -> ['aa','a'], never ['a','aa']).
     Slice lengths are clamped with greatest(0, .) -- whole-stage
     codegen can evaluate a guarded branch's expressions before the
-    guard (the r7 lesson)."""
+    guard (the r7 lesson). ``a``/``b`` may be python strings (the
+    collected-literal apply path) or Columns (the chained train path,
+    r14 -- the winning pair rides a broadcast 1-row frame instead of a
+    driver round-trip)."""
+    a_col = F.lit(a) if isinstance(a, str) else a
+    b_col = F.lit(b) if isinstance(b, str) else b
+    ab_col = F.lit(a + b) if isinstance(a, str) else F.concat(a_col, b_col)
     rest = F.slice(syms, 2, F.greatest(F.lit(0), F.size(syms) - 1))
     merged = F.aggregate(
         rest,
         F.slice(syms, 1, 1),
         lambda acc, x: F.when(
-            (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+            (F.element_at(acc, -1) == a_col) & (x == b_col),
             F.concat(
                 F.slice(acc, 1, F.greatest(F.lit(0), F.size(acc) - 1)),
-                F.array(F.lit(a + b)),
+                F.array(ab_col),
             ),
         ).otherwise(F.concat(acc, F.array(x))),
     )
     return F.when(
         (F.size(syms) >= 2)
-        & F.array_contains(syms, a)
-        & F.array_contains(syms, b),
+        & F.array_contains(syms, a_col)
+        & F.array_contains(syms, b_col),
         merged,
     ).otherwise(syms)
 
@@ -93,15 +99,38 @@ def learn_bpe_merges(
     merge table ``(rank, left, right, merged, pair_freq)`` in learned
     order -- fully deterministic (count desc, pair asc tie-break), so
     replays are bit-identical and the table is a versionable artifact
-    (the tokenizer the rest of the pipeline ships with). Stops early
-    if the vocabulary runs out of adjacent pairs."""
-    spark = docs.sparkSession
+    (the tokenizer the rest of the pipeline ships with). If the
+    vocabulary runs out of adjacent pairs, later ranks simply emit no
+    row (same table the old early-``break`` produced).
+
+    DRIVER-BOUNDARY SHAPE (r14 optimization round, guide §1.2/§5):
+    the per-round 1-row ``first()`` argmax was a full Py4J round-trip
+    plus its own job -- 2 actions per merge, measured 2.65 s of the
+    4.8 s sf0.1 wall for 16 rounds of a 31-word vocabulary (pure
+    per-action overhead). The winning pair now stays ON THE CLUSTER:
+    each round cross-joins the vocabulary against the broadcast 1-row
+    ``ORDER BY n DESC, left, right LIMIT 1`` frame and the fold reads
+    the pair as COLUMNS, so a round is exactly one action (the
+    vocabulary checkpoint; the argmax executes inside it as the
+    broadcast build). The merge table is the union of the 16 argmax
+    frames -- materialized once at the end over the checkpointed
+    per-round vocabularies, never via driver literals. The final
+    round's vocabulary rewrite is skipped entirely (nothing consumes
+    it). Identical output: same argmax, same tie-break, same
+    exhaustion rows; pinned by the hypothesis exact-Python-model test
+    and the classic worked example."""
+    if n_merges <= 0:
+        return docs.sparkSession.createDataFrame(
+            [],
+            "rank int, left string, right string, merged string,"
+            " pair_freq long",
+        )
     words = (
         word_freq_table(docs, text_col)
         .select("freq", _initial_symbols(F.col("word")).alias("syms"))
         .localCheckpoint(eager=True)
     )
-    merges: list[tuple] = []
+    merge_frames = []
     for rank in range(n_merges):
         pairs = (
             words.select(
@@ -129,17 +158,35 @@ def learn_bpe_merges(
         )
         best = pairs.orderBy(
             F.col("n").desc(), F.col("left").asc(), F.col("right").asc()
-        ).first()  # 1-row argmax gate, like every iterative operator here
-        if best is None:
-            break
-        a, b = str(best.left), str(best.right)
-        merges.append((rank, a, b, a + b, int(best.n)))
-        words = words.select(
-            "freq", _apply_merge(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, merged string, pair_freq long"
-    )
+        ).limit(1)  # 1-row argmax frame; never collected to the driver
+        merge_frames.append(
+            best.select(
+                F.lit(rank).cast("int").alias("rank"),
+                "left",
+                "right",
+                F.concat("left", "right").alias("merged"),
+                F.col("n").cast("long").alias("pair_freq"),
+            )
+        )
+        if rank == n_merges - 1:
+            break  # nothing consumes the final vocabulary rewrite
+        # an exhausted vocabulary (empty argmax) empties the cross
+        # join, so later rounds contribute no merge row -- exactly the
+        # rows the early-break used to emit
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select(
+                "freq",
+                _apply_merge(
+                    F.col("syms"), F.col("left"), F.col("right")
+                ).alias("syms"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merge_frames[0]
+    for mf in merge_frames[1:]:
+        out = out.unionByName(mf)
+    return out
 
 
 def apply_bpe_merges(

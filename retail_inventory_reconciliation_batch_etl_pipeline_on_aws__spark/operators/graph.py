@@ -202,6 +202,7 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 10**12,
     broadcast_max_nodes: int = 4_000_000,
+    undirected_canonical: bool = False,
 ) -> DataFrame:
     """Fixed-point PageRank: the canonical iterative link-analysis
     score, here as the influence ranking over a co-occurrence graph
@@ -270,6 +271,86 @@ def pagerank(
     # (9.3s vs 5.0s at sf0.1). Partition reuse only pays for
     # WINDOW-bound rounds (hindex), where no combine can shrink the
     # data before the exchange.
+    # UNDIRECTED-CANONICAL FAST PATH (r14 optimization round, guide
+    # §2.3 "shuffle/scan fewer bytes"): when the caller certifies the
+    # input as one canonical row per undirected simple edge
+    # (src < dst, distinct, no self-loops -- q_pagerank's mined pair
+    # set), the loop never materializes the 2x symmetrized list: the
+    # edge checkpoint halves, degree comes from one explode-count
+    # (outdeg == degree, no dangling nodes by symmetry), and each
+    # round attaches ranks to BOTH endpoints with two broadcast joins
+    # of the SAME projection (the second build is a ReusedExchange)
+    # before a 2-way explode feeds the same map-side-combined sum.
+    # Measured at sf0.1: init 2.3 s -> 0.85 s, rounds unchanged,
+    # output BIT-IDENTICAL to the symmetrized path (the explode emits
+    # exactly the two directed contribution rows the 2x list carried).
+    # The fast path only pays when the rank table broadcasts, so above
+    # the router ceiling it falls back to the symmetrized loop --
+    # built from the already-checkpointed canonical frame, never by
+    # re-running the caller's mining plan.
+    if undirected_canonical:
+        ec = edges.select(
+            F.col(src).alias(src), F.col(dst).alias(dst)
+        ).localCheckpoint(eager=True)
+        deg = (
+            ec.select(F.explode(F.array(src, dst)).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").cast("long").alias("outdeg"))
+        )
+        state = deg.select(
+            "node", "outdeg", F.lit(scale).cast("long").alias("rank")
+        ).localCheckpoint(eager=True)
+        small = state.count() <= broadcast_max_nodes
+        if small:
+            base = (100 - damping_pct) * scale // 100
+            for _ in range(iterations):
+                v1 = F.broadcast(
+                    state.select("node", F.expr("rank div outdeg").alias("_c"))
+                ).alias("_a")
+                v2 = F.broadcast(
+                    state.select("node", F.expr("rank div outdeg").alias("_c"))
+                ).alias("_b")
+                contribs = (
+                    ec.join(v1, ec[src] == F.col("_a.node"))
+                    .join(v2, ec[dst] == F.col("_b.node"))
+                    .select(
+                        F.explode(
+                            F.array(
+                                F.struct(
+                                    ec[dst].alias("node"),
+                                    F.col("_a._c").alias("_c"),
+                                ),
+                                F.struct(
+                                    ec[src].alias("node"),
+                                    F.col("_b._c").alias("_c"),
+                                ),
+                            )
+                        ).alias("x")
+                    )
+                    .select("x.node", "x._c")
+                    .groupBy("node")
+                    .agg(F.sum("_c").alias("_in"))
+                )
+                state = (
+                    state.join(F.broadcast(contribs), "node", "left")
+                    .select(
+                        "node",
+                        "outdeg",
+                        (
+                            F.lit(base).cast("long")
+                            + F.expr(
+                                f"({damping_pct}L * coalesce(_in, 0L)) div 100"
+                            )
+                        ).alias("rank"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            return state.select("node", "rank")
+        # too many nodes to broadcast ranks: symmetrize off the
+        # checkpoint and fall through to the general loop below
+        edges = ec.unionByName(
+            ec.select(F.col(dst).alias(src), F.col(src).alias(dst))
+        )
     edges = edges.select(
         F.col(src).alias(src), F.col(dst).alias(dst)
     ).localCheckpoint(eager=True)
@@ -408,10 +489,20 @@ def label_propagation(
     knit communities -- the modularity-style grouping a co-purchase or
     co-supply graph is actually mined for.
 
-    Scale shape per round: edges join the label table on each endpoint
-    (two co-partitioned hash joins), neighbor labels aggregate
-    map-side to (node, label, n), and the plurality resolves with ONE
-    row_number window partitioned by node. Each round eagerly
+    Scale shape per round (r14 optimization round, guide §2.4/§3.1):
+    the label table is |V| ids-only rows, so under the same 4M-node
+    broadcast router as ``pagerank``/``_hindex_step`` the edge join is
+    map-side -- the checkpointed edge list never re-exchanges (a
+    checkpointed LogicalRDD carries no stats, so Catalyst would
+    otherwise sort-merge-join it EVERY round); neighbor labels
+    aggregate map-side to (node, label, n); and the plurality resolves
+    as a second hash aggregate -- ``min(struct(-n, label))`` is
+    exactly the (count desc, label asc) argmax (n >= 1 so the
+    negation never overflows), replacing the row_number window: an
+    aggregate instead of a per-node sort (measured: identical labels,
+    rounds 2.8 s -> 2.3 s at sf0.1; the win is structural at scale --
+    no per-round sort of the neighbor-label frame). Above the router
+    ceiling the honest shuffle join stands. Each round eagerly
     ``localCheckpoint``s -- lineage would otherwise double per
     iteration. Fixed ``iters`` rounds (LPA converges in a handful on
     community-structured graphs; a fixed budget keeps the job plannable
@@ -435,24 +526,30 @@ def label_propagation(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("node").orderBy(
-        F.col("n").desc(), F.col("nb_label").asc()
-    )
+    # explicit broadcast router: |V| ids-only rows, same ceiling as
+    # pagerank's rank-side router (checkpointed frames carry no stats)
+    small = labels.count() <= 4_000_000
+    hint = F.broadcast if small else (lambda d: d)
     for _ in range(iters):
+        lv = hint(labels.select("node", "label")).alias("_l")
         neigh = (
-            und.join(
-                labels.select(
-                    F.col("node").alias("dst"), F.col("label").alias("nb_label")
-                ),
-                "dst",
+            und.join(lv, und["dst"] == F.col("_l.node"))
+            .groupBy(
+                und["src"].alias("node"), F.col("_l.label").alias("nb_label")
             )
-            .groupBy(F.col("src").alias("node"), "nb_label")
             .agg(F.count("*").alias("n"))
         )
         labels = (
-            neigh.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", F.col("nb_label").alias("label"))
+            neigh.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("n")).alias("_negn"),
+                        F.col("nb_label").alias("l"),
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.l").alias("label"))
             .localCheckpoint(eager=True)
         )
     return labels
@@ -478,12 +575,18 @@ def _hindex_init(edges: DataFrame, a: str, b: str):
     ``queries._labeled_quantized_dims``): sweeps that run many
     queries per session clear between queries; a long-lived caller
     embedding this loop should do the same."""
+    # repartition BEFORE distinct (r14 optimization round, guide §2.4
+    # "two operations keyed the same way share one exchange"): the
+    # dedup aggregate's required clustering {src, dst} is satisfied by
+    # hash(src) partitioning, so the explicit repartition is the ONLY
+    # exchange -- the old distinct-then-repartition shape shuffled the
+    # symmetrized edge stream twice (once on (src, dst), once on src)
     und = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionAll(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
         .repartition(F.col("src"))
+        .distinct()
         .persist()
     )
     vals = (

@@ -3470,10 +3470,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pr.src", "pr.dst")
         .distinct()
     )
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    ranks = pagerank(edges, iterations=6)
+    # canonical undirected fast path (r14 optimization round): the
+    # operator symmetrizes contributions itself via a 2-way explode,
+    # so the 2x edge list is never materialized -- init checkpoint
+    # halves (2.4M vs 4.8M rows at sf0.1), output bit-identical
+    ranks = pagerank(pairs, iterations=6, undirected_canonical=True)
     return (
         ranks.select(F.col("node").alias("part"), "rank")
         .orderBy(F.col("rank").desc(), "part")
@@ -5023,9 +5024,16 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a->b and b->a differ in confidence; lift is symmetric).
     """
     li = fixtures.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # ONE fact pass (r14 optimization round, guide §1.2): the per-order
+    # part-SET table already determines everything downstream -- pair
+    # counts (expand), per-part distinct-order counts (explode the set:
+    # set-membership IS order-distinctness), and the order total (row
+    # count) -- so the two extra countDistinct scans of the fact table
+    # the old plan ran are gone; the persisted set table serves all
+    # three consumers
     grouped = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
+    ).persist()
     pair_arr = F.filter(
         F.flatten(
             F.transform(
@@ -5053,11 +5061,13 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pair",
         )
     )
-    part_orders = li.groupBy("l_partkey").agg(
-        F.countDistinct("l_orderkey").cast("long").alias("n_part")
+    part_orders = (
+        grouped.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("long").alias("n_part"))
     )
-    total = li.agg(
-        F.countDistinct("l_orderkey").cast("long").alias("n_orders_total")
+    total = grouped.agg(
+        F.count("*").cast("long").alias("n_orders_total")
     )
     na = part_orders.select(
         F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
@@ -7518,11 +7528,15 @@ def q_brand_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the r7-proven cross-engine float recipe)."""
     li = fixtures.load(spark, sf_dir, "lineitem")
     part = fixtures.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # persisted (r14 optimization round, guide §5 caching rule): three
+    # consumers (both rank maps + the join-back side) would otherwise
+    # each re-run the fact scan + broadcast dim join -- the scan is a
+    # single-row-group parquet file, so each re-run is a serial task
     base = li.join(part, li.l_partkey == part.p_partkey).select(
         F.col("p_brand").alias("brand"),
         F.col("l_quantity").cast("long").alias("qty"),
         F.round(_dec("l_extendedprice") * 100).cast("long").alias("cents"),
-    )
+    ).persist()
 
     def avg2_ranks(col: str, out: str) -> DataFrame:
         cnt = base.groupBy("brand", col).agg(F.count("*").alias("c"))

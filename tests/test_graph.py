@@ -462,3 +462,33 @@ def test_pagerank_identical_across_join_strategies(spark):
                 ).collect()}
     assert bcast == shuffled
     assert bcast == _pagerank_int_twin(raw, iterations=5)
+
+
+def test_pagerank_undirected_canonical_equals_symmetrized(spark):
+    """The r14 canonical fast path (one row per undirected edge, 2-way
+    explode of contributions) must be rank-identical to the general
+    loop over the explicitly symmetrized list -- on the broadcast
+    route, on the shuffle fallback (broadcast_max_nodes=0, which
+    internally re-symmetrizes off the checkpoint), and vs the exact
+    python twin."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (
+        pagerank,
+    )
+
+    canon = [(1, 2), (1, 3), (2, 3), (3, 4), (2, 9), (5, 6), (4, 7)]
+    sym = canon + [(b, a) for a, b in canon]
+    ce = spark.createDataFrame(canon, "src bigint, dst bigint")
+    se = spark.createDataFrame(sym, "src bigint, dst bigint")
+    general = {r.node: r["rank"]
+               for r in pagerank(se, iterations=5).collect()}
+    fast = {r.node: r["rank"]
+            for r in pagerank(
+                ce, iterations=5, undirected_canonical=True
+            ).collect()}
+    fallback = {r.node: r["rank"]
+                for r in pagerank(
+                    ce, iterations=5, undirected_canonical=True,
+                    broadcast_max_nodes=0,
+                ).collect()}
+    assert fast == general == fallback
+    assert fast == _pagerank_int_twin(sym, iterations=5)
