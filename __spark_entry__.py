@@ -41,26 +41,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the LEAST-RECENTLY driver-attested entries come FIRST.
 
     The driver's CORRECTNESS artifact records only the first 50
-    entries, so ordering is part of the contract. Round-14 rotation:
-    CORRECTNESS_r13 came back 50/50 green, leaving exactly 12
-    oracle-paired entries never attested -- the 2 round-13
-    window-overflow rows (``brand_demand_acf``,
-    ``customer_entry_brand_loyalty``) and the 10 round-13 rows-only ->
-    oracle-paired conversions, queued contiguously past the boundary
-    last round per the excess-contiguity promise. Per the r13 verdict
-    (item #1) those 12 lead this window, followed by this round's
-    FOUR rows-only -> paired conversions (``ann_recall`` under a
-    composed oracle of the pinned rungs, ``image_phash_neardup`` under
-    an analytic-pixel oracle -- r13 verdict item #5 -- and
-    ``bpe_merges`` + ``bpe_compression_by_source`` under the 16-round
-    fixed-round unroll, the latter carrying ``word`` through the chain
-    so the apply path falls out of the final vocab CTE;
-    paired-never-green, so rule 1 wants them windowed), and the
-    remaining 34 slots go
-    to the stalest previously-attested paired entries (all green r5,
-    the oldest standing attestations) -- after this round the
-    never-attested backlog is ZERO and the window becomes a pure
-    staleness rotation. Behind the window, every previously-attested
+    entries, so ordering is part of the contract. Round-15 rotation:
+    CORRECTNESS_r14 came back 50/50 green and the never-attested
+    backlog hit ZERO, so this is the first PURE staleness rotation --
+    the window holds the 50 least-recently-attested oracle-paired
+    entries (the 7 whose standing attestation is r5, then the stalest
+    43 of the 56-entry r6 cohort in their existing relative order; the
+    remaining r6 rows sit just past the boundary and mechanically lead
+    the round-16 queue). Behind the window, every previously-attested
     paired entry in staleness order (freshest last), then the
     rows-only entries whose one-time driver evidence is already on
     file. All post-window entries stay pinned value-level by
@@ -68,81 +56,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/strict_parity.py.
     """
     return {
-        # --- round-14 window (50 slots): the 12 never-attested paired
-        # entries lead (the 2 round-13 window-overflow rows, then the 10
-        # round-13 rows-only -> oracle-paired conversions), then the 4
-        # round-14 conversions -- the never-attested backlog hits ZERO
-        # this round; the remaining 34 slots go to the stalest
-        # previously-attested entries (green r5, the oldest standing
-        # attestations on file; simhash_neardup, the 35th r5 row, slips
-        # just past the boundary and leads the next round's queue) -------
-        "brand_demand_acf": Q.q_brand_demand_acf,
-        "customer_entry_brand_loyalty": Q.q_customer_entry_brand_loyalty,
-        "minhash_pairs": Q.q_minhash_pairs,
-        "weighted_sample": Q.q_weighted_sample,
-        "stratified_sample": Q.q_stratified_sample,
-        "ann_topk": Q.q_ann_topk,
-        "mmr_diverse_topk": Q.q_mmr_diverse_topk,
-        "ivf_topk": Q.q_ivf_topk,
-        "embed_neardup_lsh": Q.q_embed_neardup_lsh,
-        "copurchase_kcore": Q.q_copurchase_kcore,
-        "copurchase_communities": Q.q_copurchase_communities,
-        "alert_throttle": Q.q_alert_throttle,
-        # the four round-14 rows-only -> oracle-paired conversions:
-        # composed-recall and analytic-pixel oracles (r13 verdict item
-        # #5), the fixed-round BPE unroll (the last "inherently
-        # iterative" hold-out), and the BPE apply path riding the same
-        # unroll (the chain carries `word`, so per-word subword counts
-        # fall out of the final vocab CTE); paired-never-attested, so
-        # rule 1 puts them in this window
-        "ann_recall": Q.q_ann_recall,
-        "image_phash_neardup": Q.q_image_phash_neardup,
-        "bpe_merges": Q.q_bpe_merges,
-        "bpe_compression_by_source": Q.q_bpe_compression_by_source,
-        "dim_products": Q.q_dim_products,
-        "market_share": Q.q_market_share,
-        "nation_profit": Q.q_nation_profit,
-        "image_dims": Q.q_image_dims,
-        "order_priority_check": Q.q_order_priority_check,
-        "disjunctive_revenue": Q.q_disjunctive_revenue,
-        "supplier_variety": Q.q_supplier_variety,
-        "contamination_check": Q.q_contamination_check,
-        "doc_repetition": Q.q_doc_repetition,
-        "priority_class_lines": Q.q_priority_class_lines,
-        "weekly_retention": Q.q_weekly_retention,
-        "segment_top_percentile": Q.q_segment_top_percentile,
-        "table_profile": Q.q_table_profile,
-        "sku_sale_gaps": Q.q_sku_sale_gaps,
-        "decontaminated_split": Q.q_decontaminated_split,
-        "parts_above_brand_avg": Q.q_parts_above_brand_avg,
-        "sales_grouping_sets": Q.q_sales_grouping_sets,
-        "shipping_priority": Q.q_shipping_priority,
-        "customer_spend_quartiles": Q.q_customer_spend_quartiles,
-        "events_hourly": Q.q_events_hourly,
-        "events_sessionize": Q.q_events_sessionize,
-        "events_json": Q.q_events_json,
-        "daily_active_users": Q.q_daily_active_users,
-        "events_daily_from_hourly": Q.q_events_daily_from_hourly,
-        "events_sessionize_native": Q.q_events_sessionize_native,
-        "event_value_percentiles": Q.q_event_value_percentiles,
-        "signup_purchase_funnel": Q.q_signup_purchase_funnel,
-        "sku_sales_salted": Q.q_sku_sales_salted,
-        "stock_asof": Q.q_stock_asof,
-        "orders_in_promos": Q.q_orders_in_promos,
-        "top_part_per_brand": Q.q_top_part_per_brand,
-        "text_stats": Q.q_text_stats,
-        "lang_rollup": Q.q_lang_rollup,
-        "langid": Q.q_langid,
+        # --- round-15 window (50 slots): the never-attested backlog
+        # hit ZERO in r14, so this is the first PURE staleness
+        # rotation -- the 50 least-recently-attested oracle-paired
+        # entries lead (7 last green in r5, then the stalest 43 of
+        # the 56-entry r6 cohort in their standing order; the
+        # remaining r6 rows slip just past the boundary and lead the
+        # next round's queue). Behind the window: every other paired
+        # entry in staleness order (freshest last), then the 8
+        # rows-only entries whose one-time driver evidence is on
+        # file. Recomputed by tools/rotation_check.py from the
+        # CORRECTNESS_r*.json artifacts; pinned by
+        # tests/test_rotation_contract.py. ------------------------------
+        # last green: r5
         "dedup_exact": Q.q_dedup_exact,
         "doc_chunks": Q.q_doc_chunks,
         "simhash": Q.q_simhash,
         "simhash_neardup": Q.q_simhash_neardup,
-        # --- previously-attested paired entries, stalest green first ----
-        # last green r5 ---------------------------------------------
         "jaccard_pairs": Q.q_jaccard_pairs,
         "dedup_groups": Q.q_dedup_groups,
         "multimodal_features": Q.q_multimodal_features,
-        # last green r6 ---------------------------------------------
+        # last green: r6
         "lm_score": Q.q_lm_score,
         "top_tokens": Q.q_top_tokens,
         "corpus_filter": Q.q_corpus_filter,
@@ -186,13 +120,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": Q.q_key_skew_profile,
         "incremental_hourly_merge": Q.q_incremental_hourly_merge,
         "embed_contamination": Q.q_embed_contamination,
+        # --- past the attestation boundary: previously-attested
+        # paired entries, staleness order (freshest last) ---------
         "contamination_hashed": Q.q_contamination_hashed,
         "pii_scan": Q.q_pii_scan,
         "mixture_weights": Q.q_mixture_weights,
         "quality_flags": Q.q_quality_flags,
         "user_journey": Q.q_user_journey,
         "sku_sales_anomaly": Q.q_sku_sales_anomaly,
-        # last green r7 ---------------------------------------------
+        # last green: r7
         "returnflag_unpivot": Q.q_returnflag_unpivot,
         "scd2_point_in_time": Q.q_scd2_point_in_time,
         "table_checksum": Q.q_table_checksum,
@@ -242,7 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_setops": Q.q_customer_setops,
         "returnflag_pivot": Q.q_returnflag_pivot,
         "min_cost_supplier": Q.q_min_cost_supplier,
-        # last green r8 ---------------------------------------------
+        # last green: r8
         "price_equidepth_hist": Q.q_price_equidepth_hist,
         "fifo_allocation": Q.q_fifo_allocation,
         "name_edit1_pairs": Q.q_name_edit1_pairs,
@@ -293,7 +229,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evolving_schema": Q.q_evolving_schema,
         "stock_asof_forward": Q.q_stock_asof_forward,
         "stage_sales": Q.q_stage_sales,
-        # last green r9 ---------------------------------------------
         "price_change_events": Q.q_price_change_events,
         "single_source_risk": Q.q_single_source_risk,
         "seasonal_naive_backtest": Q.q_seasonal_naive_backtest,
@@ -344,7 +279,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_zchart": Q.q_weekly_zchart,
         "nation_segment_grid": Q.q_nation_segment_grid,
         "type_discount_profile": Q.q_type_discount_profile,
-        # last green r10 --------------------------------------------
         "purchases_in_promo_windows": Q.q_purchases_in_promo_windows,
         "cross_region_trade_share": Q.q_cross_region_trade_share,
         "referential_integrity_audit": Q.q_referential_integrity_audit,
@@ -395,7 +329,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_volume_value_mix": Q.q_brand_volume_value_mix,
         "customer_priority_breadth": Q.q_customer_priority_breadth,
         "brand_copurchase_pairs": Q.q_brand_copurchase_pairs,
-        # last green r11 --------------------------------------------
         "image_dims_jpeg": Q.q_image_dims_jpeg,
         "copurchase_degree_hist": Q.q_copurchase_degree_hist,
         "copurchase_component_sizes": Q.q_copurchase_component_sizes,
@@ -431,7 +364,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_iteration": Q.q_kmeans_iteration,
         "embedding_outliers": Q.q_embedding_outliers,
         "pagerank": Q.q_pagerank,
-        # last green r12 --------------------------------------------
         "nation_discount_gap": Q.q_nation_discount_gap,
         "cohort_retention_triangle": Q.q_cohort_retention_triangle,
         "click_to_purchase_latency": Q.q_click_to_purchase_latency,
@@ -482,7 +414,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_kcore_hist": Q.q_copurchase_kcore_hist,
         "pq_adc_topk": Q.q_pq_adc_topk,
         "int8_cosine_topk": Q.q_int8_cosine_topk,
-        # last green r13 --------------------------------------------
         "supplier_cosupply_pairs": Q.q_supplier_cosupply_pairs,
         "brand_quantity_mode": Q.q_brand_quantity_mode,
         "sku_seasonality_strength": Q.q_sku_seasonality_strength,
@@ -533,18 +464,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_part_lines_audit": Q.q_repeated_part_lines_audit,
         "hourly_value_profile": Q.q_hourly_value_profile,
         "priority_value_profile": Q.q_priority_value_profile,
-        # --- rows-only entries already attested (spark_rows evidence);
-        # re-attesting would waste a slot on a weaker check. Down to 8
-        # in r14 (verdict item #5): quantized_topk and pq_topk RETIRED
-        # (their serve math is the paired int8_cosine_topk /
-        # pq_adc_topk rungs; the operators and their pytest twins
-        # stay); ann_recall, image_phash_neardup, bpe_merges, and
-        # bpe_compression_by_source CONVERTED to oracle-paired (see
-        # the window above). Each remaining entry is rows-only for a
-        # hard reason: float Lloyd (semantic_dedup, the pq_index_*
-        # trained codebooks), sketch internals (dau_sketch_merge,
-        # value_quantile_sketch, *_approx), or pyspark.ml JVM RNG
-        # (minhash_ml_pairs) ----------------------------------------------
+        "brand_demand_acf": Q.q_brand_demand_acf,
+        "customer_entry_brand_loyalty": Q.q_customer_entry_brand_loyalty,
+        "minhash_pairs": Q.q_minhash_pairs,
+        "weighted_sample": Q.q_weighted_sample,
+        "stratified_sample": Q.q_stratified_sample,
+        "ann_topk": Q.q_ann_topk,
+        "mmr_diverse_topk": Q.q_mmr_diverse_topk,
+        "ivf_topk": Q.q_ivf_topk,
+        "embed_neardup_lsh": Q.q_embed_neardup_lsh,
+        "copurchase_kcore": Q.q_copurchase_kcore,
+        "copurchase_communities": Q.q_copurchase_communities,
+        "alert_throttle": Q.q_alert_throttle,
+        "ann_recall": Q.q_ann_recall,
+        "image_phash_neardup": Q.q_image_phash_neardup,
+        "bpe_merges": Q.q_bpe_merges,
+        "bpe_compression_by_source": Q.q_bpe_compression_by_source,
+        "dim_products": Q.q_dim_products,
+        "market_share": Q.q_market_share,
+        "nation_profit": Q.q_nation_profit,
+        "image_dims": Q.q_image_dims,
+        "order_priority_check": Q.q_order_priority_check,
+        "disjunctive_revenue": Q.q_disjunctive_revenue,
+        "supplier_variety": Q.q_supplier_variety,
+        "contamination_check": Q.q_contamination_check,
+        "doc_repetition": Q.q_doc_repetition,
+        "priority_class_lines": Q.q_priority_class_lines,
+        "weekly_retention": Q.q_weekly_retention,
+        "segment_top_percentile": Q.q_segment_top_percentile,
+        "table_profile": Q.q_table_profile,
+        "sku_sale_gaps": Q.q_sku_sale_gaps,
+        "decontaminated_split": Q.q_decontaminated_split,
+        "parts_above_brand_avg": Q.q_parts_above_brand_avg,
+        "sales_grouping_sets": Q.q_sales_grouping_sets,
+        "shipping_priority": Q.q_shipping_priority,
+        "customer_spend_quartiles": Q.q_customer_spend_quartiles,
+        "events_hourly": Q.q_events_hourly,
+        "events_sessionize": Q.q_events_sessionize,
+        "events_json": Q.q_events_json,
+        "daily_active_users": Q.q_daily_active_users,
+        "events_daily_from_hourly": Q.q_events_daily_from_hourly,
+        "events_sessionize_native": Q.q_events_sessionize_native,
+        "event_value_percentiles": Q.q_event_value_percentiles,
+        "signup_purchase_funnel": Q.q_signup_purchase_funnel,
+        "sku_sales_salted": Q.q_sku_sales_salted,
+        "stock_asof": Q.q_stock_asof,
+        "orders_in_promos": Q.q_orders_in_promos,
+        "top_part_per_brand": Q.q_top_part_per_brand,
+        "text_stats": Q.q_text_stats,
+        "lang_rollup": Q.q_lang_rollup,
+        "langid": Q.q_langid,
+        # --- rows-only entries (driver evidence already on file;
+        # value-level parity pinned by tests/test_oracle_parity.py,
+        # bit-exact by tools/strict_parity.py) ---------------------
         "semantic_dedup": Q.q_semantic_dedup,
         "dau_sketch_merge": Q.q_dau_sketch_merge,
         "pq_index_topk": Q.q_pq_index_topk,
