@@ -233,6 +233,18 @@ def main() -> None:
         # classify a delta vs the previous round as noise (spread
         # overlaps) or regression (spread cleanly shifted)
         for _ in range(n_runs):
+            # r15 (r14 verdict item #2, additions-only): clear the
+            # cache INSIDE the timed loop too. Spark's CacheManager
+            # matches by canonicalized plan, so a query's own persist()
+            # from the warmup invocation silently served the timed
+            # runs from memory -- flattering exactly the queries whose
+            # optimization was "persist the multi-consumer frame"
+            # (brand_spearman's 1.73x in r14 was partly this). Every
+            # timed run now pays the query's full cost from the
+            # parquet inputs; floors recorded before r15 are
+            # warm-cache-methodology numbers (BENCH_r14 and older) and
+            # are not comparable 1:1 for queries that persist.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).count()
             runs[name].append(round(time.perf_counter() - t0, 3))

@@ -29,7 +29,7 @@ the property the hypothesis test pins against an exact Python model.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 #: end-of-word marker, per the published recipe: merges never cross a
@@ -110,15 +110,22 @@ def learn_bpe_merges(
     per-action overhead). The winning pair now stays ON THE CLUSTER:
     each round cross-joins the vocabulary against the broadcast 1-row
     ``ORDER BY n DESC, left, right LIMIT 1`` frame and the fold reads
-    the pair as COLUMNS, so a round is exactly one action (the
-    vocabulary checkpoint; the argmax executes inside it as the
-    broadcast build). The merge table is the union of the 16 argmax
-    frames -- materialized once at the end over the checkpointed
-    per-round vocabularies, never via driver literals. The final
-    round's vocabulary rewrite is skipped entirely (nothing consumes
-    it). Identical output: same argmax, same tie-break, same
-    exhaustion rows; pinned by the hypothesis exact-Python-model test
-    and the classic worked example."""
+    the pair as COLUMNS. The merge table is the union of the argmax
+    frames -- never driver literals.
+
+    r15 refinements (r14 ADVICE item): each round's argmax frame is
+    itself eagerly ``localCheckpoint``-ed, so (a) the terminal
+    merge-table union reads 1-row in-memory frames instead of
+    RE-EXECUTING every round's pair aggregation a second time, and
+    (b) the vocabulary rewrite's broadcast build reads the same
+    materialized row. An Observation rides the argmax checkpoint
+    (zero extra actions) and reports emptiness: an exhausted
+    vocabulary now BREAKS the loop again instead of paying
+    ``n_merges - rank`` empty checkpoint rounds -- later ranks emit no
+    row either way, so the output table is unchanged. Identical
+    output: same argmax, same tie-break, same exhaustion rows; pinned
+    by the hypothesis exact-Python-model test and the classic worked
+    example."""
     if n_merges <= 0:
         return docs.sparkSession.createDataFrame(
             [],
@@ -156,9 +163,22 @@ def learn_bpe_merges(
             .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
             .agg(F.sum("freq").alias("n"))
         )
-        best = pairs.orderBy(
-            F.col("n").desc(), F.col("left").asc(), F.col("right").asc()
-        ).limit(1)  # 1-row argmax frame; never collected to the driver
+        # 1-row argmax frame; never collected to the driver. Eagerly
+        # checkpointed (r15): the terminal union and the rewrite's
+        # broadcast both read this materialized row instead of each
+        # re-running the pair aggregation. The emptiness probe rides
+        # the checkpoint job as an observed metric -- no extra action.
+        seen = Observation()
+        best = (
+            pairs.orderBy(
+                F.col("n").desc(), F.col("left").asc(), F.col("right").asc()
+            )
+            .limit(1)
+            .observe(seen, F.count(F.lit(1)).alias("n_rows"))
+            .localCheckpoint(eager=True)
+        )
+        if seen.get["n_rows"] == 0:
+            break  # exhausted: no adjacent pairs left anywhere
         merge_frames.append(
             best.select(
                 F.lit(rank).cast("int").alias("rank"),
@@ -170,9 +190,6 @@ def learn_bpe_merges(
         )
         if rank == n_merges - 1:
             break  # nothing consumes the final vocabulary rewrite
-        # an exhausted vocabulary (empty argmax) empties the cross
-        # join, so later rounds contribute no merge row -- exactly the
-        # rows the early-break used to emit
         words = (
             words.crossJoin(F.broadcast(best))
             .select(
@@ -182,6 +199,13 @@ def learn_bpe_merges(
                 ).alias("syms"),
             )
             .localCheckpoint(eager=True)
+        )
+    if not merge_frames:
+        # exhausted before the first merge: empty table, same schema
+        return docs.sparkSession.createDataFrame(
+            [],
+            "rank int, left string, right string, merged string,"
+            " pair_freq long",
         )
     out = merge_frames[0]
     for mf in merge_frames[1:]:

@@ -511,9 +511,18 @@ def label_propagation(
     Returns (node, label) -- label is the community representative's
     node id.
     """
-    und = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
-        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
-    )
+    # symmetrize via a 2-way EXPLODE, not unionAll of two selects (r15,
+    # guide §1.2): the union's branches each re-execute the CALLER's
+    # edge plan (the weighted co-purchase mining for q_copurchase_
+    # communities); the explode emits both orientations from one scan
+    und = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     # NOTE (r13): the _hindex_init repartition+persist trick was
     # measured here and reverted, same diagnosis as pagerank -- the
     # plurality agg map-side combines before its exchange, so the
@@ -556,94 +565,142 @@ def label_propagation(
 
 
 def _hindex_init(edges: DataFrame, a: str, b: str):
-    """(und, vals): the deduped undirected edge list (self-loops
-    dropped -- the standard k-core convention) and the degree table
-    that seeds the H-index sequence. Both eagerly checkpointed: every
-    round re-reads ``und``, and ``vals`` heads an iterated lineage.
-    ``und`` is hash-partitioned by ``src`` and PERSISTED, not
-    checkpointed (r13): its lineage is static (computed once, never
-    iterated), and a localCheckpoint would ERASE the partitioning
-    metadata (LogicalRDD carries no outputPartitioning here), forcing
-    the round's window to re-exchange the full edge list every round
-    -- measured as one 2.4M-row shuffle x 38 rounds at sf0.1. With
-    the persist, the per-round value join broadcasts (see
-    ``_hindex_step``), and the window (partitionBy node == src) plus
-    terminal groupBy reuse the cached partitioning: ONE up-front
-    shuffle of the edge list total, and a round moves no edge bytes.
-    ``vals`` stays eagerly checkpointed -- ITS lineage is the iterated
-    one. Cache lifetime follows the harness clearCache contract (see
-    ``queries._labeled_quantized_dims``): sweeps that run many
-    queries per session clear between queries; a long-lived caller
-    embedding this loop should do the same."""
-    # repartition BEFORE distinct (r14 optimization round, guide §2.4
-    # "two operations keyed the same way share one exchange"): the
-    # dedup aggregate's required clustering {src, dst} is satisfied by
-    # hash(src) partitioning, so the explicit repartition is the ONLY
-    # exchange -- the old distinct-then-repartition shape shuffled the
-    # symmetrized edge stream twice (once on (src, dst), once on src)
-    und = (
-        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-        .unionAll(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    """(adj, vals): the deduped undirected graph as ADJACENCY LISTS
+    (one (node, nbrs) row per node, self-loops dropped -- the standard
+    k-core convention) and the degree table that seeds the H-index
+    sequence.
+
+    Shape rationale (r15 optimization round, guide §1.2/§2.3/§2.4):
+
+    - Symmetrize via a 2-way EXPLODE, not unionAll of two selects: the
+      union's two branches each re-execute the CALLER's edge plan (for
+      the co-purchase graph that is the collect_set + pair-expand over
+      the whole fact table). The explode emits both orientations from
+      ONE scan; the row set is identical.
+    - ONE exchange end to end: the explicit ``repartition(src)``
+      satisfies the dedup aggregate's ClusteredDistribution({src,dst})
+      (subset rule), the adjacency ``groupBy(src)`` clustering, and
+      every later round's per-node aggregation -- the edge stream is
+      shuffled exactly once, at init.
+    - Cache the |V|-row ADJACENCY table, not the |E|-row edge list
+      (r14 cached the flat symmetrized list): same bytes, 100x fewer
+      rows, so the per-round cache scan pays per-row overhead on |V|
+      rows and each round re-derives the edge stream by an in-row
+      explode (pure codegen, no shuffle) -- measured 2.6 s of init
+      cache-write for the 2.4M-row flat list vs ~0.3 s for the 20k-row
+      adjacency form at sf0.1, and the degree table falls out as
+      ``size(nbrs)`` (narrow) instead of a second aggregate.
+
+    MEGA-HUB caveat: a node's neighbor list is one array cell, bounded
+    by |V| longs -- 32 MB at the 4M-node broadcast ceiling, fine; on
+    graphs far above the ceiling a degree-capped/segmented adjacency is
+    the documented extension (the non-broadcast round below is the only
+    consumer there and reads it exploded).
+
+    ``vals`` is eagerly checkpointed -- ITS lineage is the iterated
+    one; materializing it also materializes the adjacency cache. Cache
+    lifetime follows the harness clearCache contract (see
+    ``queries._labeled_quantized_dims``)."""
+    adj = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                    F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .where(F.col("src") != F.col("dst"))
         .repartition(F.col("src"))
         .distinct()
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.collect_list("dst").alias("nbrs"))
         .persist()
     )
-    vals = (
-        und.groupBy(F.col("src").alias("node"))
-        .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=True)
-    )
-    return und, vals
+    vals = adj.select(
+        "node", F.size("nbrs").cast("long").alias("c")
+    ).localCheckpoint(eager=True)
+    return adj, vals
 
 
 def _hindex_step(
-    und: DataFrame,
+    adj: DataFrame,
     vals: DataFrame,
     small: bool = True,
     gate: Observation | None = None,
 ) -> DataFrame:
-    """ONE synchronous H-index round: each node's value becomes the
-    H-index of its neighbors' values, computed in HISTOGRAM form --
-    per-(node, value) neighbor counts, a cumulative count over values
-    desc, and ``max(least(cum, value))`` -- which equals the per-rank
-    ``max(least(rank, value))`` fold (for each distinct value v,
-    cum(v) is the largest rank among neighbors valued >= v). Eagerly
-    checkpointed so iterated lineage never doubles.
+    """ONE synchronous H-index round over the cached ADJACENCY table:
+    each node's value becomes the H-index of its neighbors' values,
+    computed in HISTOGRAM form -- per-(node, value) neighbor counts, a
+    cumulative count over values desc, and ``max(least(cum, value))``
+    -- which equals the per-rank ``max(least(rank, value))`` fold (for
+    each distinct value v, cum(v) is the largest rank among neighbors
+    valued >= v). Eagerly checkpointed so iterated lineage never
+    doubles.
+
+    The edge stream is re-derived per round by EXPLODING the cached
+    neighbor lists (r15: in-row codegen Generate, no shuffle, and the
+    explode output keeps the cache's hash(node) partitioning) -- so
+    the per-(node, value) aggregate, the cumulative window
+    (partitionBy node) and the terminal groupBy all run WITHOUT an
+    exchange: a round moves no edge bytes at all on the broadcast
+    path.
 
     Join routing (r13, the ``pagerank`` router precedent): the
     checkpointed value table carries no stats, so Catalyst would plan
-    a sort-merge join that RE-SHUFFLES the edge list every round --
+    a sort-merge join that RE-SHUFFLES the edge stream every round --
     measured 57.7s for 38 rounds on the sf0.1 unweighted co-purchase
     graph. With ``small`` (node table under the broadcast ceiling,
     the common case -- it is |V| rows, not |E|), the value side
-    broadcasts and the round becomes map-side against the
-    src-partitioned checkpointed edges; the window (partitionBy node
-    == src) and the terminal groupBy both reuse that partitioning, so
-    a round moves NO edge bytes at all. Above the ceiling the honest
-    shuffle join stands (a billion-node value table must partition).
+    broadcasts; above the ceiling the honest shuffle join stands (a
+    billion-node value table must partition).
 
     The checkpointed output CARRIES ``c_old`` (the node's own previous
-    value, attached by a second join against the same already-routed
-    value table -- near-free, it is |V| rows in the same stage; r14,
-    r13 verdict item #3). The caller's convergence gate is now FREE
-    (r14 optimization round, guide §1.5/§2.4): pass an ``Observation``
-    and the any-change count is collected as an observed metric DURING
-    the checkpoint's own materialization job -- zero extra actions per
-    round, vs. the previous ``limit(1)`` scan job (measured 0.10s x 38
-    rounds = ~4s of pure job overhead on the sf0.1 unweighted
-    co-purchase graph). Both value joins broadcast the SAME projection
-    (``vals.select(node, c)``) so the second build is a
-    ``ReusedExchange`` -- one broadcast build per round, not two.
-    (A uniform every-k gate amortization was tried first and reverted:
-    it overshoots fast-converging graphs -- the sf0.1 w>=2 graph
-    converges in 5 of 24 budget rounds, and gating at 4/8 runs 3
-    identity rounds that cost more than the gates they save.)"""
+    value, attached by a second join against the same value projection
+    -- on the broadcast path the second build is a ``ReusedExchange``),
+    and the caller's convergence gate rides the checkpoint job as an
+    OBSERVED METRIC: zero extra actions per round (r14, guide
+    §1.5/§2.4).
+
+    NEGATIVE RESULTS pinned here so they are not re-tried (r15
+    optimization round, both measured at sf0.1 on the 38-round
+    unweighted co-purchase graph):
+
+    - DELTA ITERATION (r14 verdict item #1) -- recompute only nodes
+      adjacent to the last round's changed set, carry the rest -- was
+      implemented twice (candidates mined from the flat cached edge
+      list, then from the adjacency arrays by exploding only the
+      changed rows). Per-round value tables were bit-identical, but
+      every variant ran 3-5x SLOWER end to end (41-49 s vs 8-14 s of
+      rounds): each round gains 2 broadcast builds (frontier,
+      candidates -- each a blocking sub-job), a distinct whose explode
+      output no longer carries the cache partitioning (one small
+      exchange per round), and a union with the carried remainder --
+      pure per-round JOB overhead that dwarfs the saved aggregation
+      work at any frontier size tested, while the window input already
+      shrinks naturally as values collapse (the histogram groups by
+      distinct value). At cluster scale the trade could flip, but
+      per the local-evidence rule the full synchronous round stays.
+    - ROUND FUSION -- chaining k rounds into one checkpoint job with
+      intermediate value tables living only as in-job broadcasts --
+      re-executes each inner round once per reference: the two value
+      reads per round compound to 2^k subtree executions (measured
+      24 s at k=1, 75 s at k=6, 219 s at k=8); nested broadcast
+      builds are not deduplicated by ReusedExchange across stages.
+    - The per-row ARRAY FOLD (sort_array(collect_list) + zip_with +
+      aggregate, no window) loses ~4x to this histogram+window form:
+      higher-order functions are CodegenFallback -- interpreted
+      per-element -- while the window runs in whole-stage codegen.
+    """
     hint = F.broadcast if small else (lambda d: d)
     w = (
         Window.partitionBy("node")
         .orderBy(F.col("nb_c").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    und = adj.select(
+        F.col("node").alias("src"), F.explode("nbrs").alias("dst")
     )
     # both joins broadcast byte-identical children => ReusedExchange
     v_nb = hint(vals.select("node", "c")).alias("_v1")
@@ -651,18 +708,6 @@ def _hindex_step(
     stepped = (
         und.join(v_nb, und["dst"] == F.col("_v1.node"))
         .select(und["src"].alias("node"), F.col("_v1.c").alias("nb_c"))
-        # histogram H-index (r14): pre-aggregate to per-(node, value)
-        # neighbor counts -- map-side combinable and satisfied by the
-        # src partitioning, so still no exchange -- then H = max over
-        # distinct values v of least(cum_neighbors_with_value>=v, v),
-        # the classic histogram form, provably equal to the per-rank
-        # max(least(rank, value)) fold. The window sort now runs over
-        # |node x distinct neighbor values| rows instead of |E|: as
-        # the monotone sequence collapses values into a small range,
-        # late rounds sort a tiny fraction of the edge list (hub
-        # nodes especially -- a 10k-degree node contributes <= its
-        # value-range in rows, not 10k). No tiebreak column needed:
-        # the histogram is deterministic without row_number.
         .groupBy("node", "nb_c")
         .agg(F.count("*").cast("long").alias("k"))
         .withColumn("cum", F.sum("k").over(w))
@@ -720,13 +765,13 @@ def hindex_rounds(
 
     Returns (node, h) for every non-isolated node.
     """
-    und, vals = _hindex_init(edges, a, b)
+    adj, vals = _hindex_init(edges, a, b)
     # explicit broadcast router (checkpointed frames carry no stats):
     # |V| rows, same 4M ceiling as pagerank's rank-side router
     small = vals.count() <= 4_000_000
     for i in range(rounds):
         gate = Observation() if i < rounds - 1 else None
-        vals = _hindex_step(und, vals, small, gate)
+        vals = _hindex_step(adj, vals, small, gate)
         if gate is not None and gate.get["n_changed"] == 0:
             break  # fixpoint: remaining rounds are identity
     return vals.select("node", F.col("c").alias("h"))
@@ -774,7 +819,7 @@ def kcore_numbers(
     nodes therefore never appear, and every returned node has
     coreness >= 1.
     """
-    und, vals = _hindex_init(edges, a, b)
+    adj, vals = _hindex_init(edges, a, b)
     small = vals.count() <= 4_000_000  # same router as hindex_rounds
     converged = False
     for _ in range(max_iters):
@@ -782,7 +827,7 @@ def kcore_numbers(
         # checkpoint job as an observed metric (no extra action) --
         # no-change between two consecutive rounds IS the fixpoint
         gate = Observation()
-        vals = _hindex_step(und, vals, small, gate)
+        vals = _hindex_step(adj, vals, small, gate)
         if gate.get["n_changed"] == 0:
             converged = True
             break

@@ -358,11 +358,45 @@ def rp_neardup_pairs_pinned(
     0.64/table while background pairs collapse, and at corpus scale
     ``n_planes`` must grow ~log(n) with ``n_tables`` compensating
     recall -- the standard LSH dial, exposed as parameters here."""
+    # Signature pass as PER-ROW integer HOF dots against LITERAL
+    # coefficient arrays (r15 optimization round, guide §2.4 "remove
+    # shuffles outright"): the md5-derived projection is a pure
+    # function of (t, p, dim) -- a 1,152-int query PARAMETER, not data
+    # -- so it is derived driver-side (hashlib.md5 == Spark md5,
+    # bit-identical ints) and inlined. The r14 shape posexploded every
+    # vector (|N| x 64 rows), broadcast-joined the projection frame
+    # (x18 fan-out: |N| x 1,152 rows) and re-aggregated through TWO
+    # hash exchanges just to compute 18 dot products per vector; the
+    # fold computes the same exact BIGINT sums inside the row -- zero
+    # exchanges before the bucket self-join (plan: 3 Exchanges -> 1,
+    # the candidate distinct). Same derivation string
+    # ('nd:t:p:dim', dim 1-based), same % 19 - 9 range, same >= 0 sign
+    # rule and bit packing -- signature integers are BIT-IDENTICAL, so
+    # candidates, verification and output are unchanged. Assumes
+    # fixed-width ``dims`` vectors (already this operator's contract).
+    import hashlib
+
+    def _fold(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
     spark = embeddings.sparkSession
-    # NOT persisted: the signature pass is this frame's only consumer
-    # since the r13 HOF-verify rewrite (the verify side reads whole
-    # quantized arrays straight off the source scan) -- the
-    # smallest-sufficient-frame rule says no cache for one reader
+    n_proj = n_tables * n_planes
+    # one broadcastable row per dimension, carrying ALL that
+    # dimension's coefficients as an array indexed by t*n_planes + p
+    cdim = spark.createDataFrame(
+        [
+            (
+                d,
+                [
+                    _fold(f"nd:{t}:{p}:{d}") % 19 - 9
+                    for t in range(n_tables)
+                    for p in range(n_planes)
+                ],
+            )
+            for d in range(1, dims + 1)
+        ],
+        "dim long, cs array<long>",
+    )
     ex = embeddings.select(
         F.col(id_col), F.posexplode(vec_col).alias("pos", "vf")
     ).select(
@@ -370,39 +404,61 @@ def rp_neardup_pairs_pinned(
         (F.col("pos") + 1).cast("long").alias("dim"),
         F.round(F.col("vf").cast("double") * 10000).cast("long").alias("q"),
     )
-    fold = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
-    per_t = n_planes * dims
-    proj = spark.range(n_tables * per_t).select(
-        (F.col("id") / per_t).cast("long").alias("t"),
-        ((F.col("id") / dims).cast("long") % n_planes).alias("p"),
-        (F.col("id") % dims + 1).alias("dim"),
-        (
-            fold(
-                F.concat_ws(
-                    ":",
-                    F.lit("nd"),
-                    (F.col("id") / per_t).cast("long"),
-                    ((F.col("id") / dims).cast("long") % n_planes),
-                    (F.col("id") % dims + 1),
-                )
-            )
-            % 19
-            - 9
-        ).alias("c"),
-    )
-    sigs = (
-        ex.join(F.broadcast(proj), "dim")
-        .groupBy(id_col, "t", "p")
-        .agg(F.sum(F.col("c") * F.col("q")).alias("s"))
-        .groupBy(id_col, "t")
+    # 18 codegen'd SUM aggregates over ONE |N| x dims exploded frame --
+    # the r14 shape joined a (t, p, dim) projection frame instead,
+    # fanning out to |N| x dims x 18 rows and re-aggregating through
+    # TWO hash exchanges; this computes the same exact BIGINT sums
+    # with an 18x narrower join and ONE exchange (guide §2.3/§2.4).
+    # (Full HOF and giant-scalar-expression forms were both tried and
+    # REVERTED: zip_with/aggregate folds are CodegenFallback --
+    # interpreted per element, 2x slower end to end -- and a literal
+    # 1,152-term expression tree falls out of whole-stage codegen
+    # entirely, 8x slower.)
+    sums = (
+        ex.join(F.broadcast(cdim), "dim")
+        .groupBy(id_col)
         .agg(
-            F.sum(
-                F.when(F.col("s") >= 0, F.expr("shiftleft(1L, CAST(p AS INT))"))
-                .otherwise(F.lit(0).cast("long"))
-            ).alias("bucket")
+            *[
+                F.sum(F.col("q") * F.col("cs").getItem(k)).alias(f"_s{k}")
+                for k in range(n_proj)
+            ]
         )
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
+    sig_structs = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for p in range(n_planes):
+            bucket = bucket + F.when(
+                F.col(f"_s{t * n_planes + p}") >= 0,
+                F.lit(1 << p).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        sig_structs.append(
+            F.struct(
+                F.lit(t).cast("long").alias("t"), bucket.alias("bucket")
+            )
+        )
+    sigs = (
+        sums.select(id_col, F.explode(F.array(*sig_structs)).alias("_tb"))
+        .select(id_col, F.col("_tb.t").alias("t"), F.col("_tb.bucket").alias("bucket"))
+    )
+    # EXPANSION-STAGE PARALLELISM (r15, guide §2.5 spirit): the bucket
+    # self-join fans 2 x |N| x tables signature rows out to ~|bucket|^2
+    # candidate pairs, but its INPUT is a few hundred KB -- AQE's
+    # byte-stat partition coalescing (correct for bytes, blind to
+    # Generate/join fan-out) collapses the feeding exchanges to ~1
+    # partition and the whole expand + verify chain ran single-threaded
+    # (measured: the full query 17.8 s with coalescing on vs 4.2 s
+    # off). Fix, scale-adaptively and only here: pin the expand input
+    # to ``defaultParallelism`` partitions with an explicit
+    # numPartitions repartition (REPARTITION_BY_NUM is exempt from AQE
+    # coalescing by design), and BROADCAST the build side of the
+    # self-join so the probe side's spread partitioning carries
+    # through the expansion, the pair dedup (repartitioned on the pair
+    # key, so the dedup aggregate and the verify run in that same
+    # spread stage) and the dot computation.
+    n_spread = embeddings.sparkSession.sparkContext.defaultParallelism
+    a = sigs.repartition(n_spread, F.col(id_col)).alias("a")
+    b = F.broadcast(sigs).alias("b")
     cand = (
         a.join(
             b,
@@ -414,13 +470,18 @@ def rp_neardup_pairs_pinned(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
         )
-        .distinct()
+        .repartition(n_spread, F.col("vec_a"), F.col("vec_b"))
+        .dropDuplicates()
     )
-    # verify via WHOLE-ARRAY integer HOFs, not a dim-exploded join:
-    # the exploded form shuffles candidates x dims rows (64x blowup --
-    # measured 8.1s at sf0.1); zip_with+aggregate computes the same
+    # verify via whole-array integer HOF dots, not a dim-exploded join
+    # (the exploded form shuffles candidates x dims rows -- 64x blowup,
+    # measured 8.1s at sf0.1): zip_with+aggregate computes the same
     # exact BIGINT dot inside one projection after two narrow
-    # array-joins (2.0s, identical output integers)
+    # array-joins, identical output integers. (An explicit 64-term
+    # element_at sum was tried and reverted: micro-benched 3.2 s vs
+    # 0.54 s for the HOF fold on 1.1M materialized pairs -- per-call
+    # bounds/null handling beats the fold only in giant-expression
+    # pathologies; the single-threading fixed above was the real cost.)
     qarr = embeddings.select(
         F.col(id_col),
         F.transform(
@@ -436,20 +497,25 @@ def rp_neardup_pairs_pinned(
             lambda acc, x: acc + x,
         ).alias("n2"),
     )
+
     dots = (
         cand.join(
-            qarr.select(
-                F.col(id_col).alias("vec_a"),
-                F.col("qs").alias("qa"),
-                F.col("n2").alias("na"),
+            F.broadcast(
+                qarr.select(
+                    F.col(id_col).alias("vec_a"),
+                    F.col("qs").alias("qa"),
+                    F.col("n2").alias("na"),
+                )
             ),
             "vec_a",
         )
         .join(
-            qarr.select(
-                F.col(id_col).alias("vec_b"),
-                F.col("qs").alias("qb"),
-                F.col("n2").alias("nb"),
+            F.broadcast(
+                qarr.select(
+                    F.col(id_col).alias("vec_b"),
+                    F.col("qs").alias("qb"),
+                    F.col("n2").alias("nb"),
+                )
             ),
             "vec_b",
         )
