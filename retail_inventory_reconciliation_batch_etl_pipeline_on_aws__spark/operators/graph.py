@@ -289,9 +289,31 @@ def pagerank(
     # built from the already-checkpointed canonical frame, never by
     # re-running the caller's mining plan.
     if undirected_canonical:
-        ec = edges.select(
-            F.col(src).alias(src), F.col(dst).alias(dst)
-        ).localCheckpoint(eager=True)
+        # cheap certification guard (r14 ADVICE): the fast path TRUSTS
+        # the caller's claim (one row per undirected simple edge,
+        # src < dst -- so no self-loops and no duplicate orientations);
+        # a violating edge list would silently diverge from the
+        # documented multi-edge semantics of the general path. The
+        # orientation/self-loop half of that claim is checkable for
+        # free as an observed metric riding the checkpoint job we
+        # already pay (guide §1.5); true duplicate rows would need a
+        # grouping pass and stay the caller's contract.
+        cert = Observation()
+        ec = (
+            edges.select(F.col(src).alias(src), F.col(dst).alias(dst))
+            .observe(
+                cert,
+                F.count_if(F.col(src) >= F.col(dst)).alias("n_noncanon"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if cert.get["n_noncanon"] > 0:
+            raise ValueError(
+                "undirected_canonical=True requires src < dst on every "
+                f"row; found {cert.get['n_noncanon']} violating rows "
+                "(self-loops or non-canonical orientation). Drop the "
+                "flag to use the general multi-edge path."
+            )
         deg = (
             ec.select(F.explode(F.array(src, dst)).alias("node"))
             .groupBy("node")
@@ -302,49 +324,10 @@ def pagerank(
         ).localCheckpoint(eager=True)
         small = state.count() <= broadcast_max_nodes
         if small:
-            base = (100 - damping_pct) * scale // 100
             for _ in range(iterations):
-                v1 = F.broadcast(
-                    state.select("node", F.expr("rank div outdeg").alias("_c"))
-                ).alias("_a")
-                v2 = F.broadcast(
-                    state.select("node", F.expr("rank div outdeg").alias("_c"))
-                ).alias("_b")
-                contribs = (
-                    ec.join(v1, ec[src] == F.col("_a.node"))
-                    .join(v2, ec[dst] == F.col("_b.node"))
-                    .select(
-                        F.explode(
-                            F.array(
-                                F.struct(
-                                    ec[dst].alias("node"),
-                                    F.col("_a._c").alias("_c"),
-                                ),
-                                F.struct(
-                                    ec[src].alias("node"),
-                                    F.col("_b._c").alias("_c"),
-                                ),
-                            )
-                        ).alias("x")
-                    )
-                    .select("x.node", "x._c")
-                    .groupBy("node")
-                    .agg(F.sum("_c").alias("_in"))
-                )
-                state = (
-                    state.join(F.broadcast(contribs), "node", "left")
-                    .select(
-                        "node",
-                        "outdeg",
-                        (
-                            F.lit(base).cast("long")
-                            + F.expr(
-                                f"({damping_pct}L * coalesce(_in, 0L)) div 100"
-                            )
-                        ).alias("rank"),
-                    )
-                    .localCheckpoint(eager=True)
-                )
+                state = _pagerank_canonical_round(
+                    ec, state, src, dst, damping_pct, scale
+                ).localCheckpoint(eager=True)
             return state.select("node", "rank")
         # too many nodes to broadcast ranks: symmetrize off the
         # checkpoint and fall through to the general loop below
@@ -414,6 +397,59 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return state.select("node", "rank")
+
+
+def _pagerank_canonical_round(
+    ec: DataFrame,
+    state: DataFrame,
+    src: str,
+    dst: str,
+    damping_pct: int,
+    scale: int,
+) -> DataFrame:
+    """One un-checkpointed PageRank round of the undirected-canonical
+    fast path -- factored out so the plan-shape tests can pin the r14
+    claims on the exact frame the loop materializes: the two rank
+    reads broadcast the SAME projection (one BroadcastExchange + one
+    ReusedExchange), the per-round contribution sum is the only hash
+    exchange, and the canonical edge checkpoint is never re-shuffled.
+    """
+    base = (100 - damping_pct) * scale // 100
+    v1 = F.broadcast(
+        state.select("node", F.expr("rank div outdeg").alias("_c"))
+    ).alias("_a")
+    v2 = F.broadcast(
+        state.select("node", F.expr("rank div outdeg").alias("_c"))
+    ).alias("_b")
+    contribs = (
+        ec.join(v1, ec[src] == F.col("_a.node"))
+        .join(v2, ec[dst] == F.col("_b.node"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        ec[dst].alias("node"),
+                        F.col("_a._c").alias("_c"),
+                    ),
+                    F.struct(
+                        ec[src].alias("node"),
+                        F.col("_b._c").alias("_c"),
+                    ),
+                )
+            ).alias("x")
+        )
+        .select("x.node", "x._c")
+        .groupBy("node")
+        .agg(F.sum("_c").alias("_in"))
+    )
+    return state.join(F.broadcast(contribs), "node", "left").select(
+        "node",
+        "outdeg",
+        (
+            F.lit(base).cast("long")
+            + F.expr(f"({damping_pct}L * coalesce(_in, 0L)) div 100")
+        ).alias("rank"),
+    )
 
 
 def triangle_participation(edges: DataFrame, a: str = "pa", b: str = "pb") -> DataFrame:
@@ -538,30 +574,39 @@ def label_propagation(
     # explicit broadcast router: |V| ids-only rows, same ceiling as
     # pagerank's rank-side router (checkpointed frames carry no stats)
     small = labels.count() <= 4_000_000
-    hint = F.broadcast if small else (lambda d: d)
     for _ in range(iters):
-        lv = hint(labels.select("node", "label")).alias("_l")
-        neigh = (
-            und.join(lv, und["dst"] == F.col("_l.node"))
-            .groupBy(
-                und["src"].alias("node"), F.col("_l.label").alias("nb_label")
-            )
-            .agg(F.count("*").alias("n"))
-        )
-        labels = (
-            neigh.groupBy("node")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("n")).alias("_negn"),
-                        F.col("nb_label").alias("l"),
-                    )
-                ).alias("m")
-            )
-            .select("node", F.col("m.l").alias("label"))
-            .localCheckpoint(eager=True)
-        )
+        labels = _lpa_round(und, labels, small).localCheckpoint(eager=True)
     return labels
+
+
+def _lpa_round(und: DataFrame, labels: DataFrame, small: bool) -> DataFrame:
+    """One un-checkpointed label-propagation round -- factored out so
+    the plan-shape tests can pin the r14 claims on the exact frame the
+    loop materializes: the |V|-row label table rides a
+    BroadcastExchange (the checkpointed edge list is never re-shuffled
+    for the join), and the plurality argmax is the
+    ``min(struct(-n, label))`` AGGREGATE, not a row_number window."""
+    hint = F.broadcast if small else (lambda d: d)
+    lv = hint(labels.select("node", "label")).alias("_l")
+    neigh = (
+        und.join(lv, und["dst"] == F.col("_l.node"))
+        .groupBy(
+            und["src"].alias("node"), F.col("_l.label").alias("nb_label")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        neigh.groupBy("node")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("_negn"),
+                    F.col("nb_label").alias("l"),
+                )
+            ).alias("m")
+        )
+        .select("node", F.col("m.l").alias("label"))
+    )
 
 
 def _hindex_init(edges: DataFrame, a: str, b: str):
@@ -693,6 +738,24 @@ def _hindex_step(
       higher-order functions are CodegenFallback -- interpreted
       per-element -- while the window runs in whole-stage codegen.
     """
+    stepped = _hindex_step_frame(adj, vals, small)
+    if gate is not None:
+        stepped = stepped.observe(
+            gate,
+            F.count_if(F.col("c") != F.col("c_old")).alias("n_changed"),
+        )
+    return stepped.localCheckpoint(eager=True)
+
+
+def _hindex_step_frame(
+    adj: DataFrame, vals: DataFrame, small: bool = True
+) -> DataFrame:
+    """The un-checkpointed ROUND PLAN of ``_hindex_step`` -- factored
+    out so the plan-shape tests can pin the round's physical claims
+    (one BroadcastExchange + one ReusedExchange for the two value
+    reads, no shuffle Exchange above the cached adjacency) on the
+    exact frame the loop materializes; ``_hindex_step`` is this plus
+    the observed gate and the eager checkpoint."""
     hint = F.broadcast if small else (lambda d: d)
     w = (
         Window.partitionBy("node")
@@ -705,7 +768,7 @@ def _hindex_step(
     # both joins broadcast byte-identical children => ReusedExchange
     v_nb = hint(vals.select("node", "c")).alias("_v1")
     v_old = hint(vals.select("node", "c")).alias("_v2")
-    stepped = (
+    return (
         und.join(v_nb, und["dst"] == F.col("_v1.node"))
         .select(und["src"].alias("node"), F.col("_v1.c").alias("nb_c"))
         .groupBy("node", "nb_c")
@@ -721,12 +784,6 @@ def _hindex_step(
         .join(v_old, F.col("_h.node") == F.col("_v2.node"))
         .select("_h.node", "_h.c", F.col("_v2.c").alias("c_old"))
     )
-    if gate is not None:
-        stepped = stepped.observe(
-            gate,
-            F.count_if(F.col("c") != F.col("c_old")).alias("n_changed"),
-        )
-    return stepped.localCheckpoint(eager=True)
 
 
 def hindex_rounds(

@@ -5031,6 +5031,11 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count) -- so the two extra countDistinct scans of the fact table
     # the old plan ran are gone; the persisted set table serves all
     # three consumers
+    # persist lifetime rides the harness clearCache-between-queries
+    # contract (bench.py / conftest.compare_query / strict_parity); a
+    # long-lived session embedding this query should clearCache too --
+    # the returned frame cannot unpersist what its construction cached
+    # (r14 ADVICE note; same convention as every persist in this file)
     grouped = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     ).persist()
@@ -7531,7 +7536,10 @@ def q_brand_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted (r14 optimization round, guide §5 caching rule): three
     # consumers (both rank maps + the join-back side) would otherwise
     # each re-run the fact scan + broadcast dim join -- the scan is a
-    # single-row-group parquet file, so each re-run is a serial task
+    # single-row-group parquet file, so each re-run is a serial task.
+    # Lifetime rides the harness clearCache-between-queries contract
+    # (r14 ADVICE note; bench.py now also clears INSIDE its timed loop,
+    # so recorded floors pay this query's full cost every run)
     base = li.join(part, li.l_partkey == part.p_partkey).select(
         F.col("p_brand").alias("brand"),
         F.col("l_quantity").cast("long").alias("qty"),

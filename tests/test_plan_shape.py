@@ -478,3 +478,163 @@ def test_copurchase_kcore_hist_checkpointed_iteration(spark):
     assert "Scan parquet" not in p
     assert re.search(r"Scan ExistingRDD|LogicalRDD", p), p[:400]
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+# ---------------------------------------------------------------------------
+# r15: plan-shape pins for the iterative operators' ROUND plans. The
+# returned frames of the iterative queries are post-checkpoint (the plan
+# evidence the r14 verdict item #7 asked for lives in the round itself),
+# so the operators expose the un-checkpointed round frames
+# (_hindex_step_frame / _pagerank_canonical_round / _lpa_round) and these
+# tests pin the r14/r15 physical claims on exactly what the loops
+# materialize. Only the TREE section is counted -- the details blocks
+# also render the cached child's plan (whose init exchange is pinned
+# separately below).
+# ---------------------------------------------------------------------------
+
+
+def _tree_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    # cut at the details section (first column-0 "(n) " line); tree
+    # lines are indented, so this keeps the whole operator tree --
+    # including any InMemoryRelation child rendered inline
+    m = re.search(r"^\(\d+\) ", p, re.M)
+    return p[: m.start()] if m else p
+
+
+def _graph_edges(spark):
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (2, 4)], "pa long, pb long"
+    )
+
+
+def test_hindex_init_single_exchange(spark):
+    """r15 claim: the symmetrized edge stream is shuffled exactly ONCE
+    at init -- the explicit repartition(src) satisfies the dedup
+    aggregate's {src,dst} clustering (subset rule) AND the adjacency
+    groupBy(src), so distinct + collect_list add no exchange."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (  # noqa: E501
+        _hindex_init,
+    )
+
+    adj, _vals = _hindex_init(_graph_edges(spark), "pa", "pb")
+    adj.unpersist()  # explain the raw plan, not the InMemoryRelation
+    tree = _tree_of(adj)
+    assert tree.count("- Exchange (") == 1, tree
+    assert "- Generate (" in tree  # the one-scan 2-way explode symmetrize
+
+
+def test_hindex_round_moves_no_edge_bytes(spark):
+    """r14/r15 claim: one H-index round is exchange-free above the
+    cached adjacency -- the in-row explode keeps the cache's
+    hash(node) partitioning, the value side broadcasts twice (same
+    projection; runtime builds reuse), the histogram + cumulative
+    window + terminal groupBy all ride the cached partitioning."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (  # noqa: E501
+        _hindex_init,
+        _hindex_step_frame,
+    )
+
+    adj, vals = _hindex_init(_graph_edges(spark), "pa", "pb")
+    tree = _tree_of(_hindex_step_frame(adj, vals, small=True))
+    # the cached adjacency's child plan renders INLINE (its single init
+    # exchange appears under InMemoryRelation, once per AQE plan
+    # rendering); the step itself must add no shuffle ABOVE the cache
+    imr = tree.index("InMemoryRelation")
+    first_ex = tree.find("- Exchange (")
+    assert first_ex == -1 or first_ex > imr, tree
+    assert tree.count("- BroadcastExchange (") == 2, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert tree.count("- Window (") == 1, tree
+    assert "InMemoryTableScan" in tree, tree
+    spark.catalog.clearCache()
+
+
+def test_pagerank_canonical_round_single_exchange(spark):
+    """r14 claim (pagerank undirected-canonical fast path): per round,
+    the ONLY hash exchange is the map-side-combined contribution sum;
+    both rank reads and the contribution re-attach ride broadcasts
+    (rank projections byte-identical -> runtime ReusedExchange), and
+    the canonical edge checkpoint is never re-shuffled."""
+    from pyspark.sql import functions as F
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (  # noqa: E501
+        _pagerank_canonical_round,
+    )
+
+    ec = (
+        _graph_edges(spark)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        ec.select(F.explode(F.array("src", "dst")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("outdeg"))
+    )
+    state = deg.select(
+        "node", "outdeg", F.lit(10**12).cast("long").alias("rank")
+    ).localCheckpoint(eager=True)
+    tree = _tree_of(
+        _pagerank_canonical_round(ec, state, "src", "dst", 85, 10**12)
+    )
+    assert tree.count("- Exchange (") == 1, tree
+    assert tree.count("- BroadcastExchange (") == 3, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert tree.count("- Generate (") == 1, tree  # the 2-way contrib explode
+
+
+def test_lpa_round_broadcasts_labels_no_window(spark):
+    """r14 claim (label propagation): the |V|-row label table rides a
+    BroadcastExchange (the checkpointed edge list is never re-shuffled
+    for the join) and the plurality argmax is the min(struct(-n,
+    label)) AGGREGATE -- no row_number window anywhere; the two hash
+    exchanges are the map-side-combined (node, label) count and the
+    per-node argmax regroup."""
+    from pyspark.sql import functions as F
+
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.graph import (  # noqa: E501
+        _lpa_round,
+    )
+
+    e = _graph_edges(spark)
+    und = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                    F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    tree = _tree_of(_lpa_round(und, labels, True))
+    assert tree.count("- BroadcastExchange (") == 1, tree
+    assert tree.count("- Exchange (") == 2, tree
+    assert "SortMergeJoin" not in tree and "- Window (" not in tree, tree
+
+
+def test_embed_neardup_lsh_spread_expansion(spark):
+    """r15 claims for the LSH plan: ONE signature exchange (the 18-sum
+    groupBy -- the r14 shape paid two over an 18x wider stream), the
+    bucket self-join is a BROADCAST join (never sort-merge), and the
+    expansion + pair-dedup stages ride explicit REPARTITION_BY_NUM
+    exchanges that AQE's byte-stat coalescing cannot collapse to one
+    task (the Generate/join fan-out it cannot see)."""
+    spark.catalog.clearCache()
+    p = plan_of(spark, "embed_neardup_lsh")
+    assert "SortMergeJoin" not in p, "bucket self-join must broadcast"
+    reparts = re.findall(r"REPARTITION_BY_NUM", p)
+    assert len(reparts) >= 2, f"expected 2 pinned-width repartitions: {p[:600]}"
