@@ -371,6 +371,58 @@ def probe_rp_ann(spark, sf: str, k: int) -> int:
     return pinned_rp_ann_topk(_scaled_embeddings(spark, sf, k), k=10).count()
 
 
+def _scaled_embeddings_signflip(spark, sf: str, k: int) -> DataFrame:
+    """k copies of the embeddings table with DISJOINT vec_id spaces AND
+    scrambled LSH bucket spaces: copy i's vectors ride a deterministic
+    per-copy diagonal +/-1 (sign of hash(i, dim)).  A diagonal +/-1 is
+    orthogonal, so WITHIN a copy every cosine -- and, because Spark's
+    HALF_UP round satisfies round(-x) == -round(x), every quantized
+    BIGINT verify score -- is preserved exactly: each copy reproduces
+    the original's true-pair structure.  ACROSS copies the flipped
+    coordinates scramble the sign-RP signatures, so clone pairs
+    collide at background rate instead of colliding by construction
+    (the plain `_scaled_embeddings` clone would hand every vector k-1
+    exact duplicates -- a genuine quadratic in the OUTPUT that
+    certifies nothing about the join plan).  True output grows ~k x;
+    superlinear TIME is therefore the plan's fault and only the
+    plan's."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    copies = [e]
+    for i in range(1, k):
+        copies.append(
+            e.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                F.expr(
+                    "transform(embedding, (v, d) -> "
+                    f"CASE WHEN pmod(hash({i}, d), 2) = 0 THEN v "
+                    "ELSE -v END)"
+                ).alias("embedding"),
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+def probe_rp_neardup_lsh(spark, sf: str, k: int) -> int:
+    """The r15-touched embed_neardup_lsh core end to end (in-row 18-sum
+    signature pass -> broadcast bucket self-join -> spread pair dedup
+    -> integer-HOF verify) on disjoint-bucket k-copies: the bucket
+    self-join and the candidate dedup/verify chain are the operator's
+    quadratic-shaped risks, and the r15 REPARTITION_BY_NUM spread is
+    what keeps the expansion parallel as the input grows."""
+    from retail_inventory_reconciliation_batch_etl_pipeline_on_aws__spark.operators.similarity import (  # noqa: E501
+        rp_neardup_pairs_pinned,
+    )
+
+    return rp_neardup_pairs_pinned(
+        _scaled_embeddings_signflip(spark, sf, k), cos_threshold=0.45
+    ).count()
+
+
 def probe_winnow(spark, sf: str, k: int) -> int:
     return (
         winnow_fingerprints(_scaled_docs(spark, sf, k))
@@ -468,6 +520,8 @@ PROBES = {
     # r13 conversions: the new banded self-join and RP candidate path
     "minhash_banded": probe_minhash_banded,
     "rp_ann": probe_rp_ann,
+    # r15 (r14 verdict item #9): the spread-expansion LSH pair path
+    "rp_neardup_lsh": probe_rp_neardup_lsh,
     # r14 (r13 verdict item #6): the applyInPandas throttle, both axes
     "alert_throttle_users": probe_alert_throttle_users,
     "alert_throttle_depth": probe_alert_throttle_depth,
