@@ -5059,13 +5059,29 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("long").alias("n_pair"))
     )
-    pairs = pairs_lt.unionByName(
-        pairs_lt.select(
-            F.col("part_b").alias("part_a"),
-            F.col("part_a").alias("part_b"),
-            "n_pair",
-        )
-    )
+    # directional rules via a 2-way EXPLODE of the lower-triangle pair
+    # counts, not unionByName of a swapped select (r15, guide
+    # §1.2/§2.4): pairs_lt is an unmaterialized plan ending in the pair
+    # expansion + count aggregate, so the union's two branches each
+    # re-executed that subtree -- the explode emits both orientations
+    # from ONE execution of it (row multiset identical; lift/support
+    # inputs are symmetric, confidence direction rides the swap)
+    pairs = pairs_lt.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("part_a").alias("part_a"),
+                    F.col("part_b").alias("part_b"),
+                    F.col("n_pair").alias("n_pair"),
+                ),
+                F.struct(
+                    F.col("part_b").alias("part_a"),
+                    F.col("part_a").alias("part_b"),
+                    F.col("n_pair").alias("n_pair"),
+                ),
+            )
+        ).alias("_p")
+    ).select("_p.part_a", "_p.part_b", "_p.n_pair")
     part_orders = (
         grouped.select(F.explode("ps").alias("l_partkey"))
         .groupBy("l_partkey")
@@ -5968,8 +5984,11 @@ def q_name_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = fixtures.load(spark, sf_dir, "customer")
     pairs = edit1_neighbor_pairs(cust, str_col="c_name")
-    both = pairs.select(F.col("name_a").alias("name")).unionAll(
-        pairs.select(F.col("name_b").alias("name"))
+    # both endpoints from ONE execution of the candidate+verify plan
+    # (r15, guide §1.2/§2.4): the unionAll spelling re-executed the
+    # FastSS blocking join + levenshtein verify once per branch
+    both = pairs.select(
+        F.explode(F.array(F.col("name_a"), F.col("name_b"))).alias("name")
     )
     return (
         both.groupBy("name")
@@ -6092,8 +6111,21 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    tot = pts.groupBy("p_brand").agg(F.sum("w").alias("tw"))
-    cum = pts.withColumn("cw", F.sum("w").over(wcum)).join(tot, "p_brand")
+    # brand total as a FULL-PARTITION window over the same (brand,
+    # cents) frame, not a groupBy re-aggregation joined back (r15,
+    # guide §1.2/§2.4): the join spelling re-executed the
+    # lineitem-part join + (brand, cents) aggregate subtree once per
+    # branch and then sort-merge-joined the two -- both windows share
+    # the one hash(p_brand) exchange and sort, so the fact subtree
+    # runs ONCE and the join disappears. Values identical: tw is the
+    # same per-brand sum either way (p_brand is never null here, so
+    # the inner join dropped no rows).
+    wtot = Window.partitionBy("p_brand").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = pts.withColumn("cw", F.sum("w").over(wcum)).withColumn(
+        "tw", F.sum("w").over(wtot)
+    )
     return (
         cum.where(F.col("cw") * 2 >= F.col("tw"))
         .groupBy(F.col("p_brand").alias("brand"))
@@ -9996,9 +10028,11 @@ def q_copurchase_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pr.pa", "pr.pb")
         .distinct()
     )
+    # both endpoints from ONE execution of the pair mining (r15, guide
+    # §1.2/§2.4): the unionAll spelling re-executed the expand+distinct
+    # subtree once per branch (union branches get no ReusedExchange)
     deg = (
-        pairs.select(F.col("pa").alias("p"))
-        .unionAll(pairs.select(F.col("pb").alias("p")))
+        pairs.select(F.explode(F.array("pa", "pb")).alias("p"))
         .groupBy("p")
         .agg(F.count("*").cast("long").alias("degree"))
     )
@@ -16721,9 +16755,10 @@ def q_copurchase_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts end to end; one shuffle for the pair weights, one for the
     degree rollup, one for the histogram."""
     edges = _copurchase_pairs_weighted(spark, sf_dir).where(F.col("w") >= 2)
-    und = edges.select(F.col("pa").alias("node")).unionAll(
-        edges.select(F.col("pb").alias("node"))
-    )
+    # both endpoints from ONE execution of the weighted pair mining
+    # (r15, guide §1.2/§2.4): the unionAll spelling re-executed it
+    # once per branch (union branches get no ReusedExchange)
+    und = edges.select(F.explode(F.array("pa", "pb")).alias("node"))
     deg = und.groupBy("node").agg(F.count("*").cast("long").alias("degree"))
     return (
         deg.groupBy("degree")

@@ -638,3 +638,41 @@ def test_embed_neardup_lsh_spread_expansion(spark):
     assert "SortMergeJoin" not in p, "bucket self-join must broadcast"
     reparts = re.findall(r"REPARTITION_BY_NUM", p)
     assert len(reparts) >= 2, f"expected 2 pinned-width repartitions: {p[:600]}"
+
+
+def test_containment_symmetrize_is_generate_not_union(spark):
+    """r15 claim for the containment tail (guide §1.2/§2.4): both pair
+    orientations come from ONE execution of the candidate join -- a
+    2-way explode over the lower-triangle counts -- never a Union whose
+    swapped branch re-executes the whole join+aggregate subtree (the
+    r14 plan ran TWO shingle-keyed BroadcastHashJoins and two pair
+    exchanges for one logical join)."""
+    spark.catalog.clearCache()
+    p = plan_of(spark, "shingle_containment")
+    assert "Union" not in p, "symmetrize must not re-execute the join"
+    # exactly one shingle-keyed candidate join feeds the pair counts
+    shingle_joins = re.findall(r"Left keys \[1\]: \[shingle#", p)
+    assert len(shingle_joins) == 1, shingle_joins
+
+
+def test_basket_rules_directional_explode_not_union(spark):
+    """r15 claim for basket_rules (guide §1.2/§2.4): the directional
+    rule table comes from ONE execution of the pair-expansion aggregate
+    (2-way explode of the lower-triangle counts), not a Union whose
+    swapped branch re-executes the expand+count subtree."""
+    spark.catalog.clearCache()
+    p = plan_of(spark, "basket_rules")
+    assert "Union" not in p, "directional swap must not re-run the expand"
+
+
+def test_weighted_median_windowed_totals_no_fact_rejoin(spark):
+    """r15 claim for weighted_median_price (guide §1.2/§2.4): the brand
+    total rides a full-partition window over the SAME (brand, cents)
+    frame as the cumulative sum -- the fact join+aggregate subtree runs
+    once and the old totals SortMergeJoin is gone; the only join left
+    is the broadcast part-dim attach."""
+    spark.catalog.clearCache()
+    p = plan_of(spark, "weighted_median_price")
+    assert "SortMergeJoin" not in p, "totals must ride a window, not a join"
+    assert len(re.findall(r"\(\d+\) Window", p)) >= 1, p
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 1, p
